@@ -1,13 +1,29 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
+import graft.queries.Queries
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    Queries.qSpjoinIntersects(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_spjoin_intersects" -> (Queries.qSpjoinIntersects _),
+    "q_mbb_stats" -> (Queries.qMbbStats _),
+    "q1_agg" -> (Queries.q1Agg _),
+    "q_window_topk" -> (Queries.qWindowTopk _),
+    "q_dedup_exact" -> (Queries.qDedupExact _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_spjoin_intersects" -> Queries.qSpjoinIntersectsSql,
+    "q_mbb_stats" -> Queries.qMbbStatsSql,
+    "q1_agg" -> Queries.q1AggSql,
+    "q_window_topk" -> Queries.qWindowTopkSql,
+    "q_dedup_exact" -> Queries.qDedupExactSql,
+  )
 }

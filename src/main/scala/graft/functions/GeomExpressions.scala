@@ -1,0 +1,318 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.locationtech.jts.geom.Geometry
+
+import graft.core.GeometryCodec
+
+/** JTS-backed spatial Catalyst expressions.
+  *
+  * Geometry on the wire is WKB in a BinaryType column; each expression
+  * deserializes, computes, and (for geometry results) reserializes. The
+  * predicate set mirrors the reference's RESQUE join predicates
+  * (/root/reference/src/resque/spjoin_2d.hpp:138-224) and the measure set
+  * mirrors its lazily-computed pair stats (spjoin_2d.hpp:226-264).
+  */
+object GeomExpressions {
+  val MbbType: StructType = StructType(Seq(
+    StructField("xmin", DoubleType, nullable = false),
+    StructField("ymin", DoubleType, nullable = false),
+    StructField("xmax", DoubleType, nullable = false),
+    StructField("ymax", DoubleType, nullable = false)))
+}
+
+/** WKT string -> WKB geometry; malformed input -> null (the reference's
+  * permissive mapper behavior, manipulate_2d.cpp:182-189). */
+case class StGeomFromWkt(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val g = GeometryCodec.fromWkt(v.asInstanceOf[UTF8String].toString)
+    if (g == null) null else GeometryCodec.toWkb(g)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "st_geomfromwkt"
+}
+
+case class StAsText(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = {
+    val g = GeometryCodec.fromWkb(v.asInstanceOf[Array[Byte]])
+    if (g == null) null else UTF8String.fromString(GeometryCodec.toWkt(g))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "st_astext"
+}
+
+case class StPoint(x: Expression, y: Expression) extends BinaryExpression
+    with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
+  override def left: Expression = x
+  override def right: Expression = y
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GeometryCodec.toWkb(GeometryCodec.point(
+      a.asInstanceOf[Double], b.asInstanceOf[Double]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+  override def prettyName: String = "st_point"
+}
+
+/** (xmin,ymin,xmax,ymax) -> axis-aligned rectangle polygon (the reference's
+  * get_wkt_from_mbb, queryprocessor_aux.h:46-54, but emitting geometry). */
+case class StMakeBox(children: Seq[Expression]) extends Expression
+    with ImplicitCastInputTypes with CodegenFallback {
+  require(children.size == 4, "st_makebox(xmin,ymin,xmax,ymax)")
+  override def inputTypes: Seq[DataType] = Seq.fill(4)(DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else {
+      val d = vs.map(_.asInstanceOf[Double])
+      GeometryCodec.toWkb(GeometryCodec.box(d(0), d(1), d(2), d(3)))
+    }
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(cs)
+  override def prettyName: String = "st_makebox"
+}
+
+/** geometry -> envelope struct (xmin,ymin,xmax,ymax) — the reference's MBB
+  * extraction (manipulate_2d.cpp:117-135). */
+case class StEnvelope(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = GeomExpressions.MbbType
+  override def nullSafeEval(v: Any): Any = {
+    val g = GeometryCodec.fromWkb(v.asInstanceOf[Array[Byte]])
+    if (g == null) null else {
+      val e = g.getEnvelopeInternal
+      InternalRow(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "st_envelope"
+}
+
+/** Binary spatial predicates over WKB geometries. Envelope short-circuit on
+  * contains/equals for parity with spjoin_2d.hpp:151-165. */
+case class StPredicate(left: Expression, right: Expression, predicate: String)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val g1 = GeometryCodec.fromWkb(a.asInstanceOf[Array[Byte]])
+    val g2 = GeometryCodec.fromWkb(b.asInstanceOf[Array[Byte]])
+    if (g1 == null || g2 == null) null
+    else predicate match {
+      case "intersects" => g1.intersects(g2)
+      case "touches"    => g1.touches(g2)
+      case "crosses"    => g1.crosses(g2)
+      case "contains"   =>
+        g1.getEnvelopeInternal.contains(g2.getEnvelopeInternal) && g1.contains(g2)
+      case "within"     =>
+        g2.getEnvelopeInternal.contains(g1.getEnvelopeInternal) && g1.within(g2)
+      case "overlaps"   => g1.overlaps(g2)
+      case "equals"     =>
+        g1.getEnvelopeInternal.equals(g2.getEnvelopeInternal) && g1.equalsTopo(g2)
+      case "disjoint"   => g1.disjoint(g2)
+      // st_adjacent == !disjoint in the reference (spjoin_2d.hpp:155-157)
+      case "adjacent"   => !g1.disjoint(g2)
+      case other => throw new IllegalArgumentException(s"unknown predicate $other")
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = s"st_$predicate"
+}
+
+/** st_dwithin: distance-within-d join predicate (spjoin_2d.hpp:167-205). */
+case class StDWithin(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType, DoubleType)
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(a: Any, b: Any, d: Any): Any = {
+    val g1 = GeometryCodec.fromWkb(a.asInstanceOf[Array[Byte]])
+    val g2 = GeometryCodec.fromWkb(b.asInstanceOf[Array[Byte]])
+    if (g1 == null || g2 == null) null
+    else g1.isWithinDistance(g2, d.asInstanceOf[Double])
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+  override def prettyName: String = "st_dwithin"
+}
+
+case class StDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val g1 = GeometryCodec.fromWkb(a.asInstanceOf[Array[Byte]])
+    val g2 = GeometryCodec.fromWkb(b.asInstanceOf[Array[Byte]])
+    if (g1 == null || g2 == null) null else g1.distance(g2)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+  override def prettyName: String = "st_distance"
+}
+
+/** Haversine distance in meters between two point geometries, with the
+  * reference's constants: earth radius 3958.75 mi, 1609.0 m/mi
+  * (/root/reference/src/extensions/specialmeasures/geographical.h:3-23). */
+case class StDistanceSphere(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val g1 = GeometryCodec.fromWkb(a.asInstanceOf[Array[Byte]])
+    val g2 = GeometryCodec.fromWkb(b.asInstanceOf[Array[Byte]])
+    if (g1 == null || g2 == null) null
+    else {
+      val c1 = g1.getCoordinate; val c2 = g2.getCoordinate
+      val lat1 = math.toRadians(c1.y); val lat2 = math.toRadians(c2.y)
+      val dLat = lat2 - lat1
+      val dLon = math.toRadians(c2.x - c1.x)
+      val h = math.pow(math.sin(dLat / 2), 2) +
+        math.cos(lat1) * math.cos(lat2) * math.pow(math.sin(dLon / 2), 2)
+      val miles = 3958.75 * 2 * math.asin(math.sqrt(h))
+      miles * 1609.0
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+  override def prettyName: String = "st_distancesphere"
+}
+
+case class StArea(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = {
+    val g = GeometryCodec.fromWkb(v.asInstanceOf[Array[Byte]])
+    if (g == null) null else g.getArea
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "st_area"
+}
+
+/** Binary geometry->geometry ops: union / intersection / difference. */
+case class StOverlay(left: Expression, right: Expression, op: String)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val g1 = GeometryCodec.fromWkb(a.asInstanceOf[Array[Byte]])
+    val g2 = GeometryCodec.fromWkb(b.asInstanceOf[Array[Byte]])
+    if (g1 == null || g2 == null) null
+    else {
+      val r: Geometry = op match {
+        case "union"        => g1.union(g2)
+        case "intersection" => g1.intersection(g2)
+        case "difference"   => g1.difference(g2)
+        case other => throw new IllegalArgumentException(s"unknown overlay $other")
+      }
+      GeometryCodec.toWkb(r)
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = s"st_$op"
+}
+
+case class StBuffer(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, d: Any): Any = {
+    val g = GeometryCodec.fromWkb(a.asInstanceOf[Array[Byte]])
+    if (g == null) null
+    else GeometryCodec.toWkb(g.buffer(d.asInstanceOf[Double]))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+  override def prettyName: String = "st_buffer"
+}
+
+/** Pairwise overlap measures computed in one pass — the reference's pathology
+  * metrics (/root/reference/src/extensions/specialmeasures/pathology_metrics.h:2-12):
+  * jaccard = area(a∩b)/area(a∪b); dice = 2·area(a∩b)/(area(a)+area(b)). */
+case class StOverlapMeasure(left: Expression, right: Expression, measure: String)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val g1 = GeometryCodec.fromWkb(a.asInstanceOf[Array[Byte]])
+    val g2 = GeometryCodec.fromWkb(b.asInstanceOf[Array[Byte]])
+    if (g1 == null || g2 == null) null
+    else measure match {
+      case "intersection_area" => g1.intersection(g2).getArea
+      case "union_area"        => g1.union(g2).getArea
+      case "jaccard" =>
+        val inter = g1.intersection(g2).getArea
+        val uni = g1.union(g2).getArea
+        if (uni == 0) 0.0 else inter / uni
+      case "dice" =>
+        val inter = g1.intersection(g2).getArea
+        val denom = g1.getArea + g2.getArea
+        if (denom == 0) 0.0 else 2 * inter / denom
+      case other => throw new IllegalArgumentException(s"unknown measure $other")
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = s"st_$measure"
+}
+
+/** Hilbert-curve value of a point on a 2^order x 2^order grid — the
+  * reference's space-filling-curve sort key
+  * (/root/reference/src/partitionalgo/hc/hc_2d.cpp:27-58), reimplemented with
+  * the standard iterative d2xy/xy2d rotation algorithm. Inputs are expected
+  * normalized to [0,1]. */
+case class HilbertValue(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType, IntegerType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(xv: Any, yv: Any, ov: Any): Any = {
+    val order = ov.asInstanceOf[Int]
+    val n = 1L << order
+    def clamp(v: Double): Long = {
+      val c = (v * n).toLong
+      if (c < 0) 0L else if (c >= n) n - 1 else c
+    }
+    HilbertValue.xy2d(order, clamp(xv.asInstanceOf[Double]), clamp(yv.asInstanceOf[Double]))
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+  override def prettyName: String = "hilbert"
+}
+
+object HilbertValue {
+  /** Standard Hilbert curve xy -> d (iterative, public-domain algorithm). */
+  def xy2d(order: Int, xIn: Long, yIn: Long): Long = {
+    var rx = 0L; var ry = 0L; var d = 0L
+    var x = xIn; var y = yIn
+    var s = (1L << order) / 2
+    while (s > 0) {
+      rx = if ((x & s) > 0) 1 else 0
+      ry = if ((y & s) > 0) 1 else 0
+      d += s * s * ((3 * rx) ^ ry)
+      // rotate
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+}

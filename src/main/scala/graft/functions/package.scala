@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graft.Bridge
+
+/** Column-API surface for the spatial function library, plus SQL
+  * FunctionRegistry registration so every function is usable from
+  * `spark.sql(...)` as well.
+  */
+package object functions {
+  private def col(e: Expression): Column = Bridge.column(e)
+  private def ex(c: Column): Expression = Bridge.expression(c)
+
+  def st_geomfromwkt(wkt: Column): Column = col(StGeomFromWkt(ex(wkt)))
+  def st_astext(g: Column): Column = col(StAsText(ex(g)))
+  def st_point(x: Column, y: Column): Column = col(StPoint(ex(x), ex(y)))
+  def st_makebox(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
+    col(StMakeBox(Seq(ex(xmin), ex(ymin), ex(xmax), ex(ymax))))
+  def st_envelope(g: Column): Column = col(StEnvelope(ex(g)))
+
+  def st_intersects(a: Column, b: Column): Column = col(StPredicate(ex(a), ex(b), "intersects"))
+  def st_touches(a: Column, b: Column): Column = col(StPredicate(ex(a), ex(b), "touches"))
+  def st_crosses(a: Column, b: Column): Column = col(StPredicate(ex(a), ex(b), "crosses"))
+  def st_contains(a: Column, b: Column): Column = col(StPredicate(ex(a), ex(b), "contains"))
+  def st_within(a: Column, b: Column): Column = col(StPredicate(ex(a), ex(b), "within"))
+  def st_overlaps(a: Column, b: Column): Column = col(StPredicate(ex(a), ex(b), "overlaps"))
+  def st_equals(a: Column, b: Column): Column = col(StPredicate(ex(a), ex(b), "equals"))
+  def st_disjoint(a: Column, b: Column): Column = col(StPredicate(ex(a), ex(b), "disjoint"))
+  def st_adjacent(a: Column, b: Column): Column = col(StPredicate(ex(a), ex(b), "adjacent"))
+  def st_dwithin(a: Column, b: Column, d: Column): Column =
+    col(StDWithin(ex(a), ex(b), ex(d)))
+
+  def st_distance(a: Column, b: Column): Column = col(StDistance(ex(a), ex(b)))
+  def st_distancesphere(a: Column, b: Column): Column = col(StDistanceSphere(ex(a), ex(b)))
+  def st_area(g: Column): Column = col(StArea(ex(g)))
+  def st_union(a: Column, b: Column): Column = col(StOverlay(ex(a), ex(b), "union"))
+  def st_intersection(a: Column, b: Column): Column = col(StOverlay(ex(a), ex(b), "intersection"))
+  def st_difference(a: Column, b: Column): Column = col(StOverlay(ex(a), ex(b), "difference"))
+  def st_buffer(g: Column, d: Column): Column = col(StBuffer(ex(g), ex(d)))
+  def st_intersection_area(a: Column, b: Column): Column =
+    col(StOverlapMeasure(ex(a), ex(b), "intersection_area"))
+  def st_union_area(a: Column, b: Column): Column =
+    col(StOverlapMeasure(ex(a), ex(b), "union_area"))
+  def st_jaccard(a: Column, b: Column): Column = col(StOverlapMeasure(ex(a), ex(b), "jaccard"))
+  def st_dice(a: Column, b: Column): Column = col(StOverlapMeasure(ex(a), ex(b), "dice"))
+  def hilbert(x: Column, y: Column, order: Column): Column =
+    col(HilbertValue(ex(x), ex(y), ex(order)))
+
+  /** Register every spatial function in the session's FunctionRegistry for
+    * SQL use. Idempotent. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def r(name: String, builder: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    r("st_geomfromwkt", es => StGeomFromWkt(es.head))
+    r("st_astext", es => StAsText(es.head))
+    r("st_point", es => StPoint(es(0), es(1)))
+    r("st_makebox", es => StMakeBox(es))
+    r("st_envelope", es => StEnvelope(es.head))
+    Seq("intersects", "touches", "crosses", "contains", "within",
+        "overlaps", "equals", "disjoint", "adjacent").foreach { p =>
+      r(s"st_$p", es => StPredicate(es(0), es(1), p))
+    }
+    r("st_dwithin", es => StDWithin(es(0), es(1), es(2)))
+    r("st_distance", es => StDistance(es(0), es(1)))
+    r("st_distancesphere", es => StDistanceSphere(es(0), es(1)))
+    r("st_area", es => StArea(es.head))
+    r("st_union", es => StOverlay(es(0), es(1), "union"))
+    r("st_intersection", es => StOverlay(es(0), es(1), "intersection"))
+    r("st_difference", es => StOverlay(es(0), es(1), "difference"))
+    r("st_buffer", es => StBuffer(es(0), es(1)))
+    r("st_intersection_area", es => StOverlapMeasure(es(0), es(1), "intersection_area"))
+    r("st_union_area", es => StOverlapMeasure(es(0), es(1), "union_area"))
+    r("st_jaccard", es => StOverlapMeasure(es(0), es(1), "jaccard"))
+    r("st_dice", es => StOverlapMeasure(es(0), es(1), "dice"))
+    r("hilbert", es => HilbertValue(es(0), es(1), es(2)))
+  }
+}

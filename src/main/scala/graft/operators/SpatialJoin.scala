@@ -1,0 +1,278 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.locationtech.jts.geom.{Envelope, Geometry}
+import org.locationtech.jts.index.strtree.STRtree
+
+import graft.core.{GeometryCodec, Mbb, TileBoundary}
+import graft.functions.{st_envelope, st_geomfromwkt}
+import graft.partition.SpatialPartitioner
+
+/** Tile-partitioned spatial join — the Spark-native re-expression of the
+  * reference's whole spjoin pipeline
+  * (/root/reference/src/framework/query_spjoin.hpp:70-322):
+  *
+  *   MBB-extract job      -> one min/max/count aggregate
+  *   sample+partition job -> driver-side partitioner over a seeded sample
+  *   cache-file tile idx  -> broadcast [[TileIndex]]
+  *   map-to-tile job      -> explode over broadcast index (1 row -> N tiles)
+  *   RESQUE reducer       -> cogroup per tile: STRtree filter + exact refine
+  *   sort+uniq dedup job  -> reference-point emit (no extra shuffle), or
+  *                           dropDuplicates for non-space-covering tilings
+  *
+  * All stages live in ONE Spark DAG; the only materialization barriers are
+  * the stats aggregate and the sample collect (the adaptive step the
+  * reference also performs, with a forced single reducer,
+  * queryprocessor_2d.cpp:286-293).
+  */
+object SpatialJoin {
+
+  /** @param predicate  one of intersects|touches|crosses|contains|within|
+    *                    overlaps|equals|disjoint|adjacent|dwithin
+    *                    (disjoint keeps the reference's tile-local,
+    *                    candidate-restricted semantics — spjoin_2d.hpp:159-161)
+    * @param distance   expansion for dwithin (spjoin_2d.hpp:61-66)
+    * @param partitioner fg|bsp|qt|str|hc|slc|bos
+    * @param bucket     target objects per tile; <=0 = auto
+    * @param sampleTarget max MBBs collected to the driver for partitioning
+    * @param dedup      auto|refpoint|global|none */
+  final case class Config(
+      predicate: String = "intersects",
+      distance: Double = 0.0,
+      partitioner: String = "fg",
+      bucket: Int = 0,
+      sampleTarget: Int = 100000,
+      seed: Long = 42L,
+      dedup: String = "auto")
+
+  private val Tile = "__tile"
+  private val X1 = "__xmin"; private val Y1 = "__ymin"
+  private val X2 = "__xmax"; private val Y2 = "__ymax"
+
+  /** Adds envelope columns derived from the WKB geometry column `geom`;
+    * drops rows with null/unparseable geometry (reference P3/P4 behavior). */
+  private def withEnv(df: DataFrame, geom: String, expand: Double): DataFrame = {
+    val e = st_envelope(col(geom))
+    val d = lit(expand)
+    df.withColumn("__env", e)
+      .where(col("__env").isNotNull)
+      .withColumn(X1, col("__env.xmin") - d)
+      .withColumn(Y1, col("__env.ymin") - d)
+      .withColumn(X2, col("__env.xmax") + d)
+      .withColumn(Y2, col("__env.ymax") + d)
+      .drop("__env")
+  }
+
+  /** Plan tiles from a seeded sample of both inputs' MBBs. Returns the tile
+    * index to broadcast. Mirrors spjoin steps 2-4 (query_spjoin.hpp:74-230). */
+  def planTiles(l: DataFrame, r: DataFrame, cfg: Config): TileIndex = {
+    val cols = Seq(X1, Y1, X2, Y2).map(col)
+    val mbbs = l.select(cols: _*).unionAll(r.select(cols: _*))
+    val stats = mbbs.agg(
+      min(X1), min(Y1), max(X2), max(Y2), count(lit(1))).head()
+    val n = stats.getLong(4)
+    if (n == 0)
+      return new TileIndex(Array(TileBoundary(0, Mbb(0, 0, 1, 1))), Mbb(0, 0, 1, 1))
+    val space = Mbb(stats.getDouble(0), stats.getDouble(1),
+                    stats.getDouble(2), stats.getDouble(3))
+    val spark = l.sparkSession
+    val bucket = if (cfg.bucket > 0) cfg.bucket
+      else math.max(1000L, n / (spark.sparkContext.defaultParallelism.toLong * 4)).toInt
+    val fraction = math.min(1.0, cfg.sampleTarget.toDouble / n)
+    val sample = mbbs.sample(withReplacement = false, fraction, cfg.seed)
+      .limit(cfg.sampleTarget * 2)
+      .collect()
+      .map(row => Mbb(row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3)))
+    // scale bucket by the sample rate (reference queryprocessor_2d.cpp:280)
+    val scaledBucket = math.max(1, math.floor(bucket * fraction).toInt)
+    val tiles = SpatialPartitioner(cfg.partitioner).partition(sample, space, scaledBucket)
+    new TileIndex(tiles, space)
+  }
+
+  /** Full spatial join. `left`/`right` must contain a WKB BinaryType
+    * geometry column named `leftGeom`/`rightGeom`; all other column names
+    * must be disjoint between the two sides. Output = left columns ++ right
+    * columns, one row per matched pair (deduped across tiles). */
+  def join(left: DataFrame, leftGeom: String,
+           right: DataFrame, rightGeom: String,
+           cfg: Config = Config()): DataFrame = {
+    val spark = left.sparkSession
+    val dup = left.columns.toSet.intersect(right.columns.toSet)
+    require(dup.isEmpty, s"column name collision between join sides: $dup")
+
+    val expand = if (cfg.predicate == "dwithin") cfg.distance else 0.0
+    val l = withEnv(left, leftGeom, expand) // probe-side MBB expansion, spjoin_2d.hpp:61-66
+    val r = withEnv(right, rightGeom, 0.0)
+
+    val index = planTiles(l, r, cfg)
+    val part = SpatialPartitioner(cfg.partitioner)
+    val bc = spark.sparkContext.broadcast(index)
+
+    val tileIds = udf { (x1: Double, y1: Double, x2: Double, y2: Double) =>
+      bc.value.tilesFor(x1, y1, x2, y2)
+    }
+    def tag(df: DataFrame): DataFrame =
+      df.withColumn(Tile, explode(tileIds(col(X1), col(Y1), col(X2), col(Y2))))
+
+    val lt = tag(l); val rt = tag(r)
+    val internal = Seq(Tile, X1, Y1, X2, Y2)
+    val lOutCols = left.columns
+    val rOutCols = right.columns
+    val outSchema = StructType(
+      lOutCols.map(left.schema(_)) ++ rOutCols.map(right.schema(_)))
+
+    val ltSchema = lt.schema; val rtSchema = rt.schema
+    val lTileIdx = ltSchema.fieldIndex(Tile); val rTileIdx = rtSchema.fieldIndex(Tile)
+    val lGeomIdx = ltSchema.fieldIndex(leftGeom); val rGeomIdx = rtSchema.fieldIndex(rightGeom)
+    val lEnvIdx = Seq(X1, Y1, X2, Y2).map(ltSchema.fieldIndex)
+    val rEnvIdx = Seq(X1, Y1, X2, Y2).map(rtSchema.fieldIndex)
+    val lKeep = lOutCols.map(ltSchema.fieldIndex)
+    val rKeep = rOutCols.map(rtSchema.fieldIndex)
+    val predicate = cfg.predicate
+    val useRefPoint = cfg.dedup == "refpoint" ||
+      (cfg.dedup == "auto" && part.coversSpace)
+
+    implicit val intEnc = Encoders.scalaInt
+    implicit val rowEnc = Encoders.row(outSchema)
+    val lkv = lt.groupByKey(_.getInt(lTileIdx))
+    val rkv = rt.groupByKey(_.getInt(rTileIdx))
+
+    val joined = lkv.cogroup(rkv) { (tile: Int, ls: Iterator[Row], rs: Iterator[Row]) =>
+      // index set 2, probe set 1 — same sides as RESQUE (spjoin_2d.hpp:34-50)
+      val tree = new STRtree()
+      var rCount = 0
+      rs.foreach { row =>
+        val g = GeometryCodec.fromWkb(row.getAs[Array[Byte]](rGeomIdx))
+        if (g != null) {
+          val e = new Envelope(row.getDouble(rEnvIdx(0)), row.getDouble(rEnvIdx(2)),
+                               row.getDouble(rEnvIdx(1)), row.getDouble(rEnvIdx(3)))
+          tree.insert(e, (g, row)); rCount += 1
+        }
+      }
+      if (rCount == 0) Iterator.empty
+      else {
+        tree.build()
+        val idx = bc.value
+        ls.flatMap { lrow =>
+          val g1 = GeometryCodec.fromWkb(lrow.getAs[Array[Byte]](lGeomIdx))
+          if (g1 == null) Iterator.empty
+          else {
+            val px1 = lrow.getDouble(lEnvIdx(0)); val py1 = lrow.getDouble(lEnvIdx(1))
+            val px2 = lrow.getDouble(lEnvIdx(2)); val py2 = lrow.getDouble(lEnvIdx(3))
+            val probe = new Envelope(px1, px2, py1, py2)
+            val hits = tree.query(probe)
+            val out = Vector.newBuilder[Row]
+            var i = 0
+            while (i < hits.size()) {
+              val (g2, rrow) = hits.get(i).asInstanceOf[(Geometry, Row)]
+              val ok = predicate match {
+                case "intersects" => g1.intersects(g2)
+                case "touches"    => g1.touches(g2)
+                case "crosses"    => g1.crosses(g2)
+                case "contains"   =>
+                  g1.getEnvelopeInternal.contains(g2.getEnvelopeInternal) && g1.contains(g2)
+                case "within"     =>
+                  g2.getEnvelopeInternal.contains(g1.getEnvelopeInternal) && g1.within(g2)
+                case "overlaps"   => g1.overlaps(g2)
+                case "equals"     =>
+                  g1.getEnvelopeInternal.equals(g2.getEnvelopeInternal) && g1.equalsTopo(g2)
+                case "disjoint"   => g1.disjoint(g2) // tile-local, J8 caveat
+                case "adjacent"   => !g1.disjoint(g2)
+                case "dwithin"    => g1.isWithinDistance(g2, expand)
+                case other => throw new IllegalArgumentException(s"predicate $other")
+              }
+              if (ok) {
+                val emit = if (!useRefPoint) true else {
+                  // bottom-left corner of probe-env ∩ build-env intersection
+                  val refx = math.max(px1, rrow.getDouble(rEnvIdx(0)))
+                  val refy = math.max(py1, rrow.getDouble(rEnvIdx(1)))
+                  idx.refTile(refx, refy) == tile
+                }
+                if (emit) {
+                  val vals = new Array[Any](lKeep.length + rKeep.length)
+                  var k = 0
+                  while (k < lKeep.length) { vals(k) = lrow.get(lKeep(k)); k += 1 }
+                  var m = 0
+                  while (m < rKeep.length) { vals(k + m) = rrow.get(rKeep(m)); m += 1 }
+                  out += Row.fromSeq(vals.toIndexedSeq)
+                }
+              }
+              i += 1
+            }
+            out.result().iterator
+          }
+        }
+      }
+    }
+    if (useRefPoint || cfg.dedup == "none") joined.toDF()
+    else joined.toDF().dropDuplicates() // reference D1: global sort+uniq
+  }
+
+  /** Unbounded tile-local kNN join (reference st_nearest2,
+    * knn_2d.hpp:22-233): for every left row, its k nearest right rows
+    * *within the same tile* — reproducing the reference's tile-local caveat.
+    * Output = left cols ++ right cols ++ `knn_dist`. */
+  def knnJoin(left: DataFrame, leftGeom: String,
+              right: DataFrame, rightGeom: String,
+              k: Int, cfg: Config = Config()): DataFrame = {
+    val spark = left.sparkSession
+    val l = withEnv(left, leftGeom, 0.0)
+    val r = withEnv(right, rightGeom, 0.0)
+    val index = planTiles(l, r, cfg)
+    val bc = spark.sparkContext.broadcast(index)
+    val tileIds = udf { (x1: Double, y1: Double, x2: Double, y2: Double) =>
+      bc.value.tilesFor(x1, y1, x2, y2)
+    }
+    def tag(df: DataFrame): DataFrame =
+      df.withColumn(Tile, explode(tileIds(col(X1), col(Y1), col(X2), col(Y2))))
+    val lt = tag(l); val rt = tag(r)
+    val lOutCols = left.columns; val rOutCols = right.columns
+    val outSchema = StructType(
+      lOutCols.map(left.schema(_)) ++ rOutCols.map(right.schema(_)) :+
+        StructField("knn_dist", DoubleType, nullable = false))
+    val ltSchema = lt.schema; val rtSchema = rt.schema
+    val lTileIdx = ltSchema.fieldIndex(Tile); val rTileIdx = rtSchema.fieldIndex(Tile)
+    val lGeomIdx = ltSchema.fieldIndex(leftGeom); val rGeomIdx = rtSchema.fieldIndex(rightGeom)
+    val rEnvIdx = Seq(X1, Y1, X2, Y2).map(rtSchema.fieldIndex)
+    val lKeep = lOutCols.map(ltSchema.fieldIndex)
+    val rKeep = rOutCols.map(rtSchema.fieldIndex)
+
+    implicit val intEnc = Encoders.scalaInt
+    implicit val rowEnc = Encoders.row(outSchema)
+    val lkv = lt.groupByKey(_.getInt(lTileIdx))
+    val rkv = rt.groupByKey(_.getInt(rTileIdx))
+    lkv.cogroup(rkv) { (_: Int, ls: Iterator[Row], rs: Iterator[Row]) =>
+      val items = rs.flatMap { row =>
+        val g = GeometryCodec.fromWkb(row.getAs[Array[Byte]](rGeomIdx))
+        if (g == null) None else Some((g, row))
+      }.toArray
+      if (items.isEmpty) Iterator.empty
+      else {
+        ls.flatMap { lrow =>
+          val g1 = GeometryCodec.fromWkb(lrow.getAs[Array[Byte]](lGeomIdx))
+          if (g1 == null) Iterator.empty
+          else {
+            // exact per-tile kNN: full scan + bounded selection. Simpler and
+            // equivalent to the reference's radius-growing R-tree dance
+            // (knn_2d.hpp:146-179); deterministic ordering: (dist, position).
+            val withDist = items.map { case (g2, rrow) => (g1.distance(g2), rrow) }
+            val top = withDist.zipWithIndex
+              .sortBy { case ((d, _), pos) => (d, pos) }
+              .take(k)
+            top.iterator.map { case ((d, rrow), _) =>
+              val vals = new Array[Any](lKeep.length + rKeep.length + 1)
+              var i = 0
+              while (i < lKeep.length) { vals(i) = lrow.get(lKeep(i)); i += 1 }
+              var j = 0
+              while (j < rKeep.length) { vals(i + j) = rrow.get(rKeep(j)); j += 1 }
+              vals(i + j) = d
+              Row.fromSeq(vals.toIndexedSeq)
+            }
+          }
+        }
+      }
+    }.toDF()
+  }
+}

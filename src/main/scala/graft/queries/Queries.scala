@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.operators.SpatialJoin
+
+/** The driver-gated query catalog: every entry has a Spark implementation
+  * here and (where SQL-expressible) a plain-ANSI-SQL DuckDB oracle in
+  * [[Oracles]]. Spatial inputs are deterministic integer-lattice geometries
+  * derived from table keys, so rectangle areas / intersections / distances
+  * are exact in IEEE doubles and the plain-SQL oracle matches bit-for-bit
+  * (DuckDB here has no spatial extension; the Spark side still runs the full
+  * WKT/JTS engine path).
+  */
+object Queries {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** part -> one axis-aligned box per row on a 20x20 cell lattice:
+    * corner = (key%20, floor(key/20)%20) * 10, side = 1 + p_size%10. */
+  def partBoxes(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "part").select(
+        col("p_partkey").as("id"),
+        ((col("p_partkey") % 20) * 10.0).as("x0"),
+        ((floor(col("p_partkey") / 20) % 20) * 10.0).as("y0"),
+        (lit(1) + col("p_size") % 10).cast("double").as("w"))
+      .withColumn("geom",
+        st_makebox(col("x0"), col("y0"), col("x0") + col("w"), col("y0") + col("w")))
+
+  val partBoxesSql: String =
+    """SELECT p_partkey AS id,
+      | (p_partkey % 20) * 10.0 AS x0,
+      | (floor(p_partkey / 20) % 20) * 10.0 AS y0,
+      | CAST(1 + p_size % 10 AS DOUBLE) AS w FROM part""".stripMargin
+
+  /** customer/supplier -> one lattice point per row. */
+  def keyPoints(spark: SparkSession, dir: String, tbl: String, key: String,
+                mult: Int, mod: Int): DataFrame =
+    table(spark, dir, tbl).select(
+        col(key).as("id"),
+        ((col(key) * mult) % mod).cast("double").as("px"),
+        (floor(col(key) * mult / mod) % mod).cast("double").as("py"))
+      .withColumn("geom", st_point(col("px"), col("py")))
+
+  def keyPointsSql(tbl: String, key: String, mult: Int, mod: Int): String =
+    s"""SELECT $key AS id,
+       | CAST(($key * $mult) % $mod AS DOUBLE) AS px,
+       | CAST(floor($key * $mult / $mod) % $mod AS DOUBLE) AS py FROM $tbl""".stripMargin
+
+  // ---------------------------------------------------------------- spatial
+
+  /** J1+J3: full tiled spatial join engine, st_intersects self-join of part
+    * boxes, fg partitioner, refpoint dedup; intersection area measure (A7). */
+  def qSpjoinIntersects(spark: SparkSession, dir: String): DataFrame = {
+    val b = partBoxes(spark, dir)
+    val a = b.select(col("id").as("id1"), col("geom").as("g1"))
+    val c = b.select(col("id").as("id2"), col("geom").as("g2"))
+    SpatialJoin.join(a, "g1", c, "g2",
+        SpatialJoin.Config(predicate = "intersects", partitioner = "fg", bucket = 500))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        st_intersection_area(col("g1"), col("g2")).as("inter_area"))
+  }
+
+  val qSpjoinIntersectsSql: String =
+    s"""WITH b AS ($partBoxesSql)
+       |SELECT a.id AS id1, c.id AS id2,
+       | greatest(0, least(a.x0+a.w, c.x0+c.w) - greatest(a.x0, c.x0)) *
+       | greatest(0, least(a.y0+a.w, c.y0+c.w) - greatest(a.y0, c.y0)) AS inter_area
+       |FROM b a JOIN b c ON a.id < c.id
+       | AND a.x0 <= c.x0 + c.w AND c.x0 <= a.x0 + a.w
+       | AND a.y0 <= c.y0 + c.w AND c.y0 <= a.y0 + a.w""".stripMargin
+
+  /** A1: global space envelope + count over MBBs (the reference's
+    * MBB-extraction + stats job pair). */
+  def qMbbStats(spark: SparkSession, dir: String): DataFrame =
+    partBoxes(spark, dir)
+      .withColumn("env", st_envelope(col("geom")))
+      .agg(
+        min(col("env.xmin")).as("space_xmin"), min(col("env.ymin")).as("space_ymin"),
+        max(col("env.xmax")).as("space_xmax"), max(col("env.ymax")).as("space_ymax"),
+        count(lit(1)).as("num_objects"))
+
+  val qMbbStatsSql: String =
+    s"""WITH b AS ($partBoxesSql)
+       |SELECT min(x0) AS space_xmin, min(y0) AS space_ymin,
+       |       max(x0+w) AS space_xmax, max(y0+w) AS space_ymax,
+       |       count(*) AS num_objects FROM b""".stripMargin
+
+  // ------------------------------------------------------------- relational
+
+  /** TPC-H Q1-flavor aggregate (exact: l_quantity is integer-valued). */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+      | count(*) AS n_rows, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** W1: per-group top-k with deterministic tie-break. */
+  def qWindowTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    table(spark, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+  }
+
+  val qWindowTopkSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      | SELECT o_custkey, o_orderkey, o_totalprice,
+      |  row_number() OVER (PARTITION BY o_custkey
+      |                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      | FROM orders) WHERE rk <= 3""".stripMargin
+
+  /** D1 (as LLM-pipeline exact dedup): keep min doc_id per identical text. */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  val qDedupExactSql: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY text""".stripMargin
+}
