@@ -215,13 +215,16 @@ case class StOverlay(left: Expression, right: Expression, op: String)
     val g2 = GeometryCodec.fromWkb(b.asInstanceOf[Array[Byte]])
     if (g1 == null || g2 == null) null
     else {
-      val r: Geometry = op match {
-        case "union"        => g1.union(g2)
-        case "intersection" => g1.intersection(g2)
-        case "difference"   => g1.difference(g2)
-        case other => throw new IllegalArgumentException(s"unknown overlay $other")
-      }
-      GeometryCodec.toWkb(r)
+      // invalid/self-intersecting inputs -> null, matching the codebase's
+      // permissive malformed-input policy (GeometryCodec.fromWkt/fromWkb)
+      val r: Geometry =
+        try op match {
+          case "union"        => g1.union(g2)
+          case "intersection" => g1.intersection(g2)
+          case "difference"   => g1.difference(g2)
+          case other => throw new IllegalArgumentException(s"unknown overlay $other")
+        } catch { case _: org.locationtech.jts.geom.TopologyException => null }
+      if (r == null) null else GeometryCodec.toWkb(r)
     }
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -236,7 +239,8 @@ case class StBuffer(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, d: Any): Any = {
     val g = GeometryCodec.fromWkb(a.asInstanceOf[Array[Byte]])
     if (g == null) null
-    else GeometryCodec.toWkb(g.buffer(d.asInstanceOf[Double]))
+    else try GeometryCodec.toWkb(g.buffer(d.asInstanceOf[Double]))
+    catch { case _: org.locationtech.jts.geom.TopologyException => null }
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(l, r)
@@ -254,7 +258,7 @@ case class StOverlapMeasure(left: Expression, right: Expression, measure: String
     val g1 = GeometryCodec.fromWkb(a.asInstanceOf[Array[Byte]])
     val g2 = GeometryCodec.fromWkb(b.asInstanceOf[Array[Byte]])
     if (g1 == null || g2 == null) null
-    else measure match {
+    else try measure match {
       case "intersection_area" => g1.intersection(g2).getArea
       case "union_area"        => g1.union(g2).getArea
       case "jaccard" =>
@@ -266,7 +270,7 @@ case class StOverlapMeasure(left: Expression, right: Expression, measure: String
         val denom = g1.getArea + g2.getArea
         if (denom == 0) 0.0 else 2 * inter / denom
       case other => throw new IllegalArgumentException(s"unknown measure $other")
-    }
+    } catch { case _: org.locationtech.jts.geom.TopologyException => null }
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

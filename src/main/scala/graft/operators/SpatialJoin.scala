@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.locationtech.jts.geom.{Envelope, Geometry}
@@ -16,11 +17,12 @@ import graft.partition.SpatialPartitioner
   *
   *   MBB-extract job      -> one min/max/count aggregate
   *   sample+partition job -> driver-side partitioner over a seeded sample
-  *   cache-file tile idx  -> broadcast [[TileIndex]]
+  *   cache-file tile idx  -> broadcast [[TileIndex]] (padded to cover space)
   *   map-to-tile job      -> explode over broadcast index (1 row -> N tiles)
   *   RESQUE reducer       -> cogroup per tile: STRtree filter + exact refine
-  *   sort+uniq dedup job  -> reference-point emit (no extra shuffle), or
-  *                           dropDuplicates for non-space-covering tilings
+  *   sort+uniq dedup job  -> reference-point emit (no extra shuffle); the
+  *                           reference's global sort+uniq is kept as the
+  *                           optional `dedup = "global"` mode
   *
   * All stages live in ONE Spark DAG; the only materialization barriers are
   * the stats aggregate and the sample collect (the adaptive step the
@@ -37,7 +39,8 @@ object SpatialJoin {
     * @param partitioner fg|bsp|qt|str|hc|slc|bos
     * @param bucket     target objects per tile; <=0 = auto
     * @param sampleTarget max MBBs collected to the driver for partitioning
-    * @param dedup      auto|refpoint|global|none */
+    * @param dedup      refpoint|global|none (refpoint is exact for every
+    *                   partitioner because the tile index covers the space) */
   final case class Config(
       predicate: String = "intersects",
       distance: Double = 0.0,
@@ -45,11 +48,13 @@ object SpatialJoin {
       bucket: Int = 0,
       sampleTarget: Int = 100000,
       seed: Long = 42L,
-      dedup: String = "auto")
+      dedup: String = "refpoint")
 
   private val Tile = "__tile"
   private val X1 = "__xmin"; private val Y1 = "__ymin"
   private val X2 = "__xmax"; private val Y2 = "__ymax"
+  private val Rad = "__rad"
+  private val LId = "__lid"; private val RId = "__rid"
 
   /** Adds envelope columns derived from the WKB geometry column `geom`;
     * drops rows with null/unparseable geometry (reference P3/P4 behavior). */
@@ -91,6 +96,24 @@ object SpatialJoin {
     new TileIndex(tiles, space)
   }
 
+  private def evalPredicate(predicate: String, g1: Geometry, g2: Geometry,
+                            distance: Double): Boolean = predicate match {
+    case "intersects" => g1.intersects(g2)
+    case "touches"    => g1.touches(g2)
+    case "crosses"    => g1.crosses(g2)
+    case "contains"   =>
+      g1.getEnvelopeInternal.contains(g2.getEnvelopeInternal) && g1.contains(g2)
+    case "within"     =>
+      g2.getEnvelopeInternal.contains(g1.getEnvelopeInternal) && g1.within(g2)
+    case "overlaps"   => g1.overlaps(g2)
+    case "equals"     =>
+      g1.getEnvelopeInternal.equals(g2.getEnvelopeInternal) && g1.equalsTopo(g2)
+    case "disjoint"   => g1.disjoint(g2) // tile-local, J8 caveat
+    case "adjacent"   => !g1.disjoint(g2)
+    case "dwithin"    => g1.isWithinDistance(g2, distance)
+    case other => throw new IllegalArgumentException(s"predicate $other")
+  }
+
   /** Full spatial join. `left`/`right` must contain a WKB BinaryType
     * geometry column named `leftGeom`/`rightGeom`; all other column names
     * must be disjoint between the two sides. Output = left columns ++ right
@@ -102,12 +125,19 @@ object SpatialJoin {
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"column name collision between join sides: $dup")
 
+    // global dedup keys pairs by per-side unique ids so value-identical input
+    // rows survive (plain dropDuplicates over all columns would merge them)
+    val useGlobal = cfg.dedup == "global"
+    val (left0, right0) =
+      if (useGlobal) (left.withColumn(LId, monotonically_increasing_id()),
+                      right.withColumn(RId, monotonically_increasing_id()))
+      else (left, right)
+
     val expand = if (cfg.predicate == "dwithin") cfg.distance else 0.0
-    val l = withEnv(left, leftGeom, expand) // probe-side MBB expansion, spjoin_2d.hpp:61-66
-    val r = withEnv(right, rightGeom, 0.0)
+    val l = withEnv(left0, leftGeom, expand) // probe-side MBB expansion, spjoin_2d.hpp:61-66
+    val r = withEnv(right0, rightGeom, 0.0)
 
     val index = planTiles(l, r, cfg)
-    val part = SpatialPartitioner(cfg.partitioner)
     val bc = spark.sparkContext.broadcast(index)
 
     val tileIds = udf { (x1: Double, y1: Double, x2: Double, y2: Double) =>
@@ -117,11 +147,10 @@ object SpatialJoin {
       df.withColumn(Tile, explode(tileIds(col(X1), col(Y1), col(X2), col(Y2))))
 
     val lt = tag(l); val rt = tag(r)
-    val internal = Seq(Tile, X1, Y1, X2, Y2)
-    val lOutCols = left.columns
-    val rOutCols = right.columns
+    val lOutCols = left0.columns
+    val rOutCols = right0.columns
     val outSchema = StructType(
-      lOutCols.map(left.schema(_)) ++ rOutCols.map(right.schema(_)))
+      lOutCols.map(left0.schema(_)) ++ rOutCols.map(right0.schema(_)))
 
     val ltSchema = lt.schema; val rtSchema = rt.schema
     val lTileIdx = ltSchema.fieldIndex(Tile); val rTileIdx = rtSchema.fieldIndex(Tile)
@@ -131,8 +160,7 @@ object SpatialJoin {
     val lKeep = lOutCols.map(ltSchema.fieldIndex)
     val rKeep = rOutCols.map(rtSchema.fieldIndex)
     val predicate = cfg.predicate
-    val useRefPoint = cfg.dedup == "refpoint" ||
-      (cfg.dedup == "auto" && part.coversSpace)
+    val useRefPoint = !useGlobal && cfg.dedup != "none"
 
     implicit val intEnc = Encoders.scalaInt
     implicit val rowEnc = Encoders.row(outSchema)
@@ -167,23 +195,7 @@ object SpatialJoin {
             var i = 0
             while (i < hits.size()) {
               val (g2, rrow) = hits.get(i).asInstanceOf[(Geometry, Row)]
-              val ok = predicate match {
-                case "intersects" => g1.intersects(g2)
-                case "touches"    => g1.touches(g2)
-                case "crosses"    => g1.crosses(g2)
-                case "contains"   =>
-                  g1.getEnvelopeInternal.contains(g2.getEnvelopeInternal) && g1.contains(g2)
-                case "within"     =>
-                  g2.getEnvelopeInternal.contains(g1.getEnvelopeInternal) && g1.within(g2)
-                case "overlaps"   => g1.overlaps(g2)
-                case "equals"     =>
-                  g1.getEnvelopeInternal.equals(g2.getEnvelopeInternal) && g1.equalsTopo(g2)
-                case "disjoint"   => g1.disjoint(g2) // tile-local, J8 caveat
-                case "adjacent"   => !g1.disjoint(g2)
-                case "dwithin"    => g1.isWithinDistance(g2, expand)
-                case other => throw new IllegalArgumentException(s"predicate $other")
-              }
-              if (ok) {
+              if (evalPredicate(predicate, g1, g2, expand)) {
                 val emit = if (!useRefPoint) true else {
                   // bottom-left corner of probe-env ∩ build-env intersection
                   val refx = math.max(px1, rrow.getDouble(rEnvIdx(0)))
@@ -206,14 +218,16 @@ object SpatialJoin {
         }
       }
     }
-    if (useRefPoint || cfg.dedup == "none") joined.toDF()
-    else joined.toDF().dropDuplicates() // reference D1: global sort+uniq
+    val out = joined.toDF()
+    if (useGlobal) out.dropDuplicates(LId, RId).drop(LId, RId) else out
   }
 
-  /** Unbounded tile-local kNN join (reference st_nearest2,
-    * knn_2d.hpp:22-233): for every left row, its k nearest right rows
-    * *within the same tile* — reproducing the reference's tile-local caveat.
-    * Output = left cols ++ right cols ++ `knn_dist`. */
+  /** Tile-local kNN join (reference st_nearest2, knn_2d.hpp:22-233): every
+    * left row is assigned to exactly ONE tile (the owner of its envelope
+    * center) and matched with its k nearest right rows *in that tile* —
+    * reproducing the reference's tile-local caveat without the reference's
+    * cross-tile duplicate emission. Output = left cols ++ right cols ++
+    * `knn_dist`. */
   def knnJoin(left: DataFrame, leftGeom: String,
               right: DataFrame, rightGeom: String,
               k: Int, cfg: Config = Config()): DataFrame = {
@@ -222,12 +236,16 @@ object SpatialJoin {
     val r = withEnv(right, rightGeom, 0.0)
     val index = planTiles(l, r, cfg)
     val bc = spark.sparkContext.broadcast(index)
+    // left: single owner tile (envelope center); right: replicated to all
+    // intersecting tiles so boundary-spanning neighbors are still seen
+    val ownerTile = udf { (x1: Double, y1: Double, x2: Double, y2: Double) =>
+      bc.value.refTile((x1 + x2) / 2, (y1 + y2) / 2)
+    }
     val tileIds = udf { (x1: Double, y1: Double, x2: Double, y2: Double) =>
       bc.value.tilesFor(x1, y1, x2, y2)
     }
-    def tag(df: DataFrame): DataFrame =
-      df.withColumn(Tile, explode(tileIds(col(X1), col(Y1), col(X2), col(Y2))))
-    val lt = tag(l); val rt = tag(r)
+    val lt = l.withColumn(Tile, ownerTile(col(X1), col(Y1), col(X2), col(Y2)))
+    val rt = r.withColumn(Tile, explode(tileIds(col(X1), col(Y1), col(X2), col(Y2))))
     val lOutCols = left.columns; val rOutCols = right.columns
     val outSchema = StructType(
       lOutCols.map(left.schema(_)) ++ rOutCols.map(right.schema(_)) :+
@@ -235,7 +253,6 @@ object SpatialJoin {
     val ltSchema = lt.schema; val rtSchema = rt.schema
     val lTileIdx = ltSchema.fieldIndex(Tile); val rTileIdx = rtSchema.fieldIndex(Tile)
     val lGeomIdx = ltSchema.fieldIndex(leftGeom); val rGeomIdx = rtSchema.fieldIndex(rightGeom)
-    val rEnvIdx = Seq(X1, Y1, X2, Y2).map(rtSchema.fieldIndex)
     val lKeep = lOutCols.map(ltSchema.fieldIndex)
     val rKeep = rOutCols.map(rtSchema.fieldIndex)
 
@@ -274,5 +291,131 @@ object SpatialJoin {
         }
       }
     }.toDF()
+  }
+
+  /** EXACT (global) kNN join — the improvement over the reference's
+    * tile-local st_nearest2. Two distributed passes:
+    *
+    *   1. tile-local kNN ([[knnJoin]]) gives each left row an upper bound
+    *      radius = its tile-local k-th neighbor distance (a valid bound
+    *      because the true k nearest are at most that far);
+    *   2. a per-row-radius distance join (envelope expanded by the bound,
+    *      reference-point deduped) collects every right row within the
+    *      bound, and a window top-k keeps the k nearest globally.
+    *
+    * Left rows whose owner tile held fewer than k right rows get the space
+    * diagonal as the bound (rare for sane tilings; still correct).
+    *
+    * `leftId` must uniquely key left rows. `tieBreak` columns (from the
+    * right side) order equal distances deterministically. Output = left
+    * cols ++ right cols ++ knn_dist ++ knn_rank.
+    */
+  def knnJoinExact(left: DataFrame, leftGeom: String, leftId: String,
+                   right: DataFrame, rightGeom: String, k: Int,
+                   tieBreak: Seq[String] = Seq.empty,
+                   cfg: Config = Config()): DataFrame = {
+    val spark = left.sparkSession
+    val dup = left.columns.toSet.intersect(right.columns.toSet)
+    require(dup.isEmpty, s"column name collision between join sides: $dup")
+
+    // ---- pass 1: per-left radius bound from tile-local kNN
+    val lSlim = left.select(col(leftId), col(leftGeom))
+    val rSlim = right.select(col(rightGeom).as("__rg"))
+    val radii = knnJoin(lSlim, leftGeom, rSlim, "__rg", k, cfg)
+      .groupBy(col(leftId).as("__rid_key"))
+      .agg(max(col("knn_dist")).as(Rad), count(lit(1)).as("__n"))
+
+    val l0 = withEnv(left, leftGeom, 0.0)
+    val r = withEnv(right, rightGeom, 0.0)
+    val index = planTiles(l0, r, cfg)
+    val diag = math.sqrt(index.space.width * index.space.width +
+                         index.space.height * index.space.height)
+    val bc = spark.sparkContext.broadcast(index)
+
+    // ---- pass 2: per-row-radius candidate join
+    val l = l0.join(radii, l0(leftId) === radii("__rid_key"), "left")
+      .withColumn(Rad,
+        when(col("__n").isNull.or(col("__n") < k), lit(diag)).otherwise(col(Rad)))
+      .drop("__rid_key", "__n")
+      .withColumn(X1, col(X1) - col(Rad)).withColumn(Y1, col(Y1) - col(Rad))
+      .withColumn(X2, col(X2) + col(Rad)).withColumn(Y2, col(Y2) + col(Rad))
+
+    val tileIds = udf { (x1: Double, y1: Double, x2: Double, y2: Double) =>
+      bc.value.tilesFor(x1, y1, x2, y2)
+    }
+    val lt = l.withColumn(Tile, explode(tileIds(col(X1), col(Y1), col(X2), col(Y2))))
+    val rt = r.withColumn(Tile, explode(tileIds(col(X1), col(Y1), col(X2), col(Y2))))
+
+    val lOutCols = left.columns; val rOutCols = right.columns
+    val outSchema = StructType(
+      lOutCols.map(left.schema(_)) ++ rOutCols.map(right.schema(_)) :+
+        StructField("knn_dist", DoubleType, nullable = false))
+    val ltSchema = lt.schema; val rtSchema = rt.schema
+    val lTileIdx = ltSchema.fieldIndex(Tile); val rTileIdx = rtSchema.fieldIndex(Tile)
+    val lGeomIdx = ltSchema.fieldIndex(leftGeom); val rGeomIdx = rtSchema.fieldIndex(rightGeom)
+    val lEnvIdx = Seq(X1, Y1, X2, Y2).map(ltSchema.fieldIndex)
+    val rEnvIdx = Seq(X1, Y1, X2, Y2).map(rtSchema.fieldIndex)
+    val radIdx = ltSchema.fieldIndex(Rad)
+    val lKeep = lOutCols.map(ltSchema.fieldIndex)
+    val rKeep = rOutCols.map(rtSchema.fieldIndex)
+
+    implicit val intEnc = Encoders.scalaInt
+    implicit val rowEnc = Encoders.row(outSchema)
+    val lkv = lt.groupByKey(_.getInt(lTileIdx))
+    val rkv = rt.groupByKey(_.getInt(rTileIdx))
+    val cands = lkv.cogroup(rkv) { (tile: Int, ls: Iterator[Row], rs: Iterator[Row]) =>
+      val tree = new STRtree()
+      var rCount = 0
+      rs.foreach { row =>
+        val g = GeometryCodec.fromWkb(row.getAs[Array[Byte]](rGeomIdx))
+        if (g != null) {
+          val e = new Envelope(row.getDouble(rEnvIdx(0)), row.getDouble(rEnvIdx(2)),
+                               row.getDouble(rEnvIdx(1)), row.getDouble(rEnvIdx(3)))
+          tree.insert(e, (g, row)); rCount += 1
+        }
+      }
+      if (rCount == 0) Iterator.empty
+      else {
+        tree.build()
+        val idx = bc.value
+        ls.flatMap { lrow =>
+          val g1 = GeometryCodec.fromWkb(lrow.getAs[Array[Byte]](lGeomIdx))
+          if (g1 == null) Iterator.empty
+          else {
+            val rad = lrow.getDouble(radIdx)
+            val px1 = lrow.getDouble(lEnvIdx(0)); val py1 = lrow.getDouble(lEnvIdx(1))
+            val px2 = lrow.getDouble(lEnvIdx(2)); val py2 = lrow.getDouble(lEnvIdx(3))
+            val hits = tree.query(new Envelope(px1, px2, py1, py2))
+            val out = Vector.newBuilder[Row]
+            var i = 0
+            while (i < hits.size()) {
+              val (g2, rrow) = hits.get(i).asInstanceOf[(Geometry, Row)]
+              val d = g1.distance(g2)
+              if (d <= rad) {
+                val refx = math.max(px1, rrow.getDouble(rEnvIdx(0)))
+                val refy = math.max(py1, rrow.getDouble(rEnvIdx(1)))
+                if (idx.refTile(refx, refy) == tile) {
+                  val vals = new Array[Any](lKeep.length + rKeep.length + 1)
+                  var a = 0
+                  while (a < lKeep.length) { vals(a) = lrow.get(lKeep(a)); a += 1 }
+                  var b = 0
+                  while (b < rKeep.length) { vals(a + b) = rrow.get(rKeep(b)); b += 1 }
+                  vals(a + b) = d
+                  out += Row.fromSeq(vals.toIndexedSeq)
+                }
+              }
+              i += 1
+            }
+            out.result().iterator
+          }
+        }
+      }
+    }.toDF()
+
+    val order = col("knn_dist").asc +: tieBreak.map(col(_).asc)
+    cands
+      .withColumn("knn_rank",
+        row_number().over(Window.partitionBy(col(leftId)).orderBy(order: _*)))
+      .where(col("knn_rank") <= k)
   }
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.locationtech.jts.geom.Envelope
 import org.locationtech.jts.index.strtree.STRtree
 
@@ -9,18 +11,27 @@ import graft.core.{Mbb, TileBoundary}
   * for the reference's cache-file partition index + per-task R-tree
   * (/root/reference/src/transform/manipulate_2d.cpp:218-234).
   *
+  * The tile set handed to this index is ALWAYS padded to cover the whole
+  * space envelope (see [[TileIndex.covering]]): partitioners whose
+  * sample-derived tiles leave gaps (str/hc union-MBB tiles) get complement
+  * rectangles appended, so every point of the space has >=1 owning tile.
+  * This guarantees a spatially matching pair always co-occurs in the tile
+  * owning their envelope-intersection reference point — no silent false
+  * negatives, and reference-point dedup is exact for every partitioner.
+  *
   * `tilesFor` maps an object MBB to every intersecting tile (the 1->N
-  * replication of manipulate_2d.cpp:159-178); objects that intersect no tile
-  * (possible for sample-derived str/hc tiles) fall back to the tile with the
-  * nearest center, so no object is ever dropped.
+  * replication of manipulate_2d.cpp:159-178).
   *
   * `refTile` implements reference-point deduplication: a joined pair is
-  * emitted only in the unique tile owning the bottom-left corner of the two
+  * emitted only in the unique owner tile of the bottom-left corner of the two
   * envelopes' intersection, removing the reference's global sort+uniq dedup
-  * job (queryprocessor_2d.cpp:393-445).
+  * job (queryprocessor_2d.cpp:393-445). With overlapping tiles the owner is
+  * the containing tile with the smallest tileId (deterministic everywhere).
   */
-final class TileIndex(val tiles: Array[TileBoundary], val space: Mbb)
+final class TileIndex(rawTiles: Array[TileBoundary], val space: Mbb)
     extends Serializable {
+
+  val tiles: Array[TileBoundary] = TileIndex.covering(rawTiles, space)
 
   @transient private lazy val tree: STRtree = {
     val t = new STRtree()
@@ -42,7 +53,9 @@ final class TileIndex(val tiles: Array[TileBoundary], val space: Mbb)
       }
       out
     } else {
-      // fallback: nearest tile center, deterministic tie-break on tileId
+      // Only reachable for envelopes fully outside the space (cannot happen
+      // when the space was computed from these same inputs); route to the
+      // nearest tile center as a defensive fallback.
       val m = Mbb(xmin, ymin, xmax, ymax)
       var best = tiles(0); var bestD = Double.PositiveInfinity
       tiles.foreach { tb =>
@@ -53,19 +66,68 @@ final class TileIndex(val tiles: Array[TileBoundary], val space: Mbb)
     }
   }
 
-  /** The unique tile owning point (x,y) under half-open tile semantics
-    * ([xmin,xmax) except at the space's right/top edge). -1 if none. */
+  /** The owner tile of point (x,y): among tiles containing it under
+    * half-open semantics ([min,max) except at the space's right/top edge),
+    * the one with the smallest tileId. -1 only for points outside space. */
   def refTile(x: Double, y: Double): Int = {
     val hits = tree.query(new Envelope(x, x, y, y))
+    var ownerId = Int.MaxValue
     var i = 0
     while (i < hits.size()) {
       val tb = hits.get(i).asInstanceOf[TileBoundary]
       val m = tb.mbb
       val inX = x >= m.xmin && (x < m.xmax || (x == m.xmax && m.xmax == space.xmax))
       val inY = y >= m.ymin && (y < m.ymax || (y == m.ymax && m.ymax == space.ymax))
-      if (inX && inY) return tb.tileId
+      if (inX && inY && tb.tileId < ownerId) ownerId = tb.tileId
       i += 1
     }
-    -1
+    if (ownerId == Int.MaxValue) -1 else ownerId
+  }
+}
+
+object TileIndex {
+
+  /** Pads `tiles` with complement rectangles so the union exactly covers
+    * `space`. Strip sweep: the distinct clipped tile y-edges slice the space
+    * into horizontal strips; within each strip every tile either spans it
+    * fully or misses its interior, so coverage reduces to 1-D interval
+    * merging per strip. Gaps become new tiles (ids continue after the max
+    * existing id). Already-covering tilings come back unchanged. */
+  def covering(tiles: Array[TileBoundary], space: Mbb): Array[TileBoundary] = {
+    if (tiles.isEmpty) return Array(TileBoundary(0, space))
+    val eps = 0.0 // exact edges: tiles derive from the same double arithmetic
+    val ys = {
+      val b = ArrayBuffer(space.ymin, space.ymax)
+      tiles.foreach { t =>
+        if (t.mbb.ymin > space.ymin && t.mbb.ymin < space.ymax) b += t.mbb.ymin
+        if (t.mbb.ymax > space.ymin && t.mbb.ymax < space.ymax) b += t.mbb.ymax
+      }
+      b.distinct.sorted.toArray
+    }
+    var nextId = tiles.map(_.tileId).max + 1
+    val pads = new ArrayBuffer[TileBoundary]
+    var s = 0
+    while (s < ys.length - 1) {
+      val y0 = ys(s); val y1 = ys(s + 1)
+      // tiles spanning this strip's interior
+      val xs = tiles.iterator
+        .filter(t => t.mbb.ymin <= y0 + eps && t.mbb.ymax >= y1 - eps)
+        .map(t => (math.max(t.mbb.xmin, space.xmin), math.min(t.mbb.xmax, space.xmax)))
+        .filter { case (a, b) => b > a }
+        .toArray.sortBy(_._1)
+      var cursor = space.xmin
+      var i = 0
+      while (i < xs.length) {
+        val (a, b) = xs(i)
+        if (a > cursor) { pads += TileBoundary(nextId, Mbb(cursor, y0, a, y1)); nextId += 1 }
+        if (b > cursor) cursor = b
+        i += 1
+      }
+      if (cursor < space.xmax) {
+        pads += TileBoundary(nextId, Mbb(cursor, y0, space.xmax, y1)); nextId += 1
+      }
+      s += 1
+    }
+    if (pads.isEmpty) tiles else tiles ++ pads
   }
 }

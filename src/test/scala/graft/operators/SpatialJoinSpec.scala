@@ -1,0 +1,143 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.core.GeometryCodec
+import graft.functions._
+
+class SpatialJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Seeded random rectangles in [0,100]x[0,50] as (id, wkt). */
+  private def boxes(n: Int, seed: Long, prefix: String): Seq[(Long, String)] = {
+    val rnd = new Random(seed)
+    (0 until n).map { i =>
+      val cx = rnd.nextDouble() * 100; val cy = rnd.nextDouble() * 50
+      val w = rnd.nextDouble() * 3; val h = rnd.nextDouble() * 3
+      val xmin = cx - w / 2; val ymin = cy - h / 2
+      (i.toLong,
+       s"POLYGON(($xmin $ymin,${xmin + w} $ymin,${xmin + w} ${ymin + h},$xmin ${ymin + h},$xmin $ymin))")
+    }
+  }
+
+  private def df(rows: Seq[(Long, String)], idCol: String, geomCol: String): DataFrame =
+    rows.toDF(idCol, "__wkt")
+      .withColumn(geomCol, st_geomfromwkt(col("__wkt"))).drop("__wkt")
+
+  /** Driver-side brute force over the same JTS predicates. */
+  private def brute(a: Seq[(Long, String)], b: Seq[(Long, String)],
+                    pred: (org.locationtech.jts.geom.Geometry,
+                           org.locationtech.jts.geom.Geometry) => Boolean): Set[(Long, Long)] = {
+    val ga = a.map { case (i, w) => (i, GeometryCodec.fromWkt(w)) }
+    val gb = b.map { case (i, w) => (i, GeometryCodec.fromWkt(w)) }
+    (for { (i, g1) <- ga; (j, g2) <- gb if pred(g1, g2) } yield (i, j)).toSet
+  }
+
+  private val la = boxes(300, seed = 1, "a")
+  private val lb = boxes(400, seed = 2, "b")
+
+  for (partitioner <- Seq("fg", "str", "hc", "bsp", "qt", "slc", "bos")) {
+    test(s"tiled st_intersects join == brute force [$partitioner]") {
+      val a = df(la, "id1", "g1"); val b = df(lb, "id2", "g2")
+      val got = SpatialJoin.join(a, "g1", b, "g2",
+          SpatialJoin.Config(predicate = "intersects", partitioner = partitioner, bucket = 50))
+        .select("id1", "id2").as[(Long, Long)].collect().toSeq
+      val want = brute(la, lb, _.intersects(_))
+      assert(got.size == got.toSet.size, s"duplicate pairs from $partitioner")
+      assert(got.toSet == want, s"$partitioner mismatch: " +
+        s"missing=${(want -- got.toSet).take(5)} extra=${(got.toSet -- want).take(5)}")
+    }
+  }
+
+  for (pred <- Seq("touches", "contains", "within", "overlaps", "equals")) {
+    test(s"tiled $pred join == brute force") {
+      val a = df(la, "id1", "g1"); val b = df(lb, "id2", "g2")
+      val got = SpatialJoin.join(a, "g1", b, "g2",
+          SpatialJoin.Config(predicate = pred, partitioner = "fg", bucket = 60))
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      val want = brute(la, lb, (g1, g2) => pred match {
+        case "touches"  => g1.touches(g2)
+        case "contains" => g1.contains(g2)
+        case "within"   => g1.within(g2)
+        case "overlaps" => g1.overlaps(g2)
+        case "equals"   => g1.equalsTopo(g2)
+      })
+      assert(got == want, s"$pred mismatch")
+    }
+  }
+
+  test("dwithin join == brute force isWithinDistance") {
+    val d = 2.5
+    val a = df(la, "id1", "g1"); val b = df(lb, "id2", "g2")
+    val got = SpatialJoin.join(a, "g1", b, "g2",
+        SpatialJoin.Config(predicate = "dwithin", distance = d, bucket = 50))
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val want = brute(la, lb, _.isWithinDistance(_, d))
+    assert(got == want)
+  }
+
+  test("global dedup == refpoint dedup, and preserves duplicate input rows") {
+    val a = df(la, "id1", "g1"); val b = df(lb, "id2", "g2")
+    val ref = SpatialJoin.join(a, "g1", b, "g2", SpatialJoin.Config(bucket = 40))
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val glob = SpatialJoin.join(a, "g1", b, "g2",
+        SpatialJoin.Config(bucket = 40, dedup = "global"))
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(ref == glob)
+
+    // two value-identical left rows must yield 2x the pairs in global mode
+    val dupRows = la.take(20) ++ la.take(20)
+    val ad = df(dupRows, "id1", "g1")
+    val n = SpatialJoin.join(ad, "g1", b, "g2",
+        SpatialJoin.Config(bucket = 40, dedup = "global")).count()
+    val n1 = SpatialJoin.join(df(la.take(20), "id1", "g1"), "g1", b, "g2",
+        SpatialJoin.Config(bucket = 40)).count()
+    assert(n == 2 * n1, s"global dedup collapsed duplicate input rows: $n vs 2*$n1")
+  }
+
+  test("self-join excludes identity via caller predicate") {
+    val a = df(la, "id1", "g1")
+    val b = df(la, "id2", "g2")
+    val got = SpatialJoin.join(a, "g1", b, "g2", SpatialJoin.Config(bucket = 50))
+      .where($"id1" < $"id2").select("id1", "id2").as[(Long, Long)].collect().toSet
+    val want = brute(la, la, _.intersects(_)).filter { case (i, j) => i < j }
+    assert(got == want)
+  }
+
+  test("knnJoin: tile-local, no duplicate neighbors, <=k per left row") {
+    val a = df(la, "id1", "g1"); val b = df(lb, "id2", "g2")
+    val k = 3
+    val got = SpatialJoin.knnJoin(a, "g1", b, "g2", k, SpatialJoin.Config(bucket = 50))
+      .select("id1", "id2").as[(Long, Long)].collect()
+    assert(got.length == got.toSet.size, "duplicate (left,right) pairs from knnJoin")
+    val perLeft = got.groupBy(_._1).map(_._2.length)
+    assert(perLeft.forall(_ <= k))
+  }
+
+  test("knnJoinExact == brute-force global kNN (with deterministic ties)") {
+    // points on a small lattice => plenty of distance ties
+    val rnd = new Random(9)
+    val pa = (0 until 150).map(i => (i.toLong, s"POINT (${rnd.nextInt(40)} ${rnd.nextInt(20)})"))
+    val pb = (0 until 80).map(i => (i.toLong, s"POINT (${rnd.nextInt(40)} ${rnd.nextInt(20)})"))
+    val a = df(pa, "id1", "g1"); val b = df(pb, "id2", "g2")
+    val k = 4
+    val got = SpatialJoin.knnJoinExact(a, "g1", "id1", b, "g2", k,
+        tieBreak = Seq("id2"), cfg = SpatialJoin.Config(bucket = 30))
+      .select("id1", "id2").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    val gb = pb.map { case (i, w) => (i, GeometryCodec.fromWkt(w)) }
+    val want = pa.map { case (i, w) =>
+      val g1 = GeometryCodec.fromWkt(w)
+      i -> gb.map { case (j, g2) => (g1.distance(g2), j) }
+        .sortBy(identity).take(k).map(_._2).toSet
+    }.toMap
+    assert(got.keySet == want.keySet)
+    for ((i, neigh) <- want)
+      assert(got(i) == neigh, s"left $i: got ${got(i)} want $neigh")
+  }
+}

@@ -8,8 +8,9 @@ parquet tables in <sf_dir>, loads the corresponding Spark result parquet,
 and compares: column names (sorted), row counts, and a hash of the
 row-sorted, column-name-sorted values.
 """
-import sys, json, glob, hashlib
+import sys, json, glob, hashlib, math
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -20,10 +21,8 @@ def canon(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
-        if v != v:
-            return "nan"
-        if v == int(v) and abs(v) < 1e15:
-            return repr(v)
+        if not math.isfinite(v):
+            return "nan" if v != v else ("inf" if v > 0 else "-inf")
         return repr(v)
     if isinstance(v, bytes):
         return v.hex()
@@ -48,12 +47,12 @@ def main(out_dir, sf_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     for name, sql in sorted(oracle.items()):
-        spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        spark_files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not spark_files:
             print(f"FAIL {name}: no spark output")
             failures += 1
             continue
-        tbl = pq.read_table(spark_files[0])
+        tbl = pa.concat_tables([pq.read_table(f) for f in spark_files])
         s_names = list(tbl.column_names)
         s_rows = [tuple(r[c] for c in s_names) for r in tbl.to_pylist()]
         try:
