@@ -11,6 +11,11 @@ object SparkEntry {
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spjoin_intersects" -> (Queries.qSpjoinIntersects _),
+    "q_spjoin_dwithin" -> (Queries.qSpjoinDwithin _),
+    "q_spjoin_contains" -> (Queries.qSpjoinContains _),
+    "q_spjoin_equals" -> (Queries.qSpjoinEquals _),
+    "q_containment" -> (Queries.qContainment _),
+    "q_knn" -> (Queries.qKnn _),
     "q_mbb_stats" -> (Queries.qMbbStats _),
     "q1_agg" -> (Queries.q1Agg _),
     "q_window_topk" -> (Queries.qWindowTopk _),
@@ -21,6 +26,11 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q_spjoin_intersects" -> Queries.qSpjoinIntersectsSql,
+    "q_spjoin_dwithin" -> Queries.qSpjoinDwithinSql,
+    "q_spjoin_contains" -> Queries.qSpjoinContainsSql,
+    "q_spjoin_equals" -> Queries.qSpjoinEqualsSql,
+    "q_containment" -> Queries.qContainmentSql,
+    "q_knn" -> Queries.qKnnSql,
     "q_mbb_stats" -> Queries.qMbbStatsSql,
     "q1_agg" -> Queries.q1AggSql,
     "q_window_topk" -> Queries.qWindowTopkSql,

@@ -51,6 +51,14 @@ object Queries {
        | CAST(($key * $mult) % $mod AS DOUBLE) AS px,
        | CAST(floor($key * $mult / $mod) % $mod AS DOUBLE) AS py FROM $tbl""".stripMargin
 
+  def custPoints(spark: SparkSession, dir: String): DataFrame =
+    keyPoints(spark, dir, "customer", "c_custkey", 7, 300)
+  val custPointsSql: String = keyPointsSql("customer", "c_custkey", 7, 300)
+
+  def suppPoints(spark: SparkSession, dir: String): DataFrame =
+    keyPoints(spark, dir, "supplier", "s_suppkey", 13, 300)
+  val suppPointsSql: String = keyPointsSql("supplier", "s_suppkey", 13, 300)
+
   // ---------------------------------------------------------------- spatial
 
   /** J1+J3: full tiled spatial join engine, st_intersects self-join of part
@@ -74,6 +82,91 @@ object Queries {
        |FROM b a JOIN b c ON a.id < c.id
        | AND a.x0 <= c.x0 + c.w AND c.x0 <= a.x0 + a.w
        | AND a.y0 <= c.y0 + c.w AND c.y0 <= a.y0 + a.w""".stripMargin
+
+  /** J12: distance join — part boxes vs customer points within d=4
+    * (reference st_dwithin, spjoin_2d.hpp:167-205). Exact: all coordinates
+    * are lattice integers, so the clamped squared distance is integer-valued
+    * in doubles. */
+  def qSpjoinDwithin(spark: SparkSession, dir: String): DataFrame = {
+    val parts = partBoxes(spark, dir).select(col("id").as("pid"), col("geom").as("g1"))
+    val custs = custPoints(spark, dir).select(col("id").as("cid"), col("geom").as("g2"))
+    SpatialJoin.join(parts, "g1", custs, "g2",
+        SpatialJoin.Config(predicate = "dwithin", distance = 4.0, bucket = 500))
+      .select(col("pid"), col("cid"))
+  }
+
+  val qSpjoinDwithinSql: String =
+    s"""WITH b AS ($partBoxesSql), c AS ($custPointsSql)
+       |SELECT b.id AS pid, c.id AS cid FROM b JOIN c ON
+       | greatest(b.x0 - c.px, c.px - b.x0 - b.w, 0) * greatest(b.x0 - c.px, c.px - b.x0 - b.w, 0)
+       | + greatest(b.y0 - c.py, c.py - b.y0 - b.w, 0) * greatest(b.y0 - c.py, c.py - b.y0 - b.w, 0)
+       | <= 16.0""".stripMargin
+
+  /** J6: containment join — part boxes strictly containing customer points
+    * (JTS contains excludes the boundary, hence strict inequalities in the
+    * oracle). */
+  def qSpjoinContains(spark: SparkSession, dir: String): DataFrame = {
+    val parts = partBoxes(spark, dir).select(col("id").as("pid"), col("geom").as("g1"))
+    val custs = custPoints(spark, dir).select(col("id").as("cid"), col("geom").as("g2"))
+    SpatialJoin.join(parts, "g1", custs, "g2",
+        SpatialJoin.Config(predicate = "contains", bucket = 500))
+      .select(col("pid"), col("cid"))
+  }
+
+  val qSpjoinContainsSql: String =
+    s"""WITH b AS ($partBoxesSql), c AS ($custPointsSql)
+       |SELECT b.id AS pid, c.id AS cid FROM b JOIN c ON
+       | c.px > b.x0 AND c.px < b.x0 + b.w AND c.py > b.y0 AND c.py < b.y0 + b.w""".stripMargin
+
+  /** J9: st_equals self-join on part boxes (lattice collisions produce true
+    * equal-geometry pairs). */
+  def qSpjoinEquals(spark: SparkSession, dir: String): DataFrame = {
+    val b = partBoxes(spark, dir)
+    val a = b.select(col("id").as("id1"), col("geom").as("g1"))
+    val c = b.select(col("id").as("id2"), col("geom").as("g2"))
+    SpatialJoin.join(a, "g1", c, "g2",
+        SpatialJoin.Config(predicate = "equals", bucket = 500))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+  }
+
+  val qSpjoinEqualsSql: String =
+    s"""WITH b AS ($partBoxesSql)
+       |SELECT a.id AS id1, c.id AS id2 FROM b a JOIN b c ON a.id < c.id
+       | AND a.x0 = c.x0 AND a.y0 = c.y0 AND a.w = c.w""".stripMargin
+
+  /** P5/J15: containment window query — part boxes intersecting a fixed
+    * window (reference resque -o 0 cache-file path, resque_2d.cpp:127-273),
+    * projecting id + area (A5). */
+  def qContainment(spark: SparkSession, dir: String): DataFrame =
+    partBoxes(spark, dir)
+      .where(st_intersects(col("geom"),
+        st_makebox(lit(35.0), lit(25.0), lit(150.0), lit(160.0))))
+      .select(col("id"), st_area(col("geom")).as("area"))
+
+  val qContainmentSql: String =
+    s"""WITH b AS ($partBoxesSql)
+       |SELECT id, w * w AS area FROM b
+       |WHERE x0 <= 150 AND x0 + w >= 35 AND y0 <= 160 AND y0 + w >= 25""".stripMargin
+
+  /** J13/J14 (improved): EXACT global kNN join — customer points to their 3
+    * nearest supplier points, deterministic (distance, supplier-id)
+    * tie-break. Rank-only output keeps the oracle FP-exact. */
+  def qKnn(spark: SparkSession, dir: String): DataFrame = {
+    val custs = custPoints(spark, dir).select(col("id").as("cid"), col("geom").as("g1"))
+    val supps = suppPoints(spark, dir).select(col("id").as("sid"), col("geom").as("g2"))
+    SpatialJoin.knnJoinExact(custs, "g1", "cid", supps, "g2", k = 3,
+        tieBreak = Seq("sid"), cfg = SpatialJoin.Config(bucket = 500))
+      .select(col("cid"), col("sid"), col("knn_rank").as("rk"))
+  }
+
+  val qKnnSql: String =
+    s"""WITH c AS ($custPointsSql), s AS ($suppPointsSql)
+       |SELECT cid, sid, rk FROM (
+       | SELECT c.id AS cid, s.id AS sid, row_number() OVER (
+       |   PARTITION BY c.id
+       |   ORDER BY (c.px-s.px)*(c.px-s.px) + (c.py-s.py)*(c.py-s.py), s.id) AS rk
+       | FROM c CROSS JOIN s) WHERE rk <= 3""".stripMargin
 
   /** A1: global space envelope + count over MBBs (the reference's
     * MBB-extraction + stats job pair). */
