@@ -20,6 +20,13 @@ object SparkEntry {
     "q1_agg" -> (Queries.q1Agg _),
     "q_window_topk" -> (Queries.qWindowTopk _),
     "q_dedup_exact" -> (Queries.qDedupExact _),
+    "q_text_stats" -> (Queries.qTextStats _),
+    "q_lang_id" -> (Queries.qLangId _),
+    "q_fingerprint" -> (Queries.qFingerprint _),
+    "q_dedup_ngram" -> (Queries.qDedupNgram _),
+    "q_minhash_lsh" -> (Queries.qMinhashLsh _),
+    "q_simhash" -> (Queries.qSimhash _),
+    "q_ann_topk" -> (Queries.qAnnTopk _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -35,5 +42,12 @@ object SparkEntry {
     "q1_agg" -> Queries.q1AggSql,
     "q_window_topk" -> Queries.qWindowTopkSql,
     "q_dedup_exact" -> Queries.qDedupExactSql,
+    "q_text_stats" -> Queries.qTextStatsSql,
+    "q_lang_id" -> Queries.qLangIdSql,
+    "q_fingerprint" -> Queries.qFingerprintSql,
+    "q_dedup_ngram" -> Queries.qDedupNgramSql,
+    // q_minhash_lsh / q_simhash: engine-internal hash families, not
+    // SQL-expressible -> rows-only check; recall is ScalaTest-gated.
+    "q_ann_topk" -> Queries.qAnnTopkSql,
   )
 }

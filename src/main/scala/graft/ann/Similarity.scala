@@ -1,0 +1,92 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{cosine_similarity, Hash64}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Similarity search over an embedding column (`ArrayType(FloatType)`).
+  *
+  * `topKBrute` is the exact baseline: broadcast the (small) query set, scan
+  * the item table once, window top-k — one shuffle keyed by query id, scales
+  * linearly in items. `topKLsh` is the 100 TB path: random-hyperplane LSH
+  * buckets both sides, only bucket-colliding pairs are scored; recall is
+  * tunable via tables × bits.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for every query row. `queries` is
+    * broadcast (must be small); self-matches excluded when ids collide.
+    * Deterministic: ties broken by ascending item id. */
+  def topKBrute(items: DataFrame, itemId: String, itemVec: String,
+                queries: DataFrame, queryId: String, queryVec: String,
+                k: Int): DataFrame = {
+    val joined = items.crossJoin(
+        broadcast(queries.select(col(queryId), col(queryVec))))
+      .where(col(queryId) =!= col(itemId))
+      .withColumn("similarity", cosine_similarity(col(queryVec), col(itemVec)))
+    joined
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryId))
+          .orderBy(col("similarity").desc, col(itemId).asc)))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(itemId), col("similarity"), col("rank"))
+  }
+
+  /** Deterministic Rademacher hyperplane component for (table, bit, dim). */
+  private def planeSign(table: Int, bit: Int, dim: Int): Float = {
+    val h = Hash64.hash(UTF8String.fromString(s"$table:$bit:$dim"), 0x5eedL)
+    if ((h & 1L) == 0L) 1.0f else -1.0f
+  }
+
+  /** LSH-bucketed approximate top-k: `tables` independent sign-random-
+    * projection hashes of `bits` bits; item/query pairs sharing any bucket
+    * are scored exactly and windowed to top-k. Output schema matches
+    * [[topKBrute]] (+ possibly fewer than k rows for low-recall queries). */
+  def topKLsh(items: DataFrame, itemId: String, itemVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
+    require(bits <= 30, "bits must fit an Int bucket")
+    val t = tables; val b = bits
+    val bucketize = udf { (vec: Seq[Float]) =>
+      if (vec == null) null
+      else {
+        val out = new Array[Int](t)
+        var ti = 0
+        while (ti < t) {
+          var bucket = 0
+          var bi = 0
+          while (bi < b) {
+            var dot = 0.0
+            var d = 0
+            while (d < vec.length) { dot += vec(d) * planeSign(ti, bi, d); d += 1 }
+            if (dot > 0) bucket |= (1 << bi)
+            bi += 1
+          }
+          out(ti) = bucket
+          ti += 1
+        }
+        out
+      }
+    }
+    def banded(df: DataFrame, id: String, vec: String, pfx: String): DataFrame =
+      df.select(col(id), col(vec),
+          posexplode(bucketize(col(vec))).as(Seq(s"${pfx}_table", s"${pfx}_bucket")))
+
+    val bi = banded(items, itemId, itemVec, "i")
+    val bq = banded(queries, queryId, queryVec, "q")
+    val cand = bq.join(bi,
+        col("q_table") === col("i_table") && col("q_bucket") === col("i_bucket"))
+      .where(col(queryId) =!= col(itemId))
+      .dropDuplicates(queryId, itemId)
+      .withColumn("similarity", cosine_similarity(col(queryVec), col(itemVec)))
+    cand
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryId))
+          .orderBy(col("similarity").desc, col(itemId).asc)))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(itemId), col("similarity"), col("rank"))
+  }
+}

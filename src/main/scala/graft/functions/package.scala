@@ -47,6 +47,12 @@ package object functions {
   def hilbert(x: Column, y: Column, order: Column): Column =
     col(HilbertValue(ex(x), ex(y), ex(order)))
 
+  def cosine_similarity(a: Column, b: Column): Column = col(CosineSimilarity(ex(a), ex(b)))
+  def dot_product(a: Column, b: Column): Column = col(DotProduct(ex(a), ex(b)))
+  def simhash64(text: Column): Column = col(SimHash64(ex(text)))
+  def rolling_hash64(text: Column): Column = col(RollingHash64(ex(text)))
+  def seeded_hash64(text: Column, seed: Column): Column = col(SeededHash64(ex(text), ex(seed)))
+
   /** Register every spatial function in the session's FunctionRegistry for
     * SQL use. Idempotent. */
   def registerAll(spark: SparkSession): Unit = {
@@ -75,5 +81,10 @@ package object functions {
     r("st_jaccard", es => StOverlapMeasure(es(0), es(1), "jaccard"))
     r("st_dice", es => StOverlapMeasure(es(0), es(1), "dice"))
     r("hilbert", es => HilbertValue(es(0), es(1), es(2)))
+    r("cosine_similarity", es => CosineSimilarity(es(0), es(1)))
+    r("dot_product", es => DotProduct(es(0), es(1)))
+    r("simhash64", es => SimHash64(es.head))
+    r("rolling_hash64", es => RollingHash64(es.head))
+    r("seeded_hash64", es => SeededHash64(es(0), es(1)))
   }
 }

@@ -218,6 +218,119 @@ object Queries {
       |                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
       | FROM orders) WHERE rk <= 3""".stripMargin
 
+  // ---------------------------------------------------- LLM-pipeline: text
+
+  /** Text analysis over documents: token counts, BPE estimate, stopword
+    * ratio, mean word length, composite quality score. All outputs are
+    * integer-valued or single-IEEE-op doubles (0.5 and 8 are powers of two),
+    * so the oracle compare is bit-exact. */
+  def qTextStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions._
+    val d = table(spark, dir, "documents")
+    d.select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      bpeTokenEstimate(col("text")).as("bpe_est"),
+      stopwordCount(col("text")).as("n_stop"),
+      stopwordRatio(col("text")).as("stop_ratio"),
+      avgWordLen(col("text")).as("avg_wlen"),
+      qualityScore(col("text")).as("quality"))
+  }
+
+  private val stopList = graft.text.TextFunctions.Stopwords
+    .map(w => s"'$w'").mkString(", ")
+
+  val qTextStatsSql: String =
+    s"""SELECT doc_id,
+       | len(string_split(text,' ')) AS n_tokens,
+       | CAST(ceil(len(text)/4.0) AS BIGINT) AS bpe_est,
+       | len(list_filter(string_split(text,' '), w -> w IN ($stopList))) AS n_stop,
+       | CAST(len(list_filter(string_split(text,' '), w -> w IN ($stopList))) AS DOUBLE)
+       |   / len(string_split(text,' ')) AS stop_ratio,
+       | CAST(len(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+       |   / len(string_split(text,' ')) AS avg_wlen,
+       | 0.5 * (CAST(len(list_filter(string_split(text,' '), w -> w IN ($stopList))) AS DOUBLE)
+       |   / len(string_split(text,' ')))
+       | + 0.5 * least((CAST(len(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+       |   / len(string_split(text,' '))) / 8.0, 1.0) AS quality
+       |FROM documents""".stripMargin
+
+  /** Language-ID heuristic (stopword-ratio threshold). */
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions._
+    table(spark, dir, "documents")
+      .select(col("doc_id"), langId(col("text")).as("lang_pred"))
+  }
+
+  val qLangIdSql: String =
+    s"""SELECT doc_id,
+       | CASE WHEN CAST(len(list_filter(string_split(text,' '), w -> w IN ($stopList))) AS DOUBLE)
+       |   / len(string_split(text,' ')) >= 0.05 THEN 'en' ELSE 'und' END AS lang_pred
+       |FROM documents""".stripMargin
+
+  /** Document fingerprinting (md5 — identical hex in Spark and DuckDB). */
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), graft.text.TextFunctions.fingerprintMd5(col("text")).as("fp"))
+
+  val qFingerprintSql: String =
+    "SELECT doc_id, md5(text) AS fp FROM documents"
+
+  /** Exact word-3-gram Jaccard near-duplicate pairs (threshold 0.5). */
+  def qDedupNgram(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.TextDedup.ngramJaccardPairs(
+      table(spark, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)
+
+  val qDedupNgramSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |  [array_to_string(ws[i:i+2],' ') for i in generate_series(1, len(ws)-2)])) AS shingle
+      |  FROM w WHERE len(ws) >= 3),
+      |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      |shared AS (SELECT a.doc_id ida, b.doc_id idb, count(*) s FROM sh a
+      |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1,2)
+      |SELECT ida, idb, jaccard FROM (
+      | SELECT ida, idb, CAST(s AS DOUBLE)/(ca.n + cb.n - s) AS jaccard
+      | FROM shared JOIN cnt ca ON ca.doc_id = ida JOIN cnt cb ON cb.doc_id = idb)
+      |WHERE jaccard >= 0.5""".stripMargin
+
+  /** MinHash+LSH near-dup candidates (no SQL oracle: seeded-hash family is
+    * engine-internal; ScalaTest checks recall vs the exact n-gram pairs). */
+  def qMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.TextDedup.minHashLshPairs(
+      table(spark, dir, "documents"), "doc_id", "text",
+      n = 3, numHashes = 64, bands = 16, estThreshold = 0.5)
+
+  /** SimHash near-dup pairs (no SQL oracle; tested in ScalaTest). */
+  def qSimhash(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.TextDedup.simHashPairs(
+      table(spark, dir, "documents"), "doc_id", "text", maxHamming = 10)
+
+  /** Brute-force exact cosine top-5 neighbors for every 50th vector —
+    * rank-only output keeps the compare FP-exact (double-accumulated cosine
+    * ordering is rank-stable vs DuckDB's float path; verified empirically). */
+  def qAnnTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val items = emb.select(col("vec_id").as("nid"), col("embedding").as("ivec"))
+    val queries = emb.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    graft.ann.Similarity.topKBrute(items, "nid", "ivec", queries, "qid", "qvec", k = 5)
+      .select(col("qid"), col("nid"), col("rank").as("rk"))
+  }
+
+  val qAnnTopkSql: String =
+    """WITH q AS (SELECT vec_id qid, embedding e FROM embeddings WHERE vec_id % 50 = 0),
+      |p AS (SELECT q.qid, b.vec_id nid,
+      |  list_sum(list_transform(generate_series(1,64),
+      |    i -> CAST(q.e[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(q.e, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+      |   * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+      |  AS c
+      | FROM q JOIN embeddings b ON b.vec_id <> q.qid)
+      |SELECT qid, nid, rk FROM (
+      | SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) rk
+      | FROM p) WHERE rk <= 5""".stripMargin
+
   /** D1 (as LLM-pipeline exact dedup): keep min doc_id per identical text. */
   def qDedupExact(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")

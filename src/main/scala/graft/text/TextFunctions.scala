@@ -1,0 +1,67 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/** Text-analysis column functions for training-data pipelines: tokenization,
+  * quality scoring, language-ID heuristics, fingerprints. All are built from
+  * codegen'd `org.apache.spark.sql.functions` (no UDFs), so they pushdown,
+  * prune, and stay inside whole-stage codegen at any scale.
+  *
+  * Every arithmetic result here is either integer-valued or a SINGLE IEEE
+  * operation on exact inputs, so DuckDB-oracle comparisons stay bit-exact.
+  */
+object TextFunctions {
+
+  /** English stopword core used by the heuristics (deliberately small and
+    * frozen: it is part of the operator contract). */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Whitespace tokens (the corpus contract is single-space separation;
+    * see TESTDATA documents). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** ~4 chars/token BPE-style estimate: ceil(len/4) as long. */
+  def bpeTokenEstimate(text: Column): Column =
+    ceil(length(text) / lit(4.0)).cast("long")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), w => w.isInCollection(Stopwords)))
+
+  /** stopword_count / token_count as double (exact single division). */
+  def stopwordRatio(text: Column): Column =
+    stopwordCount(text).cast("double") / tokenCount(text).cast("double")
+
+  /** Mean token length: (chars - separators) / tokens, exact division. */
+  def avgWordLen(text: Column): Column =
+    (length(text) - (tokenCount(text) - lit(1))).cast("double") /
+      tokenCount(text).cast("double")
+
+  /** Composite quality score in [0,1]:
+    * 0.5 * stopword_ratio + 0.5 * min(avg_word_len / 8, 1). */
+  def qualityScore(text: Column): Column =
+    lit(0.5) * stopwordRatio(text) +
+      lit(0.5) * least(avgWordLen(text) / lit(8.0), lit(1.0))
+
+  /** Stopword-ratio language-ID heuristic: 'en' iff ratio >= 0.05. */
+  def langId(text: Column): Column =
+    when(stopwordRatio(text) >= 0.05, lit("en")).otherwise(lit("und"))
+
+  /** Content fingerprint (hex md5 — identical in Spark and DuckDB). */
+  def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))
+
+  /** Distinct word n-gram shingles of a document, in order of first
+    * occurrence. Documents shorter than n words shingle to []. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    when(size(ws) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+}

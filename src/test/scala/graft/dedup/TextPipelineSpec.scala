@@ -1,0 +1,101 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.ann.Similarity
+import graft.text.TextFunctions
+
+class TextPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("wordShingles: count, distinctness, short-doc guard") {
+    val r = Seq("a b c d", "a b", "x x x x x").toDF("text")
+      .select(TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(r(0) == Seq("a b c", "b c d"))
+    assert(r(1) == Seq.empty)
+    assert(r(2) == Seq("x x x")) // distinct
+  }
+
+  test("text stats are exact and consistent") {
+    val r = Seq("the cat sat on a mat").toDF("text").select(
+      TextFunctions.tokenCount(col("text")),
+      TextFunctions.stopwordCount(col("text")),
+      TextFunctions.stopwordRatio(col("text")),
+      TextFunctions.avgWordLen(col("text"))).head()
+    assert(r.getInt(0) == 6)
+    assert(r.getInt(1) == 3) // the, on, a
+    assert(r.getDouble(2) == 0.5)
+    assert(r.getDouble(3) == (20 - 5) / 6.0)
+  }
+
+  test("ngramJaccardPairs finds identical docs with jaccard 1.0") {
+    val df = Seq((1L, "w1 w2 w3 w4 w5"), (2L, "w1 w2 w3 w4 w5"),
+                 (3L, "z1 z2 z3 z4 z5")).toDF("id", "text")
+    val pairs = TextDedup.ngramJaccardPairs(df, "id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("minHash LSH recall vs exact ngram pairs on real documents") {
+    val exact = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    val lsh = TextDedup.minHashLshPairs(docs, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, estThreshold = 0.0)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "test corpus has no near-dups at 0.6 — weak test")
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
+  }
+
+  test("minhash est_jaccard approximates true jaccard") {
+    val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g x")).toDF("id", "text")
+    val est = TextDedup.minHashLshPairs(df, "id", "text", 3, 64, 16, 0.0)
+      .select("est_jaccard").as[Double].collect()
+    if (est.nonEmpty) assert(est.head > 0.2 && est.head < 0.95)
+  }
+
+  test("simhash: identical text -> hamming 0; pairs found on real docs") {
+    val df = Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"))
+      .toDF("id", "text")
+    val p = TextDedup.simHashPairs(df, "id", "text", 0)
+      .as[(Long, Long, Int)].collect()
+    assert(p.toSeq == Seq((1L, 2L, 0)))
+    // near-identical docs in the corpus must surface
+    val real = TextDedup.simHashPairs(docs, "doc_id", "text", 6).count()
+    assert(real > 0)
+  }
+
+  test("ANN: LSH top-k recall vs brute force on real embeddings") {
+    val items = emb.select(col("vec_id").as("nid"), col("embedding").as("ivec"))
+    val queries = emb.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val brute = Similarity.topKBrute(items, "nid", "ivec", queries, "qid", "qvec", 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    // random 64-dim vectors are near-orthogonal (cos ~0.3 for top neighbors):
+    // per-bit collision p ~ 1 - theta/pi ~ 0.6, so short signatures + many
+    // tables are needed for recall: 4 bits x 16 tables -> ~0.9 expected.
+    val lsh = Similarity.topKLsh(items, "nid", "ivec", queries, "qid", "qvec", 5,
+        bits = 4, tables = 16)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    val recall = brute.count(lsh.contains).toDouble / brute.size
+    assert(recall >= 0.6, s"LSH ANN recall $recall (want >= 0.6 at 4 bits x 16 tables)")
+  }
+
+  test("cosine_similarity: exact on unit axes, null on mismatched dims") {
+    import graft.functions.cosine_similarity
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(3.0f, 4.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val r = df.select(cosine_similarity(col("a"), col("b"))).collect()
+    assert(r(0).getDouble(0) == 0.0)
+    assert(r(1).getDouble(0) == 1.0)
+    assert(r(2).getDouble(0) == 1.0)
+  }
+}
