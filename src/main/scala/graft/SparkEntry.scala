@@ -27,6 +27,8 @@ object SparkEntry {
     "q_minhash_lsh" -> (Queries.qMinhashLsh _),
     "q_simhash" -> (Queries.qSimhash _),
     "q_ann_topk" -> (Queries.qAnnTopk _),
+    "q_events_window" -> (Queries.qEventsWindow _),
+    "q_sessionize" -> (Queries.qSessionize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -49,5 +51,7 @@ object SparkEntry {
     // q_minhash_lsh / q_simhash: engine-internal hash families, not
     // SQL-expressible -> rows-only check; recall is ScalaTest-gated.
     "q_ann_topk" -> Queries.qAnnTopkSql,
+    "q_events_window" -> Queries.qEventsWindowSql,
+    "q_sessionize" -> Queries.qSessionizeSql,
   )
 }

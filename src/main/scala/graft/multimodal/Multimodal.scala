@@ -1,0 +1,114 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Hash64
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Multimodal-column plumbing for training-data pipelines: image/audio/video
+  * as opaque `BinaryType` content + typed metadata, with decode/feature/
+  * resize/frame-sample operators.
+  *
+  * The CODEC layer is STUBBED (this container has no image/audio libraries):
+  * `decodeStub` derives deterministic pseudo-features from the bytes. The
+  * Spark-side plumbing — schema, per-partition batch iteration, operator
+  * signatures, partitioning behavior — is real and tested; swapping the stub
+  * for a JNI/javax.imageio decoder changes one function.
+  *
+  * All per-row work runs in `mapPartitions` (the Scala analog of
+  * `mapInPandas` batch processing): one decoder instance per partition, rows
+  * streamed through an iterator, no driver collection.
+  */
+object Multimodal {
+
+  /** media metadata struct carried next to every binary column. */
+  val MediaMetaType: StructType = StructType(Seq(
+    StructField("media_type", StringType),   // image/jpeg, audio/wav, video/mp4
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sample_rate", IntegerType), // audio only
+    StructField("n_frames", IntegerType)))   // video only
+
+  val FeatureDim = 16
+
+  /** Attach a metadata struct inferred from the (stub) container header:
+    * deterministic dimensions derived from the content hash. Pure column
+    * expressions — stays inside whole-stage codegen. */
+  def withMediaMeta(df: DataFrame, binCol: String, mediaType: String): DataFrame = {
+    val h = xxhash64(col(binCol))
+    val nullInt = lit(null).cast(IntegerType)
+    val meta = struct(
+      lit(mediaType).as("media_type"),
+      (lit(64) + pmod(h, lit(1024L))).cast(IntegerType).as("width"),
+      (lit(64) + pmod(shiftrightunsigned(h, 10), lit(1024L))).cast(IntegerType).as("height"),
+      (if (mediaType.startsWith("audio"))
+         (lit(8000) + pmod(shiftrightunsigned(h, 20), lit(40000L))).cast(IntegerType)
+       else nullInt).as("sample_rate"),
+      (if (mediaType.startsWith("video"))
+         (lit(1) + pmod(shiftrightunsigned(h, 30), lit(300L))).cast(IntegerType)
+       else nullInt).as("n_frames"))
+    df.withColumn("media_meta",
+      when(col(binCol).isNull, lit(null).cast(MediaMetaType)).otherwise(meta))
+  }
+
+  /** STUB decode: bytes -> FeatureDim pseudo-features in [-1,1], derived
+    * from seeded content hashes (deterministic; replace with a real decoder
+    * + model embedding for production). Runs per-partition, streaming. */
+  def decodeStub(bytes: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](FeatureDim)
+    if (bytes != null) {
+      val s = UTF8String.fromBytes(bytes)
+      var i = 0
+      while (i < FeatureDim) {
+        val h = Hash64.hash(s, 1000L + i)
+        out(i) = (h.toDouble / Long.MaxValue.toDouble).toFloat
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** binary -> feature vector column via per-partition batch processing. */
+  def withFeatures(df: DataFrame, binCol: String, outCol: String = "features"): DataFrame = {
+    val schema = df.schema.add(outCol, ArrayType(FloatType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    implicit val enc = Encoders.row(schema)
+    df.mapPartitions { rows =>
+      // one decoder context per partition (where a real codec would init)
+      rows.map { r =>
+        val feat = decodeStub(r.getAs[Array[Byte]](binIdx))
+        Row.fromSeq(r.toSeq :+ feat.toSeq)
+      }
+    }.toDF(schema.fieldNames.toIndexedSeq: _*)
+  }
+
+  /** STUB resize: rewrites target dims in metadata and (stub) re-encodes
+    * content as a truncated prefix — plumbing-real, codec-stub. */
+  def resize(df: DataFrame, binCol: String, metaCol: String,
+             w: Int, h: Int): DataFrame = {
+    val resized = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) null
+      else bytes.take(math.max(16, bytes.length / 2)) // stub re-encode
+    }
+    df.withColumn(binCol, resized(col(binCol)))
+      .withColumn(metaCol, col(metaCol)
+        .withField("width", lit(w)).withField("height", lit(h)))
+  }
+
+  /** STUB frame sampling: video binary -> every `stride`-th fixed-size
+    * chunk as a frame (real impl: container demux). 1 row -> N frame rows
+    * via explode, preserving lineage columns. */
+  def sampleFrames(df: DataFrame, binCol: String, stride: Int,
+                   frameBytes: Int = 256): DataFrame = {
+    val frames = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) Array.empty[Array[Byte]]
+      else bytes.grouped(frameBytes).zipWithIndex
+        .collect { case (chunk, i) if i % stride == 0 => chunk }
+        .toArray
+    }
+    df.withColumn("frame", explode(frames(col(binCol))))
+      .withColumn("frame_no", monotonically_increasing_id())
+  }
+}

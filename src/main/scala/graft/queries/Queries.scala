@@ -20,6 +20,13 @@ object Queries {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** events with `ts` as TimestampType. The parquet stores TIMESTAMP(NANOS)
+    * which Spark only reads as long (spark.sql.legacy.parquet.nanosAsLong,
+    * set by Verify/Bench/tests); truncate to micros like DuckDB does. */
+  def eventsTable(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
   /** part -> one axis-aligned box per row on a 20x20 cell lattice:
     * corner = (key%20, floor(key/20)%20) * 10, side = 1 + p_size%10. */
   def partBoxes(spark: SparkSession, dir: String): DataFrame =
@@ -217,6 +224,39 @@ object Queries {
       |  row_number() OVER (PARTITION BY o_custkey
       |                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
       | FROM orders) WHERE rk <= 3""".stripMargin
+
+  // ------------------------------------------------------------ event/time
+
+  /** Streaming-shaped hourly windowed aggregation, run in batch mode (the
+    * exact same transform runs incrementally under readStream; see
+    * EventOps + StreamingSpec). Counts + min/max only: selection aggregates
+    * are FP-exact. */
+  def qEventsWindow(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventOps.hourlyTypeCounts(eventsTable(spark, dir))
+
+  val qEventsWindowSql: String =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS window_start, event_type,
+      | count(*) AS n_events, min(value) AS min_value, max(value) AS max_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Sessionization (30-min gap) — batch lag/window implementation; the
+    * incremental flatMapGroupsWithState version is ScalaTest-checked to
+    * agree with this one. */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventOps.batchSessionize(
+      eventsTable(spark, dir), gapMicros = 30L * 60 * 1000000)
+
+  val qSessionizeSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
+      |s AS (SELECT user_id, tsu,
+      |  CASE WHEN lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu) IS NULL
+      |    OR tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu) > 1800000000
+      |  THEN 1 ELSE 0 END AS ns FROM e),
+      |t AS (SELECT user_id, tsu, sum(ns) OVER (
+      |  PARTITION BY user_id ORDER BY tsu ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+      |SELECT user_id, min(tsu) AS session_start, max(tsu) AS session_end,
+      | CAST(count(*) AS INT) AS n_events
+      |FROM t GROUP BY user_id, sid""".stripMargin
 
   // ---------------------------------------------------- LLM-pipeline: text
 

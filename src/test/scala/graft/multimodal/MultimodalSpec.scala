@@ -1,0 +1,58 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def binDf = Seq(
+      (1L, "fake-jpeg-content-aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+      (2L, "fake-jpeg-content-bbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbb"),
+      (3L, "fake-jpeg-content-aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"))
+    .toDF("media_id", "payload")
+    .withColumn("content", col("payload").cast("binary")).drop("payload")
+
+  test("withMediaMeta: typed metadata struct, deterministic dims") {
+    val df = Multimodal.withMediaMeta(binDf, "content", "image/jpeg")
+    assert(df.schema("media_meta").dataType == Multimodal.MediaMetaType)
+    val rows = df.select("media_id", "media_meta.media_type",
+        "media_meta.width", "media_meta.height").collect()
+    assert(rows.forall(_.getString(1) == "image/jpeg"))
+    val byId = rows.map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3))).toMap
+    assert(byId(1L) == byId(3L), "identical bytes -> identical inferred dims")
+    assert(byId(1L) != byId(2L))
+    assert(rows.forall(r => r.getInt(2) >= 64 && r.getInt(2) < 1088))
+  }
+
+  test("withFeatures: mapPartitions batch decode, fixed dim, deterministic") {
+    val df = Multimodal.withFeatures(binDf, "content")
+    assert(df.columns.contains("features"))
+    val rows = df.select("media_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows.values.forall(_.length == Multimodal.FeatureDim))
+    assert(rows(1L) == rows(3L))
+    assert(rows(1L) != rows(2L))
+    assert(rows(1L).forall(f => f >= -1.0f && f <= 1.0f))
+    // repartitioning must not change results (partition-independent decode)
+    val rep = Multimodal.withFeatures(binDf.repartition(3), "content")
+      .select("media_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rep == rows)
+  }
+
+  test("resize rewrites metadata dims; sampleFrames explodes 1->N") {
+    val meta = Multimodal.withMediaMeta(binDf, "content", "video/mp4")
+    val resized = Multimodal.resize(meta, "content", "media_meta", 224, 224)
+    val dims = resized.select("media_meta.width", "media_meta.height").head()
+    assert(dims.getInt(0) == 224 && dims.getInt(1) == 224)
+
+    val frames = Multimodal.sampleFrames(binDf, "content", stride = 1, frameBytes = 16)
+    val n = frames.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 54-byte payloads, 16-byte frames -> 4 frames each
+    assert(n.values.forall(_ == 4L))
+    assert(frames.schema("frame").dataType.typeName == "binary")
+  }
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tsOf(sec: Long): Timestamp = new Timestamp(sec * 1000)
+
+  test("hourlyTypeCounts: incremental over MemoryStream == batch over same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Ev(1, tsOf(100), 1, "click", 1.0), Ev(2, tsOf(200), 1, "click", 5.0),
+      Ev(3, tsOf(3700), 2, "view", 2.0), Ev(4, tsOf(3800), 2, "click", 0.5),
+      Ev(5, tsOf(7300), 1, "view", 9.0))
+
+    val stream = MemoryStream[Ev]
+    stream.addData(events)
+    val q = EventOps.hourlyTypeCounts(stream.toDF())
+      .writeStream.format("memory").queryName("hourly_test")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("hourly_test")
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val batch = EventOps.hourlyTypeCounts(events.toDF())
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    assert(batch.length == 4) // (h0 click), (h1 view), (h1 click), (h2 view)
+  }
+
+  test("streamingSessionize closed sessions agree with batchSessionize") {
+    implicit val sqlCtx = spark.sqlContext
+    val gapMicros = 30L * 60 * 1000000
+    // user 1: two sessions (gap 2h); user 2: one session
+    val events = Seq(
+      Ev(1, tsOf(0), 1, "a", 0), Ev(2, tsOf(60), 1, "a", 0),
+      Ev(3, tsOf(7800), 1, "a", 0),
+      Ev(4, tsOf(10), 2, "a", 0), Ev(5, tsOf(600), 2, "a", 0))
+
+    val stream = MemoryStream[Ev]
+    stream.addData(events)
+    val q = EventOps.streamingSessionize(stream.toDF(), gapMicros)
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // append mode emits CLOSED sessions only (open ones wait for timeout):
+    // user 1's first session [0, 60] closed when event at 7800s arrived.
+    val streamed = spark.table("sess_test")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(streamed == Set((1L, 0L, 60000000L, 2)))
+
+    val batch = EventOps.batchSessionize(events.toDF(), gapMicros)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(batch == Set(
+      (1L, 0L, 60000000L, 2), (1L, 7800000000L, 7800000000L, 1),
+      (2L, 10000000L, 600000000L, 2)))
+    assert(streamed.subsetOf(batch), "closed streaming sessions must appear in batch result")
+  }
+}
