@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** SparkSessionExtensions entry point: registers every graft SQL function at
+  * session build time. Enable with
+  * `spark.sql.extensions=graft.GraftExtensions` — no code changes needed in
+  * the user's application (the standard Spark extension mechanism).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    def r(name: String, builder: Seq[Expression] => Expression): Unit =
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+
+    r("st_geomfromwkt", es => StGeomFromWkt(es.head))
+    r("st_astext", es => StAsText(es.head))
+    r("st_point", es => StPoint(es(0), es(1)))
+    r("st_makebox", es => StMakeBox(es))
+    r("st_envelope", es => StEnvelope(es.head))
+    Seq("intersects", "touches", "crosses", "contains", "within",
+        "overlaps", "equals", "disjoint", "adjacent").foreach { p =>
+      r(s"st_$p", es => StPredicate(es(0), es(1), p))
+    }
+    r("st_dwithin", es => StDWithin(es(0), es(1), es(2)))
+    r("st_distance", es => StDistance(es(0), es(1)))
+    r("st_distancesphere", es => StDistanceSphere(es(0), es(1)))
+    r("st_area", es => StArea(es.head))
+    r("st_union", es => StOverlay(es(0), es(1), "union"))
+    r("st_intersection", es => StOverlay(es(0), es(1), "intersection"))
+    r("st_difference", es => StOverlay(es(0), es(1), "difference"))
+    r("st_buffer", es => StBuffer(es(0), es(1)))
+    r("st_intersection_area", es => StOverlapMeasure(es(0), es(1), "intersection_area"))
+    r("st_union_area", es => StOverlapMeasure(es(0), es(1), "union_area"))
+    r("st_jaccard", es => StOverlapMeasure(es(0), es(1), "jaccard"))
+    r("st_dice", es => StOverlapMeasure(es(0), es(1), "dice"))
+    r("hilbert", es => HilbertValue(es(0), es(1), es(2)))
+    r("cosine_similarity", es => CosineSimilarity(es(0), es(1)))
+    r("dot_product", es => DotProduct(es(0), es(1)))
+    r("simhash64", es => SimHash64(es.head))
+    r("rolling_hash64", es => RollingHash64(es.head))
+    r("seeded_hash64", es => SeededHash64(es(0), es(1)))
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.operators.SpatialJoin
+import graft.sources.SpatialStore
+
+/** User-facing DataFrame syntax — the Spark analog of the reference's
+  * `queryproc` CLI surface (-q spjoin/partition/containment, -p predicate,
+  * -u partitioner; /root/reference/src/progparams/queryprocessor_params_2d.hpp).
+  */
+package object api {
+
+  implicit class GraftDataFrameOps(private val df: DataFrame) {
+
+    /** Parse a WKT column into the engine's WKB geometry representation
+      * (malformed rows -> null geometry). */
+    def withGeomFromWkt(wktCol: String, geomCol: String = "geom"): DataFrame =
+      df.withColumn(geomCol, st_geomfromwkt(col(wktCol)))
+
+    /** Tile-partitioned spatial join (predicate from SpatialJoin.Config). */
+    def spatialJoin(right: DataFrame, leftGeom: String, rightGeom: String,
+                    predicate: String = "intersects",
+                    distance: Double = 0.0,
+                    partitioner: String = "fg",
+                    bucket: Int = 0): DataFrame =
+      SpatialJoin.join(df, leftGeom, right, rightGeom,
+        SpatialJoin.Config(predicate = predicate, distance = distance,
+          partitioner = partitioner, bucket = bucket))
+
+    /** Tile-local kNN join (reference st_nearest2 parity). */
+    def knnJoin(right: DataFrame, leftGeom: String, rightGeom: String,
+                k: Int): DataFrame =
+      SpatialJoin.knnJoin(df, leftGeom, right, rightGeom, k)
+
+    /** Exact global kNN join. */
+    def knnJoinExact(right: DataFrame, leftGeom: String, leftId: String,
+                     rightGeom: String, k: Int,
+                     tieBreak: Seq[String] = Seq.empty): DataFrame =
+      SpatialJoin.knnJoinExact(df, leftGeom, leftId, right, rightGeom, k, tieBreak)
+
+    /** Window/containment filter against a WKT window. */
+    def containment(windowWkt: String, geomCol: String = "geom"): DataFrame = {
+      val wkb = graft.core.GeometryCodec.toWkb(
+        graft.core.GeometryCodec.fromWkt(windowWkt))
+      df.where(st_intersects(col(geomCol), lit(wkb)))
+    }
+
+    /** Write spatially partitioned (reference `partition` lifecycle). */
+    def spatialPartitionWrite(path: String, geomCol: String = "geom",
+                              partitioner: String = "fg", bucket: Int = 0): Unit =
+      SpatialStore.write(df, geomCol, path,
+        SpatialJoin.Config(partitioner = partitioner, bucket = bucket))
+
+    /** Per-tile object counts + the reference's partition-quality stats
+      * (queryprocessor_2d.cpp:61-106 post_process_stat): one row per tile
+      * plus a summary frame of count/mean/min/max/stddev. */
+    def describeSpatialPartitioning(geomCol: String = "geom",
+                                    partitioner: String = "fg",
+                                    bucket: Int = 0): (DataFrame, DataFrame) = {
+      val spark = df.sparkSession
+      val env = df.withColumn("__env", st_envelope(col(geomCol)))
+        .where(col("__env").isNotNull)
+        .select(col("__env.xmin").as("__xmin"), col("__env.ymin").as("__ymin"),
+          col("__env.xmax").as("__xmax"), col("__env.ymax").as("__ymax"))
+      val index = SpatialJoin.planTiles(env, env.limit(0),
+        SpatialJoin.Config(partitioner = partitioner, bucket = bucket))
+      val bc = spark.sparkContext.broadcast(index)
+      val tileIds = udf { (x1: Double, y1: Double, x2: Double, y2: Double) =>
+        bc.value.tilesFor(x1, y1, x2, y2)
+      }
+      val perTile = env
+        .withColumn("tile_id", explode(tileIds(
+          col("__xmin"), col("__ymin"), col("__xmax"), col("__ymax"))))
+        .groupBy("tile_id").agg(count(lit(1)).as("n_objects"))
+      val summary = perTile.agg(
+        count(lit(1)).as("n_tiles"),
+        sum("n_objects").as("n_replicated_objects"),
+        avg("n_objects").as("mean_objects"),
+        min("n_objects").as("min_objects"),
+        max("n_objects").as("max_objects"),
+        stddev_samp("n_objects").as("stddev_objects"))
+      (perTile, summary)
+    }
+  }
+}

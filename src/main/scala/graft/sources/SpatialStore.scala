@@ -1,0 +1,119 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Mbb, TileBoundary}
+import graft.functions.{st_envelope, st_intersects}
+import graft.operators.{SpatialJoin, TileIndex}
+
+/** Spatially partitioned table layout — the Spark re-expression of the
+  * reference's `partition` + `containment` lifecycles
+  * (/root/reference/src/framework/query_partition.hpp:77-293,
+  * query_containment.hpp:62-163):
+  *
+  *   per-tile .dat files        -> parquet `partitionBy("tile_id")`
+  *   partition.idx + info.cfg   -> _graft_meta.json (tiles + space + conf)
+  *   driver tile-pruning scan   -> tile_id IN-list -> DataSource partition
+  *                                 pruning (Catalyst skips non-matching dirs)
+  *   boundary-object replication -> explode to intersecting tiles at write;
+  *                                 reads dedup on the stored __row_id
+  *
+  * At scale this gives containment queries that touch only the files of
+  * window-intersecting tiles — the same I/O win as the reference's global
+  * index, but driven by Catalyst instead of hand-rolled path lists.
+  */
+object SpatialStore {
+
+  private val MetaFile = "_graft_meta.json"
+  val TileCol = "tile_id"
+  val RowIdCol = "__row_id"
+
+  final case class Meta(geomCol: String, space: Mbb, tiles: Array[TileBoundary])
+
+  /** Write `df` spatially partitioned by `geomCol` (WKB). Objects spanning
+    * tile boundaries are replicated to every intersecting tile (reference
+    * manipulate_2d -m, query_partition.hpp:34-38); `__row_id` identifies
+    * replicas for read-side dedup. */
+  def write(df: DataFrame, geomCol: String, path: String,
+            cfg: SpatialJoin.Config = SpatialJoin.Config()): Unit = {
+    val spark = df.sparkSession
+    val withId = df.withColumn(RowIdCol, monotonically_increasing_id())
+      .withColumn("__env", st_envelope(col(geomCol)))
+      .where(col("__env").isNotNull)
+    val env = withId.select(col("__env.xmin").as("__xmin"), col("__env.ymin").as("__ymin"),
+      col("__env.xmax").as("__xmax"), col("__env.ymax").as("__ymax"))
+    val index = SpatialJoin.planTiles(env, env.limit(0), cfg)
+    val bc = spark.sparkContext.broadcast(index)
+    val tileIds = udf { (x1: Double, y1: Double, x2: Double, y2: Double) =>
+      bc.value.tilesFor(x1, y1, x2, y2)
+    }
+    withId
+      .withColumn(TileCol, explode(tileIds(
+        col("__env.xmin"), col("__env.ymin"), col("__env.xmax"), col("__env.ymax"))))
+      .drop("__env")
+      .write.partitionBy(TileCol).mode("overwrite").parquet(path)
+    writeMeta(spark, path, Meta(geomCol, index.space, index.tiles))
+  }
+
+  /** Containment/window read: driver prunes tiles against the window MBB
+    * (global-index scan, query_containment.hpp:112-139), Catalyst prunes
+    * the matching partition dirs, the exact predicate refines, and replica
+    * rows collapse on __row_id. `window` is a WKB geometry literal. */
+  def containmentRead(spark: SparkSession, path: String,
+                      window: Array[Byte]): DataFrame = {
+    val meta = readMeta(spark, path)
+    val g = graft.core.GeometryCodec.fromWkb(window)
+    require(g != null, "invalid window geometry")
+    val e = g.getEnvelopeInternal
+    val wanted = meta.tiles.iterator
+      .filter(t => t.mbb.intersects(Mbb(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)))
+      .map(_.tileId).toSeq
+    spark.read.parquet(path)
+      .where(col(TileCol).isin(wanted: _*))
+      .where(st_intersects(col(meta.geomCol), lit(window)))
+      .dropDuplicates(RowIdCol)
+      .drop(RowIdCol, TileCol)
+  }
+
+  /** Full-table read with replicas collapsed. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).dropDuplicates(RowIdCol).drop(RowIdCol, TileCol)
+
+  // ---- metadata (partition.idx + info.cfg equivalent) ----
+
+  private def writeMeta(spark: SparkSession, path: String, meta: Meta): Unit = {
+    val tiles = meta.tiles.map(t =>
+      s"""[${t.tileId},${t.mbb.xmin},${t.mbb.ymin},${t.mbb.xmax},${t.mbb.ymax}]""")
+      .mkString("[", ",", "]")
+    val json =
+      s"""{"geom_col":"${meta.geomCol}","space":[${meta.space.xmin},${meta.space.ymin},${meta.space.xmax},${meta.space.ymax}],"tiles":$tiles}"""
+    val p = new Path(path, MetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  def readMeta(spark: SparkSession, path: String): Meta = {
+    val p = new Path(path, MetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json = try new String(
+      in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+    // fixed-shape JSON written by writeMeta; parse with a tiny hand parser
+    // (no JSON library dependency)
+    val geomCol = """"geom_col":"([^"]+)"""".r.findFirstMatchIn(json).get.group(1)
+    val space = """"space":\[([^\]]+)\]""".r.findFirstMatchIn(json).get.group(1)
+      .split(",").map(_.toDouble)
+    val tiles = """\[(-?\d+),([^,\]]+),([^,\]]+),([^,\]]+),([^,\]]+)\]""".r
+      .findAllMatchIn(json.substring(json.indexOf("\"tiles\":")))
+      .map(m => TileBoundary(m.group(1).toInt,
+        Mbb(m.group(2).toDouble, m.group(3).toDouble,
+            m.group(4).toDouble, m.group(5).toDouble)))
+      .toArray
+    Meta(geomCol, Mbb(space(0), space(1), space(2), space(3)), tiles)
+  }
+}

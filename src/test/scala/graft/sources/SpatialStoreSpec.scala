@@ -1,0 +1,103 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.api._
+import graft.core.GeometryCodec
+import graft.functions._
+
+class SpatialStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def boxesDf(n: Int) = {
+    val rnd = new scala.util.Random(17)
+    (0 until n).map { i =>
+      val x = rnd.nextDouble() * 100; val y = rnd.nextDouble() * 50
+      (i.toLong, x, y)
+    }.toDF("id", "x", "y")
+      .withColumn("geom", st_makebox(col("x"), col("y"),
+        col("x") + lit(2.0), col("y") + lit(2.0)))
+  }
+
+  test("partition write -> read roundtrip collapses replicas") {
+    val dir = Files.createTempDirectory("graft_store").toString + "/t1"
+    val df = boxesDf(500)
+    SpatialStore.write(df, "geom", dir,
+      graft.operators.SpatialJoin.Config(partitioner = "fg", bucket = 50))
+    val back = SpatialStore.read(spark, dir)
+    assert(back.count() == 500)
+    assert(back.select("id").as[Long].collect().toSet == (0L until 500L).toSet)
+    val meta = SpatialStore.readMeta(spark, dir)
+    assert(meta.geomCol == "geom" && meta.tiles.nonEmpty)
+  }
+
+  test("containment read prunes tiles and matches direct filter") {
+    val dir = Files.createTempDirectory("graft_store").toString + "/t2"
+    val df = boxesDf(800)
+    SpatialStore.write(df, "geom", dir,
+      graft.operators.SpatialJoin.Config(partitioner = "fg", bucket = 40))
+
+    val window = GeometryCodec.toWkb(GeometryCodec.box(10, 10, 30, 25))
+    val got = SpatialStore.containmentRead(spark, dir, window)
+    val want = df.where(st_intersects(col("geom"), lit(window)))
+    assert(got.count() == want.count())
+    assert(got.select("id").as[Long].collect().toSet ==
+           want.select("id").as[Long].collect().toSet)
+
+    // pruning must touch fewer files than a full scan: read the scan node's
+    // numFiles metric (inputFiles does not reflect partition pruning)
+    val meta = SpatialStore.readMeta(spark, dir)
+    val wantedTiles = meta.tiles
+      .filter(t => t.mbb.intersects(graft.core.Mbb(10, 10, 30, 25))).map(_.tileId)
+    assert(wantedTiles.length < meta.tiles.length, "window should not span all tiles")
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      val plan = df.queryExecution.executedPlan
+      plan.execute().count()
+      plan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.get
+    }
+    val allFiles = scannedFiles(spark.read.parquet(dir))
+    val prunedFiles = scannedFiles(spark.read.parquet(dir)
+      .where(col(SpatialStore.TileCol).isin(wantedTiles.toSeq: _*)))
+    assert(prunedFiles < allFiles, s"pruned $prunedFiles vs all $allFiles")
+  }
+
+  test("api implicits: containment + spatialJoin + describeSpatialPartitioning") {
+    val df = boxesDf(300)
+    val inWin = df.containment("POLYGON((0 0,40 0,40 40,0 40,0 0))")
+    assert(inWin.count() > 0 && inWin.count() < 300)
+
+    val right = boxesDf(200).select(col("id").as("rid"), col("geom").as("rgeom"))
+    val joined = df.select(col("id"), col("geom"))
+      .spatialJoin(right, "geom", "rgeom", bucket = 50)
+    assert(joined.count() > 0)
+
+    val (perTile, summary) = df.describeSpatialPartitioning("geom", "fg", 50)
+    val s = summary.head()
+    assert(s.getAs[Long]("n_tiles") == perTile.count())
+    assert(s.getAs[Long]("n_replicated_objects") >= 300)
+    assert(s.getAs[Long]("max_objects") >= s.getAs[Long]("min_objects"))
+  }
+
+  test("GraftExtensions registers functions in a fresh session") {
+    val s2 = spark.newSession()
+    new graft.GraftExtensions().apply(
+      // SparkSessionExtensions is applied at build time normally; simulate by
+      // registering into the new session's registry through the same builders
+      new org.apache.spark.sql.SparkSessionExtensions {
+        override def injectFunction(
+            fn: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+                 org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+                 Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+                   org.apache.spark.sql.catalyst.expressions.Expression)): Unit =
+          s2.sessionState.functionRegistry.registerFunction(fn._1, fn._2, fn._3)
+      })
+    val r = s2.sql("SELECT st_area(st_makebox(0D,0D,3D,3D)) a").head()
+    assert(r.getDouble(0) == 9.0)
+  }
+}
