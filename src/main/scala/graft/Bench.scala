@@ -11,6 +11,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JIT/codegen warmup on the smallest SF so the timed loop measures
+    // steady-state engine throughput, not first-touch compilation.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try { fn(spark, "/root/testdata/sf0.001").count() }
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.queries.Queries
+
+object PerfProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[probe] $name%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+    args.headOption.getOrElse("dedup") match {
+      case "dedup" =>
+        time("warmup")(Queries.qDedupNgram(spark, "/root/testdata/sf0.001").count())
+        time("dedup_ngram")(Queries.qDedupNgram(spark, dir).count())
+        time("dedup_ngram_2nd")(Queries.qDedupNgram(spark, dir).count())
+      case "knn" =>
+        time("warmup")(Queries.qKnn(spark, "/root/testdata/sf0.001").count())
+        time("knn")(Queries.qKnn(spark, dir).count())
+        time("knn_2nd")(Queries.qKnn(spark, dir).count())
+      case "knnstages" =>
+        time("warmup")(Queries.qKnn(spark, "/root/testdata/sf0.001").count())
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val ms = si.completionTime.get - si.submissionTime.get
+            if (ms > 200)
+              println(f"[probe] stage ${si.stageId}%4d ${ms}%6d ms  tasks=${si.numTasks}%4d  ${si.name.take(90)}")
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        time("knn")(Queries.qKnn(spark, dir).count())
+        Thread.sleep(1000)
+      case "dedupplan" =>
+        time("warmup")(Queries.qDedupNgram(spark, "/root/testdata/sf0.001").count())
+        println(Queries.qDedupNgram(spark, dir).queryExecution.executedPlan.toString.take(4000))
+        time("dedup_aqe_on")(Queries.qDedupNgram(spark, dir).count())
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        time("dedup_aqe_off")(Queries.qDedupNgram(spark, dir).count())
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+      case "dedupstages" =>
+        time("warmup")(Queries.qDedupNgram(spark, "/root/testdata/sf0.001").count())
+        time("warmup2")(Queries.qMinhashLsh(spark, "/root/testdata/sf0.001").count())
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val ms = si.completionTime.get - si.submissionTime.get
+            if (ms > 300)
+              println(f"[probe] stage ${si.stageId}%4d ${ms}%6d ms  tasks=${si.numTasks}%4d  ${si.name.take(80)}")
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        time("dedup_ngram")(Queries.qDedupNgram(spark, dir).count())
+        println("[probe] ---- minhash ----")
+        time("minhash")(Queries.qMinhashLsh(spark, dir).count())
+        Thread.sleep(1000)
+      case "contains" =>
+        time("warmup")(Queries.qSpjoinContains(spark, "/root/testdata/sf0.001").count())
+        time("contains")(Queries.qSpjoinContains(spark, dir).count())
+        time("intersects")(Queries.qSpjoinIntersects(spark, dir).count())
+        time("simhash")(Queries.qSimhash(spark, dir).count())
+        time("minhash")(Queries.qMinhashLsh(spark, dir).count())
+    }
+    spark.stop()
+  }
+}

@@ -3,7 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{seeded_hash64, simhash64}
+import graft.functions.simhash64
 import graft.text.TextFunctions
 
 /** Near-duplicate detection over a document table — the training-data-
@@ -23,24 +23,42 @@ object TextDedup {
     df.select(col(idCol),
       explode(TextFunctions.wordShingles(col(textCol), n)).as("shingle"))
 
+  /** Small files arrive as one input split; shingling/hashing is the CPU
+    * hotspot, so fan the rows across the cluster first. No-op when the
+    * source is already parallel (the 100 TB case). */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact word-n-gram Jaccard similar pairs (idA < idB, jaccard >= t).
     * jaccard = |A∩B| / (|A| + |B| - |A∩B|) over distinct shingle sets —
-    * integer counts, single division: FP-exact. */
+    * integer counts, single division: FP-exact.
+    *
+    * Shingles are hashed to 64-bit keys immediately (xxhash64): the pair
+    * join shuffles 16-byte rows instead of n-word strings, and the equality
+    * probe is a long compare. Collisions (~1e-12 at 1e6 distinct shingles)
+    * would only matter if two shingles of one document collide. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         maxShingleDocFreq: Option[Int] = None): DataFrame = {
-    val sh0 = shingles(df, idCol, textCol, n)
+    val sh0 = fanOut(df).select(col(idCol),
+      explode(transform(TextFunctions.wordShingles(col(textCol), n),
+        s => xxhash64(s))).as("shash"))
     val sh = maxShingleDocFreq match {
       case Some(cap) =>
-        val hot = sh0.groupBy("shingle").count().where(col("count") > cap)
-          .select("shingle")
-        sh0.join(hot, Seq("shingle"), "left_anti")
+        val hot = sh0.groupBy("shash").count().where(col("count") > cap)
+          .select("shash")
+        sh0.join(hot, Seq("shash"), "left_anti")
       case None => sh0
     }
     val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("nsh"))
-    val a = sh.select(col(idCol).as("ida"), col("shingle"))
-    val b = sh.select(col(idCol).as("idb"), col("shingle"))
-    val shared = a.join(b, "shingle")
+    val a = sh.select(col(idCol).as("ida"), col("shash"))
+    val b = sh.select(col(idCol).as("idb"), col("shash"))
+    // both sides are the same relation: broadcasting one (AQE's pick at
+    // small SF) rebuilds the shingle pipeline on the driver and is wrong at
+    // scale anyway — pin a shuffled hash join
+    val shared = a.join(b.hint("shuffle_hash"), "shash")
       .where(col("ida") < col("idb"))
       .groupBy("ida", "idb").agg(count(lit(1)).as("shared"))
     shared
@@ -54,12 +72,15 @@ object TextDedup {
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * min hash over the document's shingles. One aggregation, map-side
-    * combined. */
+    * combined. The shingle string is hashed once; the hash family derives
+    * from cheap (long, seed) re-hashing — numHashes× fewer string scans. */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int, numHashes: Int): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+    val sh = fanOut(df).select(col(idCol),
+      explode(transform(TextFunctions.wordShingles(col(textCol), n),
+        s => xxhash64(s))).as("shash"))
     val mins = (0 until numHashes).map(i =>
-      min(seeded_hash64(col("shingle"), lit(i.toLong))).as(s"h$i"))
+      min(xxhash64(col("shash"), lit(i))).as(s"h$i"))
     sh.groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("minhash"))
@@ -74,10 +95,14 @@ object TextDedup {
                       estThreshold: Double = 0.0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // signatures are ~#docs x numHashes longs — tiny next to the corpus;
+    // persist so the self-join's two sides don't recompute the shingle+agg
+    // pipeline (MLlib's MinHashLSH caches the same way)
     val sig = minHashSignatures(df, idCol, textCol, n, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandStructs = array((0 until bands).map { bnd =>
       struct(lit(bnd).as("band"),
-        concat_ws(",", slice(col("minhash"), bnd * rows + 1, rows)).as("key"))
+        xxhash64(slice(col("minhash"), bnd * rows + 1, rows)).as("key"))
     }: _*)
     val banded = sig.select(col(idCol), col("minhash"), explode(bandStructs).as("b"))
       .select(col(idCol), col("minhash"), col("b.band").as("band"), col("b.key").as("key"))
@@ -85,16 +110,16 @@ object TextDedup {
       col("band"), col("key"))
     val b = banded.select(col(idCol).as("idb"), col("minhash").as("mb"),
       col("band"), col("key"))
-    val cand = a.join(b, Seq("band", "key"))
+    // estimate BEFORE the pair dedup so the dedup shuffle carries 3 scalars
+    // per row instead of two 64-long signatures
+    a.join(b.hint("shuffle_hash"), Seq("band", "key"))
       .where(col("ida") < col("idb"))
-      .select("ida", "idb", "ma", "mb")
-      .dropDuplicates("ida", "idb")
-    cand
       .withColumn("est_jaccard",
         size(filter(zip_with(col("ma"), col("mb"), (x, y) => x === y), b => b))
           .cast("double") / lit(numHashes.toDouble))
       .where(col("est_jaccard") >= estThreshold)
       .select(col("ida"), col("idb"), col("est_jaccard"))
+      .dropDuplicates("ida", "idb")
   }
 
   /** SimHash near-duplicate pairs: 16-bit band blocking over the 64-bit
@@ -103,7 +128,7 @@ object TextDedup {
     * filter via bit_count(xor). */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
-    val sig = df.select(col(idCol), simhash64(col(textCol)).as("sh"))
+    val sig = fanOut(df).select(col(idCol), simhash64(col(textCol)).as("sh"))
     val bandStructs = array((0 until 4).map { bnd =>
       struct(lit(bnd).as("band"),
         shiftrightunsigned(col("sh"), bnd * 16).bitwiseAND(lit(0xffffL)).as("key"))
@@ -112,7 +137,7 @@ object TextDedup {
       .select(col(idCol), col("sh"), col("b.band").as("band"), col("b.key").as("key"))
     val a = banded.select(col(idCol).as("ida"), col("sh").as("sha"), col("band"), col("key"))
     val b = banded.select(col(idCol).as("idb"), col("sh").as("shb"), col("band"), col("key"))
-    a.join(b, Seq("band", "key"))
+    a.join(b.hint("shuffle_hash"), Seq("band", "key"))
       .where(col("ida") < col("idb"))
       .dropDuplicates("ida", "idb")
       .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))

@@ -259,7 +259,14 @@ case class StOverlapMeasure(left: Expression, right: Expression, measure: String
     val g2 = GeometryCodec.fromWkb(b.asInstanceOf[Array[Byte]])
     if (g1 == null || g2 == null) null
     else try measure match {
-      case "intersection_area" => g1.intersection(g2).getArea
+      case "intersection_area" =>
+        // axis-aligned rectangles: exact envelope arithmetic, no overlay
+        if (g1.isRectangle && g2.isRectangle) {
+          val a = g1.getEnvelopeInternal; val b = g2.getEnvelopeInternal
+          val w = math.min(a.getMaxX, b.getMaxX) - math.max(a.getMinX, b.getMinX)
+          val h = math.min(a.getMaxY, b.getMaxY) - math.max(a.getMinY, b.getMinY)
+          if (w <= 0 || h <= 0) 0.0 else w * h
+        } else g1.intersection(g2).getArea
       case "union_area"        => g1.union(g2).getArea
       case "jaccard" =>
         val inter = g1.intersection(g2).getArea

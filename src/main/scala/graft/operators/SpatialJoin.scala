@@ -48,7 +48,8 @@ object SpatialJoin {
       bucket: Int = 0,
       sampleTarget: Int = 100000,
       seed: Long = 42L,
-      dedup: String = "refpoint")
+      dedup: String = "refpoint",
+      knnBroadcastThreshold: Int = 10000)
 
   private val Tile = "__tile"
   private val X1 = "__xmin"; private val Y1 = "__ymin"
@@ -294,21 +295,22 @@ object SpatialJoin {
   }
 
   /** EXACT (global) kNN join — the improvement over the reference's
-    * tile-local st_nearest2. Two distributed passes:
+    * tile-local st_nearest2. One tiling, two cogroup passes:
     *
-    *   1. tile-local kNN ([[knnJoin]]) gives each left row an upper bound
-    *      radius = its tile-local k-th neighbor distance (a valid bound
-    *      because the true k nearest are at most that far);
-    *   2. a per-row-radius distance join (envelope expanded by the bound,
-    *      reference-point deduped) collects every right row within the
-    *      bound, and a window top-k keeps the k nearest globally.
+    *   1. tile-local kNN over each left row's owner tile. A left row is
+    *      SAFE — its local top-k is provably the global top-k — when its
+    *      k-th local distance is smaller than the distance from its
+    *      envelope to the owner tile's boundary (every unseen right row is
+    *      farther) and no distance tie makes ranks ambiguous. Safe rows are
+    *      emitted final, with ranks, straight from pass 1.
+    *   2. only the unsafe remainder (boundary-adjacent rows, tied ranks,
+    *      tiles with < k right rows) re-joins with a per-row radius bound
+    *      (k-th local distance, or the space diagonal when the tile was
+    *      starved), reference-point deduped, then a window top-k.
     *
-    * Left rows whose owner tile held fewer than k right rows get the space
-    * diagonal as the bound (rare for sane tilings; still correct).
-    *
-    * `leftId` must uniquely key left rows. `tieBreak` columns (from the
-    * right side) order equal distances deterministically. Output = left
-    * cols ++ right cols ++ knn_dist ++ knn_rank.
+    * `leftId` must uniquely key left rows. `tieBreak` columns (right side)
+    * order equal distances deterministically. Output = left cols ++ right
+    * cols ++ knn_dist ++ knn_rank.
     */
   def knnJoinExact(left: DataFrame, leftGeom: String, leftId: String,
                    right: DataFrame, rightGeom: String, k: Int,
@@ -318,104 +320,241 @@ object SpatialJoin {
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"column name collision between join sides: $dup")
 
-    // ---- pass 1: per-left radius bound from tile-local kNN
-    val lSlim = left.select(col(leftId), col(leftGeom))
-    val rSlim = right.select(col(rightGeom).as("__rg"))
-    val radii = knnJoin(lSlim, leftGeom, rSlim, "__rg", k, cfg)
-      .groupBy(col(leftId).as("__rid_key"))
-      .agg(max(col("knn_dist")).as(Rad), count(lit(1)).as("__n"))
+    // Small right side (dim-table shape): broadcast it and scan left once —
+    // exact global kNN with ZERO shuffles (the plan a hand-tuned engine
+    // would pick; Catalyst's broadcast-join analog for kNN).
+    if (cfg.knnBroadcastThreshold > 0) {
+      val probe = right.limit(cfg.knnBroadcastThreshold + 1).collect()
+      if (probe.length <= cfg.knnBroadcastThreshold)
+        return knnBroadcast(left, leftGeom, right, rightGeom, probe, k, tieBreak)
+    }
 
-    val l0 = withEnv(left, leftGeom, 0.0)
+    val l = withEnv(left, leftGeom, 0.0)
     val r = withEnv(right, rightGeom, 0.0)
-    val index = planTiles(l0, r, cfg)
+    val index = planTiles(l, r, cfg)
     val diag = math.sqrt(index.space.width * index.space.width +
                          index.space.height * index.space.height)
     val bc = spark.sparkContext.broadcast(index)
-
-    // ---- pass 2: per-row-radius candidate join
-    val l = l0.join(radii, l0(leftId) === radii("__rid_key"), "left")
-      .withColumn(Rad,
-        when(col("__n").isNull.or(col("__n") < k), lit(diag)).otherwise(col(Rad)))
-      .drop("__rid_key", "__n")
-      .withColumn(X1, col(X1) - col(Rad)).withColumn(Y1, col(Y1) - col(Rad))
-      .withColumn(X2, col(X2) + col(Rad)).withColumn(Y2, col(Y2) + col(Rad))
-
     val tileIds = udf { (x1: Double, y1: Double, x2: Double, y2: Double) =>
       bc.value.tilesFor(x1, y1, x2, y2)
     }
-    val lt = l.withColumn(Tile, explode(tileIds(col(X1), col(Y1), col(X2), col(Y2))))
-    val rt = r.withColumn(Tile, explode(tileIds(col(X1), col(Y1), col(X2), col(Y2))))
+    val ownerTile = udf { (x1: Double, y1: Double, x2: Double, y2: Double) =>
+      bc.value.refTile((x1 + x2) / 2, (y1 + y2) / 2)
+    }
 
     val lOutCols = left.columns; val rOutCols = right.columns
+    // nullable right fields: pass-1 marker rows carry null right columns
     val outSchema = StructType(
-      lOutCols.map(left.schema(_)) ++ rOutCols.map(right.schema(_)) :+
-        StructField("knn_dist", DoubleType, nullable = false))
-    val ltSchema = lt.schema; val rtSchema = rt.schema
-    val lTileIdx = ltSchema.fieldIndex(Tile); val rTileIdx = rtSchema.fieldIndex(Tile)
-    val lGeomIdx = ltSchema.fieldIndex(leftGeom); val rGeomIdx = rtSchema.fieldIndex(rightGeom)
-    val lEnvIdx = Seq(X1, Y1, X2, Y2).map(ltSchema.fieldIndex)
-    val rEnvIdx = Seq(X1, Y1, X2, Y2).map(rtSchema.fieldIndex)
-    val radIdx = ltSchema.fieldIndex(Rad)
-    val lKeep = lOutCols.map(ltSchema.fieldIndex)
-    val rKeep = rOutCols.map(rtSchema.fieldIndex)
+      lOutCols.map(f => left.schema(f).copy(nullable = true)) ++
+        rOutCols.map(f => right.schema(f).copy(nullable = true)) :+
+        StructField("knn_dist", DoubleType, nullable = false) :+
+        StructField("knn_rank", IntegerType, nullable = false))
+
+    // ---------------- pass 1: owner-tile kNN + safety classification
+    val lt1 = l.withColumn(Tile, ownerTile(col(X1), col(Y1), col(X2), col(Y2)))
+    val rt1 = r.withColumn(Tile, explode(tileIds(col(X1), col(Y1), col(X2), col(Y2))))
+    val lt1S = lt1.schema; val rt1S = rt1.schema
+    val l1Tile = lt1S.fieldIndex(Tile); val r1Tile = rt1S.fieldIndex(Tile)
+    val l1Geom = lt1S.fieldIndex(leftGeom); val r1Geom = rt1S.fieldIndex(rightGeom)
+    val l1Env = Seq(X1, Y1, X2, Y2).map(lt1S.fieldIndex)
+    val l1Keep = lOutCols.map(lt1S.fieldIndex)
+    val r1Keep = rOutCols.map(rt1S.fieldIndex)
+    val nR = rOutCols.length
 
     implicit val intEnc = Encoders.scalaInt
     implicit val rowEnc = Encoders.row(outSchema)
-    val lkv = lt.groupByKey(_.getInt(lTileIdx))
-    val rkv = rt.groupByKey(_.getInt(rTileIdx))
-    val cands = lkv.cogroup(rkv) { (tile: Int, ls: Iterator[Row], rs: Iterator[Row]) =>
-      val tree = new STRtree()
-      var rCount = 0
-      rs.foreach { row =>
-        val g = GeometryCodec.fromWkb(row.getAs[Array[Byte]](rGeomIdx))
-        if (g != null) {
-          val e = new Envelope(row.getDouble(rEnvIdx(0)), row.getDouble(rEnvIdx(2)),
-                               row.getDouble(rEnvIdx(1)), row.getDouble(rEnvIdx(3)))
-          tree.insert(e, (g, row)); rCount += 1
-        }
-      }
-      if (rCount == 0) Iterator.empty
-      else {
-        tree.build()
-        val idx = bc.value
+    val p1 = lt1.groupByKey(_.getInt(l1Tile))
+      .cogroup(rt1.groupByKey(_.getInt(r1Tile))) { (tile, ls, rs) =>
+        val items = rs.flatMap { row =>
+          val g = GeometryCodec.fromWkb(row.getAs[Array[Byte]](r1Geom))
+          if (g == null) None else Some((g, row))
+        }.toArray
+        val tb = bc.value.tileById(tile).mbb
         ls.flatMap { lrow =>
-          val g1 = GeometryCodec.fromWkb(lrow.getAs[Array[Byte]](lGeomIdx))
+          val g1 = GeometryCodec.fromWkb(lrow.getAs[Array[Byte]](l1Geom))
           if (g1 == null) Iterator.empty
           else {
-            val rad = lrow.getDouble(radIdx)
-            val px1 = lrow.getDouble(lEnvIdx(0)); val py1 = lrow.getDouble(lEnvIdx(1))
-            val px2 = lrow.getDouble(lEnvIdx(2)); val py2 = lrow.getDouble(lEnvIdx(3))
-            val hits = tree.query(new Envelope(px1, px2, py1, py2))
-            val out = Vector.newBuilder[Row]
-            var i = 0
-            while (i < hits.size()) {
-              val (g2, rrow) = hits.get(i).asInstanceOf[(Geometry, Row)]
-              val d = g1.distance(g2)
-              if (d <= rad) {
-                val refx = math.max(px1, rrow.getDouble(rEnvIdx(0)))
-                val refy = math.max(py1, rrow.getDouble(rEnvIdx(1)))
-                if (idx.refTile(refx, refy) == tile) {
-                  val vals = new Array[Any](lKeep.length + rKeep.length + 1)
-                  var a = 0
-                  while (a < lKeep.length) { vals(a) = lrow.get(lKeep(a)); a += 1 }
-                  var b = 0
-                  while (b < rKeep.length) { vals(a + b) = rrow.get(rKeep(b)); b += 1 }
-                  vals(a + b) = d
-                  out += Row.fromSeq(vals.toIndexedSeq)
-                }
+            def emit(rrow: Row, d: Double, rank: Int): Row = {
+              val vals = new Array[Any](l1Keep.length + nR + 2)
+              var a = 0
+              while (a < l1Keep.length) { vals(a) = lrow.get(l1Keep(a)); a += 1 }
+              var b = 0
+              while (b < nR) {
+                vals(a + b) = if (rrow == null) null else rrow.get(r1Keep(b)); b += 1
               }
-              i += 1
+              vals(a + b) = d; vals(a + b + 1) = rank
+              Row.fromSeq(vals.toIndexedSeq)
             }
-            out.result().iterator
+            if (items.length < k) Iterator.single(emit(null, -1.0, -1))
+            else {
+              val sorted = items.map { case (g2, rrow) => (g1.distance(g2), rrow) }
+                .zipWithIndex.sortBy { case ((d, _), pos) => (d, pos) }
+              val dk = sorted(k - 1)._1._1
+              // envelope gap to the owner tile's boundary (conservative)
+              val edge = math.min(
+                math.min(lrow.getDouble(l1Env(0)) - tb.xmin,
+                         tb.xmax - lrow.getDouble(l1Env(2))),
+                math.min(lrow.getDouble(l1Env(1)) - tb.ymin,
+                         tb.ymax - lrow.getDouble(l1Env(3))))
+              val tieAtBoundary = sorted.length > k && sorted(k)._1._1 == dk
+              val internalTie =
+                (1 until k).exists(i => sorted(i)._1._1 == sorted(i - 1)._1._1)
+              if (dk < edge && !tieAtBoundary && !internalTie)
+                sorted.iterator.take(k).zipWithIndex.map {
+                  case (((d, rrow), _), i) => emit(rrow, d, i + 1)
+                }
+              else Iterator.single(emit(null, dk, -1))
+            }
           }
         }
-      }
-    }.toDF()
+      }.toDF()
+
+    val safe = p1.where(col("knn_rank") > 0)
+    val unsafeRadii = p1.where(col("knn_rank") === -1)
+      .select(col(leftId), when(col("knn_dist") < 0, lit(diag))
+        .otherwise(col("knn_dist")).as(Rad))
+
+    // ---------------- pass 2: radius-bounded candidate join on the remainder
+    val l2 = l.join(unsafeRadii, Seq(leftId))
+      .withColumn(X1, col(X1) - col(Rad)).withColumn(Y1, col(Y1) - col(Rad))
+      .withColumn(X2, col(X2) + col(Rad)).withColumn(Y2, col(Y2) + col(Rad))
+    val lt2 = l2.withColumn(Tile, explode(tileIds(col(X1), col(Y1), col(X2), col(Y2))))
+    val rt2 = r.withColumn(Tile, explode(tileIds(col(X1), col(Y1), col(X2), col(Y2))))
+    val lt2S = lt2.schema; val rt2S = rt2.schema
+    val l2Tile = lt2S.fieldIndex(Tile); val r2Tile = rt2S.fieldIndex(Tile)
+    val l2Geom = lt2S.fieldIndex(leftGeom); val r2Geom = rt2S.fieldIndex(rightGeom)
+    val l2Env = Seq(X1, Y1, X2, Y2).map(lt2S.fieldIndex)
+    val r2Env = Seq(X1, Y1, X2, Y2).map(rt2S.fieldIndex)
+    val radIdx = lt2S.fieldIndex(Rad)
+    val l2Keep = lOutCols.map(lt2S.fieldIndex)
+    val r2Keep = rOutCols.map(rt2S.fieldIndex)
+
+    val cands = lt2.groupByKey(_.getInt(l2Tile))
+      .cogroup(rt2.groupByKey(_.getInt(r2Tile))) { (tile, ls, rs) =>
+        val tree = new STRtree()
+        var rCount = 0
+        rs.foreach { row =>
+          val g = GeometryCodec.fromWkb(row.getAs[Array[Byte]](r2Geom))
+          if (g != null) {
+            val e = new Envelope(row.getDouble(r2Env(0)), row.getDouble(r2Env(2)),
+                                 row.getDouble(r2Env(1)), row.getDouble(r2Env(3)))
+            tree.insert(e, (g, row)); rCount += 1
+          }
+        }
+        if (rCount == 0) Iterator.empty
+        else {
+          tree.build()
+          val idx = bc.value
+          ls.flatMap { lrow =>
+            val g1 = GeometryCodec.fromWkb(lrow.getAs[Array[Byte]](l2Geom))
+            if (g1 == null) Iterator.empty
+            else {
+              val rad = lrow.getDouble(radIdx)
+              val px1 = lrow.getDouble(l2Env(0)); val py1 = lrow.getDouble(l2Env(1))
+              val px2 = lrow.getDouble(l2Env(2)); val py2 = lrow.getDouble(l2Env(3))
+              val hits = tree.query(new Envelope(px1, px2, py1, py2))
+              val out = Vector.newBuilder[Row]
+              var i = 0
+              while (i < hits.size()) {
+                val (g2, rrow) = hits.get(i).asInstanceOf[(Geometry, Row)]
+                val d = g1.distance(g2)
+                if (d <= rad) {
+                  val refx = math.max(px1, rrow.getDouble(r2Env(0)))
+                  val refy = math.max(py1, rrow.getDouble(r2Env(1)))
+                  if (idx.refTile(refx, refy) == tile) {
+                    val vals = new Array[Any](l2Keep.length + r2Keep.length + 2)
+                    var a = 0
+                    while (a < l2Keep.length) { vals(a) = lrow.get(l2Keep(a)); a += 1 }
+                    var b = 0
+                    while (b < r2Keep.length) { vals(a + b) = rrow.get(r2Keep(b)); b += 1 }
+                    vals(a + b) = d; vals(a + b + 1) = 0
+                    out += Row.fromSeq(vals.toIndexedSeq)
+                  }
+                }
+                i += 1
+              }
+              out.result().iterator
+            }
+          }
+        }
+      }.toDF()
 
     val order = col("knn_dist").asc +: tieBreak.map(col(_).asc)
-    cands
+    val pass2 = cands
       .withColumn("knn_rank",
         row_number().over(Window.partitionBy(col(leftId)).orderBy(order: _*)))
       .where(col("knn_rank") <= k)
+    safe.unionByName(pass2)
+  }
+
+  /** Broadcast exact kNN: the whole (small) right side ships to every task;
+    * each left partition scans it with a bounded (dist, tieBreak) selection.
+    * No shuffle, no tiling, deterministic ties. */
+  private def knnBroadcast(left: DataFrame, leftGeom: String,
+                           right: DataFrame, rightGeom: String,
+                           rRows: Array[Row], k: Int,
+                           tieBreak: Seq[String]): DataFrame = {
+    val spark = left.sparkSession
+    val rSchema = right.schema
+    val rGeomIdx = rSchema.fieldIndex(rightGeom)
+    val tieIdx = tieBreak.map(rSchema.fieldIndex).toArray
+    val bc = spark.sparkContext.broadcast(rRows)
+    val lSchema = left.schema
+    val lGeomIdx = lSchema.fieldIndex(leftGeom)
+    val outSchema = StructType(
+      lSchema.fields.map(_.copy(nullable = true)) ++
+        rSchema.fields.map(_.copy(nullable = true)) :+
+        StructField("knn_dist", DoubleType, nullable = false) :+
+        StructField("knn_rank", IntegerType, nullable = false))
+
+    def cmpAny(a: Any, b: Any): Int =
+      if (a == null && b == null) 0
+      else if (a == null) 1
+      else if (b == null) -1
+      else a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+    implicit val rowEnc = Encoders.row(outSchema)
+    left.mapPartitions { rows =>
+      // deserialize the broadcast side once per partition
+      val items = bc.value.flatMap { row =>
+        val g = GeometryCodec.fromWkb(row.getAs[Array[Byte]](rGeomIdx))
+        if (g == null) None else Some((g, row))
+      }
+      val ord = new Ordering[(Double, Row)] {
+        override def compare(x: (Double, Row), y: (Double, Row)): Int = {
+          val c = java.lang.Double.compare(x._1, y._1)
+          if (c != 0) c
+          else {
+            var i = 0
+            while (i < tieIdx.length) {
+              val cc = cmpAny(x._2.get(tieIdx(i)), y._2.get(tieIdx(i)))
+              if (cc != 0) return cc
+              i += 1
+            }
+            0
+          }
+        }
+      }
+      rows.flatMap { lrow =>
+        val g1 = GeometryCodec.fromWkb(lrow.getAs[Array[Byte]](lGeomIdx))
+        if (g1 == null || items.isEmpty) Iterator.empty
+        else {
+          // bounded selection: k-element max-heap over (dist, tieBreak)
+          val heap = new scala.collection.mutable.PriorityQueue[(Double, Row)]()(ord)
+          items.foreach { case (g2, rrow) =>
+            val d = g1.distance(g2)
+            if (heap.size < k) heap.enqueue((d, rrow))
+            else if (ord.compare((d, rrow), heap.head) < 0) {
+              heap.dequeue(); heap.enqueue((d, rrow))
+            }
+          }
+          val lVals = lrow.toSeq
+          val topk: Seq[(Double, Row)] = heap.dequeueAll.reverse
+          topk.iterator.zipWithIndex.map { case ((d, rrow), i) =>
+            Row.fromSeq(lVals ++ rrow.toSeq :+ d :+ (i + 1))
+          }
+        }
+      }
+    }.toDF(outSchema.fieldNames.toIndexedSeq: _*)
   }
 }

@@ -33,6 +33,12 @@ final class TileIndex(rawTiles: Array[TileBoundary], val space: Mbb)
 
   val tiles: Array[TileBoundary] = TileIndex.covering(rawTiles, space)
 
+  @transient private lazy val byId: Map[Int, TileBoundary] =
+    tiles.iterator.map(t => t.tileId -> t).toMap
+
+  /** Tile boundary by id (padded tiles included). */
+  def tileById(id: Int): TileBoundary = byId(id)
+
   @transient private lazy val tree: STRtree = {
     val t = new STRtree()
     tiles.foreach { tb =>
@@ -66,15 +72,43 @@ final class TileIndex(rawTiles: Array[TileBoundary], val space: Mbb)
     }
   }
 
+  // Regular lookup grid over the space: cell -> tiles overlapping it
+  // (usually 1-3). refTile runs once per MATCHED pair in refpoint dedup —
+  // an O(1) array walk here beats an STRtree query by ~10x.
+  @transient private lazy val grid: Array[Array[TileBoundary]] = {
+    val g = TileIndex.GridSize
+    val cells = Array.fill(g * g)(List.empty[TileBoundary])
+    val w = math.max(space.width, Double.MinPositiveValue)
+    val h = math.max(space.height, Double.MinPositiveValue)
+    tiles.foreach { tb =>
+      val c0 = math.max(0, math.min(g - 1, ((tb.mbb.xmin - space.xmin) / w * g).toInt))
+      val c1 = math.max(0, math.min(g - 1, ((tb.mbb.xmax - space.xmin) / w * g).toInt))
+      val r0 = math.max(0, math.min(g - 1, ((tb.mbb.ymin - space.ymin) / h * g).toInt))
+      val r1 = math.max(0, math.min(g - 1, ((tb.mbb.ymax - space.ymin) / h * g).toInt))
+      var r = r0
+      while (r <= r1) {
+        var c = c0
+        while (c <= c1) { cells(r * g + c) ::= tb; c += 1 }
+        r += 1
+      }
+    }
+    cells.map(_.toArray)
+  }
+
   /** The owner tile of point (x,y): among tiles containing it under
     * half-open semantics ([min,max) except at the space's right/top edge),
     * the one with the smallest tileId. -1 only for points outside space. */
   def refTile(x: Double, y: Double): Int = {
-    val hits = tree.query(new Envelope(x, x, y, y))
+    val g = TileIndex.GridSize
+    val w = math.max(space.width, Double.MinPositiveValue)
+    val h = math.max(space.height, Double.MinPositiveValue)
+    val c = math.max(0, math.min(g - 1, ((x - space.xmin) / w * g).toInt))
+    val r = math.max(0, math.min(g - 1, ((y - space.ymin) / h * g).toInt))
+    val cands = grid(r * g + c)
     var ownerId = Int.MaxValue
     var i = 0
-    while (i < hits.size()) {
-      val tb = hits.get(i).asInstanceOf[TileBoundary]
+    while (i < cands.length) {
+      val tb = cands(i)
       val m = tb.mbb
       val inX = x >= m.xmin && (x < m.xmax || (x == m.xmax && m.xmax == space.xmax))
       val inY = y >= m.ymin && (y < m.ymax || (y == m.ymax && m.ymax == space.ymax))
@@ -86,6 +120,9 @@ final class TileIndex(rawTiles: Array[TileBoundary], val space: Mbb)
 }
 
 object TileIndex {
+
+  /** refTile lookup-grid resolution (GridSize² cells over the space). */
+  val GridSize: Int = 128
 
   /** Pads `tiles` with complement rectangles so the union exactly covers
     * `space`. Strip sweep: the distinct clipped tile y-edges slice the space

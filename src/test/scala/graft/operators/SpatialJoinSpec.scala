@@ -118,26 +118,29 @@ class SpatialJoinSpec extends SparkTestBase {
     assert(perLeft.forall(_ <= k))
   }
 
-  test("knnJoinExact == brute-force global kNN (with deterministic ties)") {
-    // points on a small lattice => plenty of distance ties
-    val rnd = new Random(9)
-    val pa = (0 until 150).map(i => (i.toLong, s"POINT (${rnd.nextInt(40)} ${rnd.nextInt(20)})"))
-    val pb = (0 until 80).map(i => (i.toLong, s"POINT (${rnd.nextInt(40)} ${rnd.nextInt(20)})"))
-    val a = df(pa, "id1", "g1"); val b = df(pb, "id2", "g2")
-    val k = 4
-    val got = SpatialJoin.knnJoinExact(a, "g1", "id1", b, "g2", k,
-        tieBreak = Seq("id2"), cfg = SpatialJoin.Config(bucket = 30))
-      .select("id1", "id2").as[(Long, Long)].collect()
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+  for ((mode, threshold) <- Seq(("broadcast", 10000), ("tiled", 0))) {
+    test(s"knnJoinExact == brute-force global kNN [$mode path, with ties]") {
+      // points on a small lattice => plenty of distance ties
+      val rnd = new Random(9)
+      val pa = (0 until 150).map(i => (i.toLong, s"POINT (${rnd.nextInt(40)} ${rnd.nextInt(20)})"))
+      val pb = (0 until 80).map(i => (i.toLong, s"POINT (${rnd.nextInt(40)} ${rnd.nextInt(20)})"))
+      val a = df(pa, "id1", "g1"); val b = df(pb, "id2", "g2")
+      val k = 4
+      val got = SpatialJoin.knnJoinExact(a, "g1", "id1", b, "g2", k,
+          tieBreak = Seq("id2"),
+          cfg = SpatialJoin.Config(bucket = 30, knnBroadcastThreshold = threshold))
+        .select("id1", "id2", "knn_rank").as[(Long, Long, Int)].collect()
 
-    val gb = pb.map { case (i, w) => (i, GeometryCodec.fromWkt(w)) }
-    val want = pa.map { case (i, w) =>
-      val g1 = GeometryCodec.fromWkt(w)
-      i -> gb.map { case (j, g2) => (g1.distance(g2), j) }
-        .sortBy(identity).take(k).map(_._2).toSet
-    }.toMap
-    assert(got.keySet == want.keySet)
-    for ((i, neigh) <- want)
-      assert(got(i) == neigh, s"left $i: got ${got(i)} want $neigh")
+      val gb = pb.map { case (i, w) => (i, GeometryCodec.fromWkt(w)) }
+      val want = pa.flatMap { case (i, w) =>
+        val g1 = GeometryCodec.fromWkt(w)
+        gb.map { case (j, g2) => (g1.distance(g2), j) }
+          .sortBy(identity).take(k).zipWithIndex
+          .map { case ((_, j), r) => (i, j, r + 1) }
+      }.toSet
+      assert(got.length == got.toSet.size, s"duplicate rows from $mode path")
+      assert(got.toSet == want,
+        s"$mode mismatch: missing=${(want -- got.toSet).take(5)} extra=${(got.toSet -- want).take(5)}")
+    }
   }
 }
