@@ -29,6 +29,14 @@ object SparkEntry {
     "q_ann_topk" -> (Queries.qAnnTopk _),
     "q_events_window" -> (Queries.qEventsWindow _),
     "q_sessionize" -> (Queries.qSessionize _),
+    "q_spjoin_touches" -> (Queries.qSpjoinTouches _),
+    "q_normalize" -> (Queries.qNormalize _),
+    "q_snap" -> (Queries.qSnap _),
+    "q3_join" -> (Queries.q3Join _),
+    "q_json_extract" -> (Queries.qJsonExtract _),
+    "q_temporal" -> (Queries.qTemporal _),
+    "q_partition_stats" -> (Queries.qPartitionStats _),
+    "q_sample" -> (Queries.qSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -53,5 +61,13 @@ object SparkEntry {
     "q_ann_topk" -> Queries.qAnnTopkSql,
     "q_events_window" -> Queries.qEventsWindowSql,
     "q_sessionize" -> Queries.qSessionizeSql,
+    "q_spjoin_touches" -> Queries.qSpjoinTouchesSql,
+    "q_normalize" -> Queries.qNormalizeSql,
+    "q_snap" -> Queries.qSnapSql,
+    "q3_join" -> Queries.q3JoinSql,
+    "q_json_extract" -> Queries.qJsonExtractSql,
+    "q_temporal" -> Queries.qTemporalSql,
+    // q_partition_stats / q_sample: engine-internal tiling / seeded RNG,
+    // not cross-engine expressible -> rows-only checks.
   )
 }

@@ -179,13 +179,7 @@ case class StDistanceSphere(left: Expression, right: Expression)
     if (g1 == null || g2 == null) null
     else {
       val c1 = g1.getCoordinate; val c2 = g2.getCoordinate
-      val lat1 = math.toRadians(c1.y); val lat2 = math.toRadians(c2.y)
-      val dLat = lat2 - lat1
-      val dLon = math.toRadians(c2.x - c1.x)
-      val h = math.pow(math.sin(dLat / 2), 2) +
-        math.cos(lat1) * math.cos(lat2) * math.pow(math.sin(dLon / 2), 2)
-      val miles = 3958.75 * 2 * math.asin(math.sqrt(h))
-      miles * 1609.0
+      graft.core.Geo.haversineMeters(c1.x, c1.y, c2.x, c2.y)
     }
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

@@ -47,6 +47,16 @@ package object functions {
   def hilbert(x: Column, y: Column, order: Column): Column =
     col(HilbertValue(ex(x), ex(y), ex(order)))
 
+  def intervals_overlap(a: Column, b: Column): Column = col(IntervalsOverlap(ex(a), ex(b)))
+  def intervals_contain(a: Column, b: Column): Column = col(IntervalsContain(ex(a), ex(b)))
+  def intervals_mindist(a: Column, b: Column): Column = col(IntervalsMinDist(ex(a), ex(b)))
+  def st_snaptogrid(g: Column, cell: Column): Column = col(StSnapToGrid(ex(g), ex(cell)))
+
+  /** P8 coordinate normalization: affine map into [0,1] (reference
+    * mbb_normalizer, partition_params.hpp:18-23). */
+  def norm_coord(v: Column, lo: Column, hi: Column): Column = (v - lo) / (hi - lo)
+  def denorm_coord(v: Column, lo: Column, hi: Column): Column = v * (hi - lo) + lo
+
   def cosine_similarity(a: Column, b: Column): Column = col(CosineSimilarity(ex(a), ex(b)))
   def dot_product(a: Column, b: Column): Column = col(DotProduct(ex(a), ex(b)))
   def simhash64(text: Column): Column = col(SimHash64(ex(text)))
@@ -81,6 +91,10 @@ package object functions {
     r("st_jaccard", es => StOverlapMeasure(es(0), es(1), "jaccard"))
     r("st_dice", es => StOverlapMeasure(es(0), es(1), "dice"))
     r("hilbert", es => HilbertValue(es(0), es(1), es(2)))
+    r("intervals_overlap", es => IntervalsOverlap(es(0), es(1)))
+    r("intervals_contain", es => IntervalsContain(es(0), es(1)))
+    r("intervals_mindist", es => IntervalsMinDist(es(0), es(1)))
+    r("st_snaptogrid", es => StSnapToGrid(es(0), es(1)))
     r("cosine_similarity", es => CosineSimilarity(es(0), es(1)))
     r("dot_product", es => DotProduct(es(0), es(1)))
     r("simhash64", es => SimHash64(es.head))

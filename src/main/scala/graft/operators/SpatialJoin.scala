@@ -49,7 +49,9 @@ object SpatialJoin {
       sampleTarget: Int = 100000,
       seed: Long = 42L,
       dedup: String = "refpoint",
-      knnBroadcastThreshold: Int = 10000)
+      knnBroadcastThreshold: Int = 10000,
+      earth: Boolean = false,
+      twoLevel: Boolean = false)
 
   private val Tile = "__tile"
   private val X1 = "__xmin"; private val Y1 = "__ymin"
@@ -93,12 +95,45 @@ object SpatialJoin {
       .map(row => Mbb(row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3)))
     // scale bucket by the sample rate (reference queryprocessor_2d.cpp:280)
     val scaledBucket = math.max(1, math.floor(bucket * fraction).toInt)
-    val tiles = SpatialPartitioner(cfg.partitioner).partition(sample, space, scaledBucket)
+    val part = SpatialPartitioner(cfg.partitioner)
+    val tiles0 = part.partition(sample, space, scaledBucket)
+    // 2-level nesting (reference para_partition, query_spjoin.hpp:210-230):
+    // overloaded first-level tiles get re-partitioned within their bounds —
+    // the skew mitigation for hot regions (cities in OSM)
+    val tiles =
+      if (!cfg.twoLevel) tiles0
+      else {
+        val idx0 = new TileIndex(tiles0, space)
+        val members = sample.groupBy(m => idx0.refTile(m.centerX, m.centerY))
+        var nextId = 0
+        idx0.tiles.flatMap { tb =>
+          val ms: Array[Mbb] = members.getOrElse(tb.tileId, Array.empty[Mbb])
+          val out =
+            if (ms.length <= 2 * scaledBucket) Array(tb.mbb)
+            else part.partition(ms, tb.mbb, scaledBucket).map(_.mbb)
+          out.map { m => val t = TileBoundary(nextId, m); nextId += 1; t }
+        }
+      }
     new TileIndex(tiles, space)
   }
 
+  /** J2: self spatial join. With replicate=false (the default, like the
+    * reference's --replicate) each unordered pair appears once (idA < idB)
+    * and identity pairs are skipped (spjoin_2d.hpp:77-84); with
+    * replicate=true both orientations appear. Output columns are prefixed
+    * l_/r_. */
+  def selfJoin(df: DataFrame, geomCol: String, idCol: String,
+               replicate: Boolean = false,
+               cfg: Config = Config()): DataFrame = {
+    val left = df.toDF(df.columns.map("l_" + _).toIndexedSeq: _*)
+    val right = df.toDF(df.columns.map("r_" + _).toIndexedSeq: _*)
+    val joined = join(left, "l_" + geomCol, right, "r_" + geomCol, cfg)
+    if (replicate) joined.where(col("l_" + idCol) =!= col("r_" + idCol))
+    else joined.where(col("l_" + idCol) < col("r_" + idCol))
+  }
+
   private def evalPredicate(predicate: String, g1: Geometry, g2: Geometry,
-                            distance: Double): Boolean = predicate match {
+                            distance: Double, earth: Boolean = false): Boolean = predicate match {
     case "intersects" => g1.intersects(g2)
     case "touches"    => g1.touches(g2)
     case "crosses"    => g1.crosses(g2)
@@ -111,7 +146,16 @@ object SpatialJoin {
       g1.getEnvelopeInternal.equals(g2.getEnvelopeInternal) && g1.equalsTopo(g2)
     case "disjoint"   => g1.disjoint(g2) // tile-local, J8 caveat
     case "adjacent"   => !g1.disjoint(g2)
-    case "dwithin"    => g1.isWithinDistance(g2, distance)
+    case "dwithin"    =>
+      // --earth: spherical distance for point/point pairs, with the
+      // reference's constants (spjoin_2d.hpp:167-205, geographical.h:3-23).
+      // PARITY TRAP (documented): the replication envelope still expands by
+      // `distance` in coordinate units, exactly as the reference does.
+      if (earth && g1.getNumPoints == 1 && g2.getNumPoints == 1)
+        graft.core.Geo.haversineMeters(
+          g1.getCoordinate.x, g1.getCoordinate.y,
+          g2.getCoordinate.x, g2.getCoordinate.y) <= distance
+      else g1.isWithinDistance(g2, distance)
     case other => throw new IllegalArgumentException(s"predicate $other")
   }
 
@@ -196,7 +240,7 @@ object SpatialJoin {
             var i = 0
             while (i < hits.size()) {
               val (g2, rrow) = hits.get(i).asInstanceOf[(Geometry, Row)]
-              if (evalPredicate(predicate, g1, g2, expand)) {
+              if (evalPredicate(predicate, g1, g2, expand, cfg.earth)) {
                 val emit = if (!useRefPoint) true else {
                   // bottom-left corner of probe-env ∩ build-env intersection
                   val refx = math.max(px1, rrow.getDouble(rEnvIdx(0)))

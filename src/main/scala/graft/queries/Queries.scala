@@ -225,6 +225,159 @@ object Queries {
       |                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
       | FROM orders) WHERE rk <= 3""".stripMargin
 
+  /** J4: st_touches self-join — boxes sharing a boundary but no interior
+    * (exercises [[SpatialJoin.selfJoin]], the reference's
+    * join_cardinality==1 path with mirrored-pair skip). */
+  def qSpjoinTouches(spark: SparkSession, dir: String): DataFrame = {
+    val b = partBoxes(spark, dir).select(col("id"), col("geom"))
+    SpatialJoin.selfJoin(b, "geom", "id",
+        cfg = SpatialJoin.Config(predicate = "touches", bucket = 500))
+      .select(col("l_id").as("id1"), col("r_id").as("id2"))
+  }
+
+  val qSpjoinTouchesSql: String =
+    s"""WITH b AS ($partBoxesSql)
+       |SELECT a.id AS id1, c.id AS id2 FROM b a JOIN b c ON a.id < c.id
+       | AND a.x0 <= c.x0 + c.w AND c.x0 <= a.x0 + a.w
+       | AND a.y0 <= c.y0 + c.w AND c.y0 <= a.y0 + a.w
+       | AND NOT (a.x0 < c.x0 + c.w AND c.x0 < a.x0 + a.w
+       |      AND a.y0 < c.y0 + c.w AND c.y0 < a.y0 + a.w)""".stripMargin
+
+  /** P8: coordinate normalization into [0,1] against the global envelope
+    * (reference mbb_normalizer). Exact: integer bounds, single division. */
+  def qNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val b = partBoxes(spark, dir)
+    val stats = b.agg(
+      min(col("x0")).as("lox"), min(col("y0")).as("loy"),
+      max(col("x0") + col("w")).as("hix"), max(col("y0") + col("w")).as("hiy"))
+    b.crossJoin(broadcast(stats)).select(
+      col("id"),
+      norm_coord(col("x0"), col("lox"), col("hix")).as("nx"),
+      norm_coord(col("y0"), col("loy"), col("hiy")).as("ny"))
+  }
+
+  val qNormalizeSql: String =
+    s"""WITH b AS ($partBoxesSql),
+       |s AS (SELECT min(x0) lox, min(y0) loy, max(x0+w) hix, max(y0+w) hiy FROM b)
+       |SELECT id, (x0 - lox) / (hix - lox) AS nx, (y0 - loy) / (hiy - loy) AS ny
+       |FROM b, s""".stripMargin
+
+  /** P9: grid discretization — snap box corners to a 7-unit grid; collapsed
+    * boxes (invalid geometry) drop, mirroring the permissive-null policy. */
+  def qSnap(spark: SparkSession, dir: String): DataFrame = {
+    val env = st_envelope(st_snaptogrid(col("geom"), lit(7.0)))
+    partBoxes(spark, dir)
+      .withColumn("env", env)
+      .where(col("env").isNotNull)
+      .select(col("id"), col("env.xmin").as("sx0"), col("env.ymin").as("sy0"),
+        ((col("env.xmax") - col("env.xmin")) * (col("env.ymax") - col("env.ymin")))
+          .as("sarea"))
+  }
+
+  val qSnapSql: String =
+    s"""WITH b AS ($partBoxesSql),
+       |s AS (SELECT id,
+       |  floor(x0/7.0 + 0.5)*7.0 AS sx0, floor(y0/7.0 + 0.5)*7.0 AS sy0,
+       |  floor((x0+w)/7.0 + 0.5)*7.0 AS sx1, floor((y0+w)/7.0 + 0.5)*7.0 AS sy1
+       | FROM b)
+       |SELECT id, sx0, sy0, (sx1-sx0)*(sy1-sy0) AS sarea FROM s
+       |WHERE sx1 > sx0 AND sy1 > sy0""".stripMargin
+
+  /** TPC-H Q3 shape: broadcast dim filter -> fact join -> exact integer
+    * aggregation (prices in cents x discount basis points, so the sum is
+    * order-independent int64 math). */
+  def q3Join(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val orders = table(spark, dir, "orders")
+      .withColumn("odate", expr("unix_micros(cast(o_orderdate as timestamp))"))
+      .where(col("odate") < lit(883612800000000L)) // 1998-01-01 UTC in micros
+      .select("o_orderkey", "o_custkey", "odate")
+    val li = table(spark, dir, "lineitem").select(
+      col("l_orderkey"),
+      (round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev"))
+    cust.join(orders, cust("c_custkey") === orders("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("odate"))
+      .agg(sum(col("rev")).as("revenue_cbp"), count(lit(1)).as("n_items"))
+  }
+
+  val q3JoinSql: String =
+    """SELECT o_orderkey, epoch_us(o_orderdate) AS odate,
+      | sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |     * (100 - CAST(round(l_discount*100) AS BIGINT))) AS revenue_cbp,
+      | count(*) AS n_items
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      | JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING' AND epoch_us(o_orderdate) < 883612800000000
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Semi-structured extraction: JSON props -> typed aggregation. */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
+  val qJsonExtractSql: String =
+    """SELECT event_type, count(*) AS n,
+      | sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS sum_k,
+      | min(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS min_k,
+      | max(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** F9: multi-interval temporal predicates over intervals derived from
+    * orders (2-interval object vs 1-interval probe; all int64 micros). */
+  def qTemporal(spark: SparkSession, dir: String): DataFrame = {
+    val day = 86400000000L
+    val o = table(spark, dir, "orders")
+      .withColumn("s1", expr("unix_micros(cast(o_orderdate as timestamp))"))
+      .withColumn("e1", col("s1") + (col("o_orderkey") % 5 + 1) * day)
+      .withColumn("s2", col("s1") + lit(10L) * day)
+      .withColumn("e2", col("s2") + (col("o_orderkey") % 3 + 1) * day)
+      .withColumn("sb", col("s1") + (col("o_custkey") % 14) * day)
+      .withColumn("eb", col("sb") + lit(2L) * day)
+    val a = array(struct(col("s1").as("start"), col("e1").as("end")),
+                  struct(col("s2").as("start"), col("e2").as("end")))
+    val b = array(struct(col("sb").as("start"), col("eb").as("end")))
+    o.select(col("o_orderkey"),
+      intervals_overlap(a, b).as("ov"),
+      intervals_contain(a, b).as("cont"),
+      intervals_mindist(a, b).as("md"))
+  }
+
+  val qTemporalSql: String =
+    """WITH t AS (SELECT o_orderkey,
+      |  epoch_us(o_orderdate) AS s1,
+      |  epoch_us(o_orderdate) + (o_orderkey % 5 + 1) * 86400000000 AS e1,
+      |  epoch_us(o_orderdate) + 10 * 86400000000 AS s2,
+      |  epoch_us(o_orderdate) + 10 * 86400000000 + (o_orderkey % 3 + 1) * 86400000000 AS e2,
+      |  epoch_us(o_orderdate) + (o_custkey % 14) * 86400000000 AS sb,
+      |  epoch_us(o_orderdate) + (o_custkey % 14) * 86400000000 + 2 * 86400000000 AS eb
+      | FROM orders)
+      |SELECT o_orderkey,
+      | (s1 <= eb AND sb <= e1) OR (s2 <= eb AND sb <= e2) AS ov,
+      | (s1 <= sb AND eb <= e1) OR (s2 <= sb AND eb <= e2) AS cont,
+      | least(
+      |  CASE WHEN s1 <= eb AND sb <= e1 THEN 0 WHEN s1 > eb THEN s1 - eb ELSE sb - e1 END,
+      |  CASE WHEN s2 <= eb AND sb <= e2 THEN 0 WHEN s2 > eb THEN s2 - eb ELSE sb - e2 END) AS md
+      |FROM t""".stripMargin
+
+  /** A2+A4 (rows-only): per-tile counts summary from the partition planner
+    * (reference DEBUGSTAT post_process_stat; invariants ScalaTest-gated). */
+  def qPartitionStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.api._
+    partBoxes(spark, dir).describeSpatialPartitioning("geom", "fg", 500)._2
+  }
+
+  /** M1 (rows-only): seeded Bernoulli sample (deterministic within Spark;
+    * no cross-engine oracle by design). */
+  def qSample(spark: SparkSession, dir: String): DataFrame =
+    partBoxes(spark, dir).sample(withReplacement = false, 0.1, seed = 42L)
+      .select(col("id"))
+
   // ------------------------------------------------------------ event/time
 
   /** Streaming-shaped hourly windowed aggregation, run in batch mode (the

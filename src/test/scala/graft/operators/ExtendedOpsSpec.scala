@@ -1,0 +1,138 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.core.Geo
+import graft.functions._
+import graft.sources.WktTsvSource
+
+class ExtendedOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("WktTsvSource: reads reference-format TSV, parses WKT once, drops bad rows") {
+    val dir = Files.createTempDirectory("graft_tsv")
+    val f = dir.resolve("data.tsv")
+    Files.writeString(f,
+      "1\tPOINT (1 2)\talpha\n" +
+      "2\tPOLYGON((0 0,2 0,2 2,0 2,0 0))\tbeta\n" +
+      "3\tnot-a-geometry\tgamma\n" +
+      "4\t\tdelta\n")
+    val df = WktTsvSource.read(spark, f.toString, shpIdx = 2)
+    assert(df.columns.toSeq == Seq("f1", "f2", "f3", "geom"))
+    assert(df.count() == 2) // malformed + empty dropped
+    val kept = df.select("f1").as[String].collect().toSet
+    assert(kept == Set("1", "2"))
+    val areas = df.select(st_area(col("geom"))).as[Double].collect().sorted
+    assert(areas.toSeq == Seq(0.0, 4.0))
+
+    val lax = WktTsvSource.read(spark, f.toString, shpIdx = 2, dropMalformed = false)
+    assert(lax.count() == 4)
+
+    // roundtrip write
+    val out = dir.resolve("out").toString
+    WktTsvSource.write(df, out, shpIdx = 2)
+    val back = WktTsvSource.read(spark, out, shpIdx = 2)
+    assert(back.count() == 2)
+  }
+
+  test("selfJoin: mirrored-pair skip vs replicate semantics") {
+    val boxes = (0 until 50).map { i =>
+      val x = (i % 10) * 3.0
+      (i.toLong, s"POLYGON(($x 0,${x + 4} 0,${x + 4} 4,$x 4,$x 0))")
+    }
+    val df = boxes.toDF("id", "wkt").withColumn("geom", st_geomfromwkt(col("wkt"))).drop("wkt")
+    val once = SpatialJoin.selfJoin(df, "geom", "id",
+      cfg = SpatialJoin.Config(bucket = 20)).select("l_id", "r_id")
+      .as[(Long, Long)].collect()
+    val both = SpatialJoin.selfJoin(df, "geom", "id", replicate = true,
+      cfg = SpatialJoin.Config(bucket = 20)).count()
+    assert(once.forall { case (a, b) => a < b })
+    assert(both == 2L * once.length)
+  }
+
+  test("earth-mode dwithin uses haversine for point pairs") {
+    // two points ~111 km apart (1 degree latitude at the equator)
+    val a = Seq((1L, "POINT (0 0)")).toDF("ida", "wa")
+      .withColumn("ga", st_geomfromwkt(col("wa"))).drop("wa")
+    val b = Seq((2L, "POINT (0 1)")).toDF("idb", "wb")
+      .withColumn("gb", st_geomfromwkt(col("wb"))).drop("wb")
+    val dMeters = Geo.haversineMeters(0, 0, 0, 1)
+    assert(dMeters > 100000 && dMeters < 120000)
+    def run(thresh: Double) = SpatialJoin.join(a, "ga", b, "gb",
+      SpatialJoin.Config(predicate = "dwithin", distance = thresh, earth = true,
+        bucket = 10)).count()
+    assert(run(dMeters + 1) == 1)
+    assert(run(dMeters - 1) == 0)
+  }
+
+  test("temporal interval predicates") {
+    def iv(ps: (Long, Long)*) = ps.map { case (s, e) => (s, e) }
+    val df = Seq((1L, Seq((0L, 10L), (20L, 30L)), Seq((12L, 15L))),
+                 (2L, Seq((0L, 10L), (20L, 30L)), Seq((5L, 9L))),
+                 (3L, Seq((0L, 10L)), Seq((8L, 12L)))).toDF("id", "raw_a", "raw_b")
+      .withColumn("a", expr("transform(raw_a, x -> struct(x._1 as start, x._2 as end))"))
+      .withColumn("b", expr("transform(raw_b, x -> struct(x._1 as start, x._2 as end))"))
+    val r = df.select(col("id"),
+      intervals_overlap(col("a"), col("b")),
+      intervals_contain(col("a"), col("b")),
+      intervals_mindist(col("a"), col("b"))).orderBy("id").collect()
+    assert(r(0).getBoolean(1) === false) // [12,15] in gap
+    assert(r(0).getBoolean(2) === false)
+    assert(r(0).getLong(3) == 2)         // 12 - 10
+    assert(r(1).getBoolean(1) === true)  // [5,9] inside [0,10]
+    assert(r(1).getBoolean(2) === true)
+    assert(r(1).getLong(3) == 0)
+    assert(r(2).getBoolean(1) === true)  // [8,12] overlaps [0,10], not contained
+    assert(r(2).getBoolean(2) === false)
+    assert(r(2).getLong(3) == 0)
+  }
+
+  test("st_snaptogrid: snaps coordinates, nulls collapsed boxes") {
+    val df = Seq("POLYGON((10 10,11 10,11 20,10 20,10 10))", // x collapses at cell 7
+                 "POLYGON((0 0,10 0,10 10,0 10,0 0))")
+      .toDF("wkt").withColumn("g", st_geomfromwkt(col("wkt")))
+    val r = df.select(st_astext(st_snaptogrid(col("g"), lit(7.0)))).collect()
+    // 10/7 -> 1.43 -> 7; 11/7 -> 1.57 -> 14: survives. second box snaps cleanly
+    assert(r(0).getString(0).contains("7"))
+    assert(r(1).getString(0) == "POLYGON ((0 0, 7 0, 7 7, 0 7, 0 0))")
+    val collapsed = Seq("POLYGON((20 0,21 0,21 10,20 10,20 0))") // 20->21, 21->21
+      .toDF("wkt").select(st_snaptogrid(st_geomfromwkt(col("wkt")), lit(7.0)))
+      .head()
+    assert(collapsed.isNullAt(0))
+  }
+
+  test("two-level partitioning splits hot tiles and join stays exact") {
+    val rnd = new scala.util.Random(31)
+    // 80% of points in a hot 10x10 corner
+    val pts = (0 until 1200).map { i =>
+      val (x, y) =
+        if (i % 5 != 0) (rnd.nextDouble() * 10, rnd.nextDouble() * 10)
+        else (rnd.nextDouble() * 100, rnd.nextDouble() * 50)
+      (i.toLong, s"POINT ($x $y)")
+    }
+    val a = pts.toDF("id1", "w").withColumn("g1", st_geomfromwkt(col("w"))).drop("w")
+    val b = pts.toDF("id2", "w").withColumn("g2", st_geomfromwkt(col("w"))).drop("w")
+    val flat = SpatialJoin.join(a, "g1", b, "g2",
+      SpatialJoin.Config(predicate = "dwithin", distance = 1.0, bucket = 100))
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val nested = SpatialJoin.join(a, "g1", b, "g2",
+      SpatialJoin.Config(predicate = "dwithin", distance = 1.0, bucket = 100,
+        twoLevel = true))
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(nested == flat, "two-level tiling changed join results")
+
+    // and the nested planner actually produces more tiles over the hot spot
+    import org.apache.spark.sql.DataFrame
+    def tiles(twoLevel: Boolean): Int = {
+      val l = a.withColumn("__env", st_envelope(col("g1")))
+        .select(col("__env.xmin").as("__xmin"), col("__env.ymin").as("__ymin"),
+          col("__env.xmax").as("__xmax"), col("__env.ymax").as("__ymax"))
+      SpatialJoin.planTiles(l, l.limit(0),
+        SpatialJoin.Config(bucket = 100, twoLevel = twoLevel)).tiles.length
+    }
+    assert(tiles(twoLevel = true) > tiles(twoLevel = false))
+  }
+}
