@@ -13,6 +13,9 @@ import graft.functions._
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // SQL spatial joins plan as the tiled SpatialJoinExec
+    e.injectPlannerStrategy(_ => org.apache.spark.sql.graft.SpatialJoinStrategy)
+
     def r(name: String, builder: Seq[Expression] => Expression): Unit =
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))

@@ -37,6 +37,9 @@ object SparkEntry {
     "q_temporal" -> (Queries.qTemporal _),
     "q_partition_stats" -> (Queries.qPartitionStats _),
     "q_sample" -> (Queries.qSample _),
+    "q_pair_measures" -> (Queries.qPairMeasures _),
+    "q_mindist" -> (Queries.qMindist _),
+    "q1_pricing" -> (Queries.q1Pricing _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -69,5 +72,8 @@ object SparkEntry {
     "q_temporal" -> Queries.qTemporalSql,
     // q_partition_stats / q_sample: engine-internal tiling / seeded RNG,
     // not cross-engine expressible -> rows-only checks.
+    "q_pair_measures" -> Queries.qPairMeasuresSql,
+    "q_mindist" -> Queries.qMindistSql,
+    "q1_pricing" -> Queries.q1PricingSql,
   )
 }

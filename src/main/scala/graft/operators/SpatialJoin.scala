@@ -132,8 +132,9 @@ object SpatialJoin {
     else joined.where(col("l_" + idCol) < col("r_" + idCol))
   }
 
-  private def evalPredicate(predicate: String, g1: Geometry, g2: Geometry,
-                            distance: Double, earth: Boolean = false): Boolean = predicate match {
+  /** Exact pairwise predicate evaluation (shared with SpatialJoinExec). */
+  def evalPredicate(predicate: String, g1: Geometry, g2: Geometry,
+                    distance: Double, earth: Boolean = false): Boolean = predicate match {
     case "intersects" => g1.intersects(g2)
     case "touches"    => g1.touches(g2)
     case "crosses"    => g1.crosses(g2)

@@ -225,6 +225,80 @@ object Queries {
       |                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
       | FROM orders) WHERE rk <= 3""".stripMargin
 
+  /** A6-A9: pairwise overlay measures on intersecting box pairs — union
+    * area, jaccard, dice. All lattice-integer shoelace sums, so the JTS
+    * overlay areas and the SQL arithmetic agree bit-for-bit. */
+  def qPairMeasures(spark: SparkSession, dir: String): DataFrame = {
+    val b = partBoxes(spark, dir)
+    val a = b.select(col("id").as("id1"), col("geom").as("g1"))
+    val c = b.select(col("id").as("id2"), col("geom").as("g2"))
+    SpatialJoin.join(a, "g1", c, "g2",
+        SpatialJoin.Config(predicate = "intersects", bucket = 500))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        st_union_area(col("g1"), col("g2")).as("union_area"),
+        st_jaccard(col("g1"), col("g2")).as("jac"),
+        st_dice(col("g1"), col("g2")).as("dice"))
+  }
+
+  val qPairMeasuresSql: String =
+    s"""WITH b AS ($partBoxesSql),
+       |p AS (SELECT a.id AS id1, c.id AS id2, a.w AS wa, c.w AS wc,
+       |  greatest(0, least(a.x0+a.w, c.x0+c.w) - greatest(a.x0, c.x0)) *
+       |  greatest(0, least(a.y0+a.w, c.y0+c.w) - greatest(a.y0, c.y0)) AS inter
+       | FROM b a JOIN b c ON a.id < c.id
+       |  AND a.x0 <= c.x0 + c.w AND c.x0 <= a.x0 + a.w
+       |  AND a.y0 <= c.y0 + c.w AND c.y0 <= a.y0 + a.w)
+       |SELECT id1, id2, wa*wa + wc*wc - inter AS union_area,
+       | inter / (wa*wa + wc*wc - inter) AS jac,
+       | 2 * inter / (wa*wa + wc*wc) AS dice
+       |FROM p""".stripMargin
+
+  /** A10/F5: exact point-point min distance (JTS point distance is
+    * bit-identical to sqrt(dx^2+dy^2) — verified over the lattice). */
+  def qMindist(spark: SparkSession, dir: String): DataFrame =
+    custPoints(spark, dir)
+      .select(col("id"),
+        st_distance(col("geom"), st_point(lit(150.0), lit(150.0))).as("dist"))
+
+  val qMindistSql: String =
+    s"""WITH c AS ($custPointsSql)
+       |SELECT id, sqrt((px-150)*(px-150) + (py-150)*(py-150)) AS dist FROM c""".stripMargin
+
+  /** Full TPC-H Q1 pricing summary with order-independent exact arithmetic
+    * (money in cents/basis points as int64; averages are single divisions). */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+      .withColumn("dbp", round(col("l_discount") * 100).cast("long"))
+      .withColumn("tbp", round(col("l_tax") * 100).cast("long"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("cents")).as("sum_base_cents"),
+        sum(col("cents") * (lit(100L) - col("dbp"))).as("sum_disc_cbp"),
+        sum(col("cents") * (lit(100L) - col("dbp")) * (lit(100L) + col("tbp")))
+          .as("sum_charge_cbp2"),
+        count(lit(1)).as("n"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (sum(col("cents")).cast("double") / count(lit(1))).as("avg_cents"))
+  }
+
+  val q1PricingSql: String =
+    """WITH li AS (SELECT l_returnflag, l_linestatus, l_quantity,
+      |  CAST(round(l_extendedprice*100) AS BIGINT) AS cents,
+      |  CAST(round(l_discount*100) AS BIGINT) AS dbp,
+      |  CAST(round(l_tax*100) AS BIGINT) AS tbp FROM lineitem)
+      |SELECT l_returnflag, l_linestatus,
+      | sum(l_quantity) AS sum_qty,
+      | sum(cents) AS sum_base_cents,
+      | sum(cents * (100 - dbp)) AS sum_disc_cbp,
+      | sum(cents * (100 - dbp) * (100 + tbp)) AS sum_charge_cbp2,
+      | count(*) AS n,
+      | sum(l_quantity) / count(*) AS avg_qty,
+      | CAST(sum(cents) AS DOUBLE) / count(*) AS avg_cents
+      |FROM li GROUP BY 1, 2""".stripMargin
+
   /** J4: st_touches self-join — boxes sharing a boundary but no interior
     * (exercises [[SpatialJoin.selfJoin]], the reference's
     * join_cardinality==1 path with mirrored-pair skip). */

@@ -1,0 +1,199 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.storage.StorageLevel
+import org.locationtech.jts.geom.Envelope
+import org.locationtech.jts.index.strtree.STRtree
+
+import graft.core.{GeometryCodec, Mbb, TileBoundary}
+import graft.functions.{StDWithin, StPredicate}
+import graft.operators.{SpatialJoin, TileIndex}
+import graft.partition.SpatialPartitioner
+
+/** Planner integration: inner joins whose condition carries an ST predicate
+  * between the two sides are planned as [[SpatialJoinExec]] — the tiled
+  * filter-refine join — instead of Catalyst's fallback
+  * BroadcastNestedLoopJoin. This makes
+  * `SELECT ... FROM a JOIN b ON st_intersects(a.g, b.g)` scale the same as
+  * the programmatic `SpatialJoin.join` API (SURVEY §4 phase-2 rewrite).
+  *
+  * Tuning via runtime conf: `graft.join.partitioner` (fg|bsp|qt|str|hc|
+  * slc|bos), `graft.join.bucket`, `graft.join.sampleTarget`.
+  */
+object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
+
+  private val Symmetric =
+    Set("intersects", "touches", "overlaps", "equals", "adjacent")
+
+  /** predicate name when geometry args arrive (right, left). */
+  private def swap(p: String): Option[String] = p match {
+    case s if Symmetric(s) => Some(s)
+    case "contains" => Some("within")
+    case "within"   => Some("contains")
+    case _ => None // crosses/disjoint/dwithin: keep original orientation only
+  }
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case Join(l, r, Inner, Some(cond), _) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val hit = conjuncts.iterator.map {
+        case e @ StPredicate(a, b, p) => (e, a, b, p, 0.0)
+        case e @ StDWithin(a, b, Literal(d: Double, _)) => (e, a, b, "dwithin", d)
+        case e => (e, null, null, "", 0.0)
+      }.collectFirst {
+        case (e, a, b, p, d) if a != null &&
+            a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet) =>
+          (e, a, b, p, d)
+        case (e, a, b, p, d) if a != null && swap(p).isDefined &&
+            a.references.subsetOf(r.outputSet) && b.references.subsetOf(l.outputSet) =>
+          (e, b, a, swap(p).get, d)
+      }
+      hit match {
+        case Some((matched, lg, rg, pred, dist)) =>
+          val rest = conjuncts.filterNot(_ fastEquals matched).reduceOption(And)
+          SpatialJoinExec(planLater(l), planLater(r), lg, rg, pred, dist, rest) :: Nil
+        case None => Nil
+      }
+    case _ => Nil
+  }
+}
+
+/** Physical tile-partitioned spatial join over InternalRows: envelope
+  * extraction -> driver sample partitioning -> broadcast tile index ->
+  * tile-tag + hash shuffle -> per-tile STRtree filter + exact refine with
+  * reference-point dedup -> residual condition filter. Mirrors
+  * [[graft.operators.SpatialJoin.join]] at the SparkPlan level. */
+case class SpatialJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftGeom: Expression, rightGeom: Expression,
+    predicate: String, distance: Double,
+    extraCond: Option[Expression]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val conf = SQLConf.get
+    val partitionerName = conf.getConfString("graft.join.partitioner", "fg")
+    val bucketConf = conf.getConfString("graft.join.bucket", "0").toInt
+    val sampleTarget = conf.getConfString("graft.join.sampleTarget", "100000").toInt
+    val shufflePartitions = conf.numShufflePartitions
+    val expand = if (predicate == "dwithin") distance else 0.0
+    val pred = predicate
+
+    def envRDD(plan: SparkPlan, geomExpr: Expression, exp: Double): RDD[(Mbb, InternalRow)] = {
+      val attrs = plan.output
+      plan.execute().mapPartitions { iter =>
+        val proj = UnsafeProjection.create(Seq(geomExpr), attrs)
+        iter.flatMap { row =>
+          val projected = proj(row)
+          val g = if (projected.isNullAt(0)) null
+                  else GeometryCodec.fromWkb(projected.getBinary(0))
+          if (g == null) None
+          else {
+            val e = g.getEnvelopeInternal
+            Some((Mbb(e.getMinX - exp, e.getMinY - exp,
+                      e.getMaxX + exp, e.getMaxY + exp), row.copy()))
+          }
+        }
+      }
+    }
+
+    // child plans are re-traversed by the stats and sample jobs -> persist
+    val lrdd = envRDD(left, leftGeom, expand).persist(StorageLevel.MEMORY_AND_DISK)
+    val rrdd = envRDD(right, rightGeom, 0.0).persist(StorageLevel.MEMORY_AND_DISK)
+
+    val mbbs = lrdd.map(_._1).union(rrdd.map(_._1))
+    val (space, n) = mbbs
+      .aggregate((Mbb.empty, 0L))(
+        (acc, m) => (acc._1.union(m), acc._2 + 1),
+        (a, b) => (a._1.union(b._1), a._2 + b._2))
+    if (n == 0) return sparkContext.emptyRDD[InternalRow]
+
+    val bucket =
+      if (bucketConf > 0) bucketConf
+      else math.max(1000L, n / (sparkContext.defaultParallelism.toLong * 4)).toInt
+    val fraction = math.min(1.0, sampleTarget.toDouble / n)
+    val sample =
+      (if (fraction >= 1.0) mbbs.collect()
+       else mbbs.sample(withReplacement = false, fraction, 42L).collect())
+    val scaledBucket = math.max(1, math.floor(bucket * fraction).toInt)
+    val tiles = SpatialPartitioner(partitionerName).partition(sample, space, scaledBucket)
+    val index = new TileIndex(tiles, space)
+    val bc = sparkContext.broadcast(index)
+
+    def tag(rdd: RDD[(Mbb, InternalRow)]): RDD[(Int, (Mbb, InternalRow))] =
+      rdd.mapPartitions { iter =>
+        iter.flatMap { case (m, row) =>
+          bc.value.tilesFor(m.xmin, m.ymin, m.xmax, m.ymax)
+            .iterator.map(t => (t, (m, row)))
+        }
+      }
+
+    val lAttrs = left.output; val rAttrs = right.output
+    val lGeomExpr = leftGeom; val rGeomExpr = rightGeom
+    val extra = extraCond
+    val outAttrs = output
+    val earth = false
+
+    tag(lrdd).cogroup(tag(rrdd), new HashPartitioner(shufflePartitions))
+      .mapPartitions { tilesIter =>
+        val lProj = UnsafeProjection.create(Seq(lGeomExpr), lAttrs)
+        val rProj = UnsafeProjection.create(Seq(rGeomExpr), rAttrs)
+        val residual = extra.map(Predicate.create(_, outAttrs))
+        val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+        val joined = new JoinedRow
+        tilesIter.flatMap { case (tile, (ls, rs)) =>
+          val tree = new STRtree()
+          var rCount = 0
+          rs.foreach { case (m, row) =>
+            val g = GeometryCodec.fromWkb(rProj(row).getBinary(0))
+            if (g != null) {
+              tree.insert(new Envelope(m.xmin, m.xmax, m.ymin, m.ymax), (g, m, row))
+              rCount += 1
+            }
+          }
+          if (rCount == 0) Iterator.empty
+          else {
+            tree.build()
+            val idx = bc.value
+            ls.iterator.flatMap { case (lm, lrow) =>
+              val g1 = GeometryCodec.fromWkb(lProj(lrow).getBinary(0))
+              if (g1 == null) Iterator.empty
+              else {
+                val hits = tree.query(new Envelope(lm.xmin, lm.xmax, lm.ymin, lm.ymax))
+                val out = Vector.newBuilder[InternalRow]
+                var i = 0
+                while (i < hits.size()) {
+                  val (g2, rm, rrow) =
+                    hits.get(i).asInstanceOf[(org.locationtech.jts.geom.Geometry, Mbb, InternalRow)]
+                  if (SpatialJoin.evalPredicate(pred, g1, g2, expand, earth)) {
+                    val refx = math.max(lm.xmin, rm.xmin)
+                    val refy = math.max(lm.ymin, rm.ymin)
+                    if (idx.refTile(refx, refy) == tile) {
+                      joined(lrow, rrow)
+                      if (residual.forall(_.eval(joined)))
+                        out += outProj(joined).copy()
+                    }
+                  }
+                  i += 1
+                }
+                out.result().iterator
+              }
+            }
+          }
+        }
+      }
+  }
+}

@@ -1,0 +1,86 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{SpatialJoinExec, SpatialJoinStrategy}
+
+import graft.SparkTestBase
+import graft.core.GeometryCodec
+import graft.functions._
+
+class SpatialJoinStrategySpec extends SparkTestBase {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    if (!spark.experimental.extraStrategies.contains(SpatialJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ SpatialJoinStrategy
+    registerAll(spark)
+  }
+
+  private def boxes(n: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val x = rnd.nextDouble() * 60; val y = rnd.nextDouble() * 30
+      (i.toLong, s"POLYGON(($x $y,${x + 3} $y,${x + 3} ${y + 3},$x ${y + 3},$x $y))")
+    }
+  }
+
+  test("SQL st_intersects join plans as SpatialJoinExec and matches brute force") {
+    val la = boxes(250, 5); val lb = boxes(300, 6)
+    la.toDF("ida", "wa").withColumn("ga", st_geomfromwkt(col("wa")))
+      .createOrReplaceTempView("ta")
+    lb.toDF("idb", "wb").withColumn("gb", st_geomfromwkt(col("wb")))
+      .createOrReplaceTempView("tb")
+
+    val q = spark.sql(
+      "SELECT ida, idb FROM ta JOIN tb ON st_intersects(ga, gb) AND ida <> idb")
+    val hasExec = q.queryExecution.executedPlan.collect {
+      case e: SpatialJoinExec => e
+    }.nonEmpty
+    assert(hasExec, s"expected SpatialJoinExec in:\n${q.queryExecution.executedPlan}")
+
+    val got = q.as[(Long, Long)].collect().toSet
+    val want = (for {
+      (i, wa) <- la; (j, wb) <- lb
+      if i != j && GeometryCodec.fromWkt(wa).intersects(GeometryCodec.fromWkt(wb))
+    } yield (i, j)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("swapped contains rewrites to within; dwithin literal distance works") {
+    val pts = (0 until 200).map { i => (i.toLong, s"POINT (${i % 40} ${i % 17})") }
+    pts.toDF("idp", "wp").withColumn("gp", st_geomfromwkt(col("wp")))
+      .createOrReplaceTempView("tp")
+    boxes(100, 7).toDF("idb2", "wb2").withColumn("gb2", st_geomfromwkt(col("wb2")))
+      .createOrReplaceTempView("tb2")
+
+    // geometry args ordered (right, left): strategy must swap contains->within
+    val q1 = spark.sql(
+      "SELECT idp, idb2 FROM tp JOIN tb2 ON st_contains(gb2, gp)")
+    assert(q1.queryExecution.executedPlan.collect { case e: SpatialJoinExec => e }.nonEmpty)
+    val got1 = q1.as[(Long, Long)].collect().toSet
+    val want1 = (for {
+      (i, wp) <- pts; (j, wb) <- boxes(100, 7)
+      if GeometryCodec.fromWkt(wb).contains(GeometryCodec.fromWkt(wp))
+    } yield (i, j)).toSet
+    assert(got1 == want1)
+
+    val q2 = spark.sql(
+      "SELECT idp, idb2 FROM tp JOIN tb2 ON st_dwithin(gp, gb2, 2.0D)")
+    assert(q2.queryExecution.executedPlan.collect { case e: SpatialJoinExec => e }.nonEmpty)
+    val got2 = q2.as[(Long, Long)].collect().toSet
+    val want2 = (for {
+      (i, wp) <- pts; (j, wb) <- boxes(100, 7)
+      if GeometryCodec.fromWkt(wp).isWithinDistance(GeometryCodec.fromWkt(wb), 2.0)
+    } yield (i, j)).toSet
+    assert(got2 == want2)
+  }
+
+  test("non-spatial joins are left to the default planner") {
+    val q = spark.sql("SELECT a.ida FROM ta a JOIN ta b ON a.ida = b.ida")
+    assert(q.queryExecution.executedPlan.collect { case e: SpatialJoinExec => e }.isEmpty)
+    assert(q.count() == 250)
+  }
+}
