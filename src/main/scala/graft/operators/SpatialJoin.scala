@@ -88,6 +88,14 @@ object SpatialJoin {
     val spark = l.sparkSession
     val bucket = if (cfg.bucket > 0) cfg.bucket
       else math.max(1000L, n / (spark.sparkContext.defaultParallelism.toLong * 4)).toInt
+    // hc_dist: fully distributed Hilbert tiling over the WHOLE relation
+    // (no driver sample) — the 100 TB path (SURVEY G5)
+    if (cfg.partitioner == "hc_dist") {
+      val tiles = graft.partition.DistributedHilbert.tiles(
+        mbbs.select(col(X1).as("xmin"), col(Y1).as("ymin"),
+          col(X2).as("xmax"), col(Y2).as("ymax")), space, bucket)
+      return new TileIndex(tiles, space)
+    }
     val fraction = math.min(1.0, cfg.sampleTarget.toDouble / n)
     val sample = mbbs.sample(withReplacement = false, fraction, cfg.seed)
       .limit(cfg.sampleTarget * 2)

@@ -42,6 +42,21 @@ object WktTsvSource {
     if (dropMalformed) withGeom.where(col("geom").isNotNull) else withGeom
   }
 
+  /** S2: MBB record scan — `id x1 y1 x2 y2` rows (reference --mbbread,
+    * manipulate_2d.cpp:105-109, SpaceStreamReader). */
+  def readMbb(spark: SparkSession, path: String, sep: String = "\t",
+              dropTrailer: Boolean = true): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("xmin", DoubleType), StructField("ymin", DoubleType),
+      StructField("xmax", DoubleType), StructField("ymax", DoubleType)))
+    val df = spark.read.option("sep", sep).schema(schema).csv(path)
+      .where(col("xmin").isNotNull)
+    // the reference's MBB streams carry a -1-keyed space-envelope trailer
+    // (manipulate_2d.cpp:199-203)
+    if (dropTrailer) df.where(col("id") =!= "-1") else df
+  }
+
   /** Write back as TSV (geometry re-serialized into its column slot). */
   def write(df: DataFrame, path: String, shpIdx: Int): Unit = {
     val fields = df.columns.filter(_.startsWith("f"))
