@@ -41,6 +41,12 @@ object PerfProbe {
         spark.sparkContext.addSparkListener(listener)
         time("knn")(Queries.qKnn(spark, dir).count())
         Thread.sleep(1000)
+      case "pm" =>
+        time("warmup")(Queries.qPairMeasures(spark, "/root/testdata/sf0.001").count())
+        time("pm1")(Queries.qPairMeasures(spark, dir).count())
+        time("pm2")(Queries.qPairMeasures(spark, dir).count())
+        time("touches1")(Queries.qSpjoinTouches(spark, dir).count())
+        time("touches2")(Queries.qSpjoinTouches(spark, dir).count())
       case "dedupplan" =>
         time("warmup")(Queries.qDedupNgram(spark, "/root/testdata/sf0.001").count())
         println(Queries.qDedupNgram(spark, dir).queryExecution.executedPlan.toString.take(4000))

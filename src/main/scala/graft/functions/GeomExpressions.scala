@@ -116,7 +116,15 @@ case class StPredicate(left: Expression, right: Expression, predicate: String)
     if (g1 == null || g2 == null) null
     else predicate match {
       case "intersects" => g1.intersects(g2)
-      case "touches"    => g1.touches(g2)
+      case "touches"    =>
+        if (g1.isRectangle && g2.isRectangle) {
+          val a = g1.getEnvelopeInternal; val b = g2.getEnvelopeInternal
+          val meets = a.getMinX <= b.getMaxX && b.getMinX <= a.getMaxX &&
+            a.getMinY <= b.getMaxY && b.getMinY <= a.getMaxY
+          val interiors = a.getMinX < b.getMaxX && b.getMinX < a.getMaxX &&
+            a.getMinY < b.getMaxY && b.getMinY < a.getMaxY
+          meets && !interiors
+        } else g1.touches(g2)
       case "crosses"    => g1.crosses(g2)
       case "contains"   =>
         g1.getEnvelopeInternal.contains(g2.getEnvelopeInternal) && g1.contains(g2)
@@ -252,25 +260,33 @@ case class StOverlapMeasure(left: Expression, right: Expression, measure: String
     val g1 = GeometryCodec.fromWkb(a.asInstanceOf[Array[Byte]])
     val g2 = GeometryCodec.fromWkb(b.asInstanceOf[Array[Byte]])
     if (g1 == null || g2 == null) null
-    else try measure match {
-      case "intersection_area" =>
-        // axis-aligned rectangles: exact envelope arithmetic, no overlay
-        if (g1.isRectangle && g2.isRectangle) {
-          val a = g1.getEnvelopeInternal; val b = g2.getEnvelopeInternal
-          val w = math.min(a.getMaxX, b.getMaxX) - math.max(a.getMinX, b.getMinX)
-          val h = math.min(a.getMaxY, b.getMaxY) - math.max(a.getMinY, b.getMinY)
-          if (w <= 0 || h <= 0) 0.0 else w * h
-        } else g1.intersection(g2).getArea
-      case "union_area"        => g1.union(g2).getArea
-      case "jaccard" =>
-        val inter = g1.intersection(g2).getArea
-        val uni = g1.union(g2).getArea
-        if (uni == 0) 0.0 else inter / uni
-      case "dice" =>
-        val inter = g1.intersection(g2).getArea
-        val denom = g1.getArea + g2.getArea
-        if (denom == 0) 0.0 else 2 * inter / denom
-      case other => throw new IllegalArgumentException(s"unknown measure $other")
+    else try {
+      // axis-aligned rectangles: every measure is exact envelope arithmetic
+      // (union = a + b - inter by inclusion-exclusion) — no JTS overlays
+      val rect = g1.isRectangle && g2.isRectangle
+      def rectInter: Double = {
+        val a = g1.getEnvelopeInternal; val b = g2.getEnvelopeInternal
+        val w = math.min(a.getMaxX, b.getMaxX) - math.max(a.getMinX, b.getMinX)
+        val h = math.min(a.getMaxY, b.getMaxY) - math.max(a.getMinY, b.getMinY)
+        if (w <= 0 || h <= 0) 0.0 else w * h
+      }
+      measure match {
+        case "intersection_area" =>
+          if (rect) rectInter else g1.intersection(g2).getArea
+        case "union_area" =>
+          if (rect) g1.getArea + g2.getArea - rectInter
+          else g1.union(g2).getArea
+        case "jaccard" =>
+          val inter = if (rect) rectInter else g1.intersection(g2).getArea
+          val uni = if (rect) g1.getArea + g2.getArea - inter
+                    else g1.union(g2).getArea
+          if (uni == 0) 0.0 else inter / uni
+        case "dice" =>
+          val inter = if (rect) rectInter else g1.intersection(g2).getArea
+          val denom = g1.getArea + g2.getArea
+          if (denom == 0) 0.0 else 2 * inter / denom
+        case other => throw new IllegalArgumentException(s"unknown measure $other")
+      }
     } catch { case _: org.locationtech.jts.geom.TopologyException => null }
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

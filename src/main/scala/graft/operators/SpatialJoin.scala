@@ -144,7 +144,17 @@ object SpatialJoin {
   def evalPredicate(predicate: String, g1: Geometry, g2: Geometry,
                     distance: Double, earth: Boolean = false): Boolean = predicate match {
     case "intersects" => g1.intersects(g2)
-    case "touches"    => g1.touches(g2)
+    case "touches"    =>
+      // rectangles touch iff envelopes meet but interiors don't — pure
+      // arithmetic, avoiding a full relate() per candidate pair
+      if (g1.isRectangle && g2.isRectangle) {
+        val a = g1.getEnvelopeInternal; val b = g2.getEnvelopeInternal
+        val meets = a.getMinX <= b.getMaxX && b.getMinX <= a.getMaxX &&
+          a.getMinY <= b.getMaxY && b.getMinY <= a.getMaxY
+        val interiors = a.getMinX < b.getMaxX && b.getMinX < a.getMaxX &&
+          a.getMinY < b.getMaxY && b.getMinY < a.getMaxY
+        meets && !interiors
+      } else g1.touches(g2)
     case "crosses"    => g1.crosses(g2)
     case "contains"   =>
       g1.getEnvelopeInternal.contains(g2.getEnvelopeInternal) && g1.contains(g2)
