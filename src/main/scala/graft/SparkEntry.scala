@@ -40,6 +40,7 @@ object SparkEntry {
     "q_pair_measures" -> (Queries.qPairMeasures _),
     "q_mindist" -> (Queries.qMindist _),
     "q1_pricing" -> (Queries.q1Pricing _),
+    "q_multimodal" -> (Queries.qMultimodal _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

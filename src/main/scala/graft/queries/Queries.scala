@@ -452,6 +452,20 @@ object Queries {
     partBoxes(spark, dir).sample(withReplacement = false, 0.1, seed = 42L)
       .select(col("id"))
 
+  /** Multimodal plumbing (rows-only): binary content column -> inferred
+    * typed metadata -> mapPartitions feature extraction (stub codec; the
+    * engine-internal hash family is not SQL-expressible). */
+  def qMultimodal(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val bin = table(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+    val feat = Multimodal.withFeatures(
+      Multimodal.withMediaMeta(bin, "content", "image/png"), "content")
+    feat.select(col("doc_id"),
+      col("media_meta.width").as("w"), col("media_meta.height").as("h"),
+      size(col("features")).as("dim"))
+  }
+
   // ------------------------------------------------------------ event/time
 
   /** Streaming-shaped hourly windowed aggregation, run in batch mode (the
