@@ -51,7 +51,8 @@ object SpatialJoin {
       dedup: String = "refpoint",
       knnBroadcastThreshold: Int = 10000,
       earth: Boolean = false,
-      twoLevel: Boolean = false)
+      twoLevel: Boolean = false,
+      hotTileFactor: Int = 8)
 
   private val Tile = "__tile"
   private val X1 = "__xmin"; private val Y1 = "__ymin"
@@ -122,7 +123,25 @@ object SpatialJoin {
           out.map { m => val t = TileBoundary(nextId, m); nextId += 1; t }
         }
       }
-    new TileIndex(tiles, space)
+    // Spatially-unsplittable hotspots (many rows at one coordinate) cannot
+    // be tamed by more tiles: shard their probe side instead (salting).
+    val covered = new TileIndex(tiles, space)
+    val shards: Map[Int, Int] =
+      if (cfg.hotTileFactor <= 0) Map.empty
+      else {
+        val counts = scala.collection.mutable.Map.empty[Int, Int]
+        sample.foreach { m =>
+          val t = covered.refTile(m.centerX, m.centerY)
+          if (t >= 0) counts(t) = counts.getOrElse(t, 0) + 1
+        }
+        val hotAt = cfg.hotTileFactor.toLong * scaledBucket
+        counts.iterator.collect {
+          case (t, c) if c > hotAt =>
+            t -> math.min(TileIndex.MaxShards,
+              math.ceil(2.0 * c / hotAt).toInt)
+        }.toMap
+      }
+    if (shards.isEmpty) covered else new TileIndex(covered.tiles, space, shards)
   }
 
   /** J2: self spatial join. With replicate=false (the default, like the
@@ -204,13 +223,19 @@ object SpatialJoin {
     val index = planTiles(l, r, cfg)
     val bc = spark.sparkContext.broadcast(index)
 
-    val tileIds = udf { (x1: Double, y1: Double, x2: Double, y2: Double) =>
-      bc.value.tilesFor(x1, y1, x2, y2)
+    // composite (tile, shard) keys: probe rows land on one shard per tile,
+    // build rows replicate to every shard of a hot tile (salting)
+    val probeKeys = udf { (x1: Double, y1: Double, x2: Double, y2: Double, salt: Long) =>
+      bc.value.probeKeys(x1, y1, x2, y2, salt)
     }
-    def tag(df: DataFrame): DataFrame =
-      df.withColumn(Tile, explode(tileIds(col(X1), col(Y1), col(X2), col(Y2))))
-
-    val lt = tag(l); val rt = tag(r)
+    val buildKeys = udf { (x1: Double, y1: Double, x2: Double, y2: Double) =>
+      bc.value.buildKeys(x1, y1, x2, y2)
+    }
+    val lt = l.withColumn("__salt", xxhash64(monotonically_increasing_id()))
+      .withColumn(Tile,
+        explode(probeKeys(col(X1), col(Y1), col(X2), col(Y2), col("__salt"))))
+    val rt = r.withColumn(Tile,
+      explode(buildKeys(col(X1), col(Y1), col(X2), col(Y2))))
     val lOutCols = left0.columns
     val rOutCols = right0.columns
     val outSchema = StructType(
@@ -226,12 +251,13 @@ object SpatialJoin {
     val predicate = cfg.predicate
     val useRefPoint = !useGlobal && cfg.dedup != "none"
 
-    implicit val intEnc = Encoders.scalaInt
+    implicit val longEnc = Encoders.scalaLong
     implicit val rowEnc = Encoders.row(outSchema)
-    val lkv = lt.groupByKey(_.getInt(lTileIdx))
-    val rkv = rt.groupByKey(_.getInt(rTileIdx))
+    val lkv = lt.groupByKey(_.getLong(lTileIdx))
+    val rkv = rt.groupByKey(_.getLong(rTileIdx))
 
-    val joined = lkv.cogroup(rkv) { (tile: Int, ls: Iterator[Row], rs: Iterator[Row]) =>
+    val joined = lkv.cogroup(rkv) { (key: Long, ls: Iterator[Row], rs: Iterator[Row]) =>
+      val tile = (key / TileIndex.MaxShards).toInt
       // index set 2, probe set 1 — same sides as RESQUE (spjoin_2d.hpp:34-50)
       val tree = new STRtree()
       var rCount = 0

@@ -28,10 +28,33 @@ import graft.core.{Mbb, TileBoundary}
   * job (queryprocessor_2d.cpp:393-445). With overlapping tiles the owner is
   * the containing tile with the smallest tileId (deterministic everywhere).
   */
-final class TileIndex(rawTiles: Array[TileBoundary], val space: Mbb)
+final class TileIndex(rawTiles: Array[TileBoundary], val space: Mbb,
+                      val shardCounts: Map[Int, Int] = Map.empty)
     extends Serializable {
 
   val tiles: Array[TileBoundary] = TileIndex.covering(rawTiles, space)
+
+  /** Shards for a tile (>1 only for spatially-unsplittable hotspots). */
+  def shardsOf(tile: Int): Int = shardCounts.getOrElse(tile, 1)
+
+  /** Composite cogroup keys for the PROBE side: one (tile, shard) per
+    * intersecting tile, shard picked by the row's salt — hot tiles split
+    * their probe rows across shards. */
+  def probeKeys(xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+                salt: Long): Array[Long] =
+    tilesFor(xmin, ymin, xmax, ymax).map { t =>
+      val s = shardsOf(t)
+      t.toLong * TileIndex.MaxShards +
+        (if (s <= 1) 0L else java.lang.Long.remainderUnsigned(salt, s))
+    }
+
+  /** Composite keys for the BUILD side: replicated to every shard of each
+    * intersecting tile (the build side of a hot tile ships to all shards). */
+  def buildKeys(xmin: Double, ymin: Double, xmax: Double, ymax: Double): Array[Long] =
+    tilesFor(xmin, ymin, xmax, ymax).flatMap { t =>
+      val s = shardsOf(t)
+      (0 until s).map(sh => t.toLong * TileIndex.MaxShards + sh)
+    }
 
   @transient private lazy val byId: Map[Int, TileBoundary] =
     tiles.iterator.map(t => t.tileId -> t).toMap
@@ -123,6 +146,9 @@ object TileIndex {
 
   /** refTile lookup-grid resolution (GridSize² cells over the space). */
   val GridSize: Int = 128
+
+  /** Max probe-side shards per hot tile (composite-key stride). */
+  val MaxShards: Int = 64
 
   /** Pads `tiles` with complement rectangles so the union exactly covers
     * `space`. Strip sweep: the distinct clipped tile y-edges slice the space

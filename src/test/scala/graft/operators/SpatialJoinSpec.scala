@@ -108,6 +108,33 @@ class SpatialJoinSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("hotspot salting: sharded hot tiles keep results exact") {
+    // 1500 boxes stacked at ONE coordinate (spatially unsplittable) + 300
+    // uniform; small bucket so the hot tile trips the hotTileFactor
+    val hot = (0 until 1500).map(i =>
+      (i.toLong, "POLYGON((50 25,52 25,52 27,50 27,50 25))"))
+    val uniform = boxes(300, seed = 41, "u").map { case (i, w) => (i + 1500L, w) }
+    val all = hot ++ uniform
+    val a = df(all, "id1", "g1")
+    val b = df(all.map { case (i, w) => (i, w) }, "id2", "g2")
+    val cfg = SpatialJoin.Config(bucket = 50, hotTileFactor = 2)
+
+    // the planner must actually shard something
+    val l = df(all, "idx", "gx")
+    val env = l.withColumn("__env", graft.functions.st_envelope(col("gx")))
+      .select(col("__env.xmin").as("__xmin"), col("__env.ymin").as("__ymin"),
+        col("__env.xmax").as("__xmax"), col("__env.ymax").as("__ymax"))
+    val idx = SpatialJoin.planTiles(env, env.limit(0), cfg)
+    assert(idx.shardCounts.nonEmpty, "hot tile was not sharded")
+    assert(idx.shardCounts.values.forall(s => s > 1 && s <= 64))
+
+    val got = SpatialJoin.join(a, "g1", b, "g2", cfg)
+      .where($"id1" < $"id2").select("id1", "id2").as[(Long, Long)].collect()
+    val want = brute(all, all, _.intersects(_)).filter { case (i, j) => i < j }
+    assert(got.length == got.toSet.size, "salting produced duplicate pairs")
+    assert(got.toSet == want)
+  }
+
   test("knnJoin: tile-local, no duplicate neighbors, <=k per left row") {
     val a = df(la, "id1", "g1"); val b = df(lb, "id2", "g2")
     val k = 3
