@@ -41,6 +41,8 @@ object SparkEntry {
     "q_mindist" -> (Queries.qMindist _),
     "q1_pricing" -> (Queries.q1Pricing _),
     "q_multimodal" -> (Queries.qMultimodal _),
+    "q_word_freq" -> (Queries.qWordFreq _),
+    "q_store_containment" -> (Queries.qStoreContainment _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -76,5 +78,7 @@ object SparkEntry {
     "q_pair_measures" -> Queries.qPairMeasuresSql,
     "q_mindist" -> Queries.qMindistSql,
     "q1_pricing" -> Queries.q1PricingSql,
+    "q_word_freq" -> Queries.qWordFreqSql,
+    "q_store_containment" -> Queries.qStoreContainmentSql,
   )
 }

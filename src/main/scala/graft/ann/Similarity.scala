@@ -41,17 +41,32 @@ object Similarity {
     if ((h & 1L) == 0L) 1.0f else -1.0f
   }
 
-  /** LSH-bucketed approximate top-k: `tables` independent sign-random-
-    * projection hashes of `bits` bits; item/query pairs sharing any bucket
-    * are scored exactly and windowed to top-k. Output schema matches
-    * [[topKBrute]] (+ possibly fewer than k rows for low-recall queries). */
-  def topKLsh(items: DataFrame, itemId: String, itemVec: String,
-              queries: DataFrame, queryId: String, queryVec: String,
-              k: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
+  /** Embedding near-duplicate pair mining (the dedup-flavored variant):
+    * all pairs (idA < idB) with cosine >= `threshold`. Candidates come from
+    * LSH bucket collisions (tables x bits tune recall), then exact cosine
+    * verification — only colliding pairs are scored, never the full n². */
+  def nearDupPairs(items: DataFrame, itemId: String, itemVec: String,
+                   threshold: Double, bits: Int = 8, tables: Int = 8): DataFrame = {
+    val banded = bandedBuckets(items, itemId, itemVec, bits, tables, "t")
+    val a = banded.select(col(itemId).as("ida"), col(itemVec).as("__va"),
+      col("t_table"), col("t_bucket"))
+    val b = banded.select(col(itemId).as("idb"), col(itemVec).as("__vb"),
+      col("t_table").as("u_table"), col("t_bucket").as("u_bucket"))
+    a.join(b.hint("shuffle_hash"),
+        col("t_table") === col("u_table") && col("t_bucket") === col("u_bucket"))
+      .where(col("ida") < col("idb"))
+      .withColumn("cosine", cosine_similarity(col("__va"), col("__vb")))
+      .where(col("cosine") >= threshold)
+      .select("ida", "idb", "cosine")
+      .dropDuplicates("ida", "idb")
+  }
+
+  private def bandedBuckets(df: DataFrame, id: String, vec: String,
+                            bits: Int, tables: Int, pfx: String): DataFrame = {
     require(bits <= 30, "bits must fit an Int bucket")
     val t = tables; val b = bits
-    val bucketize = udf { (vec: Seq[Float]) =>
-      if (vec == null) null
+    val bucketize = udf { (v: Seq[Float]) =>
+      if (v == null) null
       else {
         val out = new Array[Int](t)
         var ti = 0
@@ -61,7 +76,7 @@ object Similarity {
           while (bi < b) {
             var dot = 0.0
             var d = 0
-            while (d < vec.length) { dot += vec(d) * planeSign(ti, bi, d); d += 1 }
+            while (d < v.length) { dot += v(d) * planeSign(ti, bi, d); d += 1 }
             if (dot > 0) bucket |= (1 << bi)
             bi += 1
           }
@@ -71,12 +86,19 @@ object Similarity {
         out
       }
     }
-    def banded(df: DataFrame, id: String, vec: String, pfx: String): DataFrame =
-      df.select(col(id), col(vec),
-          posexplode(bucketize(col(vec))).as(Seq(s"${pfx}_table", s"${pfx}_bucket")))
+    df.select(col(id), col(vec),
+      posexplode(bucketize(col(vec))).as(Seq(s"${pfx}_table", s"${pfx}_bucket")))
+  }
 
-    val bi = banded(items, itemId, itemVec, "i")
-    val bq = banded(queries, queryId, queryVec, "q")
+  /** LSH-bucketed approximate top-k: `tables` independent sign-random-
+    * projection hashes of `bits` bits; item/query pairs sharing any bucket
+    * are scored exactly and windowed to top-k. Output schema matches
+    * [[topKBrute]] (+ possibly fewer than k rows for low-recall queries). */
+  def topKLsh(items: DataFrame, itemId: String, itemVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
+    val bi = bandedBuckets(items, itemId, itemVec, bits, tables, "i")
+    val bq = bandedBuckets(queries, queryId, queryVec, bits, tables, "q")
     val cand = bq.join(bi,
         col("q_table") === col("i_table") && col("q_bucket") === col("i_bucket"))
       .where(col(queryId) =!= col(itemId))

@@ -452,6 +452,43 @@ object Queries {
     partBoxes(spark, dir).sample(withReplacement = false, 0.1, seed = 42L)
       .select(col("id"))
 
+  /** Vocabulary building: top-50 words by frequency, deterministic
+    * (count desc, word asc) tie-break. */
+  def qWordFreq(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(50)
+
+  val qWordFreqSql: String =
+    """SELECT word, n FROM (
+      | SELECT word, count(*) AS n FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      | GROUP BY word)
+      |ORDER BY n DESC, word ASC LIMIT 50""".stripMargin
+
+  /** Full spatial-store lifecycle through the gate: write the boxes tile-
+    * partitioned (with boundary replication), then a containment read that
+    * prunes tiles, refines exactly, and collapses replicas. Oracle = the
+    * plain window filter. */
+  def qStoreContainment(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SpatialStore
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_store_gate_" +
+      new java.io.File(dir).getName
+    SpatialStore.write(partBoxes(spark, dir), "geom", path,
+      SpatialJoin.Config(partitioner = "fg", bucket = 300))
+    val window = graft.core.GeometryCodec.toWkb(
+      graft.core.GeometryCodec.box(50, 40, 170, 180))
+    SpatialStore.containmentRead(spark, path, window)
+      .select(col("id"), st_area(col("geom")).as("area"))
+  }
+
+  val qStoreContainmentSql: String =
+    s"""WITH b AS ($partBoxesSql)
+       |SELECT id, w * w AS area FROM b
+       |WHERE x0 <= 170 AND x0 + w >= 50 AND y0 <= 180 AND y0 + w >= 40""".stripMargin
+
   /** Multimodal plumbing (rows-only): binary content column -> inferred
     * typed metadata -> mapPartitions feature extraction (stub codec; the
     * engine-internal hash family is not SQL-expressible). */

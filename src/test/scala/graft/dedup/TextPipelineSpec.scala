@@ -87,6 +87,35 @@ class TextPipelineSpec extends SparkTestBase {
     assert(recall >= 0.6, s"LSH ANN recall $recall (want >= 0.6 at 4 bits x 16 tables)")
   }
 
+  test("embedding near-dup pair mining: exact dups always found, no false positives") {
+    val rnd = new scala.util.Random(19)
+    def vec(): Array[Float] = Array.fill(32)(rnd.nextGaussian().toFloat)
+    val base = (0 until 50).map(i => (i.toLong, vec()))
+    val dups = (0 until 20).map(i => (100L + i, base(i)._2.clone()))
+    val near = (0 until 10).map { i =>
+      val v = base(i)._2.clone(); v(0) = v(0) + 0.01f
+      (200L + i, v)
+    }
+    val all = base ++ dups ++ near
+    val df = all.toDF("vid", "v")
+    val got = Similarity.nearDupPairs(df, "vid", "v", threshold = 0.99,
+        bits = 8, tables = 8)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = (for { (i, va) <- all; (j, vb) <- all if i < j && cos(va, vb) >= 0.99 }
+      yield (i, j)).toSet
+    assert(got.subsetOf(want), "false positives survived exact verification")
+    val exactDupPairs = want.filter { case (i, j) => j == i + 100 }
+    assert(exactDupPairs.subsetOf(got), "identical vectors must always collide")
+    val recall = want.count(got.contains).toDouble / want.size
+    assert(recall >= 0.9, s"near-dup recall $recall over ${want.size} true pairs")
+  }
+
   test("cosine_similarity: exact on unit axes, null on mismatched dims") {
     import graft.functions.cosine_similarity
     val df = Seq(
