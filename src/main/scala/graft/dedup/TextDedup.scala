@@ -45,13 +45,15 @@ object TextDedup {
     val sh0 = fanOut(df).select(col(idCol),
       explode(transform(TextFunctions.wordShingles(col(textCol), n),
         s => xxhash64(s))).as("shash"))
-    val sh = maxShingleDocFreq match {
+    val sh = (maxShingleDocFreq match {
       case Some(cap) =>
         val hot = sh0.groupBy("shash").count().where(col("count") > cap)
           .select("shash")
         sh0.join(hot, Seq("shash"), "left_anti")
       case None => sh0
-    }
+      // consumed 3x (per-doc counts + both pair-join sides): persist the
+      // 16-byte rows once instead of re-shingling the corpus three times
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("nsh"))
     val a = sh.select(col(idCol).as("ida"), col("shash"))
     val b = sh.select(col(idCol).as("idb"), col("shash"))
