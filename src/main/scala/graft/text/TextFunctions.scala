@@ -29,6 +29,19 @@ object TextFunctions {
   def bpeTokenEstimate(text: Column): Column =
     ceil(length(text) / lit(4.0)).cast("long")
 
+  /** GPT-2-style pre-tokenizer pattern: contractions, letter runs, digit
+    * runs, punctuation runs (each optionally space-prefixed), whitespace. */
+  val BpePretokenPattern: String =
+    "('s|'t|'re|'ve|'m|'ll|'d| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+)"
+
+  /** BPE-ish pre-tokenization (regex, codegen'd): the token array a byte-
+    * pair encoder would merge within. Not oracle-gated (regex dialects
+    * differ across engines); ScalaTest-checked. */
+  def bpePretokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePretokenPattern), lit(1))
+
+  def bpePretokenCount(text: Column): Column = size(bpePretokens(text))
+
   def stopwordCount(text: Column): Column =
     size(filter(tokens(text), w => w.isInCollection(Stopwords)))
 

@@ -3,7 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
-import graft.ann.Similarity
+import graft.ann.{IvfIndex => IvfIndexTestAccess, Similarity}
 import graft.text.TextFunctions
 
 class TextPipelineSpec extends SparkTestBase {
@@ -114,6 +114,27 @@ class TextPipelineSpec extends SparkTestBase {
     assert(exactDupPairs.subsetOf(got), "identical vectors must always collide")
     val recall = want.count(got.contains).toDouble / want.size
     assert(recall >= 0.9, s"near-dup recall $recall over ${want.size} true pairs")
+  }
+
+  test("bpe pre-tokenizer: splits letter/digit/punct runs with space prefixes") {
+    val r = Seq("hello world42, don't stop").toDF("text")
+      .select(TextFunctions.bpePretokens(col("text"))).head().getSeq[String](0)
+    assert(r == Seq("hello", " world", "42", ",", " don", "'t", " stop"))
+  }
+
+  test("IVF top-k: trains centroids, probes few lists, high recall") {
+    val items = emb.select(col("vec_id").as("nid"), col("embedding").as("ivec"))
+    val queries = emb.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val model = IvfIndexTestAccess.train(items, "ivec", nlist = 8)
+    assert(model.centroids.length == 8)
+    val ivf = IvfIndexTestAccess.topK(items, "nid", "ivec",
+        queries, "qid", "qvec", k = 5, model, nprobe = 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val brute = Similarity.topKBrute(items, "nid", "ivec", queries, "qid", "qvec", 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall at nprobe=4/8 lists")
   }
 
   test("cosine_similarity: exact on unit axes, null on mismatched dims") {
