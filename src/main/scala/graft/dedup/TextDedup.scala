@@ -63,13 +63,16 @@ object TextDedup {
     val shared = a.join(b.hint("shuffle_hash"), "shash")
       .where(col("ida") < col("idb"))
       .groupBy("ida", "idb").agg(count(lit(1)).as("shared"))
-    shared
+    val out = shared
       .join(cnt.select(col(idCol).as("ida"), col("nsh").as("na")), "ida")
       .join(cnt.select(col(idCol).as("idb"), col("nsh").as("nb")), "idb")
       .withColumn("jaccard",
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("ida"), col("idb"), col("jaccard"))
+    // the shingle cache pays for its three consumers within one action,
+    // then frees — no block accumulation across a long-lived session
+    graft.core.CacheHygiene.unpersistAfterUse(out, Seq(sh))
   }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
@@ -114,7 +117,7 @@ object TextDedup {
       col("band"), col("key"))
     // estimate BEFORE the pair dedup so the dedup shuffle carries 3 scalars
     // per row instead of two 64-long signatures
-    a.join(b.hint("shuffle_hash"), Seq("band", "key"))
+    val out = a.join(b.hint("shuffle_hash"), Seq("band", "key"))
       .where(col("ida") < col("idb"))
       .withColumn("est_jaccard",
         size(filter(zip_with(col("ma"), col("mb"), (x, y) => x === y), b => b))
@@ -122,6 +125,7 @@ object TextDedup {
       .where(col("est_jaccard") >= estThreshold)
       .select(col("ida"), col("idb"), col("est_jaccard"))
       .dropDuplicates("ida", "idb")
+    graft.core.CacheHygiene.unpersistAfterUse(out, Seq(sig))
   }
 
   /** SimHash near-duplicate pairs: 16-bit band blocking over the 64-bit

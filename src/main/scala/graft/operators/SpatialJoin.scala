@@ -40,7 +40,14 @@ object SpatialJoin {
     * @param bucket     target objects per tile; <=0 = auto
     * @param sampleTarget max MBBs collected to the driver for partitioning
     * @param dedup      refpoint|global|none (refpoint is exact for every
-    *                   partitioner because the tile index covers the space) */
+    *                   partitioner because the tile index covers the space)
+    * @param earth      dwithin only: spherical meters via the reference's
+    *                   haversine constants. Requires Point geometries on
+    *                   BOTH sides — non-points throw rather than silently
+    *                   comparing planar degree-unit distances against the
+    *                   meter threshold (the reference's behavior,
+    *                   spjoin_2d.hpp:185-205). `distance` still expands the
+    *                   replication envelope in coordinate units. */
   final case class Config(
       predicate: String = "intersects",
       distance: Double = 0.0,
@@ -185,15 +192,22 @@ object SpatialJoin {
     case "disjoint"   => g1.disjoint(g2) // tile-local, J8 caveat
     case "adjacent"   => !g1.disjoint(g2)
     case "dwithin"    =>
-      // --earth: spherical distance for point/point pairs, with the
-      // reference's constants (spjoin_2d.hpp:167-205, geographical.h:3-23).
+      // --earth: spherical distance in meters, with the reference's
+      // constants (spjoin_2d.hpp:167-205, geographical.h:3-23). The
+      // reference silently falls back to PLANAR degree-unit distance for
+      // non-point geometries, mixing units row-by-row within one join — we
+      // reject non-points instead of reproducing that trap.
       // PARITY TRAP (documented): the replication envelope still expands by
       // `distance` in coordinate units, exactly as the reference does.
-      if (earth && g1.getNumPoints == 1 && g2.getNumPoints == 1)
+      if (earth) {
+        require(g1.getGeometryType == "Point" && g2.getGeometryType == "Point",
+          s"earth=true dwithin requires Point geometries; got " +
+            s"${g1.getGeometryType}/${g2.getGeometryType} — planar fallback " +
+            "would compare degree-unit distances against a meter threshold")
         graft.core.Geo.haversineMeters(
           g1.getCoordinate.x, g1.getCoordinate.y,
           g2.getCoordinate.x, g2.getCoordinate.y) <= distance
-      else g1.isWithinDistance(g2, distance)
+      } else g1.isWithinDistance(g2, distance)
     case other => throw new IllegalArgumentException(s"predicate $other")
   }
 
@@ -231,7 +245,13 @@ object SpatialJoin {
     val buildKeys = udf { (x1: Double, y1: Double, x2: Double, y2: Double) =>
       bc.value.buildKeys(x1, y1, x2, y2)
     }
-    val lt = l.withColumn("__salt", xxhash64(monotonically_increasing_id()))
+    // hot-tile shard salt must be DETERMINISTIC under stage re-execution
+    // (monotonically_increasing_id depends on partition layout/row order, so
+    // a partial map-stage retry could re-salt rows onto shards reducers
+    // already fetched — the SPARK-23207 lost/duplicated-rows class). Hash
+    // the row content instead: recomputation reproduces identical keys.
+    val lt = l.withColumn("__salt",
+        xxhash64(col(X1), col(Y1), col(X2), col(Y2), col(leftGeom)))
       .withColumn(Tile,
         explode(probeKeys(col(X1), col(Y1), col(X2), col(Y2), col("__salt"))))
     val rt = r.withColumn(Tile,
@@ -497,6 +517,11 @@ object SpatialJoin {
           }
         }
       }.toDF()
+      // consumed twice (safe rows + unsafeRadii): without a persist the
+      // whole owner-tile cogroup — STRtree build + per-row sorts — would
+      // recompute per consumer. Released after the first consuming action
+      // (CacheHygiene) so long-lived sessions don't accumulate blocks.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val safe = p1.where(col("knn_rank") > 0)
     val unsafeRadii = p1.where(col("knn_rank") === -1)
@@ -568,12 +593,15 @@ object SpatialJoin {
         }
       }.toDF()
 
-    val order = col("knn_dist").asc +: tieBreak.map(col(_).asc)
+    // nulls LAST to agree with knnBroadcast's cmpAny — Spark's plain .asc is
+    // nulls-first, which would rank null-tieBreak ties differently depending
+    // on which physical path (broadcast vs tiled) the join took
+    val order = col("knn_dist").asc +: tieBreak.map(col(_).asc_nulls_last)
     val pass2 = cands
       .withColumn("knn_rank",
         row_number().over(Window.partitionBy(col(leftId)).orderBy(order: _*)))
       .where(col("knn_rank") <= k)
-    safe.unionByName(pass2)
+    graft.core.CacheHygiene.unpersistAfterUse(safe.unionByName(pass2), Seq(p1))
   }
 
   /** Broadcast exact kNN: the whole (small) right side ships to every task;

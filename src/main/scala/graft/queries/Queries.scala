@@ -266,7 +266,10 @@ object Queries {
        |SELECT id, sqrt((px-150)*(px-150) + (py-150)*(py-150)) AS dist FROM c""".stripMargin
 
   /** Full TPC-H Q1 pricing summary with order-independent exact arithmetic
-    * (money in cents/basis points as int64; averages are single divisions). */
+    * (money in cents/basis points as int64; averages are single divisions).
+    * Oracle note: DuckDB sum(BIGINT) returns HUGEINT, which pandas-based
+    * comparers render as float64 ("...0.0") — every integer sum in the
+    * oracle SQL is CAST back to BIGINT so both engines emit int64. */
   def q1Pricing(spark: SparkSession, dir: String): DataFrame = {
     val li = table(spark, dir, "lineitem")
       .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
@@ -291,9 +294,9 @@ object Queries {
       |  CAST(round(l_tax*100) AS BIGINT) AS tbp FROM lineitem)
       |SELECT l_returnflag, l_linestatus,
       | sum(l_quantity) AS sum_qty,
-      | sum(cents) AS sum_base_cents,
-      | sum(cents * (100 - dbp)) AS sum_disc_cbp,
-      | sum(cents * (100 - dbp) * (100 + tbp)) AS sum_charge_cbp2,
+      | CAST(sum(cents) AS BIGINT) AS sum_base_cents,
+      | CAST(sum(cents * (100 - dbp)) AS BIGINT) AS sum_disc_cbp,
+      | CAST(sum(cents * (100 - dbp) * (100 + tbp)) AS BIGINT) AS sum_charge_cbp2,
       | count(*) AS n,
       | sum(l_quantity) / count(*) AS avg_qty,
       | CAST(sum(cents) AS DOUBLE) / count(*) AS avg_cents
@@ -379,8 +382,8 @@ object Queries {
 
   val q3JoinSql: String =
     """SELECT o_orderkey, epoch_us(o_orderdate) AS odate,
-      | sum(CAST(round(l_extendedprice*100) AS BIGINT)
-      |     * (100 - CAST(round(l_discount*100) AS BIGINT))) AS revenue_cbp,
+      | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |     * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_cbp,
       | count(*) AS n_items
       |FROM customer JOIN orders ON c_custkey = o_custkey
       | JOIN lineitem ON l_orderkey = o_orderkey
@@ -397,7 +400,7 @@ object Queries {
 
   val qJsonExtractSql: String =
     """SELECT event_type, count(*) AS n,
-      | sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS sum_k,
+      | CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       | min(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS min_k,
       | max(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY 1""".stripMargin

@@ -25,6 +25,13 @@ import graft.partition.SpatialPartitioner
   * `SELECT ... FROM a JOIN b ON st_intersects(a.g, b.g)` scale the same as
   * the programmatic `SpatialJoin.join` API (SURVEY §4 phase-2 rewrite).
   *
+  * st_disjoint is deliberately NOT matched: the tiled exec only tests
+  * envelope-overlapping candidates within shared tiles (the reference's
+  * tile-local J8 semantics), which would silently change the result of a
+  * previously-correct all-pairs SQL join. Catalyst keeps planning disjoint
+  * joins (BroadcastNestedLoopJoin); the tile-local variant stays available
+  * behind the explicitly-documented programmatic API only.
+  *
   * Tuning via runtime conf: `graft.join.partitioner` (fg|bsp|qt|str|hc|
   * slc|bos), `graft.join.bucket`, `graft.join.sampleTarget`.
   */
@@ -45,7 +52,7 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
     case Join(l, r, Inner, Some(cond), _) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val hit = conjuncts.iterator.map {
-        case e @ StPredicate(a, b, p) => (e, a, b, p, 0.0)
+        case e @ StPredicate(a, b, p) if p != "disjoint" => (e, a, b, p, 0.0)
         case e @ StDWithin(a, b, Literal(d: Double, _)) => (e, a, b, "dwithin", d)
         case e => (e, null, null, "", 0.0)
       }.collectFirst {
@@ -147,7 +154,7 @@ case class SpatialJoinExec(
     val outAttrs = output
     val earth = false
 
-    tag(lrdd).cogroup(tag(rrdd), new HashPartitioner(shufflePartitions))
+    val result = tag(lrdd).cogroup(tag(rrdd), new HashPartitioner(shufflePartitions))
       .mapPartitions { tilesIter =>
         val lProj = UnsafeProjection.create(Seq(lGeomExpr), lAttrs)
         val rProj = UnsafeProjection.create(Seq(rGeomExpr), rAttrs)
@@ -195,5 +202,11 @@ case class SpatialJoinExec(
           }
         }
       }
+    // free the envelope caches once the job that ran this join finishes —
+    // a long-lived SQL session must not accumulate blocks across queries
+    graft.core.CacheHygiene.releaseAfterFirstJob(sparkContext, result) {
+      lrdd.unpersist(blocking = false)
+      rrdd.unpersist(blocking = false)
+    }
   }
 }

@@ -68,6 +68,21 @@ class ExtendedOpsSpec extends SparkTestBase {
     assert(run(dMeters - 1) == 0)
   }
 
+  test("earth-mode dwithin rejects non-point geometries") {
+    // planar fallback would compare degree-unit distance against a meter
+    // threshold row-by-row — fail loudly instead
+    val a = Seq((1L, "POLYGON((0 0,1 0,1 1,0 1,0 0))")).toDF("ida", "wa")
+      .withColumn("ga", st_geomfromwkt(col("wa"))).drop("wa")
+    val b = Seq((2L, "POINT (0 1)")).toDF("idb", "wb")
+      .withColumn("gb", st_geomfromwkt(col("wb"))).drop("wb")
+    val ex = intercept[Exception] {
+      SpatialJoin.join(a, "ga", b, "gb",
+        SpatialJoin.Config(predicate = "dwithin", distance = 1e6, earth = true,
+          bucket = 10)).count()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("temporal interval predicates") {
     def iv(ps: (Long, Long)*) = ps.map { case (s, e) => (s, e) }
     val df = Seq((1L, Seq((0L, 10L), (20L, 30L)), Seq((12L, 15L))),

@@ -78,6 +78,22 @@ class SpatialJoinStrategySpec extends SparkTestBase {
     assert(got2 == want2)
   }
 
+  test("st_disjoint joins are left to the default planner (all-pairs semantics)") {
+    // the tiled exec only sees envelope-overlapping candidates in shared
+    // tiles — planning disjoint there would silently drop almost every
+    // truly-disjoint pair, so the strategy must not match it
+    val q = spark.sql(
+      "SELECT a.ida, b.idb FROM ta a JOIN tb b ON st_disjoint(a.ga, b.gb)")
+    assert(q.queryExecution.executedPlan.collect { case e: SpatialJoinExec => e }.isEmpty,
+      "st_disjoint must not plan as the tile-local SpatialJoinExec")
+    val la = boxes(250, 5); val lb = boxes(300, 6)
+    val want = (for {
+      (i, wa) <- la; (j, wb) <- lb
+      if GeometryCodec.fromWkt(wa).disjoint(GeometryCodec.fromWkt(wb))
+    } yield (i, j)).size
+    assert(q.count() == want)
+  }
+
   test("non-spatial joins are left to the default planner") {
     val q = spark.sql("SELECT a.ida FROM ta a JOIN ta b ON a.ida = b.ida")
     assert(q.queryExecution.executedPlan.collect { case e: SpatialJoinExec => e }.isEmpty)

@@ -58,7 +58,14 @@ def main(out_dir, sf_dir):
         try:
             cur = con.execute(sql)
             d_names = [d[0] for d in cur.description]
-            d_rows = cur.fetchall()
+            # go through pandas like the driver does: this surfaces type
+            # divergences fetchall() hides — e.g. DuckDB sum(BIGINT) returns
+            # HUGEINT, which pandas renders as float64 ("123.0" != "123")
+            ddf = cur.df()
+            d_rows = [
+                tuple(v.item() if hasattr(v, "item") else v for v in row)
+                for row in ddf.itertuples(index=False, name=None)
+            ]
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}")
             failures += 1
