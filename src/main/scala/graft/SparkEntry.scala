@@ -43,6 +43,8 @@ object SparkEntry {
     "q_multimodal" -> (Queries.qMultimodal _),
     "q_word_freq" -> (Queries.qWordFreq _),
     "q_store_containment" -> (Queries.qStoreContainment _),
+    "q_neardup_cosine" -> (Queries.qNearDupCosine _),
+    "q_bpe" -> (Queries.qBpe _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -73,12 +75,15 @@ object SparkEntry {
     "q3_join" -> Queries.q3JoinSql,
     "q_json_extract" -> Queries.qJsonExtractSql,
     "q_temporal" -> Queries.qTemporalSql,
-    // q_partition_stats / q_sample: engine-internal tiling / seeded RNG,
-    // not cross-engine expressible -> rows-only checks.
+    "q_partition_stats" -> Queries.qPartitionStatsSql,
+    "q_sample" -> Queries.qSampleSql,
+    "q_multimodal" -> Queries.qMultimodalSql,
     "q_pair_measures" -> Queries.qPairMeasuresSql,
     "q_mindist" -> Queries.qMindistSql,
     "q1_pricing" -> Queries.q1PricingSql,
     "q_word_freq" -> Queries.qWordFreqSql,
     "q_store_containment" -> Queries.qStoreContainmentSql,
+    "q_neardup_cosine" -> Queries.qNearDupCosineSql,
+    "q_bpe" -> Queries.qBpeSql,
   )
 }

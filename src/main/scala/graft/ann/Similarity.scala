@@ -41,6 +41,21 @@ object Similarity {
     if ((h & 1L) == 0L) 1.0f else -1.0f
   }
 
+  /** Exact thresholded near-duplicate pairs: every (idA < idB) with cosine
+    * >= `threshold`, scored over the full n²/2 — the brute-force baseline
+    * the LSH variant below is measured against. Only viable when `items`
+    * is small (a sample or a pre-filtered shard); at corpus scale use
+    * [[nearDupPairs]]. */
+  def nearDupPairsBrute(items: DataFrame, itemId: String, itemVec: String,
+                        threshold: Double): DataFrame = {
+    val a = items.select(col(itemId).as("ida"), col(itemVec).as("__va"))
+    val b = items.select(col(itemId).as("idb"), col(itemVec).as("__vb"))
+    a.join(broadcast(b), col("ida") < col("idb"))
+      .withColumn("cosine", cosine_similarity(col("__va"), col("__vb")))
+      .where(col("cosine") >= threshold)
+      .select("ida", "idb", "cosine")
+  }
+
   /** Embedding near-duplicate pair mining (the dedup-flavored variant):
     * all pairs (idA < idB) with cosine >= `threshold`. Candidates come from
     * LSH bucket collisions (tables x bits tune recall), then exact cosine

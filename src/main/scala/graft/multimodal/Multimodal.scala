@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -34,20 +34,27 @@ object Multimodal {
   val FeatureDim = 16
 
   /** Attach a metadata struct inferred from the (stub) container header:
-    * deterministic dimensions derived from the content hash. Pure column
-    * expressions — stays inside whole-stage codegen. */
+    * deterministic content-derived dimensions. The entropy source is md5 —
+    * identical hex in every engine — folded into small ints with plain
+    * arithmetic, so a SQL oracle can re-derive the exact values end-to-end
+    * (a real decoder would read them from the container instead). Pure
+    * column expressions — stays inside whole-stage codegen. */
   def withMediaMeta(df: DataFrame, binCol: String, mediaType: String): DataFrame = {
-    val h = xxhash64(col(binCol))
+    val m = md5(col(binCol))
+    // 4 hex chars -> int via base-31 fold of their ascii codes
+    def chunk(off: Int): Column = (0 until 4).map { i =>
+      ascii(substring(m, off + i, 1)).cast(LongType) * lit(math.pow(31, 3 - i).toLong)
+    }.reduce(_ + _)
     val nullInt = lit(null).cast(IntegerType)
     val meta = struct(
       lit(mediaType).as("media_type"),
-      (lit(64) + pmod(h, lit(1024L))).cast(IntegerType).as("width"),
-      (lit(64) + pmod(shiftrightunsigned(h, 10), lit(1024L))).cast(IntegerType).as("height"),
+      (lit(64) + pmod(chunk(1), lit(1024L))).cast(IntegerType).as("width"),
+      (lit(64) + pmod(chunk(5), lit(1024L))).cast(IntegerType).as("height"),
       (if (mediaType.startsWith("audio"))
-         (lit(8000) + pmod(shiftrightunsigned(h, 20), lit(40000L))).cast(IntegerType)
+         (lit(8000) + pmod(chunk(9), lit(40000L))).cast(IntegerType)
        else nullInt).as("sample_rate"),
       (if (mediaType.startsWith("video"))
-         (lit(1) + pmod(shiftrightunsigned(h, 30), lit(300L))).cast(IntegerType)
+         (lit(1) + pmod(chunk(13), lit(300L))).cast(IntegerType)
        else nullInt).as("n_frames"))
     df.withColumn("media_meta",
       when(col(binCol).isNull, lit(null).cast(MediaMetaType)).otherwise(meta))

@@ -442,18 +442,56 @@ object Queries {
       |  CASE WHEN s2 <= eb AND sb <= e2 THEN 0 WHEN s2 > eb THEN s2 - eb ELSE sb - e2 END) AS md
       |FROM t""".stripMargin
 
-  /** A2+A4 (rows-only): per-tile counts summary from the partition planner
-    * (reference DEBUGSTAT post_process_stat; invariants ScalaTest-gated). */
+  /** A2/A3 (oracled): per-tile replicated object counts from the partition
+    * planner with the fg grid — the whole tiling pipeline (envelope stats →
+    * fg split arithmetic → covering index → 1→N tile replication) checked
+    * value-for-value against a SQL re-derivation of the grid. The A4
+    * summary (mean/stddev, FP-accumulated) stays ScalaTest-gated. */
   def qPartitionStats(spark: SparkSession, dir: String): DataFrame = {
     import graft.api._
-    partBoxes(spark, dir).describeSpatialPartitioning("geom", "fg", 500)._2
+    partBoxes(spark, dir).describeSpatialPartitioning("geom", "fg", 500)._1
   }
 
-  /** M1 (rows-only): seeded Bernoulli sample (deterministic within Spark;
-    * no cross-engine oracle by design). */
+  /** SQL re-derivation of FixedGridPartitioner + closed-envelope tile
+    * replication (tilesFor): same IEEE op order as the Scala code, so grid
+    * edges are bit-identical and the per-tile counts integer-exact. */
+  val qPartitionStatsSql: String =
+    s"""WITH b AS ($partBoxesSql),
+       |env AS (SELECT min(x0) ex0, min(y0) ey0, max(x0+w) ex1, max(y0+w) ey1,
+       |               count(*) n FROM b),
+       |g AS (SELECT ex0, ey0, ex1, ey1,
+       |        greatest(ex1 - ex0, 1e-12) AS gw, greatest(ey1 - ey0, 1e-12) AS gh,
+       |        greatest(1, CAST(ceil(CAST(n AS DOUBLE) / 500) AS BIGINT)) AS tiles
+       |      FROM env),
+       |s AS (SELECT *, greatest(1, CAST(floor(sqrt(tiles * gw / gh) + 0.5) AS BIGINT)) AS sx
+       |      FROM g),
+       |s2 AS (SELECT *, greatest(1, CAST(ceil(CAST(tiles AS DOUBLE) / sx) AS BIGINT)) AS sy
+       |       FROM s),
+       |cells AS (SELECT CAST(j * sx + i AS INT) AS tile_id,
+       |            ex0 + gw * i / sx AS tx0,
+       |            ey0 + gh * j / sy AS ty0,
+       |            CASE WHEN i = sx - 1 THEN ex1 ELSE ex0 + gw * (i + 1) / sx END AS tx1,
+       |            CASE WHEN j = sy - 1 THEN ey1 ELSE ey0 + gh * (j + 1) / sy END AS ty1
+       |          FROM s2, generate_series(0, 255) t1(i), generate_series(0, 255) t2(j)
+       |          WHERE i < sx AND j < sy)
+       |SELECT c.tile_id, count(*) AS n_objects
+       |FROM cells c JOIN b ON b.x0 <= c.tx1 AND b.x0 + b.w >= c.tx0
+       |                   AND b.y0 <= c.ty1 AND b.y0 + b.w >= c.ty0
+       |GROUP BY 1""".stripMargin
+
+  /** M1 (oracled): deterministic key-hash sample — the Spark-first
+    * replacement for the reference's coin-flip sampler (sampler.cpp:14-38).
+    * Content/key-derived selection is reproducible under task retries
+    * (unlike per-row RNG) and cross-engine checkable; the seeded Bernoulli
+    * primitive (`df.sample`) remains in the partition planner. */
   def qSample(spark: SparkSession, dir: String): DataFrame =
-    partBoxes(spark, dir).sample(withReplacement = false, 0.1, seed = 42L)
+    partBoxes(spark, dir)
+      .where(pmod(col("id") * lit(2654435761L), lit(4294967296L)) < lit(429496729L))
       .select(col("id"))
+
+  val qSampleSql: String =
+    s"""WITH b AS ($partBoxesSql)
+       |SELECT id FROM b WHERE (id * 2654435761) % 4294967296 < 429496729""".stripMargin
 
   /** Vocabulary building: top-50 words by frequency, deterministic
     * (count desc, word asc) tie-break. */
@@ -492,9 +530,11 @@ object Queries {
        |SELECT id, w * w AS area FROM b
        |WHERE x0 <= 170 AND x0 + w >= 50 AND y0 <= 180 AND y0 + w >= 40""".stripMargin
 
-  /** Multimodal plumbing (rows-only): binary content column -> inferred
-    * typed metadata -> mapPartitions feature extraction (stub codec; the
-    * engine-internal hash family is not SQL-expressible). */
+  /** Multimodal plumbing (oracled): binary content column -> inferred typed
+    * metadata -> mapPartitions feature extraction (stub codec). The stub
+    * derives dims from md5 (identical hex in both engines), so the whole
+    * binary-column pipeline — cast, metadata struct, batch decode, feature
+    * arity — is value-checked end-to-end. */
   def qMultimodal(spark: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.Multimodal
     val bin = table(spark, dir, "documents")
@@ -504,6 +544,61 @@ object Queries {
     feat.select(col("doc_id"),
       col("media_meta.width").as("w"), col("media_meta.height").as("h"),
       size(col("features")).as("dim"))
+  }
+
+  val qMultimodalSql: String = {
+    def chunk(off: Int): String = (0 until 4)
+      .map(i => s"ascii(substr(m, ${off + i}, 1)) * ${math.pow(31, 3 - i).toLong}")
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, md5(text) AS m FROM documents)
+       |SELECT doc_id,
+       | CAST(64 + (${chunk(1)}) % 1024 AS INT) AS w,
+       | CAST(64 + (${chunk(5)}) % 1024 AS INT) AS h,
+       | 16 AS dim
+       |FROM d""".stripMargin
+  }
+
+  /** Embedding-cosine near-duplicate pairs (oracled): exact brute-force
+    * threshold mining over a key-hash subsample — the baseline the LSH
+    * variant (Similarity.nearDupPairs, ScalaTest recall-gated) approximates.
+    * IDs-only output: pair membership has a ~3e-4 cosine margin to the
+    * threshold on this data, far above any accumulation-order noise. */
+  def qNearDupCosine(spark: SparkSession, dir: String): DataFrame = {
+    val sub = table(spark, dir, "embeddings").where(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"))
+    graft.ann.Similarity.nearDupPairsBrute(sub, "vec_id", "embedding", 0.2)
+      .select(col("ida"), col("idb"))
+  }
+
+  val qNearDupCosineSql: String =
+    """WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)
+      |SELECT a.vec_id AS ida, b.vec_id AS idb
+      |FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(generate_series(1, 64),
+      |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |   * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |  >= 0.2""".stripMargin
+
+  /** BPE pre-tokenization (oracled): the GPT-2-style regex splitter over
+    * documents; output = token count + md5 fingerprint of the joined token
+    * stream, so the oracle checks every token boundary without shipping
+    * token arrays through the comparer. */
+  def qBpe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions
+    val toks = TextFunctions.bpePretokens(col("text"))
+    table(spark, dir, "documents").select(
+      col("doc_id"),
+      size(toks).as("n_pretokens"),
+      md5(concat_ws("\u001f", toks).cast("binary")).as("tok_fp"))
+  }
+
+  val qBpeSql: String = {
+    val pat = graft.text.TextFunctions.BpePretokenPattern.replace("'", "''")
+    s"""SELECT doc_id,
+       | len(regexp_extract_all(text, '$pat', 1)) AS n_pretokens,
+       | md5(array_to_string(regexp_extract_all(text, '$pat', 1), chr(31))) AS tok_fp
+       |FROM documents""".stripMargin
   }
 
   // ------------------------------------------------------------ event/time

@@ -35,8 +35,8 @@ object TextFunctions {
     "('s|'t|'re|'ve|'m|'ll|'d| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+)"
 
   /** BPE-ish pre-tokenization (regex, codegen'd): the token array a byte-
-    * pair encoder would merge within. Not oracle-gated (regex dialects
-    * differ across engines); ScalaTest-checked. */
+    * pair encoder would merge within. Oracle-gated via token-stream md5
+    * (the pattern avoids constructs where Java and RE2 dialects diverge). */
   def bpePretokens(text: Column): Column =
     regexp_extract_all(text, lit(BpePretokenPattern), lit(1))
 
