@@ -71,6 +71,37 @@ object PerfProbe {
         println("[probe] ---- minhash ----")
         time("minhash")(Queries.qMinhashLsh(spark, dir).count())
         Thread.sleep(1000)
+      case "store" =>
+        time("warmup")(Queries.qStoreContainment(spark, "/root/testdata/sf0.001").count())
+        time("store1")(Queries.qStoreContainment(spark, dir).count())
+        time("store2")(Queries.qStoreContainment(spark, dir).count())
+      case "storeparts" =>
+        import graft.sources.SpatialStore
+        import graft.operators.SpatialJoin
+        time("warmup")(Queries.qStoreContainment(spark, "/root/testdata/sf0.001").count())
+        val path = "/tmp/graft_probe_store"
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val ms = si.completionTime.get - si.submissionTime.get
+            if (ms > 100)
+              println(f"[probe] stage ${si.stageId}%4d ${ms}%6d ms  tasks=${si.numTasks}%4d  ${si.name.take(80)}")
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        time("write") {
+          SpatialStore.write(Queries.partBoxes(spark, dir), "geom", path,
+            SpatialJoin.Config(partitioner = "fg", bucket = 300)); 0L
+        }
+        val window = graft.core.GeometryCodec.toWkb(
+          graft.core.GeometryCodec.box(50, 40, 170, 180))
+        time("read")(SpatialStore.containmentRead(spark, path, window).count())
+        time("read2")(SpatialStore.containmentRead(spark, path, window).count())
+      case "equals" =>
+        time("warmup")(Queries.qSpjoinEquals(spark, "/root/testdata/sf0.001").count())
+        time("equals1")(Queries.qSpjoinEquals(spark, dir).count())
+        time("equals2")(Queries.qSpjoinEquals(spark, dir).count())
       case "contains" =>
         time("warmup")(Queries.qSpjoinContains(spark, "/root/testdata/sf0.001").count())
         time("contains")(Queries.qSpjoinContains(spark, dir).count())

@@ -132,7 +132,9 @@ case class StPredicate(left: Expression, right: Expression, predicate: String)
         g2.getEnvelopeInternal.contains(g1.getEnvelopeInternal) && g1.within(g2)
       case "overlaps"   => g1.overlaps(g2)
       case "equals"     =>
-        g1.getEnvelopeInternal.equals(g2.getEnvelopeInternal) && g1.equalsTopo(g2)
+        // rectangles with equal envelopes ARE equal — skip the relate()
+        g1.getEnvelopeInternal.equals(g2.getEnvelopeInternal) &&
+          ((g1.isRectangle && g2.isRectangle) || g1.equalsTopo(g2))
       case "disjoint"   => g1.disjoint(g2)
       // st_adjacent == !disjoint in the reference (spjoin_2d.hpp:155-157)
       case "adjacent"   => !g1.disjoint(g2)

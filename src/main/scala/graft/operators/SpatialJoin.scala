@@ -188,7 +188,9 @@ object SpatialJoin {
       g2.getEnvelopeInternal.contains(g1.getEnvelopeInternal) && g1.within(g2)
     case "overlaps"   => g1.overlaps(g2)
     case "equals"     =>
-      g1.getEnvelopeInternal.equals(g2.getEnvelopeInternal) && g1.equalsTopo(g2)
+      // rectangles with equal envelopes ARE equal — skip the relate()
+      g1.getEnvelopeInternal.equals(g2.getEnvelopeInternal) &&
+        ((g1.isRectangle && g2.isRectangle) || g1.equalsTopo(g2))
     case "disjoint"   => g1.disjoint(g2) // tile-local, J8 caveat
     case "adjacent"   => !g1.disjoint(g2)
     case "dwithin"    =>
@@ -233,6 +235,21 @@ object SpatialJoin {
     val expand = if (cfg.predicate == "dwithin") cfg.distance else 0.0
     val l = withEnv(left0, leftGeom, expand) // probe-side MBB expansion, spjoin_2d.hpp:61-66
     val r = withEnv(right0, rightGeom, 0.0)
+
+    // st_equals implies envelope equality, so the complete candidate set is
+    // a plain hash EQUI-join on the four envelope coordinates — no tiling,
+    // no replication, no per-tile index; Catalyst shuffles (or broadcasts)
+    // by the envelope key and the exact equalsTopo test refines. Strictly
+    // better than the reference's tile plan at any scale, with identical
+    // results (envelope-equal pairs always share every tile).
+    if (cfg.predicate == "equals") {
+      val keys = Seq(X1, Y1, X2, Y2)
+      val out = l.join(r, keys)
+        .where(graft.functions.st_equals(col(leftGeom), col(rightGeom)))
+        .select((left0.columns ++ right0.columns).map(col).toIndexedSeq: _*)
+      return if (useGlobal) out.dropDuplicates(LId, RId).drop(LId, RId)
+             else out
+    }
 
     val index = planTiles(l, r, cfg)
     val bc = spark.sparkContext.broadcast(index)

@@ -37,7 +37,10 @@ object SpatialStore {
   /** Write `df` spatially partitioned by `geomCol` (WKB). Objects spanning
     * tile boundaries are replicated to every intersecting tile (reference
     * manipulate_2d -m, query_partition.hpp:34-38); `__row_id` identifies
-    * replicas for read-side dedup. */
+    * replicas for read-side dedup. Replica ids are assigned BEFORE the tile
+    * shuffle and are deterministic for a deterministic input (scan +
+    * projections); feed this a freshly-read relation, not the output of a
+    * nondeterministic shuffle. */
   def write(df: DataFrame, geomCol: String, path: String,
             cfg: SpatialJoin.Config = SpatialJoin.Config()): Unit = {
     val spark = df.sparkSession
@@ -51,10 +54,19 @@ object SpatialStore {
     val tileIds = udf { (x1: Double, y1: Double, x2: Double, y2: Double) =>
       bc.value.tilesFor(x1, y1, x2, y2)
     }
+    // Cluster by tile before writing: parallel writers, ONE file per tile
+    // (the reference's per-tile .dat layout) instead of #tasks x #tiles
+    // fragments — and a single-split source still writes with full
+    // parallelism. Retry-safe: ids and tile keys are deterministic
+    // functions of the (deterministic) scan, so a map retry reproduces
+    // identical shuffle blocks.
     withId
       .withColumn(TileCol, explode(tileIds(
         col("__env.xmin"), col("__env.ymin"), col("__env.xmax"), col("__env.ymax"))))
       .drop("__env")
+      // explicit partition count: a bare repartition(col) would be AQE-
+      // coalesced to one task on small inputs, serializing the write
+      .repartition(spark.sessionState.conf.numShufflePartitions, col(TileCol))
       .write.partitionBy(TileCol).mode("overwrite").parquet(path)
     writeMeta(spark, path, Meta(geomCol, index.space, index.tiles))
   }
