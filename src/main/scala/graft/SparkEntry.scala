@@ -45,6 +45,8 @@ object SparkEntry {
     "q_store_containment" -> (Queries.qStoreContainment _),
     "q_neardup_cosine" -> (Queries.qNearDupCosine _),
     "q_bpe" -> (Queries.qBpe _),
+    "q_spjoin_crosses" -> (Queries.qSpjoinCrosses _),
+    "q_knn_tile" -> (Queries.qKnnTile _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -85,5 +87,7 @@ object SparkEntry {
     "q_store_containment" -> Queries.qStoreContainmentSql,
     "q_neardup_cosine" -> Queries.qNearDupCosineSql,
     "q_bpe" -> Queries.qBpeSql,
+    "q_spjoin_crosses" -> Queries.qSpjoinCrossesSql,
+    "q_knn_tile" -> Queries.qKnnTileSql,
   )
 }

@@ -44,4 +44,8 @@ object GeometryCodec {
       new Coordinate(xmin, ymin), new Coordinate(xmax, ymin),
       new Coordinate(xmax, ymax), new Coordinate(xmin, ymax),
       new Coordinate(xmin, ymin)))
+
+  def segment(x1: Double, y1: Double, x2: Double, y2: Double): Geometry =
+    factory.createLineString(Array(
+      new Coordinate(x1, y1), new Coordinate(x2, y2)))
 }

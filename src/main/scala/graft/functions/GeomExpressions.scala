@@ -87,6 +87,26 @@ case class StMakeBox(children: Seq[Expression]) extends Expression
   override def prettyName: String = "st_makebox"
 }
 
+/** (x1,y1,x2,y2) -> two-point linestring segment. */
+case class StMakeLine(children: Seq[Expression]) extends Expression
+    with ImplicitCastInputTypes with CodegenFallback {
+  require(children.size == 4, "st_makeline(x1,y1,x2,y2)")
+  override def inputTypes: Seq[DataType] = Seq.fill(4)(DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else {
+      val d = vs.map(_.asInstanceOf[Double])
+      GeometryCodec.toWkb(GeometryCodec.segment(d(0), d(1), d(2), d(3)))
+    }
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(cs)
+  override def prettyName: String = "st_makeline"
+}
+
 /** geometry -> envelope struct (xmin,ymin,xmax,ymax) — the reference's MBB
   * extraction (manipulate_2d.cpp:117-135). */
 case class StEnvelope(child: Expression) extends UnaryExpression

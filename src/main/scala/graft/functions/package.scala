@@ -17,6 +17,8 @@ package object functions {
   def st_point(x: Column, y: Column): Column = col(StPoint(ex(x), ex(y)))
   def st_makebox(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
     col(StMakeBox(Seq(ex(xmin), ex(ymin), ex(xmax), ex(ymax))))
+  def st_makeline(x1: Column, y1: Column, x2: Column, y2: Column): Column =
+    col(StMakeLine(Seq(ex(x1), ex(y1), ex(x2), ex(y2))))
   def st_envelope(g: Column): Column = col(StEnvelope(ex(g)))
 
   def st_intersects(a: Column, b: Column): Column = col(StPredicate(ex(a), ex(b), "intersects"))
@@ -73,6 +75,7 @@ package object functions {
     r("st_astext", es => StAsText(es.head))
     r("st_point", es => StPoint(es(0), es(1)))
     r("st_makebox", es => StMakeBox(es))
+    r("st_makeline", es => StMakeLine(es))
     r("st_envelope", es => StEnvelope(es.head))
     Seq("intersects", "touches", "crosses", "contains", "within",
         "overlaps", "equals", "disjoint", "adjacent").foreach { p =>

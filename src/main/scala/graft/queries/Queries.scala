@@ -175,6 +175,82 @@ object Queries {
        |   ORDER BY (c.px-s.px)*(c.px-s.px) + (c.py-s.py)*(c.py-s.py), s.id) AS rk
        | FROM c CROSS JOIN s) WHERE rk <= 3""".stripMargin
 
+  /** J5: st_crosses join over segment geometries through the full tiled
+    * engine. Segment families are built so JTS crosses == proper interior
+    * intersection: A slope 1/2 on integer lattice, B slope 3 on half-integer
+    * offsets — never collinear with each other, never endpoint-sharing, and
+    * every orientation determinant is an exact multiple of 0.25 well inside
+    * double precision, so the oracle's strict-sign test matches JTS's robust
+    * predicate bit-for-bit. */
+  def qSpjoinCrosses(spark: SparkSession, dir: String): DataFrame = {
+    val a = custPoints(spark, dir).select(col("id").as("ida"),
+      st_makeline(col("px"), col("py"), col("px") + 6.0, col("py") + 3.0).as("ga"))
+    val b = suppPoints(spark, dir).select(col("id").as("idb"),
+      st_makeline(col("px") + 0.5, col("py") + 0.5,
+                  col("px") + 2.5, col("py") + 6.5).as("gb"))
+    SpatialJoin.join(a, "ga", b, "gb",
+        SpatialJoin.Config(predicate = "crosses", bucket = 500))
+      .select(col("ida"), col("idb"))
+  }
+
+  val qSpjoinCrossesSql: String =
+    s"""WITH c AS ($custPointsSql), s AS ($suppPointsSql),
+       |a AS (SELECT id, px AS ax1, py AS ay1, px + 6.0 AS ax2, py + 3.0 AS ay2 FROM c),
+       |b AS (SELECT id, px + 0.5 AS bx1, py + 0.5 AS by1,
+       |             px + 2.5 AS bx2, py + 6.5 AS by2 FROM s)
+       |SELECT a.id AS ida, b.id AS idb FROM a JOIN b ON
+       |     sign((ax2-ax1)*(by1-ay1) - (ay2-ay1)*(bx1-ax1))
+       |   * sign((ax2-ax1)*(by2-ay1) - (ay2-ay1)*(bx2-ax1)) < 0
+       | AND sign((bx2-bx1)*(ay1-by1) - (by2-by1)*(ax1-bx1))
+       |   * sign((bx2-bx1)*(ay2-by1) - (by2-by1)*(ax2-bx1)) < 0""".stripMargin
+
+  /** J14 parity gate: the reference's TILE-LOCAL kNN (st_nearest2,
+    * knn_2d.hpp:22-233) — each left point matched only within its owner
+    * tile. The oracle re-derives the fg tiling (same IEEE arithmetic),
+    * assigns owners with the engine's half-open rule, replicates the right
+    * side with closed intersection, and ranks by exact squared distance.
+    * Distance-only output: tie ORDER is engine-arbitrary, the top-k
+    * distance multiset is not. */
+  def qKnnTile(spark: SparkSession, dir: String): DataFrame = {
+    val custs = custPoints(spark, dir).select(col("id").as("cid"), col("geom").as("g1"))
+    val supps = suppPoints(spark, dir).select(col("id").as("sid"), col("geom").as("g2"))
+    SpatialJoin.knnJoin(custs, "g1", supps, "g2", k = 3,
+        SpatialJoin.Config(bucket = 500))
+      .select(col("cid"), col("knn_dist").as("dist"))
+  }
+
+  val qKnnTileSql: String =
+    s"""WITH c AS ($custPointsSql), s AS ($suppPointsSql),
+       |pts AS (SELECT px, py FROM c UNION ALL SELECT px, py FROM s),
+       |env AS (SELECT min(px) ex0, min(py) ey0, max(px) ex1, max(py) ey1,
+       |               count(*) n FROM pts),
+       |g AS (SELECT ex0, ey0, ex1, ey1,
+       |        greatest(ex1 - ex0, 1e-12) AS gw, greatest(ey1 - ey0, 1e-12) AS gh,
+       |        greatest(1, CAST(ceil(CAST(n AS DOUBLE) / 500) AS BIGINT)) AS tiles
+       |      FROM env),
+       |s1 AS (SELECT *, greatest(1, CAST(floor(sqrt(tiles * gw / gh) + 0.5) AS BIGINT)) AS sx
+       |       FROM g),
+       |s2 AS (SELECT *, greatest(1, CAST(ceil(CAST(tiles AS DOUBLE) / sx) AS BIGINT)) AS sy
+       |       FROM s1),
+       |cells AS (SELECT CAST(j * sx + i AS INT) AS tile_id, ex1, ey1,
+       |            ex0 + gw * i / sx AS tx0,
+       |            ey0 + gh * j / sy AS ty0,
+       |            CASE WHEN i = sx - 1 THEN ex1 ELSE ex0 + gw * (i + 1) / sx END AS tx1,
+       |            CASE WHEN j = sy - 1 THEN ey1 ELSE ey0 + gh * (j + 1) / sy END AS ty1
+       |          FROM s2, generate_series(0, 255) t1(i), generate_series(0, 255) t2(j)
+       |          WHERE i < sx AND j < sy),
+       |lc AS (SELECT c.id AS cid, c.px, c.py, cells.tile_id FROM c JOIN cells
+       |        ON c.px >= tx0 AND (c.px < tx1 OR (c.px = tx1 AND tx1 = ex1))
+       |       AND c.py >= ty0 AND (c.py < ty1 OR (c.py = ty1 AND ty1 = ey1))),
+       |rc AS (SELECT s.id AS sid, s.px AS qx, s.py AS qy, cells.tile_id FROM s JOIN cells
+       |        ON s.px >= tx0 AND s.px <= tx1 AND s.py >= ty0 AND s.py <= ty1),
+       |d AS (SELECT lc.cid,
+       |        (lc.px - rc.qx) * (lc.px - rc.qx) + (lc.py - rc.qy) * (lc.py - rc.qy) AS d2,
+       |        row_number() OVER (PARTITION BY lc.cid ORDER BY
+       |          (lc.px - rc.qx) * (lc.px - rc.qx) + (lc.py - rc.qy) * (lc.py - rc.qy)) AS rk
+       |      FROM lc JOIN rc ON lc.tile_id = rc.tile_id)
+       |SELECT cid, sqrt(d2) AS dist FROM d WHERE rk <= 3""".stripMargin
+
   /** A1: global space envelope + count over MBBs (the reference's
     * MBB-extraction + stats job pair). */
   def qMbbStats(spark: SparkSession, dir: String): DataFrame =
