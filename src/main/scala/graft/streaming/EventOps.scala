@@ -30,6 +30,17 @@ object EventOps {
       .select(unix_micros(col("w.start")).as("window_start"), col("event_type"),
         col("n_events"), col("min_value"), col("max_value"))
 
+  /** Streaming exact deduplication: first occurrence per key wins, with a
+    * watermark bounding the key state (late duplicates beyond the horizon
+    * are the documented tradeoff — the batch twin over the same data is the
+    * oracle). The training-pipeline "exact dedup" operator in incremental
+    * form. */
+  def dedupByKey(events: DataFrame, keyCols: Seq[String],
+                 watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates(keyCols)
+
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class SessionOut(user_id: Long, session_start: Long,
                               session_end: Long, n_events: Int)

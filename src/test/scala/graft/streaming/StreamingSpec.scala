@@ -39,6 +39,33 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.length == 4) // (h0 click), (h1 view), (h1 click), (h2 view)
   }
 
+  test("dedupByKey: incremental first-occurrence dedup == batch dropDuplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    // duplicate event_ids arriving across two batches; first occurrence wins
+    val batch1 = Seq(
+      Ev(1, tsOf(100), 1, "click", 1.0), Ev(2, tsOf(200), 1, "click", 5.0),
+      Ev(1, tsOf(100), 1, "click", 1.0))
+    val batch2 = Seq(
+      Ev(2, tsOf(200), 1, "click", 5.0), Ev(3, tsOf(300), 2, "view", 2.0))
+
+    val stream = MemoryStream[Ev]
+    val q = EventOps.dedupByKey(stream.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      stream.addData(batch1); q.processAllAvailable()
+      stream.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("dedup_test")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(streamed == Seq(1L, 2L, 3L), "one row per key across microbatches")
+
+    val batch = EventOps.dedupByKey((batch1 ++ batch2).toDF(), Seq("event_id"))
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(batch == streamed, "batch twin agrees")
+  }
+
   test("streamingSessionize closed sessions agree with batchSessionize") {
     implicit val sqlCtx = spark.sqlContext
     val gapMicros = 30L * 60 * 1000000
