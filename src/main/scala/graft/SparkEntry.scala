@@ -47,6 +47,13 @@ object SparkEntry {
     "q_bpe" -> (Queries.qBpe _),
     "q_spjoin_crosses" -> (Queries.qSpjoinCrosses _),
     "q_knn_tile" -> (Queries.qKnnTile _),
+    "q_spjoin_within" -> (Queries.qSpjoinWithin _),
+    "q_spjoin_overlaps" -> (Queries.qSpjoinOverlaps _),
+    "q_spjoin_adjacent" -> (Queries.qSpjoinAdjacent _),
+    "q_disjoint_global" -> (Queries.qDisjointGlobal _),
+    "q_fields" -> (Queries.qFields _),
+    "q_spjoin_twolevel" -> (Queries.qSpjoinTwolevel _),
+    "q_ann_ivf" -> (Queries.qAnnIvf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -89,5 +96,13 @@ object SparkEntry {
     "q_bpe" -> Queries.qBpeSql,
     "q_spjoin_crosses" -> Queries.qSpjoinCrossesSql,
     "q_knn_tile" -> Queries.qKnnTileSql,
+    "q_spjoin_within" -> Queries.qSpjoinWithinSql,
+    "q_spjoin_overlaps" -> Queries.qSpjoinOverlapsSql,
+    "q_spjoin_adjacent" -> Queries.qSpjoinAdjacentSql,
+    "q_disjoint_global" -> Queries.qDisjointGlobalSql,
+    "q_fields" -> Queries.qFieldsSql,
+    "q_spjoin_twolevel" -> Queries.qSpjoinTwolevelSql,
+    // q_ann_ivf: centroid training engine-internal -> rows-only; recall
+    // vs brute force is ScalaTest-gated.
   )
 }

@@ -833,4 +833,146 @@ object Queries {
   val qDedupExactSql: String =
     """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY text""".stripMargin
+
+  // --------------------------------------- round-3 coverage: J7/J8/J10/J11,
+  // P1 projection language, two-level tiling, partitioner rotation. Each
+  // spatial gate below runs a DIFFERENT partitioner (str/hc/qt/slc/bos/bsp)
+  // so every G1-G7 algorithm is exercised against a value-exact oracle, not
+  // only in ScalaTest — the join result is partitioner-invariant, so the
+  // same plain-SQL oracle stays valid for all of them.
+
+  /** J10: st_within join through the tiled engine (str partitioner — G4).
+    * Box-in-box: JTS within is closed containment for positive-area
+    * rectangles (boundary contact allowed; equal boxes are within). */
+  def qSpjoinWithin(spark: SparkSession, dir: String): DataFrame = {
+    val b = partBoxes(spark, dir)
+    val a = b.select(col("id").as("id1"), col("geom").as("g1"))
+    val c = b.select(col("id").as("id2"), col("geom").as("g2"))
+    SpatialJoin.join(a, "g1", c, "g2",
+        SpatialJoin.Config(predicate = "within", partitioner = "str", bucket = 500))
+      .where(col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"))
+  }
+
+  val qSpjoinWithinSql: String =
+    s"""WITH b AS ($partBoxesSql)
+       |SELECT a.id AS id1, c.id AS id2 FROM b a JOIN b c ON a.id <> c.id
+       | AND a.x0 >= c.x0 AND a.y0 >= c.y0
+       | AND a.x0 + a.w <= c.x0 + c.w AND a.y0 + a.w <= c.y0 + c.w""".stripMargin
+
+  /** J11: st_overlaps join (hc partitioner — G5): part boxes vs a
+    * half-cell-shifted copy (+4,+4), so interiors genuinely cross without
+    * nesting (a self-join on the anchored lattice only ever nests or
+    * touches — overlaps would be vacuously empty). Overlaps = interiors
+    * intersect and neither box is a (closed) subset of the other. */
+  def qSpjoinOverlaps(spark: SparkSession, dir: String): DataFrame = {
+    val b = partBoxes(spark, dir)
+    val a = b.select(col("id").as("id1"), col("geom").as("g1"))
+    val c = b.select(col("id").as("id2"),
+      st_makebox(col("x0") + 4.0, col("y0") + 4.0,
+        col("x0") + 4.0 + col("w"), col("y0") + 4.0 + col("w")).as("g2"))
+    SpatialJoin.join(a, "g1", c, "g2",
+        SpatialJoin.Config(predicate = "overlaps", partitioner = "hc", bucket = 500))
+      .select(col("id1"), col("id2"))
+  }
+
+  val qSpjoinOverlapsSql: String =
+    s"""WITH b AS ($partBoxesSql),
+       |d AS (SELECT id, x0 + 4.0 AS x0, y0 + 4.0 AS y0, w FROM b)
+       |SELECT a.id AS id1, c.id AS id2 FROM b a JOIN d c ON
+       |     a.x0 < c.x0 + c.w AND c.x0 < a.x0 + a.w
+       | AND a.y0 < c.y0 + c.w AND c.y0 < a.y0 + a.w
+       | AND NOT (a.x0 >= c.x0 AND a.y0 >= c.y0
+       |      AND a.x0 + a.w <= c.x0 + c.w AND a.y0 + a.w <= c.y0 + c.w)
+       | AND NOT (c.x0 >= a.x0 AND c.y0 >= a.y0
+       |      AND c.x0 + c.w <= a.x0 + a.w AND c.y0 + c.w <= a.y0 + a.w)""".stripMargin
+
+  /** J7: st_adjacent (the reference's !disjoint synonym,
+    * resque_datastructs_2d.hpp:22,35) through the engine (qt partitioner —
+    * G3). For rectangles, adjacent == closed-envelope overlap. */
+  def qSpjoinAdjacent(spark: SparkSession, dir: String): DataFrame = {
+    val b = partBoxes(spark, dir)
+    val a = b.select(col("id").as("id1"), col("geom").as("g1"))
+    val c = b.select(col("id").as("id2"), col("geom").as("g2"))
+    SpatialJoin.join(a, "g1", c, "g2",
+        SpatialJoin.Config(predicate = "adjacent", partitioner = "qt", bucket = 500))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+  }
+
+  val qSpjoinAdjacentSql: String =
+    s"""WITH b AS ($partBoxesSql)
+       |SELECT a.id AS id1, c.id AS id2 FROM b a JOIN b c ON a.id < c.id
+       | AND a.x0 <= c.x0 + c.w AND c.x0 <= a.x0 + a.w
+       | AND a.y0 <= c.y0 + c.w AND c.y0 <= a.y0 + a.w""".stripMargin
+
+  /** J8, GLOBAL variant: true disjointness as a left-anti join over
+    * st_intersects (SURVEY J8's documented "correct global version") —
+    * customer points covered by NO part box. The tile-local J8 stays
+    * programmatic-API-only with its caveat; this is the semantics a SQL
+    * user gets. Inner join runs the slc partitioner (G6). */
+  def qDisjointGlobal(spark: SparkSession, dir: String): DataFrame = {
+    val parts = partBoxes(spark, dir).select(col("id").as("pid"), col("geom").as("g1"))
+    val custs = custPoints(spark, dir).select(col("id").as("cid"), col("geom").as("g2"))
+    val hit = SpatialJoin.join(parts, "g1", custs, "g2",
+        SpatialJoin.Config(predicate = "intersects", partitioner = "slc", bucket = 500))
+      .select(col("cid"))
+    custs.select(col("cid")).join(hit, Seq("cid"), "left_anti")
+  }
+
+  val qDisjointGlobalSql: String =
+    s"""WITH b AS ($partBoxesSql), c AS ($custPointsSql)
+       |SELECT c.id AS cid FROM c WHERE NOT EXISTS (SELECT 1 FROM b
+       | WHERE c.px >= b.x0 AND c.px <= b.x0 + b.w
+       |   AND c.py >= b.y0 AND c.py <= b.y0 + b.w)""".stripMargin
+
+  /** P1: the reference's output-projection mini-language
+    * (`--fields 1:K,2:K,measure`, resque_params_2d.hpp:70-160) applied to a
+    * dwithin self-join (bos partitioner — G7): side-qualified columns plus
+    * the lazily-derived mindist measure. All coordinates are lattice
+    * integers, so sqrt(dx^2+dy^2) is a single correctly-rounded IEEE op in
+    * both engines. */
+  def qFields(spark: SparkSession, dir: String): DataFrame = {
+    val joined = SpatialJoin.selfJoin(partBoxes(spark, dir), "geom", "id",
+      cfg = SpatialJoin.Config(predicate = "dwithin", distance = 3.0,
+        partitioner = "bos", bucket = 500))
+    graft.api.Fields.project(joined, "1:1,2:1,mindist")
+  }
+
+  val qFieldsSql: String =
+    s"""WITH b AS ($partBoxesSql),
+       |p AS (SELECT a.id AS l_id, c.id AS r_id,
+       |  greatest(a.x0 - c.x0 - c.w, c.x0 - a.x0 - a.w, 0) AS dx,
+       |  greatest(a.y0 - c.y0 - c.w, c.y0 - a.y0 - a.w, 0) AS dy
+       | FROM b a JOIN b c ON a.id < c.id)
+       |SELECT l_id, r_id, sqrt(dx*dx + dy*dy) AS mindist FROM p
+       |WHERE dx*dx + dy*dy <= 9.0""".stripMargin
+
+  /** Two-level tiling ("para_partition", query_spjoin.hpp:210-230): coarse
+    * bsp step-1 then per-coarse-tile step-2, on the dwithin join. Result is
+    * tiling-invariant, so the oracle is the same as q_spjoin_dwithin. */
+  def qSpjoinTwolevel(spark: SparkSession, dir: String): DataFrame = {
+    val parts = partBoxes(spark, dir).select(col("id").as("pid"), col("geom").as("g1"))
+    val custs = custPoints(spark, dir).select(col("id").as("cid"), col("geom").as("g2"))
+    SpatialJoin.join(parts, "g1", custs, "g2",
+        SpatialJoin.Config(predicate = "dwithin", distance = 4.0,
+          partitioner = "bsp", bucket = 500, twoLevel = true))
+      .select(col("pid"), col("cid"))
+  }
+
+  val qSpjoinTwolevelSql: String = qSpjoinDwithinSql
+
+  /** IVF approximate top-k (rows-only gate: centroid training is
+    * engine-internal; recall vs brute force is ScalaTest-gated in
+    * TextPipelineSpec). */
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val items = emb.select(col("vec_id").as("nid"), col("embedding").as("ivec"))
+    val queries = emb.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val model = graft.ann.IvfIndex.train(items, "ivec", nlist = 16)
+    graft.ann.IvfIndex.topK(items, "nid", "ivec", queries, "qid", "qvec",
+        k = 5, model, nprobe = 4)
+      .select(col("qid"), col("nid"), col("rank").as("rk"))
+  }
 }
