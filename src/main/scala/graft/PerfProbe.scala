@@ -102,6 +102,16 @@ object PerfProbe {
         time("warmup")(Queries.qSpjoinEquals(spark, "/root/testdata/sf0.001").count())
         time("equals1")(Queries.qSpjoinEquals(spark, dir).count())
         time("equals2")(Queries.qSpjoinEquals(spark, dir).count())
+      case "slow3" =>
+        // the round-3 killers: JTS relate()-bound refine, now envelope math
+        time("warmup")(Queries.qSpjoinOverlaps(spark, "/root/testdata/sf0.001").count())
+        time("overlaps")(Queries.qSpjoinOverlaps(spark, dir).count())
+        time("within")(Queries.qSpjoinWithin(spark, dir).count())
+        time("fields")(Queries.qFields(spark, dir).count())
+        time("dwithin")(Queries.qSpjoinDwithin(spark, dir).count())
+        time("knn_after")(Queries.qKnn(spark, dir).count())
+        time("knn_bounded")(Queries.qKnnBounded(spark, dir).count())
+        time("ann_topk")(Queries.qAnnTopk(spark, dir).count())
       case "contains" =>
         time("warmup")(Queries.qSpjoinContains(spark, "/root/testdata/sf0.001").count())
         time("contains")(Queries.qSpjoinContains(spark, dir).count())

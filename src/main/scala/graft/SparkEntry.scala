@@ -16,6 +16,7 @@ object SparkEntry {
     "q_spjoin_equals" -> (Queries.qSpjoinEquals _),
     "q_containment" -> (Queries.qContainment _),
     "q_knn" -> (Queries.qKnn _),
+    "q_knn_bounded" -> (Queries.qKnnBounded _),
     "q_mbb_stats" -> (Queries.qMbbStats _),
     "q1_agg" -> (Queries.q1Agg _),
     "q_window_topk" -> (Queries.qWindowTopk _),
@@ -65,6 +66,7 @@ object SparkEntry {
     "q_spjoin_equals" -> Queries.qSpjoinEqualsSql,
     "q_containment" -> Queries.qContainmentSql,
     "q_knn" -> Queries.qKnnSql,
+    "q_knn_bounded" -> Queries.qKnnBoundedSql,
     "q_mbb_stats" -> Queries.qMbbStatsSql,
     "q1_agg" -> Queries.q1AggSql,
     "q_window_topk" -> Queries.qWindowTopkSql,

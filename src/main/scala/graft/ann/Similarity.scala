@@ -1,10 +1,11 @@
 package graft.ann
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
 
-import graft.functions.{cosine_similarity, Hash64}
+import graft.functions.{cosine_similarity, CosineSimilarity, Hash64}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Similarity search over an embedding column (`ArrayType(FloatType)`).
@@ -19,15 +20,79 @@ object Similarity {
 
   /** Exact top-k cosine neighbors for every query row. `queries` is
     * broadcast (must be small); self-matches excluded when ids collide.
-    * Deterministic: ties broken by ascending item id. */
+    * Deterministic: ties broken by ascending item id.
+    *
+    * Scale shape: one pass over `items` with a bounded per-partition
+    * (query x k) heap — NEVER a shuffle of the items x queries cross
+    * product. Each partition emits at most |queries| x k candidate rows;
+    * the final exact rank runs over that tiny relation (partitions x
+    * |queries| x k rows), so at 1B items the shuffle stays kilobytes.
+    * Items with null/invalid vectors score null and are dropped. */
   def topKBrute(items: DataFrame, itemId: String, itemVec: String,
                 queries: DataFrame, queryId: String, queryVec: String,
                 k: Int): DataFrame = {
-    val joined = items.crossJoin(
-        broadcast(queries.select(col(queryId), col(queryVec))))
-      .where(col(queryId) =!= col(itemId))
-      .withColumn("similarity", cosine_similarity(col(queryVec), col(itemVec)))
-    joined
+    val spark = items.sparkSession
+    val itemsPrj = items.select(col(itemId), col(itemVec))
+    val qCollected = queries.select(col(queryId), col(queryVec)).collect()
+      .flatMap { r =>
+        val v = r.getSeq[Float](1)
+        if (v == null) None else Some((r.get(0), v.toArray))
+      }
+    val bc = spark.sparkContext.broadcast(qCollected)
+    val candSchema = StructType(Seq(
+      queries.schema(queryId).copy(name = queryId),
+      itemsPrj.schema.head.copy(name = itemId),
+      StructField("similarity", DoubleType, nullable = false)))
+
+    def cmpAny(a: Any, b: Any): Int =
+      if (a == null && b == null) 0
+      else if (a == null) 1
+      else if (b == null) -1
+      else a.asInstanceOf[Comparable[Any]].compareTo(b)
+    // best-first: similarity desc, item id asc; PriorityQueue.head under
+    // this ordering is the WORST retained candidate (same bounded-selection
+    // pattern as SpatialJoin.knnBroadcast)
+    val ord = new Ordering[(Double, Any)] {
+      override def compare(x: (Double, Any), y: (Double, Any)): Int = {
+        val c = java.lang.Double.compare(y._1, x._1)
+        if (c != 0) c else cmpAny(x._2, y._2)
+      }
+    }
+
+    implicit val enc = Encoders.row(candSchema)
+    val partial = itemsPrj.mapPartitions { rows =>
+      val qs = bc.value
+      val heaps = Array.fill(qs.length)(
+        new scala.collection.mutable.PriorityQueue[(Double, Any)]()(ord))
+      rows.foreach { r =>
+        val iid = r.get(0)
+        val v = r.getSeq[Float](1)
+        if (v != null) {
+          val vec = v.toArray
+          var i = 0
+          while (i < qs.length) {
+            val (qid, qv) = qs(i)
+            if (cmpAny(qid, iid) != 0) {
+              val c = CosineSimilarity.cosine(qv, vec)
+              if (c != null) {
+                val cand = (c.doubleValue(), iid)
+                val h = heaps(i)
+                if (h.size < k) h.enqueue(cand)
+                else if (ord.compare(cand, h.head) < 0) {
+                  h.dequeue(); h.enqueue(cand)
+                }
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+        val qid = qs(i)._1
+        h.iterator.map { case (s, iid) => Row(qid, iid, s) }
+      }
+    }
+    partial
       .withColumn("rank", row_number().over(
         Window.partitionBy(col(queryId))
           .orderBy(col("similarity").desc, col(itemId).asc)))

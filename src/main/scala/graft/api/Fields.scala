@@ -24,7 +24,8 @@ import graft.functions._
 object Fields {
 
   def parse(spec: String, leftCols: Seq[String], rightCols: Seq[String],
-            leftGeom: String, rightGeom: String): Seq[Column] = {
+            leftGeom: String, rightGeom: String,
+            tileCol: Option[String] = None): Seq[Column] = {
     val lg = col(leftGeom); val rg = col(rightGeom)
     spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map {
       case s if s.startsWith("1:") =>
@@ -35,7 +36,10 @@ object Fields {
         val k = s.drop(2).toInt
         require(k >= 1 && k <= rightCols.length, s"field $s out of range")
         col(rightCols(k - 1))
-      case "tileid"    => lit(-1).as("tileid")
+      // the owning tile id (resque_2d.cpp:448) when the joined frame carries
+      // one (join with keepTile=true); -1 otherwise, like an untiled plan
+      case "tileid"    =>
+        tileCol.map(c => col(c).as("tileid")).getOrElse(lit(-1).as("tileid"))
       case "area1"     => st_area(lg).as("area1")
       case "area2"     => st_area(rg).as("area2")
       case "union"     => st_union_area(lg, rg).as("union_area")
@@ -47,11 +51,14 @@ object Fields {
     }
   }
 
-  /** Apply a spec to a selfJoin/join output with l_/r_ prefixed columns. */
+  /** Apply a spec to a selfJoin/join output with l_/r_ prefixed columns.
+    * `tileid` resolves to the frame's `tile_id` column when present
+    * (produced by Config(keepTile = true)). */
   def project(joined: DataFrame, spec: String,
               leftGeom: String = "l_geom", rightGeom: String = "r_geom"): DataFrame = {
     val lCols = joined.columns.filter(_.startsWith("l_")).toSeq
     val rCols = joined.columns.filter(_.startsWith("r_")).toSeq
-    joined.select(parse(spec, lCols, rCols, leftGeom, rightGeom): _*)
+    val tileCol = if (joined.columns.contains("tile_id")) Some("tile_id") else None
+    joined.select(parse(spec, lCols, rCols, leftGeom, rightGeom, tileCol): _*)
   }
 }

@@ -124,8 +124,10 @@ case class StEnvelope(child: Expression) extends UnaryExpression
   override def prettyName: String = "st_envelope"
 }
 
-/** Binary spatial predicates over WKB geometries. Envelope short-circuit on
-  * contains/equals for parity with spjoin_2d.hpp:151-165. */
+/** Binary spatial predicates over WKB geometries, evaluated by the shared
+  * refine kernel [[graft.core.GeomPredicates]] (envelope short-circuit on
+  * contains/equals for parity with spjoin_2d.hpp:151-165, plus
+  * rect/point envelope-arithmetic fast paths). */
 case class StPredicate(left: Expression, right: Expression, predicate: String)
     extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
   override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
@@ -134,32 +136,7 @@ case class StPredicate(left: Expression, right: Expression, predicate: String)
     val g1 = GeometryCodec.fromWkb(a.asInstanceOf[Array[Byte]])
     val g2 = GeometryCodec.fromWkb(b.asInstanceOf[Array[Byte]])
     if (g1 == null || g2 == null) null
-    else predicate match {
-      case "intersects" => g1.intersects(g2)
-      case "touches"    =>
-        if (g1.isRectangle && g2.isRectangle) {
-          val a = g1.getEnvelopeInternal; val b = g2.getEnvelopeInternal
-          val meets = a.getMinX <= b.getMaxX && b.getMinX <= a.getMaxX &&
-            a.getMinY <= b.getMaxY && b.getMinY <= a.getMaxY
-          val interiors = a.getMinX < b.getMaxX && b.getMinX < a.getMaxX &&
-            a.getMinY < b.getMaxY && b.getMinY < a.getMaxY
-          meets && !interiors
-        } else g1.touches(g2)
-      case "crosses"    => g1.crosses(g2)
-      case "contains"   =>
-        g1.getEnvelopeInternal.contains(g2.getEnvelopeInternal) && g1.contains(g2)
-      case "within"     =>
-        g2.getEnvelopeInternal.contains(g1.getEnvelopeInternal) && g1.within(g2)
-      case "overlaps"   => g1.overlaps(g2)
-      case "equals"     =>
-        // rectangles with equal envelopes ARE equal — skip the relate()
-        g1.getEnvelopeInternal.equals(g2.getEnvelopeInternal) &&
-          ((g1.isRectangle && g2.isRectangle) || g1.equalsTopo(g2))
-      case "disjoint"   => g1.disjoint(g2)
-      // st_adjacent == !disjoint in the reference (spjoin_2d.hpp:155-157)
-      case "adjacent"   => !g1.disjoint(g2)
-      case other => throw new IllegalArgumentException(s"unknown predicate $other")
-    }
+    else graft.core.GeomPredicates.eval(predicate, g1, g2, 0.0)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -175,7 +152,7 @@ case class StDWithin(first: Expression, second: Expression, third: Expression)
     val g1 = GeometryCodec.fromWkb(a.asInstanceOf[Array[Byte]])
     val g2 = GeometryCodec.fromWkb(b.asInstanceOf[Array[Byte]])
     if (g1 == null || g2 == null) null
-    else g1.isWithinDistance(g2, d.asInstanceOf[Double])
+    else graft.core.GeomPredicates.dwithinPlanar(g1, g2, d.asInstanceOf[Double])
   }
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)

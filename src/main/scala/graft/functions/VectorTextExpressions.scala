@@ -14,10 +14,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def inputTypes: Seq[DataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toFloatArray()
-    val y = b.asInstanceOf[ArrayData].toFloatArray()
-    if (x.length != y.length || x.length == 0) null
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSimilarity.cosine(
+      a.asInstanceOf[ArrayData].toFloatArray(),
+      b.asInstanceOf[ArrayData].toFloatArray())
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+  override def prettyName: String = "cosine_similarity"
+}
+
+object CosineSimilarity {
+  /** The one cosine kernel (double accumulation, left-to-right): shared by
+    * the expression and Similarity's heap-based top-k so both paths produce
+    * bit-identical scores. Returns null (boxed) for mismatched/zero/empty
+    * vectors — the expression's null semantics. */
+  def cosine(x: Array[Float], y: Array[Float]): java.lang.Double = {
+    if (x == null || y == null || x.length != y.length || x.length == 0) null
     else {
       var dot = 0.0; var nx = 0.0; var ny = 0.0
       var i = 0
@@ -27,12 +39,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
         i += 1
       }
       if (nx == 0.0 || ny == 0.0) null
-      else dot / (math.sqrt(nx) * math.sqrt(ny))
+      else java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
     }
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(l, r)
-  override def prettyName: String = "cosine_similarity"
 }
 
 /** Dot product of two float vectors, double accumulation. */

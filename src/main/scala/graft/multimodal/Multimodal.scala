@@ -106,7 +106,9 @@ object Multimodal {
 
   /** STUB frame sampling: video binary -> every `stride`-th fixed-size
     * chunk as a frame (real impl: container demux). 1 row -> N frame rows
-    * via explode, preserving lineage columns. */
+    * via posexplode, preserving lineage columns; `frame_no` is the PER-VIDEO
+    * index of the sampled frame (0..n-1 within each source row — a global
+    * monotonically_increasing_id would encode partition layout instead). */
   def sampleFrames(df: DataFrame, binCol: String, stride: Int,
                    frameBytes: Int = 256): DataFrame = {
     val frames = udf { (bytes: Array[Byte]) =>
@@ -115,7 +117,8 @@ object Multimodal {
         .collect { case (chunk, i) if i % stride == 0 => chunk }
         .toArray
     }
-    df.withColumn("frame", explode(frames(col(binCol))))
-      .withColumn("frame_no", monotonically_increasing_id())
+    df.select(col("*"), posexplode(frames(col(binCol))).as(Seq("__pos", "frame")))
+      .withColumn("frame_no", col("__pos").cast(LongType))
+      .drop("__pos")
   }
 }

@@ -41,6 +41,12 @@ object SpatialJoin {
     * @param sampleTarget max MBBs collected to the driver for partitioning
     * @param dedup      refpoint|global|none (refpoint is exact for every
     *                   partitioner because the tile index covers the space)
+    * @param keepTile   append an IntegerType `tile_id` column carrying the
+    *                   tile that emitted each pair (the reference's `tileid`
+    *                   projection field, resque_2d.cpp:448). With the
+    *                   default refpoint dedup this is the pair's owning
+    *                   tile. The untiled st_equals plan emits -1 (it has no
+    *                   tiles by design).
     * @param earth      dwithin only: spherical meters via the reference's
     *                   haversine constants. Requires Point geometries on
     *                   BOTH sides — non-points throw rather than silently
@@ -59,7 +65,8 @@ object SpatialJoin {
       knnBroadcastThreshold: Int = 10000,
       earth: Boolean = false,
       twoLevel: Boolean = false,
-      hotTileFactor: Int = 8)
+      hotTileFactor: Int = 8,
+      keepTile: Boolean = false)
 
   private val Tile = "__tile"
   private val X1 = "__xmin"; private val Y1 = "__ymin"
@@ -166,52 +173,13 @@ object SpatialJoin {
     else joined.where(col("l_" + idCol) < col("r_" + idCol))
   }
 
-  /** Exact pairwise predicate evaluation (shared with SpatialJoinExec). */
+  /** Exact pairwise predicate evaluation (shared with SpatialJoinExec):
+    * delegates to the one refine kernel, [[graft.core.GeomPredicates]],
+    * which carries the envelope-arithmetic fast paths for rect/point
+    * shapes. */
   def evalPredicate(predicate: String, g1: Geometry, g2: Geometry,
-                    distance: Double, earth: Boolean = false): Boolean = predicate match {
-    case "intersects" => g1.intersects(g2)
-    case "touches"    =>
-      // rectangles touch iff envelopes meet but interiors don't — pure
-      // arithmetic, avoiding a full relate() per candidate pair
-      if (g1.isRectangle && g2.isRectangle) {
-        val a = g1.getEnvelopeInternal; val b = g2.getEnvelopeInternal
-        val meets = a.getMinX <= b.getMaxX && b.getMinX <= a.getMaxX &&
-          a.getMinY <= b.getMaxY && b.getMinY <= a.getMaxY
-        val interiors = a.getMinX < b.getMaxX && b.getMinX < a.getMaxX &&
-          a.getMinY < b.getMaxY && b.getMinY < a.getMaxY
-        meets && !interiors
-      } else g1.touches(g2)
-    case "crosses"    => g1.crosses(g2)
-    case "contains"   =>
-      g1.getEnvelopeInternal.contains(g2.getEnvelopeInternal) && g1.contains(g2)
-    case "within"     =>
-      g2.getEnvelopeInternal.contains(g1.getEnvelopeInternal) && g1.within(g2)
-    case "overlaps"   => g1.overlaps(g2)
-    case "equals"     =>
-      // rectangles with equal envelopes ARE equal — skip the relate()
-      g1.getEnvelopeInternal.equals(g2.getEnvelopeInternal) &&
-        ((g1.isRectangle && g2.isRectangle) || g1.equalsTopo(g2))
-    case "disjoint"   => g1.disjoint(g2) // tile-local, J8 caveat
-    case "adjacent"   => !g1.disjoint(g2)
-    case "dwithin"    =>
-      // --earth: spherical distance in meters, with the reference's
-      // constants (spjoin_2d.hpp:167-205, geographical.h:3-23). The
-      // reference silently falls back to PLANAR degree-unit distance for
-      // non-point geometries, mixing units row-by-row within one join — we
-      // reject non-points instead of reproducing that trap.
-      // PARITY TRAP (documented): the replication envelope still expands by
-      // `distance` in coordinate units, exactly as the reference does.
-      if (earth) {
-        require(g1.getGeometryType == "Point" && g2.getGeometryType == "Point",
-          s"earth=true dwithin requires Point geometries; got " +
-            s"${g1.getGeometryType}/${g2.getGeometryType} — planar fallback " +
-            "would compare degree-unit distances against a meter threshold")
-        graft.core.Geo.haversineMeters(
-          g1.getCoordinate.x, g1.getCoordinate.y,
-          g2.getCoordinate.x, g2.getCoordinate.y) <= distance
-      } else g1.isWithinDistance(g2, distance)
-    case other => throw new IllegalArgumentException(s"predicate $other")
-  }
+                    distance: Double, earth: Boolean = false): Boolean =
+    graft.core.GeomPredicates.eval(predicate, g1, g2, distance, earth)
 
   /** Full spatial join. `left`/`right` must contain a WKB BinaryType
     * geometry column named `leftGeom`/`rightGeom`; all other column names
@@ -244,9 +212,10 @@ object SpatialJoin {
     // results (envelope-equal pairs always share every tile).
     if (cfg.predicate == "equals") {
       val keys = Seq(X1, Y1, X2, Y2)
-      val out = l.join(r, keys)
+      val out0 = l.join(r, keys)
         .where(graft.functions.st_equals(col(leftGeom), col(rightGeom)))
         .select((left0.columns ++ right0.columns).map(col).toIndexedSeq: _*)
+      val out = if (cfg.keepTile) out0.withColumn("tile_id", lit(-1)) else out0
       return if (useGlobal) out.dropDuplicates(LId, RId).drop(LId, RId)
              else out
     }
@@ -275,8 +244,12 @@ object SpatialJoin {
       explode(buildKeys(col(X1), col(Y1), col(X2), col(Y2))))
     val lOutCols = left0.columns
     val rOutCols = right0.columns
-    val outSchema = StructType(
+    val keepTile = cfg.keepTile
+    val outSchema0 = StructType(
       lOutCols.map(left0.schema(_)) ++ rOutCols.map(right0.schema(_)))
+    val outSchema =
+      if (keepTile) outSchema0.add("tile_id", IntegerType, nullable = false)
+      else outSchema0
 
     val ltSchema = lt.schema; val rtSchema = rt.schema
     val lTileIdx = ltSchema.fieldIndex(Tile); val rTileIdx = rtSchema.fieldIndex(Tile)
@@ -330,11 +303,13 @@ object SpatialJoin {
                   idx.refTile(refx, refy) == tile
                 }
                 if (emit) {
-                  val vals = new Array[Any](lKeep.length + rKeep.length)
+                  val vals = new Array[Any](
+                    lKeep.length + rKeep.length + (if (keepTile) 1 else 0))
                   var k = 0
                   while (k < lKeep.length) { vals(k) = lrow.get(lKeep(k)); k += 1 }
                   var m = 0
                   while (m < rKeep.length) { vals(k + m) = rrow.get(rKeep(m)); m += 1 }
+                  if (keepTile) vals(k + m) = tile
                   out += Row.fromSeq(vals.toIndexedSeq)
                 }
               }
@@ -620,6 +595,23 @@ object SpatialJoin {
       .where(col("knn_rank") <= k)
     graft.core.CacheHygiene.unpersistAfterUse(safe.unionByName(pass2), Seq(p1))
   }
+
+  /** J13 bounded-distance kNN (the reference's st_nearest,
+    * knn_2d.hpp:113-217): for each left row, the k nearest right rows with
+    * distance strictly below `maxDistance`. Ranks stay consecutive from 1:
+    * the distance bound removes a suffix of each row's distance-sorted
+    * neighbor list, never a middle element. Unlike the reference (tile-local
+    * probe of an MBB expanded by d), this is globally exact — built on
+    * [[knnJoinExact]], whose pass-2 radius is already per-row bounded, so
+    * the bound costs nothing extra at scale; for huge d prefer a dwithin
+    * join + window. */
+  def knnJoinBounded(left: DataFrame, leftGeom: String, leftId: String,
+                     right: DataFrame, rightGeom: String, k: Int,
+                     maxDistance: Double,
+                     tieBreak: Seq[String] = Seq.empty,
+                     cfg: Config = Config()): DataFrame =
+    knnJoinExact(left, leftGeom, leftId, right, rightGeom, k, tieBreak, cfg)
+      .where(col("knn_dist") < maxDistance)
 
   /** Broadcast exact kNN: the whole (small) right side ships to every task;
     * each left partition scans it with a bounded (dist, tieBreak) selection.

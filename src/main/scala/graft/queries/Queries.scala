@@ -175,6 +175,30 @@ object Queries {
        |   ORDER BY (c.px-s.px)*(c.px-s.px) + (c.py-s.py)*(c.py-s.py), s.id) AS rk
        | FROM c CROSS JOIN s) WHERE rk <= 3""".stripMargin
 
+  /** J13 bounded-distance kNN (st_nearest with -d, knn_2d.hpp:113-217):
+    * k=3 nearest suppliers within distance 2.5 of each customer. The
+    * threshold sits mid-gap on the integer lattice (squared distances are
+    * integers, 6.25 is never attained), so the float compare is margin-safe.
+    */
+  def qKnnBounded(spark: SparkSession, dir: String): DataFrame = {
+    val custs = custPoints(spark, dir).select(col("id").as("cid"), col("geom").as("g1"))
+    val supps = suppPoints(spark, dir).select(col("id").as("sid"), col("geom").as("g2"))
+    SpatialJoin.knnJoinBounded(custs, "g1", "cid", supps, "g2", k = 3,
+        maxDistance = 2.5, tieBreak = Seq("sid"),
+        cfg = SpatialJoin.Config(bucket = 500))
+      .select(col("cid"), col("sid"), col("knn_rank").as("rk"))
+  }
+
+  val qKnnBoundedSql: String =
+    s"""WITH c AS ($custPointsSql), s AS ($suppPointsSql)
+       |SELECT cid, sid, rk FROM (
+       | SELECT c.id AS cid, s.id AS sid,
+       |   (c.px-s.px)*(c.px-s.px) + (c.py-s.py)*(c.py-s.py) AS d2,
+       |   row_number() OVER (
+       |   PARTITION BY c.id
+       |   ORDER BY (c.px-s.px)*(c.px-s.px) + (c.py-s.py)*(c.py-s.py), s.id) AS rk
+       | FROM c CROSS JOIN s) WHERE rk <= 3 AND d2 < 6.25""".stripMargin
+
   /** J5: st_crosses join over segment geometries through the full tiled
     * engine. Segment families are built so JTS crosses == proper interior
     * intersection: A slope 1/2 on integer lattice, B slope 3 on half-integer

@@ -37,14 +37,16 @@ object SpatialStore {
   /** Write `df` spatially partitioned by `geomCol` (WKB). Objects spanning
     * tile boundaries are replicated to every intersecting tile (reference
     * manipulate_2d -m, query_partition.hpp:34-38); `__row_id` identifies
-    * replicas for read-side dedup. Replica ids are assigned BEFORE the tile
-    * shuffle and are deterministic for a deterministic input (scan +
-    * projections); feed this a freshly-read relation, not the output of a
-    * nondeterministic shuffle. */
+    * replicas for read-side dedup. The id is a CONTENT HASH (xxhash64 over
+    * every column), so any task retry or stage re-execution reproduces the
+    * identical id — no positional-id (monotonically_increasing_id)
+    * retry-determinism caveat. Consequence: value-identical input rows
+    * share an id and collapse to one on read — exactly the reference's own
+    * full-line uniq semantics (duplicate_remover.cpp:45-63, uniqpart). */
   def write(df: DataFrame, geomCol: String, path: String,
             cfg: SpatialJoin.Config = SpatialJoin.Config()): Unit = {
     val spark = df.sparkSession
-    val withId = df.withColumn(RowIdCol, monotonically_increasing_id())
+    val withId = df.withColumn(RowIdCol, xxhash64(df.columns.map(col).toIndexedSeq: _*))
       .withColumn("__env", st_envelope(col(geomCol)))
       .where(col("__env").isNotNull)
     val env = withId.select(col("__env.xmin").as("__xmin"), col("__env.ymin").as("__ymin"),

@@ -38,6 +38,30 @@ class FieldsAndSourcesSpec extends SparkTestBase {
     }
   }
 
+  test("Fields: tileid emits the owning tile under keepTile, -1 otherwise") {
+    val df = Seq(
+      (1L, "POLYGON((0 0,2 0,2 2,0 2,0 0))"),
+      (2L, "POLYGON((1 1,3 1,3 3,1 3,1 1))"),
+      (3L, "POLYGON((10 10,12 10,12 12,10 12,10 10))"),
+      (4L, "POLYGON((11 11,13 11,13 13,11 13,11 11))"))
+      .toDF("id", "wkt").withColumn("geom", st_geomfromwkt(col("wkt"))).drop("wkt")
+    // no tile column in the frame -> reference placeholder -1
+    val plain = SpatialJoin.selfJoin(df, "geom", "id",
+      cfg = SpatialJoin.Config(bucket = 2))
+    val noTile = Fields.project(plain, "1:1,2:1,tileid")
+    assert(noTile.select("tileid").distinct().collect().map(_.getInt(0)).toSeq == Seq(-1))
+    // keepTile=true carries the emitting tile (resque_2d.cpp:448)
+    val kept = SpatialJoin.selfJoin(df, "geom", "id",
+      cfg = SpatialJoin.Config(bucket = 2, keepTile = true))
+    assert(kept.columns.contains("tile_id"))
+    val rows = Fields.project(kept, "1:1,2:1,tileid").collect()
+    assert(rows.length == 2) // (1,2) and (3,4)
+    assert(rows.forall(_.getInt(2) >= 0), "owning tile id must be a real tile")
+    // join results themselves are unchanged by keepTile
+    assert(kept.drop("tile_id").orderBy("l_id").collect().toSeq ==
+           plain.orderBy("l_id").collect().toSeq)
+  }
+
   test("MBB record scan drops the -1 space trailer (reference --mbbread)") {
     val dir = Files.createTempDirectory("graft_mbb")
     Files.writeString(dir.resolve("m.tsv"),

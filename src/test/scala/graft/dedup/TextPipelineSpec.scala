@@ -70,6 +70,28 @@ class TextPipelineSpec extends SparkTestBase {
     assert(real > 0)
   }
 
+  test("topKBrute: bounded-heap path == cross-join window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.cosine_similarity
+    val items = emb.select(col("vec_id").as("nid"), col("embedding").as("ivec"))
+    val queries = emb.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val got = Similarity.topKBrute(items.repartition(7), "nid", "ivec",
+        queries, "qid", "qvec", 5)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSet
+    // the naive plan the heap path replaces: full scored cross product
+    // through a window — identical results required
+    val want = items.crossJoin(broadcast(queries))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("similarity", cosine_similarity(col("qvec"), col("ivec")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("similarity").desc, col("nid").asc)))
+      .where(col("rank") <= 5)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(got == want)
+  }
+
   test("ANN: LSH top-k recall vs brute force on real embeddings") {
     val items = emb.select(col("vec_id").as("nid"), col("embedding").as("ivec"))
     val queries = emb.where(col("vec_id") % 10 === 0)

@@ -54,5 +54,15 @@ class MultimodalSpec extends SparkTestBase {
     // 54-byte payloads, 16-byte frames -> 4 frames each
     assert(n.values.forall(_ == 4L))
     assert(frames.schema("frame").dataType.typeName == "binary")
+    // frame_no is the PER-VIDEO sampled-frame index: exactly 0..n-1 within
+    // each source row (not a global partition-encoded id)
+    val perVideo = frames.repartition(3).select("media_id", "frame_no").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted.toSeq).toMap
+    assert(perVideo.values.forall(_ == Seq(0L, 1L, 2L, 3L)))
+    // stride skips frames but the sampled index stays dense from 0
+    val strided = Multimodal.sampleFrames(binDf, "content", stride = 2, frameBytes = 16)
+      .select("media_id", "frame_no").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted.toSeq).toMap
+    assert(strided.values.forall(_ == Seq(0L, 1L)))
   }
 }

@@ -170,4 +170,31 @@ class SpatialJoinSpec extends SparkTestBase {
         s"$mode mismatch: missing=${(want -- got.toSet).take(5)} extra=${(got.toSet -- want).take(5)}")
     }
   }
+
+  for ((mode, threshold) <- Seq(("broadcast", 10000), ("tiled", 0))) {
+    test(s"knnJoinBounded == brute kNN truncated at d [$mode path]") {
+      val rnd = new Random(23)
+      val pa = (0 until 120).map(i => (i.toLong, s"POINT (${rnd.nextInt(40)} ${rnd.nextInt(20)})"))
+      val pb = (0 until 70).map(i => (i.toLong, s"POINT (${rnd.nextInt(40)} ${rnd.nextInt(20)})"))
+      val a = df(pa, "id1", "g1"); val b = df(pb, "id2", "g2")
+      val k = 4; val d = 2.5 // mid-gap on the integer lattice
+      val got = SpatialJoin.knnJoinBounded(a, "g1", "id1", b, "g2", k, d,
+          tieBreak = Seq("id2"),
+          cfg = SpatialJoin.Config(bucket = 30, knnBroadcastThreshold = threshold))
+        .select("id1", "id2", "knn_rank").as[(Long, Long, Int)].collect()
+
+      val gb = pb.map { case (i, w) => (i, GeometryCodec.fromWkt(w)) }
+      val want = pa.flatMap { case (i, w) =>
+        val g1 = GeometryCodec.fromWkt(w)
+        gb.map { case (j, g2) => ((g1.distance(g2), j), j) }
+          .sortBy(_._1).take(k).zipWithIndex
+          .collect { case (((dist, _), j), r) if dist < d => (i, j, r + 1) }
+      }.toSet
+      assert(got.toSet == want, s"$mode bounded mismatch")
+      // ranks stay consecutive from 1 (bound removes a suffix, never a gap)
+      got.groupBy(_._1).foreach { case (_, rows) =>
+        assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq)
+      }
+    }
+  }
 }

@@ -34,6 +34,27 @@ class SpatialStoreSpec extends SparkTestBase {
     assert(meta.geomCol == "geom" && meta.tiles.nonEmpty)
   }
 
+  test("content-hash row ids: deterministic across writes, dup lines collapse") {
+    val base = Files.createTempDirectory("graft_store").toString
+    val df = boxesDf(100)
+    // two independent writes of the same data produce the SAME id per row —
+    // the property a positional id (monotonically_increasing_id) lacks
+    // under stage retry
+    SpatialStore.write(df, "geom", base + "/a",
+      graft.operators.SpatialJoin.Config(partitioner = "fg", bucket = 20))
+    SpatialStore.write(df, "geom", base + "/b",
+      graft.operators.SpatialJoin.Config(partitioner = "fg", bucket = 20))
+    def ids(p: String): Map[Long, Long] =
+      spark.read.parquet(p).select("id", SpatialStore.RowIdCol)
+        .distinct().as[(Long, Long)].collect().toMap
+    assert(ids(base + "/a") == ids(base + "/b"))
+    // value-identical input rows share an id and collapse on read — the
+    // reference's full-line uniq semantics (duplicate_remover.cpp:45-63)
+    SpatialStore.write(df.unionAll(df.limit(5)), "geom", base + "/c",
+      graft.operators.SpatialJoin.Config(partitioner = "fg", bucket = 20))
+    assert(SpatialStore.read(spark, base + "/c").count() == 100)
+  }
+
   test("containment read prunes tiles and matches direct filter") {
     val dir = Files.createTempDirectory("graft_store").toString + "/t2"
     val df = boxesDf(800)
