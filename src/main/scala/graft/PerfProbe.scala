@@ -112,6 +112,12 @@ object PerfProbe {
         time("knn_after")(Queries.qKnn(spark, dir).count())
         time("knn_bounded")(Queries.qKnnBounded(spark, dir).count())
         time("ann_topk")(Queries.qAnnTopk(spark, dir).count())
+      case "crosses" =>
+        time("warmup")(Queries.qSpjoinCrosses(spark, "/root/testdata/sf0.001").count())
+        time("crosses1")(Queries.qSpjoinCrosses(spark, dir).count())
+        time("crosses2")(Queries.qSpjoinCrosses(spark, dir).count())
+        time("touches1")(Queries.qSpjoinTouches(spark, dir).count())
+        time("touches2")(Queries.qSpjoinTouches(spark, dir).count())
       case "contains" =>
         time("warmup")(Queries.qSpjoinContains(spark, "/root/testdata/sf0.001").count())
         time("contains")(Queries.qSpjoinContains(spark, dir).count())

@@ -33,6 +33,7 @@ object SparkEntry {
     "q_spjoin_touches" -> (Queries.qSpjoinTouches _),
     "q_normalize" -> (Queries.qNormalize _),
     "q_snap" -> (Queries.qSnap _),
+    "q_discretize" -> (Queries.qDiscretize _),
     "q3_join" -> (Queries.q3Join _),
     "q_json_extract" -> (Queries.qJsonExtract _),
     "q_temporal" -> (Queries.qTemporal _),
@@ -83,6 +84,7 @@ object SparkEntry {
     "q_spjoin_touches" -> Queries.qSpjoinTouchesSql,
     "q_normalize" -> Queries.qNormalizeSql,
     "q_snap" -> Queries.qSnapSql,
+    "q_discretize" -> Queries.qDiscretizeSql,
     "q3_join" -> Queries.q3JoinSql,
     "q_json_extract" -> Queries.qJsonExtractSql,
     "q_temporal" -> Queries.qTemporalSql,

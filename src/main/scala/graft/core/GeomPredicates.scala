@@ -62,22 +62,56 @@ object GeomPredicates {
       meets && !interiors
     } else g1.touches(g2)
 
-  def contains(g1: Geometry, g2: Geometry): Boolean = {
+  /** proper 2-point segment with distinct endpoints (a zero-length closed
+    * "segment" has an EMPTY boundary in JTS — its point is interior — so it
+    * must take the JTS path) */
+  @inline private def isSegment(g: Geometry): Boolean = g match {
+    case l: org.locationtech.jts.geom.LineString if l.getNumPoints == 2 =>
+      val a = l.getCoordinateN(0); val b = l.getCoordinateN(1)
+      a.x != b.x || a.y != b.y
+    case _ => false
+  }
+
+  /** line/line crosses == proper interior crossing: the intersection is a
+    * single point interior to BOTH segments. Four orientation tests with
+    * JTS's own robust predicate (Orientation.index) — the same primitive
+    * relate() bottoms out in — instead of building the full topology graph.
+    * Collinear overlap (dim-1 intersection) and endpoint touching (boundary,
+    * not interior) are both correctly false. */
+  def crosses(g1: Geometry, g2: Geometry): Boolean =
+    if (isSegment(g1) && isSegment(g2)) {
+      import org.locationtech.jts.algorithm.Orientation.index
+      val p = g1.getCoordinates; val q = g2.getCoordinates
+      val o1 = index(p(0), p(1), q(0)); val o2 = index(p(0), p(1), q(1))
+      val o3 = index(q(0), q(1), p(0)); val o4 = index(q(0), q(1), p(1))
+      ((o1 > 0 && o2 < 0) || (o1 < 0 && o2 > 0)) &&
+        ((o3 > 0 && o4 < 0) || (o3 < 0 && o4 > 0))
+    } else g1.crosses(g2)
+
+  /** Some(decided) when the rect/point fast path applies; None -> the
+    * caller must use its NATIVE JTS call (contains vs within go through
+    * different JTS code paths — rectangle-optimized vs relate — which can
+    * disagree on degenerate inputs, so the fallback must not swap them). */
+  private def containsFast(g1: Geometry, g2: Geometry): Option[Boolean] = {
     val e1 = g1.getEnvelopeInternal
     val e2 = g2.getEnvelopeInternal
-    if (!e1.contains(e2)) false // envelope short-circuit, spjoin_2d.hpp:151-153
+    if (!e1.contains(e2)) Some(false) // envelope short-circuit, spjoin_2d.hpp:151-153
     else if (isProperRect(g1)) {
-      if (isProperRect(g2)) true // 2-D g2 inside a filled box: env test decides
+      if (isProperRect(g2)) Some(true) // 2-D g2 inside a filled box: env test decides
       else if (isPoint(g2)) {
         // strict: boundary points are NOT contained (OGC interior semantics)
         val c = g2.getCoordinate
-        c.x > e1.getMinX && c.x < e1.getMaxX &&
-          c.y > e1.getMinY && c.y < e1.getMaxY
-      } else g1.contains(g2)
-    } else g1.contains(g2)
+        Some(c.x > e1.getMinX && c.x < e1.getMaxX &&
+          c.y > e1.getMinY && c.y < e1.getMaxY)
+      } else None
+    } else None
   }
 
-  def within(g1: Geometry, g2: Geometry): Boolean = contains(g2, g1)
+  def contains(g1: Geometry, g2: Geometry): Boolean =
+    containsFast(g1, g2).getOrElse(g1.contains(g2))
+
+  def within(g1: Geometry, g2: Geometry): Boolean =
+    containsFast(g2, g1).getOrElse(g1.within(g2))
 
   def overlaps(g1: Geometry, g2: Geometry): Boolean =
     // JTS overlaps for equal-dimension inputs: interiors intersect and
@@ -112,7 +146,7 @@ object GeomPredicates {
            distance: Double, earth: Boolean = false): Boolean = predicate match {
     case "intersects" => intersects(g1, g2)
     case "touches"    => touches(g1, g2)
-    case "crosses"    => g1.crosses(g2)
+    case "crosses"    => crosses(g1, g2)
     case "contains"   => contains(g1, g2)
     case "within"     => within(g1, g2)
     case "overlaps"   => overlaps(g1, g2)

@@ -293,6 +293,71 @@ case class StOverlapMeasure(left: Expression, right: Expression, measure: String
   override def prettyName: String = s"st_$measure"
 }
 
+/** Full port of the reference's coordinate discretization
+  * (/root/reference/src/transform/discretize_cords.cpp:38-333): affine-map
+  * every vertex from the old space into the new space and round UP to the
+  * integer grid — `ceil((c - old_low) / old_span * new_span + new_low)`,
+  * discretize_cords.cpp:268-273 — preserving ring structure (holes are kept
+  * as separate rings on output, :296-308). With `skipComplex`, polygons
+  * carrying holes are dropped entirely (the -k flag, :213-222); degenerate
+  * inputs with fewer than 3 vertices are dropped (:233-236). Output is the
+  * discretized geometry (integer-valued coordinates) as WKB; pair with
+  * st_envelope/st_npoints for the reference's MBB + vertex-count fields. */
+case class StDiscretize(child: Expression,
+                        oldLowX: Double, oldLowY: Double,
+                        oldHighX: Double, oldHighY: Double,
+                        newLowX: Double, newLowY: Double,
+                        newHighX: Double, newHighY: Double,
+                        skipComplex: Boolean)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val g = GeometryCodec.fromWkb(v.asInstanceOf[Array[Byte]])
+    if (g == null || g.getNumPoints < 3) null
+    else {
+      def holes(geom: Geometry): Boolean = geom match {
+        case p: org.locationtech.jts.geom.Polygon => p.getNumInteriorRing > 0
+        case gc: org.locationtech.jts.geom.GeometryCollection =>
+          (0 until gc.getNumGeometries).exists(i => holes(gc.getGeometryN(i)))
+        case _ => false
+      }
+      if (skipComplex && holes(g)) null
+      else {
+        val osx = oldHighX - oldLowX; val osy = oldHighY - oldLowY
+        val nsx = newHighX - newLowX; val nsy = newHighY - newLowY
+        val out = g.copy()
+        out.apply(new org.locationtech.jts.geom.CoordinateFilter {
+          override def filter(c: org.locationtech.jts.geom.Coordinate): Unit = {
+            c.x = math.ceil((c.x - oldLowX) / osx * nsx + newLowX)
+            c.y = math.ceil((c.y - oldLowY) / osy * nsy + newLowY)
+          }
+        })
+        out.geometryChanged()
+        GeometryCodec.toWkb(out)
+      }
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "st_discretize"
+}
+
+/** Vertex count of a geometry (the reference's num_vertices output field,
+  * discretize_cords.cpp:226 — counts the closing vertex, as JTS does). */
+case class StNumPoints(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any = {
+    val g = GeometryCodec.fromWkb(v.asInstanceOf[Array[Byte]])
+    if (g == null) null else g.getNumPoints
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "st_npoints"
+}
+
 /** Hilbert-curve value of a point on a 2^order x 2^order grid — the
   * reference's space-filling-curve sort key
   * (/root/reference/src/partitionalgo/hc/hc_2d.cpp:27-58), reimplemented with

@@ -53,6 +53,16 @@ package object functions {
   def intervals_contain(a: Column, b: Column): Column = col(IntervalsContain(ex(a), ex(b)))
   def intervals_mindist(a: Column, b: Column): Column = col(IntervalsMinDist(ex(a), ex(b)))
   def st_snaptogrid(g: Column, cell: Column): Column = col(StSnapToGrid(ex(g), ex(cell)))
+  def st_npoints(g: Column): Column = col(StNumPoints(ex(g)))
+
+  /** P9 full discretize_cords port (discretize_cords.cpp:38-333): affine
+    * remap of every vertex from `oldSpace` into `newSpace`, ceil'd to the
+    * integer grid; `skipComplex` drops polygons with holes (-k flag). */
+  def st_discretize(g: Column, oldSpace: graft.core.Mbb, newSpace: graft.core.Mbb,
+                    skipComplex: Boolean = false): Column =
+    col(StDiscretize(ex(g),
+      oldSpace.xmin, oldSpace.ymin, oldSpace.xmax, oldSpace.ymax,
+      newSpace.xmin, newSpace.ymin, newSpace.xmax, newSpace.ymax, skipComplex))
 
   /** P8 coordinate normalization: affine map into [0,1] (reference
     * mbb_normalizer, partition_params.hpp:18-23). */

@@ -460,6 +460,32 @@ object Queries {
        |SELECT id, sx0, sy0, (sx1-sx0)*(sy1-sy0) AS sarea FROM s
        |WHERE sx1 > sx0 AND sy1 > sy0""".stripMargin
 
+  /** P9 full discretize_cords port (discretize_cords.cpp:38-333): remap
+    * part boxes from the [0,200]^2 lattice space into a [0,1000]^2 integer
+    * grid with the reference's exact ceil-affine formula, and emit the
+    * discretized MBB + vertex count (the reference's output fields). The
+    * oracle reproduces the formula with the SAME left-to-right FP operation
+    * order, so ceil landings are bit-identical. */
+  def qDiscretize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Mbb
+    val d = st_discretize(col("geom"), Mbb(0, 0, 200, 200), Mbb(0, 0, 1000, 1000))
+    partBoxes(spark, dir)
+      .withColumn("denv", st_envelope(d))
+      .withColumn("nv", st_npoints(d))
+      .select(col("id"),
+        col("denv.xmin").cast("int").as("dx0"), col("denv.ymin").cast("int").as("dy0"),
+        col("denv.xmax").cast("int").as("dx1"), col("denv.ymax").cast("int").as("dy1"),
+        col("nv"))
+  }
+
+  val qDiscretizeSql: String = {
+    def m(e: String): String = s"CAST(ceil(($e - 0.0) / 200.0 * 1000.0 + 0.0) AS INT)"
+    s"""WITH b AS ($partBoxesSql)
+       |SELECT id, ${m("x0")} AS dx0, ${m("y0")} AS dy0,
+       | ${m("x0 + w")} AS dx1, ${m("y0 + w")} AS dy1, 5 AS nv
+       |FROM b""".stripMargin
+  }
+
   /** TPC-H Q3 shape: broadcast dim filter -> fact join -> exact integer
     * aggregation (prices in cents x discount basis points, so the sum is
     * order-independent int64 math). */

@@ -25,9 +25,17 @@ class GeomPredicatesSpec extends AnyFunSuite {
     GeometryCodec.fromWkt(
       s"POLYGON(($x $y,${x + 3} $y,$x ${y + 3},$x $y))")
   }
-  private def shape(): Geometry = rnd.nextInt(4) match {
+  private def segment(): Geometry = {
+    val x = rnd.nextInt(8).toDouble; val y = rnd.nextInt(8).toDouble
+    // short integer-lattice segments: collinear overlaps, shared endpoints
+    // and proper crossings all occur
+    GeometryCodec.segment(x, y,
+      x + rnd.nextInt(5) - 2, y + rnd.nextInt(5) - 2)
+  }
+  private def shape(): Geometry = rnd.nextInt(5) match {
     case 0 | 1 => box()
     case 2     => point()
+    case 3     => segment()
     case _     => triangle()
   }
 
@@ -37,6 +45,7 @@ class GeomPredicatesSpec extends AnyFunSuite {
       val g1 = shape(); val g2 = shape()
       assert(GeomPredicates.intersects(g1, g2) == g1.intersects(g2), s"intersects $g1 $g2")
       assert(GeomPredicates.touches(g1, g2) == g1.touches(g2), s"touches $g1 $g2")
+      assert(GeomPredicates.crosses(g1, g2) == g1.crosses(g2), s"crosses $g1 $g2")
       assert(GeomPredicates.contains(g1, g2) == g1.contains(g2), s"contains $g1 $g2")
       assert(GeomPredicates.within(g1, g2) == g1.within(g2), s"within $g1 $g2")
       assert(GeomPredicates.overlaps(g1, g2) == g1.overlaps(g2), s"overlaps $g1 $g2")

@@ -109,6 +109,32 @@ class GeomExpressionsSpec extends SparkTestBase {
     assert(math.abs(vals(0) - vals(1)) < 8) // near points -> near curve positions
   }
 
+  test("st_discretize: ceil-affine remap, holes preserved, skipComplex drops") {
+    import graft.core.Mbb
+    val donut = "POLYGON((0 0,10 0,10 10,0 10,0 0),(2 2,4 2,4 4,2 4,2 2))"
+    val tri = "POLYGON((1 1,3 1,1 3,1 1))"
+    val df = Seq((1L, donut), (2L, tri)).toDF("id", "wkt")
+      .withColumn("g", st_geomfromwkt(col("wkt")))
+    val out = df.select(col("id"),
+        st_astext(st_discretize(col("g"), Mbb(0, 0, 10, 10), Mbb(0, 0, 100, 100)))
+          .as("d"),
+        st_astext(st_discretize(col("g"), Mbb(0, 0, 10, 10), Mbb(0, 0, 100, 100),
+          skipComplex = true)).as("dk"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    // vertices map by ceil((c-0)/10*100+0) = 10c exactly; the hole survives
+    // as its own ring (discretize_cords.cpp:296-308)
+    assert(out(1L)._1.contains("(20 20, 40 20, 40 40, 20 40, 20 20)"))
+    assert(out(1L)._2 == null, "skipComplex must drop polygons with holes (-k)")
+    assert(out(2L)._1 == "POLYGON ((10 10, 30 10, 10 30, 10 10))")
+    assert(out(2L)._2 != null, "skipComplex keeps hole-free polygons")
+    // non-integral landings round UP (ceil), the reference's formula
+    val p = Seq(Tuple1("POLYGON((1 1,2 1,1 2,1 1))")).toDF("wkt")
+      .select(st_astext(st_discretize(st_geomfromwkt(col("wkt")),
+        Mbb(0, 0, 3, 3), Mbb(0, 0, 10, 10))))
+      .head().getString(0)
+    assert(p == "POLYGON ((4 4, 7 4, 4 7, 4 4))") // 10/3=3.33->4, 20/3=6.67->7
+  }
+
   test("SQL registration exposes functions to spark.sql") {
     registerAll(spark)
     val r = spark.sql(
