@@ -416,7 +416,8 @@ object SpatialJoin {
   def knnJoinExact(left: DataFrame, leftGeom: String, leftId: String,
                    right: DataFrame, rightGeom: String, k: Int,
                    tieBreak: Seq[String] = Seq.empty,
-                   cfg: Config = Config()): DataFrame = {
+                   cfg: Config = Config(),
+                   maxDistance: Double = Double.PositiveInfinity): DataFrame = {
     val spark = left.sparkSession
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"column name collision between join sides: $dup")
@@ -516,9 +517,14 @@ object SpatialJoin {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val safe = p1.where(col("knn_rank") > 0)
+    // per-row pass-2 search radius: the k-th local distance, or the space
+    // diagonal when the owner tile was starved — clamped to maxDistance for
+    // bounded-d kNN (a starved tile would otherwise replicate its probes to
+    // EVERY tile; with a bound, neighbors beyond d are dropped anyway)
+    val cap = math.min(diag, maxDistance)
     val unsafeRadii = p1.where(col("knn_rank") === -1)
-      .select(col(leftId), when(col("knn_dist") < 0, lit(diag))
-        .otherwise(col("knn_dist")).as(Rad))
+      .select(col(leftId), when(col("knn_dist") < 0, lit(cap))
+        .otherwise(least(col("knn_dist"), lit(cap))).as(Rad))
 
     // ---------------- pass 2: radius-bounded candidate join on the remainder
     val l2 = l.join(unsafeRadii, Seq(leftId))
@@ -602,15 +608,17 @@ object SpatialJoin {
     * the distance bound removes a suffix of each row's distance-sorted
     * neighbor list, never a middle element. Unlike the reference (tile-local
     * probe of an MBB expanded by d), this is globally exact — built on
-    * [[knnJoinExact]], whose pass-2 radius is already per-row bounded, so
-    * the bound costs nothing extra at scale; for huge d prefer a dwithin
-    * join + window. */
+    * [[knnJoinExact]] with the pass-2 search radius CLAMPED to d: a
+    * starved owner tile searches min(space diagonal, d), so at scale a
+    * sparse region replicates probes only to the tiles within d, never to
+    * the whole space. */
   def knnJoinBounded(left: DataFrame, leftGeom: String, leftId: String,
                      right: DataFrame, rightGeom: String, k: Int,
                      maxDistance: Double,
                      tieBreak: Seq[String] = Seq.empty,
                      cfg: Config = Config()): DataFrame =
-    knnJoinExact(left, leftGeom, leftId, right, rightGeom, k, tieBreak, cfg)
+    knnJoinExact(left, leftGeom, leftId, right, rightGeom, k, tieBreak, cfg,
+        maxDistance = maxDistance)
       .where(col("knn_dist") < maxDistance)
 
   /** Broadcast exact kNN: the whole (small) right side ships to every task;

@@ -141,5 +141,11 @@ class GeomExpressionsSpec extends SparkTestBase {
       "SELECT st_area(st_makebox(0D, 0D, 2D, 3D)) a, " +
       "st_intersects(st_point(1D,1D), st_makebox(0D,0D,2D,2D)) b").head()
     assert(r.getDouble(0) == 6.0 && r.getBoolean(1))
+    val r2 = spark.sql(
+      "SELECT st_npoints(st_makebox(0D,0D,1D,1D)) n, " +
+      "st_astext(st_discretize(st_makebox(1D,1D,2D,2D), " +
+      "0D,0D,10D,10D, 0D,0D,100D,100D)) d").head()
+    assert(r2.getInt(0) == 5)
+    assert(r2.getString(1) == "POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))")
   }
 }
