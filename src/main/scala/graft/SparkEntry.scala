@@ -56,6 +56,9 @@ object SparkEntry {
     "q_fields" -> (Queries.qFields _),
     "q_spjoin_twolevel" -> (Queries.qSpjoinTwolevel _),
     "q_ann_ivf" -> (Queries.qAnnIvf _),
+    "q_spjoin_hcdist" -> (Queries.qSpjoinHcdist _),
+    "q_partition_quality" -> (Queries.qPartitionQuality _),
+    "q_wkt_roundtrip" -> (Queries.qWktRoundtrip _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -108,5 +111,8 @@ object SparkEntry {
     "q_spjoin_twolevel" -> Queries.qSpjoinTwolevelSql,
     // q_ann_ivf: centroid training engine-internal -> rows-only; recall
     // vs brute force is ScalaTest-gated.
+    "q_spjoin_hcdist" -> Queries.qSpjoinHcdistSql,
+    "q_partition_quality" -> Queries.qPartitionQualitySql,
+    "q_wkt_roundtrip" -> Queries.qWktRoundtripSql,
   )
 }

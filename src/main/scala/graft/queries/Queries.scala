@@ -605,6 +605,71 @@ object Queries {
        |                   AND b.y0 <= c.ty1 AND b.y0 + b.w >= c.ty0
        |GROUP BY 1""".stripMargin
 
+  /** G5 distributed variant (hc_dist, partition/DistributedHilbert): fully
+    * distributed Hilbert tiling over the WHOLE relation — no driver sample,
+    * the 100 TB planning path. The join result is tiling-invariant, so the
+    * oracle is plain pair arithmetic. */
+  def qSpjoinHcdist(spark: SparkSession, dir: String): DataFrame = {
+    val b = partBoxes(spark, dir)
+    val a = b.select(col("id").as("id1"), col("geom").as("g1"))
+    val c = b.select(col("id").as("id2"), col("geom").as("g2"))
+    SpatialJoin.join(a, "g1", c, "g2",
+        SpatialJoin.Config(predicate = "intersects", partitioner = "hc_dist",
+          bucket = 500))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+  }
+
+  val qSpjoinHcdistSql: String =
+    s"""WITH b AS ($partBoxesSql)
+       |SELECT a.id AS id1, c.id AS id2
+       |FROM b a JOIN b c ON a.id < c.id
+       | AND a.x0 <= c.x0 + c.w AND c.x0 <= a.x0 + a.w
+       | AND a.y0 <= c.y0 + c.w AND c.y0 <= a.y0 + a.w""".stripMargin
+
+  /** A4 partition-quality summary (post_process_stat,
+    * queryprocessor_2d.cpp:61-106): tile count, replicated-object total,
+    * mean/min/max objects per tile over the same SQL-re-derivable fg tiling
+    * as q_partition_stats. stddev stays ScalaTest-gated (FP-accumulated,
+    * not bit-stable across engines); mean is one exact-int division. */
+  def qPartitionQuality(spark: SparkSession, dir: String): DataFrame = {
+    import graft.api._
+    partBoxes(spark, dir).describeSpatialPartitioning("geom", "fg", 500)._2
+      .select(col("n_tiles"), col("n_replicated_objects"),
+        col("mean_objects"), col("min_objects"), col("max_objects"))
+  }
+
+  val qPartitionQualitySql: String =
+    s"""WITH pt AS ($qPartitionStatsSql)
+       |SELECT count(*) AS n_tiles,
+       | CAST(sum(n_objects) AS BIGINT) AS n_replicated_objects,
+       | avg(n_objects) AS mean_objects,
+       | min(n_objects) AS min_objects, max(n_objects) AS max_objects
+       |FROM pt""".stripMargin
+
+  /** S1 gated end-to-end: the reference's native TSV/WKT scan. The query
+    * serializes part boxes to a TSV (id TAB wkt TAB w), reads it back
+    * through WktTsvSource (schema-on-read, tokenizer semantics, permissive
+    * WKT parse at the scan boundary) and emits the parsed envelope —
+    * write -> tokenize -> WKT-parse -> envelope must equal the oracle's
+    * box arithmetic. */
+  def qWktRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft_wkt_roundtrip"
+    partBoxes(spark, dir)
+      .select(concat_ws("\t", col("id"), st_astext(col("geom")), col("w")).as("line"))
+      .write.mode("overwrite").text(out)
+    graft.sources.WktTsvSource.read(spark, out, shpIdx = 2)
+      .withColumn("e", st_envelope(col("geom")))
+      .select(col("f1").cast("long").as("id"),
+        col("e.xmin").as("bx0"), col("e.ymin").as("by0"),
+        col("e.xmax").as("bx1"), col("e.ymax").as("by1"))
+  }
+
+  val qWktRoundtripSql: String =
+    s"""WITH b AS ($partBoxesSql)
+       |SELECT id, x0 AS bx0, y0 AS by0, x0 + w AS bx1, y0 + w AS by1
+       |FROM b""".stripMargin
+
   /** M1 (oracled): deterministic key-hash sample — the Spark-first
     * replacement for the reference's coin-flip sampler (sampler.cpp:14-38).
     * Content/key-derived selection is reproducible under task retries
