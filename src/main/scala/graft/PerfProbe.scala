@@ -112,6 +112,12 @@ object PerfProbe {
         time("knn_after")(Queries.qKnn(spark, dir).count())
         time("knn_bounded")(Queries.qKnnBounded(spark, dir).count())
         time("ann_topk")(Queries.qAnnTopk(spark, dir).count())
+      case "roundtrips" =>
+        time("warmup")(Queries.qWktRoundtrip(spark, "/root/testdata/sf0.001").count())
+        time("wkt_roundtrip")(Queries.qWktRoundtrip(spark, dir).count())
+        time("mbb_roundtrip")(Queries.qMbbRoundtrip(spark, dir).count())
+        time("hcdist")(Queries.qSpjoinHcdist(spark, dir).count())
+        time("partition_quality")(Queries.qPartitionQuality(spark, dir).count())
       case "crosses" =>
         time("warmup")(Queries.qSpjoinCrosses(spark, "/root/testdata/sf0.001").count())
         time("crosses1")(Queries.qSpjoinCrosses(spark, dir).count())

@@ -670,6 +670,29 @@ object Queries {
        |SELECT id, x0 AS bx0, y0 AS by0, x0 + w AS bx1, y0 + w AS by1
        |FROM b""".stripMargin
 
+  /** S2 gated end-to-end: the MBB record scan (`--mbbread`), INCLUDING the
+    * reference's -1-keyed space-envelope trailer row that readers must drop
+    * (manipulate_2d.cpp:199-203). Writes `id x1 y1 x2 y2` TSV + trailer,
+    * reads back through WktTsvSource.readMbb. */
+  def qMbbRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft_mbb_roundtrip"
+    val b = partBoxes(spark, dir)
+    val rows = b.select(concat_ws("\t", col("id"), col("x0"), col("y0"),
+      col("x0") + col("w"), col("y0") + col("w")).as("line"))
+    val trailer = b.agg(
+        min(col("x0")).as("a"), min(col("y0")).as("b"),
+        max(col("x0") + col("w")).as("c"), max(col("y0") + col("w")).as("d"))
+      .select(concat_ws("\t", lit(-1), col("a"), col("b"), col("c"), col("d"))
+        .as("line"))
+    rows.unionAll(trailer).write.mode("overwrite").text(out)
+    graft.sources.WktTsvSource.readMbb(spark, out)
+      .select(col("id").cast("long").as("id"),
+        col("xmin").as("bx0"), col("ymin").as("by0"),
+        col("xmax").as("bx1"), col("ymax").as("by1"))
+  }
+
+  val qMbbRoundtripSql: String = qWktRoundtripSql
+
   /** M1 (oracled): deterministic key-hash sample — the Spark-first
     * replacement for the reference's coin-flip sampler (sampler.cpp:14-38).
     * Content/key-derived selection is reproducible under task retries
