@@ -76,19 +76,25 @@ object TextDedup {
   }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * min hash over the document's shingles. One aggregation, map-side
-    * combined. The shingle string is hashed once; the hash family derives
-    * from cheap (long, seed) re-hashing — numHashes× fewer string scans. */
+    * min hash over the document's shingles — computed PER ROW with
+    * higher-order functions (array_min over transform), so signatures are
+    * pure map-side work: no shingle explode, no shuffle, nothing but
+    * (id, 64 longs) ever leaves the scan stage. The shingle string is
+    * hashed once into `__sh`; the hash family derives from cheap
+    * (long, seed) re-hashing. Same values as the former explode+groupBy
+    * formulation (identical expression tree per shingle), ~#shingles×
+    * less shuffled data. Documents with no shingles produce no row (the
+    * old groupBy semantics). */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int, numHashes: Int): DataFrame = {
-    val sh = fanOut(df).select(col(idCol),
-      explode(transform(TextFunctions.wordShingles(col(textCol), n),
-        s => xxhash64(s))).as("shash"))
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(col("shash"), lit(i))).as(s"h$i"))
-    sh.groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("minhash"))
+    val hashed = fanOut(df).select(col(idCol),
+      transform(TextFunctions.wordShingles(col(textCol), n),
+        s => xxhash64(s)).as("__sh"))
+    hashed
+      .where(size(col("__sh")) > 0)
+      .select(col(idCol), array((0 until numHashes).map(i =>
+        array_min(transform(col("__sh"), h => xxhash64(h, lit(i))))): _*)
+        .as("minhash"))
   }
 
   /** MinHash + banded LSH candidate pairs with the signature-estimated
