@@ -112,6 +112,10 @@ object PerfProbe {
         time("knn_after")(Queries.qKnn(spark, dir).count())
         time("knn_bounded")(Queries.qKnnBounded(spark, dir).count())
         time("ann_topk")(Queries.qAnnTopk(spark, dir).count())
+      case "ivf" =>
+        time("warmup")(Queries.qAnnIvf(spark, "/root/testdata/sf0.001").count())
+        time("ivf1")(Queries.qAnnIvf(spark, dir).count())
+        time("ivf2")(Queries.qAnnIvf(spark, dir).count())
       case "roundtrips" =>
         time("warmup")(Queries.qWktRoundtrip(spark, "/root/testdata/sf0.001").count())
         time("wkt_roundtrip")(Queries.qWktRoundtrip(spark, dir).count())

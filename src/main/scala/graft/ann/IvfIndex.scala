@@ -1,7 +1,5 @@
 package graft.ann
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -11,26 +9,79 @@ import graft.functions.cosine_similarity
 /** IVF (inverted-file) similarity search — the centroid-bucketed scale path
   * next to [[Similarity.topKLsh]]: k-means centroids partition the items;
   * a query scans only its `nprobe` nearest centroid lists instead of the
-  * whole table. Centroids train on a seeded sample via MLlib KMeans and
-  * broadcast; list assignment and probing are single narrow passes.
+  * whole table. Centroids train with a driver-side Lloyd's loop on a seeded
+  * bounded sample — the same plan-on-a-sample architecture as the spatial
+  * partitioners (one distributed pass to sample, milliseconds to cluster;
+  * a distributed trainer would pay ~2 Spark jobs PER ITERATION for a
+  * <=100k-row input). Deterministic: seeded sample + seeded init + fixed
+  * iteration count/tolerance.
   */
 object IvfIndex {
 
   final case class Model(centroids: Array[Array[Double]])
 
-  /** Train `nlist` centroids on (a sample of) the item vectors. */
+  /** Train `nlist` centroids on (a bounded sample of) the item vectors. */
   def train(items: DataFrame, vecCol: String, nlist: Int,
-            sampleTarget: Int = 100000, seed: Long = 42L): Model = {
+            sampleTarget: Int = 100000, seed: Long = 42L,
+            maxIter: Int = 20, tol: Double = 1e-4): Model = {
     val n = items.count()
     val fraction = math.min(1.0, sampleTarget.toDouble / math.max(1, n))
-    val toVec = udf((v: Seq[Float]) =>
-      if (v == null) null else Vectors.dense(v.map(_.toDouble).toArray))
-    val train = items.sample(withReplacement = false, fraction, seed)
-      .select(toVec(col(vecCol)).as("features"))
-      .where(col("features").isNotNull)
-    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
-    val model = km.fit(train)
-    Model(model.clusterCenters.map(_.toArray))
+    val sample: Array[Array[Double]] = items
+      .select(col(vecCol)).where(col(vecCol).isNotNull)
+      .sample(withReplacement = false, fraction, seed)
+      .limit(sampleTarget)
+      .collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(sample.nonEmpty, "no vectors to train on")
+    val k = math.min(nlist, sample.length)
+    val rnd = new scala.util.Random(seed)
+    val centroids = rnd.shuffle(sample.indices.toList).take(k)
+      .map(i => sample(i).clone()).toArray
+
+    def nearest(v: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var ci = 0
+      while (ci < centroids.length) {
+        val c = centroids(ci)
+        var d = 0.0; var i = 0
+        while (i < c.length && i < v.length) {
+          val diff = c(i) - v(i); d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; best = ci }
+        ci += 1
+      }
+      best
+    }
+
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIter && moved > tol) {
+      val sums = Array.fill(k)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val ci = nearest(v)
+        val s = sums(ci)
+        var i = 0
+        while (i < s.length && i < v.length) { s(i) += v(i); i += 1 }
+        counts(ci) += 1
+      }
+      moved = 0.0
+      var ci = 0
+      while (ci < k) {
+        if (counts(ci) > 0) { // empty cluster keeps its old centroid
+          val c = centroids(ci)
+          var i = 0
+          while (i < c.length) {
+            val nv = sums(ci)(i) / counts(ci)
+            val d = nv - c(i); moved += d * d
+            c(i) = nv; i += 1
+          }
+        }
+        ci += 1
+      }
+      iter += 1
+    }
+    Model(centroids)
   }
 
   private def nearestCentroids(model: Model, v: Seq[Float], n: Int): Array[Int] = {
