@@ -54,6 +54,21 @@ class PlanHealthSpec extends SparkTestBase {
       s"broadcast kNN should not shuffle:\n${df.queryExecution.executedPlan}")
   }
 
+  test("ANN brute top-k never shuffles the scored cross product") {
+    val df = Queries.qAnnTopk(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "items x queries cross product materialized in the ANN plan")
+    assert(plan.contains("MapPartitions"),
+      "expected the bounded-heap mapPartitions stage")
+    // the only exchange feeds the final window over per-partition top-k
+    // candidates — a relation bounded by partitions x |queries| x k rows
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.size <= 1, s"ANN plan should have at most the rank shuffle:\n$plan")
+  }
+
   test("predicate pushdown reaches dim-table scans in q3") {
     val q3 = Queries.q3Join(spark, dir)
     val custScan = scans(q3)
