@@ -122,6 +122,7 @@ object PerfProbe {
         time("mbb_roundtrip")(Queries.qMbbRoundtrip(spark, dir).count())
         time("hcdist")(Queries.qSpjoinHcdist(spark, dir).count())
         time("partition_quality")(Queries.qPartitionQuality(spark, dir).count())
+        time("wholefile")(Queries.qWholeFile(spark, dir).count())
       case "crosses" =>
         time("warmup")(Queries.qSpjoinCrosses(spark, "/root/testdata/sf0.001").count())
         time("crosses1")(Queries.qSpjoinCrosses(spark, dir).count())

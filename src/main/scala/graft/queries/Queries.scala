@@ -655,9 +655,16 @@ object Queries {
     * box arithmetic. */
   def qWktRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = "/tmp/graft_wkt_roundtrip"
-    partBoxes(spark, dir)
+    val good = partBoxes(spark, dir)
       .select(concat_ws("\t", col("id"), st_astext(col("geom")), col("w")).as("line"))
-      .write.mode("overwrite").text(out)
+    // P3/P4 gated here too: malformed-WKT and empty-geometry rows are NOT
+    // in the oracle — the scan must silently drop them (the reference
+    // mapper's permissive skip, manipulate_2d.cpp:182-189) or the hash
+    // comparison fails
+    val bad = spark.range(1).select(
+      explode(array(lit("900001\tPOLYGON((broken\t1"),
+                    lit("900002\t\t1"))).as("line"))
+    good.unionAll(bad).write.mode("overwrite").text(out)
     graft.sources.WktTsvSource.read(spark, out, shpIdx = 2)
       .withColumn("e", st_envelope(col("geom")))
       .select(col("f1").cast("long").as("id"),
@@ -692,6 +699,38 @@ object Queries {
   }
 
   val qMbbRoundtripSql: String = qWktRoundtripSql
+
+  /** S4 gated end-to-end: whole-file input (the reference's
+    * WholeFileInputFormat, mapreducejava/WholeFileInputFormat.java:14-18) —
+    * one document per physical file, read unsplit via Spark's built-in
+    * binaryFile source; identity = filename, payload checked by md5.
+    * Local-FS sink is a test harness affordance; the read path is the
+    * production surface. */
+  def qWholeFile(spark: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft_wholefile"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(out)); new java.io.File(out).mkdirs()
+    table(spark, dir, "documents").where(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), col("text"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(out, r.getLong(0).toString + ".txt"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+    spark.read.format("binaryFile").load(out + "/*.txt")
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.txt$", 1).cast("long").as("doc_id"),
+        md5(col("content")).as("content_md5"))
+  }
+
+  val qWholeFileSql: String =
+    """SELECT doc_id, md5(text) AS content_md5 FROM documents
+      |WHERE doc_id % 20 = 0""".stripMargin
 
   /** M1 (oracled): deterministic key-hash sample — the Spark-first
     * replacement for the reference's coin-flip sampler (sampler.cpp:14-38).
