@@ -17,8 +17,11 @@ object Bench {
       try { fn(spark, "/root/testdata/sf0.001").count() }
       catch { case _: Throwable => () }
     }
-    // best-of-2 per query: the host is shared, single runs jitter 2-3x
+    // best-of-2 per query: the host is shared, single runs jitter 2-3x.
+    // A GC between timings keeps one query's garbage from being charged to
+    // the next (the round-3 q_knn "regression" was exactly this).
     def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9

@@ -99,7 +99,7 @@ object SpatialStore {
 
   // ---- metadata (partition.idx + info.cfg equivalent) ----
 
-  private def writeMeta(spark: SparkSession, path: String, meta: Meta): Unit = {
+  def writeMeta(spark: SparkSession, path: String, meta: Meta): Unit = {
     val tiles = meta.tiles.map(t =>
       s"""[${t.tileId},${t.mbb.xmin},${t.mbb.ymin},${t.mbb.xmax},${t.mbb.ymax}]""")
       .mkString("[", ",", "]")

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.functions.{st_envelope, st_geomfromwkt}
+import graft.operators.TileIndex
+import graft.sources.SpatialStore
+
+/** Streaming spatial ingest — the incremental form of the `partition`
+  * lifecycle ([[graft.sources.SpatialStore.write]], reference
+  * query_partition.hpp:77-293): a stream of WKT records is parsed once at
+  * the scan boundary, tile-tagged against a FIXED tile index, and appended
+  * `partitionBy(tile_id)`. The index is planned ahead of time (on a
+  * historical batch or a sample) and broadcast once — tiles MUST be stable
+  * across microbatches, or the physical layout would drift and the
+  * metadata/global index would lie about old files.
+  *
+  * The tagged stream carries the same `__row_id` content hash as the batch
+  * writer, so [[SpatialStore.read]]/[[SpatialStore.containmentRead]] work
+  * identically on a streamed store: replicas collapse, tile pruning
+  * applies. `tileTag` itself is mode-agnostic — the SAME transform runs on
+  * a batch frame (tested equal) per Structured Streaming's contract.
+  */
+object SpatialIngest {
+
+  /** Parse + envelope + replicate to every intersecting tile (reference
+    * manipulate_2d -m). Malformed WKT rows drop silently (P4). Output =
+    * input columns ++ geom (WKB) ++ __row_id ++ tile_id. */
+  def tileTag(df: DataFrame, wktCol: String, index: TileIndex): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(index)
+    val tileIds = udf { (x1: Double, y1: Double, x2: Double, y2: Double) =>
+      bc.value.tilesFor(x1, y1, x2, y2)
+    }
+    val inputCols = df.columns
+    df.withColumn("geom", st_geomfromwkt(col(wktCol)))
+      .where(col("geom").isNotNull)
+      .withColumn(SpatialStore.RowIdCol,
+        xxhash64(inputCols.map(col).toIndexedSeq: _*))
+      .withColumn("__env", st_envelope(col("geom")))
+      .withColumn(SpatialStore.TileCol, explode(tileIds(
+        col("__env.xmin"), col("__env.ymin"), col("__env.xmax"), col("__env.ymax"))))
+      .drop("__env")
+  }
+
+  /** Start the append sink: tile-partitioned parquet + the same
+    * `_graft_meta.json` the batch writer produces (written up front — the
+    * tiling is fixed), so batch readers can open the store while the
+    * stream runs. */
+  def start(stream: DataFrame, wktCol: String, index: TileIndex,
+            path: String, checkpoint: String): StreamingQuery = {
+    SpatialStore.writeMeta(stream.sparkSession, path,
+      SpatialStore.Meta("geom", index.space, index.tiles))
+    tileTag(stream, wktCol, index)
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy(SpatialStore.TileCol)
+      .outputMode("append")
+      .start()
+  }
+}

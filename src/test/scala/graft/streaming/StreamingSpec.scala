@@ -96,4 +96,58 @@ class StreamingSpec extends SparkTestBase {
       (2L, 10000000L, 600000000L, 2)))
     assert(streamed.subsetOf(batch), "closed streaming sessions must appear in batch result")
   }
+
+  test("SpatialIngest: streamed tile-partitioned store == batch tag; readable by SpatialStore") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.core.{GeometryCodec, Mbb}
+    import graft.operators.TileIndex
+    import graft.partition.SpatialPartitioner
+    import graft.sources.SpatialStore
+
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 200).map { i =>
+      val x = rnd.nextDouble() * 100; val y = rnd.nextDouble() * 50
+      (i.toLong, s"POLYGON(($x $y,${x + 2} $y,${x + 2} ${y + 2},$x ${y + 2},$x $y))")
+    }
+    // plan the FIXED index ahead of the stream (on "historical" MBBs)
+    val mbbs = rows.map { case (_, w) =>
+      val e = GeometryCodec.fromWkt(w).getEnvelopeInternal
+      Mbb(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
+    }.toArray
+    val space = mbbs.reduce(_ union _)
+    val index = new TileIndex(
+      SpatialPartitioner("fg").partition(mbbs, space, 30), space)
+
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val stream = MemoryStream[(Long, String)]
+    val q = SpatialIngest.start(stream.toDF().toDF("id", "wkt"), "wkt", index,
+      base + "/store", base + "/ckpt")
+    try {
+      stream.addData(rows.take(120))
+      q.processAllAvailable()
+      stream.addData(rows.drop(120)) // second microbatch, same tiling
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the streamed store behaves exactly like a batch-written one
+    val back = SpatialStore.read(spark, base + "/store")
+    assert(back.count() == 200)
+    assert(back.select("id").as[Long].collect().toSet == (0L until 200L).toSet)
+    val window = GeometryCodec.toWkb(GeometryCodec.box(20, 10, 50, 30))
+    val got = SpatialStore.containmentRead(spark, base + "/store", window)
+      .select("id").as[Long].collect().toSet
+    val want = rows.filter { case (_, w) =>
+      GeometryCodec.fromWkt(w).intersects(GeometryCodec.fromWkb(window))
+    }.map(_._1).toSet
+    assert(got == want)
+
+    // mode-agnostic transform: streaming tag rows == batch tag rows
+    val batchTag = SpatialIngest.tileTag(rows.toDF("id", "wkt"), "wkt", index)
+      .select(col("id"), col(SpatialStore.TileCol))
+      .as[(Long, Int)].collect().toSet
+    val streamedTag = spark.read.parquet(base + "/store")
+      .select(col("id"), col(SpatialStore.TileCol).cast("int"))
+      .as[(Long, Int)].collect().toSet
+    assert(streamedTag == batchTag)
+  }
 }
