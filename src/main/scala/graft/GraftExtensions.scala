@@ -49,12 +49,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     r("seeded_hash64", es => SeededHash64(es(0), es(1)))
     r("st_snaptogrid", es => StSnapToGrid(es(0), es(1)))
     r("st_npoints", es => StNumPoints(es.head))
-    r("st_discretize", es => {
-      def d(e: Expression): Double =
-        e.eval(null).asInstanceOf[Number].doubleValue()
-      StDiscretize(es.head, d(es(1)), d(es(2)), d(es(3)), d(es(4)),
-        d(es(5)), d(es(6)), d(es(7)), d(es(8)),
-        es.length > 9 && es(9).eval(null) == true)
-    })
+    r("st_discretize", StDiscretize.fromSqlArgs _)
   }
 }

@@ -20,9 +20,15 @@ object IvfIndex {
 
   final case class Model(centroids: Array[Array[Double]])
 
-  /** Train `nlist` centroids on (a bounded sample of) the item vectors. */
+  /** Train `nlist` centroids on (a bounded sample of) the item vectors.
+    * Driver cost model: the collect holds sampleTarget x dim doubles
+    * (default 20k x 768-dim = ~123 MB) and each Lloyd iteration costs
+    * sample x nlist x dim multiply-adds, with the assignment step fanned
+    * across driver cores in fixed chunks (deterministic merge order).
+    * Raise sampleTarget only with driver memory to match — centroid
+    * quality saturates well below 20k samples for nlist <= a few hundred. */
   def train(items: DataFrame, vecCol: String, nlist: Int,
-            sampleTarget: Int = 100000, seed: Long = 42L,
+            sampleTarget: Int = 20000, seed: Long = 42L,
             maxIter: Int = 20, tol: Double = 1e-4): Model = {
     val n = items.count()
     val fraction = math.min(1.0, sampleTarget.toDouble / math.max(1, n))
@@ -53,17 +59,45 @@ object IvfIndex {
       best
     }
 
+    val dim = sample.head.length
+    val nChunks = math.min(math.max(1, Runtime.getRuntime.availableProcessors),
+      math.max(1, sample.length / 256))
+    val bounds = (0 to nChunks).map(c => c.toLong * sample.length / nChunks)
+      .map(_.toInt)
+
     var iter = 0
     var moved = Double.MaxValue
     while (iter < maxIter && moved > tol) {
-      val sums = Array.fill(k)(new Array[Double](sample.head.length))
+      // assignment fanned across cores in FIXED chunks; partials merged in
+      // chunk-index order so FP sums are scheduling-independent
+      val partials = java.util.stream.IntStream.range(0, nChunks).parallel()
+        .mapToObj[(Array[Array[Double]], Array[Int])] { c =>
+          val ps = Array.fill(k)(new Array[Double](dim))
+          val pc = new Array[Int](k)
+          var j = bounds(c)
+          while (j < bounds(c + 1)) {
+            val v = sample(j)
+            val ci = nearest(v)
+            val s = ps(ci)
+            var i = 0
+            while (i < s.length && i < v.length) { s(i) += v(i); i += 1 }
+            pc(ci) += 1
+            j += 1
+          }
+          (ps, pc)
+        }
+        .collect(java.util.stream.Collectors.toList[(Array[Array[Double]], Array[Int])])
+      val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Int](k)
-      sample.foreach { v =>
-        val ci = nearest(v)
-        val s = sums(ci)
-        var i = 0
-        while (i < s.length && i < v.length) { s(i) += v(i); i += 1 }
-        counts(ci) += 1
+      partials.forEach { case (ps, pc) =>
+        var ci = 0
+        while (ci < k) {
+          val s = sums(ci); val p = ps(ci)
+          var i = 0
+          while (i < dim) { s(i) += p(i); i += 1 }
+          counts(ci) += pc(ci)
+          ci += 1
+        }
       }
       moved = 0.0
       var ci = 0

@@ -36,7 +36,7 @@ object Similarity {
     val qCollected = queries.select(col(queryId), col(queryVec)).collect()
       .flatMap { r =>
         val v = r.getSeq[Float](1)
-        if (v == null) None else Some((r.get(0), v.toArray))
+        if (v == null || r.isNullAt(0)) None else Some((r.get(0), v.toArray))
       }
     val bc = spark.sparkContext.broadcast(qCollected)
     val candSchema = StructType(Seq(
@@ -49,6 +49,17 @@ object Similarity {
       else if (a == null) 1
       else if (b == null) -1
       else a.asInstanceOf[Comparable[Any]].compareTo(b)
+    // numeric-widening id equality, matching the old `=!=` filter's cast
+    // semantics (Long query id vs Int item id must still exclude the self
+    // pair, and must NOT throw like a raw Comparable.compareTo would)
+    def sameId(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: java.lang.Double, y: Number) => x.doubleValue == y.doubleValue
+      case (x: java.lang.Float, y: Number)  => x.doubleValue == y.doubleValue
+      case (x: Number, y: java.lang.Double) => x.doubleValue == y.doubleValue
+      case (x: Number, y: java.lang.Float)  => x.doubleValue == y.doubleValue
+      case (x: Number, y: Number)           => x.longValue == y.longValue
+      case (x, y)                           => x == y
+    }
     // best-first: similarity desc, item id asc; PriorityQueue.head under
     // this ordering is the WORST retained candidate (same bounded-selection
     // pattern as SpatialJoin.knnBroadcast)
@@ -67,12 +78,12 @@ object Similarity {
       rows.foreach { r =>
         val iid = r.get(0)
         val v = r.getSeq[Float](1)
-        if (v != null) {
+        if (v != null && iid != null) { // null-id items dropped, like the old =!= filter
           val vec = v.toArray
           var i = 0
           while (i < qs.length) {
             val (qid, qv) = qs(i)
-            if (cmpAny(qid, iid) != 0) {
+            if (!sameId(qid, iid)) {
               val c = CosineSimilarity.cosine(qv, vec)
               if (c != null) {
                 val cand = (c.doubleValue(), iid)

@@ -81,19 +81,23 @@ object TextDedup {
     * pure map-side work: no shingle explode, no shuffle, nothing but
     * (id, 64 longs) ever leaves the scan stage. The shingle string is
     * hashed once into `__sh`; the hash family derives from cheap
-    * (long, seed) re-hashing. Same values as the former explode+groupBy
-    * formulation (identical expression tree per shingle), ~#shingles×
-    * less shuffled data. Documents with no shingles produce no row (the
-    * old groupBy semantics). */
+    * (long, seed) re-hashing. Duplicate ids combine by element-wise min —
+    * MinHash distributes over set union, so this equals one signature over
+    * the union of the rows' shingles (the map-side-combined groupBy
+    * shuffles one 64-long row per id per partition, not per shingle).
+    * Documents with no shingles produce no row. */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int, numHashes: Int): DataFrame = {
     val hashed = fanOut(df).select(col(idCol),
       transform(TextFunctions.wordShingles(col(textCol), n),
         s => xxhash64(s)).as("__sh"))
-    hashed
+    val perRow = hashed
       .where(size(col("__sh")) > 0)
       .select(col(idCol), array((0 until numHashes).map(i =>
         array_min(transform(col("__sh"), h => xxhash64(h, lit(i))))): _*)
+        .as("__sig"))
+    perRow.groupBy(col(idCol))
+      .agg(array((0 until numHashes).map(i => min(col("__sig")(i))): _*)
         .as("minhash"))
   }
 

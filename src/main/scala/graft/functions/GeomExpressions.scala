@@ -310,6 +310,11 @@ case class StDiscretize(child: Expression,
                         newHighX: Double, newHighY: Double,
                         skipComplex: Boolean)
     extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  require(oldHighX > oldLowX && oldHighY > oldLowY,
+    s"st_discretize: old space must have positive extent, got " +
+      s"[$oldLowX,$oldLowY,$oldHighX,$oldHighY] (zero span divides to NaN)")
+  require(newHighX >= newLowX && newHighY >= newLowY,
+    s"st_discretize: new space is inverted [$newLowX,$newLowY,$newHighX,$newHighY]")
   override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
@@ -342,6 +347,22 @@ case class StDiscretize(child: Expression,
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = "st_discretize"
+}
+
+object StDiscretize {
+  /** Shared SQL builder for both registries:
+    * st_discretize(geom, oldminx,oldminy,oldmaxx,oldmaxy,
+    *               newminx,newminy,newmaxx,newmaxy [, skipComplex]) —
+    * space bounds must be literals (they parameterize the expression). */
+  def fromSqlArgs(es: Seq[Expression]): Expression = {
+    require(es.length == 9 || es.length == 10,
+      s"st_discretize takes 9 or 10 arguments, got ${es.length}")
+    def d(e: Expression): Double =
+      e.eval(null).asInstanceOf[Number].doubleValue()
+    StDiscretize(es.head, d(es(1)), d(es(2)), d(es(3)), d(es(4)),
+      d(es(5)), d(es(6)), d(es(7)), d(es(8)),
+      es.length > 9 && es(9).eval(null) == true)
+  }
 }
 
 /** Vertex count of a geometry (the reference's num_vertices output field,

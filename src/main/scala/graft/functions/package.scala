@@ -112,13 +112,7 @@ package object functions {
     // st_discretize(geom, oldminx,oldminy,oldmaxx,oldmaxy,
     //               newminx,newminy,newmaxx,newmaxy [, skipComplex])
     // space bounds must be literals (they parameterize the expression)
-    r("st_discretize", es => {
-      def d(e: Expression): Double =
-        e.eval(null).asInstanceOf[Number].doubleValue()
-      StDiscretize(es.head, d(es(1)), d(es(2)), d(es(3)), d(es(4)),
-        d(es(5)), d(es(6)), d(es(7)), d(es(8)),
-        es.length > 9 && es(9).eval(null) == true)
-    })
+    r("st_discretize", StDiscretize.fromSqlArgs _)
     r("cosine_similarity", es => CosineSimilarity(es(0), es(1)))
     r("dot_product", es => DotProduct(es(0), es(1)))
     r("simhash64", es => SimHash64(es.head))

@@ -320,7 +320,15 @@ object SpatialJoin {
         }
       }
     }
-    val out = joined.toDF()
+    val out0 = joined.toDF()
+    // global-dedup replicas of one pair differ ONLY in tile_id — normalize
+    // to the min tile so dropDuplicates' arbitrary row choice cannot leak
+    // a run-dependent tile id into the output
+    val out =
+      if (useGlobal && keepTile)
+        out0.withColumn("tile_id",
+          min(col("tile_id")).over(Window.partitionBy(col(LId), col(RId))))
+      else out0
     if (useGlobal) out.dropDuplicates(LId, RId).drop(LId, RId) else out
   }
 

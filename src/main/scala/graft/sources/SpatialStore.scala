@@ -31,22 +31,36 @@ object SpatialStore {
   private val MetaFile = "_graft_meta.json"
   val TileCol = "tile_id"
   val RowIdCol = "__row_id"
+  val RowId2Col = "__row_id2"
+
+  /** Content-derived 128-bit row identity: two independent xxhash64 lanes
+    * over every input column (the second salted). Deterministic under task
+    * retry; the read-side replica dedup keys on BOTH lanes, so a
+    * distinct-row collision needs a simultaneous 128-bit collision
+    * (~n²/2^129 — negligible at any realistic row count, where a single
+    * 64-bit lane would already lose rows at tens of billions). */
+  private[graft] def withRowIds(df: DataFrame): DataFrame = {
+    val cols = df.columns.map(col).toIndexedSeq
+    df.withColumn(RowIdCol, xxhash64(cols: _*))
+      .withColumn(RowId2Col, xxhash64((lit("graft:lane2") +: cols): _*))
+  }
 
   final case class Meta(geomCol: String, space: Mbb, tiles: Array[TileBoundary])
 
   /** Write `df` spatially partitioned by `geomCol` (WKB). Objects spanning
     * tile boundaries are replicated to every intersecting tile (reference
     * manipulate_2d -m, query_partition.hpp:34-38); `__row_id` identifies
-    * replicas for read-side dedup. The id is a CONTENT HASH (xxhash64 over
-    * every column), so any task retry or stage re-execution reproduces the
-    * identical id — no positional-id (monotonically_increasing_id)
-    * retry-determinism caveat. Consequence: value-identical input rows
-    * share an id and collapse to one on read — exactly the reference's own
-    * full-line uniq semantics (duplicate_remover.cpp:45-63, uniqpart). */
+    * replicas for read-side dedup. The id is a CONTENT HASH (two xxhash64
+    * lanes over every column, see [[withRowIds]]), so any task retry or
+    * stage re-execution reproduces the identical id — no positional-id
+    * (monotonically_increasing_id) retry-determinism caveat. Consequence:
+    * value-identical input rows share an id and collapse to one on read —
+    * exactly the reference's own full-line uniq semantics
+    * (duplicate_remover.cpp:45-63, uniqpart). */
   def write(df: DataFrame, geomCol: String, path: String,
             cfg: SpatialJoin.Config = SpatialJoin.Config()): Unit = {
     val spark = df.sparkSession
-    val withId = df.withColumn(RowIdCol, xxhash64(df.columns.map(col).toIndexedSeq: _*))
+    val withId = withRowIds(df)
       .withColumn("__env", st_envelope(col(geomCol)))
       .where(col("__env").isNotNull)
     val env = withId.select(col("__env.xmin").as("__xmin"), col("__env.ymin").as("__ymin"),
@@ -89,13 +103,15 @@ object SpatialStore {
     spark.read.parquet(path)
       .where(col(TileCol).isin(wanted: _*))
       .where(st_intersects(col(meta.geomCol), lit(window)))
-      .dropDuplicates(RowIdCol)
-      .drop(RowIdCol, TileCol)
+      .dropDuplicates(RowIdCol, RowId2Col)
+      .drop(RowIdCol, RowId2Col, TileCol)
   }
 
   /** Full-table read with replicas collapsed. */
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).dropDuplicates(RowIdCol).drop(RowIdCol, TileCol)
+    spark.read.parquet(path)
+      .dropDuplicates(RowIdCol, RowId2Col)
+      .drop(RowIdCol, RowId2Col, TileCol)
 
   // ---- metadata (partition.idx + info.cfg equivalent) ----
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
+import graft.core.{Mbb, TileBoundary}
 import graft.functions.{st_envelope, st_geomfromwkt}
 import graft.operators.TileIndex
 import graft.sources.SpatialStore
@@ -25,19 +26,42 @@ import graft.sources.SpatialStore
   */
 object SpatialIngest {
 
+  /** One tile id past the planned set: records the planner never saw
+    * (outside the historical space) land here instead of being mis-routed
+    * to a "nearest" in-space tile whose MBB would hide them from
+    * containment pruning. */
+  def overflowTileId(index: TileIndex): Int = index.tiles.map(_.tileId).max + 1
+
+  /** The overflow tile's advertised boundary: everything — a containment
+    * window always intersects it, so the (normally tiny or absent)
+    * overflow partition is always scanned and out-of-space records stay
+    * visible. */
+  def overflowBoundary(index: TileIndex): TileBoundary =
+    TileBoundary(overflowTileId(index),
+      Mbb(-Double.MaxValue, -Double.MaxValue, Double.MaxValue, Double.MaxValue))
+
   /** Parse + envelope + replicate to every intersecting tile (reference
-    * manipulate_2d -m). Malformed WKT rows drop silently (P4). Output =
-    * input columns ++ geom (WKB) ++ __row_id ++ tile_id. */
+    * manipulate_2d -m). Malformed WKT rows drop silently (P4). A streaming
+    * input, unlike the batch writer, can carry records OUTSIDE the
+    * pre-planned space: any envelope not fully inside it also (or only)
+    * tags the overflow tile, keeping reads exact. Output = input columns
+    * ++ geom (WKB) ++ __row_id/__row_id2 ++ tile_id. */
   def tileTag(df: DataFrame, wktCol: String, index: TileIndex): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(index)
+    val space = index.space
+    val overflow = overflowTileId(index)
     val tileIds = udf { (x1: Double, y1: Double, x2: Double, y2: Double) =>
-      bc.value.tilesFor(x1, y1, x2, y2)
+      val intersects = x1 <= space.xmax && space.xmin <= x2 &&
+        y1 <= space.ymax && space.ymin <= y2
+      val contained = x1 >= space.xmin && y1 >= space.ymin &&
+        x2 <= space.xmax && y2 <= space.ymax
+      if (!intersects) Array(overflow)
+      else if (contained) bc.value.tilesFor(x1, y1, x2, y2)
+      else bc.value.tilesFor(x1, y1, x2, y2) :+ overflow
     }
-    val inputCols = df.columns
-    df.withColumn("geom", st_geomfromwkt(col(wktCol)))
+    SpatialStore.withRowIds(df)
+      .withColumn("geom", st_geomfromwkt(col(wktCol)))
       .where(col("geom").isNotNull)
-      .withColumn(SpatialStore.RowIdCol,
-        xxhash64(inputCols.map(col).toIndexedSeq: _*))
       .withColumn("__env", st_envelope(col("geom")))
       .withColumn(SpatialStore.TileCol, explode(tileIds(
         col("__env.xmin"), col("__env.ymin"), col("__env.xmax"), col("__env.ymax"))))
@@ -51,7 +75,8 @@ object SpatialIngest {
   def start(stream: DataFrame, wktCol: String, index: TileIndex,
             path: String, checkpoint: String): StreamingQuery = {
     SpatialStore.writeMeta(stream.sparkSession, path,
-      SpatialStore.Meta("geom", index.space, index.tiles))
+      SpatialStore.Meta("geom", index.space,
+        index.tiles :+ overflowBoundary(index)))
     tileTag(stream, wktCol, index)
       .writeStream
       .format("parquet")

@@ -122,17 +122,26 @@ class StreamingSpec extends SparkTestBase {
     val stream = MemoryStream[(Long, String)]
     val q = SpatialIngest.start(stream.toDF().toDF("id", "wkt"), "wkt", index,
       base + "/store", base + "/ckpt")
+    // a record the planner never saw — far outside the historical space
+    val far = (999L, "POLYGON((200 200,202 200,202 202,200 202,200 200))")
     try {
       stream.addData(rows.take(120))
       q.processAllAvailable()
-      stream.addData(rows.drop(120)) // second microbatch, same tiling
+      stream.addData(rows.drop(120) :+ far) // second microbatch, same tiling
       q.processAllAvailable()
     } finally q.stop()
 
     // the streamed store behaves exactly like a batch-written one
     val back = SpatialStore.read(spark, base + "/store")
-    assert(back.count() == 200)
-    assert(back.select("id").as[Long].collect().toSet == (0L until 200L).toSet)
+    assert(back.count() == 201)
+    assert(back.select("id").as[Long].collect().toSet ==
+      (0L until 200L).toSet + 999L)
+    // out-of-space record lands in the overflow tile and stays VISIBLE to
+    // containment reads (the nearest-tile fallback would hide it from
+    // tile-MBB pruning)
+    val farWindow = GeometryCodec.toWkb(GeometryCodec.box(195, 195, 210, 210))
+    assert(SpatialStore.containmentRead(spark, base + "/store", farWindow)
+      .select("id").as[Long].collect().toSet == Set(999L))
     val window = GeometryCodec.toWkb(GeometryCodec.box(20, 10, 50, 30))
     val got = SpatialStore.containmentRead(spark, base + "/store", window)
       .select("id").as[Long].collect().toSet
@@ -142,7 +151,7 @@ class StreamingSpec extends SparkTestBase {
     assert(got == want)
 
     // mode-agnostic transform: streaming tag rows == batch tag rows
-    val batchTag = SpatialIngest.tileTag(rows.toDF("id", "wkt"), "wkt", index)
+    val batchTag = SpatialIngest.tileTag((rows :+ far).toDF("id", "wkt"), "wkt", index)
       .select(col("id"), col(SpatialStore.TileCol))
       .as[(Long, Int)].collect().toSet
     val streamedTag = spark.read.parquet(base + "/store")
