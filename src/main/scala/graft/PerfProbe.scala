@@ -129,6 +129,12 @@ object PerfProbe {
         time("crosses2")(Queries.qSpjoinCrosses(spark, dir).count())
         time("touches1")(Queries.qSpjoinTouches(spark, dir).count())
         time("touches2")(Queries.qSpjoinTouches(spark, dir).count())
+      case "minhash" =>
+        time("warmup")(Queries.qMinhashLsh(spark, "/root/testdata/sf0.001").count())
+        time("minhash1")(Queries.qMinhashLsh(spark, dir).count())
+        time("minhash2")(Queries.qMinhashLsh(spark, dir).count())
+        time("partition_viz1")(Queries.qPartitionViz(spark, dir).count())
+        time("partition_viz2")(Queries.qPartitionViz(spark, dir).count())
       case "contains" =>
         time("warmup")(Queries.qSpjoinContains(spark, "/root/testdata/sf0.001").count())
         time("contains")(Queries.qSpjoinContains(spark, dir).count())

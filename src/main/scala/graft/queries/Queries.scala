@@ -580,8 +580,10 @@ object Queries {
 
   /** SQL re-derivation of FixedGridPartitioner + closed-envelope tile
     * replication (tilesFor): same IEEE op order as the Scala code, so grid
-    * edges are bit-identical and the per-tile counts integer-exact. */
-  val qPartitionStatsSql: String =
+    * edges are bit-identical and the per-tile counts integer-exact. Ends at
+    * the `cells` CTE (tile_id, tx0, ty0, tx1, ty1) so both the stats and
+    * visualizer gates build on the same grid. */
+  private val fgCellsSql: String =
     s"""WITH b AS ($partBoxesSql),
        |env AS (SELECT min(x0) ex0, min(y0) ey0, max(x0+w) ex1, max(y0+w) ey1,
        |               count(*) n FROM b),
@@ -599,11 +601,33 @@ object Queries {
        |            CASE WHEN i = sx - 1 THEN ex1 ELSE ex0 + gw * (i + 1) / sx END AS tx1,
        |            CASE WHEN j = sy - 1 THEN ey1 ELSE ey0 + gh * (j + 1) / sy END AS ty1
        |          FROM s2, generate_series(0, 255) t1(i), generate_series(0, 255) t2(j)
-       |          WHERE i < sx AND j < sy)
+       |          WHERE i < sx AND j < sy)""".stripMargin
+
+  val qPartitionStatsSql: String =
+    s"""$fgCellsSql
        |SELECT c.tile_id, count(*) AS n_objects
        |FROM cells c JOIN b ON b.x0 <= c.tx1 AND b.x0 + b.w >= c.tx0
        |                   AND b.y0 <= c.ty1 AND b.y0 + b.w >= c.ty0
        |GROUP BY 1""".stripMargin
+
+  /** Partition visualizer data (reference partition_vis.cpp:20-211): the
+    * planned fg tiling's tile RECTANGLES with per-tile replicated counts —
+    * exactly the relation `PartitionVis.gnuplotScript` renders (empty tiles
+    * kept at 0, as the reference plots every partition-index row). The
+    * boundary doubles are gate-able because the oracle re-derives the grid
+    * with the same IEEE op order. */
+  def qPartitionViz(spark: SparkSession, dir: String): DataFrame =
+    graft.viz.PartitionVis.tileFrame(partBoxes(spark, dir), "geom", "fg", 500)
+
+  val qPartitionVizSql: String =
+    s"""$fgCellsSql,
+       |cnt AS (SELECT c.tile_id, count(*) AS n
+       |        FROM cells c JOIN b ON b.x0 <= c.tx1 AND b.x0 + b.w >= c.tx0
+       |                           AND b.y0 <= c.ty1 AND b.y0 + b.w >= c.ty0
+       |        GROUP BY 1)
+       |SELECT c.tile_id, c.tx0 AS xmin, c.ty0 AS ymin, c.tx1 AS xmax, c.ty1 AS ymax,
+       | coalesce(cnt.n, 0) AS n_objects
+       |FROM cells c LEFT JOIN cnt USING (tile_id)""".stripMargin
 
   /** G5 distributed variant (hc_dist, partition/DistributedHilbert): fully
     * distributed Hilbert tiling over the WHOLE relation — no driver sample,
