@@ -116,6 +116,8 @@ object PerfProbe {
         time("warmup")(Queries.qAnnIvf(spark, "/root/testdata/sf0.001").count())
         time("ivf1")(Queries.qAnnIvf(spark, dir).count())
         time("ivf2")(Queries.qAnnIvf(spark, dir).count())
+        time("ann_lsh1")(Queries.qAnnLsh(spark, dir).count())
+        time("ann_lsh2")(Queries.qAnnLsh(spark, dir).count())
       case "roundtrips" =>
         time("warmup")(Queries.qWktRoundtrip(spark, "/root/testdata/sf0.001").count())
         time("wkt_roundtrip")(Queries.qWktRoundtrip(spark, dir).count())

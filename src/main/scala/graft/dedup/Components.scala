@@ -1,0 +1,119 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over a near-duplicate pair graph —
+  * the step that turns dedup PAIRS into dedup DECISIONS (one survivor per
+  * duplicate cluster). Alternating large-star / small-star rounds (Kiveris
+  * et al., "Connected Components in MapReduce and Beyond", SoCC'14 — the
+  * standard published formulation): each round is two groupBy shuffles over
+  * the edge list, the edge list only ever shrinks toward one star per
+  * component, and convergence takes O(log n) rounds — this is the
+  * 100 TB-safe alternative to label propagation, whose round count grows
+  * with component DIAMETER (a duplicate chain a~b~c~... propagates one hop
+  * per round).
+  *
+  * Components are labeled by their minimum node id, matching the
+  * reference's own "keep the first, drop the rest" uniq semantics
+  * (duplicate_remover.cpp:45-63) lifted from identical lines to
+  * near-duplicate clusters.
+  */
+object Components {
+
+  private val U = "__cc_u"
+  private val V = "__cc_v"
+
+  /** Star-attach step shared by both phases: for each center `u` of the
+    * (already direction-normalized) edge list, attach the listed
+    * neighborhood to `m = min(neighbors, u)`. */
+  private def attach(e: DataFrame, includeCenter: Boolean): DataFrame = {
+    val mins = e.groupBy(U).agg(least(min(col(V)), col(U)).as("__m"))
+    val att = e.join(mins, U).select(col(V).as(U), col("__m").as(V))
+    val out = if (includeCenter) att.unionAll(mins.select(col(U), col("__m").as(V)))
+              else att
+    out.where(col(U) =!= col(V)).distinct()
+  }
+
+  /** large-star: every neighbor LARGER than the center attaches to the
+    * neighborhood minimum. Runs on the symmetrized edges, so `v > u`
+    * filtering happens before the shuffle (the swapped copy carries it). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.unionAll(e.select(col(V).as(U), col(U).as(V)))
+    // neighbors v > u only — drop the rest pre-shuffle; min still sees
+    // every neighbor via the row where the roles are swapped
+    val mins = sym.groupBy(U).agg(least(min(col(V)), col(U)).as("__m"))
+    sym.where(col(V) > col(U))
+      .join(mins, U)
+      .select(col(V).as(U), col("__m").as(V))
+      .where(col(U) =!= col(V))
+      .distinct()
+  }
+
+  /** small-star: with all edges pointing large→small, each center and its
+    * (smaller) neighbors collapse onto the neighborhood minimum. */
+  private def smallStar(e: DataFrame): DataFrame = attach(e, includeCenter = true)
+
+  /** Connected components of the undirected graph `edges` over `nodes`.
+    * Returns one row per node: (`idCol`, comp) where comp = the minimum id
+    * in the node's component (isolated nodes are their own component).
+    * Ids must be orderable (numeric or string). `maxIter` bounds the
+    * alternation; the loop exits as soon as a full round leaves the edge
+    * set unchanged (checksummed, no driver-side edge collection). */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+                          edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    // Each round must TRUNCATE LINEAGE, not just cache: a persist leaves
+    // the logical plan in place, and with ~5 self-references per round the
+    // plan grows exponentially (AQE's plan stringification alone OOMs
+    // around round 10). Eager localCheckpoint materializes the round and
+    // restarts the plan from its blocks; superseded rounds are dropped by
+    // the ContextCleaner. On a multi-executor cluster prefer
+    // spark.checkpoint.dir + .checkpoint for executor-loss resilience —
+    // the round structure is identical.
+    def round(e: DataFrame): DataFrame = e.localCheckpoint(true)
+
+    // normalize: direction large→small, self-loops dropped, deduped
+    var cur = round(edges
+      .select(greatest(col(srcCol), col(dstCol)).as(U),
+              least(col(srcCol), col(dstCol)).as(V))
+      .where(col(U) =!= col(V))
+      .distinct())
+
+    // set checksum: count + XOR of row hashes — order-independent, safe
+    // under ANSI overflow rules (sum of hashes is not), and XOR
+    // cancellation can't collide rows because the edge list is distinct
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr(s"bit_xor(xxhash64(`$U`, `$V`))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var prev = checksum(cur)
+    var iter = 0
+    var converged = prev._1 == 0L
+    while (!converged && iter < maxIter) {
+      val next = round(smallStar(largeStar(cur)))
+      val sum = checksum(next)
+      cur = next
+      converged = sum == prev
+      prev = sum
+      iter += 1
+    }
+
+    // at convergence every edge points child→root; roots carry no edge
+    val roots = cur.select(col(U).as(idCol), col(V).as("__comp"))
+    nodes.select(col(idCol)).distinct()
+      .join(roots, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__comp"), col(idCol)).as("comp"))
+  }
+
+  /** Survivor selection: every row of `df` whose id is its component's
+    * minimum — one representative per duplicate cluster, all duplicate
+    * rows dropped (reference uniq semantics over near-dup clusters). */
+  def dedupByComponents(df: DataFrame, idCol: String,
+                        edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val comp = connectedComponents(df.select(col(idCol)), idCol, edges, srcCol, dstCol)
+    df.join(comp.where(col(idCol) === col("comp")).select(idCol), Seq(idCol))
+  }
+}

@@ -1176,4 +1176,51 @@ object Queries {
         k = 5, model, nprobe = 4)
       .select(col("qid"), col("nid"), col("rank").as("rk"))
   }
+
+  /** Dedup clustering: connected components over the exact n-gram Jaccard
+    * near-dup pairs — pair MINING turned into dedup DECISIONS (one
+    * component label per doc, min-id labeled; singletons label themselves).
+    * Large-star/small-star alternation (Components.connectedComponents),
+    * O(log n) rounds at any scale. Oracle: DuckDB recursive-CTE
+    * reachability over the identical SQL-derived pair set. */
+  def qDedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val edges = graft.dedup.TextDedup.ngramJaccardPairs(
+      docs, "doc_id", "text", n = 3, threshold = 0.5)
+    graft.dedup.Components.connectedComponents(
+      docs.select(col("doc_id")), "doc_id", edges, "ida", "idb")
+  }
+
+  val qDedupClusterSql: String =
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |  [array_to_string(ws[i:i+2],' ') for i in generate_series(1, len(ws)-2)])) AS shingle
+      |  FROM w WHERE len(ws) >= 3),
+      |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      |shared AS (SELECT a.doc_id ida, b.doc_id idb, count(*) s FROM sh a
+      |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1,2),
+      |pairs AS (SELECT ida, idb FROM (
+      | SELECT ida, idb, CAST(s AS DOUBLE)/(ca.n + cb.n - s) AS jaccard
+      | FROM shared JOIN cnt ca ON ca.doc_id = ida JOIN cnt cb ON cb.doc_id = idb)
+      | WHERE jaccard >= 0.5),
+      |sym AS (SELECT ida AS s, idb AS d FROM pairs
+      |        UNION ALL SELECT idb, ida FROM pairs),
+      |reach(id, lab) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT sym.d, reach.lab FROM reach JOIN sym ON sym.s = reach.id)
+      |SELECT id AS doc_id, min(lab) AS comp FROM reach GROUP BY 1""".stripMargin
+
+  /** Sign-random-projection LSH top-k, the bucket-join-only ANN scale path
+    * (rows-only gate: the projection tables are engine-internal; recall vs
+    * brute force is ScalaTest-gated in TextPipelineSpec). */
+  def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val items = emb.select(col("vec_id").as("nid"), col("embedding").as("ivec"))
+    val queries = emb.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    graft.ann.Similarity.topKLsh(items, "nid", "ivec", queries, "qid", "qvec",
+        k = 5, bits = 10, tables = 4)
+      .select(col("qid"), col("nid"), col("rank").as("rk"))
+  }
 }

@@ -1,0 +1,59 @@
+package graft.dedup
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Connected components (large-star/small-star) vs driver union-find. */
+class ComponentsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  test("random graphs match union-find (sparse, dense, chains, empty)") {
+    val rnd = new Random(11)
+    val cases = Seq(
+      (50, Seq.empty[(Long, Long)]),                                   // all singletons
+      (60, (0L until 59L).map(i => (i, i + 1))),                       // one long chain
+      (80, Seq.fill(40)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))), // sparse
+      (40, Seq.fill(200)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))) // dense
+    )
+    cases.foreach { case (n, edges) =>
+      val nodes = (0L until n.toLong).toDF("id")
+      val e = edges.toDF("a", "b")
+      val got = Components.connectedComponents(nodes, "id", e, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val want = unionFind(n, edges.filter(t => t._1 != t._2))
+      assert(got == want, s"n=$n edges=${edges.size}")
+    }
+  }
+
+  test("long chain converges within the O(log n) iteration budget") {
+    // label propagation would need ~512 rounds here; star contraction ~10
+    val n = 512L
+    val nodes = (0L until n).toDF("id")
+    val e = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Components.connectedComponents(nodes, "id", e, "a", "b", maxIter = 15)
+      .as[(Long, Long)].collect()
+    assert(got.forall(_._2 == 0L) && got.length == n)
+  }
+
+  test("dedupByComponents keeps exactly the min-id row per cluster") {
+    val df = Seq((1L, "a"), (2L, "a2"), (3L, "b"), (4L, "c"), (5L, "c2"), (6L, "c3"))
+      .toDF("id", "payload")
+    val e = Seq((2L, 1L), (5L, 4L), (6L, 5L)).toDF("x", "y")
+    val kept = Components.dedupByComponents(df, "id", e, "x", "y")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+}
