@@ -137,6 +137,8 @@ object PerfProbe {
         time("minhash2")(Queries.qMinhashLsh(spark, dir).count())
         time("partition_viz1")(Queries.qPartitionViz(spark, dir).count())
         time("partition_viz2")(Queries.qPartitionViz(spark, dir).count())
+        time("dedup_cluster1")(Queries.qDedupCluster(spark, dir).count())
+        time("dedup_cluster2")(Queries.qDedupCluster(spark, dir).count())
       case "contains" =>
         time("warmup")(Queries.qSpjoinContains(spark, "/root/testdata/sf0.001").count())
         time("contains")(Queries.qSpjoinContains(spark, dir).count())

@@ -1211,6 +1211,48 @@ object Queries {
       |  SELECT sym.d, reach.lab FROM reach JOIN sym ON sym.s = reach.id)
       |SELECT id AS doc_id, min(lab) AS comp FROM reach GROUP BY 1""".stripMargin
 
+  /** End-to-end corpus cleaning (CorpusClean.clean): language filter →
+    * quality floor → exact dedup → near-dup cluster survivors — the whole
+    * training-data prep composition in one gate, oracled stage-for-stage
+    * (langid CASE, bit-identical quality arithmetic, md5 window dedup,
+    * recursive-CTE components, survivor filter). */
+  def qCorpusClean(spark: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusClean.clean(table(spark, dir, "documents"),
+        "doc_id", "text", lang = "en", minQuality = 0.3)
+      .select(col("doc_id"))
+
+  val qCorpusCleanSql: String =
+    s"""WITH RECURSIVE base AS (
+       | SELECT doc_id, text FROM documents
+       | WHERE (CASE WHEN CAST(len(list_filter(string_split(text,' '), w -> w IN ($stopList))) AS DOUBLE)
+       |   / len(string_split(text,' ')) >= 0.05 THEN 'en' ELSE 'und' END) = 'en'
+       |  AND 0.5 * (CAST(len(list_filter(string_split(text,' '), w -> w IN ($stopList))) AS DOUBLE)
+       |   / len(string_split(text,' ')))
+       | + 0.5 * least((CAST(len(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+       |   / len(string_split(text,' '))) / 8.0, 1.0) >= 0.3),
+       |ex AS (SELECT doc_id, text FROM (
+       |  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS mn FROM base)
+       |  WHERE doc_id = mn),
+       |w AS (SELECT doc_id, string_split(text,' ') ws FROM ex),
+       |sh AS (SELECT doc_id, unnest(list_distinct(
+       |  [array_to_string(ws[i:i+2],' ') for i in generate_series(1, len(ws)-2)])) AS shingle
+       |  FROM w WHERE len(ws) >= 3),
+       |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+       |shared AS (SELECT a.doc_id ida, b.doc_id idb, count(*) s FROM sh a
+       |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1,2),
+       |pairs AS (SELECT ida, idb FROM (
+       | SELECT ida, idb, CAST(s AS DOUBLE)/(ca.n + cb.n - s) AS jaccard
+       | FROM shared JOIN cnt ca ON ca.doc_id = ida JOIN cnt cb ON cb.doc_id = idb)
+       | WHERE jaccard >= 0.5),
+       |sym AS (SELECT ida AS s, idb AS d FROM pairs
+       |        UNION ALL SELECT idb, ida FROM pairs),
+       |reach(id, lab) AS (
+       |  SELECT doc_id, doc_id FROM ex
+       |  UNION
+       |  SELECT sym.d, reach.lab FROM reach JOIN sym ON sym.s = reach.id),
+       |comp AS (SELECT id AS doc_id, min(lab) AS c FROM reach GROUP BY 1)
+       |SELECT doc_id FROM comp WHERE doc_id = c""".stripMargin
+
   /** Sign-random-projection LSH top-k, the bucket-join-only ANN scale path
     * (rows-only gate: the projection tables are engine-internal; recall vs
     * brute force is ScalaTest-gated in TextPipelineSpec). */

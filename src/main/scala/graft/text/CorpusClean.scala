@@ -1,0 +1,66 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{Components, TextDedup}
+
+/** End-to-end corpus cleaning — the composition a training-data pipeline
+  * actually runs over raw documents, built entirely from this engine's
+  * gated primitives so each stage keeps its individually-verified
+  * semantics:
+  *
+  *   1. language filter   (TextFunctions.langId)
+  *   2. quality floor     (TextFunctions.qualityScore)
+  *   3. exact dedup       (min-id per md5 fingerprint)
+  *   4. near-dup removal  (pair mining → connected components → min-id
+  *                         survivor per cluster)
+  *
+  * Stage order is the cheap-first production order: each stage shrinks the
+  * input of the strictly more expensive next stage; the only shuffles are
+  * the fingerprint groupBy and the near-dup pipeline's own joins. Every
+  * stage is all-column-preserving, so the result is a cleaned subset of
+  * the input rows (no projection surprises).
+  */
+object CorpusClean {
+
+  /** Near-dup mining strategy for stage 4. `Exact` compares every
+    * shingle-sharing pair (oracle-able, quadratic in per-shingle doc
+    * frequency); `Lsh` goes through MinHash band buckets (the 100 TB
+    * path: candidate count bounded by the S-curve, recall ScalaTest-gated). */
+  sealed trait NearDup
+  final case class Exact(n: Int = 3, threshold: Double = 0.5) extends NearDup
+  final case class Lsh(n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                       estThreshold: Double = 0.5) extends NearDup
+  case object NoNearDup extends NearDup
+
+  def clean(docs: DataFrame, idCol: String, textCol: String,
+            lang: String = "en", minQuality: Double = 0.0,
+            nearDup: NearDup = Exact()): DataFrame = {
+    val kept = docs
+      .where(TextFunctions.langId(col(textCol)) === lang)
+      .where(TextFunctions.qualityScore(col(textCol)) >= minQuality)
+
+    // exact dedup: one survivor (min id) per byte-identical text
+    val exact = kept
+      .withColumn("__fp", TextFunctions.fingerprintMd5(col(textCol)))
+      .withColumn("__keep",
+        col(idCol) === min(col(idCol)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))))
+      .where(col("__keep")).drop("__fp", "__keep")
+
+    nearDup match {
+      case NoNearDup => exact
+      case nd =>
+        val pairs = nd match {
+          case Exact(n, t) =>
+            TextDedup.ngramJaccardPairs(exact, idCol, textCol, n, t)
+          case Lsh(n, h, b, t) =>
+            TextDedup.minHashLshPairs(exact, idCol, textCol, n, h, b, t)
+          case NoNearDup => throw new IllegalStateException("unreachable")
+        }
+        Components.dedupByComponents(exact, idCol,
+          pairs.select("ida", "idb"), "ida", "idb")
+    }
+  }
+}
