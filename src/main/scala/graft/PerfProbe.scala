@@ -139,6 +139,8 @@ object PerfProbe {
         time("partition_viz2")(Queries.qPartitionViz(spark, dir).count())
         time("dedup_cluster1")(Queries.qDedupCluster(spark, dir).count())
         time("dedup_cluster2")(Queries.qDedupCluster(spark, dir).count())
+        time("corpus_clean1")(Queries.qCorpusClean(spark, dir).count())
+        time("corpus_clean2")(Queries.qCorpusClean(spark, dir).count())
       case "contains" =>
         time("warmup")(Queries.qSpjoinContains(spark, "/root/testdata/sf0.001").count())
         time("contains")(Queries.qSpjoinContains(spark, dir).count())
