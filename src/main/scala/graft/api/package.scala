@@ -60,21 +60,11 @@ package object api {
     def describeSpatialPartitioning(geomCol: String = "geom",
                                     partitioner: String = "fg",
                                     bucket: Int = 0): (DataFrame, DataFrame) = {
-      val spark = df.sparkSession
-      val env = df.withColumn("__env", st_envelope(col(geomCol)))
-        .where(col("__env").isNotNull)
-        .select(col("__env.xmin").as("__xmin"), col("__env.ymin").as("__ymin"),
-          col("__env.xmax").as("__xmax"), col("__env.ymax").as("__ymax"))
-      val index = SpatialJoin.planTiles(env, env.limit(0),
-        SpatialJoin.Config(partitioner = partitioner, bucket = bucket))
-      val bc = spark.sparkContext.broadcast(index)
-      val tileIds = udf { (x1: Double, y1: Double, x2: Double, y2: Double) =>
-        bc.value.tilesFor(x1, y1, x2, y2)
-      }
-      val perTile = env
-        .withColumn("tile_id", explode(tileIds(
-          col("__xmin"), col("__ymin"), col("__xmax"), col("__ymax"))))
-        .groupBy("tile_id").agg(count(lit(1)).as("n_objects"))
+      // single point of truth with the visualizer: same plan, same counts
+      val perTile = graft.viz.PartitionVis
+        .tileFrame(df, geomCol, partitioner, bucket)
+        .where(col("n_objects") > 0) // post_process_stat counts occupied tiles
+        .select(col("tile_id"), col("n_objects"))
       val summary = perTile.agg(
         count(lit(1)).as("n_tiles"),
         sum("n_objects").as("n_replicated_objects"),

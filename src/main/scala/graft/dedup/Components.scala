@@ -24,17 +24,6 @@ object Components {
   private val U = "__cc_u"
   private val V = "__cc_v"
 
-  /** Star-attach step shared by both phases: for each center `u` of the
-    * (already direction-normalized) edge list, attach the listed
-    * neighborhood to `m = min(neighbors, u)`. */
-  private def attach(e: DataFrame, includeCenter: Boolean): DataFrame = {
-    val mins = e.groupBy(U).agg(least(min(col(V)), col(U)).as("__m"))
-    val att = e.join(mins, U).select(col(V).as(U), col("__m").as(V))
-    val out = if (includeCenter) att.unionAll(mins.select(col(U), col("__m").as(V)))
-              else att
-    out.where(col(U) =!= col(V)).distinct()
-  }
-
   /** large-star: every neighbor LARGER than the center attaches to the
     * neighborhood minimum. Runs on the symmetrized edges, so `v > u`
     * filtering happens before the shuffle (the swapped copy carries it). */
@@ -50,9 +39,15 @@ object Components {
       .distinct()
   }
 
-  /** small-star: with all edges pointing large→small, each center and its
+  /** small-star: with all edges pointing large→small, each center AND its
     * (smaller) neighbors collapse onto the neighborhood minimum. */
-  private def smallStar(e: DataFrame): DataFrame = attach(e, includeCenter = true)
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(U).agg(least(min(col(V)), col(U)).as("__m"))
+    e.join(mins, U).select(col(V).as(U), col("__m").as(V))
+      .unionAll(mins.select(col(U), col("__m").as(V)))
+      .where(col(U) =!= col(V))
+      .distinct()
+  }
 
   /** Connected components of the undirected graph `edges` over `nodes`.
     * Returns one row per node: (`idCol`, comp) where comp = the minimum id
@@ -100,6 +95,13 @@ object Components {
       prev = sum
       iter += 1
     }
+    // an unconverged edge set can still hold several parents per child —
+    // the join below would then emit CONFLICTING labels with no signal.
+    // O(log n) convergence means maxIter=25 covers ~2^25-node components;
+    // refuse rather than silently corrupt dedup decisions.
+    require(converged,
+      s"connectedComponents did not converge within $maxIter rounds " +
+        s"(${prev._1} edges remain) — raise maxIter")
 
     // at convergence every edge points child→root; roots carry no edge
     val roots = cur.select(col(U).as(idCol), col(V).as("__comp"))

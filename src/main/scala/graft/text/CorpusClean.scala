@@ -49,18 +49,15 @@ object CorpusClean {
           org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))))
       .where(col("__keep")).drop("__fp", "__keep")
 
+    def survivors(pairs: DataFrame): DataFrame =
+      Components.dedupByComponents(exact, idCol,
+        pairs.select("ida", "idb"), "ida", "idb")
     nearDup match {
       case NoNearDup => exact
-      case nd =>
-        val pairs = nd match {
-          case Exact(n, t) =>
-            TextDedup.ngramJaccardPairs(exact, idCol, textCol, n, t)
-          case Lsh(n, h, b, t) =>
-            TextDedup.minHashLshPairs(exact, idCol, textCol, n, h, b, t)
-          case NoNearDup => throw new IllegalStateException("unreachable")
-        }
-        Components.dedupByComponents(exact, idCol,
-          pairs.select("ida", "idb"), "ida", "idb")
+      case Exact(n, t) =>
+        survivors(TextDedup.ngramJaccardPairs(exact, idCol, textCol, n, t))
+      case Lsh(n, h, b, t) =>
+        survivors(TextDedup.minHashLshPairs(exact, idCol, textCol, n, h, b, t))
     }
   }
 }

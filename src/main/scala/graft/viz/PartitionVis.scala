@@ -97,6 +97,9 @@ object PartitionVis {
       TileBoundary(r.getInt(0), Mbb(r.getDouble(1), r.getDouble(2),
         r.getDouble(3), r.getDouble(4)))
     }.toIndexedSeq
+    // TileIndex.covering pads every tiling to the space envelope, so the
+    // tile-bound union IS the global space — every sampled object rect
+    // lands inside the reference-parity plot range below
     val space = Mbb(tiles.map(_.mbb.xmin).min, tiles.map(_.mbb.ymin).min,
       tiles.map(_.mbb.xmax).max, tiles.map(_.mbb.ymax).max)
     val objects =
@@ -104,12 +107,15 @@ object PartitionVis {
       else {
         val env = df.withColumn("__env", st_envelope(col(geomCol)))
           .where(col("__env").isNotNull).select("__env.*")
+          .persist() // consumed twice: count, then sample
         val n = env.count()
         val fraction = math.min(1.0, maxObjects.toDouble / math.max(1, n))
-        env.sample(withReplacement = false, fraction, seed)
+        val rects = env.sample(withReplacement = false, fraction, seed)
           .limit(maxObjects).collect()
           .map(r => Mbb(r.getDouble(0), r.getDouble(1),
             r.getDouble(2), r.getDouble(3))).toIndexedSeq
+        env.unpersist(blocking = false)
+        rects
       }
     val script = gnuplotScript(tiles, space, outputPng, objects)
     Files.write(Paths.get(path), script.getBytes(StandardCharsets.UTF_8))

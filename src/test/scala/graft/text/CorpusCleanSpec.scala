@@ -39,20 +39,34 @@ class CorpusCleanSpec extends SparkTestBase {
     assert(strict.count() == 0)
   }
 
-  test("LSH strategy returns a subset of the exact-strategy survivors' complement decisions") {
+  test("LSH strategy survivors = union-find over its own mined pairs") {
     val docs = (0L until 40L).map { i =>
       val base = "the cat sat on the mat and the dog ran in the yard again"
       val text = if (i % 4 == 0) base else base + s" tail$i word$i extra$i"
       (i, text)
     }.toDF("doc_id", "text")
-    val exact = CorpusClean.clean(docs, "doc_id", "text",
-      nearDup = CorpusClean.Exact(n = 3, threshold = 0.9))
-      .select("doc_id").as[Long].collect().toSet
+    // exact dedup collapses the 10 identical docs to doc 0 first
+    val afterExact = CorpusClean.clean(docs, "doc_id", "text",
+      nearDup = CorpusClean.NoNearDup).select("doc_id").as[Long].collect().toSet
+    assert(afterExact == (0L until 40L).toSet -- (4L until 40L by 4))
+    // the sound invariant: LSH survivors are exactly the min-id per
+    // component of the pair graph LSH itself mined (est-Jaccard has both
+    // false negatives AND false positives vs exact, so exact-vs-LSH
+    // survivor sets are not subset-ordered in either direction)
+    val pairs = graft.dedup.TextDedup.minHashLshPairs(
+        docs.where($"doc_id".isin(afterExact.toSeq: _*)), "doc_id", "text",
+        n = 3, estThreshold = 0.9)
+      .select("ida", "idb").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map(afterExact.map(i => i -> i).toSeq: _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = afterExact.filter(i => find(i) == i)
     val lsh = CorpusClean.clean(docs, "doc_id", "text",
       nearDup = CorpusClean.Lsh(n = 3, estThreshold = 0.9))
       .select("doc_id").as[Long].collect().toSet
-    // LSH may miss pairs (recall < 1) but never invents them: its survivor
-    // set is a superset of exact's
-    assert(exact.subsetOf(lsh))
+    assert(lsh == want)
   }
 }
