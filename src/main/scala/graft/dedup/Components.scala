@@ -49,15 +49,25 @@ object Components {
       .distinct()
   }
 
+  /** Edge sets at or below this run a single driver union-find instead of
+    * the iterative star rounds — the same bounded-collect trade as
+    * SpatialJoin's knnBroadcastThreshold: ~32 MB of id pairs replaces ~10
+    * scheduled stages, a pure win whenever the pair graph is dim-table
+    * sized (near-dup pair graphs usually are, even when the corpus is not). */
+  val DriverEdgeThreshold: Int = 2000000
+
   /** Connected components of the undirected graph `edges` over `nodes`.
     * Returns one row per node: (`idCol`, comp) where comp = the minimum id
     * in the node's component (isolated nodes are their own component).
     * Ids must be orderable (numeric or string). `maxIter` bounds the
     * alternation; the loop exits as soon as a full round leaves the edge
-    * set unchanged (checksummed, no driver-side edge collection). */
+    * set unchanged (checksummed, no driver-side edge collection on the
+    * distributed path; edge lists ≤ `driverThreshold` collect to one
+    * driver union-find pass instead). */
   def connectedComponents(nodes: DataFrame, idCol: String,
                           edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          driverThreshold: Int = DriverEdgeThreshold): DataFrame = {
     // Each round must TRUNCATE LINEAGE, not just cache: a persist leaves
     // the logical plan in place, and with ~5 self-references per round the
     // plan grows exponentially (AQE's plan stringification alone OOMs
@@ -85,6 +95,46 @@ object Components {
     }
 
     var prev = checksum(cur)
+
+    if (prev._1 <= driverThreshold) {
+      // bounded fast path: one collect + union-find, no iterative stages.
+      // Comparable ordering matches Spark SQL's least/greatest for numeric
+      // ids and ASCII strings (Java compares UTF-16 units, Spark compares
+      // UTF-8 bytes — identical below the surrogate range), so both paths
+      // label components identically for the id shapes dedup uses.
+      def lt(a: Any, b: Any): Boolean =
+        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var r = x
+        var p = parent.getOrDefault(r, r)
+        while (p != r) { r = p; p = parent.getOrDefault(r, r) }
+        var c = x // path compression
+        while (c != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+        r
+      }
+      cur.collect().foreach { row =>
+        val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+        if (ra != rb) {
+          if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val mapping = new scala.collection.mutable.ArrayBuffer[(Any, Any)](parent.size)
+      parent.keySet().forEach { k => mapping += ((k, find(k))) }
+      val spark = nodes.sparkSession
+      val idField = cur.schema.fields.head
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        idField.copy(name = idCol), idField.copy(name = "__comp")))
+      val rootDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          mapping.toSeq.map { case (k, v) => org.apache.spark.sql.Row(k, v) },
+          numSlices = 1),
+        schema)
+      return nodes.select(col(idCol)).distinct()
+        .join(broadcast(rootDf), Seq(idCol), "left")
+        .select(col(idCol), coalesce(col("__comp"), col(idCol)).as("comp"))
+    }
+
     var iter = 0
     var converged = prev._1 == 0L
     while (!converged && iter < maxIter) {

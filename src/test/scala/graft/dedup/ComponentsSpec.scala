@@ -31,10 +31,15 @@ class ComponentsSpec extends SparkTestBase {
     cases.foreach { case (n, edges) =>
       val nodes = (0L until n.toLong).toDF("id")
       val e = edges.toDF("a", "b")
-      val got = Components.connectedComponents(nodes, "id", e, "a", "b")
-        .as[(Long, Long)].collect().toMap
       val want = unionFind(n, edges.filter(t => t._1 != t._2))
-      assert(got == want, s"n=$n edges=${edges.size}")
+      // driver union-find path (default threshold) and the distributed
+      // star-contraction path (threshold 0) must agree exactly
+      Seq(Components.DriverEdgeThreshold, 0).foreach { thr =>
+        val got = Components.connectedComponents(nodes, "id", e, "a", "b",
+            driverThreshold = thr)
+          .as[(Long, Long)].collect().toMap
+        assert(got == want, s"n=$n edges=${edges.size} thr=$thr")
+      }
     }
   }
 
@@ -43,7 +48,8 @@ class ComponentsSpec extends SparkTestBase {
     val n = 512L
     val nodes = (0L until n).toDF("id")
     val e = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
-    val got = Components.connectedComponents(nodes, "id", e, "a", "b", maxIter = 15)
+    val got = Components.connectedComponents(nodes, "id", e, "a", "b",
+        maxIter = 15, driverThreshold = 0)
       .as[(Long, Long)].collect()
     assert(got.forall(_._2 == 0L) && got.length == n)
   }
