@@ -54,6 +54,19 @@ class ComponentsSpec extends SparkTestBase {
     assert(got.forall(_._2 == 0L) && got.length == n)
   }
 
+  test("null edge endpoints are ignored on both paths") {
+    val nodes = (0L until 6L).toDF("id")
+    val e = Seq((Some(1L), Some(2L)), (Some(3L), None), (None, None))
+      .toDF("a", "b")
+    Seq(Components.DriverEdgeThreshold, 0).foreach { thr =>
+      val got = Components.connectedComponents(nodes, "id", e, "a", "b",
+          driverThreshold = thr)
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 5L),
+        s"thr=$thr")
+    }
+  }
+
   test("dedupByComponents keeps exactly the min-id row per cluster") {
     val df = Seq((1L, "a"), (2L, "a2"), (3L, "b"), (4L, "c"), (5L, "c2"), (6L, "c3"))
       .toDF("id", "payload")

@@ -68,9 +68,15 @@ class PartitionVisSpec extends SparkTestBase {
     assert(s1 == s2 && n1 == n2) // seeded sample + tile_id colors => reproducible
     assert(s1.linesIterator.count(_.startsWith("set object")) == n1)
     assert(s1.linesIterator.toSeq.last.startsWith("plot ["))
-    // works for a sample-derived (non-covering) partitioner too
-    val n3 = PartitionVis.writeScript(boxes, s"$dir/str.plt", s"$dir/str.png",
-      partitioner = "str", bucket = 50)
-    assert(n3 > 0)
+    // every partitioner produces a renderable script whose tile rects
+    // cover all 400 objects (covering() pads sample-derived tilings)
+    Seq("fg", "bsp", "qt", "str", "hc", "slc", "bos").foreach { p =>
+      val n3 = PartitionVis.writeScript(boxes, s"$dir/$p.plt", s"$dir/$p.png",
+        partitioner = p, bucket = 50)
+      assert(n3 > 0, p)
+      val tf = PartitionVis.tileFrame(boxes, "geom", p, 50)
+      val total = tf.agg(sum("n_objects")).head().getLong(0)
+      assert(total >= 400, s"$p replicated count $total < object count")
+    }
   }
 }
