@@ -45,6 +45,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     r("cosine_similarity", es => CosineSimilarity(es(0), es(1)))
     r("dot_product", es => DotProduct(es(0), es(1)))
     r("simhash64", es => SimHash64(es.head))
+    r("sig_agreement", es => SigAgreement(es(0), es(1)))
     r("rolling_hash64", es => RollingHash64(es.head))
     r("seeded_hash64", es => SeededHash64(es(0), es(1)))
     r("st_snaptogrid", es => StSnapToGrid(es(0), es(1)))

@@ -131,7 +131,7 @@ object TextDedup {
     val out = a.join(b.hint("shuffle_hash"), Seq("band", "key"))
       .where(col("ida") < col("idb"))
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("ma"), col("mb"), (x, y) => x === y), b => b))
+        graft.functions.sig_agreement(col("ma"), col("mb"))
           .cast("double") / lit(numHashes.toDouble))
       .where(col("est_jaccard") >= estThreshold)
       .select(col("ida"), col("idb"), col("est_jaccard"))

@@ -139,6 +139,30 @@ case class RollingHash64(child: Expression) extends UnaryExpression
   override def prettyName: String = "rolling_hash64"
 }
 
+/** Count of equal positions between two long arrays — MinHash signature
+  * agreement. A primitive loop (two toLongArray copies, no boxing)
+  * replacing the size(filter(zip_with(...))) chain, which allocates three
+  * boxed arrays per call; this runs once per band-collision candidate
+  * pair, a count quadratic in bucket size on duplicate-heavy corpora. */
+case class SigAgreement(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toLongArray()
+    val y = b.asInstanceOf[ArrayData].toLongArray()
+    val n = math.min(x.length, y.length)
+    var c = 0
+    var i = 0
+    while (i < n) { if (x(i) == y(i)) c += 1; i += 1 }
+    c
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+  override def prettyName: String = "sig_agreement"
+}
+
 /** Seeded 64-bit string hash as an expression (MinHash hash family). */
 case class SeededHash64(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {

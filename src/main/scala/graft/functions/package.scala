@@ -74,6 +74,7 @@ package object functions {
   def simhash64(text: Column): Column = col(SimHash64(ex(text)))
   def rolling_hash64(text: Column): Column = col(RollingHash64(ex(text)))
   def seeded_hash64(text: Column, seed: Column): Column = col(SeededHash64(ex(text), ex(seed)))
+  def sig_agreement(a: Column, b: Column): Column = col(SigAgreement(ex(a), ex(b)))
 
   /** Register every spatial function in the session's FunctionRegistry for
     * SQL use. Idempotent. */
@@ -116,6 +117,7 @@ package object functions {
     r("cosine_similarity", es => CosineSimilarity(es(0), es(1)))
     r("dot_product", es => DotProduct(es(0), es(1)))
     r("simhash64", es => SimHash64(es.head))
+    r("sig_agreement", es => SigAgreement(es(0), es(1)))
     r("rolling_hash64", es => RollingHash64(es.head))
     r("seeded_hash64", es => SeededHash64(es(0), es(1)))
   }
