@@ -69,6 +69,25 @@ class PlanHealthSpec extends SparkTestBase {
     assert(shuffles.size <= 1, s"ANN plan should have at most the rank shuffle:\n$plan")
   }
 
+  test("LSH band joins stay equi-joins — no cartesian/nested-loop fallback") {
+    Seq(Queries.qAnnLsh(spark, dir), Queries.qMinhashLsh(spark, dir))
+      .foreach { df =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin"),
+          s"all-pairs fallback in an LSH bucket join:\n$plan")
+      }
+  }
+
+  test("corpus-clean and dedup-cluster gates prune the documents scan") {
+    // the component edges are mined in EAGER jobs before the returned plan,
+    // so the final plan's scan can prune all the way down to doc_id
+    assert(scanColumns(Queries.qCorpusClean(spark, dir), "documents")
+      .subsetOf(Set("doc_id", "text")))
+    assert(scanColumns(Queries.qDedupCluster(spark, dir), "documents")
+      .subsetOf(Set("doc_id", "text")))
+  }
+
   test("predicate pushdown reaches dim-table scans in q3") {
     val q3 = Queries.q3Join(spark, dir)
     val custScan = scans(q3)

@@ -39,6 +39,13 @@ class CorpusCleanSpec extends SparkTestBase {
     assert(strict.count() == 0)
   }
 
+  test("empty corpus flows through every stage") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(CorpusClean.clean(empty, "doc_id", "text").count() == 0)
+    assert(CorpusClean.clean(empty, "doc_id", "text",
+      nearDup = CorpusClean.Lsh()).count() == 0)
+  }
+
   test("LSH strategy survivors = union-find over its own mined pairs") {
     val docs = (0L until 40L).map { i =>
       val base = "the cat sat on the mat and the dog ran in the yard again"
