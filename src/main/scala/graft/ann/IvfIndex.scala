@@ -39,6 +39,12 @@ object IvfIndex {
       .collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     require(sample.nonEmpty, "no vectors to train on")
+    // ragged inputs would otherwise fail deep inside the update loop with
+    // an index error (assignment tolerates mismatches, the centroid update
+    // does not) — reject up front with the actual dimensions
+    val dims = sample.iterator.map(_.length).toSet
+    require(dims.size == 1,
+      s"IVF training requires equal-dimension vectors, sample contains dims $dims")
     val k = math.min(nlist, sample.length)
     val rnd = new scala.util.Random(seed)
     val centroids = rnd.shuffle(sample.indices.toList).take(k)

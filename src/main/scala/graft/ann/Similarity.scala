@@ -58,6 +58,12 @@ object Similarity {
       case (x: Number, y: java.lang.Double) => x.doubleValue == y.doubleValue
       case (x: Number, y: java.lang.Float)  => x.doubleValue == y.doubleValue
       case (x: Number, y: Number)           => x.longValue == y.longValue
+      // string id vs numeric id: Spark's =!= casts the string side — "7"
+      // equals 7L; an unparsable string equals no number
+      case (x: String, y: Number) =>
+        try x.trim.toDouble == y.doubleValue catch { case _: NumberFormatException => false }
+      case (x: Number, y: String) =>
+        try y.trim.toDouble == x.doubleValue catch { case _: NumberFormatException => false }
       case (x, y)                           => x == y
     }
     // best-first: similarity desc, item id asc; PriorityQueue.head under

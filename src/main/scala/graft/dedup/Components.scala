@@ -98,12 +98,25 @@ object Components {
 
     if (prev._1 <= driverThreshold) {
       // bounded fast path: one collect + union-find, no iterative stages.
-      // Comparable ordering matches Spark SQL's least/greatest for numeric
-      // ids and ASCII strings (Java compares UTF-16 units, Spark compares
-      // UTF-8 bytes — identical below the surrogate range), so both paths
-      // label components identically for the id shapes dedup uses.
-      def lt(a: Any, b: Any): Boolean =
-        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      // Ordering must BIT-MATCH Spark SQL's least/greatest so both paths
+      // label components identically: numerics via Comparable, strings via
+      // unsigned UTF-8 byte comparison (Java's String.compareTo orders
+      // UTF-16 units, which disagrees with Spark's binary collation for
+      // supplementary-plane characters).
+      def lt(a: Any, b: Any): Boolean = (a, b) match {
+        case (x: String, y: String) =>
+          val (xb, yb) = (x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                          y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val n = math.min(xb.length, yb.length)
+          var i = 0
+          while (i < n) {
+            val d = (xb(i) & 0xff) - (yb(i) & 0xff)
+            if (d != 0) return d < 0
+            i += 1
+          }
+          xb.length < yb.length
+        case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      }
       val parent = new java.util.HashMap[Any, Any]()
       def find(x: Any): Any = {
         var r = x

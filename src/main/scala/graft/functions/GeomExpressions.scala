@@ -357,11 +357,22 @@ object StDiscretize {
   def fromSqlArgs(es: Seq[Expression]): Expression = {
     require(es.length == 9 || es.length == 10,
       s"st_discretize takes 9 or 10 arguments, got ${es.length}")
-    def d(e: Expression): Double =
-      e.eval(null).asInstanceOf[Number].doubleValue()
+    def d(e: Expression): Double = {
+      require(e.foldable,
+        s"st_discretize space bounds must be literals, got: ${e.sql}")
+      e.eval(null) match {
+        case n: Number => n.doubleValue()
+        case v => throw new IllegalArgumentException(
+          s"st_discretize space bound is not numeric: ${e.sql} = $v")
+      }
+    }
+    val skip = es.length > 9 && {
+      require(es(9).foldable && es(9).dataType == BooleanType,
+        s"st_discretize skipComplex flag must be a boolean literal, got: ${es(9).sql}")
+      es(9).eval(null) == true
+    }
     StDiscretize(es.head, d(es(1)), d(es(2)), d(es(3)), d(es(4)),
-      d(es(5)), d(es(6)), d(es(7)), d(es(8)),
-      es.length > 9 && es(9).eval(null) == true)
+      d(es(5)), d(es(6)), d(es(7)), d(es(8)), skip)
   }
 }
 

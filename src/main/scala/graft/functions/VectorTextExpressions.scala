@@ -150,12 +150,18 @@ case class SigAgreement(left: Expression, right: Expression)
     Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = IntegerType
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toLongArray()
-    val y = b.asInstanceOf[ArrayData].toLongArray()
-    val n = math.min(x.length, y.length)
+    // walk the ArrayData directly: primitive getLong, and a null element
+    // (legal from SQL array literals) counts as non-agreeing instead of
+    // throwing like toLongArray would
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
     var c = 0
     var i = 0
-    while (i < n) { if (x(i) == y(i)) c += 1; i += 1 }
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i)) c += 1
+      i += 1
+    }
     c
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

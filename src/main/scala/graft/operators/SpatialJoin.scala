@@ -193,11 +193,18 @@ object SpatialJoin {
     require(dup.isEmpty, s"column name collision between join sides: $dup")
 
     // global dedup keys pairs by per-side unique ids so value-identical input
-    // rows survive (plain dropDuplicates over all columns would merge them)
+    // rows survive (plain dropDuplicates over all columns would merge them).
+    // The positional ids are FROZEN by an eager localCheckpoint: a partial
+    // stage retry then replays stored blocks instead of re-running
+    // monotonically_increasing_id with a different row order (the
+    // SPARK-23207 lost/duplicated-pair class); losing a checkpointed block
+    // fails the job loudly rather than silently re-keying pairs. Cost is
+    // one materialization of each side, paid only in this opt-in mode.
     val useGlobal = cfg.dedup == "global"
     val (left0, right0) =
-      if (useGlobal) (left.withColumn(LId, monotonically_increasing_id()),
-                      right.withColumn(RId, monotonically_increasing_id()))
+      if (useGlobal)
+        (left.withColumn(LId, monotonically_increasing_id()).localCheckpoint(true),
+         right.withColumn(RId, monotonically_increasing_id()).localCheckpoint(true))
       else (left, right)
 
     val expand = if (cfg.predicate == "dwithin") cfg.distance else 0.0

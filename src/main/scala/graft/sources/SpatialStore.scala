@@ -38,9 +38,18 @@ object SpatialStore {
     * retry; the read-side replica dedup keys on BOTH lanes, so a
     * distinct-row collision needs a simultaneous 128-bit collision
     * (~n²/2^129 — negligible at any realistic row count, where a single
-    * 64-bit lane would already lose rows at tens of billions). */
+    * 64-bit lane would already lose rows at tens of billions).
+    * MapType columns are unhashable (and unordered) — they enter the hash
+    * as key-sorted entry arrays, so value-equal maps with different
+    * internal order still produce the same id. */
   private[graft] def withRowIds(df: DataFrame): DataFrame = {
-    val cols = df.columns.map(col).toIndexedSeq
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.MapType =>
+          array_sort(map_entries(col(f.name)))
+        case _ => col(f.name)
+      }
+    }.toIndexedSeq
     df.withColumn(RowIdCol, xxhash64(cols: _*))
       .withColumn(RowId2Col, xxhash64((lit("graft:lane2") +: cols): _*))
   }

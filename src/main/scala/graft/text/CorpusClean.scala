@@ -42,22 +42,29 @@ object CorpusClean {
       .where(TextFunctions.qualityScore(col(textCol)) >= minQuality)
 
     // exact dedup: one survivor (min id) per byte-identical text
-    val exact = kept
+    val exact0 = kept
       .withColumn("__fp", TextFunctions.fingerprintMd5(col(textCol)))
       .withColumn("__keep",
         col(idCol) === min(col(idCol)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))))
       .where(col("__keep")).drop("__fp", "__keep")
 
-    def survivors(pairs: DataFrame): DataFrame =
-      Components.dedupByComponents(exact, idCol,
-        pairs.select("ida", "idb"), "ida", "idb")
+    // the near-dup path consumes the exact stage three times (pair mining,
+    // component nodes, the survivor join) — persist so the filter +
+    // fingerprint-window pipeline runs once, released after the first
+    // consuming action
+    def survivors(mine: DataFrame => DataFrame): DataFrame = {
+      val exact = exact0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = Components.dedupByComponents(exact, idCol,
+        mine(exact).select("ida", "idb"), "ida", "idb")
+      graft.core.CacheHygiene.unpersistAfterUse(out, Seq(exact))
+    }
     nearDup match {
-      case NoNearDup => exact
+      case NoNearDup => exact0
       case Exact(n, t) =>
-        survivors(TextDedup.ngramJaccardPairs(exact, idCol, textCol, n, t))
+        survivors(TextDedup.ngramJaccardPairs(_, idCol, textCol, n, t))
       case Lsh(n, h, b, t) =>
-        survivors(TextDedup.minHashLshPairs(exact, idCol, textCol, n, h, b, t))
+        survivors(TextDedup.minHashLshPairs(_, idCol, textCol, n, h, b, t))
     }
   }
 }

@@ -147,5 +147,13 @@ class GeomExpressionsSpec extends SparkTestBase {
       "0D,0D,10D,10D, 0D,0D,100D,100D)) d").head()
     assert(r2.getInt(0) == 5)
     assert(r2.getString(1) == "POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))")
+    // sig_agreement: null elements count as non-agreeing, never throw
+    val r3 = spark.sql(
+      "SELECT sig_agreement(array(1L, CAST(NULL AS LONG), 3L), array(1L, 2L, 3L)) c").head()
+    assert(r3.getInt(0) == 2)
+    // st_discretize argument validation fails fast with a clear message
+    val err = intercept[Exception](spark.sql(
+      "SELECT st_discretize(st_point(1D,1D), 0D,0D,10D,10D, 0D,0D,100D,100D, 1) d").head())
+    assert(err.getMessage.contains("boolean literal"))
   }
 }

@@ -55,6 +55,18 @@ class SpatialStoreSpec extends SparkTestBase {
     assert(SpatialStore.read(spark, base + "/c").count() == 100)
   }
 
+  test("map-typed attribute columns survive the content-hash row ids") {
+    val dir = Files.createTempDirectory("graft_store").toString + "/m1"
+    val df = boxesDf(50).withColumn("props",
+      map(lit("name"), concat(lit("box"), col("id")), lit("kind"), lit("poly")))
+    SpatialStore.write(df, "geom", dir,
+      graft.operators.SpatialJoin.Config(partitioner = "fg", bucket = 20))
+    val back = SpatialStore.read(spark, dir)
+    assert(back.count() == 50)
+    assert(back.select(col("props")("name")).as[String].collect().toSet ==
+      (0 until 50).map(i => s"box$i").toSet)
+  }
+
   test("containment read prunes tiles and matches direct filter") {
     val dir = Files.createTempDirectory("graft_store").toString + "/t2"
     val df = boxesDf(800)
