@@ -136,6 +136,51 @@ object IvfIndex {
     scored.sortBy(identity).take(n).map(_._2).toArray
   }
 
+  /** `(itemId, list)` nearest-centroid assignment — the engine-internal
+    * (trained-centroid) half of [[topK]] as a standalone, checkpointable
+    * inverted-file table. Null vectors assign to list -1 (probed by no
+    * query). */
+  def assignments(items: DataFrame, itemId: String, itemVec: String,
+                  model: Model): DataFrame = {
+    val bc = items.sparkSession.sparkContext.broadcast(model)
+    val assign = udf { (v: Seq[Float]) =>
+      if (v == null) -1 else nearestCentroids(bc.value, v, 1).head
+    }
+    items.select(col(itemId), assign(col(itemVec)).as("list"))
+  }
+
+  /** `(queryId, list)` probe relation: each query's `nprobe` nearest
+    * centroid lists, one row per probed list. */
+  def probeLists(queries: DataFrame, queryId: String, queryVec: String,
+                 model: Model, nprobe: Int): DataFrame = {
+    val bc = queries.sparkSession.sparkContext.broadcast(model)
+    val probes = udf { (v: Seq[Float]) =>
+      if (v == null) Array.empty[Int] else nearestCentroids(bc.value, v, nprobe)
+    }
+    queries.select(col(queryId), explode(probes(col(queryVec))).as("list"))
+  }
+
+  /** [[topK]] over precomputed [[assignments]] + [[probeLists]] relations —
+    * the persisted-index read path (items/queries join their lists by id
+    * instead of recomputing centroid distances), then the identical
+    * list-join → exact-cosine → window-top-k tail. Same rows as [[topK]]
+    * for matching model/nprobe; downstream of the centroid tables it is
+    * pure relational algebra, so a checkpointed index oracles in SQL. */
+  def topKFromAssignments(items: DataFrame, itemId: String, itemVec: String,
+                          queries: DataFrame, queryId: String, queryVec: String,
+                          k: Int, assign: DataFrame, probes: DataFrame): DataFrame = {
+    val bi = items.join(assign, Seq(itemId))
+    val bq = queries.join(probes, Seq(queryId))
+    bq.join(bi.hint("shuffle_hash"), Seq("list"))
+      .where(col(queryId) =!= col(itemId))
+      .withColumn("similarity", cosine_similarity(col(queryVec), col(itemVec)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryId))
+          .orderBy(col("similarity").desc, col(itemId).asc)))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(itemId), col("similarity"), col("rank"))
+  }
+
   /** Approximate top-k: items bucketed by nearest centroid; each query
     * probes its `nprobe` nearest centroid lists, scores exactly, windows to
     * top-k. Output schema matches [[Similarity.topKBrute]]. */

@@ -158,6 +158,42 @@ object Similarity {
       .dropDuplicates("ida", "idb")
   }
 
+  /** `(id, tbl, bucket)` sign-random-projection bucket relation — the
+    * engine-internal (hash-family) half of [[topKLsh]] as a standalone,
+    * checkpointable index table: persist it once and the bucket join /
+    * scoring / ranking downstream is pure relational algebra (and therefore
+    * SQL-oracle-able over the persisted bits). */
+  def buckets(df: DataFrame, id: String, vec: String,
+              bits: Int, tables: Int): DataFrame =
+    bandedBuckets(df, id, vec, bits, tables, "t")
+      .select(col(id), col("t_table").as("tbl"), col("t_bucket").as("bucket"))
+
+  /** [[topKLsh]] over a precomputed [[buckets]] relation (`bucketId`,
+    * tbl, bucket) — the persisted-index read path: items/queries join their
+    * buckets by id instead of recomputing projections, then the identical
+    * bucket-join → exact-cosine → window-top-k tail. Produces the same rows
+    * as [[topKLsh]] when `bkts` = buckets(items ∪ queries). */
+  def topKFromBuckets(items: DataFrame, itemId: String, itemVec: String,
+                      queries: DataFrame, queryId: String, queryVec: String,
+                      k: Int, bkts: DataFrame, bucketId: String): DataFrame = {
+    val ib = items.join(bkts, col(itemId) === bkts(bucketId))
+      .select(col(itemId), col(itemVec),
+        col("tbl").as("i_table"), col("bucket").as("i_bucket"))
+    val qb = queries.join(bkts, col(queryId) === bkts(bucketId))
+      .select(col(queryId), col(queryVec),
+        col("tbl").as("q_table"), col("bucket").as("q_bucket"))
+    qb.join(ib.hint("shuffle_hash"),
+        col("q_table") === col("i_table") && col("q_bucket") === col("i_bucket"))
+      .where(col(queryId) =!= col(itemId))
+      .dropDuplicates(queryId, itemId)
+      .withColumn("similarity", cosine_similarity(col(queryVec), col(itemVec)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryId))
+          .orderBy(col("similarity").desc, col(itemId).asc)))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(itemId), col("similarity"), col("rank"))
+  }
+
   private def bandedBuckets(df: DataFrame, id: String, vec: String,
                             bits: Int, tables: Int, pfx: String): DataFrame = {
     require(bits <= 30, "bits must fit an Int bucket")

@@ -109,13 +109,24 @@ object TextDedup {
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
                       estThreshold: Double = 0.0): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     // signatures are ~#docs x numHashes longs — tiny next to the corpus;
     // persist so the self-join's two sides don't recompute the shingle+agg
     // pipeline (MLlib's MinHashLSH caches the same way)
     val sig = minHashSignatures(df, idCol, textCol, n, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = lshPairsFromSignatures(sig, idCol, numHashes, bands, estThreshold)
+    graft.core.CacheHygiene.unpersistAfterUse(out, Seq(sig))
+  }
+
+  /** The banding/join/filter stage downstream of [[minHashSignatures]] —
+    * pure relational algebra over a `(idCol, minhash: array<long>)` relation,
+    * so a checkpointed signature table can be oracled in plain SQL (band =
+    * signature slice equality; est = agreeing-position count / numHashes,
+    * an exact power-of-two division). */
+  def lshPairsFromSignatures(sig: DataFrame, idCol: String, numHashes: Int,
+                             bands: Int, estThreshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
     val bandStructs = array((0 until bands).map { bnd =>
       struct(lit(bnd).as("band"),
         xxhash64(slice(col("minhash"), bnd * rows + 1, rows)).as("key"))
@@ -128,7 +139,7 @@ object TextDedup {
       col("band"), col("key"))
     // estimate BEFORE the pair dedup so the dedup shuffle carries 3 scalars
     // per row instead of two 64-long signatures
-    val out = a.join(b.hint("shuffle_hash"), Seq("band", "key"))
+    a.join(b.hint("shuffle_hash"), Seq("band", "key"))
       .where(col("ida") < col("idb"))
       .withColumn("est_jaccard",
         graft.functions.sig_agreement(col("ma"), col("mb"))
@@ -136,7 +147,6 @@ object TextDedup {
       .where(col("est_jaccard") >= estThreshold)
       .select(col("ida"), col("idb"), col("est_jaccard"))
       .dropDuplicates("ida", "idb")
-    graft.core.CacheHygiene.unpersistAfterUse(out, Seq(sig))
   }
 
   /** SimHash near-duplicate pairs: 16-bit band blocking over the 64-bit
@@ -144,8 +154,19 @@ object TextDedup {
     * Hamming distance <= 3 exactly, most below ~16), then exact Hamming
     * filter via bit_count(xor). */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int): DataFrame = {
-    val sig = fanOut(df).select(col(idCol), simhash64(col(textCol)).as("sh"))
+                   maxHamming: Int): DataFrame =
+    simHashPairsFromFingerprints(
+      simHashFingerprints(df, idCol, textCol), idCol, maxHamming)
+
+  /** `(idCol, sh: long)` SimHash fingerprint relation. */
+  def simHashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    fanOut(df).select(col(idCol), simhash64(col(textCol)).as("sh"))
+
+  /** Band-block + exact-Hamming stage downstream of the fingerprints —
+    * pure integer relational algebra (shift/mask band keys, bit_count(xor)
+    * Hamming), so a checkpointed fingerprint table oracles in plain SQL. */
+  def simHashPairsFromFingerprints(sig: DataFrame, idCol: String,
+                                   maxHamming: Int): DataFrame = {
     val bandStructs = array((0 until 4).map { bnd =>
       struct(lit(bnd).as("band"),
         shiftrightunsigned(col("sh"), bnd * 16).bitwiseAND(lit(0xffffL)).as("key"))

@@ -20,6 +20,24 @@ object Queries {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Checkpoint an engine-internal relation (hash-family signatures, LSH
+    * buckets, IVF assignments) as parquet and read it back, so (a) the
+    * downstream the gate ships is provably computed over exactly these bits
+    * and (b) the SQL-expressible stage downstream — banding, pair join,
+    * threshold, ranking — can be oracled by DuckDB over the same file. Keyed
+    * by the SF directory name so a bench run at another SF never clobbers
+    * the sf0.01 verify artifact the oracle reads. */
+  def writeOracleAux(df: DataFrame, dir: String, name: String): DataFrame = {
+    val path = s"/root/repo/target/oracle_aux/${new java.io.File(dir).getName}/$name"
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  /** DuckDB-side reference to a [[writeOracleAux]] artifact (the driver's
+    * correctness gate always runs at sf0.01). */
+  def auxSql(name: String): String =
+    s"read_parquet('/root/repo/target/oracle_aux/sf0.01/$name/*.parquet')"
+
   /** events with `ts` as TimestampType. The parquet stores TIMESTAMP(NANOS)
     * which Spark only reads as long (spark.sql.legacy.parquet.nanosAsLong,
     * set by Verify/Bench/tests); truncate to micros like DuckDB does. */
@@ -987,17 +1005,58 @@ object Queries {
       | FROM shared JOIN cnt ca ON ca.doc_id = ida JOIN cnt cb ON cb.doc_id = idb)
       |WHERE jaccard >= 0.5""".stripMargin
 
-  /** MinHash+LSH near-dup candidates (no SQL oracle: seeded-hash family is
-    * engine-internal; ScalaTest checks recall vs the exact n-gram pairs). */
-  def qMinhashLsh(spark: SparkSession, dir: String): DataFrame =
-    graft.dedup.TextDedup.minHashLshPairs(
-      table(spark, dir, "documents"), "doc_id", "text",
-      n = 3, numHashes = 64, bands = 16, estThreshold = 0.5)
+  /** MinHash+LSH near-dup candidates. The seeded-hash signature family is
+    * engine-internal, so the gate checkpoints the signature table and the
+    * oracle re-derives everything downstream of it in SQL: banding (a band
+    * collides iff the 4-long signature slices are equal — Spark buckets by
+    * xxhash64 of the slice, an implementation detail of the shuffle key),
+    * pair join, agreement/64 estimate (exact power-of-two division), and
+    * threshold. Signature RECALL remains ScalaTest-gated vs exact n-gram
+    * Jaccard pairs. */
+  def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sig = writeOracleAux(
+      graft.dedup.TextDedup.minHashSignatures(
+        table(spark, dir, "documents"), "doc_id", "text", n = 3, numHashes = 64),
+      dir, "minhash_sigs")
+    graft.dedup.TextDedup.lshPairsFromSignatures(
+      sig, "doc_id", numHashes = 64, bands = 16, estThreshold = 0.5)
+  }
 
-  /** SimHash near-dup pairs (no SQL oracle; tested in ScalaTest). */
-  def qSimhash(spark: SparkSession, dir: String): DataFrame =
-    graft.dedup.TextDedup.simHashPairs(
-      table(spark, dir, "documents"), "doc_id", "text", maxHamming = 10)
+  val qMinhashLshSql: String =
+    s"""WITH s AS (SELECT doc_id, minhash FROM ${auxSql("minhash_sigs")}),
+       |bd AS (SELECT doc_id, bnd, minhash[bnd*4+1 : bnd*4+4] AS key
+       |  FROM s, (SELECT unnest(generate_series(0,15)) AS bnd)),
+       |cand AS (SELECT DISTINCT a.doc_id ida, b.doc_id idb FROM bd a
+       |  JOIN bd b ON a.bnd = b.bnd AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT ida, idb, est_jaccard FROM (
+       | SELECT ida, idb, CAST(len(list_filter(generate_series(1,64),
+       |   i -> sa.minhash[i] = sb.minhash[i])) AS DOUBLE)/64.0 AS est_jaccard
+       | FROM cand JOIN s sa ON sa.doc_id = ida JOIN s sb ON sb.doc_id = idb)
+       |WHERE est_jaccard >= 0.5""".stripMargin
+
+  /** SimHash near-dup pairs — same checkpoint pattern: the fingerprint
+    * expression is engine-internal, the 16-bit band blocking and exact
+    * bit_count(xor) Hamming refine downstream are pure integer SQL. */
+  def qSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sig = writeOracleAux(
+      graft.dedup.TextDedup.simHashFingerprints(
+        table(spark, dir, "documents"), "doc_id", "text"),
+      dir, "simhash_sigs")
+    graft.dedup.TextDedup.simHashPairsFromFingerprints(sig, "doc_id", maxHamming = 10)
+  }
+
+  /** Band key: arithmetic shift + mask equals Spark's shiftrightunsigned +
+    * mask for shifts <= 48 (the mask keeps only genuine bits). */
+  val qSimhashSql: String =
+    s"""WITH s AS (SELECT doc_id, sh FROM ${auxSql("simhash_sigs")}),
+       |bd AS (SELECT doc_id, bnd, (sh >> (bnd*16)) & 65535 AS key
+       |  FROM s, (SELECT unnest(generate_series(0,3)) AS bnd)),
+       |cand AS (SELECT DISTINCT a.doc_id ida, b.doc_id idb FROM bd a
+       |  JOIN bd b ON a.bnd = b.bnd AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT ida, idb, hamming FROM (
+       | SELECT ida, idb, bit_count(xor(sa.sh, sb.sh)) AS hamming
+       | FROM cand JOIN s sa ON sa.doc_id = ida JOIN s sb ON sb.doc_id = idb)
+       |WHERE hamming <= 10""".stripMargin
 
   /** Brute-force exact cosine top-5 neighbors for every 50th vector —
     * rank-only output keeps the compare FP-exact (double-accumulated cosine
@@ -1163,19 +1222,45 @@ object Queries {
 
   val qSpjoinTwolevelSql: String = qSpjoinDwithinSql
 
-  /** IVF approximate top-k (rows-only gate: centroid training is
-    * engine-internal; recall vs brute force is ScalaTest-gated in
-    * TextPipelineSpec). */
+  /** IVF approximate top-k. Centroid training is engine-internal, so the
+    * gate checkpoints the trained index — the (item, list) assignments and
+    * (query, probed-list) relation — and the oracle re-derives the inverted-
+    * list join, exact cosine, and window rank in SQL over them (rank-only
+    * output, FP-exact as in q_ann_topk). Recall vs brute force stays
+    * ScalaTest-gated. */
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     val items = emb.select(col("vec_id").as("nid"), col("embedding").as("ivec"))
     val queries = emb.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val model = graft.ann.IvfIndex.train(items, "ivec", nlist = 16)
-    graft.ann.IvfIndex.topK(items, "nid", "ivec", queries, "qid", "qvec",
-        k = 5, model, nprobe = 4)
+    val assign = writeOracleAux(
+      graft.ann.IvfIndex.assignments(items, "nid", "ivec", model),
+      dir, "ann_ivf_assign")
+    val probes = writeOracleAux(
+      graft.ann.IvfIndex.probeLists(queries, "qid", "qvec", model, nprobe = 4),
+      dir, "ann_ivf_probes")
+    graft.ann.IvfIndex.topKFromAssignments(items, "nid", "ivec",
+        queries, "qid", "qvec", k = 5, assign, probes)
       .select(col("qid"), col("nid"), col("rank").as("rk"))
   }
+
+  val qAnnIvfSql: String =
+    s"""WITH asg AS (SELECT nid, list FROM ${auxSql("ann_ivf_assign")}),
+       |pr AS (SELECT qid, list FROM ${auxSql("ann_ivf_probes")}),
+       |cand AS (SELECT pr.qid, asg.nid FROM pr
+       |  JOIN asg ON asg.list = pr.list AND asg.nid <> pr.qid),
+       |p AS (SELECT cand.qid, cand.nid,
+       |  list_sum(list_transform(generate_series(1,64),
+       |    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       |  / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       |   * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+       |  AS c
+       | FROM cand JOIN embeddings q ON q.vec_id = cand.qid
+       |           JOIN embeddings b ON b.vec_id = cand.nid)
+       |SELECT qid, nid, rk FROM (
+       | SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) rk
+       | FROM p) WHERE rk <= 5""".stripMargin
 
   /** Dedup clustering: connected components over the exact n-gram Jaccard
     * near-dup pairs — pair MINING turned into dedup DECISIONS (one
@@ -1253,16 +1338,39 @@ object Queries {
        |comp AS (SELECT id AS doc_id, min(lab) AS c FROM reach GROUP BY 1)
        |SELECT doc_id FROM comp WHERE doc_id = c""".stripMargin
 
-  /** Sign-random-projection LSH top-k, the bucket-join-only ANN scale path
-    * (rows-only gate: the projection tables are engine-internal; recall vs
-    * brute force is ScalaTest-gated in TextPipelineSpec). */
+  /** Sign-random-projection LSH top-k, the bucket-join-only ANN scale path.
+    * The projection tables are engine-internal, so the gate checkpoints the
+    * bucket relation (the persisted-index read path, topKFromBuckets) and
+    * the oracle re-derives the bucket join, exact cosine, and window rank in
+    * SQL over it — rank-only output keeps the compare FP-exact, as in
+    * q_ann_topk. Recall vs brute force stays ScalaTest-gated. */
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
+    val bkts = writeOracleAux(
+      graft.ann.Similarity.buckets(emb, "vec_id", "embedding", bits = 10, tables = 4),
+      dir, "ann_lsh_buckets")
     val items = emb.select(col("vec_id").as("nid"), col("embedding").as("ivec"))
     val queries = emb.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    graft.ann.Similarity.topKLsh(items, "nid", "ivec", queries, "qid", "qvec",
-        k = 5, bits = 10, tables = 4)
+    graft.ann.Similarity.topKFromBuckets(items, "nid", "ivec",
+        queries, "qid", "qvec", k = 5, bkts, "vec_id")
       .select(col("qid"), col("nid"), col("rank").as("rk"))
   }
+
+  val qAnnLshSql: String =
+    s"""WITH bk AS (SELECT vec_id, tbl, bucket FROM ${auxSql("ann_lsh_buckets")}),
+       |qb AS (SELECT vec_id AS qid, tbl, bucket FROM bk WHERE vec_id % 50 = 0),
+       |cand AS (SELECT DISTINCT qb.qid, bk.vec_id AS nid FROM qb
+       |  JOIN bk ON bk.tbl = qb.tbl AND bk.bucket = qb.bucket AND bk.vec_id <> qb.qid),
+       |p AS (SELECT cand.qid, cand.nid,
+       |  list_sum(list_transform(generate_series(1,64),
+       |    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       |  / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       |   * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+       |  AS c
+       | FROM cand JOIN embeddings q ON q.vec_id = cand.qid
+       |           JOIN embeddings b ON b.vec_id = cand.nid)
+       |SELECT qid, nid, rk FROM (
+       | SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) rk
+       | FROM p) WHERE rk <= 5""".stripMargin
 }
