@@ -127,6 +127,59 @@ object Queries {
        | + greatest(b.y0 - c.py, c.py - b.y0 - b.w, 0) * greatest(b.y0 - c.py, c.py - b.y0 - b.w, 0)
        | <= 16.0""".stripMargin
 
+  /** G2–G7 evidence gates: the identical dwithin join re-run under each of
+    * the reference's sampled partitioners (bsp BinarySplitNode.hpp:42-229,
+    * qt QuadtreeNode.hpp:46-133, str str_2d.cpp:139-189, hc hc_2d.cpp:112-207,
+    * slc slc_2d.cpp:11-120, bos bos_2d.cpp:4-170). Join output is
+    * partitioner-invariant, so every gate shares qSpjoinDwithinSql verbatim —
+    * a wrong tiling surfaces as missing or duplicated pairs. */
+  def qSpjoinDwithinPart(partitioner: String)(spark: SparkSession, dir: String): DataFrame = {
+    val parts = partBoxes(spark, dir).select(col("id").as("pid"), col("geom").as("g1"))
+    val custs = custPoints(spark, dir).select(col("id").as("cid"), col("geom").as("g2"))
+    SpatialJoin.join(parts, "g1", custs, "g2",
+        SpatialJoin.Config(predicate = "dwithin", distance = 4.0,
+          partitioner = partitioner, bucket = 500))
+      .select(col("pid"), col("cid"))
+  }
+
+  /** F6/J12 earth mode: spherical dwithin join, supplier points (probe side
+    * — the reference expands the probe MBB by `distance` in coordinate
+    * units, spjoin_2d.hpp:61-66, reproduced here) vs customer points within
+    * 50 km. Lattice points map to lon/lat in [-15, 14.9]; the 50 000 m
+    * threshold sits in a >4 km distance gap at every SF, so sub-ULP
+    * sin/cos/asin differences between JVM and DuckDB libm cannot flip a
+    * pair's membership. Constants and FP op order are the reference's
+    * (geographical.h:3-23 via core/Geo.scala). */
+  def qSpjoinDwithinEarth(spark: SparkSession, dir: String): DataFrame = {
+    def pts(tbl: String, key: String, mult: Int) =
+      table(spark, dir, tbl).select(
+          col(key).as("id"),
+          (((col(key) * mult) % 300).cast("double") * 0.1 - 15.0).as("lon"),
+          ((floor(col(key) * mult / 300) % 300).cast("double") * 0.1 - 15.0).as("lat"))
+        .withColumn("geom", st_point(col("lon"), col("lat")))
+    val supps = pts("supplier", "s_suppkey", 13).select(col("id").as("sid"), col("geom").as("g1"))
+    val custs = pts("customer", "c_custkey", 7).select(col("id").as("cid"), col("geom").as("g2"))
+    SpatialJoin.join(supps, "g1", custs, "g2",
+        SpatialJoin.Config(predicate = "dwithin", distance = 50000.0,
+          earth = true, bucket = 64))
+      .select(col("sid"), col("cid"))
+  }
+
+  /** Haversine in the exact FP op order of Geo.haversineMiles:
+    * sin²(dLat/2) + cos(la1)·cos(la2)·sin²(dLon/2); 3958.75·2·asin(√h)·1609. */
+  val qSpjoinDwithinEarthSql: String =
+    """WITH s AS (SELECT s_suppkey AS id,
+      |  CAST((s_suppkey*13)%300 AS DOUBLE)*0.1 - 15.0 AS lon,
+      |  CAST(floor(s_suppkey*13/300)%300 AS DOUBLE)*0.1 - 15.0 AS lat FROM supplier),
+      |c AS (SELECT c_custkey AS id,
+      |  CAST((c_custkey*7)%300 AS DOUBLE)*0.1 - 15.0 AS lon,
+      |  CAST(floor(c_custkey*7/300)%300 AS DOUBLE)*0.1 - 15.0 AS lat FROM customer)
+      |SELECT s.id AS sid, c.id AS cid FROM s JOIN c ON
+      | 3958.75 * 2 * asin(sqrt(
+      |   pow(sin((radians(c.lat)-radians(s.lat))/2),2) +
+      |   cos(radians(s.lat))*cos(radians(c.lat))*pow(sin(radians(c.lon-s.lon)/2),2)
+      | )) * 1609.0 <= 50000.0""".stripMargin
+
   /** J6: containment join — part boxes strictly containing customer points
     * (JTS contains excludes the boundary, hence strict inequalities in the
     * oracle). */
