@@ -30,6 +30,12 @@ object IvfIndex {
   def train(items: DataFrame, vecCol: String, nlist: Int,
             sampleTarget: Int = 20000, seed: Long = 42L,
             maxIter: Int = 20, tol: Double = 1e-4): Model = {
+    // Deliberate extra pass: the sample fraction needs n, and train has no
+    // stats scan to piggyback on (unlike planTiles). count() prunes to zero
+    // columns — parquet row counts come from footers, no vector bytes are
+    // read — and train runs once per index, so a representative sample is
+    // worth the metadata scan (limit() alone would bias to the first
+    // partitions).
     val n = items.count()
     val fraction = math.min(1.0, sampleTarget.toDouble / math.max(1, n))
     val sample: Array[Array[Double]] = items

@@ -30,10 +30,19 @@ object Similarity {
     * Items with null/invalid vectors score null and are dropped. */
   def topKBrute(items: DataFrame, itemId: String, itemVec: String,
                 queries: DataFrame, queryId: String, queryVec: String,
-                k: Int): DataFrame = {
+                k: Int, maxQueries: Int = 100000): DataFrame = {
     val spark = items.sparkSession
     val itemsPrj = items.select(col(itemId), col(itemVec))
-    val qCollected = queries.select(col(queryId), col(queryVec)).collect()
+    // Bounded collect (mirrors knnJoinExact's knnBroadcastThreshold probe):
+    // limit(maxQueries+1) caps what can ever reach the driver, so a caller
+    // with a huge query side gets a clean diagnostic instead of an OOM.
+    val qRows = queries.select(col(queryId), col(queryVec))
+      .limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
+      s"topKBrute broadcasts the query side; it has more than $maxQueries " +
+        "rows — use topKLsh or IvfIndex.topK for large query sets " +
+        "(or raise maxQueries explicitly)")
+    val qCollected = qRows
       .flatMap { r =>
         val v = r.getSeq[Float](1)
         if (v == null || r.isNullAt(0)) None else Some((r.get(0), v.toArray))

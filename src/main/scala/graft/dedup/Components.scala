@@ -51,10 +51,16 @@ object Components {
 
   /** Edge sets at or below this run a single driver union-find instead of
     * the iterative star rounds — the same bounded-collect trade as
-    * SpatialJoin's knnBroadcastThreshold: ~32 MB of id pairs replaces ~10
+    * SpatialJoin's knnBroadcastThreshold: one bounded collect replaces ~10
     * scheduled stages, a pure win whenever the pair graph is dim-table
-    * sized (near-dup pair graphs usually are, even when the corpus is not). */
-  val DriverEdgeThreshold: Int = 2000000
+    * sized (near-dup pair graphs usually are, even when the corpus is not).
+    * Sized for the COLLECTED form, not the raw bytes: each edge arrives as
+    * an external Row of two boxed values (~150 B for longs, more for
+    * strings) plus union-find map entries, so 1 M edges ≈ 150-300 MB of
+    * driver heap — comfortable on any driver that can run AQE, while 100 TB
+    * corpora whose pair graphs exceed it take the distributed star rounds
+    * automatically. */
+  val DriverEdgeThreshold: Int = 1000000
 
   /** Connected components of the undirected graph `edges` over `nodes`.
     * Returns one row per node: (`idCol`, comp) where comp = the minimum id
@@ -173,12 +179,20 @@ object Components {
       .select(col(idCol), coalesce(col("__comp"), col(idCol)).as("comp"))
   }
 
-  /** Survivor selection: every row of `df` whose id is its component's
-    * minimum — one representative per duplicate cluster, all duplicate
-    * rows dropped (reference uniq semantics over near-dup clusters). */
+  /** Survivor selection: one representative row per duplicate cluster, all
+    * other cluster rows dropped (reference uniq semantics over near-dup
+    * clusters). The representative is the minimum id that IS a row of `df`:
+    * edges may legitimately reference ids outside `df` (a pair miner run
+    * over a superset corpus), and such a ghost id must route connectivity
+    * but can never be elected survivor — electing it would silently drop
+    * the whole cluster, since no row satisfies id = comp. */
   def dedupByComponents(df: DataFrame, idCol: String,
                         edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val comp = connectedComponents(df.select(col(idCol)), idCol, edges, srcCol, dstCol)
-    df.join(comp.where(col(idCol) === col("comp")).select(idCol), Seq(idCol))
+    val canon = comp.groupBy(col("comp")).agg(min(col(idCol)).as("__canon"))
+    df.join(
+      comp.join(canon, Seq("comp")).where(col(idCol) === col("__canon"))
+        .select(idCol),
+      Seq(idCol))
   }
 }

@@ -33,25 +33,60 @@ object SpatialStore {
   val RowIdCol = "__row_id"
   val RowId2Col = "__row_id2"
 
+  /** True iff `dt` contains a MapType anywhere (maps are unhashable and
+    * unordered, so they must be normalized before xxhash64). */
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => containsMap(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
+    case _ => false
+  }
+
+  /** Rewrites every MapType under `c` — top-level or nested inside structs
+    * and arrays — into a key-sorted entry array, recursively, so value-equal
+    * maps with different internal order hash identically and xxhash64 never
+    * sees an unhashable type. Struct rebuilds keep null-ness (a null struct
+    * must not become a struct of nulls — that would alias two different
+    * rows). */
+  private def hashable(c: org.apache.spark.sql.Column,
+                       dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = dt match {
+    case m: org.apache.spark.sql.types.MapType =>
+      array_sort(transform(map_entries(c), e =>
+        struct(hashable(e.getField("key"), m.keyType).as("key"),
+               hashable(e.getField("value"), m.valueType).as("value"))))
+    case s: org.apache.spark.sql.types.StructType if containsMap(s) =>
+      when(c.isNull, lit(null)).otherwise(
+        struct(s.fields.map(f => hashable(c.getField(f.name), f.dataType).as(f.name)).toIndexedSeq: _*))
+    case a: org.apache.spark.sql.types.ArrayType if containsMap(a.elementType) =>
+      transform(c, x => hashable(x, a.elementType))
+    case _ => c
+  }
+
   /** Content-derived 128-bit row identity: two independent xxhash64 lanes
     * over every input column (the second salted). Deterministic under task
     * retry; the read-side replica dedup keys on BOTH lanes, so a
     * distinct-row collision needs a simultaneous 128-bit collision
     * (~n²/2^129 — negligible at any realistic row count, where a single
     * 64-bit lane would already lose rows at tens of billions).
-    * MapType columns are unhashable (and unordered) — they enter the hash
-    * as key-sorted entry arrays, so value-equal maps with different
-    * internal order still produce the same id. */
-  private[graft] def withRowIds(df: DataFrame): DataFrame = {
-    val cols = df.schema.fields.map { f =>
-      f.dataType match {
-        case _: org.apache.spark.sql.types.MapType =>
-          array_sort(map_entries(col(f.name)))
-        case _ => col(f.name)
-      }
-    }.toIndexedSeq
-    df.withColumn(RowIdCol, xxhash64(cols: _*))
+    * MapType columns — top-level or nested — enter the hash as key-sorted
+    * entry arrays (see [[hashable]]).
+    *
+    * `preserveDuplicates`: content identity makes the store collapse
+    * value-identical rows on read (reference full-line uniq semantics).
+    * Opting in salts the second lane with each row's rank among its
+    * duplicates, so duplicates round-trip. The (id, rank) MULTISET is
+    * deterministic under retry — which duplicate gets rank 2 is arbitrary,
+    * but the rows are identical, so the output multiset is not. */
+  private[graft] def withRowIds(df: DataFrame,
+                                preserveDuplicates: Boolean = false): DataFrame = {
+    val cols = df.schema.fields.map(f => hashable(col(f.name), f.dataType)).toIndexedSeq
+    val base = df.withColumn(RowIdCol, xxhash64(cols: _*))
       .withColumn(RowId2Col, xxhash64((lit("graft:lane2") +: cols): _*))
+    if (!preserveDuplicates) base
+    else base.withColumn(RowId2Col,
+      xxhash64(col(RowId2Col),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(RowIdCol), col(RowId2Col)).orderBy(col(RowIdCol)))))
   }
 
   final case class Meta(geomCol: String, space: Mbb, tiles: Array[TileBoundary])
@@ -65,11 +100,15 @@ object SpatialStore {
     * (monotonically_increasing_id) retry-determinism caveat. Consequence:
     * value-identical input rows share an id and collapse to one on read —
     * exactly the reference's own full-line uniq semantics
-    * (duplicate_remover.cpp:45-63, uniqpart). */
+    * (duplicate_remover.cpp:45-63, uniqpart). Callers whose data has no
+    * unique key and who need duplicate rows to survive the round-trip opt
+    * in with `preserveDuplicates` (rank-salted second lane, see
+    * [[withRowIds]]). */
   def write(df: DataFrame, geomCol: String, path: String,
-            cfg: SpatialJoin.Config = SpatialJoin.Config()): Unit = {
+            cfg: SpatialJoin.Config = SpatialJoin.Config(),
+            preserveDuplicates: Boolean = false): Unit = {
     val spark = df.sparkSession
-    val withId = withRowIds(df)
+    val withId = withRowIds(df, preserveDuplicates)
       .withColumn("__env", st_envelope(col(geomCol)))
       .where(col("__env").isNotNull)
     val env = withId.select(col("__env.xmin").as("__xmin"), col("__env.ymin").as("__ymin"),

@@ -75,4 +75,15 @@ class ComponentsSpec extends SparkTestBase {
       .select("id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L, 4L))
   }
+
+  test("dedupByComponents: ghost edge endpoint can't steal a cluster's survivor") {
+    // edges reference id 0, which is NOT a row of df and is the component
+    // minimum — the survivor must still be the smallest REAL row (1), and
+    // ghost-mediated transitive connectivity (1-0-2) must still merge
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "payload")
+    val e = Seq((0L, 1L), (0L, 2L)).toDF("x", "y")
+    val kept = Components.dedupByComponents(df, "id", e, "x", "y")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
 }

@@ -92,6 +92,16 @@ class TextPipelineSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("topKBrute: oversized query side fails fast with a diagnostic, not an OOM") {
+    val items = emb.select(col("vec_id").as("nid"), col("embedding").as("ivec"))
+    val queries = emb.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.topKBrute(items, "nid", "ivec", queries, "qid", "qvec",
+        k = 5, maxQueries = 3).count()
+    }
+    assert(ex.getMessage.contains("topKLsh"))
+  }
+
   test("ANN: LSH top-k recall vs brute force on real embeddings") {
     val items = emb.select(col("vec_id").as("nid"), col("embedding").as("ivec"))
     val queries = emb.where(col("vec_id") % 10 === 0)

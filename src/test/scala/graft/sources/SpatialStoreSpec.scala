@@ -67,6 +67,41 @@ class SpatialStoreSpec extends SparkTestBase {
       (0 until 50).map(i => s"box$i").toSet)
   }
 
+  test("nested map columns (in struct and array) hash and round-trip") {
+    val dir = Files.createTempDirectory("graft_store").toString + "/m2"
+    val df = boxesDf(40)
+      .withColumn("meta", struct(
+        map(lit("k"), col("id").cast("string")).as("tags"),
+        col("id").as("n")))
+      .withColumn("hist", array(
+        map(lit("a"), col("id")), map(lit("b"), col("id") * 2)))
+    SpatialStore.write(df, "geom", dir,
+      graft.operators.SpatialJoin.Config(partitioner = "fg", bucket = 20))
+    val back = SpatialStore.read(spark, dir)
+    assert(back.count() == 40)
+    assert(back.select(col("meta")("tags")("k")).as[String].collect().toSet ==
+      (0 until 40).map(_.toString).toSet)
+    // null struct must keep its own identity (not alias struct-of-nulls)
+    val withNull = boxesDf(4).withColumn("meta",
+      when(col("id") < 2, struct(map(lit("k"), lit("v")).as("tags"))))
+    val ids = SpatialStore.withRowIds(withNull)
+      .select(SpatialStore.RowIdCol).distinct().count()
+    assert(ids == 4)
+  }
+
+  test("preserveDuplicates=true round-trips value-identical rows") {
+    val base = Files.createTempDirectory("graft_store").toString
+    val df = boxesDf(30)
+    SpatialStore.write(df.unionAll(df.limit(5)), "geom", base + "/d",
+      graft.operators.SpatialJoin.Config(partitioner = "fg", bucket = 20),
+      preserveDuplicates = true)
+    assert(SpatialStore.read(spark, base + "/d").count() == 35)
+    // and the duplicated ids appear exactly twice
+    val byId = SpatialStore.read(spark, base + "/d")
+      .groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert((0L until 5L).forall(byId(_) == 2) && (5L until 30L).forall(byId(_) == 1))
+  }
+
   test("containment read prunes tiles and matches direct filter") {
     val dir = Files.createTempDirectory("graft_store").toString + "/t2"
     val df = boxesDf(800)
