@@ -180,6 +180,77 @@ object Queries {
       |   cos(radians(s.lat))*cos(radians(c.lat))*pow(sin(radians(c.lon-s.lon)/2),2)
       | )) * 1609.0 <= 50000.0""".stripMargin
 
+  /** 3-D lattice cubes derived from part (the 3-D analog of partBoxes):
+    * 20x20x20 grid positions, side 1-10. */
+  def partCubes(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "part").select(
+      col("p_partkey").as("id"),
+      ((col("p_partkey") % 20) * 10).cast("double").as("x0"),
+      ((floor(col("p_partkey") / 20) % 20) * 10).cast("double").as("y0"),
+      ((floor(col("p_partkey") / 400) % 20) * 10).cast("double").as("z0"),
+      (lit(1) + col("p_size") % 10).cast("double").as("w"))
+
+  val partCubesSql: String =
+    """SELECT p_partkey AS id,
+      | (p_partkey % 20) * 10.0 AS x0,
+      | (floor(p_partkey / 20) % 20) * 10.0 AS y0,
+      | (floor(p_partkey / 400) % 20) * 10.0 AS z0,
+      | CAST(1 + p_size % 10 AS DOUBLE) AS w FROM part""".stripMargin
+
+  /** 3-D MBB intersects self-join (the reference's resque3d/fg3d MBB path,
+    * src/README.md:5-15) — fully relational fg3d tiling + closed-envelope
+    * refine + column-arithmetic refpoint dedup in SpatialJoin3d. */
+  def qSpjoin3d(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SpatialJoin3d
+    val b = partCubes(spark, dir)
+    def side(p: String) = b.select(col("id").as(s"${p}id"),
+      col("x0").as(s"${p}x0"), col("y0").as(s"${p}y0"), col("z0").as(s"${p}z0"),
+      (col("x0") + col("w")).as(s"${p}x1"), (col("y0") + col("w")).as(s"${p}y1"),
+      (col("z0") + col("w")).as(s"${p}z1"))
+    val lc = SpatialJoin3d.Mbb3Cols("ax0", "ay0", "az0", "ax1", "ay1", "az1")
+    val rc = SpatialJoin3d.Mbb3Cols("bx0", "by0", "bz0", "bx1", "by1", "bz1")
+    SpatialJoin3d.joinMbb(side("a"), lc, side("b"), rc, cellsPerAxis = 8)
+      .where(col("aid") < col("bid"))
+      .select(col("aid").as("id1"), col("bid").as("id2"))
+  }
+
+  val qSpjoin3dSql: String =
+    s"""WITH b AS ($partCubesSql)
+       |SELECT a.id AS id1, c.id AS id2 FROM b a JOIN b c ON a.id < c.id
+       | AND a.x0 <= c.x0 + c.w AND c.x0 <= a.x0 + a.w
+       | AND a.y0 <= c.y0 + c.w AND c.y0 <= a.y0 + a.w
+       | AND a.z0 <= c.z0 + c.w AND c.z0 <= a.z0 + a.w""".stripMargin
+
+  /** mbb_normalizer_3d: unit-cube normalization of the 3-D envelopes.
+    * FP-exact: lattice ints, one subtraction, one division by an exact
+    * span, mirrored verbatim in the oracle. */
+  def qNormalize3d(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SpatialJoin3d
+    val b = partCubes(spark, dir).select(col("id"),
+      col("x0"), col("y0"), col("z0"),
+      (col("x0") + col("w")).as("x1"), (col("y0") + col("w")).as("y1"),
+      (col("z0") + col("w")).as("z1"))
+    SpatialJoin3d.normalized(b,
+        SpatialJoin3d.Mbb3Cols("x0", "y0", "z0", "x1", "y1", "z1"),
+        s => s"n$s")
+      .select(col("id"), col("nxmin"), col("nymin"), col("nzmin"),
+        col("nxmax"), col("nymax"), col("nzmax"))
+  }
+
+  val qNormalize3dSql: String =
+    s"""WITH b AS (SELECT id, x0, y0, z0, x0+w AS x1, y0+w AS y1, z0+w AS z1
+       |  FROM ($partCubesSql)),
+       |s AS (SELECT min(x0) sx0, min(y0) sy0, min(z0) sz0,
+       |             max(x1) sx1, max(y1) sy1, max(z1) sz1 FROM b)
+       |SELECT id,
+       | (x0 - sx0) / (sx1 - sx0) AS nxmin,
+       | (y0 - sy0) / (sy1 - sy0) AS nymin,
+       | (z0 - sz0) / (sz1 - sz0) AS nzmin,
+       | (x1 - sx0) / (sx1 - sx0) AS nxmax,
+       | (y1 - sy0) / (sy1 - sy0) AS nymax,
+       | (z1 - sz0) / (sz1 - sz0) AS nzmax
+       |FROM b, s""".stripMargin
+
   /** J6: containment join — part boxes strictly containing customer points
     * (JTS contains excludes the boundary, hence strict inequalities in the
     * oracle). */

@@ -1,0 +1,77 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.operators.SpatialJoin3d.Mbb3Cols
+
+/** 3-D MBB join: exactness vs brute force, dedup (each pair once),
+  * malformed tolerance, degenerate space, normalization. */
+class SpatialJoin3dSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val lc = Mbb3Cols("ax0", "ay0", "az0", "ax1", "ay1", "az1")
+  private val rc = Mbb3Cols("bx0", "by0", "bz0", "bx1", "by1", "bz1")
+
+  private def cubes(n: Int, seed: Int, side: Double) = {
+    val rnd = new Random(seed)
+    (0 until n).map { i =>
+      val x = rnd.nextDouble() * 100; val y = rnd.nextDouble() * 80
+      val z = rnd.nextDouble() * 60; val w = rnd.nextDouble() * side
+      (i.toLong, x, y, z, x + w, y + w, z + w)
+    }
+  }
+
+  test("joinMbb == brute-force cross filter, each pair exactly once") {
+    val data = cubes(400, 7, 8.0)
+    val a = data.toDF("aid", "ax0", "ay0", "az0", "ax1", "ay1", "az1")
+    val b = data.toDF("bid", "bx0", "by0", "bz0", "bx1", "by1", "bz1")
+    Seq(1, 4, 16).foreach { cells =>
+      val got = SpatialJoin3d.joinMbb(a, lc, b, rc, cellsPerAxis = cells)
+        .select("aid", "bid").as[(Long, Long)].collect()
+      val want = data.flatMap { p =>
+        data.filter(q =>
+          p._2 <= q._5 && q._2 <= p._5 &&
+          p._3 <= q._6 && q._3 <= p._6 &&
+          p._4 <= q._7 && q._4 <= p._7).map(q => (p._1, q._1))
+      }
+      assert(got.length == got.distinct.length, s"dup pairs at cells=$cells")
+      assert(got.toSet == want.toSet, s"cells=$cells")
+    }
+  }
+
+  test("malformed (min>max) and null rows are dropped, not fatal") {
+    val a = Seq((1L, 0.0, 0.0, 0.0, 5.0, 5.0, 5.0),
+                (2L, 9.0, 0.0, 0.0, 1.0, 5.0, 5.0)) // xmin > xmax
+      .toDF("aid", "ax0", "ay0", "az0", "ax1", "ay1", "az1")
+    val b = Seq((10L, 1.0, 1.0, 1.0, 2.0, 2.0, 2.0)).toDF(
+      "bid", "bx0", "by0", "bz0", "bx1", "by1", "bz1")
+    val got = SpatialJoin3d.joinMbb(a, lc, b, rc, cellsPerAxis = 4)
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L)))
+  }
+
+  test("degenerate space (all MBBs identical) doesn't divide by zero") {
+    val a = Seq((1L, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0),
+                (2L, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0))
+      .toDF("aid", "ax0", "ay0", "az0", "ax1", "ay1", "az1")
+    val b = a.toDF("bid", "bx0", "by0", "bz0", "bx1", "by1", "bz1")
+    val got = SpatialJoin3d.joinMbb(a, lc, b, rc, cellsPerAxis = 8).count()
+    assert(got == 4)
+  }
+
+  test("normalized maps the space envelope to the unit cube") {
+    val df = Seq((1L, 10.0, 20.0, 30.0, 20.0, 40.0, 50.0),
+                 (2L, 20.0, 40.0, 50.0, 30.0, 60.0, 70.0))
+      .toDF("id", "x0", "y0", "z0", "x1", "y1", "z1")
+    val n = SpatialJoin3d.normalized(df,
+        Mbb3Cols("x0", "y0", "z0", "x1", "y1", "z1"), s => s"n$s")
+      .select("id", "nxmin", "nymin", "nzmin", "nxmax", "nymax", "nzmax")
+      .as[(Long, Double, Double, Double, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(n(0) == ((1L, 0.0, 0.0, 0.0, 0.5, 0.5, 0.5)))
+    assert(n(1) == ((2L, 0.5, 0.5, 0.5, 1.0, 1.0, 1.0)))
+  }
+}
