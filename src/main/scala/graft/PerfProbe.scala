@@ -147,6 +147,66 @@ object PerfProbe {
         time("intersects")(Queries.qSpjoinIntersects(spark, dir).count())
         time("simhash")(Queries.qSimhash(spark, dir).count())
         time("minhash")(Queries.qMinhashLsh(spark, dir).count())
+      case "minhashvariants" =>
+        // verdict r4 #4: is the sig_agreement estimate-before-dedup plan the
+        // floor for q_minhash_lsh, or did the reformulation lose time vs the
+        // r3 HOF-free variant? Three estimate formulations over the SAME
+        // banded candidate join, plus the gate query (which adds the
+        // signature checkpoint write the oracle needs).
+        import org.apache.spark.sql.{Column, DataFrame}
+        import org.apache.spark.sql.functions._
+        import graft.dedup.TextDedup
+        def pairs(dir: String)(finish: (DataFrame, String) => DataFrame): Long = {
+          val sig = TextDedup.minHashSignatures(
+            Queries.table(spark, dir, "documents"), "doc_id", "text", 3, 64)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val bandStructs = array((0 until 16).map { bnd =>
+            struct(lit(bnd).as("band"),
+              xxhash64(slice(col("minhash"), bnd * 4 + 1, 4)).as("key"))
+          }: _*)
+          val banded = sig.select(col("doc_id"), col("minhash"),
+            explode(bandStructs).as("b"))
+            .select(col("doc_id"), col("minhash"),
+              col("b.band").as("band"), col("b.key").as("key"))
+          val n = finish(banded, "doc_id").count()
+          sig.unpersist()
+          n
+        }
+        def joined(banded: DataFrame, id: String): DataFrame = {
+          val a = banded.select(col(id).as("ida"), col("minhash").as("ma"),
+            col("band"), col("key"))
+          val b = banded.select(col(id).as("idb"), col("minhash").as("mb"),
+            col("band"), col("key"))
+          a.join(b.hint("shuffle_hash"), Seq("band", "key"))
+            .where(col("ida") < col("idb"))
+        }
+        def estPlan(est: (Column, Column) => Column)(banded: DataFrame, id: String): DataFrame =
+          joined(banded, id)
+            .withColumn("est_jaccard", est(col("ma"), col("mb")).cast("double") / lit(64.0))
+            .where(col("est_jaccard") >= 0.5)
+            .select(col("ida"), col("idb"), col("est_jaccard"))
+            .dropDuplicates("ida", "idb")
+        val sigAgree = estPlan(graft.functions.sig_agreement(_, _)) _
+        val zipWith = estPlan((a, b) =>
+          size(filter(zip_with(a, b, (x, y) => x === y), v => v))) _
+        // band-count estimate: never touches the signatures after banding —
+        // candidate strength = #matching bands (lighter shuffle, coarser
+        // estimate: 16 levels vs 64; NOT gate-equivalent, plan-cost probe only)
+        def bandCount(banded: DataFrame, id: String): DataFrame = {
+          val a = banded.select(col(id).as("ida"), col("band"), col("key"))
+          val b = banded.select(col(id).as("idb"), col("band"), col("key"))
+          a.join(b.hint("shuffle_hash"), Seq("band", "key"))
+            .where(col("ida") < col("idb"))
+            .groupBy("ida", "idb").agg(count(lit(1)).as("bands_matched"))
+            .where(col("bands_matched") >= 8)
+        }
+        time("warmup")(pairs("/root/testdata/sf0.001")(sigAgree))
+        for (i <- 1 to 2) {
+          time(s"sig_agreement_$i")(pairs(dir)(sigAgree))
+          time(s"zip_with_$i")(pairs(dir)(zipWith))
+          time(s"band_count_$i")(pairs(dir)(bandCount))
+          time(s"gate_with_aux_$i")(Queries.qMinhashLsh(spark, dir).count())
+        }
     }
     spark.stop()
   }

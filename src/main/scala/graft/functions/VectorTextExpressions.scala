@@ -1,16 +1,21 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Cosine similarity between two float vectors, accumulated in double
   * (left-to-right, deterministic). Embedding columns are ArrayType(FloatType)
-  * as in /root/testdata parquet; doubles also accepted via cast. */
+  * as in /root/testdata parquet; doubles also accepted via cast.
+  *
+  * Real codegen, not CodegenFallback: this is the per-candidate refine of
+  * every ANN path (LSH pairs/top-k, IVF search) — a fallback would demote
+  * the refine stage out of whole-stage codegen exactly where candidate
+  * volume peaks. The generated loop reads ArrayData in place (getFloat,
+  * no array copy) and accumulates identically to the interpreted kernel. */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
@@ -18,6 +23,34 @@ case class CosineSimilarity(left: Expression, right: Expression)
     CosineSimilarity.cosine(
       a.asInstanceOf[ArrayData].toFloatArray(),
       b.asInstanceOf[ArrayData].toFloatArray())
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements() || $n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $xi = (double) $a.getFloat($i);
+         |    final double $yi = (double) $b.getFloat($i);
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  }
+         |  if ($nx == 0.0 || $ny == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  }
+         |}
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(l, r)
   override def prettyName: String = "cosine_similarity"
@@ -44,9 +77,10 @@ object CosineSimilarity {
   }
 }
 
-/** Dot product of two float vectors, double accumulation. */
+/** Dot product of two float vectors, double accumulation. Codegen'd like
+  * [[CosineSimilarity]] — same in-place ArrayData loop, no array copy. */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
@@ -60,6 +94,26 @@ case class DotProduct(left: Expression, right: Expression)
       dot
     }
   }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  ${ev.value} = $dot;
+         |}
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(l, r)
   override def prettyName: String = "dot_product"
@@ -84,17 +138,12 @@ object Hash64 {
     h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
     h ^ (h >>> 31)
   }
-}
 
-/** 64-bit SimHash of a whitespace-tokenized document: each token votes its
-  * hash bits +-1; the sign of each bit-sum forms the fingerprint. Near-dup
-  * detection = small Hamming distance between fingerprints. */
-case class SimHash64(child: Expression) extends UnaryExpression
-    with ImplicitCastInputTypes with CodegenFallback {
-  override def inputTypes: Seq[DataType] = Seq(StringType)
-  override def dataType: DataType = LongType
-  override def nullSafeEval(v: Any): Any = {
-    val text = v.asInstanceOf[UTF8String].toString
+  /** SimHash64 kernel — shared by the interpreted eval and the generated
+    * code (a top-level object gets Java static forwarders, so codegen calls
+    * `graft.functions.Hash64.simhash(...)` directly). */
+  def simhash(str: UTF8String): Long = {
+    val text = str.toString
     val counts = new Array[Int](64)
     var start = 0
     val n = text.length
@@ -102,7 +151,7 @@ case class SimHash64(child: Expression) extends UnaryExpression
     while (i <= n) {
       if (i == n || text.charAt(i) == ' ') {
         if (i > start) {
-          val h = Hash64.hash(UTF8String.fromString(text.substring(start, i)), 0L)
+          val h = hash(UTF8String.fromString(text.substring(start, i)), 0L)
           var b = 0
           while (b < 64) {
             if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -118,34 +167,65 @@ case class SimHash64(child: Expression) extends UnaryExpression
     while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
     out
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
-  override def prettyName: String = "simhash64"
-}
 
-/** Polynomial rolling hash of a string (base 31, 64-bit wraparound) — the
-  * document-fingerprinting primitive (deterministic, order-sensitive). */
-case class RollingHash64(child: Expression) extends UnaryExpression
-    with ImplicitCastInputTypes with CodegenFallback {
-  override def inputTypes: Seq[DataType] = Seq(StringType)
-  override def dataType: DataType = LongType
-  override def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[UTF8String].getBytes
+  /** RollingHash64 kernel (base-31 polynomial over UTF-8 bytes). */
+  def rolling(str: UTF8String): Long = {
+    val bytes = str.getBytes
     var h = 0L
     var i = 0
     while (i < bytes.length) { h = h * 31L + (bytes(i) & 0xffL); i += 1 }
     h
   }
+}
+
+/** 64-bit SimHash of a whitespace-tokenized document: each token votes its
+  * hash bits +-1; the sign of each bit-sum forms the fingerprint. Near-dup
+  * detection = small Hamming distance between fingerprints. Codegen is a
+  * static call into the shared [[Hash64.simhash]] kernel — keeps the
+  * document-scan stage inside whole-stage codegen. */
+case class SimHash64(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Hash64.simhash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hash64.simhash($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "simhash64"
+}
+
+/** Polynomial rolling hash of a string (base 31, 64-bit wraparound) — the
+  * document-fingerprinting primitive (deterministic, order-sensitive).
+  * Codegen = static call into [[Hash64.rolling]]. */
+case class RollingHash64(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Hash64.rolling(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hash64.rolling($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   override def prettyName: String = "rolling_hash64"
 }
 
 /** Count of equal positions between two long arrays — MinHash signature
-  * agreement. A primitive loop (two toLongArray copies, no boxing)
-  * replacing the size(filter(zip_with(...))) chain, which allocates three
-  * boxed arrays per call; this runs once per band-collision candidate
-  * pair, a count quadratic in bucket size on duplicate-heavy corpora. */
+  * agreement. A primitive loop (direct ArrayData walk, no boxing) replacing
+  * the size(filter(zip_with(...))) chain, which allocates three boxed
+  * arrays per call; this runs once per band-collision candidate pair, a
+  * count quadratic in bucket size on duplicate-heavy corpora. Generates
+  * real codegen (not CodegenFallback): a fallback here demotes the whole
+  * LSH pair-join stage out of whole-stage codegen — measured 4.3-5.0 s vs
+  * 2.1-3.0 s for the codegen'd zip_with chain it was meant to beat. */
 case class SigAgreement(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] =
     Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = IntegerType
@@ -164,18 +244,42 @@ case class SigAgreement(left: Expression, right: Expression)
     }
     c
   }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) &&
+         |      $a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(l, r)
   override def prettyName: String = "sig_agreement"
 }
 
-/** Seeded 64-bit string hash as an expression (MinHash hash family). */
+/** Seeded 64-bit string hash as an expression (MinHash hash family).
+  * Codegen = static call into [[Hash64.hash]]. */
 case class SeededHash64(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType, LongType)
   override def dataType: DataType = LongType
   override def nullSafeEval(a: Any, s: Any): Any =
     Hash64.hash(a.asInstanceOf[UTF8String], s.asInstanceOf[Long])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, s) => s"graft.functions.Hash64.hash($a, $s)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(l, r)
   override def prettyName: String = "seeded_hash64"
