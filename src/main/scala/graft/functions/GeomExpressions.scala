@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.locationtech.jts.geom.Geometry
@@ -16,6 +16,14 @@ import graft.core.GeometryCodec
   * predicate set mirrors the reference's RESQUE join predicates
   * (/root/reference/src/resque/spjoin_2d.hpp:138-224) and the measure set
   * mirrors its lazily-computed pair stats (spjoin_2d.hpp:226-264).
+  *
+  * Every expression generates real code (no CodegenFallback): the generated
+  * call is a static dispatch into [[GeomKernels]] (or a bound reference for
+  * parameterized expressions), which keeps geometry construction, filters,
+  * and pair measures inside whole-stage codegen — geometry construction runs
+  * per input row of every spatial gate, and the measures run per joined
+  * pair. Interpreted eval delegates to the identical kernel, so both paths
+  * are bit-equal by construction.
   */
 object GeomExpressions {
   val MbbType: StructType = StructType(Seq(
@@ -25,195 +33,76 @@ object GeomExpressions {
     StructField("ymax", DoubleType, nullable = false)))
 }
 
-/** WKT string -> WKB geometry; malformed input -> null (the reference's
-  * permissive mapper behavior, manipulate_2d.cpp:182-189). */
-case class StGeomFromWkt(child: Expression) extends UnaryExpression
-    with ImplicitCastInputTypes with CodegenFallback {
-  override def inputTypes: Seq[DataType] = Seq(StringType)
-  override def dataType: DataType = BinaryType
-  override def nullable: Boolean = true
-  override def nullSafeEval(v: Any): Any = {
-    val g = GeometryCodec.fromWkt(v.asInstanceOf[UTF8String].toString)
+/** Shared eval/codegen kernels. A top-level object gets Java static
+  * forwarders, so generated code calls `graft.functions.GeomKernels.x(...)`
+  * directly. Methods return null (boxed) where the expression is null for
+  * non-null input (malformed WKB/WKT, topology errors). */
+object GeomKernels {
+  def wktToWkb(s: UTF8String): Array[Byte] = {
+    val g = GeometryCodec.fromWkt(s.toString)
     if (g == null) null else GeometryCodec.toWkb(g)
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
-  override def prettyName: String = "st_geomfromwkt"
-}
 
-case class StAsText(child: Expression) extends UnaryExpression
-    with ImplicitCastInputTypes with CodegenFallback {
-  override def inputTypes: Seq[DataType] = Seq(BinaryType)
-  override def dataType: DataType = StringType
-  override def nullSafeEval(v: Any): Any = {
-    val g = GeometryCodec.fromWkb(v.asInstanceOf[Array[Byte]])
+  def wkbToWkt(b: Array[Byte]): UTF8String = {
+    val g = GeometryCodec.fromWkb(b)
     if (g == null) null else UTF8String.fromString(GeometryCodec.toWkt(g))
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
-  override def prettyName: String = "st_astext"
-}
 
-case class StPoint(x: Expression, y: Expression) extends BinaryExpression
-    with ImplicitCastInputTypes with CodegenFallback {
-  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
-  override def left: Expression = x
-  override def right: Expression = y
-  override def dataType: DataType = BinaryType
-  override def nullSafeEval(a: Any, b: Any): Any =
-    GeometryCodec.toWkb(GeometryCodec.point(
-      a.asInstanceOf[Double], b.asInstanceOf[Double]))
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(l, r)
-  override def prettyName: String = "st_point"
-}
+  def pointWkb(x: Double, y: Double): Array[Byte] =
+    GeometryCodec.toWkb(GeometryCodec.point(x, y))
 
-/** (xmin,ymin,xmax,ymax) -> axis-aligned rectangle polygon (the reference's
-  * get_wkt_from_mbb, queryprocessor_aux.h:46-54, but emitting geometry). */
-case class StMakeBox(children: Seq[Expression]) extends Expression
-    with ImplicitCastInputTypes with CodegenFallback {
-  require(children.size == 4, "st_makebox(xmin,ymin,xmax,ymax)")
-  override def inputTypes: Seq[DataType] = Seq.fill(4)(DoubleType)
-  override def dataType: DataType = BinaryType
-  override def nullable: Boolean = children.exists(_.nullable)
-  override def eval(input: InternalRow): Any = {
-    val vs = children.map(_.eval(input))
-    if (vs.contains(null)) null
-    else {
-      val d = vs.map(_.asInstanceOf[Double])
-      GeometryCodec.toWkb(GeometryCodec.box(d(0), d(1), d(2), d(3)))
-    }
-  }
-  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
-    copy(cs)
-  override def prettyName: String = "st_makebox"
-}
+  def boxWkb(xmin: Double, ymin: Double, xmax: Double, ymax: Double): Array[Byte] =
+    GeometryCodec.toWkb(GeometryCodec.box(xmin, ymin, xmax, ymax))
 
-/** (x1,y1,x2,y2) -> two-point linestring segment. */
-case class StMakeLine(children: Seq[Expression]) extends Expression
-    with ImplicitCastInputTypes with CodegenFallback {
-  require(children.size == 4, "st_makeline(x1,y1,x2,y2)")
-  override def inputTypes: Seq[DataType] = Seq.fill(4)(DoubleType)
-  override def dataType: DataType = BinaryType
-  override def nullable: Boolean = children.exists(_.nullable)
-  override def eval(input: InternalRow): Any = {
-    val vs = children.map(_.eval(input))
-    if (vs.contains(null)) null
-    else {
-      val d = vs.map(_.asInstanceOf[Double])
-      GeometryCodec.toWkb(GeometryCodec.segment(d(0), d(1), d(2), d(3)))
-    }
-  }
-  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
-    copy(cs)
-  override def prettyName: String = "st_makeline"
-}
+  def segmentWkb(x1: Double, y1: Double, x2: Double, y2: Double): Array[Byte] =
+    GeometryCodec.toWkb(GeometryCodec.segment(x1, y1, x2, y2))
 
-/** geometry -> envelope struct (xmin,ymin,xmax,ymax) — the reference's MBB
-  * extraction (manipulate_2d.cpp:117-135). */
-case class StEnvelope(child: Expression) extends UnaryExpression
-    with ImplicitCastInputTypes with CodegenFallback {
-  override def inputTypes: Seq[DataType] = Seq(BinaryType)
-  override def dataType: DataType = GeomExpressions.MbbType
-  override def nullSafeEval(v: Any): Any = {
-    val g = GeometryCodec.fromWkb(v.asInstanceOf[Array[Byte]])
+  def envelope(b: Array[Byte]): InternalRow = {
+    val g = GeometryCodec.fromWkb(b)
     if (g == null) null else {
       val e = g.getEnvelopeInternal
       InternalRow(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
     }
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
-  override def prettyName: String = "st_envelope"
-}
 
-/** Binary spatial predicates over WKB geometries, evaluated by the shared
-  * refine kernel [[graft.core.GeomPredicates]] (envelope short-circuit on
-  * contains/equals for parity with spjoin_2d.hpp:151-165, plus
-  * rect/point envelope-arithmetic fast paths). */
-case class StPredicate(left: Expression, right: Expression, predicate: String)
-    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
-  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
-  override def dataType: DataType = BooleanType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val g1 = GeometryCodec.fromWkb(a.asInstanceOf[Array[Byte]])
-    val g2 = GeometryCodec.fromWkb(b.asInstanceOf[Array[Byte]])
+  def predicate(a: Array[Byte], b: Array[Byte], name: String): java.lang.Boolean = {
+    val g1 = GeometryCodec.fromWkb(a)
+    val g2 = GeometryCodec.fromWkb(b)
     if (g1 == null || g2 == null) null
-    else graft.core.GeomPredicates.eval(predicate, g1, g2, 0.0)
+    else java.lang.Boolean.valueOf(graft.core.GeomPredicates.eval(name, g1, g2, 0.0))
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
-  override def prettyName: String = s"st_$predicate"
-}
 
-/** st_dwithin: distance-within-d join predicate (spjoin_2d.hpp:167-205). */
-case class StDWithin(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
-  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType, DoubleType)
-  override def dataType: DataType = BooleanType
-  override def nullSafeEval(a: Any, b: Any, d: Any): Any = {
-    val g1 = GeometryCodec.fromWkb(a.asInstanceOf[Array[Byte]])
-    val g2 = GeometryCodec.fromWkb(b.asInstanceOf[Array[Byte]])
+  def dwithin(a: Array[Byte], b: Array[Byte], d: Double): java.lang.Boolean = {
+    val g1 = GeometryCodec.fromWkb(a)
+    val g2 = GeometryCodec.fromWkb(b)
     if (g1 == null || g2 == null) null
-    else graft.core.GeomPredicates.dwithinPlanar(g1, g2, d.asInstanceOf[Double])
+    else java.lang.Boolean.valueOf(graft.core.GeomPredicates.dwithinPlanar(g1, g2, d))
   }
-  override protected def withNewChildrenInternal(
-      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
-  override def prettyName: String = "st_dwithin"
-}
 
-case class StDistance(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
-  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
-  override def dataType: DataType = DoubleType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val g1 = GeometryCodec.fromWkb(a.asInstanceOf[Array[Byte]])
-    val g2 = GeometryCodec.fromWkb(b.asInstanceOf[Array[Byte]])
-    if (g1 == null || g2 == null) null else g1.distance(g2)
+  def distance(a: Array[Byte], b: Array[Byte]): java.lang.Double = {
+    val g1 = GeometryCodec.fromWkb(a)
+    val g2 = GeometryCodec.fromWkb(b)
+    if (g1 == null || g2 == null) null else java.lang.Double.valueOf(g1.distance(g2))
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(l, r)
-  override def prettyName: String = "st_distance"
-}
 
-/** Haversine distance in meters between two point geometries, with the
-  * reference's constants: earth radius 3958.75 mi, 1609.0 m/mi
-  * (/root/reference/src/extensions/specialmeasures/geographical.h:3-23). */
-case class StDistanceSphere(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
-  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
-  override def dataType: DataType = DoubleType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val g1 = GeometryCodec.fromWkb(a.asInstanceOf[Array[Byte]])
-    val g2 = GeometryCodec.fromWkb(b.asInstanceOf[Array[Byte]])
+  def distanceSphere(a: Array[Byte], b: Array[Byte]): java.lang.Double = {
+    val g1 = GeometryCodec.fromWkb(a)
+    val g2 = GeometryCodec.fromWkb(b)
     if (g1 == null || g2 == null) null
     else {
       val c1 = g1.getCoordinate; val c2 = g2.getCoordinate
-      graft.core.Geo.haversineMeters(c1.x, c1.y, c2.x, c2.y)
+      java.lang.Double.valueOf(graft.core.Geo.haversineMeters(c1.x, c1.y, c2.x, c2.y))
     }
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(l, r)
-  override def prettyName: String = "st_distancesphere"
-}
 
-case class StArea(child: Expression) extends UnaryExpression
-    with ImplicitCastInputTypes with CodegenFallback {
-  override def inputTypes: Seq[DataType] = Seq(BinaryType)
-  override def dataType: DataType = DoubleType
-  override def nullSafeEval(v: Any): Any = {
-    val g = GeometryCodec.fromWkb(v.asInstanceOf[Array[Byte]])
-    if (g == null) null else g.getArea
+  def area(b: Array[Byte]): java.lang.Double = {
+    val g = GeometryCodec.fromWkb(b)
+    if (g == null) null else java.lang.Double.valueOf(g.getArea)
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
-  override def prettyName: String = "st_area"
-}
 
-/** Binary geometry->geometry ops: union / intersection / difference. */
-case class StOverlay(left: Expression, right: Expression, op: String)
-    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
-  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
-  override def dataType: DataType = BinaryType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val g1 = GeometryCodec.fromWkb(a.asInstanceOf[Array[Byte]])
-    val g2 = GeometryCodec.fromWkb(b.asInstanceOf[Array[Byte]])
+  def overlay(a: Array[Byte], b: Array[Byte], op: String): Array[Byte] = {
+    val g1 = GeometryCodec.fromWkb(a)
+    val g2 = GeometryCodec.fromWkb(b)
     if (g1 == null || g2 == null) null
     else {
       // invalid/self-intersecting inputs -> null, matching the codebase's
@@ -228,48 +117,29 @@ case class StOverlay(left: Expression, right: Expression, op: String)
       if (r == null) null else GeometryCodec.toWkb(r)
     }
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
-  override def prettyName: String = s"st_$op"
-}
 
-case class StBuffer(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
-  override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType)
-  override def dataType: DataType = BinaryType
-  override def nullSafeEval(a: Any, d: Any): Any = {
-    val g = GeometryCodec.fromWkb(a.asInstanceOf[Array[Byte]])
+  def buffer(a: Array[Byte], d: Double): Array[Byte] = {
+    val g = GeometryCodec.fromWkb(a)
     if (g == null) null
-    else try GeometryCodec.toWkb(g.buffer(d.asInstanceOf[Double]))
+    else try GeometryCodec.toWkb(g.buffer(d))
     catch { case _: org.locationtech.jts.geom.TopologyException => null }
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(l, r)
-  override def prettyName: String = "st_buffer"
-}
 
-/** Pairwise overlap measures computed in one pass — the reference's pathology
-  * metrics (/root/reference/src/extensions/specialmeasures/pathology_metrics.h:2-12):
-  * jaccard = area(a∩b)/area(a∪b); dice = 2·area(a∩b)/(area(a)+area(b)). */
-case class StOverlapMeasure(left: Expression, right: Expression, measure: String)
-    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
-  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
-  override def dataType: DataType = DoubleType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val g1 = GeometryCodec.fromWkb(a.asInstanceOf[Array[Byte]])
-    val g2 = GeometryCodec.fromWkb(b.asInstanceOf[Array[Byte]])
+  def measure(a: Array[Byte], b: Array[Byte], name: String): java.lang.Double = {
+    val g1 = GeometryCodec.fromWkb(a)
+    val g2 = GeometryCodec.fromWkb(b)
     if (g1 == null || g2 == null) null
     else try {
       // axis-aligned rectangles: every measure is exact envelope arithmetic
       // (union = a + b - inter by inclusion-exclusion) — no JTS overlays
       val rect = g1.isRectangle && g2.isRectangle
       def rectInter: Double = {
-        val a = g1.getEnvelopeInternal; val b = g2.getEnvelopeInternal
-        val w = math.min(a.getMaxX, b.getMaxX) - math.max(a.getMinX, b.getMinX)
-        val h = math.min(a.getMaxY, b.getMaxY) - math.max(a.getMinY, b.getMinY)
+        val ea = g1.getEnvelopeInternal; val eb = g2.getEnvelopeInternal
+        val w = math.min(ea.getMaxX, eb.getMaxX) - math.max(ea.getMinX, eb.getMinX)
+        val h = math.min(ea.getMaxY, eb.getMaxY) - math.max(ea.getMinY, eb.getMinY)
         if (w <= 0 || h <= 0) 0.0 else w * h
       }
-      measure match {
+      val v = name match {
         case "intersection_area" =>
           if (rect) rectInter else g1.intersection(g2).getArea
         case "union_area" =>
@@ -286,8 +156,279 @@ case class StOverlapMeasure(left: Expression, right: Expression, measure: String
           if (denom == 0) 0.0 else 2 * inter / denom
         case other => throw new IllegalArgumentException(s"unknown measure $other")
       }
+      java.lang.Double.valueOf(v)
     } catch { case _: org.locationtech.jts.geom.TopologyException => null }
   }
+
+  def npoints(b: Array[Byte]): java.lang.Integer = {
+    val g = GeometryCodec.fromWkb(b)
+    if (g == null) null else java.lang.Integer.valueOf(g.getNumPoints)
+  }
+}
+
+/** Codegen helper: call a kernel returning a nullable reference type and
+  * null-propagate into (ev.isNull, ev.value). `javaType` is the boxed or
+  * reference Java type of the kernel result; `unbox` extracts the primitive
+  * (empty for reference-typed results). */
+private[functions] object GeomCodegen {
+  def nullableCall(ctx: CodegenContext, ev: ExprCode,
+                   javaType: String, call: String, unbox: String): String = {
+    val r = ctx.freshName("r")
+    s"""
+       |$javaType $r = $call;
+       |if ($r == null) {
+       |  ${ev.isNull} = true;
+       |} else {
+       |  ${ev.value} = $r$unbox;
+       |}
+     """.stripMargin
+  }
+}
+
+/** WKT string -> WKB geometry; malformed input -> null (the reference's
+  * permissive mapper behavior, manipulate_2d.cpp:182-189). */
+case class StGeomFromWkt(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    GeomKernels.wktToWkb(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => GeomCodegen.nullableCall(ctx, ev,
+      "byte[]", s"graft.functions.GeomKernels.wktToWkb($c)", ""))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "st_geomfromwkt"
+}
+
+case class StAsText(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    GeomKernels.wkbToWkt(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => GeomCodegen.nullableCall(ctx, ev,
+      "UTF8String", s"graft.functions.GeomKernels.wkbToWkt($c)", ""))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "st_astext"
+}
+
+case class StPoint(x: Expression, y: Expression) extends BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
+  override def left: Expression = x
+  override def right: Expression = y
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GeomKernels.pointWkb(a.asInstanceOf[Double], b.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GeomKernels.pointWkb($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+  override def prettyName: String = "st_point"
+}
+
+/** (xmin,ymin,xmax,ymax) -> axis-aligned rectangle polygon (the reference's
+  * get_wkt_from_mbb, queryprocessor_aux.h:46-54, but emitting geometry). */
+case class StMakeBox(cs: Seq[Expression]) extends QuaternaryExpression
+    with ImplicitCastInputTypes {
+  require(cs.size == 4, "st_makebox(xmin,ymin,xmax,ymax)")
+  override def first: Expression = cs(0)
+  override def second: Expression = cs(1)
+  override def third: Expression = cs(2)
+  override def fourth: Expression = cs(3)
+  override def inputTypes: Seq[DataType] = Seq.fill(4)(DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GeomKernels.boxWkb(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.functions.GeomKernels.boxWkb($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(Seq(f, s, t, q))
+  override def prettyName: String = "st_makebox"
+}
+
+/** (x1,y1,x2,y2) -> two-point linestring segment. */
+case class StMakeLine(cs: Seq[Expression]) extends QuaternaryExpression
+    with ImplicitCastInputTypes {
+  require(cs.size == 4, "st_makeline(x1,y1,x2,y2)")
+  override def first: Expression = cs(0)
+  override def second: Expression = cs(1)
+  override def third: Expression = cs(2)
+  override def fourth: Expression = cs(3)
+  override def inputTypes: Seq[DataType] = Seq.fill(4)(DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GeomKernels.segmentWkb(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.functions.GeomKernels.segmentWkb($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(Seq(f, s, t, q))
+  override def prettyName: String = "st_makeline"
+}
+
+/** geometry -> envelope struct (xmin,ymin,xmax,ymax) — the reference's MBB
+  * extraction (manipulate_2d.cpp:117-135). */
+case class StEnvelope(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = GeomExpressions.MbbType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    GeomKernels.envelope(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => GeomCodegen.nullableCall(ctx, ev,
+      "InternalRow", s"graft.functions.GeomKernels.envelope($c)", ""))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "st_envelope"
+}
+
+/** Binary spatial predicates over WKB geometries, evaluated by the shared
+  * refine kernel [[graft.core.GeomPredicates]] (envelope short-circuit on
+  * contains/equals for parity with spjoin_2d.hpp:151-165, plus
+  * rect/point envelope-arithmetic fast paths). The predicate name is a
+  * fixed identifier from the registry, safe to inline as a Java literal. */
+case class StPredicate(left: Expression, right: Expression, predicate: String)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GeomKernels.predicate(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]],
+      predicate)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => GeomCodegen.nullableCall(ctx, ev,
+      "java.lang.Boolean",
+      s"""graft.functions.GeomKernels.predicate($a, $b, "$predicate")""",
+      ".booleanValue()"))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = s"st_$predicate"
+}
+
+/** st_dwithin: distance-within-d join predicate (spjoin_2d.hpp:167-205). */
+case class StDWithin(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType, DoubleType)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any, d: Any): Any =
+    GeomKernels.dwithin(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]],
+      d.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, d) => GeomCodegen.nullableCall(ctx, ev,
+      "java.lang.Boolean", s"graft.functions.GeomKernels.dwithin($a, $b, $d)",
+      ".booleanValue()"))
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+  override def prettyName: String = "st_dwithin"
+}
+
+case class StDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GeomKernels.distance(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => GeomCodegen.nullableCall(ctx, ev,
+      "java.lang.Double", s"graft.functions.GeomKernels.distance($a, $b)",
+      ".doubleValue()"))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+  override def prettyName: String = "st_distance"
+}
+
+/** Haversine distance in meters between two point geometries, with the
+  * reference's constants: earth radius 3958.75 mi, 1609.0 m/mi
+  * (/root/reference/src/extensions/specialmeasures/geographical.h:3-23). */
+case class StDistanceSphere(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GeomKernels.distanceSphere(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => GeomCodegen.nullableCall(ctx, ev,
+      "java.lang.Double", s"graft.functions.GeomKernels.distanceSphere($a, $b)",
+      ".doubleValue()"))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+  override def prettyName: String = "st_distancesphere"
+}
+
+case class StArea(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    GeomKernels.area(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => GeomCodegen.nullableCall(ctx, ev,
+      "java.lang.Double", s"graft.functions.GeomKernels.area($c)",
+      ".doubleValue()"))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "st_area"
+}
+
+/** Binary geometry->geometry ops: union / intersection / difference. */
+case class StOverlay(left: Expression, right: Expression, op: String)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GeomKernels.overlay(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]], op)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => GeomCodegen.nullableCall(ctx, ev,
+      "byte[]", s"""graft.functions.GeomKernels.overlay($a, $b, "$op")""", ""))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = s"st_$op"
+}
+
+case class StBuffer(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, d: Any): Any =
+    GeomKernels.buffer(a.asInstanceOf[Array[Byte]], d.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, d) => GeomCodegen.nullableCall(ctx, ev,
+      "byte[]", s"graft.functions.GeomKernels.buffer($a, $d)", ""))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+  override def prettyName: String = "st_buffer"
+}
+
+/** Pairwise overlap measures computed in one pass — the reference's pathology
+  * metrics (/root/reference/src/extensions/specialmeasures/pathology_metrics.h:2-12):
+  * jaccard = area(a∩b)/area(a∪b); dice = 2·area(a∩b)/(area(a)+area(b)). */
+case class StOverlapMeasure(left: Expression, right: Expression, measure: String)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GeomKernels.measure(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]],
+      measure)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => GeomCodegen.nullableCall(ctx, ev,
+      "java.lang.Double",
+      s"""graft.functions.GeomKernels.measure($a, $b, "$measure")""",
+      ".doubleValue()"))
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = s"st_$measure"
@@ -302,14 +443,18 @@ case class StOverlapMeasure(left: Expression, right: Expression, measure: String
   * carrying holes are dropped entirely (the -k flag, :213-222); degenerate
   * inputs with fewer than 3 vertices are dropped (:233-236). Output is the
   * discretized geometry (integer-valued coordinates) as WKB; pair with
-  * st_envelope/st_npoints for the reference's MBB + vertex-count fields. */
+  * st_envelope/st_npoints for the reference's MBB + vertex-count fields.
+  *
+  * Codegen binds `this` as a reference object (the nine space parameters
+  * live on the expression) and calls [[compute]] — still a plain virtual
+  * call inside the generated loop, no InternalRow round-trip. */
 case class StDiscretize(child: Expression,
                         oldLowX: Double, oldLowY: Double,
                         oldHighX: Double, oldHighY: Double,
                         newLowX: Double, newLowY: Double,
                         newHighX: Double, newHighY: Double,
                         skipComplex: Boolean)
-    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes {
   require(oldHighX > oldLowX && oldHighY > oldLowY,
     s"st_discretize: old space must have positive extent, got " +
       s"[$oldLowX,$oldLowY,$oldHighX,$oldHighY] (zero span divides to NaN)")
@@ -318,8 +463,9 @@ case class StDiscretize(child: Expression,
   override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
-  override def nullSafeEval(v: Any): Any = {
-    val g = GeometryCodec.fromWkb(v.asInstanceOf[Array[Byte]])
+
+  def compute(bytes: Array[Byte]): Array[Byte] = {
+    val g = GeometryCodec.fromWkb(bytes)
     if (g == null || g.getNumPoints < 3) null
     else {
       def holes(geom: Geometry): Boolean = geom match {
@@ -343,6 +489,13 @@ case class StDiscretize(child: Expression,
         GeometryCodec.toWkb(out)
       }
     }
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stDiscretize", this, classOf[StDiscretize].getName)
+    nullSafeCodeGen(ctx, ev, c => GeomCodegen.nullableCall(ctx, ev,
+      "byte[]", s"$ref.compute($c)", ""))
   }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -379,13 +532,16 @@ object StDiscretize {
 /** Vertex count of a geometry (the reference's num_vertices output field,
   * discretize_cords.cpp:226 — counts the closing vertex, as JTS does). */
 case class StNumPoints(child: Expression) extends UnaryExpression
-    with ImplicitCastInputTypes with CodegenFallback {
+    with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = IntegerType
-  override def nullSafeEval(v: Any): Any = {
-    val g = GeometryCodec.fromWkb(v.asInstanceOf[Array[Byte]])
-    if (g == null) null else g.getNumPoints
-  }
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    GeomKernels.npoints(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => GeomCodegen.nullableCall(ctx, ev,
+      "java.lang.Integer", s"graft.functions.GeomKernels.npoints($c)",
+      ".intValue()"))
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   override def prettyName: String = "st_npoints"
 }
@@ -396,24 +552,31 @@ case class StNumPoints(child: Expression) extends UnaryExpression
   * the standard iterative d2xy/xy2d rotation algorithm. Inputs are expected
   * normalized to [0,1]. */
 case class HilbertValue(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends TernaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType, IntegerType)
   override def dataType: DataType = LongType
-  override def nullSafeEval(xv: Any, yv: Any, ov: Any): Any = {
-    val order = ov.asInstanceOf[Int]
-    val n = 1L << order
-    def clamp(v: Double): Long = {
-      val c = (v * n).toLong
-      if (c < 0) 0L else if (c >= n) n - 1 else c
-    }
-    HilbertValue.xy2d(order, clamp(xv.asInstanceOf[Double]), clamp(yv.asInstanceOf[Double]))
-  }
+  override def nullSafeEval(xv: Any, yv: Any, ov: Any): Any =
+    HilbertValue.hilbert(xv.asInstanceOf[Double], yv.asInstanceOf[Double],
+      ov.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y, o) =>
+      s"graft.functions.HilbertValue.hilbert($x, $y, $o)")
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
   override def prettyName: String = "hilbert"
 }
 
 object HilbertValue {
+  /** Clamp-to-grid + xy2d, shared by eval and generated code. */
+  def hilbert(xv: Double, yv: Double, order: Int): Long = {
+    val n = 1L << order
+    def clamp(v: Double): Long = {
+      val c = (v * n).toLong
+      if (c < 0) 0L else if (c >= n) n - 1 else c
+    }
+    xy2d(order, clamp(xv), clamp(yv))
+  }
+
   /** Standard Hilbert curve xy -> d (iterative, public-domain algorithm). */
   def xy2d(order: Int, xIn: Long, yIn: Long): Long = {
     var rx = 0L; var ry = 0L; var d = 0L

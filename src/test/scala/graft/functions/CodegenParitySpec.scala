@@ -49,4 +49,83 @@ class CodegenParitySpec extends SparkTestBase {
     assert(byId(2L).getInt(6) == 4)                        // all positions agree
     assert(byId(1L).getInt(6) == 2)                        // positions 1,3 agree
   }
+
+  private def geomDf = {
+    import spark.implicits._
+    Seq(
+      (1L, "POLYGON((0 0,4 0,4 4,0 4,0 0))", "POLYGON((2 2,6 2,6 6,2 6,2 2))", 0.0, 0.0, 3.0, 4.0),
+      (2L, "POLYGON((0 0,1 0,1 1,0 1,0 0))", "POLYGON((5 5,6 5,6 6,5 6,5 5))", 1.0, 1.0, 2.0, 2.0),
+      (3L, "not a wkt", "POINT(1 1)", -1.0, -1.0, 1.0, 1.0),
+      (4L, "LINESTRING(0 0,2 2)", "LINESTRING(0 2,2 0)", 0.5, 0.5, 2.5, 3.5)
+    ).toDF("id", "wa", "wb", "x0", "y0", "x1", "y1")
+  }
+
+  private def geomResults(mode: String): Seq[Row] = {
+    spark.conf.set("spark.sql.codegen.factoryMode", mode)
+    try geomDf.select(col("id"),
+        st_astext(st_geomfromwkt(col("wa"))).as("roundtrip"),
+        st_intersects(st_geomfromwkt(col("wa")), st_geomfromwkt(col("wb"))).as("inter"),
+        st_envelope(st_geomfromwkt(col("wa"))).as("env"),
+        st_area(st_geomfromwkt(col("wa"))).as("area"),
+        st_distance(st_geomfromwkt(col("wa")), st_geomfromwkt(col("wb"))).as("dist"),
+        st_jaccard(st_geomfromwkt(col("wa")), st_geomfromwkt(col("wb"))).as("jac"),
+        st_astext(st_makebox(col("x0"), col("y0"), col("x1"), col("y1"))).as("box"),
+        st_astext(st_point(col("x0"), col("y0"))).as("pt"),
+        st_astext(st_makeline(col("x0"), col("y0"), col("x1"), col("y1"))).as("seg"),
+        st_astext(st_union(st_geomfromwkt(col("wa")), st_geomfromwkt(col("wb")))).as("uni"),
+        st_astext(st_buffer(st_geomfromwkt(col("wa")), lit(0.0))).as("buf"),
+        st_npoints(st_geomfromwkt(col("wa"))).as("np"),
+        st_astext(st_snaptogrid(st_geomfromwkt(col("wa")), lit(1.0))).as("snap"),
+        hilbert(col("x0") / 10.0, col("y0") / 10.0, lit(8)).as("hv"),
+        st_dwithin(st_geomfromwkt(col("wa")), st_geomfromwkt(col("wb")), lit(3.0)).as("dw"),
+        st_distancesphere(st_point(col("x0"), col("y0")), st_point(col("x1"), col("y1"))).as("sph"))
+      .orderBy("id").collect().toSeq
+    finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
+  test("geometry expressions: generated code bit-matches interpreted eval") {
+    val gen = geomResults("CODEGEN_ONLY")
+    val interp = geomResults("NO_CODEGEN")
+    assert(gen == interp)
+    val byId = gen.map(r => r.getLong(0) -> r).toMap
+    assert(byId(3L).isNullAt(1))                 // malformed wkt -> null cascade
+    assert(byId(1L).getBoolean(2))               // overlapping boxes intersect
+    assert(!byId(2L).getBoolean(2))              // disjoint boxes
+    assert(byId(1L).getDouble(4) == 16.0)        // 4x4 box area
+    assert(byId(2L).getDouble(5) > 5.6)          // corner distance sqrt(32)
+    assert(byId(1L).getDouble(6) == 4.0 / 28.0)  // rect jaccard exact
+  }
+
+  private def temporalResults(mode: String): Seq[Row] = {
+    spark.conf.set("spark.sql.codegen.factoryMode", mode)
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        | (1L, array(named_struct('start', 0L, 'end', 10L)),
+        |      array(named_struct('start', 5L, 'end', 15L))),
+        | (2L, array(named_struct('start', 0L, 'end', 10L)),
+        |      array(named_struct('start', 2L, 'end', 3L), named_struct('start', 8L, 'end', 9L))),
+        | (3L, array(named_struct('start', 0L, 'end', 1L)),
+        |      array(named_struct('start', 5L, 'end', 6L))),
+        | (4L, array(named_struct('start', 0L, 'end', 1L)),
+        |      cast(array() as array<struct<start: bigint, end: bigint>>))
+        |AS t(id, ia, ib)""".stripMargin)
+    try df.select(col("id"),
+        intervals_overlap(col("ia"), col("ib")).as("ov"),
+        intervals_contain(col("ia"), col("ib")).as("ct"),
+        intervals_mindist(col("ia"), col("ib")).as("md"))
+      .orderBy("id").collect().toSeq
+    finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
+  test("temporal interval expressions: generated code bit-matches interpreted eval") {
+    val gen = temporalResults("CODEGEN_ONLY")
+    val interp = temporalResults("NO_CODEGEN")
+    assert(gen == interp)
+    val byId = gen.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getBoolean(1) && !byId(1L).getBoolean(2) && byId(1L).getLong(3) == 0L)
+    assert(byId(2L).getBoolean(2))               // both sub-intervals covered
+    assert(byId(3L).getLong(3) == 4L)            // gap 5-1
+    assert(byId(4L).isNullAt(3))                 // empty side -> null mindist
+    assert(!byId(4L).getBoolean(2))              // empty right -> not contained
+  }
 }
