@@ -180,6 +180,56 @@ object Queries {
       |   cos(radians(s.lat))*cos(radians(c.lat))*pow(sin(radians(c.lon-s.lon)/2),2)
       | )) * 1609.0 <= 50000.0""".stripMargin
 
+  /** Spatio-temporal join — the reference's `*_spt` lifecycle
+    * (src/README.md:5-13; extensions/spt/temporal.h:4-24,
+    * temporal_functions.hpp:9-111): a tile-partitioned spatial join whose
+    * pairs are refined by multi-interval temporal predicates. Each object
+    * carries a LIST of validity intervals (two here, key-derived integers so
+    * the temporal arithmetic is exact); the join keeps spatially-close pairs
+    * whose interval sets come within 20 ticks, and reports the gap
+    * (`intervals_mindist`, 0 = co-occurring). The spatial exchange is
+    * untouched — temporal refinement is a tile-local post-filter, so the
+    * scale story is exactly the dwithin gate's. */
+  def qSpjoinSpt(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    def iv(s: Column, e: Column): Column =
+      struct(s.cast("long").as("start"), e.cast("long").as("end"))
+    val parts = partBoxes(spark, dir).select(
+      col("id").as("pid"), col("geom").as("g1"),
+      array(
+        iv((col("id") % 97) * 10, (col("id") % 97) * 10 + 4 + col("id") % 11),
+        iv((col("id") % 97) * 10 + 200, (col("id") % 97) * 10 + 209)).as("ia"))
+    val custs = custPoints(spark, dir).select(
+      col("id").as("cid"), col("geom").as("g2"),
+      array(
+        iv((col("id") % 89) * 10, (col("id") % 89) * 10 + 6),
+        iv((col("id") % 89) * 10 + 150, (col("id") % 89) * 10 + 153)).as("ib"))
+    SpatialJoin.join(parts, "g1", custs, "g2",
+        SpatialJoin.Config(predicate = "dwithin", distance = 4.0, bucket = 500))
+      .where(intervals_overlap(col("ia"), col("ib")) ||
+        intervals_mindist(col("ia"), col("ib")) <= 20)
+      .select(col("pid"), col("cid"),
+        intervals_mindist(col("ia"), col("ib")).as("md"))
+  }
+
+  val qSpjoinSptSql: String =
+    s"""WITH b AS ($partBoxesSql), c AS ($custPointsSql),
+       |bi AS (SELECT *, (id%97)*10 AS sa1, (id%97)*10+4+id%11 AS ea1,
+       |  (id%97)*10+200 AS sa2, (id%97)*10+209 AS ea2 FROM b),
+       |ci AS (SELECT *, (id%89)*10 AS sb1, (id%89)*10+6 AS eb1,
+       |  (id%89)*10+150 AS sb2, (id%89)*10+153 AS eb2 FROM c)
+       |SELECT pid, cid, md FROM (
+       | SELECT b.id AS pid, c.id AS cid, least(
+       |  CASE WHEN sa1<=eb1 AND sb1<=ea1 THEN 0 WHEN sa1>eb1 THEN sa1-eb1 ELSE sb1-ea1 END,
+       |  CASE WHEN sa1<=eb2 AND sb2<=ea1 THEN 0 WHEN sa1>eb2 THEN sa1-eb2 ELSE sb2-ea1 END,
+       |  CASE WHEN sa2<=eb1 AND sb1<=ea2 THEN 0 WHEN sa2>eb1 THEN sa2-eb1 ELSE sb1-ea2 END,
+       |  CASE WHEN sa2<=eb2 AND sb2<=ea2 THEN 0 WHEN sa2>eb2 THEN sa2-eb2 ELSE sb2-ea2 END) AS md
+       | FROM bi b JOIN ci c ON
+       |  greatest(b.x0 - c.px, c.px - b.x0 - b.w, 0) * greatest(b.x0 - c.px, c.px - b.x0 - b.w, 0)
+       |  + greatest(b.y0 - c.py, c.py - b.y0 - b.w, 0) * greatest(b.y0 - c.py, c.py - b.y0 - b.w, 0)
+       |  <= 16.0)
+       |WHERE md <= 20""".stripMargin
+
   /** 3-D lattice cubes derived from part (the 3-D analog of partBoxes):
     * 20x20x20 grid positions, side 1-10. */
   def partCubes(spark: SparkSession, dir: String): DataFrame =
