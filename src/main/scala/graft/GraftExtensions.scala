@@ -51,5 +51,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     r("st_snaptogrid", es => StSnapToGrid(es(0), es(1)))
     r("st_npoints", es => StNumPoints(es.head))
     r("st_discretize", StDiscretize.fromSqlArgs _)
+    r("st_makeline", es => StMakeLine(es))
+    r("intervals_overlap", es => IntervalsOverlap(es(0), es(1)))
+    r("intervals_contain", es => IntervalsContain(es(0), es(1)))
+    r("intervals_mindist", es => IntervalsMinDist(es(0), es(1)))
   }
 }
