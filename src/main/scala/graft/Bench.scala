@@ -17,7 +17,9 @@ object Bench {
       try { fn(spark, "/root/testdata/sf0.001").count() }
       catch { case _: Throwable => () }
     }
-    // best-of-2 per query: the host is shared, single runs jitter 2-3x.
+    // min-of-3 per query: the host is shared and single runs jitter 2-6x
+    // (the round-5 record carried an 18 s corpus_clean against a 2.6 s
+    // steady state from a single loaded window — best-of-2 wasn't enough).
     // A GC between timings keeps one query's garbage from being charged to
     // the next (the round-3 q_knn "regression" was exactly this).
     def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -27,14 +29,17 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val a = once(fn)
-      val b = once(fn)
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val runs = Seq(once(fn), once(fn), once(fn))
+      name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
     }
+    val (failed, ok) = results.partition(_._2 < 0)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a failed query must scream, not silently shrink the headline: the
+    // total sums successes only, failures are listed separately
+    val failedList = failed.keys.map(k => s"\"$k\"").mkString("[", ",", "]")
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedList,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -200,7 +200,7 @@ object PerfProbe {
             .groupBy("ida", "idb").agg(count(lit(1)).as("bands_matched"))
             .where(col("bands_matched") >= 8)
         }
-        time("warmup")(pairs("/root/testdata/sf0.001")(sigAgree))
+        time("warmup")(pairs(dir)(sigAgree))
         for (i <- 1 to 2) {
           time(s"sig_agreement_$i")(pairs(dir)(sigAgree))
           time(s"zip_with_$i")(pairs(dir)(zipWith))

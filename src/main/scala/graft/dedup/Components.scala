@@ -91,9 +91,13 @@ object Components {
       .where(col(U) =!= col(V))
       .distinct())
 
-    // set checksum: count + XOR of row hashes — order-independent, safe
-    // under ANSI overflow rules (sum of hashes is not), and XOR
-    // cancellation can't collide rows because the edge list is distinct
+    // set checksum: count + XOR of row hashes — order-independent and safe
+    // under ANSI overflow rules (sum of hashes is not). Distinctness rules
+    // out self-cancellation within one set, but two DIFFERENT distinct edge
+    // sets can still share (count, xor), so checksum equality alone is a
+    // ~2^-64 probabilistic signal; the loop below therefore CONFIRMS the
+    // first checksum match with an exact set-difference before declaring
+    // convergence (cost: one anti-join on the already-tiny converged list)
     def checksum(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)),
         expr(s"bit_xor(xxhash64(`$U`, `$V`))")).head()
@@ -157,10 +161,13 @@ object Components {
     var iter = 0
     var converged = prev._1 == 0L
     while (!converged && iter < maxIter) {
+      val last = cur
       val next = round(smallStar(largeStar(cur)))
       val sum = checksum(next)
       cur = next
-      converged = sum == prev
+      // exact confirmation of the probabilistic checksum match: equal-size
+      // distinct sets are equal iff the one-sided difference is empty
+      converged = sum == prev && next.except(last).isEmpty
       prev = sum
       iter += 1
     }

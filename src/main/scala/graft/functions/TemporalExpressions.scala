@@ -26,18 +26,24 @@ object TemporalExpressions {
   val IntervalsType: ArrayType = ArrayType(IntervalType)
 
   /** True iff any interval of `a` overlaps any interval of `b` (closed
-    * intervals). Direct ArrayData walk — no tuple materialization. */
+    * intervals). Direct ArrayData walk — no tuple materialization. Null
+    * elements (legal from SQL array literals) are skipped, like
+    * SigAgreement. */
   def overlap(a: ArrayData, b: ArrayData): Boolean = {
     val n = a.numElements(); val m = b.numElements()
     var i = 0
     while (i < n) {
-      val x = a.getStruct(i, 2)
-      val s1 = x.getLong(0); val e1 = x.getLong(1)
-      var j = 0
-      while (j < m) {
-        val y = b.getStruct(j, 2)
-        if (s1 <= y.getLong(1) && y.getLong(0) <= e1) return true
-        j += 1
+      if (!a.isNullAt(i)) {
+        val x = a.getStruct(i, 2)
+        val s1 = x.getLong(0); val e1 = x.getLong(1)
+        var j = 0
+        while (j < m) {
+          if (!b.isNullAt(j)) {
+            val y = b.getStruct(j, 2)
+            if (s1 <= y.getLong(1) && y.getLong(0) <= e1) return true
+          }
+          j += 1
+        }
       }
       i += 1
     }
@@ -51,16 +57,20 @@ object TemporalExpressions {
     if (m == 0) return false
     var j = 0
     while (j < m) {
-      val y = b.getStruct(j, 2)
-      val s2 = y.getLong(0); val e2 = y.getLong(1)
-      var covered = false
-      var i = 0
-      while (i < n && !covered) {
-        val x = a.getStruct(i, 2)
-        covered = x.getLong(0) <= s2 && e2 <= x.getLong(1)
-        i += 1
+      if (!b.isNullAt(j)) {
+        val y = b.getStruct(j, 2)
+        val s2 = y.getLong(0); val e2 = y.getLong(1)
+        var covered = false
+        var i = 0
+        while (i < n && !covered) {
+          if (!a.isNullAt(i)) {
+            val x = a.getStruct(i, 2)
+            covered = x.getLong(0) <= s2 && e2 <= x.getLong(1)
+          }
+          i += 1
+        }
+        if (!covered) return false
       }
-      if (!covered) return false
       j += 1
     }
     true
@@ -74,22 +84,26 @@ object TemporalExpressions {
     var best = Long.MaxValue
     var i = 0
     while (i < n) {
-      val x = a.getStruct(i, 2)
-      val s1 = x.getLong(0); val e1 = x.getLong(1)
-      var j = 0
-      while (j < m) {
-        val y = b.getStruct(j, 2)
-        val s2 = y.getLong(0); val e2 = y.getLong(1)
-        val d =
-          if (s1 <= e2 && s2 <= e1) 0L
-          else if (s1 > e2) s1 - e2
-          else s2 - e1
-        if (d < best) best = d
-        j += 1
+      if (!a.isNullAt(i)) {
+        val x = a.getStruct(i, 2)
+        val s1 = x.getLong(0); val e1 = x.getLong(1)
+        var j = 0
+        while (j < m) {
+          if (!b.isNullAt(j)) {
+            val y = b.getStruct(j, 2)
+            val s2 = y.getLong(0); val e2 = y.getLong(1)
+            val d =
+              if (s1 <= e2 && s2 <= e1) 0L
+              else if (s1 > e2) s1 - e2
+              else s2 - e1
+            if (d < best) best = d
+          }
+          j += 1
+        }
       }
       i += 1
     }
-    java.lang.Long.valueOf(best)
+    if (best == Long.MaxValue) null else java.lang.Long.valueOf(best)
   }
 
   /** StSnapToGrid kernel: snap every coordinate to a regular grid;

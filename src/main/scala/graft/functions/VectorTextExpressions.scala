@@ -19,6 +19,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def inputTypes: Seq[DataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
+  // returns null for length-mismatched or zero-norm inputs even when both
+  // children are non-nullable; without this override nullSafeCodeGen would
+  // never declare ev.isNull and the generated assignment wouldn't compile
+  override def nullable: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any =
     CosineSimilarity.cosine(
       a.asInstanceOf[ArrayData].toFloatArray(),
@@ -84,6 +88,9 @@ case class DotProduct(left: Expression, right: Expression)
   override def inputTypes: Seq[DataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
+  // null on length mismatch regardless of child nullability (see
+  // CosineSimilarity.nullable)
+  override def nullable: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toFloatArray()
     val y = b.asInstanceOf[ArrayData].toFloatArray()
