@@ -142,6 +142,48 @@ object Queries {
       .select(col("pid"), col("cid"))
   }
 
+  /** P2 default project-all: the same dwithin self-join with NO field
+    * projection — every attribute column of both sides passes through with
+    * the l_/r_ side prefixes (the reference's default when --fields is
+    * absent, resque_params_2d.hpp:70-75: emit the full rawdata of both
+    * objects). Geometry columns are carried too but excluded from the gate
+    * output (WKB bytes aren't DuckDB-comparable; WKT round-trip fidelity is
+    * q_wkt_roundtrip's gate). */
+  def qSpjoinProjectAll(spark: SparkSession, dir: String): DataFrame =
+    SpatialJoin.selfJoin(partBoxes(spark, dir), "geom", "id",
+        cfg = SpatialJoin.Config(predicate = "dwithin", distance = 3.0,
+          bucket = 500))
+      .select(col("l_id"), col("l_x0"), col("l_y0"), col("l_w"),
+        col("r_id"), col("r_x0"), col("r_y0"), col("r_w"))
+
+  val qSpjoinProjectAllSql: String =
+    s"""WITH b AS ($partBoxesSql)
+       |SELECT a.id AS l_id, a.x0 AS l_x0, a.y0 AS l_y0, a.w AS l_w,
+       |       c.id AS r_id, c.x0 AS r_x0, c.y0 AS r_y0, c.w AS r_w
+       |FROM b a JOIN b c ON a.id < c.id
+       | AND greatest(a.x0 - c.x0 - c.w, c.x0 - a.x0 - a.w, 0)
+       |   * greatest(a.x0 - c.x0 - c.w, c.x0 - a.x0 - a.w, 0)
+       |   + greatest(a.y0 - c.y0 - c.w, c.y0 - a.y0 - a.w, 0)
+       |   * greatest(a.y0 - c.y0 - c.w, c.y0 - a.y0 - a.w, 0) <= 9.0""".stripMargin
+
+  /** M3 bucket scaling under sampling (reference queryprocessor_2d.cpp:280:
+    * bucket_size *= sample_rate): sampleTarget=800 sits below the input
+    * count at every gated SF, so planTiles takes a real Bernoulli sample
+    * and scales the per-tile bucket by the fraction — the tile count stays
+    * ~n/bucket as if planned on the full data. Join output is
+    * tiling-invariant, so the oracle is the plain dwithin SQL; the tile-
+    * count scaling law itself is pinned in SpatialJoinSpec. */
+  def qSpjoinSampled(spark: SparkSession, dir: String): DataFrame = {
+    val parts = partBoxes(spark, dir).select(col("id").as("pid"), col("geom").as("g1"))
+    val custs = custPoints(spark, dir).select(col("id").as("cid"), col("geom").as("g2"))
+    SpatialJoin.join(parts, "g1", custs, "g2",
+        SpatialJoin.Config(predicate = "dwithin", distance = 4.0,
+          bucket = 500, sampleTarget = 800))
+      .select(col("pid"), col("cid"))
+  }
+
+  val qSpjoinSampledSql: String = qSpjoinDwithinSql
+
   /** F6/J12 earth mode: spherical dwithin join, supplier points (probe side
     * — the reference expands the probe MBB by `distance` in coordinate
     * units, spjoin_2d.hpp:61-66, reproduced here) vs customer points within
@@ -998,6 +1040,36 @@ object Queries {
     s"""WITH b AS ($partBoxesSql)
        |SELECT id, w * w AS area FROM b
        |WHERE x0 <= 170 AND x0 + w >= 50 AND y0 <= 180 AND y0 + w >= 40""".stripMargin
+
+  /** Multi-window batch containment over the spatial store: 25 windows (a
+    * 5x5 lattice derived from nation keys) answered in ONE store scan via a
+    * broadcast STRtree over the window set — the reference's stubbed
+    * multi-window cache-file path (resque_2d.cpp:254-258) generalized.
+    * Oracle = the plain SQL range join windows x boxes. */
+  def qContainmentMulti(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SpatialStore
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_store_multi_" +
+      new java.io.File(dir).getName
+    SpatialStore.write(partBoxes(spark, dir), "geom", path,
+      SpatialJoin.Config(partitioner = "fg", bucket = 300))
+    val windows = table(spark, dir, "nation").select(
+        col("n_nationkey").cast("long").as("wid"),
+        ((col("n_nationkey") % 5) * 38.0).as("wx"),
+        ((floor(col("n_nationkey") / 5) % 5) * 38.0).as("wy"))
+      .withColumn("wgeom",
+        st_makebox(col("wx"), col("wy"), col("wx") + 25.0, col("wy") + 25.0))
+    SpatialStore.multiWindowRead(spark, path, windows, "wid", "wgeom")
+      .select(col("wid"), col("id"), st_area(col("geom")).as("area"))
+  }
+
+  val qContainmentMultiSql: String =
+    s"""WITH b AS ($partBoxesSql),
+       |w AS (SELECT CAST(n_nationkey AS BIGINT) AS wid,
+       |  (n_nationkey % 5) * 38.0 AS wx,
+       |  (CAST(floor(n_nationkey / 5) AS INT) % 5) * 38.0 AS wy FROM nation)
+       |SELECT w.wid, b.id, b.w * b.w AS area FROM w JOIN b
+       | ON b.x0 <= w.wx + 25 AND b.x0 + b.w >= w.wx
+       | AND b.y0 <= w.wy + 25 AND b.y0 + b.w >= w.wy""".stripMargin
 
   /** Multimodal plumbing (oracled): binary content column -> inferred typed
     * metadata -> mapPartitions feature extraction (stub codec). The stub

@@ -155,6 +155,62 @@ object SpatialStore {
       .drop(RowIdCol, RowId2Col, TileCol)
   }
 
+  /** Multi-window batch containment: one scan of the store answers a whole
+    * WINDOW SET (the reference's multi-window cache-file path, stubbed "To
+    * be updated" at resque_2d.cpp:254-258, generalized). The window set is
+    * a small side input — an STRtree over it broadcasts to every task, each
+    * object probes the tree by envelope and refines exactly, and the scan
+    * reads only the union of window-intersecting tile dirs (driver
+    * global-index scan + Catalyst partition pruning). Per-window repeated
+    * [[containmentRead]] scans the store W times; this is one pass for any
+    * W. Output: store columns + `widCol` (LongType), one row per
+    * (window, object) hit, replicas collapsed per window.
+    *
+    * Bounded collect like [[graft.ann.Similarity.topKBrute]]: the window
+    * relation must fit the driver/broadcast (`maxWindows` guard) — callers
+    * with a window set that large want the tile-partitioned spatial join,
+    * not a broadcast batch. */
+  def multiWindowRead(spark: SparkSession, path: String,
+                      windows: DataFrame, widCol: String, wgeomCol: String,
+                      maxWindows: Int = 100000): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val meta = readMeta(spark, path)
+    val wRows = windows.select(col(widCol).cast("long"), col(wgeomCol))
+      .limit(maxWindows + 1).collect()
+    require(wRows.length <= maxWindows,
+      s"multiWindowRead broadcasts the window set; it has more than " +
+        s"$maxWindows rows — use SpatialJoin for window relations at scale")
+    val parsed = wRows.map { r =>
+      val g = graft.core.GeometryCodec.fromWkb(r.getAs[Array[Byte]](1))
+      require(g != null, s"invalid window geometry for ${r.get(0)}")
+      (r.getLong(0), g)
+    }
+    // driver global-index scan: tiles hit by ANY window (union, deduped)
+    val wanted = meta.tiles.iterator.filter { t =>
+      parsed.exists { case (_, g) =>
+        val e = g.getEnvelopeInternal
+        t.mbb.intersects(Mbb(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY))
+      }
+    }.map(_.tileId).toSeq
+    val tree = new org.locationtech.jts.index.strtree.STRtree()
+    parsed.foreach { case (wid, g) => tree.insert(g.getEnvelopeInternal, (wid, g)) }
+    tree.build()
+    val bc = spark.sparkContext.broadcast(tree)
+    val hits = udf { (wkb: Array[Byte]) =>
+      val g = graft.core.GeometryCodec.fromWkb(wkb)
+      if (g == null) Array.empty[Long]
+      else bc.value.query(g.getEnvelopeInternal).asScala
+        .map(_.asInstanceOf[(Long, org.locationtech.jts.geom.Geometry)])
+        .filter { case (_, wg) => wg.intersects(g) }
+        .map(_._1).toArray.sorted
+    }
+    spark.read.parquet(path)
+      .where(col(TileCol).isin(wanted: _*))
+      .withColumn(widCol, explode(hits(col(meta.geomCol))))
+      .dropDuplicates(widCol, RowIdCol, RowId2Col)
+      .drop(RowIdCol, RowId2Col, TileCol)
+  }
+
   /** Full-table read with replicas collapsed. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

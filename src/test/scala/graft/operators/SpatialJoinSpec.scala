@@ -70,6 +70,26 @@ class SpatialJoinSpec extends SparkTestBase {
     }
   }
 
+  test("M3 bucket scaling: sampled plan keeps ~n/bucket tiles and exact results") {
+    val a = df(la, "id1", "g1"); val b = df(lb, "id2", "g2")
+    // sampleTarget far below n engages the Bernoulli sample; the bucket
+    // scales by the fraction (reference queryprocessor_2d.cpp:280), so the
+    // tile count stays ~n/bucket as if planned on the full 700 MBBs
+    val cfg = SpatialJoin.Config(predicate = "intersects", bucket = 50,
+      sampleTarget = 100)
+    val env = (d: DataFrame, g: String) => d
+      .withColumn("__e", st_envelope(col(g)))
+      .select(col("__e.xmin").as("__xmin"), col("__e.ymin").as("__ymin"),
+        col("__e.xmax").as("__xmax"), col("__e.ymax").as("__ymax"))
+    val tiles = SpatialJoin.planTiles(env(a, "g1"), env(b, "g2"), cfg).tiles.length
+    val full = math.ceil(700.0 / 50).toInt // 14
+    assert(tiles >= full / 2 && tiles <= full * 2,
+      s"sampled plan produced $tiles tiles, expected ~$full")
+    val got = SpatialJoin.join(a, "g1", b, "g2", cfg)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got == brute(la, lb, _.intersects(_)), "sampled-plan join mismatch")
+  }
+
   test("dwithin join == brute force isWithinDistance") {
     val d = 2.5
     val a = df(la, "id1", "g1"); val b = df(lb, "id2", "g2")

@@ -135,6 +135,28 @@ class SpatialStoreSpec extends SparkTestBase {
     assert(prunedFiles < allFiles, s"pruned $prunedFiles vs all $allFiles")
   }
 
+  test("multiWindowRead: one scan matches per-window containment reads") {
+    val dir = Files.createTempDirectory("graft_store").toString + "/mw"
+    val df = boxesDf(500)
+    SpatialStore.write(df, "geom", dir,
+      graft.operators.SpatialJoin.Config(partitioner = "fg", bucket = 50))
+    val wins = Seq((0L, 0.0, 0.0), (1L, 30.0, 10.0), (2L, 70.0, 20.0),
+        (3L, 95.0, 45.0), (4L, 200.0, 200.0)) // last window hits nothing
+      .toDF("wid", "wx", "wy")
+      .withColumn("wgeom", st_makebox(col("wx"), col("wy"),
+        col("wx") + lit(20.0), col("wy") + lit(15.0)))
+    val batch = SpatialStore.multiWindowRead(spark, dir, wins, "wid", "wgeom")
+      .select("wid", "id").as[(Long, Long)].collect().toSet
+    val oneByOne = wins.select("wid", "wx", "wy").as[(Long, Double, Double)]
+      .collect().flatMap { case (wid, wx, wy) =>
+        SpatialStore.containmentRead(spark, dir, GeometryCodec.toWkb(
+            GeometryCodec.box(wx, wy, wx + 20.0, wy + 15.0)))
+          .select("id").as[Long].collect().map(wid -> _)
+      }.toSet
+    assert(batch == oneByOne)
+    assert(!batch.exists(_._1 == 4L))
+  }
+
   test("api implicits: containment + spatialJoin + describeSpatialPartitioning") {
     val df = boxesDf(300)
     val inWin = df.containment("POLYGON((0 0,40 0,40 40,0 40,0 0))")
