@@ -313,6 +313,45 @@ object Queries {
        | AND a.y0 <= c.y0 + c.w AND c.y0 <= a.y0 + a.w
        | AND a.z0 <= c.z0 + c.w AND c.z0 <= a.z0 + a.w""".stripMargin
 
+  /** 3-D exact kNN: customer lattice points to their 3 nearest part cubes
+    * by MBB gap distance (SpatialJoin3d.knnJoinMbb — two-pass owner-cell,
+    * fully relational). Rank-only output: squared gap distances are exact
+    * lattice integers, so the oracle ranks on dx²+dy²+dz² with the same
+    * (distance, id) tie order and never compares a sqrt. */
+  def qKnn3d(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SpatialJoin3d
+    val custs = table(spark, dir, "customer").select(
+      col("c_custkey").as("cid"),
+      ((col("c_custkey") * 7) % 300).cast("double").as("cx"),
+      (floor(col("c_custkey") * 7 / 300) % 300).cast("double").as("cy"),
+      ((col("c_custkey") % 20) * 10 + 5).cast("double").as("cz"))
+    val parts = partCubes(spark, dir).select(col("id").as("sid"),
+      col("x0").as("sx0"), col("y0").as("sy0"), col("z0").as("sz0"),
+      (col("x0") + col("w")).as("sx1"), (col("y0") + col("w")).as("sy1"),
+      (col("z0") + col("w")).as("sz1"))
+    val lc = SpatialJoin3d.Mbb3Cols("cx", "cy", "cz", "cx", "cy", "cz")
+    val rc = SpatialJoin3d.Mbb3Cols("sx0", "sy0", "sz0", "sx1", "sy1", "sz1")
+    SpatialJoin3d.knnJoinMbb(custs, lc, "cid", parts, rc, "sid", k = 3,
+        cellsPerAxis = 8)
+      .select(col("cid"), col("sid"), col("knn_rank").as("rk"))
+  }
+
+  val qKnn3dSql: String =
+    s"""WITH c AS (SELECT c_custkey AS cid,
+       |  CAST((c_custkey * 7) % 300 AS DOUBLE) AS cx,
+       |  CAST(floor(c_custkey * 7 / 300) % 300 AS DOUBLE) AS cy,
+       |  CAST((c_custkey % 20) * 10 + 5 AS DOUBLE) AS cz FROM customer),
+       |s AS ($partCubesSql),
+       |p AS (SELECT c.cid, s.id AS sid,
+       |  greatest(s.x0 - c.cx, c.cx - s.x0 - s.w, 0) AS dx,
+       |  greatest(s.y0 - c.cy, c.cy - s.y0 - s.w, 0) AS dy,
+       |  greatest(s.z0 - c.cz, c.cz - s.z0 - s.w, 0) AS dz
+       | FROM c CROSS JOIN s)
+       |SELECT cid, sid, rk FROM (
+       | SELECT cid, sid, row_number() OVER (PARTITION BY cid
+       |   ORDER BY dx*dx + dy*dy + dz*dz, sid) AS rk
+       | FROM p) WHERE rk <= 3""".stripMargin
+
   /** mbb_normalizer_3d: unit-cube normalization of the 3-D envelopes.
     * FP-exact: lattice ints, one subtraction, one division by an exact
     * span, mirrored verbatim in the oracle. */

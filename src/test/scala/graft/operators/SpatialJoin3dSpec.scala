@@ -62,6 +62,45 @@ class SpatialJoin3dSpec extends SparkTestBase {
     assert(got == 4)
   }
 
+  test("knnJoinMbb == brute-force global kNN at several grid resolutions") {
+    val items = cubes(300, 11, 6.0)
+    val probes = cubes(120, 23, 0.0).map(p => (p._1, p._2, p._3, p._4))
+    val a = probes.toDF("aid", "ax0", "ay0", "az0")
+      .withColumn("ax1", col("ax0")).withColumn("ay1", col("ay0"))
+      .withColumn("az1", col("az0"))
+    val b = items.toDF("bid", "bx0", "by0", "bz0", "bx1", "by1", "bz1")
+    def gap(lo1: Double, hi1: Double, lo2: Double, hi2: Double) =
+      math.max(math.max(lo1 - hi2, lo2 - hi1), 0.0)
+    val want = probes.flatMap { p =>
+      items.map { q =>
+        val dx = gap(p._2, p._2, q._2, q._5)
+        val dy = gap(p._3, p._3, q._3, q._6)
+        val dz = gap(p._4, p._4, q._4, q._7)
+        (p._1, q._1, math.sqrt(dx * dx + dy * dy + dz * dz))
+      }.sortBy { case (_, bid, d) => (d, bid) }.take(3)
+        .zipWithIndex.map { case ((aid, bid, _), i) => (aid, bid, i + 1) }
+    }.toSet
+    Seq(1, 4, 8).foreach { cells =>
+      val got = SpatialJoin3d.knnJoinMbb(a, lc, "aid", b, rc, "bid", k = 3,
+          cellsPerAxis = cells)
+        .select("aid", "bid", "knn_rank").as[(Long, Long, Int)].collect()
+      assert(got.length == want.size, s"row count at cells=$cells")
+      assert(got.toSet == want, s"kNN mismatch at cells=$cells")
+    }
+  }
+
+  test("knnJoinMbb: k larger than the right side returns all, ranked") {
+    val a = Seq((1L, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0))
+      .toDF("aid", "ax0", "ay0", "az0", "ax1", "ay1", "az1")
+    val b = Seq((10L, 5.0, 0.0, 0.0, 6.0, 1.0, 1.0),
+                (11L, 9.0, 0.0, 0.0, 9.5, 1.0, 1.0))
+      .toDF("bid", "bx0", "by0", "bz0", "bx1", "by1", "bz1")
+    val got = SpatialJoin3d.knnJoinMbb(a, lc, "aid", b, rc, "bid", k = 5,
+        cellsPerAxis = 4)
+      .select("bid", "knn_rank").as[(Long, Int)].collect().toSet
+    assert(got == Set((10L, 1), (11L, 2)))
+  }
+
   test("normalized maps the space envelope to the unit cube") {
     val df = Seq((1L, 10.0, 20.0, 30.0, 20.0, 40.0, 50.0),
                  (2L, 20.0, 40.0, 50.0, 30.0, 60.0, 70.0))
