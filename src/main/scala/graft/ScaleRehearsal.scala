@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 
@@ -37,6 +37,8 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val nBoxes = args.headOption.map(_.toLong).getOrElse(2000000L)
     val copies = if (args.length > 1) args(1).toInt else 100
+    // section selector: all | spatial+text (legacy sections) | ann
+    val mode = if (args.length > 2) args(2) else "all"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 64)
@@ -57,6 +59,73 @@ object ScaleRehearsal {
       println(f"[scale] $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.1f s" +
         f"  shuffleW=${meter.write / 1e9}%8.3f GB  shuffleR=${meter.read / 1e9}%8.3f GB")
       r
+    }
+
+    // ------------------------------------------------------- ANN at 100x
+    // 2M 64-dim vectors (100x the sf0.1 embeddings table): a 256-center
+    // mixture (center signal + 25% noise, all xxhash-derived and
+    // deterministic) so centroid/codebook training has real structure to
+    // find — uniform random vectors would make ANY index's recall
+    // meaningless. 200 queries drawn from the items.
+    if (mode == "all" || mode == "ann") {
+      val nVec = 2000000L
+      val dim = 64
+      timed("gen_vecs") {
+        def u(salt: Int, key: Column) =
+          pmod(xxhash64(key, lit(salt)), lit(1000L)).cast("double") / 500.0 - 1.0
+        spark.range(nVec).select(col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(dim - 1)), j =>
+              (u(1, concat(col("id") % 256, lit(":"), j)) +
+               u(2, concat(col("id"), lit(":"), j)) * 0.25).cast("float"))
+              .as("embedding"))
+          .write.mode("overwrite").parquet(s"$dir/vecs")
+      }
+      val vecs = spark.read.parquet(s"$dir/vecs")
+      val items = vecs.select(col("vec_id").as("nid"), col("embedding").as("ivec"))
+      val queries = vecs.where(col("vec_id") % 10000 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val k = 10
+      val brute = timed("ann_brute_topk") {
+        graft.ann.Similarity.topKBrute(items, "nid", "ivec",
+            queries, "qid", "qvec", k)
+          .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      }
+      val bruteSet = brute.toSet
+      def recall(got: Array[(Long, Long)]): Double =
+        bruteSet.count(got.toSet.contains).toDouble / bruteSet.size
+      val ivf = timed("ivf_train[nlist=256]") {
+        graft.ann.IvfIndex.train(items, "ivec", nlist = 256)
+      }
+      for (nprobe <- Seq(1, 4, 8)) {
+        val got = timed(s"ivf_topk[nprobe=$nprobe]") {
+          graft.ann.IvfIndex.topK(items, "nid", "ivec",
+              queries, "qid", "qvec", k, ivf, nprobe)
+            .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
+        }
+        println(f"[scale]   -> ${got.length} rows recall@$k=${recall(got)}%.3f")
+      }
+      val lsh = timed("lsh_topk[bits=12,tables=4]") {
+        graft.ann.Similarity.topKLsh(items, "nid", "ivec",
+            queries, "qid", "qvec", k)
+          .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      }
+      println(f"[scale]   -> ${lsh.length} rows recall@$k=${recall(lsh)}%.3f")
+      // IVF-PQ: coarse lists bound the scan, PQ codes bound the memory —
+      // the composition a 100 TB deployment runs (codes are 16 B/vector vs
+      // 256 B raw), with the ADC shortlist re-ranked exactly
+      val pq = timed("pq_train[m=16,codes=64]") {
+        graft.ann.PqIndex.train(items, "ivec", m = 16, codes = 64)
+      }
+      val ivfPq = timed("ivfpq_rerank[nprobe=8,short=50]") {
+        val assign = graft.ann.IvfIndex.assignments(items, "nid", "ivec", ivf)
+        val probes = graft.ann.IvfIndex.probeLists(queries, "qid", "qvec", ivf, 8)
+        val cand = probes.join(assign, Seq("list")).select(col("qid"), col("nid"))
+        graft.ann.PqIndex.topKRerank(items, "nid", "ivec",
+            queries, "qid", "qvec", k, pq, shortlist = 50, Some(cand))
+          .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      }
+      println(f"[scale]   -> ${ivfPq.length} rows recall@$k=${recall(ivfPq)}%.3f")
+      if (mode == "ann") { spark.stop(); return }
     }
 
     // ------------------------------------------------------------ data gen
