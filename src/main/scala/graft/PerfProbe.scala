@@ -27,6 +27,26 @@ object PerfProbe {
         time("warmup")(Queries.qKnn(spark, "/root/testdata/sf0.001").count())
         time("knn")(Queries.qKnn(spark, dir).count())
         time("knn_2nd")(Queries.qKnn(spark, dir).count())
+      case "knn3d" =>
+        time("warmup")(Queries.qKnn3d(spark, "/root/testdata/sf0.001").count())
+        time("knn3d_sf0.001")(Queries.qKnn3d(spark, "/root/testdata/sf0.001").count())
+        time("knn3d_sf0.01")(Queries.qKnn3d(spark, "/root/testdata/sf0.01").count())
+        time("knn3d_sf0.1")(Queries.qKnn3d(spark, dir).count())
+        time("knn3d_sf0.1_2nd")(Queries.qKnn3d(spark, dir).count())
+      case "knn3dstages" =>
+        time("warmup")(Queries.qKnn3d(spark, "/root/testdata/sf0.001").count())
+        val l3 = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val ms = si.completionTime.get - si.submissionTime.get
+            if (ms > 100)
+              println(f"[probe] stage ${si.stageId}%4d ${ms}%6d ms  tasks=${si.numTasks}%4d  shufW=${si.taskMetrics.shuffleWriteMetrics.recordsWritten}%9d  ${si.name.take(70)}")
+          }
+        }
+        spark.sparkContext.addSparkListener(l3)
+        time("knn3d_sf0.1")(Queries.qKnn3d(spark, dir).count())
+        Thread.sleep(1000)
       case "knnstages" =>
         time("warmup")(Queries.qKnn(spark, "/root/testdata/sf0.001").count())
         val listener = new org.apache.spark.scheduler.SparkListener {

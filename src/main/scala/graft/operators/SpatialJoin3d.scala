@@ -30,18 +30,18 @@ object SpatialJoin3d {
       col(xmax), col(ymax), col(zmax))
   }
 
-  /** get_space_dimension_3d: global envelope of both sides (one tiny agg). */
+  /** get_space_dimension_3d: global envelope of both sides — ONE tiny agg
+    * over the union of both sides' six envelope columns (a second scan per
+    * side costs a whole driver job on the query's critical path). */
   private def space(l: DataFrame, lc: Mbb3Cols, r: DataFrame, rc: Mbb3Cols): Array[Double] = {
-    def env(df: DataFrame, c: Mbb3Cols) = df.agg(
-      min(col(c.xmin)), min(col(c.ymin)), min(col(c.zmin)),
-      max(col(c.xmax)), max(col(c.ymax)), max(col(c.zmax))).head()
-    val a = env(l, lc); val b = env(r, rc)
-    def mn(i: Int) = math.min(
-      if (a.isNullAt(i)) Double.MaxValue else a.getDouble(i),
-      if (b.isNullAt(i)) Double.MaxValue else b.getDouble(i))
-    def mx(i: Int) = math.max(
-      if (a.isNullAt(i)) Double.MinValue else a.getDouble(i),
-      if (b.isNullAt(i)) Double.MinValue else b.getDouble(i))
+    def six(df: DataFrame, c: Mbb3Cols) = df.select(
+      col(c.xmin).as("_a"), col(c.ymin).as("_b"), col(c.zmin).as("_c"),
+      col(c.xmax).as("_d"), col(c.ymax).as("_e"), col(c.zmax).as("_f"))
+    val a = six(l, lc).unionByName(six(r, rc)).agg(
+      min(col("_a")), min(col("_b")), min(col("_c")),
+      max(col("_d")), max(col("_e")), max(col("_f"))).head()
+    def mn(i: Int) = if (a.isNullAt(i)) Double.MaxValue else a.getDouble(i)
+    def mx(i: Int) = if (a.isNullAt(i)) Double.MinValue else a.getDouble(i)
     Array(mn(0), mn(1), mn(2), mx(3), mx(4), mx(5))
   }
 
@@ -87,6 +87,136 @@ object SpatialJoin3d {
     (ax(x, sp(0), sp(3)) * n + ax(y, sp(1), sp(4))) * n + ax(z, sp(2), sp(5))
   }
 
+  /** Per-cell kNN search plans from a right-center-per-cell count table.
+    * For each of the n³ cells: a search RADIUS upper-bounding the k-th-NN
+    * gap distance of any left row whose envelope center falls in the cell,
+    * and (when cheap to compute) a PROBE SET — the smallest set of cells,
+    * in increasing max box-to-box distance from the owner, holding ≥ k
+    * right centers. A left row probing exactly those cells is guaranteed k
+    * real candidates, and its k-th probe distance is a per-row radius far
+    * tighter than any cell-granular bound. Falls back to the prefix-sum /
+    * Chebyshev-window radius (no probe sets) when occupied-cells × cells
+    * would make the exact sort quadratic-expensive. Cells whose full-grid
+    * window never reaches k (right side smaller than k) get `diag`. */
+  private[operators] def cellPlans(counts: Map[Int, Long], sp: Array[Double],
+                                   n: Int, k: Int, diag: Double,
+                                   probeCap: Int = 64): (Array[Double], Array[Array[Int]]) = {
+    val noProbes = Array.fill(n * n * n)(Array.empty[Int])
+    if (counts.isEmpty) return (Array.fill(n * n * n)(diag), noProbes)
+    val w = Array(
+      math.max(sp(3) - sp(0), java.lang.Double.MIN_NORMAL) / n,
+      math.max(sp(4) - sp(1), java.lang.Double.MIN_NORMAL) / n,
+      math.max(sp(5) - sp(2), java.lang.Double.MIN_NORMAL) / n)
+    val cells = n * n * n
+    val occ = counts.toArray
+    if (occ.length.toLong * cells <= 4L * 1000 * 1000) {
+      // exact per-cell plan: sort occupied cells by max box-to-box distance,
+      // accumulate counts until ≥ k — radius is the last cell's max distance
+      val out = Array.fill(cells)(diag)
+      val probes = Array.fill(cells)(Array.empty[Int])
+      var c = 0
+      while (c < cells) {
+        val cx = c / (n * n); val cy = (c / n) % n; val cz = c % n
+        val ds = occ.map { case (o, cnt) =>
+          val ox = o / (n * n); val oy = (o / n) % n; val oz = o % n
+          val dx = (math.abs(cx - ox) + 1) * w(0)
+          val dy = (math.abs(cy - oy) + 1) * w(1)
+          val dz = (math.abs(cz - oz) + 1) * w(2)
+          (math.sqrt(dx * dx + dy * dy + dz * dz), o, cnt)
+        }.sortBy(d => (d._1, d._2))
+        var acc = 0L; var i = 0
+        while (i < ds.length && acc < k) { acc += ds(i)._3; i += 1 }
+        if (acc >= k) {
+          out(c) = math.min(ds(i - 1)._1, diag)
+          if (i <= probeCap) probes(c) = ds.take(i).map(_._2)
+        }
+        c += 1
+      }
+      (out, probes)
+    } else (ringRadii(counts, sp, n, k, diag), noProbes)
+  }
+
+  /** Per-cell kNN search radii from a right-center-per-cell count table:
+    * for each of the n³ cells, the smallest Chebyshev cell window around it
+    * holding ≥ k right centers (3-D prefix sums + binary search on the
+    * window radius, O(n³ log n) total), returned as the max point-to-point
+    * distance from the cell's box to that window's box — an upper bound on
+    * the k-th-NN gap distance of any left row whose envelope center falls
+    * in the cell. Cells whose full-grid window never reaches k (right side
+    * smaller than k) get `diag`. */
+  private[operators] def ringRadii(counts: Map[Int, Long], sp: Array[Double],
+                                   n: Int, k: Int, diag: Double): Array[Double] = {
+    // prefix(x)(y)(z) = #rights in cells [0,x) × [0,y) × [0,z)
+    val pre = Array.ofDim[Long](n + 1, n + 1, n + 1)
+    var x = 0
+    while (x < n) {
+      var y = 0
+      while (y < n) {
+        var z = 0
+        while (z < n) {
+          val c = counts.getOrElse((x * n + y) * n + z, 0L)
+          pre(x + 1)(y + 1)(z + 1) = c +
+            pre(x)(y + 1)(z + 1) + pre(x + 1)(y)(z + 1) + pre(x + 1)(y + 1)(z) -
+            pre(x)(y)(z + 1) - pre(x)(y + 1)(z) - pre(x + 1)(y)(z) +
+            pre(x)(y)(z)
+          z += 1
+        }
+        y += 1
+      }
+      x += 1
+    }
+    def winSum(cx: Int, cy: Int, cz: Int, d: Int): Long = {
+      val x0 = math.max(0, cx - d); val x1 = math.min(n - 1, cx + d)
+      val y0 = math.max(0, cy - d); val y1 = math.min(n - 1, cy + d)
+      val z0 = math.max(0, cz - d); val z1 = math.min(n - 1, cz + d)
+      pre(x1 + 1)(y1 + 1)(z1 + 1) - pre(x0)(y1 + 1)(z1 + 1) -
+        pre(x1 + 1)(y0)(z1 + 1) - pre(x1 + 1)(y1 + 1)(z0) +
+        pre(x0)(y0)(z1 + 1) + pre(x0)(y1 + 1)(z0) + pre(x1 + 1)(y0)(z0) -
+        pre(x0)(y0)(z0)
+    }
+    val w = Array(
+      math.max(sp(3) - sp(0), java.lang.Double.MIN_NORMAL) / n,
+      math.max(sp(4) - sp(1), java.lang.Double.MIN_NORMAL) / n,
+      math.max(sp(5) - sp(2), java.lang.Double.MIN_NORMAL) / n)
+    val out = new Array[Double](n * n * n)
+    var cx = 0
+    while (cx < n) {
+      var cy = 0
+      while (cy < n) {
+        var cz = 0
+        while (cz < n) {
+          val id = (cx * n + cy) * n + cz
+          if (winSum(cx, cy, cz, n - 1) < k) out(id) = diag
+          else {
+            // smallest d with ≥ k right centers in the window
+            var lo = 0; var hi = n - 1
+            while (lo < hi) {
+              val mid = (lo + hi) / 2
+              if (winSum(cx, cy, cz, mid) >= k) hi = mid else lo = mid + 1
+            }
+            // max |p−q| per axis, p ∈ cell box, q ∈ window box
+            val cIdx = Array(cx, cy, cz)
+            var s = 0.0
+            var a = 0
+            while (a < 3) {
+              val w0 = math.max(0, cIdx(a) - lo)
+              val w1 = math.min(n - 1, cIdx(a) + lo)
+              val m = math.max((cIdx(a) + 1 - w0).toDouble,
+                (w1 + 1 - cIdx(a)).toDouble) * w(a)
+              s += m * m
+              a += 1
+            }
+            out(id) = math.min(math.sqrt(s), diag)
+          }
+          cz += 1
+        }
+        cy += 1
+      }
+      cx += 1
+    }
+    out
+  }
+
   /** 3-D MBB intersects join (closed envelopes, the reference's R-tree
     * `Region` overlap semantics). Output: all left columns ++ all right
     * columns for every intersecting pair, each pair exactly once.
@@ -128,34 +258,52 @@ object SpatialJoin3d {
 
   /** Exact 3-D kNN join over MBBs (the 3-D analog of the reference's
     * st_nearest; the shipped 3-D surface is MBB-level R-tree traversal,
-    * extensions/rtree3d/rtree_traversal3d.h:54-214). Same two-pass
-    * owner-cell architecture as the 2-D [[SpatialJoin.knnJoinExact]], but —
-    * like [[joinMbb]] — fully relational: MBB gap distance, cell ownership,
-    * safety classification and refpoint dedup are all column arithmetic
-    * (whole-stage codegen; no JTS, no broadcast index, no cogroup).
+    * extensions/rtree3d/rtree_traversal3d.h:54-214). Like [[joinMbb]],
+    * fully relational: MBB gap distance, cell ownership and refpoint dedup
+    * are all column arithmetic (whole-stage codegen; no JTS, no broadcast
+    * index, no cogroup).
     *
-    *   1. every left row is assigned its envelope-center owner cell and
-    *      joined with the right rows replicated there; a window ranks the
-    *      local candidates. A left row is SAFE — local top-k provably
-    *      global — when it found k candidates and its k-th distance is
-    *      smaller than the gap from its envelope to the owner cell's
-    *      boundary (every unseen right row is strictly farther).
-    *   2. the unsafe remainder expands its envelope by a per-row radius
-    *      (k-th local distance; the space diagonal when the owner cell was
-    *      starved), replicates to the covered cells, refpoint-dedups on the
-    *      intersection min-corner cell, and re-ranks.
+    * Probe-then-bound architecture, the 3-D analog of the reference's kNN
+    * search-radius protocol (knn_2d.hpp:86-93 estimates `sqrt(area·k/n)`
+    * and grows it ×√2 under a hard cap rather than ever searching the full
+    * space), made deterministic in exactly two distributed joins:
+    *
+    *   1. PROBE — the driver counts right rows by the cell owning their
+    *      envelope center (one bounded agg, ≤ n³ rows) and plans, per
+    *      cell, the smallest set of cells — in increasing max box-to-box
+    *      distance — holding ≥ k right centers ([[cellPlans]]). Every left
+    *      row joins the single-replica center-cell relation on exactly its
+    *      owner cell's planned cells: ≥ k real candidates are guaranteed
+    *      there, so its k-th probe distance is a per-row upper bound on
+    *      the true k-th-NN gap (gap(lEnv,rEnv) ≤ |lCenter−rCenter|).
+    *   2. BOUND — each left expands its envelope by that radius (bounded
+    *      further by the plan's cell-granular radius), replicates to the
+    *      covered cells, joins the envelope-replicated right side,
+    *      refpoint-dedups on the intersection min-corner cell, and a
+    *      window ranks the exact top-k.
+    *
+    * The space diagonal survives only when the right side holds fewer than
+    * k rows in total (or a probe set would exceed its size cap) — so no
+    * left row ever replicates beyond the cells its k nearest can actually
+    * occupy, where a diagonal fallback would degenerate to a
+    * near-cartesian join for every left row in a right-empty region. Total
+    * candidate volume ≈ Σ per-row k-th-NN balls, the radius-join optimum.
     *
     * `leftId` must uniquely key left rows; `rightId` orders distance ties
     * deterministically (must be unique — it is the tie-break that makes
-    * pass-1 ranks globally valid). Output = left cols ++ right cols ++
+    * probe ranks valid bounds). Output = left cols ++ right cols ++
     * `knn_dist` ++ `knn_rank`. */
   def knnJoinMbb(left: DataFrame, lc: Mbb3Cols, leftId: String,
                  right: DataFrame, rc: Mbb3Cols, rightId: String, k: Int,
                  cellsPerAxis: Int = 8): DataFrame = {
-    require(cellsPerAxis >= 1 && cellsPerAxis <= 1290,
-      "cellsPerAxis^3 must fit an Int tile id")
+    // 64³ = 262k cells bounds the driver-side count table and the
+    // broadcast plan relation (~4 MB) — the same bounded-collect
+    // discipline as the partitioners' driver samples
+    require(cellsPerAxis >= 1 && cellsPerAxis <= 64,
+      "cellsPerAxis must be in [1,64]: the cell-plan table is cells^3")
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"column name collision between join sides: $dup")
+    val spark = left.sparkSession
     val n = cellsPerAxis
     val sp = space(left, lc, right, rc)
     val spans = Array(sp(3) - sp(0), sp(4) - sp(1), sp(5) - sp(2))
@@ -164,32 +312,15 @@ object SpatialJoin3d {
       col(c.xmin) <= col(c.xmax) && col(c.ymin) <= col(c.ymax) &&
         col(c.zmin) <= col(c.zmax)
 
-    // owner cell of the left envelope center + the envelope's gap to that
-    // cell's boundary (negative when the envelope out-spans its cell —
-    // such rows are never safe and fall through to pass 2)
     def axisIdx(v: Column, smin: Double, smax: Double): Column = {
       val w = lit(math.max(smax - smin, java.lang.Double.MIN_NORMAL) / n)
       greatest(lit(0), least(lit(n - 1), floor((v - lit(smin)) / w).cast("int")))
     }
-    def axisEdge(lo: Column, hi: Column, i: Column,
-                 smin: Double, smax: Double): Column = {
-      val w = math.max(smax - smin, java.lang.Double.MIN_NORMAL) / n
-      val cellLo = lit(smin) + i.cast("double") * lit(w)
-      val cellHi = when(i === n - 1, lit(smax))
-        .otherwise(lit(smin) + (i.cast("double") + 1d) * lit(w))
-      least(lo - cellLo, cellHi - hi)
-    }
     val cx = (col(lc.xmin) + col(lc.xmax)) / 2
     val cy = (col(lc.ymin) + col(lc.ymax)) / 2
     val cz = (col(lc.zmin) + col(lc.zmax)) / 2
-    val ix = axisIdx(cx, sp(0), sp(3))
-    val iy = axisIdx(cy, sp(1), sp(4))
-    val iz = axisIdx(cz, sp(2), sp(5))
-    val edge = least(
-      axisEdge(col(lc.xmin), col(lc.xmax), ix, sp(0), sp(3)),
-      axisEdge(col(lc.ymin), col(lc.ymax), iy, sp(1), sp(4)),
-      axisEdge(col(lc.zmin), col(lc.zmax), iz, sp(2), sp(5)))
-    val owner = (ix * n + iy) * n + iz
+    val owner = (axisIdx(cx, sp(0), sp(3)) * n +
+      axisIdx(cy, sp(1), sp(4))) * n + axisIdx(cz, sp(2), sp(5))
 
     // MBB gap distance (0 when intersecting) — column arithmetic
     def gap(lo1: String, hi1: String, lo2: String, hi2: String): Column =
@@ -200,38 +331,54 @@ object SpatialJoin3d {
     val dist = sqrt(dx * dx + dy * dy + dz * dz)
 
     val lBase = left.where(wellFormed(lc))
-    val rt = right.where(wellFormed(rc))
-      .withColumn("__cell3", explode(cellIds(rc, sp, n)))
+    val rBase = right.where(wellFormed(rc))
+    val rt = rBase.withColumn("__cell3", explode(cellIds(rc, sp, n)))
+    // single-replica center-cell relation: the probe MUST join this, not
+    // rt — envelope replicas would rank the same right once per touched
+    // probe cell and shrink the radius below the true k-th distance
+    val rCx = (col(rc.xmin) + col(rc.xmax)) / 2
+    val rCy = (col(rc.ymin) + col(rc.ymax)) / 2
+    val rCz = (col(rc.zmin) + col(rc.zmax)) / 2
+    val rtc = rBase.withColumn("__cell3", cellOf(rCx, rCy, rCz, sp, n))
 
-    // ---------------- pass 1: owner-cell candidates + safety classification
-    val lt1 = lBase.withColumn("__cell3", owner).withColumn("__edge", edge)
-    val p1 = lt1.join(rt.hint("shuffle_hash"), Seq("__cell3"))
+    val cellCounts = rtc.groupBy(col("__cell3"))
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val (ringRad, probeSets) = cellPlans(cellCounts, sp, n, k, diag)
+    import spark.implicits._
+    // one broadcast plan row per cell: its fallback radius and whether a
+    // probe set exists (false only when rights < k or the set out-grew
+    // its cap) — the split between the probe path and the fallback path
+    // is a broadcast join, not a shuffle
+    val planDf = ringRad.zipWithIndex
+      .map { case (r, i) => (i, r, probeSets(i).nonEmpty) }.toSeq
+      .toDF("__own", "__ringrad", "__hasprobe")
+    val probeDf = probeSets.zipWithIndex
+      .flatMap { case (cs, i) => cs.map(pc => (i, pc)) }.toSeq
+      .toDF("__own", "__pcell")
+
+    // ---------------- probe: per-row radius from the planned cells
+    val lOwn = lBase.withColumn("__own", owner)
+      .join(broadcast(planDf), Seq("__own"), "left")
+    val ringCol = coalesce(col("__ringrad"), lit(diag))
+    val wRank = Window.partitionBy(col(leftId))
+      .orderBy(col("__d").asc, col(rightId).asc)
+    val leftCols = left.columns.map(col).toIndexedSeq
+    val probed = lOwn.where(col("__hasprobe") === true)
+      .join(broadcast(probeDf), Seq("__own"))
+      .withColumn("__cell3", col("__pcell"))
+      .join(rtc.hint("shuffle_hash"), Seq("__cell3"))
       .withColumn("__d", dist)
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy(col(leftId))
-          .orderBy(col("__d").asc, col(rightId).asc)))
-      .where(col("__rk") <= k)
-      // consumed by three plans (stats, safe rows, pass-2 radii): persist
-      // the small top-k relation, released after the consuming action
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val stats = p1.groupBy(col(leftId)).agg(
-      count(lit(1)).as("__cnt"), max(col("__d")).as("__dk"),
-      first(col("__edge")).as("__edge1"))
-    val safeIds = stats
-      .where(col("__cnt") === k && col("__dk") < col("__edge1"))
-      .select(col(leftId))
+      .withColumn("__rka", row_number().over(wRank))
+      // exactly one row per left survives: its k-th probe candidate (the
+      // plan guarantees ≥ k), carrying the left columns and the radius
+      .where(col("__rka") === k)
+      .select(leftCols :+ least(col("__d"), ringCol).as("__rad"): _*)
+    val fallback = lOwn.where(col("__hasprobe").isNull || !col("__hasprobe"))
+      .select(leftCols :+ ringCol.as("__rad"): _*)
 
-    val outCols = (left.columns ++ right.columns).map(col).toIndexedSeq
-    val safePart = p1.join(safeIds, Seq(leftId))
-      .select(outCols :+ col("__d").as("knn_dist") :+ col("__rk").as("knn_rank"): _*)
-
-    // ---------------- pass 2: radius-bounded re-join of the unsafe remainder
-    val l2 = lBase
-      .join(safeIds, Seq(leftId), "left_anti")
-      .join(stats.select(col(leftId), col("__cnt"), col("__dk")), Seq(leftId), "left")
-      .withColumn("__rad",
-        when(col("__cnt").isNull || col("__cnt") < k, lit(diag))
-          .otherwise(least(col("__dk"), lit(diag))))
+    // ---------------- bound: radius join, refpoint dedup, exact rank
+    val l2 = probed.unionByName(fallback)
       .withColumn("__ex0", col(lc.xmin) - col("__rad"))
       .withColumn("__ey0", col(lc.ymin) - col("__rad"))
       .withColumn("__ez0", col(lc.zmin) - col("__rad"))
@@ -241,7 +388,8 @@ object SpatialJoin3d {
     val lt2 = l2.withColumn("__cell3", explode(cellIdsExpr(
       col("__ex0"), col("__ey0"), col("__ez0"),
       col("__ex1"), col("__ey1"), col("__ez1"), sp, n)))
-    val pass2 = lt2.join(rt.hint("shuffle_hash"), Seq("__cell3"))
+    val outCols = (left.columns ++ right.columns).map(col).toIndexedSeq
+    lt2.join(rt.hint("shuffle_hash"), Seq("__cell3"))
       .withColumn("__d", dist)
       .where(col("__d") <= col("__rad"))
       // refpoint dedup: emit only in the cell owning the min corner of
@@ -250,14 +398,9 @@ object SpatialJoin3d {
         greatest(col("__ex0"), col(rc.xmin)),
         greatest(col("__ey0"), col(rc.ymin)),
         greatest(col("__ez0"), col(rc.zmin)), sp, n))
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy(col(leftId))
-          .orderBy(col("__d").asc, col(rightId).asc)))
+      .withColumn("__rk", row_number().over(wRank))
       .where(col("__rk") <= k)
       .select(outCols :+ col("__d").as("knn_dist") :+ col("__rk").as("knn_rank"): _*)
-
-    graft.core.CacheHygiene.unpersistAfterUse(
-      safePart.unionByName(pass2), Seq(p1))
   }
 
   /** mbb_normalizer_3d: affine map of an MBB into the unit cube of `sp`
