@@ -33,8 +33,12 @@ object Bench {
       name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
     }
     val (failed, ok) = results.partition(_._2 < 0)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // failed queries carry null, not -1: tooling that sums or diffs the
+    // per-query map against prior rounds must not absorb sentinel values —
+    // the separate "failed" list is the failure signal
+    val qs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + (if (v < 0) "null" else v.toString)
+    }.mkString("{", ",", "}")
     // a failed query must scream, not silently shrink the headline: the
     // total sums successes only, failures are listed separately
     val failedList = failed.keys.map(k => s"\"$k\"").mkString("[", ",", "]")

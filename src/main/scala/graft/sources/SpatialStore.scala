@@ -181,6 +181,7 @@ object SpatialStore {
       s"multiWindowRead broadcasts the window set; it has more than " +
         s"$maxWindows rows — use SpatialJoin for window relations at scale")
     val parsed = wRows.map { r =>
+      require(!r.isNullAt(0), "null window id in the window relation")
       val g = graft.core.GeometryCodec.fromWkb(r.getAs[Array[Byte]](1))
       require(g != null, s"invalid window geometry for ${r.get(0)}")
       (r.getLong(0), g)
