@@ -111,6 +111,14 @@ object SpatialJoin {
           col(X2).as("xmax"), col(Y2).as("ymax")), space, bucket)
       return new TileIndex(tiles, space)
     }
+    // str_dist: fully distributed STR packing over the WHOLE relation (two
+    // distributed sorts, no driver sample) — the 100 TB path (SURVEY G4)
+    if (cfg.partitioner == "str_dist") {
+      val tiles = graft.partition.DistributedStr.tiles(
+        mbbs.select(col(X1).as("xmin"), col(Y1).as("ymin"),
+          col(X2).as("xmax"), col(Y2).as("ymax")), n, bucket)
+      return new TileIndex(tiles, space)
+    }
     val fraction = math.min(1.0, cfg.sampleTarget.toDouble / n)
     val sample = mbbs.sample(withReplacement = false, fraction, cfg.seed)
       .limit(cfg.sampleTarget * 2)
