@@ -33,6 +33,15 @@ object PerfProbe {
         time("knn3d_sf0.01")(Queries.qKnn3d(spark, "/root/testdata/sf0.01").count())
         time("knn3d_sf0.1")(Queries.qKnn3d(spark, dir).count())
         time("knn3d_sf0.1_2nd")(Queries.qKnn3d(spark, dir).count())
+      case "knn3doc" =>
+        time("warmup_grid")(Queries.qKnn3d(spark, "/root/testdata/sf0.001").count())
+        time("warmup_oc")(Queries.qKnn3dOc(spark, "/root/testdata/sf0.001").count())
+        time("grid_sf0.001")(Queries.qKnn3d(spark, "/root/testdata/sf0.001").count())
+        time("oc_sf0.001")(Queries.qKnn3dOc(spark, "/root/testdata/sf0.001").count())
+        time("grid_sf0.1")(Queries.qKnn3d(spark, dir).count())
+        time("oc_sf0.1")(Queries.qKnn3dOc(spark, dir).count())
+        time("grid_sf0.1_2nd")(Queries.qKnn3d(spark, dir).count())
+        time("oc_sf0.1_2nd")(Queries.qKnn3dOc(spark, dir).count())
       case "knn3dstages" =>
         time("warmup")(Queries.qKnn3d(spark, "/root/testdata/sf0.001").count())
         val l3 = new org.apache.spark.scheduler.SparkListener {

@@ -96,6 +96,15 @@ object ScaleRehearsal {
       val ivf = timed("ivf_train[nlist=256]") {
         graft.ann.IvfIndex.train(items, "ivec", nlist = 256)
       }
+      // index BUILD (one-time, amortized across every future query batch)
+      // vs QUERY path, measured separately: a deployment materializes the
+      // assignment table once and serves queries from it — timing them
+      // together would charge every query batch the 2M-item build
+      val assignTbl = timed("ivf_assign_build[2M]") {
+        val a = graft.ann.IvfIndex.assignments(items, "nid", "ivec", ivf)
+        a.write.mode("overwrite").parquet(s"$dir/ivf_assign")
+        spark.read.parquet(s"$dir/ivf_assign")
+      }
       for (nprobe <- Seq(1, 4, 8)) {
         val got = timed(s"ivf_topk[nprobe=$nprobe]") {
           graft.ann.IvfIndex.topK(items, "nid", "ivec",
@@ -103,6 +112,13 @@ object ScaleRehearsal {
             .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
         }
         println(f"[scale]   -> ${got.length} rows recall@$k=${recall(got)}%.3f")
+        val gotIdx = timed(s"ivf_topk_indexed[nprobe=$nprobe]") {
+          val probes = graft.ann.IvfIndex.probeLists(queries, "qid", "qvec", ivf, nprobe)
+          graft.ann.IvfIndex.topKFromAssignments(items, "nid", "ivec",
+              queries, "qid", "qvec", k, assignTbl, probes)
+            .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
+        }
+        println(f"[scale]   -> ${gotIdx.length} rows recall@$k=${recall(gotIdx)}%.3f")
       }
       val lsh = timed("lsh_topk[bits=12,tables=4]") {
         graft.ann.Similarity.topKLsh(items, "nid", "ivec",
@@ -117,14 +133,28 @@ object ScaleRehearsal {
         graft.ann.PqIndex.train(items, "ivec", m = 16, codes = 64)
       }
       val ivfPq = timed("ivfpq_rerank[nprobe=8,short=50]") {
-        val assign = graft.ann.IvfIndex.assignments(items, "nid", "ivec", ivf)
         val probes = graft.ann.IvfIndex.probeLists(queries, "qid", "qvec", ivf, 8)
-        val cand = probes.join(assign, Seq("list")).select(col("qid"), col("nid"))
+        val cand = probes.join(assignTbl, Seq("list")).select(col("qid"), col("nid"))
         graft.ann.PqIndex.topKRerank(items, "nid", "ivec",
             queries, "qid", "qvec", k, pq, shortlist = 50, Some(cand))
           .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
       }
       println(f"[scale]   -> ${ivfPq.length} rows recall@$k=${recall(ivfPq)}%.3f")
+      // residual IVF-PQ: codebooks on coarse-centroid residuals — the
+      // clustered-corpus fix for the raw-PQ code-collapse measured above.
+      // codes=256 = the standard 8-bit codebook (m=16 x 1 B = 16 B/vector);
+      // the shortlist sweep shows the recall/cost knob
+      val pqR = timed("pq_train_residual[m=16,codes=256]") {
+        graft.ann.PqIndex.trainResidual(items, "ivec", ivf, m = 16, codes = 256)
+      }
+      for (short <- Seq(50, 200)) {
+        val ivfPqR = timed(s"ivfpq_residual_rerank[nprobe=8,short=$short]") {
+          graft.ann.PqIndex.topKRerankResidual(items, "nid", "ivec",
+              queries, "qid", "qvec", k, pqR, ivf, nprobe = 8, shortlist = short)
+            .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
+        }
+        println(f"[scale]   -> ${ivfPqR.length} rows recall@$k=${recall(ivfPqR)}%.3f")
+      }
       if (mode == "ann") { spark.stop(); return }
     }
 

@@ -54,16 +54,39 @@ object IvfIndex {
     Model(KMeans.lloyd(sample, nlist, seed, maxIter, tol))
   }
 
-  private def nearestCentroids(model: Model, v: Seq[Float], n: Int): Array[Int] = {
-    val scored = model.centroids.indices.map { ci =>
+  /** Top-n nearest centroids by L2, allocation-free: a fixed-size
+    * insertion list instead of sorting nlist boxed (distance, id) tuples —
+    * the tuple sort cost ~40x the arithmetic at 2M items x 256 centroids
+    * (measured in the 100x rehearsal: 230 s -> single-digit seconds).
+    * Ties keep the lower centroid id, matching the old sortBy order. */
+  private[ann] def nearestCentroidsRaw(model: Model, v: Array[Double], n: Int): Array[Int] = {
+    val m = model.centroids.length
+    val keep = math.min(n, m)
+    val bestD = Array.fill(keep)(Double.MaxValue)
+    val bestI = Array.fill(keep)(-1)
+    var ci = 0
+    while (ci < m) {
       val c = model.centroids(ci)
+      val len = math.min(c.length, v.length)
       var d = 0.0; var i = 0
-      while (i < c.length && i < v.length) {
-        val diff = c(i) - v(i); d += diff * diff; i += 1
+      while (i < len) { val diff = c(i) - v(i); d += diff * diff; i += 1 }
+      if (d < bestD(keep - 1)) {
+        var j = keep - 1
+        while (j > 0 && bestD(j - 1) > d) {
+          bestD(j) = bestD(j - 1); bestI(j) = bestI(j - 1); j -= 1
+        }
+        bestD(j) = d; bestI(j) = ci
       }
-      (d, ci)
+      ci += 1
     }
-    scored.sortBy(identity).take(n).map(_._2).toArray
+    bestI.filter(_ >= 0)
+  }
+
+  private def nearestCentroids(model: Model, v: Seq[Float], n: Int): Array[Int] = {
+    val x = new Array[Double](v.length)
+    var i = 0
+    while (i < v.length) { x(i) = v(i); i += 1 }
+    nearestCentroidsRaw(model, x, n)
   }
 
   /** `(itemId, list)` nearest-centroid assignment — the engine-internal

@@ -166,13 +166,19 @@ object PqIndex {
   def topKFromCodes(codes: DataFrame, itemId: String,
                     luts: DataFrame, queryId: String, k: Int,
                     candidates: Option[DataFrame] = None): DataFrame = {
-    val scored0 = luts.join(codes.hint("shuffle_hash"), Seq("sub", "code"))
-      .where(col(queryId) =!= col(itemId))
     val scored = candidates match {
-      case Some(cand) => scored0.join(cand.hint("shuffle_hash"), Seq(queryId, itemId))
-      case None => scored0
+      // candidates restrict FIRST: the (sub, code) join fans every code
+      // row out to every query, so joining luts before the candidate
+      // filter explodes to |queries| x |code rows| intermediates
+      // (measured 6.4B rows at the 100x rehearsal's 2M items x 200
+      // queries) — restricted, the volume is |candidates| x m
+      case Some(cand) =>
+        cand.join(codes.hint("shuffle_hash"), Seq(itemId))
+          .join(luts, Seq(queryId, "sub", "code"))
+      case None => luts.join(codes.hint("shuffle_hash"), Seq("sub", "code"))
     }
     scored
+      .where(col(queryId) =!= col(itemId))
       .groupBy(col(queryId), col(itemId))
       .agg(sum(col("dq")).as("adc_dist"))
       .withColumn("rank", row_number().over(
@@ -196,13 +202,182 @@ object PqIndex {
     * only). Recall is set by the shortlist, precision by the exact re-rank:
     * measured on the test embeddings, top-50 ADC at m=16/codes=64 holds
     * 98%+ of the true cosine top-5 that ADC-only ranking would get half of.
-    * Output schema matches [[Similarity.topKBrute]]. */
+    *
+    * CAVEAT, measured at the 100x rehearsal (SCALE.md): on heavily
+    * CLUSTERED corpora (2M vectors in 256 tight clusters), raw-vector
+    * codebooks spend their capacity separating clusters, every same-
+    * cluster item collapses to the same code word, the ADC shortlist
+    * degenerates to id-order and recall@10 collapses to ~0.05. That
+    * regime needs [[topKRerankResidual]], which encodes coarse-centroid
+    * residuals so codebook capacity covers the within-cluster signal
+    * (0.94+ recall on the same data). Output schema matches
+    * [[Similarity.topKBrute]]. */
   def topKRerank(items: DataFrame, itemId: String, itemVec: String,
                  queries: DataFrame, queryId: String, queryVec: String,
                  k: Int, model: Model, shortlist: Int = 50,
                  candidates: Option[DataFrame] = None): DataFrame = {
     val short = topK(items, itemId, itemVec, queries, queryId, queryVec,
         shortlist, model, candidates)
+      .select(col(queryId), col(itemId))
+    short
+      .join(items.select(col(itemId), col(itemVec)), Seq(itemId))
+      .join(queries.select(col(queryId), col(queryVec)), Seq(queryId))
+      .withColumn("similarity",
+        graft.functions.cosine_similarity(col(queryVec), col(itemVec)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryId))
+          .orderBy(col("similarity").desc, col(itemId).asc)))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(itemId), col("similarity"), col("rank"))
+  }
+
+  // ------------------------------------------------------ residual IVF-PQ
+  //
+  // The canonical composition for clustered data: codebooks are trained on
+  // COARSE-CENTROID RESIDUALS (v − centroid(owner list), raw space — the
+  // same space the IVF quantizer assigns in), the encoded table carries
+  // each item's owner list, and lookup tables are per-(query, probed
+  // list). The ADC join key (list, sub, code) then restricts scoring to
+  // the probed lists BY CONSTRUCTION — no separate candidate relation —
+  // and the summed partials approximate the full raw L2:
+  // ||q − v||² ≈ ||(q − c_list) − reconstructed_residual||². The exact
+  // cosine re-rank at the end absorbs any residual L2/cosine divergence.
+
+  /** Train residual codebooks against an [[IvfIndex.Model]] coarse
+    * quantizer — same sample protocol as [[train]], minus normalization
+    * (residuals must live in the quantizer's raw space). */
+  def trainResidual(items: DataFrame, vecCol: String, ivf: IvfIndex.Model,
+                    m: Int = 8, codes: Int = 16,
+                    sampleTarget: Int = 20000, seed: Long = 42L,
+                    maxIter: Int = 20, tol: Double = 1e-4): Model = {
+    val n = items.count()
+    val fraction = math.min(1.0, sampleTarget.toDouble / math.max(1, n))
+    val sample: Array[Array[Double]] = items
+      .select(col(vecCol)).where(col(vecCol).isNotNull)
+      .sample(withReplacement = false, fraction, seed)
+      .limit(sampleTarget)
+      .collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(sample.nonEmpty, "no vectors to train on")
+    val dims = sample.iterator.map(_.length).toSet
+    require(dims.size == 1,
+      s"PQ training requires equal-dimension vectors, sample contains dims $dims")
+    val dim = dims.head
+    require(dim % m == 0, s"vector dim $dim is not divisible by m=$m subspaces")
+    val resid = sample.map { v =>
+      val c = ivf.centroids(IvfIndex.nearestCentroidsRaw(ivf, v, 1).head)
+      val r = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { r(i) = v(i) - (if (i < c.length) c(i) else 0.0); i += 1 }
+      r
+    }
+    val sub = dim / m
+    val books = (0 until m).map { j =>
+      val slice = resid.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      KMeans.lloyd(slice, codes, seed + 31L * j, maxIter, tol)
+    }.toArray
+    Model(books)
+  }
+
+  /** `(itemId, list, sub, code)` residual-encoded database: each item's
+    * IVF owner list plus its residual's code per subspace. */
+  def encodeResidual(items: DataFrame, itemId: String, itemVec: String,
+                     model: Model, ivf: IvfIndex.Model): DataFrame = {
+    val spark = items.sparkSession
+    val bcPq = spark.sparkContext.broadcast(model)
+    val bcIvf = spark.sparkContext.broadcast(ivf)
+    val enc = udf { (v: Seq[Float]) =>
+      val mdl = bcPq.value
+      val x = v.toArray.map(_.toDouble)
+      val li = IvfIndex.nearestCentroidsRaw(bcIvf.value, x, 1).head
+      val c = bcIvf.value.centroids(li)
+      val r = new Array[Double](x.length)
+      var i = 0
+      while (i < x.length) { r(i) = x(i) - (if (i < c.length) c(i) else 0.0); i += 1 }
+      (li, Array.tabulate(mdl.m)(j => nearestCode(mdl.codebooks(j), r, j * mdl.subDim)))
+    }
+    items.where(col(itemVec).isNotNull)
+      .select(col(itemId), enc(col(itemVec)).as("e"))
+      .select(col(itemId), col("e._1").as("list"),
+        posexplode(col("e._2")).as(Seq("sub", "code")))
+  }
+
+  /** `(queryId, list, sub, code, dq)` per-probed-list ADC tables: for each
+    * of the query's `nprobe` nearest lists, the quantized partial squared
+    * distances from its residual AGAINST THAT LIST to every codebook entry
+    * (complete per (list, sub), so a code join always finds its partial —
+    * nprobe x m x codes rows per query). */
+  def lookupTablesResidual(queries: DataFrame, queryId: String, queryVec: String,
+                           model: Model, ivf: IvfIndex.Model,
+                           nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val bcPq = spark.sparkContext.broadcast(model)
+    val bcIvf = spark.sparkContext.broadcast(ivf)
+    val lut = udf { (v: Seq[Float]) =>
+      val mdl = bcPq.value
+      val q = v.toArray.map(_.toDouble)
+      val lists = IvfIndex.nearestCentroidsRaw(bcIvf.value, q, nprobe)
+      val codesN = mdl.codebooks.head.length
+      val out = new Array[(Int, Int, Int, Long)](lists.length * mdl.m * codesN)
+      var k = 0
+      lists.foreach { li =>
+        val cen = bcIvf.value.centroids(li)
+        val rq = new Array[Double](q.length)
+        var i = 0
+        while (i < q.length) { rq(i) = q(i) - (if (i < cen.length) cen(i) else 0.0); i += 1 }
+        var j = 0
+        while (j < mdl.m) {
+          val cb = mdl.codebooks(j)
+          var c = 0
+          while (c < cb.length) {
+            val cent = cb(c)
+            var d = 0.0; var x = 0
+            while (x < cent.length) {
+              val diff = cent(x) - rq(j * mdl.subDim + x); d += diff * diff; x += 1
+            }
+            out(k) = (li, j, c, math.round(d * QuantScale))
+            k += 1; c += 1
+          }
+          j += 1
+        }
+      }
+      out
+    }
+    queries.where(col(queryVec).isNotNull)
+      .select(col(queryId), explode(lut(col(queryVec))).as("e"))
+      .select(col(queryId), col("e._1").as("list"), col("e._2").as("sub"),
+        col("e._3").as("code"), col("e._4").as("dq"))
+  }
+
+  /** Residual ADC top-k over [[encodeResidual]] + [[lookupTablesResidual]]
+    * relations: the (list, sub, code) join IS the IVF probe restriction —
+    * an item scores against a query iff its owner list is probed, with
+    * exactly m integer partials per surviving pair. Pure relational
+    * algebra, so a persisted residual index oracles in SQL. */
+  def topKFromCodesResidual(codes: DataFrame, itemId: String,
+                            luts: DataFrame, queryId: String, k: Int): DataFrame =
+    luts.join(codes.hint("shuffle_hash"), Seq("list", "sub", "code"))
+      .where(col(queryId) =!= col(itemId))
+      .groupBy(col(queryId), col(itemId))
+      .agg(sum(col("dq")).as("adc_dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryId))
+          .orderBy(col("adc_dist").asc, col(itemId).asc)))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(itemId), col("adc_dist"), col("rank"))
+
+  /** Residual IVF-PQ read path: residual-ADC shortlist over the probed
+    * lists, exact cosine re-rank to top-k. The clustered-corpus
+    * counterpart of [[topKRerank]] — see the caveat there and the measured
+    * contrast in SCALE.md. */
+  def topKRerankResidual(items: DataFrame, itemId: String, itemVec: String,
+                         queries: DataFrame, queryId: String, queryVec: String,
+                         k: Int, model: Model, ivf: IvfIndex.Model,
+                         nprobe: Int = 8, shortlist: Int = 50): DataFrame = {
+    val short = topKFromCodesResidual(
+        encodeResidual(items, itemId, itemVec, model, ivf), itemId,
+        lookupTablesResidual(queries, queryId, queryVec, model, ivf, nprobe),
+        queryId, shortlist)
       .select(col(queryId), col(itemId))
     short
       .join(items.select(col(itemId), col(itemVec)), Seq(itemId))

@@ -203,31 +203,63 @@ object Similarity {
       .select(col(queryId), col(itemId), col("similarity"), col("rank"))
   }
 
+  /** Task-side bucketizer with a lazily built, per-instance sign-plane
+    * cache: the Rademacher component is a pure function of (table, bit,
+    * dim), so hashing it per ROW — 2M rows × tables × bits × dims ≈ 6e9
+    * string hashes at the 100x rehearsal — cost 10x the dot products
+    * themselves (measured 260 s → 23 s). The cache is @transient and
+    * rebuilt per task; rows only pay the flat float-array loops. */
+  private final class Bucketizer(t: Int, b: Int)
+      extends (Seq[Float] => Array[Int]) with Serializable {
+    @transient private var planes: Array[Float] = _
+    @transient private var dimCap: Int = 0
+    def apply(v: Seq[Float]): Array[Int] = {
+      if (v == null) return null
+      val dim = v.length
+      if (planes == null || dim > dimCap) {
+        val p = new Array[Float](t * b * dim)
+        var ti = 0
+        while (ti < t) {
+          var bi = 0
+          while (bi < b) {
+            var d = 0
+            while (d < dim) {
+              p((ti * b + bi) * dim + d) = planeSign(ti, bi, d)
+              d += 1
+            }
+            bi += 1
+          }
+          ti += 1
+        }
+        planes = p; dimCap = dim
+      }
+      val x = new Array[Float](dim)
+      var i = 0
+      while (i < dim) { x(i) = v(i); i += 1 }
+      val out = new Array[Int](t)
+      var ti = 0
+      while (ti < t) {
+        var bucket = 0
+        var bi = 0
+        while (bi < b) {
+          val off = (ti * b + bi) * dimCap
+          var dot = 0.0
+          var d = 0
+          while (d < dim) { dot += x(d) * planes(off + d); d += 1 }
+          if (dot > 0) bucket |= (1 << bi)
+          bi += 1
+        }
+        out(ti) = bucket
+        ti += 1
+      }
+      out
+    }
+  }
+
   private def bandedBuckets(df: DataFrame, id: String, vec: String,
                             bits: Int, tables: Int, pfx: String): DataFrame = {
     require(bits <= 30, "bits must fit an Int bucket")
-    val t = tables; val b = bits
-    val bucketize = udf { (v: Seq[Float]) =>
-      if (v == null) null
-      else {
-        val out = new Array[Int](t)
-        var ti = 0
-        while (ti < t) {
-          var bucket = 0
-          var bi = 0
-          while (bi < b) {
-            var dot = 0.0
-            var d = 0
-            while (d < v.length) { dot += v(d) * planeSign(ti, bi, d); d += 1 }
-            if (dot > 0) bucket |= (1 << bi)
-            bi += 1
-          }
-          out(ti) = bucket
-          ti += 1
-        }
-        out
-      }
-    }
+    val bucketize = udf(new Bucketizer(tables, bits))
     df.select(col(id), col(vec),
       posexplode(bucketize(col(vec))).as(Seq(s"${pfx}_table", s"${pfx}_bucket")))
   }

@@ -119,6 +119,14 @@ object SpatialJoin {
           col(X2).as("xmax"), col(Y2).as("ymax")), n, bucket)
       return new TileIndex(tiles, space)
     }
+    // slc_dist: fully distributed strip-line chop (one distributed sort,
+    // only the cut abscissas reach the driver) — SURVEY G6 at 100 TB
+    if (cfg.partitioner == "slc_dist") {
+      val tiles = graft.partition.DistributedSlc.tiles(
+        mbbs.select(col(X1).as("xmin"), col(Y1).as("ymin"),
+          col(X2).as("xmax"), col(Y2).as("ymax")), space, n, bucket)
+      return new TileIndex(tiles, space)
+    }
     val fraction = math.min(1.0, cfg.sampleTarget.toDouble / n)
     val sample = mbbs.sample(withReplacement = false, fraction, cfg.seed)
       .limit(cfg.sampleTarget * 2)

@@ -256,6 +256,152 @@ object SpatialJoin3d {
       .drop("__cell3")
   }
 
+  /** Per-cell kNN search plans for ARBITRARY cell boxes (octree leaves):
+    * the same sorted max-box-to-box-distance accumulation as the grid
+    * branch of [[cellPlans]], but over explicit box geometry. Falls back
+    * to `diag` everywhere (no probes) if occupied-cells × cells exceeds
+    * the quadratic budget — octree leaf counts are build-bounded
+    * (~8·samples/leafCap), so in practice the exact plan always runs. */
+  private[operators] def boxPlans(cellBoxes: Array[Array[Double]],
+                                  counts: Map[Int, Long], k: Int, diag: Double,
+                                  probeCap: Int = 64): (Array[Double], Array[Array[Int]]) = {
+    val cells = cellBoxes.length
+    val out = Array.fill(cells)(diag)
+    val probes = Array.fill(cells)(Array.empty[Int])
+    val occ = counts.toArray.filter { case (o, c) => c > 0 && o >= 0 && o < cells }
+    if (occ.isEmpty || occ.length.toLong * cells > 4L * 1000 * 1000)
+      return (out, probes)
+    def maxDist(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0
+      var ax = 0
+      while (ax < 3) {
+        val m = math.max(a(ax + 3) - b(ax), b(ax + 3) - a(ax))
+        s += m * m
+        ax += 1
+      }
+      math.sqrt(s)
+    }
+    var c = 0
+    while (c < cells) {
+      val ds = occ.map { case (o, cnt) => (maxDist(cellBoxes(c), cellBoxes(o)), o, cnt) }
+        .sortBy(d => (d._1, d._2))
+      var acc = 0L; var i = 0
+      while (i < ds.length && acc < k) { acc += ds(i)._3; i += 1 }
+      if (acc >= k) {
+        out(c) = math.min(ds(i - 1)._1, diag)
+        if (i <= probeCap) probes(c) = ds.take(i).map(_._2)
+      }
+      c += 1
+    }
+    (out, probes)
+  }
+
+  private def wellFormed3(c: Mbb3Cols): Column =
+    col(c.xmin) <= col(c.xmax) && col(c.ymin) <= col(c.ymax) &&
+      col(c.zmin) <= col(c.zmax)
+
+  /** The probe-then-bound kNN engine behind [[knnJoinMbb]] (uniform grid)
+    * and [[knnJoinMbbOc]] (octree), parameterized over the tiling:
+    * `ownerOf` maps a point to its owning cell, `cellsOf` maps a box to
+    * every cell it replicates to, `plans` turns exact right-center-per-
+    * cell counts into per-cell (fallback radius, probe set) tables.
+    * Correctness needs only: cells partition ownership deterministically,
+    * `ownerOf(p)` ∈ `cellsOf(box)` for every p ∈ box, and probe sets hold
+    * ≥ k right centers per the same counts. */
+  private def knnCore(left: DataFrame, lc: Mbb3Cols, leftId: String,
+                      right: DataFrame, rc: Mbb3Cols, rightId: String, k: Int,
+                      ownerOf: (Column, Column, Column) => Column,
+                      cellsOf: (Column, Column, Column, Column, Column, Column) => Column,
+                      plans: Map[Int, Long] => (Array[Double], Array[Array[Int]]),
+                      diag: Double): DataFrame = {
+    val spark = left.sparkSession
+
+    // MBB gap distance (0 when intersecting) — column arithmetic
+    def gap(lo1: String, hi1: String, lo2: String, hi2: String): Column =
+      greatest(col(lo1) - col(hi2), col(lo2) - col(hi1), lit(0.0))
+    val dx = gap(lc.xmin, lc.xmax, rc.xmin, rc.xmax)
+    val dy = gap(lc.ymin, lc.ymax, rc.ymin, rc.ymax)
+    val dz = gap(lc.zmin, lc.zmax, rc.zmin, rc.zmax)
+    val dist = sqrt(dx * dx + dy * dy + dz * dz)
+
+    val lBase = left.where(wellFormed3(lc))
+    val rBase = right.where(wellFormed3(rc))
+    val rt = rBase.withColumn("__cell3", explode(cellsOf(
+      col(rc.xmin), col(rc.ymin), col(rc.zmin),
+      col(rc.xmax), col(rc.ymax), col(rc.zmax))))
+    // single-replica center-cell relation: the probe MUST join this, not
+    // rt — envelope replicas would rank the same right once per touched
+    // probe cell and shrink the radius below the true k-th distance
+    val rtc = rBase.withColumn("__cell3", ownerOf(
+      (col(rc.xmin) + col(rc.xmax)) / 2,
+      (col(rc.ymin) + col(rc.ymax)) / 2,
+      (col(rc.zmin) + col(rc.zmax)) / 2))
+
+    val cellCounts = rtc.groupBy(col("__cell3"))
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val (ringRad, probeSets) = plans(cellCounts)
+    import spark.implicits._
+    // one broadcast plan row per cell: its fallback radius and whether a
+    // probe set exists (false only when rights < k or the set out-grew
+    // its cap) — the split between the probe path and the fallback path
+    // is a broadcast join, not a shuffle
+    val planDf = ringRad.zipWithIndex
+      .map { case (r, i) => (i, r, probeSets(i).nonEmpty) }.toSeq
+      .toDF("__own", "__ringrad", "__hasprobe")
+    val probeDf = probeSets.zipWithIndex
+      .flatMap { case (cs, i) => cs.map(pc => (i, pc)) }.toSeq
+      .toDF("__own", "__pcell")
+
+    // ---------------- probe: per-row radius from the planned cells
+    val lOwn = lBase.withColumn("__own", ownerOf(
+        (col(lc.xmin) + col(lc.xmax)) / 2,
+        (col(lc.ymin) + col(lc.ymax)) / 2,
+        (col(lc.zmin) + col(lc.zmax)) / 2))
+      .join(broadcast(planDf), Seq("__own"), "left")
+    val ringCol = coalesce(col("__ringrad"), lit(diag))
+    val wRank = Window.partitionBy(col(leftId))
+      .orderBy(col("__d").asc, col(rightId).asc)
+    val leftCols = left.columns.map(col).toIndexedSeq
+    val probed = lOwn.where(col("__hasprobe") === true)
+      .join(broadcast(probeDf), Seq("__own"))
+      .withColumn("__cell3", col("__pcell"))
+      .join(rtc.hint("shuffle_hash"), Seq("__cell3"))
+      .withColumn("__d", dist)
+      .withColumn("__rka", row_number().over(wRank))
+      // exactly one row per left survives: its k-th probe candidate (the
+      // plan guarantees ≥ k), carrying the left columns and the radius
+      .where(col("__rka") === k)
+      .select(leftCols :+ least(col("__d"), ringCol).as("__rad"): _*)
+    val fallback = lOwn.where(col("__hasprobe").isNull || !col("__hasprobe"))
+      .select(leftCols :+ ringCol.as("__rad"): _*)
+
+    // ---------------- bound: radius join, refpoint dedup, exact rank
+    val l2 = probed.unionByName(fallback)
+      .withColumn("__ex0", col(lc.xmin) - col("__rad"))
+      .withColumn("__ey0", col(lc.ymin) - col("__rad"))
+      .withColumn("__ez0", col(lc.zmin) - col("__rad"))
+      .withColumn("__ex1", col(lc.xmax) + col("__rad"))
+      .withColumn("__ey1", col(lc.ymax) + col("__rad"))
+      .withColumn("__ez1", col(lc.zmax) + col("__rad"))
+    val lt2 = l2.withColumn("__cell3", explode(cellsOf(
+      col("__ex0"), col("__ey0"), col("__ez0"),
+      col("__ex1"), col("__ey1"), col("__ez1"))))
+    val outCols = (left.columns ++ right.columns).map(col).toIndexedSeq
+    lt2.join(rt.hint("shuffle_hash"), Seq("__cell3"))
+      .withColumn("__d", dist)
+      .where(col("__d") <= col("__rad"))
+      // refpoint dedup: emit only in the cell owning the min corner of
+      // (expanded left env ∩ right env) — both sides replicate there
+      .where(col("__cell3") === ownerOf(
+        greatest(col("__ex0"), col(rc.xmin)),
+        greatest(col("__ey0"), col(rc.ymin)),
+        greatest(col("__ez0"), col(rc.zmin))))
+      .withColumn("__rk", row_number().over(wRank))
+      .where(col("__rk") <= k)
+      .select(outCols :+ col("__d").as("knn_dist") :+ col("__rk").as("knn_rank"): _*)
+  }
+
   /** Exact 3-D kNN join over MBBs (the 3-D analog of the reference's
     * st_nearest; the shipped 3-D surface is MBB-level R-tree traversal,
     * extensions/rtree3d/rtree_traversal3d.h:54-214). Like [[joinMbb]],
@@ -303,104 +449,70 @@ object SpatialJoin3d {
       "cellsPerAxis must be in [1,64]: the cell-plan table is cells^3")
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"column name collision between join sides: $dup")
-    val spark = left.sparkSession
     val n = cellsPerAxis
     val sp = space(left, lc, right, rc)
     val spans = Array(sp(3) - sp(0), sp(4) - sp(1), sp(5) - sp(2))
     val diag = math.sqrt(spans.map(s => s * s).sum)
-    def wellFormed(c: Mbb3Cols) =
-      col(c.xmin) <= col(c.xmax) && col(c.ymin) <= col(c.ymax) &&
-        col(c.zmin) <= col(c.zmax)
+    knnCore(left, lc, leftId, right, rc, rightId, k,
+      ownerOf = (x, y, z) => cellOf(x, y, z, sp, n),
+      cellsOf = (x0, y0, z0, x1, y1, z1) =>
+        cellIdsExpr(x0, y0, z0, x1, y1, z1, sp, n),
+      plans = counts => cellPlans(counts, sp, n, k, diag),
+      diag = diag)
+  }
 
-    def axisIdx(v: Column, smin: Double, smax: Double): Column = {
-      val w = lit(math.max(smax - smin, java.lang.Double.MIN_NORMAL) / n)
-      greatest(lit(0), least(lit(n - 1), floor((v - lit(smin)) / w).cast("int")))
+  /** [[knnJoinMbb]] over an OCTREE tiling instead of the uniform grid —
+    * the reconstructed `oc` 3-D partitioner (reference ships it only as a
+    * prebuilt binary, src/README.md:5-15; rebuilt as the quadtree's 8-way
+    * analog, QuadtreeNode.hpp:46-133 — see [[Octree3d]]). The tree is
+    * planned on a bounded driver sample of RIGHT envelope centers, so leaf
+    * sizes track the right-side density: every occupied region splits to
+    * ~`leafCap` rights per leaf and empty regions stay coarse, which keeps
+    * probe sets near-singleton and search radii tight everywhere — the
+    * empty-cell starvation class a uniform grid suffers under skew doesn't
+    * exist by construction. Tiling lookups are broadcast tree walks (UDFs)
+    * rather than the grid's closed-form arithmetic: the price is one
+    * non-codegen expression per side, the return is density adaptivity. */
+  def knnJoinMbbOc(left: DataFrame, lc: Mbb3Cols, leftId: String,
+                   right: DataFrame, rc: Mbb3Cols, rightId: String, k: Int,
+                   leafCap: Int = 512, sampleTarget: Int = 20000,
+                   seed: Long = 42L): DataFrame = {
+    val dup = left.columns.toSet.intersect(right.columns.toSet)
+    require(dup.isEmpty, s"column name collision between join sides: $dup")
+    val spark = left.sparkSession
+    val sp = space(left, lc, right, rc)
+    val spans = Array(sp(3) - sp(0), sp(4) - sp(1), sp(5) - sp(2))
+    val diag = math.sqrt(spans.map(s => s * s).sum)
+    val rBase = right.where(wellFormed3(rc))
+    // plan-on-a-sample: n for the fraction, then a seeded bounded sample
+    // of right centers (the same discipline as IvfIndex.train /
+    // SpatialJoin.planTiles)
+    val nR = rBase.count()
+    val fraction = if (nR == 0) 1.0 else math.min(1.0, sampleTarget.toDouble / nR)
+    val pts = rBase.select(
+        ((col(rc.xmin) + col(rc.xmax)) / 2).as("x"),
+        ((col(rc.ymin) + col(rc.ymax)) / 2).as("y"),
+        ((col(rc.zmin) + col(rc.zmax)) / 2).as("z"))
+      .sample(withReplacement = false, fraction, seed)
+      .limit(sampleTarget * 2)
+      .collect()
+      .map(r => Array(r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    // scale the leaf capacity by the sample rate (the bucket-scaling rule
+    // of the 2-D planners, queryprocessor_2d.cpp:280)
+    val scaledCap = math.max(1, math.floor(leafCap * fraction).toInt)
+    val tree = Octree3d.build(pts, Array(sp(0), sp(1), sp(2), sp(3), sp(4), sp(5)),
+      scaledCap)
+    val bc = spark.sparkContext.broadcast(tree)
+    val ownerUdf = udf { (x: Double, y: Double, z: Double) => bc.value.owner(x, y, z) }
+    val cellsUdf = udf { (x0: Double, y0: Double, z0: Double,
+                          x1: Double, y1: Double, z1: Double) =>
+      bc.value.leavesFor(x0, y0, z0, x1, y1, z1)
     }
-    val cx = (col(lc.xmin) + col(lc.xmax)) / 2
-    val cy = (col(lc.ymin) + col(lc.ymax)) / 2
-    val cz = (col(lc.zmin) + col(lc.zmax)) / 2
-    val owner = (axisIdx(cx, sp(0), sp(3)) * n +
-      axisIdx(cy, sp(1), sp(4))) * n + axisIdx(cz, sp(2), sp(5))
-
-    // MBB gap distance (0 when intersecting) — column arithmetic
-    def gap(lo1: String, hi1: String, lo2: String, hi2: String): Column =
-      greatest(col(lo1) - col(hi2), col(lo2) - col(hi1), lit(0.0))
-    val dx = gap(lc.xmin, lc.xmax, rc.xmin, rc.xmax)
-    val dy = gap(lc.ymin, lc.ymax, rc.ymin, rc.ymax)
-    val dz = gap(lc.zmin, lc.zmax, rc.zmin, rc.zmax)
-    val dist = sqrt(dx * dx + dy * dy + dz * dz)
-
-    val lBase = left.where(wellFormed(lc))
-    val rBase = right.where(wellFormed(rc))
-    val rt = rBase.withColumn("__cell3", explode(cellIds(rc, sp, n)))
-    // single-replica center-cell relation: the probe MUST join this, not
-    // rt — envelope replicas would rank the same right once per touched
-    // probe cell and shrink the radius below the true k-th distance
-    val rCx = (col(rc.xmin) + col(rc.xmax)) / 2
-    val rCy = (col(rc.ymin) + col(rc.ymax)) / 2
-    val rCz = (col(rc.zmin) + col(rc.zmax)) / 2
-    val rtc = rBase.withColumn("__cell3", cellOf(rCx, rCy, rCz, sp, n))
-
-    val cellCounts = rtc.groupBy(col("__cell3"))
-      .agg(count(lit(1)).as("__c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val (ringRad, probeSets) = cellPlans(cellCounts, sp, n, k, diag)
-    import spark.implicits._
-    // one broadcast plan row per cell: its fallback radius and whether a
-    // probe set exists (false only when rights < k or the set out-grew
-    // its cap) — the split between the probe path and the fallback path
-    // is a broadcast join, not a shuffle
-    val planDf = ringRad.zipWithIndex
-      .map { case (r, i) => (i, r, probeSets(i).nonEmpty) }.toSeq
-      .toDF("__own", "__ringrad", "__hasprobe")
-    val probeDf = probeSets.zipWithIndex
-      .flatMap { case (cs, i) => cs.map(pc => (i, pc)) }.toSeq
-      .toDF("__own", "__pcell")
-
-    // ---------------- probe: per-row radius from the planned cells
-    val lOwn = lBase.withColumn("__own", owner)
-      .join(broadcast(planDf), Seq("__own"), "left")
-    val ringCol = coalesce(col("__ringrad"), lit(diag))
-    val wRank = Window.partitionBy(col(leftId))
-      .orderBy(col("__d").asc, col(rightId).asc)
-    val leftCols = left.columns.map(col).toIndexedSeq
-    val probed = lOwn.where(col("__hasprobe") === true)
-      .join(broadcast(probeDf), Seq("__own"))
-      .withColumn("__cell3", col("__pcell"))
-      .join(rtc.hint("shuffle_hash"), Seq("__cell3"))
-      .withColumn("__d", dist)
-      .withColumn("__rka", row_number().over(wRank))
-      // exactly one row per left survives: its k-th probe candidate (the
-      // plan guarantees ≥ k), carrying the left columns and the radius
-      .where(col("__rka") === k)
-      .select(leftCols :+ least(col("__d"), ringCol).as("__rad"): _*)
-    val fallback = lOwn.where(col("__hasprobe").isNull || !col("__hasprobe"))
-      .select(leftCols :+ ringCol.as("__rad"): _*)
-
-    // ---------------- bound: radius join, refpoint dedup, exact rank
-    val l2 = probed.unionByName(fallback)
-      .withColumn("__ex0", col(lc.xmin) - col("__rad"))
-      .withColumn("__ey0", col(lc.ymin) - col("__rad"))
-      .withColumn("__ez0", col(lc.zmin) - col("__rad"))
-      .withColumn("__ex1", col(lc.xmax) + col("__rad"))
-      .withColumn("__ey1", col(lc.ymax) + col("__rad"))
-      .withColumn("__ez1", col(lc.zmax) + col("__rad"))
-    val lt2 = l2.withColumn("__cell3", explode(cellIdsExpr(
-      col("__ex0"), col("__ey0"), col("__ez0"),
-      col("__ex1"), col("__ey1"), col("__ez1"), sp, n)))
-    val outCols = (left.columns ++ right.columns).map(col).toIndexedSeq
-    lt2.join(rt.hint("shuffle_hash"), Seq("__cell3"))
-      .withColumn("__d", dist)
-      .where(col("__d") <= col("__rad"))
-      // refpoint dedup: emit only in the cell owning the min corner of
-      // (expanded left env ∩ right env) — both sides replicate there
-      .where(col("__cell3") === cellOf(
-        greatest(col("__ex0"), col(rc.xmin)),
-        greatest(col("__ey0"), col(rc.ymin)),
-        greatest(col("__ez0"), col(rc.zmin)), sp, n))
-      .withColumn("__rk", row_number().over(wRank))
-      .where(col("__rk") <= k)
-      .select(outCols :+ col("__d").as("knn_dist") :+ col("__rk").as("knn_rank"): _*)
+    knnCore(left, lc, leftId, right, rc, rightId, k,
+      ownerOf = (x, y, z) => ownerUdf(x, y, z),
+      cellsOf = (x0, y0, z0, x1, y1, z1) => cellsUdf(x0, y0, z0, x1, y1, z1),
+      plans = counts => boxPlans(tree.leafBoxes, counts, k, diag),
+      diag = diag)
   }
 
   /** mbb_normalizer_3d: affine map of an MBB into the unit cube of `sp`

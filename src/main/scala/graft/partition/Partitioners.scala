@@ -34,7 +34,8 @@ object SpatialPartitioner {
     "bos" -> BosPartitioner)
   def apply(name: String): SpatialPartitioner =
     all.getOrElse(name, throw new IllegalArgumentException(
-      s"unknown partitioner '$name' (expected one of ${all.keys.mkString(",")})"))
+      s"unknown partitioner '$name' (expected one of ${all.keys.mkString(",")}," +
+        " or a distributed form: hc_dist, str_dist, slc_dist)"))
 }
 
 /** Uniform grid with square-ish tiles (reference fg_2d.cpp:29-84). */

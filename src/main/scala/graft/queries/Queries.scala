@@ -336,6 +336,30 @@ object Queries {
       .select(col("cid"), col("sid"), col("knn_rank").as("rk"))
   }
 
+  /** q_knn_3d over the octree tiling (SpatialJoin3d.knnJoinMbbOc — the
+    * reconstructed `oc` partitioner): adaptive leaves sized to the part-
+    * cube density replace the uniform grid, so the ~44% of customers
+    * sitting outside the parts region get tight probe plans instead of
+    * coarse empty-cell radii. Same oracle as q_knn_3d — the tiling must
+    * not change the answer. */
+  def qKnn3dOc(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SpatialJoin3d
+    val custs = table(spark, dir, "customer").select(
+      col("c_custkey").as("cid"),
+      ((col("c_custkey") * 7) % 300).cast("double").as("cx"),
+      (floor(col("c_custkey") * 7 / 300) % 300).cast("double").as("cy"),
+      ((col("c_custkey") % 20) * 10 + 5).cast("double").as("cz"))
+    val parts = partCubes(spark, dir).select(col("id").as("sid"),
+      col("x0").as("sx0"), col("y0").as("sy0"), col("z0").as("sz0"),
+      (col("x0") + col("w")).as("sx1"), (col("y0") + col("w")).as("sy1"),
+      (col("z0") + col("w")).as("sz1"))
+    val lc = SpatialJoin3d.Mbb3Cols("cx", "cy", "cz", "cx", "cy", "cz")
+    val rc = SpatialJoin3d.Mbb3Cols("sx0", "sy0", "sz0", "sx1", "sy1", "sz1")
+    SpatialJoin3d.knnJoinMbbOc(custs, lc, "cid", parts, rc, "sid", k = 3,
+        leafCap = 512)
+      .select(col("cid"), col("sid"), col("knn_rank").as("rk"))
+  }
+
   val qKnn3dSql: String =
     s"""WITH c AS (SELECT c_custkey AS cid,
        |  CAST((c_custkey * 7) % 300 AS DOUBLE) AS cx,
@@ -1580,6 +1604,40 @@ object Queries {
        |l AS (SELECT qid, sub, code, dq FROM ${auxSql("ann_pq_luts")}),
        |p AS (SELECT l.qid, c.nid, sum(l.dq) AS d FROM l
        |  JOIN c ON c.sub = l.sub AND c.code = l.code AND c.nid <> l.qid
+       |  GROUP BY 1, 2)
+       |SELECT qid, nid, rk FROM (
+       | SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d ASC, nid) rk
+       | FROM p) WHERE rk <= 5""".stripMargin
+
+  /** Residual IVF-PQ (PqIndex.trainResidual/encodeResidual — the
+    * clustered-corpus composition, codebooks on coarse-centroid residuals,
+    * list-keyed codes and per-probed-list LUTs so the ADC join IS the IVF
+    * restriction). Aux-table oracle like q_ann_pq: DuckDB re-runs the
+    * integer ADC join + rank over the persisted codes/LUTs. */
+  def qAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val items = emb.select(col("vec_id").as("nid"), col("embedding").as("ivec"))
+    val queries = emb.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val ivf = graft.ann.IvfIndex.train(items, "ivec", nlist = 16)
+    val model = graft.ann.PqIndex.trainResidual(items, "ivec", ivf, m = 16, codes = 16)
+    val codes = writeOracleAux(
+      graft.ann.PqIndex.encodeResidual(items, "nid", "ivec", model, ivf),
+      dir, "ann_ivfpq_codes")
+    val luts = writeOracleAux(
+      graft.ann.PqIndex.lookupTablesResidual(queries, "qid", "qvec", model, ivf,
+        nprobe = 4),
+      dir, "ann_ivfpq_luts")
+    graft.ann.PqIndex.topKFromCodesResidual(codes, "nid", luts, "qid", k = 5)
+      .select(col("qid"), col("nid"), col("rank").as("rk"))
+  }
+
+  val qAnnIvfPqSql: String =
+    s"""WITH c AS (SELECT nid, list, sub, code FROM ${auxSql("ann_ivfpq_codes")}),
+       |l AS (SELECT qid, list, sub, code, dq FROM ${auxSql("ann_ivfpq_luts")}),
+       |p AS (SELECT l.qid, c.nid, sum(l.dq) AS d FROM l
+       |  JOIN c ON c.list = l.list AND c.sub = l.sub AND c.code = l.code
+       |    AND c.nid <> l.qid
        |  GROUP BY 1, 2)
        |SELECT qid, nid, rk FROM (
        | SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d ASC, nid) rk

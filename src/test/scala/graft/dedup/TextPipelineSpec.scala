@@ -214,6 +214,43 @@ class TextPipelineSpec extends SparkTestBase {
     assert(perQuery <= 5)
   }
 
+  test("residual IVF-PQ: list-keyed codes/LUTs, probed-list scoring, rerank recall") {
+    val items = emb.select(col("vec_id").as("nid"), col("embedding").as("ivec"))
+    val queries = emb.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val ivf = IvfIndexTestAccess.train(items, "ivec", nlist = 8)
+    val model = PqIndex.trainResidual(items, "ivec", ivf, m = 8, codes = 16)
+    val codes = PqIndex.encodeResidual(items, "nid", "ivec", model, ivf)
+    // one owner list and m codes per item, consistent with assignments
+    assert(codes.count() == items.count() * 8)
+    val assign = IvfIndexTestAccess.assignments(items, "nid", "ivec", ivf)
+    assert(codes.select(col("nid"), col("list").as("clist")).distinct()
+      .join(assign, Seq("nid"))
+      .where(col("clist") =!= col("list")).count() == 0)
+    val luts = PqIndex.lookupTablesResidual(queries, "qid", "qvec", model, ivf, nprobe = 4)
+    assert(luts.count() == queries.count() * 4 * 8 * 16)
+    // scored items ⊆ items whose owner list is probed
+    val adc = PqIndex.topKFromCodesResidual(codes, "nid", luts, "qid", k = 5)
+    val probes = IvfIndexTestAccess.probeLists(queries, "qid", "qvec", ivf, nprobe = 4)
+    val cand = probes.join(assign, Seq("list")).select(col("qid"), col("nid"))
+    assert(adc.join(cand, Seq("qid", "nid"), "left_anti").count() == 0)
+    // full-probe residual rerank == brute force (every list probed, the
+    // shortlist covers the table, so the exact re-rank must be exact)
+    val brute = Similarity.topKBrute(items, "nid", "ivec", queries, "qid", "qvec", 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val full = PqIndex.topKRerankResidual(items, "nid", "ivec",
+        queries, "qid", "qvec", k = 5, model, ivf,
+        nprobe = 8, shortlist = items.count().toInt)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(full == brute, "full-probe full-shortlist residual rerank must equal brute force")
+    // production shape keeps useful recall on these embeddings
+    val reranked = PqIndex.topKRerankResidual(items, "nid", "ivec",
+        queries, "qid", "qvec", k = 5, model, ivf, nprobe = 4, shortlist = 50)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = brute.count(reranked.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"residual IVF-PQ recall $recall at nprobe=4, shortlist=50")
+  }
+
   test("cosine_similarity: exact on unit axes, null on mismatched dims") {
     import graft.functions.cosine_similarity
     val df = Seq(

@@ -87,6 +87,16 @@ class SpatialJoin3dSpec extends SparkTestBase {
       assert(got.length == want.size, s"row count at cells=$cells")
       assert(got.toSet == want, s"kNN mismatch at cells=$cells")
     }
+    // octree tiling: same exact answer at several leaf capacities,
+    // including a cap so small the tree bottoms out at maxDepth and a cap
+    // so large the tree is a single root leaf
+    Seq(4, 64, 100000).foreach { cap =>
+      val got = SpatialJoin3d.knnJoinMbbOc(a, lc, "aid", b, rc, "bid", k = 3,
+          leafCap = cap, sampleTarget = 200)
+        .select("aid", "bid", "knn_rank").as[(Long, Long, Int)].collect()
+      assert(got.length == want.size, s"row count at leafCap=$cap")
+      assert(got.toSet == want, s"octree kNN mismatch at leafCap=$cap")
+    }
   }
 
   test("knnJoinMbb: k larger than the right side returns all, ranked") {
