@@ -42,6 +42,32 @@ object PerfProbe {
         time("oc_sf0.1")(Queries.qKnn3dOc(spark, dir).count())
         time("grid_sf0.1_2nd")(Queries.qKnn3d(spark, dir).count())
         time("oc_sf0.1_2nd")(Queries.qKnn3dOc(spark, dir).count())
+      case "knn3dskew" =>
+        // extreme skew: rights fill 0.0001% of the space volume — a
+        // uniform 8-grid puts every right in ONE cell, so grid probe sets
+        // degenerate to |rights| candidates per starved left; the octree
+        // subdivides the cluster adaptively
+        import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+        import graft.operators.SpatialJoin3d
+        val L = 15000; val R = 20000
+        val lefts = spark.range(L).select(col("id").as("aid"),
+          (pmod(xxhash64(col("id"), lit(1)), lit(100000L)).cast("double") / 100.0).as("ax0"),
+          (pmod(xxhash64(col("id"), lit(2)), lit(100000L)).cast("double") / 100.0).as("ay0"),
+          (pmod(xxhash64(col("id"), lit(3)), lit(100000L)).cast("double") / 100.0).as("az0"))
+          .withColumn("ax1", col("ax0")).withColumn("ay1", col("ay0")).withColumn("az1", col("az0"))
+        val rights = spark.range(R).select(col("id").as("bid"),
+          (pmod(xxhash64(col("id"), lit(4)), lit(1000L)).cast("double") / 100.0).as("bx0"),
+          (pmod(xxhash64(col("id"), lit(5)), lit(1000L)).cast("double") / 100.0).as("by0"),
+          (pmod(xxhash64(col("id"), lit(6)), lit(1000L)).cast("double") / 100.0).as("bz0"))
+          .withColumn("bx1", col("bx0") + 0.1).withColumn("by1", col("by0") + 0.1).withColumn("bz1", col("bz0") + 0.1)
+        val lc = SpatialJoin3d.Mbb3Cols("ax0", "ay0", "az0", "ax1", "ay1", "az1")
+        val rc = SpatialJoin3d.Mbb3Cols("bx0", "by0", "bz0", "bx1", "by1", "bz1")
+        lefts.cache().count(); rights.cache().count()
+        time("warmup_grid")(SpatialJoin3d.knnJoinMbb(lefts.limit(100), lc, "aid", rights, rc, "bid", 3).count())
+        time("skew_grid")(SpatialJoin3d.knnJoinMbb(lefts, lc, "aid", rights, rc, "bid", 3).count())
+        time("skew_oc")(SpatialJoin3d.knnJoinMbbOc(lefts, lc, "aid", rights, rc, "bid", 3).count())
+        time("skew_grid_2nd")(SpatialJoin3d.knnJoinMbb(lefts, lc, "aid", rights, rc, "bid", 3).count())
+        time("skew_oc_2nd")(SpatialJoin3d.knnJoinMbbOc(lefts, lc, "aid", rights, rc, "bid", 3).count())
       case "knn3dstages" =>
         time("warmup")(Queries.qKnn3d(spark, "/root/testdata/sf0.001").count())
         val l3 = new org.apache.spark.scheduler.SparkListener {

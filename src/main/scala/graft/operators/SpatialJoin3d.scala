@@ -313,7 +313,8 @@ object SpatialJoin3d {
                       ownerOf: (Column, Column, Column) => Column,
                       cellsOf: (Column, Column, Column, Column, Column, Column) => Column,
                       plans: Map[Int, Long] => (Array[Double], Array[Array[Int]]),
-                      diag: Double): DataFrame = {
+                      diag: Double,
+                      delegate: Map[Int, Long] => Option[DataFrame] = _ => None): DataFrame = {
     val spark = left.sparkSession
 
     // MBB gap distance (0 when intersecting) — column arithmetic
@@ -340,6 +341,7 @@ object SpatialJoin3d {
     val cellCounts = rtc.groupBy(col("__cell3"))
       .agg(count(lit(1)).as("__c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    delegate(cellCounts).foreach(df => return df)
     val (ringRad, probeSets) = plans(cellCounts)
     import spark.implicits._
     // one broadcast plan row per cell: its fallback radius and whether a
@@ -458,7 +460,20 @@ object SpatialJoin3d {
       cellsOf = (x0, y0, z0, x1, y1, z1) =>
         cellIdsExpr(x0, y0, z0, x1, y1, z1, sp, n),
       plans = counts => cellPlans(counts, sp, n, k, diag),
-      diag = diag)
+      diag = diag,
+      // grid cells are fixed-size, so when the right side concentrates in
+      // few cells the probe phase degenerates to a near-full scan per
+      // starved left (measured: a cluster filling 1e-6 of the space puts
+      // all rights in one cell). Detect that from the counts already in
+      // hand and re-plan on the density-adaptive octree instead — same
+      // exact answer, leaf-bounded probes.
+      delegate = counts => {
+        val total = counts.valuesIterator.sum
+        val maxCell = if (counts.isEmpty) 0L else counts.valuesIterator.max
+        if (total > 64L * k && maxCell * 4 > total * 3)
+          Some(knnJoinMbbOc(left, lc, leftId, right, rc, rightId, k))
+        else None
+      })
   }
 
   /** [[knnJoinMbb]] over an OCTREE tiling instead of the uniform grid —
