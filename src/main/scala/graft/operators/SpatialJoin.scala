@@ -127,6 +127,19 @@ object SpatialJoin {
           col(X2).as("xmax"), col(Y2).as("ymax")), space, n, bucket)
       return new TileIndex(tiles, space)
     }
+    // qt_dist / bsp_dist: recursive splits driven by one EXACT count
+    // histogram (bounded collect) instead of a driver sample — G3/G2 at
+    // 100 TB
+    if (cfg.partitioner == "qt_dist" || cfg.partitioner == "bsp_dist") {
+      val counts = graft.partition.DistributedHisto.histogram(
+        mbbs.select(col(X1).as("xmin"), col(Y1).as("ymin"),
+          col(X2).as("xmax"), col(Y2).as("ymax")), space)
+      val tiles =
+        if (cfg.partitioner == "qt_dist")
+          graft.partition.DistributedHisto.qtTiles(counts, space, bucket)
+        else graft.partition.DistributedHisto.bspTiles(counts, space, bucket)
+      return new TileIndex(tiles, space)
+    }
     val fraction = math.min(1.0, cfg.sampleTarget.toDouble / n)
     val sample = mbbs.sample(withReplacement = false, fraction, cfg.seed)
       .limit(cfg.sampleTarget * 2)

@@ -495,14 +495,24 @@ object SpatialJoin3d {
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"column name collision between join sides: $dup")
     val spark = left.sparkSession
-    val sp = space(left, lc, right, rc)
+    // one planning agg: joint envelope of both sides AND the right-side
+    // row count the sample fraction needs — a separate count() would put
+    // a whole extra job on the critical path
+    def six(df: DataFrame, c: Mbb3Cols, isRight: Int) = df.select(
+      col(c.xmin).as("_a"), col(c.ymin).as("_b"), col(c.zmin).as("_c"),
+      col(c.xmax).as("_d"), col(c.ymax).as("_e"), col(c.zmax).as("_f"),
+      lit(isRight).as("_r"))
+    val rBase = right.where(wellFormed3(rc))
+    val row = six(left, lc, 0).unionByName(six(rBase, rc, 1)).agg(
+      min(col("_a")), min(col("_b")), min(col("_c")),
+      max(col("_d")), max(col("_e")), max(col("_f")),
+      sum(col("_r"))).head()
+    def mn(i: Int) = if (row.isNullAt(i)) Double.MaxValue else row.getDouble(i)
+    def mx(i: Int) = if (row.isNullAt(i)) Double.MinValue else row.getDouble(i)
+    val sp = Array(mn(0), mn(1), mn(2), mx(3), mx(4), mx(5))
     val spans = Array(sp(3) - sp(0), sp(4) - sp(1), sp(5) - sp(2))
     val diag = math.sqrt(spans.map(s => s * s).sum)
-    val rBase = right.where(wellFormed3(rc))
-    // plan-on-a-sample: n for the fraction, then a seeded bounded sample
-    // of right centers (the same discipline as IvfIndex.train /
-    // SpatialJoin.planTiles)
-    val nR = rBase.count()
+    val nR = if (row.isNullAt(6)) 0L else row.getLong(6)
     val fraction = if (nR == 0) 1.0 else math.min(1.0, sampleTarget.toDouble / nR)
     val pts = rBase.select(
         ((col(rc.xmin) + col(rc.xmax)) / 2).as("x"),

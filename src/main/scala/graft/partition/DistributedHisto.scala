@@ -1,0 +1,136 @@
+package graft.partition
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.{Mbb, TileBoundary}
+
+/** Distributed quadtree and BSP tilings driven by one EXACT count
+  * histogram instead of a driver sample — the 100 TB forms of qt (SURVEY
+  * G3, QuadtreeNode.hpp:46-133) and bsp (SURVEY G2,
+  * BinarySplitNode.hpp:42-229). One distributed aggregate buckets every
+  * envelope center into a fixed 2^depth × 2^depth grid (≤ 16k cells at
+  * depth 7 — bounded driver state no matter the relation size); the
+  * recursive split logic then runs on the histogram's prefix sums:
+  *
+  *   - QT: 4-way midpoint splits align exactly with the power-of-two grid,
+  *     so every node's count is an O(1) rectangle sum — the same splits
+  *     the sampled partitioner makes, but on exact counts;
+  *   - BSP: the median cut along the longer axis snaps to the nearest
+  *     histogram cell boundary (cell-granular median of the exact
+  *     distribution, vs exact median of a sample).
+  *
+  * Trade vs the sampled forms: splits stop at histogram granularity
+  * (depth 7) instead of sample exhaustion, so extreme point-mass hotspots
+  * get coarser leaves — which the join layer's salting / two-level paths
+  * already absorb (SCALE.md round-5 measurements). */
+object DistributedHisto {
+
+  val Depth = 7
+  private val N = 1 << Depth
+
+  /** One-pass exact center histogram over the `2^Depth`-per-axis grid. */
+  def histogram(env: DataFrame, space: Mbb): Map[Int, Long] = {
+    val w = math.max(space.width, java.lang.Double.MIN_NORMAL) / N
+    val h = math.max(space.height, java.lang.Double.MIN_NORMAL) / N
+    val cx = (col("xmin") + col("xmax")) / 2
+    val cy = (col("ymin") + col("ymax")) / 2
+    def ax(v: org.apache.spark.sql.Column, lo: Double, wd: Double) =
+      greatest(lit(0), least(lit(N - 1), floor((v - lit(lo)) / lit(wd)).cast("int")))
+    env.toDF("xmin", "ymin", "xmax", "ymax")
+      .groupBy((ax(cx, space.xmin, w) * N + ax(cy, space.ymin, h)).as("__cell"))
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+  }
+
+  /** P(x)(y) = count in cells [0,x) × [0,y): O(1) rectangle sums. */
+  private def prefix(counts: Map[Int, Long]): Array[Array[Long]] = {
+    val p = Array.ofDim[Long](N + 1, N + 1)
+    var x = 0
+    while (x < N) {
+      var y = 0
+      while (y < N) {
+        p(x + 1)(y + 1) = counts.getOrElse(x * N + y, 0L) +
+          p(x)(y + 1) + p(x + 1)(y) - p(x)(y)
+        y += 1
+      }
+      x += 1
+    }
+    p
+  }
+
+  private def rect(p: Array[Array[Long]], x0: Int, x1: Int, y0: Int, y1: Int): Long =
+    p(x1)(y1) - p(x0)(y1) - p(x1)(y0) + p(x0)(y0)
+
+  /** Distributed qt: midpoint 4-way splits on exact counts. Cell-block
+    * coordinates [x0,x1)×[y0,y1) are halved until ≤ bucket or a single
+    * histogram cell. */
+  def qtTiles(counts: Map[Int, Long], space: Mbb, bucket: Int): Array[TileBoundary] = {
+    val p = prefix(counts)
+    val b = math.max(bucket, 1)
+    val out = new ArrayBuffer[Mbb]
+    def boxOf(x0: Int, x1: Int, y0: Int, y1: Int): Mbb = {
+      val w = space.width / N; val h = space.height / N
+      Mbb(space.xmin + x0 * w, space.ymin + y0 * h,
+        if (x1 == N) space.xmax else space.xmin + x1 * w,
+        if (y1 == N) space.ymax else space.ymin + y1 * h)
+    }
+    def split(x0: Int, x1: Int, y0: Int, y1: Int): Unit = {
+      if (rect(p, x0, x1, y0, y1) <= b || x1 - x0 <= 1) {
+        out += boxOf(x0, x1, y0, y1); return
+      }
+      val mx = (x0 + x1) / 2; val my = (y0 + y1) / 2
+      split(x0, mx, y0, my); split(mx, x1, y0, my)
+      split(x0, mx, my, y1); split(mx, x1, my, y1)
+    }
+    split(0, N, 0, N)
+    out.iterator.zipWithIndex.map { case (m, i) => TileBoundary(i, m) }.toArray
+  }
+
+  /** Distributed bsp: recursive cell-granular median split along the
+    * longer axis on exact counts. */
+  def bspTiles(counts: Map[Int, Long], space: Mbb, bucket: Int): Array[TileBoundary] = {
+    val p = prefix(counts)
+    val b = math.max(bucket, 1)
+    val out = new ArrayBuffer[Mbb]
+    def boxOf(x0: Int, x1: Int, y0: Int, y1: Int): Mbb = {
+      val w = space.width / N; val h = space.height / N
+      Mbb(space.xmin + x0 * w, space.ymin + y0 * h,
+        if (x1 == N) space.xmax else space.xmin + x1 * w,
+        if (y1 == N) space.ymax else space.ymin + y1 * h)
+    }
+    def split(x0: Int, x1: Int, y0: Int, y1: Int): Unit = {
+      val total = rect(p, x0, x1, y0, y1)
+      if (total <= b || (x1 - x0 <= 1 && y1 - y0 <= 1)) {
+        out += boxOf(x0, x1, y0, y1); return
+      }
+      val box = boxOf(x0, x1, y0, y1)
+      val vertical = if (x1 - x0 <= 1) false
+        else if (y1 - y0 <= 1) true
+        else box.width >= box.height
+      // first cell boundary where the cumulative count reaches half
+      var cut = -1
+      if (vertical) {
+        var x = x0 + 1; var found = false
+        while (x < x1 && !found) {
+          if (rect(p, x0, x, y0, y1) * 2 >= total) { cut = x; found = true }
+          x += 1
+        }
+        if (cut < 0) cut = (x0 + x1) / 2
+        split(x0, cut, y0, y1); split(cut, x1, y0, y1)
+      } else {
+        var y = y0 + 1; var found = false
+        while (y < y1 && !found) {
+          if (rect(p, x0, x1, y0, y) * 2 >= total) { cut = y; found = true }
+          y += 1
+        }
+        if (cut < 0) cut = (y0 + y1) / 2
+        split(x0, x1, y0, cut); split(x0, x1, cut, y1)
+      }
+    }
+    split(0, N, 0, N)
+    out.iterator.zipWithIndex.map { case (m, i) => TileBoundary(i, m) }.toArray
+  }
+}
