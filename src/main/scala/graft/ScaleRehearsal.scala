@@ -154,6 +154,14 @@ object ScaleRehearsal {
             .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
         }
         println(f"[scale]   -> ${ivfPqR.length} rows recall@$k=${recall(ivfPqR)}%.3f")
+        // compact layout: same integer ADC, |candidates| rows instead of
+        // |candidates| x m — the production read path
+        val ivfPqC = timed(s"ivfpq_residual_compact[nprobe=8,short=$short]") {
+          graft.ann.PqIndex.topKRerankResidualCompact(items, "nid", "ivec",
+              queries, "qid", "qvec", k, pqR, ivf, nprobe = 8, shortlist = short)
+            .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
+        }
+        println(f"[scale]   -> ${ivfPqC.length} rows recall@$k=${recall(ivfPqC)}%.3f")
       }
       if (mode == "ann") { spark.stop(); return }
     }

@@ -366,6 +366,127 @@ object PqIndex {
       .where(col("rank") <= k)
       .select(col(queryId), col(itemId), col("adc_dist"), col("rank"))
 
+  /** Compact residual code table: ONE row per item `(itemId, list,
+    * codes: binary)` — m bytes per vector, the production residency
+    * layout (16 B at m=16). Code values must fit a byte, i.e. codebooks
+    * of ≤ 256 entries — the standard 8-bit PQ. */
+  def encodeResidualCompact(items: DataFrame, itemId: String, itemVec: String,
+                            model: Model, ivf: IvfIndex.Model): DataFrame = {
+    require(model.codebooks.head.length <= 256,
+      "compact codes are 1 B each: train with codes <= 256")
+    val spark = items.sparkSession
+    val bcPq = spark.sparkContext.broadcast(model)
+    val bcIvf = spark.sparkContext.broadcast(ivf)
+    val enc = udf { (v: Seq[Float]) =>
+      val mdl = bcPq.value
+      val x = v.toArray.map(_.toDouble)
+      val li = IvfIndex.nearestCentroidsRaw(bcIvf.value, x, 1).head
+      val c = bcIvf.value.centroids(li)
+      val r = new Array[Double](x.length)
+      var i = 0
+      while (i < x.length) { r(i) = x(i) - (if (i < c.length) c(i) else 0.0); i += 1 }
+      val out = new Array[Byte](mdl.m)
+      var j = 0
+      while (j < mdl.m) {
+        out(j) = nearestCode(mdl.codebooks(j), r, j * mdl.subDim).toByte
+        j += 1
+      }
+      (li, out)
+    }
+    items.where(col(itemVec).isNotNull)
+      .select(col(itemId), enc(col(itemVec)).as("e"))
+      .select(col(itemId), col("e._1").as("list"), col("e._2").as("codes"))
+  }
+
+  /** Compact per-(query, probed list) ADC tables: ONE row per probe,
+    * `(queryId, list, lut: array<long>)` with the m × codes quantized
+    * partials flattened as `lut(sub * codes + code)`. */
+  def lookupTablesResidualCompact(queries: DataFrame, queryId: String,
+                                  queryVec: String, model: Model,
+                                  ivf: IvfIndex.Model, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val bcPq = spark.sparkContext.broadcast(model)
+    val bcIvf = spark.sparkContext.broadcast(ivf)
+    val lut = udf { (v: Seq[Float]) =>
+      val mdl = bcPq.value
+      val q = v.toArray.map(_.toDouble)
+      val codesN = mdl.codebooks.head.length
+      IvfIndex.nearestCentroidsRaw(bcIvf.value, q, nprobe).map { li =>
+        val cen = bcIvf.value.centroids(li)
+        val rq = new Array[Double](q.length)
+        var i = 0
+        while (i < q.length) { rq(i) = q(i) - (if (i < cen.length) cen(i) else 0.0); i += 1 }
+        val t = new Array[Long](mdl.m * codesN)
+        var j = 0
+        while (j < mdl.m) {
+          val cb = mdl.codebooks(j)
+          var c = 0
+          while (c < cb.length) {
+            val cent = cb(c)
+            var d = 0.0; var x = 0
+            while (x < cent.length) {
+              val diff = cent(x) - rq(j * mdl.subDim + x); d += diff * diff; x += 1
+            }
+            t(j * codesN + c) = math.round(d * QuantScale)
+            c += 1
+          }
+          j += 1
+        }
+        (li, t)
+      }
+    }
+    queries.where(col(queryVec).isNotNull)
+      .select(col(queryId), explode(lut(col(queryVec))).as("e"))
+      .select(col(queryId), col("e._1").as("list"), col("e._2").as("lut"))
+  }
+
+  /** Residual ADC top-k over the COMPACT layout: the (list) join restricts
+    * to probed lists, and one allocation-free UDF sums the m byte-indexed
+    * partials per surviving (query, item) row — |candidates| rows total
+    * instead of the exploded layout's |candidates| × m (the SCALE.md
+    * round-7 "cost ceiling"). Identical integer sums and tie order, so it
+    * oracles against the EXPLODED tables' SQL. */
+  def topKFromCompact(codes: DataFrame, itemId: String,
+                      luts: DataFrame, queryId: String, k: Int): DataFrame = {
+    val codesN = udf { (codes: Array[Byte], lut: Seq[Long]) =>
+      val cn = lut.length / codes.length
+      var s = 0L
+      var j = 0
+      while (j < codes.length) { s += lut(j * cn + (codes(j) & 0xff)); j += 1 }
+      s
+    }
+    luts.join(codes.hint("shuffle_hash"), Seq("list"))
+      .where(col(queryId) =!= col(itemId))
+      .withColumn("adc_dist", codesN(col("codes"), col("lut")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryId))
+          .orderBy(col("adc_dist").asc, col(itemId).asc)))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(itemId), col("adc_dist"), col("rank"))
+  }
+
+  /** [[topKRerankResidual]] over the compact layout end-to-end. */
+  def topKRerankResidualCompact(items: DataFrame, itemId: String, itemVec: String,
+                                queries: DataFrame, queryId: String, queryVec: String,
+                                k: Int, model: Model, ivf: IvfIndex.Model,
+                                nprobe: Int = 8, shortlist: Int = 50): DataFrame = {
+    val short = topKFromCompact(
+        encodeResidualCompact(items, itemId, itemVec, model, ivf), itemId,
+        lookupTablesResidualCompact(queries, queryId, queryVec, model, ivf, nprobe),
+        queryId, shortlist)
+      .select(col(queryId), col(itemId))
+    short
+      .join(items.select(col(itemId), col(itemVec)), Seq(itemId))
+      .join(queries.select(col(queryId), col(queryVec)), Seq(queryId))
+      .withColumn("similarity",
+        graft.functions.cosine_similarity(col(queryVec), col(itemVec)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryId))
+          .orderBy(col("similarity").desc, col(itemId).asc)))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(itemId), col("similarity"), col("rank"))
+  }
+
   /** Residual IVF-PQ read path: residual-ADC shortlist over the probed
     * lists, exact cosine re-rank to top-k. The clustered-corpus
     * counterpart of [[topKRerank]] — see the caveat there and the measured

@@ -1632,6 +1632,46 @@ object Queries {
       .select(col("qid"), col("nid"), col("rank").as("rk"))
   }
 
+  /** The COMPACT residual IVF-PQ execution (one row per item, m-byte code
+    * array, per-probe LUT arrays, allocation-free ADC UDF) gated against
+    * the EXPLODED layout's SQL semantics: the aux tables are the exploded
+    * codes/LUTs from the same deterministic models, and DuckDB's
+    * sum-of-partials join must reproduce the compact path's integer ADC
+    * sums, ranks and ties exactly. */
+  def qAnnIvfPqCompact(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val items = emb.select(col("vec_id").as("nid"), col("embedding").as("ivec"))
+    val queries = emb.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val ivf = graft.ann.IvfIndex.train(items, "ivec", nlist = 16)
+    val model = graft.ann.PqIndex.trainResidual(items, "ivec", ivf, m = 16, codes = 16)
+    writeOracleAux(
+      graft.ann.PqIndex.encodeResidual(items, "nid", "ivec", model, ivf),
+      dir, "ann_ivfpqc_codes")
+    writeOracleAux(
+      graft.ann.PqIndex.lookupTablesResidual(queries, "qid", "qvec", model, ivf,
+        nprobe = 4),
+      dir, "ann_ivfpqc_luts")
+    graft.ann.PqIndex.topKFromCompact(
+        graft.ann.PqIndex.encodeResidualCompact(items, "nid", "ivec", model, ivf),
+        "nid",
+        graft.ann.PqIndex.lookupTablesResidualCompact(queries, "qid", "qvec",
+          model, ivf, nprobe = 4),
+        "qid", k = 5)
+      .select(col("qid"), col("nid"), col("rank").as("rk"))
+  }
+
+  val qAnnIvfPqCompactSql: String =
+    s"""WITH c AS (SELECT nid, list, sub, code FROM ${auxSql("ann_ivfpqc_codes")}),
+       |l AS (SELECT qid, list, sub, code, dq FROM ${auxSql("ann_ivfpqc_luts")}),
+       |p AS (SELECT l.qid, c.nid, sum(l.dq) AS d FROM l
+       |  JOIN c ON c.list = l.list AND c.sub = l.sub AND c.code = l.code
+       |    AND c.nid <> l.qid
+       |  GROUP BY 1, 2)
+       |SELECT qid, nid, rk FROM (
+       | SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d ASC, nid) rk
+       | FROM p) WHERE rk <= 5""".stripMargin
+
   val qAnnIvfPqSql: String =
     s"""WITH c AS (SELECT nid, list, sub, code FROM ${auxSql("ann_ivfpq_codes")}),
        |l AS (SELECT qid, list, sub, code, dq FROM ${auxSql("ann_ivfpq_luts")}),

@@ -251,6 +251,28 @@ class TextPipelineSpec extends SparkTestBase {
     assert(recall >= 0.5, s"residual IVF-PQ recall $recall at nprobe=4, shortlist=50")
   }
 
+  test("compact residual ADC == exploded residual ADC, row for row") {
+    val items = emb.select(col("vec_id").as("nid"), col("embedding").as("ivec"))
+    val queries = emb.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val ivf = IvfIndexTestAccess.train(items, "ivec", nlist = 8)
+    val model = PqIndex.trainResidual(items, "ivec", ivf, m = 8, codes = 16)
+    val exploded = PqIndex.topKFromCodesResidual(
+        PqIndex.encodeResidual(items, "nid", "ivec", model, ivf), "nid",
+        PqIndex.lookupTablesResidual(queries, "qid", "qvec", model, ivf, 4),
+        "qid", k = 5)
+      .select("qid", "nid", "adc_dist", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val compact = PqIndex.topKFromCompact(
+        PqIndex.encodeResidualCompact(items, "nid", "ivec", model, ivf), "nid",
+        PqIndex.lookupTablesResidualCompact(queries, "qid", "qvec", model, ivf, 4),
+        "qid", k = 5)
+      .select("qid", "nid", "adc_dist", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(compact == exploded,
+      "compact layout must reproduce the exploded ADC exactly (same integer sums)")
+  }
+
   test("cosine_similarity: exact on unit axes, null on mismatched dims") {
     import graft.functions.cosine_similarity
     val df = Seq(
