@@ -440,24 +440,62 @@ object PqIndex {
       .select(col(queryId), col("e._1").as("list"), col("e._2").as("lut"))
   }
 
-  /** Residual ADC top-k over the COMPACT layout: the (list) join restricts
-    * to probed lists, and one allocation-free UDF sums the m byte-indexed
-    * partials per surviving (query, item) row — |candidates| rows total
-    * instead of the exploded layout's |candidates| × m (the SCALE.md
-    * round-7 "cost ceiling"). Identical integer sums and tie order, so it
-    * oracles against the EXPLODED tables' SQL. */
+  /** Residual ADC top-k over the COMPACT layout — the production ADC
+    * scan: the bounded per-(query, probed list) LUT set broadcasts to
+    * every task (a query batch is small by contract — same bounded-collect
+    * discipline as [[Similarity.topKBrute]]'s query side), and ONE
+    * mapPartitions pass over the code table emits a narrow
+    * (query, item, adc) row per candidate, summing the m byte-indexed
+    * partials in place. No m-per-pair row explosion (the exploded
+    * layout's cost, SCALE.md round 7) and no LUT-array copying through a
+    * join (a first compact attempt joined the 32 KB LUT onto every
+    * candidate row — 7× SLOWER than exploded at the rehearsal despite 8×
+    * less shuffle). Identical integer sums and tie order to
+    * [[topKFromCodesResidual]], so it oracles against the EXPLODED
+    * tables' SQL. `queryId` values must be integral (cast to long). */
   def topKFromCompact(codes: DataFrame, itemId: String,
-                      luts: DataFrame, queryId: String, k: Int): DataFrame = {
-    val codesN = udf { (codes: Array[Byte], lut: Seq[Long]) =>
-      val cn = lut.length / codes.length
-      var s = 0L
-      var j = 0
-      while (j < codes.length) { s += lut(j * cn + (codes(j) & 0xff)); j += 1 }
-      s
-    }
-    luts.join(codes.hint("shuffle_hash"), Seq("list"))
+                      luts: DataFrame, queryId: String, k: Int,
+                      maxQueryProbes: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = codes.sparkSession
+    val lutRows = luts.select(col(queryId).cast("long"), col("list"), col("lut"))
+      .limit(maxQueryProbes + 1).collect()
+    require(lutRows.length <= maxQueryProbes,
+      s"topKFromCompact broadcasts the LUT set; it has more than " +
+        s"$maxQueryProbes (query, probe) rows — shrink the query batch")
+    val byList: Map[Int, Array[(Long, Array[Long])]] = lutRows
+      .map(r => (r.getInt(1), (r.getLong(0), r.getSeq[Long](2).toArray)))
+      .groupBy(_._1).map { case (l, a) => l -> a.map(_._2) }
+    val bc = spark.sparkContext.broadcast(byList)
+    val cSchema = codes.schema
+    val itemIdx = cSchema.fieldIndex(itemId)
+    val listIdx = cSchema.fieldIndex("list")
+    val codesIdx = cSchema.fieldIndex("codes")
+    val midSchema = StructType(Seq(
+      StructField(queryId, LongType, nullable = false),
+      cSchema(itemId).copy(nullable = true),
+      StructField("adc_dist", LongType, nullable = false)))
+    implicit val enc = org.apache.spark.sql.Encoders.row(midSchema)
+    codes.mapPartitions { it =>
+      val m = bc.value
+      it.flatMap { row =>
+        val probes = m.getOrElse(row.getInt(listIdx), null)
+        if (probes == null) Iterator.empty
+        else {
+          val cs = row.getAs[Array[Byte]](codesIdx)
+          val item = row.get(itemIdx)
+          probes.iterator.map { case (qid, lut) =>
+            val cn = lut.length / cs.length
+            var s = 0L
+            var j = 0
+            while (j < cs.length) { s += lut(j * cn + (cs(j) & 0xff)); j += 1 }
+            Row(qid, item, s)
+          }
+        }
+      }
+    }.toDF()
       .where(col(queryId) =!= col(itemId))
-      .withColumn("adc_dist", codesN(col("codes"), col("lut")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col(queryId))
           .orderBy(col("adc_dist").asc, col(itemId).asc)))

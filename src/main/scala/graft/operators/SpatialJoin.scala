@@ -439,6 +439,41 @@ object SpatialJoin {
     }.toDF()
   }
 
+  /** Per-tile kNN ring radii over arbitrary tile boxes: for each tile, the
+    * max box-to-box distance to the smallest set of tiles (in increasing
+    * max distance) holding ≥ k right centers, PLUS the largest right
+    * half-diagonal among them (geometry-precision slack — see the
+    * derivation at the call site). Tiles that never reach k (right side
+    * smaller than k), and plans whose occupied×total product exceeds the
+    * quadratic budget, keep `diag`. */
+  private def tileRingRadii(tiles: Array[TileBoundary],
+                            stats: Map[Int, (Long, Double)],
+                            k: Int, diag: Double): Array[Double] = {
+    val nT = tiles.length
+    val out = Array.fill(nT)(diag)
+    val occ = stats.toArray
+      .filter { case (t, (c, _)) => c > 0 && t >= 0 && t < nT }
+      .sortBy(_._1)
+    if (occ.isEmpty || occ.length.toLong * nT > 4L * 1000 * 1000) return out
+    def maxDist(a: Mbb, b: Mbb): Double = {
+      val dx = math.max(a.xmax - b.xmin, b.xmax - a.xmin)
+      val dy = math.max(a.ymax - b.ymin, b.ymax - a.ymin)
+      math.sqrt(dx * dx + dy * dy)
+    }
+    var i = 0
+    while (i < nT) {
+      val ds = occ.map { case (t, (c, hd)) => (maxDist(tiles(i).mbb, tiles(t).mbb), t, c, hd) }
+        .sortBy(d => (d._1, d._2))
+      var acc = 0L; var j = 0; var mhd = 0.0
+      while (j < ds.length && acc < k) {
+        acc += ds(j)._3; mhd = math.max(mhd, ds(j)._4); j += 1
+      }
+      if (acc >= k) out(i) = math.min(ds(j - 1)._1 + mhd, diag)
+      i += 1
+    }
+    out
+  }
+
   /** EXACT (global) kNN join — the improvement over the reference's
     * tile-local st_nearest2. One tiling, two cogroup passes:
     *
@@ -449,9 +484,12 @@ object SpatialJoin {
     *      farther) and no distance tie makes ranks ambiguous. Safe rows are
     *      emitted final, with ranks, straight from pass 1.
     *   2. only the unsafe remainder (boundary-adjacent rows, tied ranks,
-    *      tiles with < k right rows) re-joins with a per-row radius bound
-    *      (k-th local distance, or the space diagonal when the tile was
-    *      starved), reference-point deduped, then a window top-k.
+    *      tiles with < k right rows) re-joins with a per-row radius bound:
+    *      the k-th local distance, tightened by the owner tile's
+    *      density-planned ring radius (tileRingRadii — the smallest set of
+    *      tiles holding ≥ k right centers); starved tiles search that ring
+    *      instead of the space diagonal. Reference-point deduped, then a
+    *      window top-k.
     *
     * `leftId` must uniquely key left rows. `tieBreak` columns (right side)
     * order equal distances deterministically. Output = left cols ++ right
@@ -486,6 +524,34 @@ object SpatialJoin {
     }
     val ownerTile = udf { (x1: Double, y1: Double, x2: Double, y2: Double) =>
       bc.value.refTile((x1 + x2) / 2, (y1 + y2) / 2)
+    }
+
+    // Per-tile search radii from EXACT right-center counts (the 3-D kNN's
+    // density-planned radius, generalized to arbitrary tile boxes): the
+    // smallest set of tiles — in increasing max box-to-box distance —
+    // holding ≥ k right envelope centers bounds any resident left row's
+    // k-th neighbor at geometry precision via
+    //   g1.distance(g2) ≤ hd(g1) + |c1 − c2| + hd(g2)
+    // (hd = half envelope diagonal; some point of each geometry lies
+    // within hd of its envelope center). Starved owner tiles then search
+    // ring-bounded neighborhoods instead of the space diagonal, which
+    // replicated their probes to EVERY tile — the 3-D near-cartesian
+    // failure mode, latent here on sparse-region data.
+    val halfDiag =
+      sqrt(pow(col(X2) - col(X1), lit(2)) + pow(col(Y2) - col(Y1), lit(2))) / 2
+    val tileStats = r.select(
+        ((col(X1) + col(X2)) / 2).as("__cx"),
+        ((col(Y1) + col(Y2)) / 2).as("__cy"),
+        halfDiag.as("__hd"))
+      .groupBy(udf { (x: Double, y: Double) => bc.value.refTile(x, y) }
+        .apply(col("__cx"), col("__cy")).as("__t"))
+      .agg(count(lit(1)).as("__c"), max(col("__hd")).as("__mhd"))
+      .collect().map(row => row.getInt(0) -> (row.getLong(1), row.getDouble(2))).toMap
+    val ringRad = tileRingRadii(index.tiles, tileStats, k, diag)
+    val radiiDf = {
+      import spark.implicits._
+      ringRad.zipWithIndex.map { case (rr, i) => (i, rr) }.toSeq
+        .toDF("__rt", "__ringrad")
     }
 
     val lOutCols = left.columns; val rOutCols = right.columns
@@ -571,7 +637,14 @@ object SpatialJoin {
         .otherwise(least(col("knn_dist"), lit(cap))).as(Rad))
 
     // ---------------- pass 2: radius-bounded candidate join on the remainder
+    // tighten each radius by the owner tile's ring bound (+ the row's own
+    // half-diagonal, see the derivation above) before expanding
     val l2 = l.join(unsafeRadii, Seq(leftId))
+      .withColumn("__ot", ownerTile(col(X1), col(Y1), col(X2), col(Y2)))
+      .join(broadcast(radiiDf), col("__ot") === col("__rt"), "left")
+      .withColumn(Rad, least(col(Rad),
+        coalesce(col("__ringrad") + halfDiag, lit(cap))))
+      .drop("__ot", "__rt", "__ringrad")
       .withColumn(X1, col(X1) - col(Rad)).withColumn(Y1, col(Y1) - col(Rad))
       .withColumn(X2, col(X2) + col(Rad)).withColumn(Y2, col(Y2) + col(Rad))
     val lt2 = l2.withColumn(Tile, explode(tileIds(col(X1), col(Y1), col(X2), col(Y2))))

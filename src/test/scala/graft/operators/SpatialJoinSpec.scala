@@ -192,6 +192,33 @@ class SpatialJoinSpec extends SparkTestBase {
     }
   }
 
+  test("knnJoinExact: sparse-region lefts (starved tiles) stay exact under the ring radius") {
+    // lefts spread over [0,1000]², rights clustered into [0,10]² — nearly
+    // every owner tile holds zero rights, the class whose pass-2 radius
+    // used to be the space diagonal and is now the density-planned ring
+    val rnd = new Random(41)
+    val pa = (0 until 120).map(i =>
+      (i.toLong, s"POINT (${rnd.nextInt(1000)} ${rnd.nextInt(1000)})"))
+    val pb = (0 until 60).map(i =>
+      (i.toLong, s"POINT (${rnd.nextInt(1000) / 100.0} ${rnd.nextInt(1000) / 100.0})"))
+    val a = df(pa, "id1", "g1"); val b = df(pb, "id2", "g2")
+    val k = 3
+    val got = SpatialJoin.knnJoinExact(a, "g1", "id1", b, "g2", k,
+        tieBreak = Seq("id2"),
+        cfg = SpatialJoin.Config(bucket = 20, knnBroadcastThreshold = 0))
+      .select("id1", "id2", "knn_rank").as[(Long, Long, Int)].collect()
+    val gb = pb.map { case (i, w) => (i, GeometryCodec.fromWkt(w)) }
+    val want = pa.flatMap { case (i, w) =>
+      val g1 = GeometryCodec.fromWkt(w)
+      gb.map { case (j, g2) => (g1.distance(g2), j) }
+        .sortBy(identity).take(k).zipWithIndex
+        .map { case ((_, j), r) => (i, j, r + 1) }
+    }.toSet
+    assert(got.length == got.toSet.size, "duplicate rows on the sparse-region path")
+    assert(got.toSet == want, s"sparse-region mismatch: " +
+      s"missing=${(want -- got.toSet).take(5)} extra=${(got.toSet -- want).take(5)}")
+  }
+
   for ((mode, threshold) <- Seq(("broadcast", 10000), ("tiled", 0))) {
     test(s"knnJoinBounded == brute kNN truncated at d [$mode path]") {
       val rnd = new Random(23)
