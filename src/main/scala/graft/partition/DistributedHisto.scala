@@ -7,20 +7,24 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Mbb, TileBoundary}
 
-/** Distributed quadtree and BSP tilings driven by one EXACT count
-  * histogram instead of a driver sample — the 100 TB forms of qt (SURVEY
-  * G3, QuadtreeNode.hpp:46-133) and bsp (SURVEY G2,
-  * BinarySplitNode.hpp:42-229). One distributed aggregate buckets every
-  * envelope center into a fixed 2^depth × 2^depth grid (≤ 16k cells at
-  * depth 7 — bounded driver state no matter the relation size); the
-  * recursive split logic then runs on the histogram's prefix sums:
+/** Distributed quadtree, BSP and BOS tilings driven by EXACT count
+  * histograms instead of a driver sample — the 100 TB forms of qt (SURVEY
+  * G3, QuadtreeNode.hpp:46-133), bsp (SURVEY G2,
+  * BinarySplitNode.hpp:42-229) and bos (SURVEY G7, bos_2d.cpp:4-170). One
+  * distributed aggregate buckets every envelope center into a fixed
+  * 2^depth × 2^depth grid (≤ 16k cells at depth 7 — bounded driver state
+  * no matter the relation size); the recursive split logic then runs on
+  * the histogram's prefix sums:
   *
   *   - QT: 4-way midpoint splits align exactly with the power-of-two grid,
   *     so every node's count is an O(1) rectangle sum — the same splits
   *     the sampled partitioner makes, but on exact counts;
   *   - BSP: the median cut along the longer axis snaps to the nearest
   *     histogram cell boundary (cell-granular median of the exact
-  *     distribution, vs exact median of a sample).
+  *     distribution, vs exact median of a sample);
+  *   - BOS: strips carve off `bucket` centers from the low side of the
+  *     remaining box; the x-vs-y choice compares exact cell-granular
+  *     crossing counts from four marginal tables (see [[crossHistogram]]).
   *
   * Trade vs the sampled forms: splits stop at histogram granularity
   * (depth 7) instead of sample exhaustion, so extreme point-mass hotspots
@@ -131,6 +135,120 @@ object DistributedHisto {
       }
     }
     split(0, N, 0, N)
+    out.iterator.zipWithIndex.map { case (m, i) => TileBoundary(i, m) }.toArray
+  }
+
+  /** Marginal crossing tables for bos_dist: per axis, counts keyed by
+    * (center cell along that axis, min-edge cell) and (center cell,
+    * max-edge cell). Four tables of ≤ N² longs each — bounded driver
+    * state. They make the strip-cut cost exact at cell granularity in the
+    * carve axis: objects not yet carved along x have centerXCell ≥ x0, so
+    *
+    *   crossers(line X | x0) = #{cx ≥ x0, xminCell < X}
+    *                         − #{cx ≥ x0, xmaxCell < X}
+    *
+    * (xmaxCell < X implies xminCell < X, so the difference counts exactly
+    * the spanners). The restriction along the OTHER axis is marginalized
+    * out — already-carved strips of the other orientation still
+    * contribute — the same kind of estimate the sampled bos makes from
+    * its 1-reducer sample (queryprocessor_2d.cpp:286-293); it only
+    * influences the x-vs-y choice, never tile disjointness/coverage. */
+  final case class CrossTables(xs: Array[Array[Long]], xe: Array[Array[Long]],
+                               ys: Array[Array[Long]], ye: Array[Array[Long]])
+
+  def crossHistogram(env: DataFrame, space: Mbb): CrossTables = {
+    val w = math.max(space.width, java.lang.Double.MIN_NORMAL) / N
+    val h = math.max(space.height, java.lang.Double.MIN_NORMAL) / N
+    def ax(v: org.apache.spark.sql.Column, lo: Double, wd: Double) =
+      greatest(lit(0), least(lit(N - 1), floor((v - lit(lo)) / lit(wd)).cast("int")))
+    val df = env.toDF("xmin", "ymin", "xmax", "ymax")
+    val cx = (col("xmin") + col("xmax")) / 2
+    val cy = (col("ymin") + col("ymax")) / 2
+    def table(center: org.apache.spark.sql.Column, lo: Double, wd: Double,
+              edge: org.apache.spark.sql.Column): Array[Array[Long]] = {
+      val t = Array.ofDim[Long](N, N)
+      df.groupBy(ax(center, lo, wd).as("__c"), ax(edge, lo, wd).as("__e"))
+        .agg(count(lit(1)).as("__n"))
+        .collect().foreach(r => t(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+      t
+    }
+    CrossTables(
+      xs = table(cx, space.xmin, w, col("xmin")),
+      xe = table(cx, space.xmin, w, col("xmax")),
+      ys = table(cy, space.ymin, h, col("ymin")),
+      ye = table(cy, space.ymin, h, col("ymax")))
+  }
+
+  /** Distributed bos: boundary-optimized strips on exact histograms. Each
+    * step carves `bucket` centers off the low-x or low-y side of the
+    * remaining box — the cut snapping to the first cell boundary holding
+    * ≥ bucket centers, the axis chosen by which cut crosses fewer MBBs
+    * (cost from [[CrossTables]]). Mirrors the sampled BosPartitioner
+    * (bos_2d.cpp:4-170, cost functions bos_2d.hpp:36-90). */
+  def bosTiles(counts: Map[Int, Long], cross: CrossTables, space: Mbb,
+               bucket: Int): Array[TileBoundary] = {
+    val p = prefix(counts)
+    val b = math.max(bucket, 1)
+    // prefix over (center cell, edge cell) so any #{c ≥ c0, e < E} is O(1)
+    def pref(t: Array[Array[Long]]): Array[Array[Long]] = {
+      val q = Array.ofDim[Long](N + 1, N + 1)
+      var i = 0
+      while (i < N) {
+        var j = 0
+        while (j < N) {
+          q(i + 1)(j + 1) = t(i)(j) + q(i)(j + 1) + q(i + 1)(j) - q(i)(j)
+          j += 1
+        }
+        i += 1
+      }
+      q
+    }
+    val pxs = pref(cross.xs); val pxe = pref(cross.xe)
+    val pys = pref(cross.ys); val pye = pref(cross.ye)
+    // #{center cell in [c0,N), edge cell in [0,e)}
+    def tail(q: Array[Array[Long]], c0: Int, e: Int): Long =
+      q(N)(e) - q(c0)(e)
+    val out = new ArrayBuffer[Mbb]
+    def boxOf(x0: Int, x1: Int, y0: Int, y1: Int): Mbb = {
+      val w = space.width / N; val h = space.height / N
+      Mbb(space.xmin + x0 * w, space.ymin + y0 * h,
+        if (x1 == N) space.xmax else space.xmin + x1 * w,
+        if (y1 == N) space.ymax else space.ymin + y1 * h)
+    }
+    var x0 = 0; var y0 = 0
+    var done = false
+    while (!done && rect(p, x0, N, y0, N) > b) {
+      // first cell boundary carving ≥ b centers off the remaining box
+      def cutAt(vertical: Boolean): Int = {
+        if (vertical) {
+          var x = x0 + 1
+          while (x < N && rect(p, x0, x, y0, N) < b) x += 1
+          x
+        } else {
+          var y = y0 + 1
+          while (y < N && rect(p, x0, N, y0, y) < b) y += 1
+          y
+        }
+      }
+      val cutX = cutAt(vertical = true)
+      val cutY = cutAt(vertical = false)
+      val canX = cutX < N; val canY = cutY < N
+      if (!canX && !canY) {
+        // cell-granularity floor: remaining centers all sit in the last
+        // row/column — emit the remainder as one tile (same stop as the
+        // sampled form's degenerate-cut branch)
+        done = true
+      } else {
+        val costX = if (canX) tail(pxs, x0, cutX) - tail(pxe, x0, cutX) else Long.MaxValue
+        val costY = if (canY) tail(pys, y0, cutY) - tail(pye, y0, cutY) else Long.MaxValue
+        if (costX <= costY) {
+          out += boxOf(x0, cutX, y0, N); x0 = cutX
+        } else {
+          out += boxOf(x0, N, y0, cutY); y0 = cutY
+        }
+      }
+    }
+    out += boxOf(x0, N, y0, N)
     out.iterator.zipWithIndex.map { case (m, i) => TileBoundary(i, m) }.toArray
   }
 }

@@ -35,7 +35,7 @@ object SpatialPartitioner {
   def apply(name: String): SpatialPartitioner =
     all.getOrElse(name, throw new IllegalArgumentException(
       s"unknown partitioner '$name' (expected one of ${all.keys.mkString(",")}," +
-        " or a distributed form: hc_dist, str_dist, slc_dist, qt_dist, bsp_dist)"))
+        " or a distributed form: hc_dist, str_dist, slc_dist, qt_dist, bsp_dist, bos_dist)"))
 }
 
 /** Uniform grid with square-ish tiles (reference fg_2d.cpp:29-84). */

@@ -41,7 +41,7 @@ class SpatialJoinSpec extends SparkTestBase {
   private val lb = boxes(400, seed = 2, "b")
 
   for (partitioner <- Seq("fg", "str", "hc", "hc_dist", "str_dist", "slc_dist",
-      "qt_dist", "bsp_dist", "bsp", "qt", "slc", "bos")) {
+      "qt_dist", "bsp_dist", "bos_dist", "bsp", "qt", "slc", "bos")) {
     test(s"tiled st_intersects join == brute force [$partitioner]") {
       val a = df(la, "id1", "g1"); val b = df(lb, "id2", "g2")
       val got = SpatialJoin.join(a, "g1", b, "g2",

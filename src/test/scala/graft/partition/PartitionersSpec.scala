@@ -73,6 +73,41 @@ class PartitionersSpec extends AnyFunSuite {
     }
   }
 
+  test("bosTiles: disjoint strips covering the space, ≥bucket centers per carve") {
+    // build the exact histograms bos_dist would aggregate, driver-side
+    val N = 1 << DistributedHisto.Depth
+    val mbbs = randomMbbs(1500, seed = 31, skew = true)
+    val w = space.width / N; val h = space.height / N
+    def cell(v: Double, lo: Double, wd: Double): Int =
+      math.max(0, math.min(N - 1, math.floor((v - lo) / wd).toInt))
+    val counts = mbbs.groupBy(m =>
+        cell(m.centerX, space.xmin, w) * N + cell(m.centerY, space.ymin, h))
+      .view.mapValues(_.length.toLong).toMap
+    def tab(center: Mbb => Double, edge: Mbb => Double, lo: Double, wd: Double) = {
+      val t = Array.ofDim[Long](N, N)
+      mbbs.foreach(m => t(cell(center(m), lo, wd))(cell(edge(m), lo, wd)) += 1)
+      t
+    }
+    val cross = DistributedHisto.CrossTables(
+      xs = tab(_.centerX, _.xmin, space.xmin, w), xe = tab(_.centerX, _.xmax, space.xmin, w),
+      ys = tab(_.centerY, _.ymin, space.ymin, h), ye = tab(_.centerY, _.ymax, space.ymin, h))
+    val tiles = DistributedHisto.bosTiles(counts, cross, space, bucket = 120)
+    assert(tiles.length > 1)
+    checkDisjoint(tiles)
+    // strips cover the space exactly: total area matches, every center owned
+    val area = tiles.map(t => t.mbb.width * t.mbb.height).sum
+    assert(math.abs(area - space.width * space.height) < 1e-6)
+    val idx = new TileIndex(tiles, space)
+    mbbs.foreach(m => assert(idx.refTile(m.centerX, m.centerY) >= 0))
+    // every carved strip (all but the remainder tile) holds ≥ bucket centers
+    val perTile = mbbs.groupBy(m => idx.refTile(m.centerX, m.centerY))
+      .view.mapValues(_.length).toMap
+    tiles.dropRight(1).foreach { t =>
+      assert(perTile.getOrElse(t.tileId, 0) >= 120,
+        s"strip ${t.tileId} holds ${perTile.getOrElse(t.tileId, 0)} < bucket centers")
+    }
+  }
+
   test("TileIndex.covering pads gaps and leaves covering tilings unchanged") {
     val full = Array(TileBoundary(0, Mbb(0, 0, 50, 50)), TileBoundary(1, Mbb(50, 0, 100, 50)))
     assert(TileIndex.covering(full, Mbb(0, 0, 100, 50)).length == 2)
