@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object SpatialJoin3d {
 
+  /** Right sides at or under this many rows broadcast in the kNN joins
+    * (exact count from the planning aggregate, not an estimate). Each row
+    * is six doubles + an id; with ≤ 27-cell envelope replication the
+    * broadcast stays well under Spark's 8 GB relation cap at this bound. */
+  val BroadcastRightMax = 200000L
+
   /** Column bundle naming the six MBB sides of a relation. */
   final case class Mbb3Cols(xmin: String, ymin: String, zmin: String,
                             xmax: String, ymax: String, zmax: String) {
@@ -343,6 +349,15 @@ object SpatialJoin3d {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     delegate(cellCounts).foreach(df => return df)
     val (ringRad, probeSets) = plans(cellCounts)
+    // the exact counts just collected also decide the join strategy: a
+    // right side this small broadcasts (no shuffle barrier on either
+    // probe or bound join — at gate SFs that is 2 of the plan's 5
+    // exchanges); past the threshold the cell-partitioned shuffle-hash
+    // path carries the 100 TB case. Same size-based split as the 2-D
+    // small-side kNN (SpatialJoin.knnJoinExact's broadcast path).
+    val rightRows = cellCounts.valuesIterator.sum
+    def rside(df: DataFrame): DataFrame =
+      if (rightRows <= BroadcastRightMax) broadcast(df) else df.hint("shuffle_hash")
     import spark.implicits._
     // one broadcast plan row per cell: its fallback radius and whether a
     // probe set exists (false only when rights < k or the set out-grew
@@ -368,7 +383,7 @@ object SpatialJoin3d {
     val probed = lOwn.where(col("__hasprobe") === true)
       .join(broadcast(probeDf), Seq("__own"))
       .withColumn("__cell3", col("__pcell"))
-      .join(rtc.hint("shuffle_hash"), Seq("__cell3"))
+      .join(rside(rtc), Seq("__cell3"))
       .withColumn("__d", dist)
       .withColumn("__rka", row_number().over(wRank))
       // exactly one row per left survives: its k-th probe candidate (the
@@ -390,7 +405,7 @@ object SpatialJoin3d {
       col("__ex0"), col("__ey0"), col("__ez0"),
       col("__ex1"), col("__ey1"), col("__ez1"))))
     val outCols = (left.columns ++ right.columns).map(col).toIndexedSeq
-    lt2.join(rt.hint("shuffle_hash"), Seq("__cell3"))
+    lt2.join(rside(rt), Seq("__cell3"))
       .withColumn("__d", dist)
       .where(col("__d") <= col("__rad"))
       // refpoint dedup: emit only in the cell owning the min corner of
