@@ -186,6 +186,28 @@ object ScaleRehearsal {
         .select(col("id"), col("b.x0").as("x0"), col("b.y0").as("y0"), col("b.w").as("w"))
         .write.mode("overwrite").parquet(s"$dir/boxes")
     }
+    // ------------------- distributed partitioner planning at 100x
+    // Times ONLY the tile-planning step (the driver-sample replacement):
+    // each *_dist form plans over ALL nBoxes envelopes — sorts are
+    // distributed range-exchanges, histograms one bounded partial-agg —
+    // vs the seeded-sample baseline forms. Skew: 5% of rows in the
+    // [0,20]^2 hotspot (gen above) stresses the cut/split logic.
+    if (mode == "all" || mode == "partition") {
+      val envP = spark.read.parquet(s"$dir/boxes")
+        .select(col("x0").as("__xmin"), col("y0").as("__ymin"),
+          (col("x0") + col("w")).as("__xmax"), (col("y0") + col("w")).as("__ymax"))
+      val bucketP = math.max(500, (nBoxes / 1000).toInt)
+      for (form <- Seq("hc_dist", "str_dist", "slc_dist", "qt_dist",
+          "bsp_dist", "bos_dist", "str", "qt", "bos")) {
+        val idx = timed(s"plan[$form]") {
+          SpatialJoin.planTiles(envP, envP.limit(0),
+            SpatialJoin.Config(partitioner = form, bucket = bucketP))
+        }
+        println(s"[scale]   -> ${idx.tiles.length} tiles")
+      }
+      if (mode == "partition") { spark.stop(); return }
+    }
+
     // Documents: 100 copies of the sf0.1 corpus; every WORD is prefixed with
     // the copy id, so the shingle multiset of each copy is isomorphic to the
     // original corpus's (identical trigram doc-frequencies — no degenerate
