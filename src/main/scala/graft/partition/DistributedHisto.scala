@@ -12,9 +12,9 @@ import graft.core.{Mbb, TileBoundary}
   * G3, QuadtreeNode.hpp:46-133), bsp (SURVEY G2,
   * BinarySplitNode.hpp:42-229) and bos (SURVEY G7, bos_2d.cpp:4-170). One
   * distributed aggregate buckets every envelope center into a fixed
-  * 2^depth × 2^depth grid (≤ 16k cells at depth 7 — bounded driver state
-  * no matter the relation size); the recursive split logic then runs on
-  * the histogram's prefix sums:
+  * 2^depth × 2^depth grid (≤ 262k cells at depth 9 — a few MB of driver
+  * state no matter the relation size); the recursive split logic then
+  * runs on the histogram's prefix sums:
   *
   *   - QT: 4-way midpoint splits align exactly with the power-of-two grid,
   *     so every node's count is an O(1) rectangle sum — the same splits
@@ -27,12 +27,13 @@ import graft.core.{Mbb, TileBoundary}
   *     crossing counts from four marginal tables (see [[crossHistogram]]).
   *
   * Trade vs the sampled forms: splits stop at histogram granularity
-  * (depth 7) instead of sample exhaustion, so extreme point-mass hotspots
-  * get coarser leaves — which the join layer's salting / two-level paths
-  * already absorb (SCALE.md round-5 measurements). */
+  * (depth 9 = 2^-9 of each axis; bos strips are bounded by ~2·2^9 per
+  * carve axis) instead of sample exhaustion, so extreme point-mass
+  * hotspots get coarser leaves — which the join layer's salting /
+  * two-level paths already absorb (SCALE.md round-5 measurements). */
 object DistributedHisto {
 
-  val Depth = 7
+  val Depth = 9
   private val N = 1 << Depth
 
   /** One-pass exact center histogram over the `2^Depth`-per-axis grid. */
