@@ -73,10 +73,11 @@ class PartitionersSpec extends AnyFunSuite {
     }
   }
 
-  test("bosTiles: disjoint strips covering the space, ≥bucket centers per carve") {
+  for ((seed, skew) <- Seq((31L, true), (47L, false), (101L, true)))
+  test(s"bosTiles: disjoint strips covering the space, ≥bucket centers per carve [seed=$seed skew=$skew]") {
     // build the exact histograms bos_dist would aggregate, driver-side
     val N = 1 << DistributedHisto.Depth
-    val mbbs = randomMbbs(1500, seed = 31, skew = true)
+    val mbbs = randomMbbs(1500, seed, skew)
     val w = space.width / N; val h = space.height / N
     def cell(v: Double, lo: Double, wd: Double): Int =
       math.max(0, math.min(N - 1, math.floor((v - lo) / wd).toInt))
