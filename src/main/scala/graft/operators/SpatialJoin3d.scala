@@ -320,7 +320,8 @@ object SpatialJoin3d {
                       cellsOf: (Column, Column, Column, Column, Column, Column) => Column,
                       plans: Map[Int, Long] => (Array[Double], Array[Array[Int]]),
                       diag: Double,
-                      delegate: Map[Int, Long] => Option[DataFrame] = _ => None): DataFrame = {
+                      delegate: Map[Int, Long] => Option[DataFrame] = _ => None,
+                      broadcastRightMax: Long = BroadcastRightMax): DataFrame = {
     val spark = left.sparkSession
 
     // MBB gap distance (0 when intersecting) — column arithmetic
@@ -357,7 +358,7 @@ object SpatialJoin3d {
     // small-side kNN (SpatialJoin.knnJoinExact's broadcast path).
     val rightRows = cellCounts.valuesIterator.sum
     def rside(df: DataFrame): DataFrame =
-      if (rightRows <= BroadcastRightMax) broadcast(df) else df.hint("shuffle_hash")
+      if (rightRows <= broadcastRightMax) broadcast(df) else df.hint("shuffle_hash")
     import spark.implicits._
     // one broadcast plan row per cell: its fallback radius and whether a
     // probe set exists (false only when rights < k or the set out-grew
@@ -458,7 +459,8 @@ object SpatialJoin3d {
     * `knn_dist` ++ `knn_rank`. */
   def knnJoinMbb(left: DataFrame, lc: Mbb3Cols, leftId: String,
                  right: DataFrame, rc: Mbb3Cols, rightId: String, k: Int,
-                 cellsPerAxis: Int = 8): DataFrame = {
+                 cellsPerAxis: Int = 8,
+                 broadcastRightMax: Long = BroadcastRightMax): DataFrame = {
     // 64³ = 262k cells bounds the driver-side count table and the
     // broadcast plan relation (~4 MB) — the same bounded-collect
     // discipline as the partitioners' driver samples
@@ -486,9 +488,10 @@ object SpatialJoin3d {
         val total = counts.valuesIterator.sum
         val maxCell = if (counts.isEmpty) 0L else counts.valuesIterator.max
         if (total > 64L * k && maxCell * 4 > total * 3)
-          Some(knnJoinMbbOc(left, lc, leftId, right, rc, rightId, k))
+          Some(knnJoinMbbOc(left, lc, leftId, right, rc, rightId, k,
+            broadcastRightMax = broadcastRightMax))
         else None
-      })
+      }, broadcastRightMax = broadcastRightMax)
   }
 
   /** [[knnJoinMbb]] over an OCTREE tiling instead of the uniform grid —
@@ -506,7 +509,8 @@ object SpatialJoin3d {
   def knnJoinMbbOc(left: DataFrame, lc: Mbb3Cols, leftId: String,
                    right: DataFrame, rc: Mbb3Cols, rightId: String, k: Int,
                    leafCap: Int = 512, sampleTarget: Int = 20000,
-                   seed: Long = 42L): DataFrame = {
+                   seed: Long = 42L,
+                   broadcastRightMax: Long = BroadcastRightMax): DataFrame = {
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"column name collision between join sides: $dup")
     val spark = left.sparkSession
@@ -552,7 +556,8 @@ object SpatialJoin3d {
       ownerOf = (x, y, z) => ownerUdf(x, y, z),
       cellsOf = (x0, y0, z0, x1, y1, z1) => cellsUdf(x0, y0, z0, x1, y1, z1),
       plans = counts => boxPlans(tree.leafBoxes, counts, k, diag),
-      diag = diag)
+      diag = diag,
+      broadcastRightMax = broadcastRightMax)
   }
 
   /** mbb_normalizer_3d: affine map of an MBB into the unit cube of `sp`

@@ -97,6 +97,13 @@ class SpatialJoin3dSpec extends SparkTestBase {
       assert(got.length == want.size, s"row count at leafCap=$cap")
       assert(got.toSet == want, s"octree kNN mismatch at leafCap=$cap")
     }
+    // both join strategies answer identically: broadcastRightMax = 0
+    // forces the cell-partitioned shuffle-hash path (the 100 TB branch
+    // the default broadcast threshold would skip on spec-sized rights)
+    val gotSh = SpatialJoin3d.knnJoinMbb(a, lc, "aid", b, rc, "bid", k = 3,
+        cellsPerAxis = 4, broadcastRightMax = 0L)
+      .select("aid", "bid", "knn_rank").as[(Long, Long, Int)].collect()
+    assert(gotSh.toSet == want, "shuffle-hash branch kNN mismatch")
   }
 
   test("knnJoinMbb: k larger than the right side returns all, ranked") {
