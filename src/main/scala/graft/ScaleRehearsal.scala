@@ -186,6 +186,41 @@ object ScaleRehearsal {
         .select(col("id"), col("b.x0").as("x0"), col("b.y0").as("y0"), col("b.w").as("w"))
         .write.mode("overwrite").parquet(s"$dir/boxes")
     }
+    // ----------------------------------- 3-D kNN probe-then-bound at 100x
+    // The gate's shape at 100x sf0.1: left points spread over a volume
+    // ~44% of which holds NO rights (the starved-cell class that made the
+    // old diagonal fallback near-cartesian), rights clustered in [0,200]^3.
+    // 360k rights > BroadcastRightMax, so this exercises the
+    // cell-partitioned shuffle-hash branch — the 100 TB path.
+    if (mode == "knn3d") {
+      import graft.operators.SpatialJoin3d
+      val nL = 1500000L; val nR = 360000L
+      def u(salt: Int, m: Long) =
+        pmod(xxhash64(col("id"), lit(salt)), lit(m)).cast("double")
+      val lefts = spark.range(nL).select(col("id").as("aid"),
+        (u(1, 30000) / 100.0).as("ax0"), (u(2, 30000) / 100.0).as("ay0"),
+        (u(3, 20000) / 100.0).as("az0"))
+        .withColumn("ax1", col("ax0")).withColumn("ay1", col("ay0"))
+        .withColumn("az1", col("az0"))
+      val rights = spark.range(nR).select(col("id").as("bid"),
+          (u(4, 19000) / 100.0).as("bx0"), (u(5, 19000) / 100.0).as("by0"),
+          (u(6, 19000) / 100.0).as("bz0"), (u(7, 900) / 100.0 + 1.0).as("w"))
+        .select(col("bid"), col("bx0"), col("by0"), col("bz0"),
+          (col("bx0") + col("w")).as("bx1"), (col("by0") + col("w")).as("by1"),
+          (col("bz0") + col("w")).as("bz1"))
+      val lc = SpatialJoin3d.Mbb3Cols("ax0", "ay0", "az0", "ax1", "ay1", "az1")
+      val rc = SpatialJoin3d.Mbb3Cols("bx0", "by0", "bz0", "bx1", "by1", "bz1")
+      val n1 = timed("knn3d_grid[1.5Mx360k]") {
+        SpatialJoin3d.knnJoinMbb(lefts, lc, "aid", rights, rc, "bid", k = 3).count()
+      }
+      println(s"[scale]   -> $n1 rows")
+      val n2 = timed("knn3d_oc[1.5Mx360k]") {
+        SpatialJoin3d.knnJoinMbbOc(lefts, lc, "aid", rights, rc, "bid", k = 3).count()
+      }
+      println(s"[scale]   -> $n2 rows")
+      spark.stop(); return
+    }
+
     // ------------------- distributed partitioner planning at 100x
     // Times ONLY the tile-planning step (the driver-sample replacement):
     // each *_dist form plans over ALL nBoxes envelopes — sorts are

@@ -487,7 +487,14 @@ object SpatialJoin3d {
       delegate = counts => {
         val total = counts.valuesIterator.sum
         val maxCell = if (counts.isEmpty) 0L else counts.valuesIterator.max
-        if (total > 64L * k && maxCell * 4 > total * 3)
+        val concentrated = total > 64L * k && maxCell * 4 > total * 3
+        // beyond broadcast scale the octree's density-sized leaves halve
+        // the join cost (measured at 100x: 102.7 s grid vs 51.8 s octree,
+        // SCALE.md); below it the grid's closed-form arithmetic wins.
+        // Intentionally compares the CONSTANT, not the broadcastRightMax
+        // override — the override tunes join strategy, not tiling choice
+        val large = total > BroadcastRightMax
+        if (concentrated || large)
           Some(knnJoinMbbOc(left, lc, leftId, right, rc, rightId, k,
             broadcastRightMax = broadcastRightMax))
         else None
