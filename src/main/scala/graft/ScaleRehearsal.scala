@@ -186,6 +186,41 @@ object ScaleRehearsal {
         .select(col("id"), col("b.x0").as("x0"), col("b.y0").as("y0"), col("b.w").as("w"))
         .write.mode("overwrite").parquet(s"$dir/boxes")
     }
+    // ------------------------------------- 2-D exact kNN rings at 100x
+    // The round-7 tileRingRadii path at scale: lefts spread 100x wider
+    // than the clustered rights (99% of owner tiles right-empty — the
+    // sparse-region class whose pass-2 radius used to be the space
+    // diagonal). knnBroadcastThreshold=0 forces the tiled two-pass path.
+    if (mode == "knn2d") {
+      import graft.operators.SpatialJoin
+      def u(salt: Int, m: Long) =
+        pmod(xxhash64(col("id"), lit(salt)), lit(m)).cast("double")
+      val lefts = spark.range(1500000L)
+        .select(col("id").as("id1"),
+          (u(11, 300000) / 100.0).as("x"), (u(12, 300000) / 100.0).as("y"))
+        .select(col("id1"), st_makebox(col("x"), col("y"), col("x"), col("y")).as("g1"))
+      val rights = spark.range(360000L)
+        .select(col("id").as("id2"),
+          (u(13, 30000) / 100.0).as("x"), (u(14, 30000) / 100.0).as("y"))
+        .select(col("id2"), st_makebox(col("x"), col("y"), col("x"), col("y")).as("g2"))
+      // fg with the auto bucket is the degenerate case at this shape: ALL
+      // rights land in 1-2 uniform tiles (~180k rows each), every starved
+      // left pairs with the whole tile — killed at 17 min. The adaptive
+      // forms below are the supported configurations for clustered rights.
+      for ((label, cfg) <- Seq(
+          ("qt_b2000", SpatialJoin.Config(partitioner = "qt", bucket = 2000,
+            knnBroadcastThreshold = 0)),
+          ("fg_twoLevel_b2000", SpatialJoin.Config(bucket = 2000, twoLevel = true,
+            knnBroadcastThreshold = 0)))) {
+        val n = timed(s"knn2d_ring[$label]") {
+          SpatialJoin.knnJoinExact(lefts, "g1", "id1", rights, "g2", k = 3,
+            tieBreak = Seq("id2"), cfg = cfg).count()
+        }
+        println(s"[scale]   -> $n rows")
+      }
+      spark.stop(); return
+    }
+
     // ----------------------------------- 3-D kNN probe-then-bound at 100x
     // The gate's shape at 100x sf0.1: left points spread over a volume
     // ~44% of which holds NO rights (the starved-cell class that made the
