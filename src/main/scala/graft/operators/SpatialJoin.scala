@@ -449,22 +449,62 @@ object SpatialJoin {
     }.toDF()
   }
 
-  /** Per-tile kNN ring radii over arbitrary tile boxes: for each tile, the
-    * max box-to-box distance to the smallest set of tiles (in increasing
-    * max distance) holding ≥ k right centers, PLUS the largest right
-    * half-diagonal among them (geometry-precision slack — see the
-    * derivation at the call site). Tiles that never reach k (right side
-    * smaller than k), and plans whose occupied×total product exceeds the
-    * quadratic budget, keep `diag`. */
-  private def tileRingRadii(tiles: Array[TileBoundary],
-                            stats: Map[Int, (Long, Double)],
-                            k: Int, diag: Double): Array[Double] = {
+  /** Task-side WKB→Geometry parse cache for the probe phase's distance
+    * pairs: the left WKB repeats across every candidate of its row and
+    * each right WKB repeats across many lefts in the same task, so
+    * parsing per PAIR multiplies the probe cost by the parse/compare
+    * ratio (~50×, the same hot-path class as the LSH sign-plane fix at
+    * Similarity.scala:206-211). ThreadLocal because local-mode tasks
+    * share the deserialized closure across executor threads. */
+  private final class CachedWkbDistance
+      extends ((Array[Byte], Array[Byte]) => Option[Double]) with Serializable {
+    @transient private lazy val cache:
+        ThreadLocal[java.util.LinkedHashMap[java.nio.ByteBuffer, Geometry]] =
+      ThreadLocal.withInitial { () =>
+        new java.util.LinkedHashMap[java.nio.ByteBuffer, Geometry](1 << 12, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[java.nio.ByteBuffer, Geometry]): Boolean =
+            size() > 65536
+        }
+      }
+    private def geo(b: Array[Byte]): Geometry = {
+      val m = cache.get()
+      val key = java.nio.ByteBuffer.wrap(b)
+      var g = m.get(key)
+      if (g == null) { g = GeometryCodec.fromWkb(b); if (g != null) m.put(key, g) }
+      g
+    }
+    def apply(a: Array[Byte], b: Array[Byte]): Option[Double] = {
+      if (a == null || b == null) return None
+      val g1 = geo(a); val g2 = geo(b)
+      if (g1 == null || g2 == null) None else Some(g1.distance(g2))
+    }
+  }
+
+  /** Per-tile kNN ring plans over arbitrary tile boxes: for each tile,
+    * the smallest set of tiles (in increasing max box-to-box distance)
+    * holding ≥ k right centers, with the largest right half-diagonal among
+    * them (geometry-precision slack — see the derivation at the call
+    * site). The per-ROW search radius is then measured from each left
+    * row's own center to that set — NOT from the owner tile's far corner,
+    * which for a large right-empty tile (uniform grids under point-mass
+    * clustering, or a coarse adaptive leaf) inflates every resident row's
+    * radius by the whole tile span and degenerates pass 2 to a
+    * near-cartesian re-pair (measured in SCALE.md's knn2d rehearsal).
+    * Tiles that never reach k (right side smaller than k), and plans
+    * whose occupied×total product exceeds the quadratic budget, carry an
+    * empty set → the caller's cap. */
+  private[operators] def tileRingPlans(tiles: Array[TileBoundary],
+                                       stats: Map[Int, (Long, Double)],
+                                       k: Int): (Array[Array[Int]], Array[Double]) = {
     val nT = tiles.length
-    val out = Array.fill(nT)(diag)
+    val sets = Array.fill(nT)(Array.empty[Int])
+    val mhds = Array.fill(nT)(0.0)
     val occ = stats.toArray
       .filter { case (t, (c, _)) => c > 0 && t >= 0 && t < nT }
       .sortBy(_._1)
-    if (occ.isEmpty || occ.length.toLong * nT > 4L * 1000 * 1000) return out
+    if (occ.isEmpty || occ.length.toLong * nT > 4L * 1000 * 1000)
+      return (sets, mhds)
     def maxDist(a: Mbb, b: Mbb): Double = {
       val dx = math.max(a.xmax - b.xmin, b.xmax - a.xmin)
       val dy = math.max(a.ymax - b.ymin, b.ymax - a.ymin)
@@ -478,10 +518,10 @@ object SpatialJoin {
       while (j < ds.length && acc < k) {
         acc += ds(j)._3; mhd = math.max(mhd, ds(j)._4); j += 1
       }
-      if (acc >= k) out(i) = math.min(ds(j - 1)._1 + mhd, diag)
+      if (acc >= k) { sets(i) = ds.take(j).map(_._2); mhds(i) = mhd }
       i += 1
     }
-    out
+    (sets, mhds)
   }
 
   /** EXACT (global) kNN join — the improvement over the reference's
@@ -557,11 +597,32 @@ object SpatialJoin {
         .apply(col("__cx"), col("__cy")).as("__t"))
       .agg(count(lit(1)).as("__c"), max(col("__hd")).as("__mhd"))
       .collect().map(row => row.getInt(0) -> (row.getLong(1), row.getDouble(2))).toMap
-    val ringRad = tileRingRadii(index.tiles, tileStats, k, diag)
-    val radiiDf = {
-      import spark.implicits._
-      ringRad.zipWithIndex.map { case (rr, i) => (i, rr) }.toSeq
-        .toDF("__rt", "__ringrad")
+    val (ringSets, ringMhds) = tileRingPlans(index.tiles, tileStats, k)
+    val planBc = spark.sparkContext.broadcast((ringSets, ringMhds))
+    // per-ROW ring radius, measured from the row's own envelope center to
+    // its owner tile's planned ring set:
+    //   g1.distance(g2) ≤ hd1 + |c1 − c2| + hd2 ≤ hd1 + maxDist(c1, U.box) + mhd
+    // for every right centered in ring tile U — ≥ k such rights exist, so
+    // the max over the set bounds the row's k-th NN. Measuring from c1
+    // (not the owner tile's far corner) keeps the radius tight when the
+    // owner tile is large and right-empty — the shape where a per-tile
+    // radius degenerates pass 2 (SCALE.md knn2d rehearsal).
+    val ringRadRow = udf { (cx: Double, cy: Double, ot: Int) =>
+      val (sets, mhds) = planBc.value
+      if (ot < 0 || ot >= sets.length || sets(ot).isEmpty)
+        null.asInstanceOf[java.lang.Double] // no plan → caller's cap
+      else {
+        val tiles = bc.value.tiles
+        var m = 0.0
+        sets(ot).foreach { t =>
+          val b = tiles(t).mbb
+          val dx = math.max(math.abs(cx - b.xmin), math.abs(cx - b.xmax))
+          val dy = math.max(math.abs(cy - b.ymin), math.abs(cy - b.ymax))
+          val d = math.sqrt(dx * dx + dy * dy)
+          if (d > m) m = d
+        }
+        java.lang.Double.valueOf(m + mhds(ot))
+      }
     }
 
     val lOutCols = left.columns; val rOutCols = right.columns
@@ -646,18 +707,63 @@ object SpatialJoin {
       .select(col(leftId), when(col("knn_dist") < 0, lit(cap))
         .otherwise(least(col("knn_dist"), lit(cap))).as(Rad))
 
-    // ---------------- pass 2: radius-bounded candidate join on the remainder
-    // tighten each radius by the owner tile's ring bound (+ the row's own
-    // half-diagonal, see the derivation above) before expanding
-    val l2 = l.join(unsafeRadii, Seq(leftId))
+    // ---------------- probe: per-row EXACT k-th upper bound (3-D knnCore's
+    // probe phase, 2-D form). Each unsafe left joins ONLY its owner tile's
+    // planned ring set against the single-replica (center-tile) right
+    // relation and takes its k-th probe distance: the set holds ≥ k real
+    // rights, so that distance is a true upper bound on the row's k-th NN
+    // — far tighter than any tile-granular radius when owner tiles are
+    // large and right-empty (SCALE.md knn2d: per-tile radii degenerate
+    // pass 2 near-cartesian under point-mass clustering). The rank filter
+    // compiles to Spark's WindowGroupLimit: per-key top-k runs map-side
+    // before the exchange, so probe shuffle is O(lefts × k), not
+    // O(lefts × candidates).
+    val probeDf = {
+      import spark.implicits._
+      ringSets.zipWithIndex.flatMap { case (ts, i) => ts.map(t => (i, t)) }
+        .toSeq.toDF("__ot", "__pt")
+    }
+    val rtc = r.select(ownerTile(col(X1), col(Y1), col(X2), col(Y2)).as(Tile),
+      col(rightGeom).as("__pg"))
+    val pDist = udf(new CachedWkbDistance)
+    val lu = l.join(unsafeRadii, Seq(leftId))
       .withColumn("__ot", ownerTile(col(X1), col(Y1), col(X2), col(Y2)))
-      .join(broadcast(radiiDf), col("__ot") === col("__rt"), "left")
-      .withColumn(Rad, least(col(Rad),
-        coalesce(col("__ringrad") + halfDiag, lit(cap))))
-      .drop("__ot", "__rt", "__ringrad")
+    val probeRad = lu.select(col(leftId), col("__ot"), col(leftGeom))
+      .join(broadcast(probeDf), Seq("__ot"))
+      .withColumn(Tile, col("__pt"))
+      .join(rtc.hint("shuffle_hash"), Seq(Tile))
+      .withColumn("__pd", pDist(col(leftGeom), col("__pg")))
+      .where(col("__pd").isNotNull)
+      .withColumn("__pk", row_number().over(
+        Window.partitionBy(col(leftId)).orderBy(col("__pd").asc)))
+      .where(col("__pk") === k)
+      .select(col(leftId), col("__pd"))
+
+    // pass-2 replication prunes to tiles some right ENVELOPE touches: a
+    // pair's refpoint lies inside the right's envelope, so its emitting
+    // tile is always envelope-occupied — replicas into right-empty tiles
+    // (the bulk of a sparse space) carry no information and only inflate
+    // the cogroup shuffle
+    val envOccupied = r
+      .select(explode(tileIds(col(X1), col(Y1), col(X2), col(Y2))).as("__t"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val envOccBc = spark.sparkContext.broadcast(envOccupied)
+    val occFilter = udf { (t: Int) => envOccBc.value.contains(t) }
+
+    // ---------------- pass 2: radius-bounded candidate join on the
+    // remainder. Radius = min(k-th local distance/cap, per-row ring bound
+    // + own half-diagonal, exact probe k-th distance) — least() skips the
+    // null components (no ring plan / fewer than k parseable probes)
+    val l2 = lu
+      .withColumn("__rr", ringRadRow(
+        (col(X1) + col(X2)) / 2, (col(Y1) + col(Y2)) / 2, col("__ot")))
+      .join(probeRad, Seq(leftId), "left")
+      .withColumn(Rad, least(col(Rad), col("__rr") + halfDiag, col("__pd")))
+      .drop("__ot", "__rr", "__pd")
       .withColumn(X1, col(X1) - col(Rad)).withColumn(Y1, col(Y1) - col(Rad))
       .withColumn(X2, col(X2) + col(Rad)).withColumn(Y2, col(Y2) + col(Rad))
     val lt2 = l2.withColumn(Tile, explode(tileIds(col(X1), col(Y1), col(X2), col(Y2))))
+      .where(occFilter(col(Tile)))
     val rt2 = r.withColumn(Tile, explode(tileIds(col(X1), col(Y1), col(X2), col(Y2))))
     val lt2S = lt2.schema; val rt2S = rt2.schema
     val l2Tile = lt2S.fieldIndex(Tile); val r2Tile = rt2S.fieldIndex(Tile)
