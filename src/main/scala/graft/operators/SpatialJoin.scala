@@ -449,38 +449,6 @@ object SpatialJoin {
     }.toDF()
   }
 
-  /** Task-side WKB→Geometry parse cache for the probe phase's distance
-    * pairs: the left WKB repeats across every candidate of its row and
-    * each right WKB repeats across many lefts in the same task, so
-    * parsing per PAIR multiplies the probe cost by the parse/compare
-    * ratio (~50×, the same hot-path class as the LSH sign-plane fix at
-    * Similarity.scala:206-211). ThreadLocal because local-mode tasks
-    * share the deserialized closure across executor threads. */
-  private final class CachedWkbDistance
-      extends ((Array[Byte], Array[Byte]) => Option[Double]) with Serializable {
-    @transient private lazy val cache:
-        ThreadLocal[java.util.LinkedHashMap[java.nio.ByteBuffer, Geometry]] =
-      ThreadLocal.withInitial { () =>
-        new java.util.LinkedHashMap[java.nio.ByteBuffer, Geometry](1 << 12, 0.75f, true) {
-          override def removeEldestEntry(
-              e: java.util.Map.Entry[java.nio.ByteBuffer, Geometry]): Boolean =
-            size() > 65536
-        }
-      }
-    private def geo(b: Array[Byte]): Geometry = {
-      val m = cache.get()
-      val key = java.nio.ByteBuffer.wrap(b)
-      var g = m.get(key)
-      if (g == null) { g = GeometryCodec.fromWkb(b); if (g != null) m.put(key, g) }
-      g
-    }
-    def apply(a: Array[Byte], b: Array[Byte]): Option[Double] = {
-      if (a == null || b == null) return None
-      val g1 = geo(a); val g2 = geo(b)
-      if (g1 == null || g2 == null) None else Some(g1.distance(g2))
-    }
-  }
-
   /** Per-tile kNN ring plans over arbitrary tile boxes: for each tile,
     * the smallest set of tiles (in increasing max box-to-box distance)
     * holding ≥ k right centers, with the largest right half-diagonal among
@@ -723,17 +691,53 @@ object SpatialJoin {
       ringSets.zipWithIndex.flatMap { case (ts, i) => ts.map(t => (i, t)) }
         .toSeq.toDF("__ot", "__pt")
     }
+    // Candidates per probe tile are CAPPED at max(k, 64): any subset of
+    // min(cap, cᵢ) rights per ring tile still holds Σ min(cap, cᵢ) ≥
+    // min(cap, Σ cᵢ) ≥ k candidates (cap ≥ k, plan guarantees Σ cᵢ ≥ k),
+    // so the k-th probe distance stays a true upper bound — only looser
+    // for lefts INSIDE dense tiles, whose pass-1 k-th local distance
+    // already bounds them tightly. The payoff is scale-shaped: the probe
+    // relation shrinks from O(|right|) to ≤ ringTiles × cap rows — bounded
+    // by the tiling, not the data — so it BROADCASTS, the probe join never
+    // shuffles the lefts by tile, and the hot-ring-tile straggler (nearly
+    // every left in a sparse space probes the same few cluster-edge tiles;
+    // measured as a single-partition near-stall in SCALE.md's knn2d
+    // rehearsal) disappears. Rank order is content-hashed → deterministic
+    // across runs and independent of scan order; the cap rank itself
+    // compiles to WindowGroupLimit (map-side top-cap before the exchange).
+    val probeTiles = ringSets.iterator.flatten.toSet
+    val probeTileCap = math.max(k, 64)
+    val probeTilesBc = spark.sparkContext.broadcast(probeTiles)
+    val inProbeTiles = udf { (t: Int) => probeTilesBc.value.contains(t) }
     val rtc = r.select(ownerTile(col(X1), col(Y1), col(X2), col(Y2)).as(Tile),
-      col(rightGeom).as("__pg"))
-    val pDist = udf(new CachedWkbDistance)
+      col(X1).as("__rx1"), col(Y1).as("__ry1"),
+      col(X2).as("__rx2"), col(Y2).as("__ry2"))
+      .where(inProbeTiles(col(Tile)))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy(col(Tile)).orderBy(
+          xxhash64(col("__rx1"), col("__ry1"), col("__rx2"), col("__ry2")).asc,
+          col("__rx1").asc, col("__ry1").asc)))
+      .where(col("__pr") <= probeTileCap).drop("__pr")
+    val rtcJoin =
+      if (probeTiles.size.toLong * probeTileCap <= 1000000L) broadcast(rtc)
+      else rtc.hint("shuffle_hash")
     val lu = l.join(unsafeRadii, Seq(leftId))
       .withColumn("__ot", ownerTile(col(X1), col(Y1), col(X2), col(Y2)))
-    val probeRad = lu.select(col(leftId), col("__ot"), col(leftGeom))
+    // probe metric = envelope MAX distance (far corners), pure column
+    // arithmetic: an upper bound on the geometry distance per candidate,
+    // so the k-th smallest over ≥ k candidates upper-bounds the row's
+    // true k-th NN — exact for point data, looser only by geometry
+    // extents. Whole-stage codegen end-to-end: no WKB parse, no JTS
+    // DistanceOp (a per-pair UDF here measured µs-scale and, post-AQE
+    // coalesce, serialized the whole probe into a handful of tasks)
+    val mdx = greatest(col(X2) - col("__rx1"), col("__rx2") - col(X1))
+    val mdy = greatest(col(Y2) - col("__ry1"), col("__ry2") - col(Y1))
+    val probeRad = lu.select(col(leftId), col("__ot"),
+        col(X1), col(Y1), col(X2), col(Y2))
       .join(broadcast(probeDf), Seq("__ot"))
       .withColumn(Tile, col("__pt"))
-      .join(rtc.hint("shuffle_hash"), Seq(Tile))
-      .withColumn("__pd", pDist(col(leftGeom), col("__pg")))
-      .where(col("__pd").isNotNull)
+      .join(rtcJoin, Seq(Tile))
+      .withColumn("__pd", sqrt(mdx * mdx + mdy * mdy))
       .withColumn("__pk", row_number().over(
         Window.partitionBy(col(leftId)).orderBy(col("__pd").asc)))
       .where(col("__pk") === k)
@@ -759,11 +763,41 @@ object SpatialJoin {
         (col(X1) + col(X2)) / 2, (col(Y1) + col(Y2)) / 2, col("__ot")))
       .join(probeRad, Seq(leftId), "left")
       .withColumn(Rad, least(col(Rad), col("__rr") + halfDiag, col("__pd")))
+      // relative float slack: the probe radius is column sqrt(dx²+dy²)
+      // but pass-2 distances come from JTS (Math.hypot internally), which
+      // can land one ulp HIGHER for the very candidate that defined the
+      // radius — without the pad, that row's k-th neighbor fails d ≤ rad
+      // by 1 ulp and silently vanishes (caught by the sparse-region
+      // spec). Padding only ever ADMITS extra candidates; the exact rank
+      // filter drops them
+      .withColumn(Rad, col(Rad) + lit(1e-9) * (lit(1.0) + abs(col(Rad))))
       .drop("__ot", "__rr", "__pd")
       .withColumn(X1, col(X1) - col(Rad)).withColumn(Y1, col(Y1) - col(Rad))
       .withColumn(X2, col(X2) + col(Rad)).withColumn(Y2, col(Y2) + col(Rad))
+    // ball prune: a replica tile must lie within EUCLIDEAN distance rad of
+    // the row's ORIGINAL envelope (recovered as expanded ∓ rad), not just
+    // inside the expanded box — the box corners reach rad·√2 and, for a
+    // left far from a clustered right region, cover the WHOLE cluster
+    // while its k-ball (rad = exact probe k-th distance) grazes only the
+    // near edge. Loss-free because the emitting refpoint below is the
+    // nearest point of the right envelope to the left envelope:
+    // dist(ref, lEnv) = minDist(lEnv, rEnv) ≤ d(g1,g2) ≤ rad, so the
+    // refpoint's owner tile always survives this filter (1e-9 slack
+    // absorbs float rounding; slack only ADDS tiles). Measured in the
+    // knn2d 100× rehearsal: pass-2 shuffle 23 GB spill → bounded.
+    val ballReach = udf { (t: Int, ex1: Double, ey1: Double,
+                           ex2: Double, ey2: Double, rad: Double) =>
+      val b = bc.value.tileById(t).mbb
+      val ox1 = ex1 + rad; val oy1 = ey1 + rad
+      val ox2 = ex2 - rad; val oy2 = ey2 - rad
+      val dx = math.max(0.0, math.max(b.xmin - ox2, ox1 - b.xmax))
+      val dy = math.max(0.0, math.max(b.ymin - oy2, oy1 - b.ymax))
+      val r = rad + 1e-9
+      dx * dx + dy * dy <= r * r
+    }
     val lt2 = l2.withColumn(Tile, explode(tileIds(col(X1), col(Y1), col(X2), col(Y2))))
       .where(occFilter(col(Tile)))
+      .where(ballReach(col(Tile), col(X1), col(Y1), col(X2), col(Y2), col(Rad)))
     val rt2 = r.withColumn(Tile, explode(tileIds(col(X1), col(Y1), col(X2), col(Y2))))
     val lt2S = lt2.schema; val rt2S = rt2.schema
     val l2Tile = lt2S.fieldIndex(Tile); val r2Tile = rt2S.fieldIndex(Tile)
@@ -798,14 +832,42 @@ object SpatialJoin {
               val px1 = lrow.getDouble(l2Env(0)); val py1 = lrow.getDouble(l2Env(1))
               val px2 = lrow.getDouble(l2Env(2)); val py2 = lrow.getDouble(l2Env(3))
               val hits = tree.query(new Envelope(px1, px2, py1, py2))
+              // Euclidean envelope-gap rejection ahead of the JTS
+              // distance: the envelope query admits every right in the
+              // CHEBYSHEV box — for a left far from a clustered right
+      	      // region that is the whole tile, and most hits fail the
+              // Euclidean ball. gap(lEnv, rEnv) ≤ d(g1, g2) always, so
+              // rejecting on it is loss-free (1e-9 slack for rounding);
+              // each rejection saves a ~100× costlier DistanceOp.
+              val ox1 = px1 + rad; val oy1 = py1 + rad
+              val ox2 = px2 - rad; val oy2 = py2 - rad
+              val rSlack = rad + 1e-9; val rr2 = rSlack * rSlack
               val out = Vector.newBuilder[Row]
               var i = 0
               while (i < hits.size()) {
                 val (g2, rrow) = hits.get(i).asInstanceOf[(Geometry, Row)]
+                val gx = math.max(0.0, math.max(
+                  rrow.getDouble(r2Env(0)) - ox2, ox1 - rrow.getDouble(r2Env(2))))
+                val gy = math.max(0.0, math.max(
+                  rrow.getDouble(r2Env(1)) - oy2, oy1 - rrow.getDouble(r2Env(3))))
+                if (gx * gx + gy * gy > rr2) { i += 1 }
+                else {
                 val d = g1.distance(g2)
                 if (d <= rad) {
-                  val refx = math.max(px1, rrow.getDouble(r2Env(0)))
-                  val refy = math.max(py1, rrow.getDouble(r2Env(1)))
+                  // refpoint = nearest point of the RIGHT envelope to the
+                  // row's ORIGINAL envelope (overlap → its low edge, a
+                  // deterministic pair function): it lies in the right
+                  // envelope (tile is right-occupied) at
+                  // dist = minDist(lEnv, rEnv) ≤ d ≤ rad from the left
+                  // envelope, so its owner tile carries BOTH replicas
+                  // under the ball prune above — each qualifying pair is
+                  // emitted exactly once, by that tile
+                  val rx0 = rrow.getDouble(r2Env(0)); val ry0 = rrow.getDouble(r2Env(1))
+                  val rx1 = rrow.getDouble(r2Env(2)); val ry1 = rrow.getDouble(r2Env(3))
+                  val refx = if (rx0 > ox2) rx0 else if (rx1 < ox1) rx1
+                             else math.max(ox1, rx0)
+                  val refy = if (ry0 > oy2) ry0 else if (ry1 < oy1) ry1
+                             else math.max(oy1, ry0)
                   if (idx.refTile(refx, refy) == tile) {
                     val vals = new Array[Any](l2Keep.length + r2Keep.length + 2)
                     var a = 0
@@ -817,6 +879,7 @@ object SpatialJoin {
                   }
                 }
                 i += 1
+                }
               }
               out.result().iterator
             }

@@ -306,6 +306,32 @@ object SpatialJoin3d {
     col(c.xmin) <= col(c.xmax) && col(c.ymin) <= col(c.ymax) &&
       col(c.zmin) <= col(c.zmax)
 
+  /** Broadcast nested-loop exact kNN for tiny right sides: every left
+    * ranks the whole (broadcast) right relation; the rank filter compiles
+    * to WindowGroupLimit so the only exchange carries lefts × k rows.
+    * Emits the same schema, distances, ranks and tie order as [[knnCore]]
+    * (MBB gap distance, `rightId` tie-break), including the fewer-than-k
+    * behavior when the right side is smaller than k. */
+  private def bruteKnn(left: DataFrame, lc: Mbb3Cols, leftId: String,
+                       right: DataFrame, rc: Mbb3Cols, rightId: String,
+                       k: Int): DataFrame = {
+    def gap(lo1: String, hi1: String, lo2: String, hi2: String): Column =
+      greatest(col(lo1) - col(hi2), col(lo2) - col(hi1), lit(0.0))
+    val dx = gap(lc.xmin, lc.xmax, rc.xmin, rc.xmax)
+    val dy = gap(lc.ymin, lc.ymax, rc.ymin, rc.ymax)
+    val dz = gap(lc.zmin, lc.zmax, rc.zmin, rc.zmax)
+    val dist = sqrt(dx * dx + dy * dy + dz * dz)
+    val wRank = Window.partitionBy(col(leftId))
+      .orderBy(col("__d").asc, col(rightId).asc)
+    val outCols = (left.columns ++ right.columns).map(col).toIndexedSeq
+    left.where(wellFormed3(lc))
+      .crossJoin(broadcast(right.where(wellFormed3(rc))))
+      .withColumn("__d", dist)
+      .withColumn("__rk", row_number().over(wRank))
+      .where(col("__rk") <= k)
+      .select(outCols :+ col("__d").as("knn_dist") :+ col("__rk").as("knn_rank"): _*)
+  }
+
   /** The probe-then-bound kNN engine behind [[knnJoinMbb]] (uniform grid)
     * and [[knnJoinMbbOc]] (octree), parameterized over the tiling:
     * `ownerOf` maps a point to its owning cell, `cellsOf` maps a box to
@@ -320,6 +346,7 @@ object SpatialJoin3d {
                       cellsOf: (Column, Column, Column, Column, Column, Column) => Column,
                       plans: Map[Int, Long] => (Array[Double], Array[Array[Int]]),
                       diag: Double,
+                      cellBoxOf: Int => Array[Double],
                       delegate: Map[Int, Long] => Option[DataFrame] = _ => None,
                       broadcastRightMax: Long = BroadcastRightMax): DataFrame = {
     val spark = left.sparkSession
@@ -370,6 +397,28 @@ object SpatialJoin3d {
     val probeDf = probeSets.zipWithIndex
       .flatMap { case (cs, i) => cs.map(pc => (i, pc)) }.toSeq
       .toDF("__own", "__pcell")
+    // Probe candidates are CAPPED at max(k, 64) rights per probe cell
+    // (deterministic rank by rightId): Σ min(cap, cᵢ) ≥ min(cap, Σ cᵢ) ≥ k
+    // over any planned set (cap ≥ k; the plan guarantees Σ cᵢ ≥ k), so the
+    // k-th probe distance stays a valid per-row upper bound. This bounds
+    // the probe relation by cells × cap — tiling-, not data-sized — so
+    // past BroadcastRightMax it still broadcasts and the probe join never
+    // repartitions the lefts by cell; without it, every left in a sparse
+    // region probes the same few cluster cells and the shuffle-hash probe
+    // join collapses into one hot-cell straggler task (measured in the 2-D
+    // form, SCALE.md knn2d rehearsal — same fix as SpatialJoin's
+    // probeTileCap). The bound join below keeps the full rtc/rt relations.
+    val probeCells = probeSets.iterator.flatten.toSet
+    val probeCellCap = math.max(k, 64)
+    val rtcProbe = {
+      val capped = rtc
+        .where(col("__cell3").isInCollection(probeCells))
+        .withColumn("__pr", row_number().over(
+          Window.partitionBy(col("__cell3")).orderBy(col(rightId).asc)))
+        .where(col("__pr") <= probeCellCap).drop("__pr")
+      if (probeCells.size.toLong * probeCellCap <= 1000000L) broadcast(capped)
+      else rside(capped)
+    }
 
     // ---------------- probe: per-row radius from the planned cells
     val lOwn = lBase.withColumn("__own", ownerOf(
@@ -384,7 +433,7 @@ object SpatialJoin3d {
     val probed = lOwn.where(col("__hasprobe") === true)
       .join(broadcast(probeDf), Seq("__own"))
       .withColumn("__cell3", col("__pcell"))
-      .join(rside(rtc), Seq("__cell3"))
+      .join(rtcProbe, Seq("__cell3"))
       .withColumn("__d", dist)
       .withColumn("__rka", row_number().over(wRank))
       // exactly one row per left survives: its k-th probe candidate (the
@@ -402,19 +451,60 @@ object SpatialJoin3d {
       .withColumn("__ex1", col(lc.xmax) + col("__rad"))
       .withColumn("__ey1", col(lc.ymax) + col("__rad"))
       .withColumn("__ez1", col(lc.zmax) + col("__rad"))
+    // ball prune: a replica cell must lie within EUCLIDEAN distance rad of
+    // the row's ORIGINAL envelope, not just inside the expanded Chebyshev
+    // box — box corners reach rad·√3, and for a left far from a clustered
+    // right region the box covers the whole cluster while the k-ball
+    // (rad = exact k-th probe gap) grazes only its near face. Loss-free
+    // with the nearest-point refpoint below (2-D derivation at
+    // SpatialJoin's ballReach; here dist IS the envelope gap, so
+    // dist(ref, lEnv) = gap(lEnv, rEnv) = __d ≤ __rad exactly). The 1e-9
+    // slack absorbs float rounding and only ever ADDS cells.
+    val ballReach3 = udf { (c: Int, x0: Double, y0: Double, z0: Double,
+                            x1: Double, y1: Double, z1: Double, rad: Double) =>
+      val b = cellBoxOf(c)
+      val dx = math.max(0.0, math.max(b(0) - x1, x0 - b(3)))
+      val dy = math.max(0.0, math.max(b(1) - y1, y0 - b(4)))
+      val dz = math.max(0.0, math.max(b(2) - z1, z0 - b(5)))
+      val rr = rad + 1e-9
+      dx * dx + dy * dy + dz * dz <= rr * rr
+    }
     val lt2 = l2.withColumn("__cell3", explode(cellsOf(
-      col("__ex0"), col("__ey0"), col("__ez0"),
-      col("__ex1"), col("__ey1"), col("__ez1"))))
+        col("__ex0"), col("__ey0"), col("__ez0"),
+        col("__ex1"), col("__ey1"), col("__ez1"))))
+      .where(ballReach3(col("__cell3"),
+        col(lc.xmin), col(lc.ymin), col(lc.zmin),
+        col(lc.xmax), col(lc.ymax), col(lc.zmax), col("__rad")))
+    // past broadcast scale, also drop replicas into right-empty cells
+    // before they shuffle (ENVELOPE-occupied cells, one bounded distinct ≤
+    // cells; the broadcast branch skips the extra job — empty-cell lookups
+    // there are free hash misses, and lefts never repartition)
+    val lt2p =
+      if (rightRows <= broadcastRightMax) lt2
+      else {
+        val occ = rt.select(col("__cell3")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        val occBc = spark.sparkContext.broadcast(occ)
+        val occUdf = udf { (c: Int) => occBc.value.contains(c) }
+        lt2.where(occUdf(col("__cell3")))
+      }
     val outCols = (left.columns ++ right.columns).map(col).toIndexedSeq
-    lt2.join(rside(rt), Seq("__cell3"))
+    // refpoint = nearest point of the RIGHT envelope to the row's ORIGINAL
+    // left envelope (overlap → its low edge): lies in the right envelope,
+    // at gap(lEnv, rEnv) = __d ≤ __rad from the left envelope, so its
+    // owner cell carries BOTH replicas under the ball prune — each
+    // qualifying pair is emitted exactly once, by that cell
+    def refAxis(o0: String, o1: String, r0: String, r1: String): Column =
+      when(col(r0) > col(o1), col(r0))
+        .when(col(r1) < col(o0), col(r1))
+        .otherwise(greatest(col(o0), col(r0)))
+    lt2p.join(rside(rt), Seq("__cell3"))
       .withColumn("__d", dist)
       .where(col("__d") <= col("__rad"))
-      // refpoint dedup: emit only in the cell owning the min corner of
-      // (expanded left env ∩ right env) — both sides replicate there
       .where(col("__cell3") === ownerOf(
-        greatest(col("__ex0"), col(rc.xmin)),
-        greatest(col("__ey0"), col(rc.ymin)),
-        greatest(col("__ez0"), col(rc.zmin))))
+        refAxis(lc.xmin, lc.xmax, rc.xmin, rc.xmax),
+        refAxis(lc.ymin, lc.ymax, rc.ymin, rc.ymax),
+        refAxis(lc.zmin, lc.zmax, rc.zmin, rc.zmax)))
       .withColumn("__rk", row_number().over(wRank))
       .where(col("__rk") <= k)
       .select(outCols :+ col("__d").as("knn_dist") :+ col("__rk").as("knn_rank"): _*)
@@ -460,7 +550,8 @@ object SpatialJoin3d {
   def knnJoinMbb(left: DataFrame, lc: Mbb3Cols, leftId: String,
                  right: DataFrame, rc: Mbb3Cols, rightId: String, k: Int,
                  cellsPerAxis: Int = 8,
-                 broadcastRightMax: Long = BroadcastRightMax): DataFrame = {
+                 broadcastRightMax: Long = BroadcastRightMax,
+                 bruteRightMax: Int = 1024): DataFrame = {
     // 64³ = 262k cells bounds the driver-side count table and the
     // broadcast plan relation (~4 MB) — the same bounded-collect
     // discipline as the partitioners' driver samples
@@ -468,16 +559,37 @@ object SpatialJoin3d {
       "cellsPerAxis must be in [1,64]: the cell-plan table is cells^3")
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"column name collision between join sides: $dup")
+    // Tiny right sides skip the cell machinery entirely: a broadcast
+    // nested-loop with a per-left rank IS the optimal plan when every
+    // left would probe most of the right anyway — one broadcast, one
+    // O(lefts × k) rank exchange, no planning agg, no probe/bound joins
+    // (the 2-D knnJoinExact makes the same size-based split via
+    // knnBroadcastThreshold). Detection is a limit-probe scan, not a
+    // count — O(bruteRightMax) rows from one input split.
+    if (bruteRightMax > 0 &&
+        right.select(rightId).limit(bruteRightMax + 1).count() <= bruteRightMax)
+      return bruteKnn(left, lc, leftId, right, rc, rightId, k)
     val n = cellsPerAxis
     val sp = space(left, lc, right, rc)
     val spans = Array(sp(3) - sp(0), sp(4) - sp(1), sp(5) - sp(2))
     val diag = math.sqrt(spans.map(s => s * s).sum)
+    // cell box from the composite id ((ix*n)+iy)*n+iz — same width
+    // arithmetic (MIN_NORMAL span guard) as cellOf/cellIdsExpr
+    val wx = math.max(spans(0), java.lang.Double.MIN_NORMAL) / n
+    val wy = math.max(spans(1), java.lang.Double.MIN_NORMAL) / n
+    val wz = math.max(spans(2), java.lang.Double.MIN_NORMAL) / n
+    val s0 = sp(0); val s1 = sp(1); val s2 = sp(2)
     knnCore(left, lc, leftId, right, rc, rightId, k,
       ownerOf = (x, y, z) => cellOf(x, y, z, sp, n),
       cellsOf = (x0, y0, z0, x1, y1, z1) =>
         cellIdsExpr(x0, y0, z0, x1, y1, z1, sp, n),
       plans = counts => cellPlans(counts, sp, n, k, diag),
       diag = diag,
+      cellBoxOf = { c =>
+        val iz = c % n; val iy = (c / n) % n; val ix = c / (n * n)
+        Array(s0 + ix * wx, s1 + iy * wy, s2 + iz * wz,
+              s0 + (ix + 1) * wx, s1 + (iy + 1) * wy, s2 + (iz + 1) * wz)
+      },
       // grid cells are fixed-size, so when the right side concentrates in
       // few cells the probe phase degenerates to a near-full scan per
       // starved left (measured: a cluster filling 1e-6 of the space puts
@@ -564,6 +676,7 @@ object SpatialJoin3d {
       cellsOf = (x0, y0, z0, x1, y1, z1) => cellsUdf(x0, y0, z0, x1, y1, z1),
       plans = counts => boxPlans(tree.leafBoxes, counts, k, diag),
       diag = diag,
+      cellBoxOf = (c: Int) => bc.value.leafBoxes(c),
       broadcastRightMax = broadcastRightMax)
   }
 

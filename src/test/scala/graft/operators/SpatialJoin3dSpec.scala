@@ -80,13 +80,20 @@ class SpatialJoin3dSpec extends SparkTestBase {
       }.sortBy { case (_, bid, d) => (d, bid) }.take(3)
         .zipWithIndex.map { case ((aid, bid, _), i) => (aid, bid, i + 1) }
     }.toSet
+    // bruteRightMax = 0 pins the cell machinery: spec-sized rights would
+    // otherwise take the tiny-right broadcast nested-loop shortcut
     Seq(1, 4, 8).foreach { cells =>
       val got = SpatialJoin3d.knnJoinMbb(a, lc, "aid", b, rc, "bid", k = 3,
-          cellsPerAxis = cells)
+          cellsPerAxis = cells, bruteRightMax = 0)
         .select("aid", "bid", "knn_rank").as[(Long, Long, Int)].collect()
       assert(got.length == want.size, s"row count at cells=$cells")
       assert(got.toSet == want, s"kNN mismatch at cells=$cells")
     }
+    // the tiny-right brute branch (default bruteRightMax admits 300
+    // rights) answers identically
+    val gotBr = SpatialJoin3d.knnJoinMbb(a, lc, "aid", b, rc, "bid", k = 3)
+      .select("aid", "bid", "knn_rank").as[(Long, Long, Int)].collect()
+    assert(gotBr.toSet == want, "brute branch kNN mismatch")
     // octree tiling: same exact answer at several leaf capacities,
     // including a cap so small the tree bottoms out at maxDepth and a cap
     // so large the tree is a single root leaf
@@ -101,7 +108,7 @@ class SpatialJoin3dSpec extends SparkTestBase {
     // forces the cell-partitioned shuffle-hash path (the 100 TB branch
     // the default broadcast threshold would skip on spec-sized rights)
     val gotSh = SpatialJoin3d.knnJoinMbb(a, lc, "aid", b, rc, "bid", k = 3,
-        cellsPerAxis = 4, broadcastRightMax = 0L)
+        cellsPerAxis = 4, broadcastRightMax = 0L, bruteRightMax = 0)
       .select("aid", "bid", "knn_rank").as[(Long, Long, Int)].collect()
     assert(gotSh.toSet == want, "shuffle-hash branch kNN mismatch")
   }
@@ -112,10 +119,16 @@ class SpatialJoin3dSpec extends SparkTestBase {
     val b = Seq((10L, 5.0, 0.0, 0.0, 6.0, 1.0, 1.0),
                 (11L, 9.0, 0.0, 0.0, 9.5, 1.0, 1.0))
       .toDF("bid", "bx0", "by0", "bz0", "bx1", "by1", "bz1")
+    // default params: the tiny-right brute branch handles rights < k
     val got = SpatialJoin3d.knnJoinMbb(a, lc, "aid", b, rc, "bid", k = 5,
         cellsPerAxis = 4)
       .select("bid", "knn_rank").as[(Long, Int)].collect().toSet
     assert(got == Set((10L, 1), (11L, 2)))
+    // the cell machinery's rights-smaller-than-k behavior is identical
+    val gotCell = SpatialJoin3d.knnJoinMbb(a, lc, "aid", b, rc, "bid", k = 5,
+        cellsPerAxis = 4, bruteRightMax = 0)
+      .select("bid", "knn_rank").as[(Long, Int)].collect().toSet
+    assert(gotCell == Set((10L, 1), (11L, 2)))
   }
 
   test("normalized maps the space envelope to the unit cube") {
