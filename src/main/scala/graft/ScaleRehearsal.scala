@@ -191,15 +191,33 @@ object ScaleRehearsal {
     // than the clustered rights (99% of owner tiles right-empty — the
     // sparse-region class whose pass-2 radius used to be the space
     // diagonal). knnBroadcastThreshold=0 forces the tiled two-pass path.
-    if (mode == "knn2d") {
+    if (mode == "knn2d" || mode == "knn2dqt" || mode == "knn2dfg") {
       import graft.operators.SpatialJoin
+      // nBoxes scales the shape (6000000 = the canonical 100x run: 1.5M
+      // lefts / 360k rights); an optional 4th arg "stages" prints per-stage
+      // wall times >1 s for hot-stage attribution at reduced scale
+      val nL = nBoxes / 4
+      val nR = nBoxes * 3 / 50
+      if (args.length > 3 && args(3) == "stages")
+        spark.sparkContext.addSparkListener(new SparkListener {
+          override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+            val si = s.stageInfo
+            val ms = (for { a <- si.submissionTime; b <- si.completionTime }
+              yield b - a).getOrElse(-1L)
+            if (ms > 1000) {
+              val run = si.taskMetrics.executorRunTime
+              val site = si.details.linesIterator.toSeq.headOption.getOrElse("")
+              println(f"[stage] ${si.stageId}%4d ${ms / 1e3}%7.1f s  cpuSum=${run / 1e3}%8.1f s  tasks=${si.numTasks}%4d  $site")
+            }
+          }
+        })
       def u(salt: Int, m: Long) =
         pmod(xxhash64(col("id"), lit(salt)), lit(m)).cast("double")
-      val lefts = spark.range(1500000L)
+      val lefts = spark.range(nL)
         .select(col("id").as("id1"),
           (u(11, 300000) / 100.0).as("x"), (u(12, 300000) / 100.0).as("y"))
         .select(col("id1"), st_makebox(col("x"), col("y"), col("x"), col("y")).as("g1"))
-      val rights = spark.range(360000L)
+      val rights = spark.range(nR)
         .select(col("id").as("id2"),
           (u(13, 30000) / 100.0).as("x"), (u(14, 30000) / 100.0).as("y"))
         .select(col("id2"), st_makebox(col("x"), col("y"), col("x"), col("y")).as("g2"))
@@ -207,11 +225,16 @@ object ScaleRehearsal {
       // rights land in 1-2 uniform tiles (~180k rows each), every starved
       // left pairs with the whole tile — killed at 17 min. The adaptive
       // forms below are the supported configurations for clustered rights.
-      for ((label, cfg) <- Seq(
-          ("qt_b2000", SpatialJoin.Config(partitioner = "qt", bucket = 2000,
-            knnBroadcastThreshold = 0)),
-          ("fg_twoLevel_b2000", SpatialJoin.Config(bucket = 2000, twoLevel = true,
-            knnBroadcastThreshold = 0)))) {
+      val configs = Seq(
+        ("qt_b2000", SpatialJoin.Config(partitioner = "qt", bucket = 2000,
+          knnBroadcastThreshold = 0)),
+        ("fg_twoLevel_b2000", SpatialJoin.Config(bucket = 2000, twoLevel = true,
+          knnBroadcastThreshold = 0)))
+      val picked =
+        if (mode == "knn2dqt") configs.take(1)
+        else if (mode == "knn2dfg") configs.drop(1)
+        else configs
+      for ((label, cfg) <- picked) {
         val n = timed(s"knn2d_ring[$label]") {
           SpatialJoin.knnJoinExact(lefts, "g1", "id1", rights, "g2", k = 3,
             tieBreak = Seq("id2"), cfg = cfg).count()

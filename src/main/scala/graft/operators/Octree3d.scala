@@ -72,6 +72,34 @@ object Octree3d {
       }
       out.toArray
     }
+
+    /** All leaves within EUCLIDEAN distance `rad` (+1e-9 rounding slack)
+      * of the query box — branch-and-bound on the node-box envelope gap,
+      * so whole subtrees outside the ball prune without visiting their
+      * leaves. A superset-of-ball / subset-of-[[leavesFor]]-over-the-
+      * expanded-box relation holds: every leaf with gap ≤ rad is
+      * returned; leaves at gap ∈ (rad, rad+1e-9] may be. */
+    def leavesWithinBall(x0: Double, y0: Double, z0: Double,
+                         x1: Double, y1: Double, z1: Double,
+                         rad: Double): Array[Int] = {
+      val rr = rad + 1e-9; val rr2 = rr * rr
+      val out = new ArrayBuffer[Int]
+      val stack = new ArrayBuffer[Int]
+      stack += 0
+      while (stack.nonEmpty) {
+        val node = stack.remove(stack.length - 1)
+        val b = boxes(node)
+        val dx = math.max(0.0, math.max(b(0) - x1, x0 - b(3)))
+        val dy = math.max(0.0, math.max(b(1) - y1, y0 - b(4)))
+        val dz = math.max(0.0, math.max(b(2) - z1, z0 - b(5)))
+        if (dx * dx + dy * dy + dz * dz <= rr2) {
+          val cb = childBase(node)
+          if (cb < 0) out += leafOrd(node)
+          else { var c = 0; while (c < 8) { stack += cb + c; c += 1 } }
+        }
+      }
+      out.toArray
+    }
   }
 
   /** Build from sample points (each an (x,y,z) triple) over `rootBox`

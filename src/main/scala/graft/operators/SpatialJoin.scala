@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.locationtech.jts.geom.{Envelope, Geometry}
-import org.locationtech.jts.index.strtree.STRtree
+import org.locationtech.jts.index.strtree.{AbstractNode, Boundable, ItemBoundable, STRtree}
 
 import graft.core.{GeometryCodec, Mbb, TileBoundary}
 import graft.functions.{st_envelope, st_geomfromwkt}
@@ -751,8 +751,26 @@ object SpatialJoin {
     val envOccupied = r
       .select(explode(tileIds(col(X1), col(Y1), col(X2), col(Y2))).as("__t"))
       .distinct().collect().map(_.getInt(0)).toSet
-    val envOccBc = spark.sparkContext.broadcast(envOccupied)
-    val occFilter = udf { (t: Int) => envOccBc.value.contains(t) }
+    // …and the pruning happens INSIDE the enumeration: an STRtree over just
+    // the occupied tile boundaries (tiny — bounded by the tiling), walked
+    // with a branch-and-bound on the EUCLIDEAN gap to the row's ORIGINAL
+    // envelope. One UDF call per left row replaces explode-all-box-tiles +
+    // occupied-filter + ball-filter (three per-replica calls over ~every
+    // tile intersecting the expanded box — for a far left in a sparse
+    // space that box covers most of the tiling, while its ball grazes a
+    // handful of cluster-edge tiles; measured as the map-side hot stages
+    // of the knn2d 100× rehearsal).
+    val occTree = {
+      val t = new STRtree()
+      envOccupied.foreach { id =>
+        val m = index.tileById(id).mbb
+        t.insert(new Envelope(m.xmin, m.xmax, m.ymin, m.ymax), Integer.valueOf(id))
+      }
+      t.build()
+      t
+    }
+    val occTreeBc = spark.sparkContext.broadcast(occTree)
+    val occEmpty = envOccupied.isEmpty
 
     // ---------------- pass 2: radius-bounded candidate join on the
     // remainder. Radius = min(k-th local distance/cap, per-row ring bound
@@ -785,22 +803,74 @@ object SpatialJoin {
     // refpoint's owner tile always survives this filter (1e-9 slack
     // absorbs float rounding; slack only ADDS tiles). Measured in the
     // knn2d 100× rehearsal: pass-2 shuffle 23 GB spill → bounded.
-    val ballReach = udf { (t: Int, ex1: Double, ey1: Double,
+    val ballTiles = udf { (ex1: Double, ey1: Double,
                            ex2: Double, ey2: Double, rad: Double) =>
-      val b = bc.value.tileById(t).mbb
       val ox1 = ex1 + rad; val oy1 = ey1 + rad
       val ox2 = ex2 - rad; val oy2 = ey2 - rad
-      val dx = math.max(0.0, math.max(b.xmin - ox2, ox1 - b.xmax))
-      val dy = math.max(0.0, math.max(b.ymin - oy2, oy1 - b.ymax))
-      val r = rad + 1e-9
-      dx * dx + dy * dy <= r * r
+      val rr = rad + 1e-9; val rr2 = rr * rr
+      val out = new scala.collection.mutable.ArrayBuilder.ofInt
+      def visit(b: Boundable): Unit = {
+        val e = b.getBounds.asInstanceOf[Envelope]
+        val dx = math.max(0.0, math.max(e.getMinX - ox2, ox1 - e.getMaxX))
+        val dy = math.max(0.0, math.max(e.getMinY - oy2, oy1 - e.getMaxY))
+        if (dx * dx + dy * dy <= rr2) b match {
+          case n: AbstractNode =>
+            val cs = n.getChildBoundables
+            var j = 0
+            while (j < cs.size()) { visit(cs.get(j).asInstanceOf[Boundable]); j += 1 }
+          case it: ItemBoundable =>
+            out += it.getItem.asInstanceOf[Integer].intValue
+        }
+      }
+      if (!occEmpty) visit(occTreeBc.value.getRoot)
+      out.result()
     }
-    val lt2 = l2.withColumn(Tile, explode(tileIds(col(X1), col(Y1), col(X2), col(Y2))))
-      .where(occFilter(col(Tile)))
-      .where(ballReach(col(Tile), col(X1), col(Y1), col(X2), col(Y2), col(Rad)))
+    // pass-2 hot-key sharding: under clustered rights, ~every starved left
+    // replicates to the same few cluster-edge tiles, so the plain tile key
+    // skews the cogroup into a handful of straggler tasks (measured in the
+    // knn2d 100× rehearsal: 872 s of pass-2 CPU, one task holding 570 s
+    // of it — the corner tiles facing the bulk of the sparse lefts carry
+    // ~everything). Composite (tile, shard) keys — the spjoin path's
+    // probeKeys/buildKeys protocol — spread it: each LEFT picks one shard
+    // by content hash of its id, rights replicate to every shard of each
+    // tile they touch. Shard counts are ADAPTIVE, from the exact per-tile
+    // replica loads: the radius-resolved left relation is persisted (it is
+    // consumed again by the cogroup below — without the persist the whole
+    // probe phase would recompute) and one bounded aggregate (≤ occupied
+    // tiles rows) prices each tile at ceil(load / target), so uniform data
+    // keeps 1 shard everywhere and pays only the counting scan, while a
+    // hot corner tile splits ∝ its measured load up to MaxShards.
+    val CKey = "__ck"
+    val l2p = l2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ballTilesCol =
+      ballTiles(col(X1), col(Y1), col(X2), col(Y2), col(Rad))
+    val tileLoads = l2p.select(explode(ballTilesCol).as(Tile))
+      .groupBy(col(Tile)).agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val shardOf: Map[Int, Int] = {
+      val sp = spark.sessionState.conf.numShufflePartitions
+      val target = math.max(20000L, tileLoads.valuesIterator.sum / (4L * sp))
+      tileLoads.map { case (t, c) =>
+        t -> math.min(TileIndex.MaxShards.toLong,
+          math.max(1L, (c + target - 1) / target)).toInt
+      }
+    }
+    val shardOfBc = spark.sparkContext.broadcast(shardOf)
+    val lShardKey = udf { (t: Int, h: Long) =>
+      val s = shardOfBc.value.getOrElse(t, 1)
+      t.toLong * TileIndex.MaxShards +
+        (if (s <= 1) 0L else java.lang.Long.remainderUnsigned(h, s))
+    }
+    val rShardKeys = udf { (t: Int) =>
+      val s = shardOfBc.value.getOrElse(t, 1)
+      Array.tabulate(s)(i => t.toLong * TileIndex.MaxShards + i)
+    }
+    val lt2 = l2p.withColumn(Tile, explode(ballTilesCol))
+      .withColumn(CKey, lShardKey(col(Tile), xxhash64(col(leftId))))
     val rt2 = r.withColumn(Tile, explode(tileIds(col(X1), col(Y1), col(X2), col(Y2))))
+      .withColumn(CKey, explode(rShardKeys(col(Tile))))
     val lt2S = lt2.schema; val rt2S = rt2.schema
-    val l2Tile = lt2S.fieldIndex(Tile); val r2Tile = rt2S.fieldIndex(Tile)
+    val l2Key = lt2S.fieldIndex(CKey); val r2Key = rt2S.fieldIndex(CKey)
     val l2Geom = lt2S.fieldIndex(leftGeom); val r2Geom = rt2S.fieldIndex(rightGeom)
     val l2Env = Seq(X1, Y1, X2, Y2).map(lt2S.fieldIndex)
     val r2Env = Seq(X1, Y1, X2, Y2).map(rt2S.fieldIndex)
@@ -808,8 +878,10 @@ object SpatialJoin {
     val l2Keep = lOutCols.map(lt2S.fieldIndex)
     val r2Keep = rOutCols.map(rt2S.fieldIndex)
 
-    val cands = lt2.groupByKey(_.getInt(l2Tile))
-      .cogroup(rt2.groupByKey(_.getInt(r2Tile))) { (tile, ls, rs) =>
+    implicit val longEnc = Encoders.scalaLong
+    val cands = lt2.groupByKey(_.getLong(l2Key))
+      .cogroup(rt2.groupByKey(_.getLong(r2Key))) { (key, ls, rs) =>
+        val tile = (key / TileIndex.MaxShards).toInt
         val tree = new STRtree()
         var rCount = 0
         rs.foreach { row =>
@@ -831,56 +903,61 @@ object SpatialJoin {
               val rad = lrow.getDouble(radIdx)
               val px1 = lrow.getDouble(l2Env(0)); val py1 = lrow.getDouble(l2Env(1))
               val px2 = lrow.getDouble(l2Env(2)); val py2 = lrow.getDouble(l2Env(3))
-              val hits = tree.query(new Envelope(px1, px2, py1, py2))
-              // Euclidean envelope-gap rejection ahead of the JTS
-              // distance: the envelope query admits every right in the
-              // CHEBYSHEV box — for a left far from a clustered right
-      	      // region that is the whole tile, and most hits fail the
-              // Euclidean ball. gap(lEnv, rEnv) ≤ d(g1, g2) always, so
-              // rejecting on it is loss-free (1e-9 slack for rounding);
-              // each rejection saves a ~100× costlier DistanceOp.
+              // ball-bounded branch-and-bound over the tile tree: descend
+              // only nodes whose EUCLIDEAN envelope gap to the row's
+              // ORIGINAL envelope is ≤ rad. A Chebyshev-box query here
+              // admitted every right in the expanded box — for a far left
+              // whose ball grazes a clustered region that is ~the whole
+              // tile, each hit paying a per-item gap check (the pass-2
+      	      // cogroup was the hottest stage of the knn2d 100×
+              // rehearsal); the bound prunes whole subtrees instead.
+              // gap(lEnv, rEnv) ≤ d(g1, g2) always, so pruning on it is
+              // loss-free (1e-9 slack for rounding); each rejected item
+              // also saves a ~100× costlier DistanceOp.
               val ox1 = px1 + rad; val oy1 = py1 + rad
               val ox2 = px2 - rad; val oy2 = py2 - rad
               val rSlack = rad + 1e-9; val rr2 = rSlack * rSlack
               val out = Vector.newBuilder[Row]
-              var i = 0
-              while (i < hits.size()) {
-                val (g2, rrow) = hits.get(i).asInstanceOf[(Geometry, Row)]
-                val gx = math.max(0.0, math.max(
-                  rrow.getDouble(r2Env(0)) - ox2, ox1 - rrow.getDouble(r2Env(2))))
-                val gy = math.max(0.0, math.max(
-                  rrow.getDouble(r2Env(1)) - oy2, oy1 - rrow.getDouble(r2Env(3))))
-                if (gx * gx + gy * gy > rr2) { i += 1 }
-                else {
-                val d = g1.distance(g2)
-                if (d <= rad) {
-                  // refpoint = nearest point of the RIGHT envelope to the
-                  // row's ORIGINAL envelope (overlap → its low edge, a
-                  // deterministic pair function): it lies in the right
-                  // envelope (tile is right-occupied) at
-                  // dist = minDist(lEnv, rEnv) ≤ d ≤ rad from the left
-                  // envelope, so its owner tile carries BOTH replicas
-                  // under the ball prune above — each qualifying pair is
-                  // emitted exactly once, by that tile
-                  val rx0 = rrow.getDouble(r2Env(0)); val ry0 = rrow.getDouble(r2Env(1))
-                  val rx1 = rrow.getDouble(r2Env(2)); val ry1 = rrow.getDouble(r2Env(3))
-                  val refx = if (rx0 > ox2) rx0 else if (rx1 < ox1) rx1
-                             else math.max(ox1, rx0)
-                  val refy = if (ry0 > oy2) ry0 else if (ry1 < oy1) ry1
-                             else math.max(oy1, ry0)
-                  if (idx.refTile(refx, refy) == tile) {
-                    val vals = new Array[Any](l2Keep.length + r2Keep.length + 2)
-                    var a = 0
-                    while (a < l2Keep.length) { vals(a) = lrow.get(l2Keep(a)); a += 1 }
-                    var b = 0
-                    while (b < r2Keep.length) { vals(a + b) = rrow.get(r2Keep(b)); b += 1 }
-                    vals(a + b) = d; vals(a + b + 1) = 0
-                    out += Row.fromSeq(vals.toIndexedSeq)
-                  }
-                }
-                i += 1
+              def visit(node: Boundable): Unit = {
+                val e = node.getBounds.asInstanceOf[Envelope]
+                val gx = math.max(0.0, math.max(e.getMinX - ox2, ox1 - e.getMaxX))
+                val gy = math.max(0.0, math.max(e.getMinY - oy2, oy1 - e.getMaxY))
+                if (gx * gx + gy * gy <= rr2) node match {
+                  case n: AbstractNode =>
+                    val cs = n.getChildBoundables
+                    var j = 0
+                    while (j < cs.size()) { visit(cs.get(j).asInstanceOf[Boundable]); j += 1 }
+                  case item: ItemBoundable =>
+                    val (g2, rrow) = item.getItem.asInstanceOf[(Geometry, Row)]
+                    val d = g1.distance(g2)
+                    if (d <= rad) {
+                      // refpoint = nearest point of the RIGHT envelope to
+                      // the row's ORIGINAL envelope (overlap → its low
+                      // edge, a deterministic pair function): it lies in
+                      // the right envelope (tile is right-occupied) at
+                      // dist = minDist(lEnv, rEnv) ≤ d ≤ rad from the left
+                      // envelope, so its owner tile carries BOTH replicas
+                      // under the ball prune above — each qualifying pair
+                      // is emitted exactly once, by that tile
+                      val rx0 = rrow.getDouble(r2Env(0)); val ry0 = rrow.getDouble(r2Env(1))
+                      val rx1 = rrow.getDouble(r2Env(2)); val ry1 = rrow.getDouble(r2Env(3))
+                      val refx = if (rx0 > ox2) rx0 else if (rx1 < ox1) rx1
+                                 else math.max(ox1, rx0)
+                      val refy = if (ry0 > oy2) ry0 else if (ry1 < oy1) ry1
+                                 else math.max(oy1, ry0)
+                      if (idx.refTile(refx, refy) == tile) {
+                        val vals = new Array[Any](l2Keep.length + r2Keep.length + 2)
+                        var a = 0
+                        while (a < l2Keep.length) { vals(a) = lrow.get(l2Keep(a)); a += 1 }
+                        var b = 0
+                        while (b < r2Keep.length) { vals(a + b) = rrow.get(r2Keep(b)); b += 1 }
+                        vals(a + b) = d; vals(a + b + 1) = 0
+                        out += Row.fromSeq(vals.toIndexedSeq)
+                      }
+                    }
                 }
               }
+              visit(tree.getRoot)
               out.result().iterator
             }
           }
@@ -895,7 +972,7 @@ object SpatialJoin {
       .withColumn("knn_rank",
         row_number().over(Window.partitionBy(col(leftId)).orderBy(order: _*)))
       .where(col("knn_rank") <= k)
-    graft.core.CacheHygiene.unpersistAfterUse(safe.unionByName(pass2), Seq(p1))
+    graft.core.CacheHygiene.unpersistAfterUse(safe.unionByName(pass2), Seq(p1, l2p))
   }
 
   /** J13 bounded-distance kNN (the reference's st_nearest,

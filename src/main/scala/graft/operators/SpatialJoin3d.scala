@@ -335,18 +335,23 @@ object SpatialJoin3d {
   /** The probe-then-bound kNN engine behind [[knnJoinMbb]] (uniform grid)
     * and [[knnJoinMbbOc]] (octree), parameterized over the tiling:
     * `ownerOf` maps a point to its owning cell, `cellsOf` maps a box to
-    * every cell it replicates to, `plans` turns exact right-center-per-
-    * cell counts into per-cell (fallback radius, probe set) tables.
+    * every cell it replicates to, `ballCellsOf` maps a box plus a radius
+    * to every cell within EUCLIDEAN distance rad of the box (a subset of
+    * `cellsOf` over the rad-expanded box; MAY over-include cells at gap ∈
+    * (rad, rad+ε] — extra replicas only cost, never change, the result),
+    * `plans` turns exact right-center-per-cell counts into per-cell
+    * (fallback radius, probe set) tables.
     * Correctness needs only: cells partition ownership deterministically,
-    * `ownerOf(p)` ∈ `cellsOf(box)` for every p ∈ box, and probe sets hold
+    * `ownerOf(p)` ∈ `cellsOf(box)` for every p ∈ box, `ballCellsOf`
+    * includes every cell within rad of the box, and probe sets hold
     * ≥ k right centers per the same counts. */
   private def knnCore(left: DataFrame, lc: Mbb3Cols, leftId: String,
                       right: DataFrame, rc: Mbb3Cols, rightId: String, k: Int,
                       ownerOf: (Column, Column, Column) => Column,
                       cellsOf: (Column, Column, Column, Column, Column, Column) => Column,
+                      ballCellsOf: (Column, Column, Column, Column, Column, Column, Column) => Column,
                       plans: Map[Int, Long] => (Array[Double], Array[Array[Int]]),
                       diag: Double,
-                      cellBoxOf: Int => Array[Double],
                       delegate: Map[Int, Long] => Option[DataFrame] = _ => None,
                       broadcastRightMax: Long = BroadcastRightMax): DataFrame = {
     val spark = left.sparkSession
@@ -445,36 +450,20 @@ object SpatialJoin3d {
 
     // ---------------- bound: radius join, refpoint dedup, exact rank
     val l2 = probed.unionByName(fallback)
-      .withColumn("__ex0", col(lc.xmin) - col("__rad"))
-      .withColumn("__ey0", col(lc.ymin) - col("__rad"))
-      .withColumn("__ez0", col(lc.zmin) - col("__rad"))
-      .withColumn("__ex1", col(lc.xmax) + col("__rad"))
-      .withColumn("__ey1", col(lc.ymax) + col("__rad"))
-      .withColumn("__ez1", col(lc.zmax) + col("__rad"))
-    // ball prune: a replica cell must lie within EUCLIDEAN distance rad of
-    // the row's ORIGINAL envelope, not just inside the expanded Chebyshev
-    // box — box corners reach rad·√3, and for a left far from a clustered
-    // right region the box covers the whole cluster while the k-ball
-    // (rad = exact k-th probe gap) grazes only its near face. Loss-free
-    // with the nearest-point refpoint below (2-D derivation at
-    // SpatialJoin's ballReach; here dist IS the envelope gap, so
-    // dist(ref, lEnv) = gap(lEnv, rEnv) = __d ≤ __rad exactly). The 1e-9
-    // slack absorbs float rounding and only ever ADDS cells.
-    val ballReach3 = udf { (c: Int, x0: Double, y0: Double, z0: Double,
-                            x1: Double, y1: Double, z1: Double, rad: Double) =>
-      val b = cellBoxOf(c)
-      val dx = math.max(0.0, math.max(b(0) - x1, x0 - b(3)))
-      val dy = math.max(0.0, math.max(b(1) - y1, y0 - b(4)))
-      val dz = math.max(0.0, math.max(b(2) - z1, z0 - b(5)))
-      val rr = rad + 1e-9
-      dx * dx + dy * dy + dz * dz <= rr * rr
-    }
-    val lt2 = l2.withColumn("__cell3", explode(cellsOf(
-        col("__ex0"), col("__ey0"), col("__ez0"),
-        col("__ex1"), col("__ey1"), col("__ez1"))))
-      .where(ballReach3(col("__cell3"),
-        col(lc.xmin), col(lc.ymin), col(lc.zmin),
-        col(lc.xmax), col(lc.ymax), col(lc.zmax), col("__rad")))
+    // ball-pruned replication in ONE enumeration: the tiling enumerates
+    // only cells within EUCLIDEAN distance rad of the row's ORIGINAL
+    // envelope — not every cell of the rad-expanded Chebyshev box (whose
+    // corners reach rad·√3 and, for a left far from a clustered right
+    // region, cover the whole cluster while the k-ball grazes only its
+    // near face; before the fusion each excess cell also paid its own
+    // per-replica filter call). Loss-free with the nearest-point refpoint
+    // below (2-D derivation at SpatialJoin's ballTiles; here dist IS the
+    // envelope gap, so dist(ref, lEnv) = gap(lEnv, rEnv) = __d ≤ __rad
+    // exactly). The enumerators pad rad by 1e-9 to absorb float rounding,
+    // which only ever ADDS cells.
+    val lt2 = l2.withColumn("__cell3", explode(ballCellsOf(
+      col(lc.xmin), col(lc.ymin), col(lc.zmin),
+      col(lc.xmax), col(lc.ymax), col(lc.zmax), col("__rad"))))
     // past broadcast scale, also drop replicas into right-empty cells
     // before they shuffle (ENVELOPE-occupied cells, one bounded distinct ≤
     // cells; the broadcast branch skips the extra job — empty-cell lookups
@@ -579,17 +568,52 @@ object SpatialJoin3d {
     val wy = math.max(spans(1), java.lang.Double.MIN_NORMAL) / n
     val wz = math.max(spans(2), java.lang.Double.MIN_NORMAL) / n
     val s0 = sp(0); val s1 = sp(1); val s2 = sp(2)
+    // ball-bounded cell enumeration: walk the clamped per-axis cell ranges
+    // of the rad-expanded box, emitting only cells whose Euclidean gap to
+    // the ORIGINAL box is ≤ rad (+1e-9 rounding slack) — axis-major with
+    // early prefix pruning, one UDF call per row instead of
+    // explode-all-box-cells + a per-replica ball filter
+    val ballCellsUdf = udf { (x0: Double, y0: Double, z0: Double,
+                              x1: Double, y1: Double, z1: Double, rad: Double) =>
+      val rr = rad + 1e-9; val rr2 = rr * rr
+      def lo(v: Double, smin: Double, w: Double) =
+        math.max(0, math.min(n - 1, math.floor((v - smin) / w).toInt))
+      val ix0 = lo(x0 - rad, s0, wx); val ix1 = lo(x1 + rad, s0, wx)
+      val iy0 = lo(y0 - rad, s1, wy); val iy1 = lo(y1 + rad, s1, wy)
+      val iz0 = lo(z0 - rad, s2, wz); val iz1 = lo(z1 + rad, s2, wz)
+      val out = new scala.collection.mutable.ArrayBuilder.ofInt
+      var ix = ix0
+      while (ix <= ix1) {
+        val dx = math.max(0.0, math.max(s0 + ix * wx - x1, x0 - (s0 + (ix + 1) * wx)))
+        val dx2 = dx * dx
+        if (dx2 <= rr2) {
+          var iy = iy0
+          while (iy <= iy1) {
+            val dy = math.max(0.0, math.max(s1 + iy * wy - y1, y0 - (s1 + (iy + 1) * wy)))
+            val dxy2 = dx2 + dy * dy
+            if (dxy2 <= rr2) {
+              var iz = iz0
+              while (iz <= iz1) {
+                val dz = math.max(0.0, math.max(s2 + iz * wz - z1, z0 - (s2 + (iz + 1) * wz)))
+                if (dxy2 + dz * dz <= rr2) out += (ix * n + iy) * n + iz
+                iz += 1
+              }
+            }
+            iy += 1
+          }
+        }
+        ix += 1
+      }
+      out.result()
+    }
     knnCore(left, lc, leftId, right, rc, rightId, k,
       ownerOf = (x, y, z) => cellOf(x, y, z, sp, n),
       cellsOf = (x0, y0, z0, x1, y1, z1) =>
         cellIdsExpr(x0, y0, z0, x1, y1, z1, sp, n),
+      ballCellsOf = (x0, y0, z0, x1, y1, z1, rad) =>
+        ballCellsUdf(x0, y0, z0, x1, y1, z1, rad),
       plans = counts => cellPlans(counts, sp, n, k, diag),
       diag = diag,
-      cellBoxOf = { c =>
-        val iz = c % n; val iy = (c / n) % n; val ix = c / (n * n)
-        Array(s0 + ix * wx, s1 + iy * wy, s2 + iz * wz,
-              s0 + (ix + 1) * wx, s1 + (iy + 1) * wy, s2 + (iz + 1) * wz)
-      },
       // grid cells are fixed-size, so when the right side concentrates in
       // few cells the probe phase degenerates to a near-full scan per
       // starved left (measured: a cluster filling 1e-6 of the space puts
@@ -671,12 +695,17 @@ object SpatialJoin3d {
                           x1: Double, y1: Double, z1: Double) =>
       bc.value.leavesFor(x0, y0, z0, x1, y1, z1)
     }
+    val ballCellsUdf = udf { (x0: Double, y0: Double, z0: Double,
+                              x1: Double, y1: Double, z1: Double, rad: Double) =>
+      bc.value.leavesWithinBall(x0, y0, z0, x1, y1, z1, rad)
+    }
     knnCore(left, lc, leftId, right, rc, rightId, k,
       ownerOf = (x, y, z) => ownerUdf(x, y, z),
       cellsOf = (x0, y0, z0, x1, y1, z1) => cellsUdf(x0, y0, z0, x1, y1, z1),
+      ballCellsOf = (x0, y0, z0, x1, y1, z1, rad) =>
+        ballCellsUdf(x0, y0, z0, x1, y1, z1, rad),
       plans = counts => boxPlans(tree.leafBoxes, counts, k, diag),
       diag = diag,
-      cellBoxOf = (c: Int) => bc.value.leafBoxes(c),
       broadcastRightMax = broadcastRightMax)
   }
 
