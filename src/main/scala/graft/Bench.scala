@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
@@ -36,14 +37,28 @@ object Bench {
     // failed queries carry null, not -1: tooling that sums or diffs the
     // per-query map against prior rounds must not absorb sentinel values —
     // the separate "failed" list is the failure signal
+    // times rounded to ms: full double precision is noise and bloats the
+    // one-line record past the driver's tail-capture budget (the r7 record
+    // lost 13 gates to front-truncation)
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) =>
-      s"\"" + k + "\":" + (if (v < 0) "null" else v.toString)
+      s"\"" + k + "\":" + (if (v < 0) "null" else r3(v))
     }.mkString("{", ",", "}")
     // a failed query must scream, not silently shrink the headline: the
     // total sums successes only, failures are listed separately
     val failedList = failed.keys.map(k => s"\"$k\"").mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedList,"sf":"$sfDir"}""")
+    // 1-min load average at end of run: a skewed record (r5 corpus_clean
+    // 18.3 s, r7 12.07 s — both host-load artifacts) is self-documenting.
+    val load = try {
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    } catch { case _: Throwable => -1.0 }
+    if (failed.nonEmpty) {
+      System.err.println("!" * 72)
+      System.err.println(s"[bench] GATES FAILED: ${failed.keys.mkString(", ")}")
+      System.err.println("!" * 72)
+    }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedList,"load1m":${r3(load)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -16,11 +16,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -38,6 +40,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A query that throws silently drops out of the driver's comparison
+    // (its parquet never exists) rather than surfacing as `err` — the
+    // round-7 events regression shipped exactly that way. Scream: last
+    // line always states written/total, and any loss is unmissable.
+    val total = SparkEntry.queries.size
+    val okCnt = total - failed.size
+    if (failed.nonEmpty) {
+      val msg = s"[verify] GATES LOST: $okCnt/$total written, failed: ${failed.mkString("[", ", ", "]")}"
+      System.err.println("!" * 72); System.err.println(msg); System.err.println("!" * 72)
+      println(msg)
+    } else println(s"[verify] $okCnt/$total written, failed: []")
+    // exit 0 even on loss: the driver must still compare the gates that
+    // DID write — the banner + summary line are the failure signal.
     spark.stop()
   }
 }

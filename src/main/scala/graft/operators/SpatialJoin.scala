@@ -140,13 +140,13 @@ object SpatialJoin {
         else graft.partition.DistributedHisto.bspTiles(counts, space, bucket)
       return new TileIndex(tiles, space)
     }
-    // bos_dist: strip carving on the same exact histogram, plus four
-    // bounded marginal tables for the crossing cost — G7 at 100 TB
+    // bos_dist: strip carving on the exact histogram plus four bounded
+    // marginal tables for the crossing cost — G7 at 100 TB. All five
+    // tables come from ONE fused aggregate (one scan, one shuffle).
     if (cfg.partitioner == "bos_dist") {
       val env = mbbs.select(col(X1).as("xmin"), col(Y1).as("ymin"),
         col(X2).as("xmax"), col(Y2).as("ymax"))
-      val counts = graft.partition.DistributedHisto.histogram(env, space)
-      val cross = graft.partition.DistributedHisto.crossHistogram(env, space)
+      val (counts, cross) = graft.partition.DistributedHisto.allHistograms(env, space)
       val tiles = graft.partition.DistributedHisto.bosTiles(counts, cross, space, bucket)
       return new TileIndex(tiles, space)
     }

@@ -353,7 +353,8 @@ object SpatialJoin3d {
                       plans: Map[Int, Long] => (Array[Double], Array[Array[Int]]),
                       diag: Double,
                       delegate: Map[Int, Long] => Option[DataFrame] = _ => None,
-                      broadcastRightMax: Long = BroadcastRightMax): DataFrame = {
+                      broadcastRightMax: Long = BroadcastRightMax,
+                      cellBoxes: Option[(Array[Array[Double]], Array[Double])] = None): DataFrame = {
     val spark = left.sparkSession
 
     // MBB gap distance (0 when intersecting) — column arithmetic
@@ -415,41 +416,103 @@ object SpatialJoin3d {
     // probeTileCap). The bound join below keeps the full rtc/rt relations.
     val probeCells = probeSets.iterator.flatten.toSet
     val probeCellCap = math.max(k, 64)
-    val rtcProbe = {
-      val capped = rtc
-        .where(col("__cell3").isInCollection(probeCells))
-        .withColumn("__pr", row_number().over(
-          Window.partitionBy(col("__cell3")).orderBy(col(rightId).asc)))
-        .where(col("__pr") <= probeCellCap).drop("__pr")
-      if (probeCells.size.toLong * probeCellCap <= 1000000L) broadcast(capped)
-      else rside(capped)
-    }
+    val cappedProbe = rtc
+      .where(col("__cell3").isInCollection(probeCells))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy(col("__cell3")).orderBy(col(rightId).asc)))
+      .where(col("__pr") <= probeCellCap).drop("__pr")
 
-    // ---------------- probe: per-row radius from the planned cells
-    val lOwn = lBase.withColumn("__own", ownerOf(
-        (col(lc.xmin) + col(lc.xmax)) / 2,
-        (col(lc.ymin) + col(lc.ymax)) / 2,
-        (col(lc.zmin) + col(lc.zmax)) / 2))
-      .join(broadcast(planDf), Seq("__own"), "left")
-    val ringCol = coalesce(col("__ringrad"), lit(diag))
     val wRank = Window.partitionBy(col(leftId))
       .orderBy(col("__d").asc, col(rightId).asc)
     val leftCols = left.columns.map(col).toIndexedSeq
-    val probed = lOwn.where(col("__hasprobe") === true)
-      .join(broadcast(probeDf), Seq("__own"))
-      .withColumn("__cell3", col("__pcell"))
-      .join(rtcProbe, Seq("__cell3"))
-      .withColumn("__d", dist)
-      .withColumn("__rka", row_number().over(wRank))
-      // exactly one row per left survives: its k-th probe candidate (the
-      // plan guarantees ≥ k), carrying the left columns and the radius
-      .where(col("__rka") === k)
-      .select(leftCols :+ least(col("__d"), ringCol).as("__rad"): _*)
-    val fallback = lOwn.where(col("__hasprobe").isNull || !col("__hasprobe"))
-      .select(leftCols :+ ringCol.as("__rad"): _*)
+    val ownCol = ownerOf(
+      (col(lc.xmin) + col(lc.xmax)) / 2,
+      (col(lc.ymin) + col(lc.ymax)) / 2,
+      (col(lc.zmin) + col(lc.zmax)) / 2)
+
+    // ---------------- probe: per-row radius from the planned cells.
+    // The capped probe relation is TILING-sized (≤ cells × cap rows), so
+    // up to 1M candidates it is collected once and the whole probe phase
+    // becomes a single map over the lefts: a k-bounded heap over the
+    // broadcast candidates of the row's planned cells. Zero probe-side
+    // exchanges — the plan join, probe join, radius aggregation and
+    // probed∪fallback union all collapse into one UDF column (this was
+    // the oc gate's extra barrier; the k-th smallest of ANY ≥ k candidate
+    // subset upper-bounds the true k-th-NN gap, so no sort or tie-break
+    // is needed for a valid radius). Past 1M candidates, the relational
+    // form with the same algebra carries the giant-tiling case.
+    val l2 = if (probeCells.size.toLong * probeCellCap <= 1000000L) {
+      val packed = cappedProbe.select(col("__cell3"),
+          col(rc.xmin), col(rc.ymin), col(rc.zmin),
+          col(rc.xmax), col(rc.ymax), col(rc.zmax))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rs) =>
+          val a = new Array[Double](rs.length * 6)
+          var i = 0
+          rs.foreach { r =>
+            var j = 0
+            while (j < 6) { a(i + j) = r.getDouble(1 + j); j += 1 }
+            i += 6
+          }
+          c -> a
+        }
+      val ringBc = spark.sparkContext.broadcast(ringRad)
+      val setsBc = spark.sparkContext.broadcast(probeSets)
+      val candBc = spark.sparkContext.broadcast(packed)
+      val dg = diag; val kk = k
+      val radUdf = udf { (own: Int, x0: Double, y0: Double, z0: Double,
+                          x1: Double, y1: Double, z1: Double) =>
+        val inRange = own >= 0 && own < ringBc.value.length
+        val ring = if (inRange) ringBc.value(own) else dg
+        val cells = if (inRange) setsBc.value(own) else Array.empty[Int]
+        if (cells.isEmpty) ring
+        else {
+          val heap = new graft.functions.KthHeap(kk)
+          var ci = 0
+          while (ci < cells.length) {
+            candBc.value.get(cells(ci)) match {
+              case Some(a) =>
+                var i = 0
+                while (i < a.length) {
+                  // same gap arithmetic as `dist` (0 when intersecting)
+                  val dx = math.max(math.max(a(i) - x1, x0 - a(i + 3)), 0.0)
+                  val dy = math.max(math.max(a(i + 1) - y1, y0 - a(i + 4)), 0.0)
+                  val dz = math.max(math.max(a(i + 2) - z1, z0 - a(i + 5)), 0.0)
+                  heap.insert(math.sqrt(dx * dx + dy * dy + dz * dz))
+                  i += 6
+                }
+              case None => ()
+            }
+            ci += 1
+          }
+          if (heap.n < kk) ring else math.min(heap.arr(0), ring)
+        }
+      }
+      lBase.select(leftCols :+ radUdf(ownCol,
+        col(lc.xmin), col(lc.ymin), col(lc.zmin),
+        col(lc.xmax), col(lc.ymax), col(lc.zmax)).as("__rad"): _*)
+    } else {
+      val lOwn = lBase.withColumn("__own", ownCol)
+        .join(broadcast(planDf), Seq("__own"), "left")
+      val ringCol = coalesce(col("__ringrad"), lit(diag))
+      // radius via the k-bounded-heap aggregate rather than a window
+      // rank: partial-aggregates map-side (≤ k doubles per left cross
+      // the wire), no per-left sort anywhere
+      val probed = lOwn.where(col("__hasprobe") === true)
+        .join(broadcast(probeDf), Seq("__own"))
+        .withColumn("__cell3", col("__pcell"))
+        .join(rside(cappedProbe), Seq("__cell3"))
+        .withColumn("__d", dist)
+        .groupBy(leftCols :+ col("__ringrad"): _*)
+        .agg(graft.functions.kth_smallest(col("__d"), k).as("__kd"))
+        .select(leftCols :+ least(col("__kd"), ringCol).as("__rad"): _*)
+      val fallback = lOwn.where(col("__hasprobe").isNull || !col("__hasprobe"))
+        .select(leftCols :+ ringCol.as("__rad"): _*)
+      probed.unionByName(fallback)
+    }
 
     // ---------------- bound: radius join, refpoint dedup, exact rank
-    val l2 = probed.unionByName(fallback)
     // ball-pruned replication in ONE enumeration: the tiling enumerates
     // only cells within EUCLIDEAN distance rad of the row's ORIGINAL
     // envelope — not every cell of the rad-expanded Chebyshev box (whose
@@ -461,7 +524,16 @@ object SpatialJoin3d {
     // envelope gap, so dist(ref, lEnv) = gap(lEnv, rEnv) = __d ≤ __rad
     // exactly). The enumerators pad rad by 1e-9 to absorb float rounding,
     // which only ever ADDS cells.
-    val lt2 = l2.withColumn("__cell3", explode(ballCellsOf(
+    // The bound join's pair work all happens in the lefts' map stage (the
+    // rt side is a broadcast at gate scale) — a left side narrower than
+    // the cluster serializes it (a small parquet reads as ONE split: the
+    // whole ~10⁷-pair eval ran on 1 of 32 threads, the oc gate's dominant
+    // stage). Round-robin only when under-partitioned: rows are tiny here
+    // (the wide pair relation doesn't exist yet), and at scale the scan
+    // has thousands of splits so this is a no-op.
+    val par = spark.sparkContext.defaultParallelism
+    val l2p = if (left.rdd.getNumPartitions < par) l2.repartition(par) else l2
+    val lt2 = l2p.withColumn("__cell3", explode(ballCellsOf(
       col(lc.xmin), col(lc.ymin), col(lc.zmin),
       col(lc.xmax), col(lc.ymax), col(lc.zmax), col("__rad"))))
     // past broadcast scale, also drop replicas into right-empty cells
@@ -487,13 +559,40 @@ object SpatialJoin3d {
       when(col(r0) > col(o1), col(r0))
         .when(col(r1) < col(o0), col(r1))
         .otherwise(greatest(col(o0), col(r0)))
-    lt2p.join(rside(rt), Seq("__cell3"))
-      .withColumn("__d", dist)
-      .where(col("__d") <= col("__rad"))
-      .where(col("__cell3") === ownerOf(
-        refAxis(lc.xmin, lc.xmax, rc.xmin, rc.xmax),
-        refAxis(lc.ymin, lc.ymax, rc.ymin, rc.ymax),
-        refAxis(lc.zmin, lc.zmax, rc.zmin, rc.zmax)))
+    val refX = refAxis(lc.xmin, lc.xmax, rc.xmin, rc.xmax)
+    val refY = refAxis(lc.ymin, lc.ymax, rc.ymin, rc.ymax)
+    val refZ = refAxis(lc.zmin, lc.zmax, rc.zmin, rc.zmax)
+    // The owner-of-refpoint check runs once per CANDIDATE PAIR — with a
+    // tree tiling, that made the hot filter a non-codegen per-pair tree
+    // walk (the oc gate's dominant stage). When the caller supplies its
+    // cell boxes, the check becomes pure column arithmetic instead: leaf
+    // ownership under `>= mid` midpoint descent is exactly p ∈ [lo, hi)
+    // per axis, except axes where the leaf edge IS the space edge (the
+    // descent clamps implicitly, so the constraint vanishes there). The
+    // 7-column box relation joins the REPLICA side (broadcast,
+    // tiling-sized), keeping the pair-level predicate codegen'd.
+    val dedupCandidates = cellBoxes match {
+      case Some((bxs, sp)) =>
+        val boxDf = bxs.zipWithIndex.map { case (b, i) =>
+          (i, b(0), b(1), b(2), b(3), b(4), b(5)) }.toSeq
+          .toDF("__cell3", "__bx0", "__by0", "__bz0", "__bx1", "__by1", "__bz1")
+        def ownsAxis(p: Column, lo: Column, hi: Column, slo: Double, shi: Double) =
+          (p >= lo || lo <= lit(slo)) && (p < hi || hi >= lit(shi))
+        lt2p.join(broadcast(boxDf), Seq("__cell3"))
+          .join(rside(rt), Seq("__cell3"))
+          .withColumn("__d", dist)
+          .where(col("__d") <= col("__rad"))
+          .where(ownsAxis(refX, col("__bx0"), col("__bx1"), sp(0), sp(3)) &&
+                 ownsAxis(refY, col("__by0"), col("__by1"), sp(1), sp(4)) &&
+                 ownsAxis(refZ, col("__bz0"), col("__bz1"), sp(2), sp(5)))
+          .drop("__bx0", "__by0", "__bz0", "__bx1", "__by1", "__bz1")
+      case None =>
+        lt2p.join(rside(rt), Seq("__cell3"))
+          .withColumn("__d", dist)
+          .where(col("__d") <= col("__rad"))
+          .where(col("__cell3") === ownerOf(refX, refY, refZ))
+    }
+    dedupCandidates
       .withColumn("__rk", row_number().over(wRank))
       .where(col("__rk") <= k)
       .select(outCols :+ col("__d").as("knn_dist") :+ col("__rk").as("knn_rank"): _*)
@@ -706,7 +805,8 @@ object SpatialJoin3d {
         ballCellsUdf(x0, y0, z0, x1, y1, z1, rad),
       plans = counts => boxPlans(tree.leafBoxes, counts, k, diag),
       diag = diag,
-      broadcastRightMax = broadcastRightMax)
+      broadcastRightMax = broadcastRightMax,
+      cellBoxes = Some((tree.leafBoxes, sp)))
   }
 
   /** mbb_normalizer_3d: affine map of an MBB into the unit cube of `sp`

@@ -157,27 +157,40 @@ object DistributedHisto {
   final case class CrossTables(xs: Array[Array[Long]], xe: Array[Array[Long]],
                                ys: Array[Array[Long]], ye: Array[Array[Long]])
 
-  def crossHistogram(env: DataFrame, space: Mbb): CrossTables = {
+  /** The center histogram AND all four crossing marginals in ONE
+    * distributed aggregate: each row explodes into five (lane, key)
+    * pairs — lane 0 the 2-D center cell, lanes 1-4 the (center cell,
+    * edge cell) marginals — and a single groupBy counts them all. One
+    * scan + one shuffle where the per-table form paid five of each
+    * (measured: the five separate planning jobs were bos_dist's entire
+    * gap vs bsp_dist). Collected state stays bounded by 5·N² entries. */
+  def allHistograms(env: DataFrame, space: Mbb): (Map[Int, Long], CrossTables) = {
     val w = math.max(space.width, java.lang.Double.MIN_NORMAL) / N
     val h = math.max(space.height, java.lang.Double.MIN_NORMAL) / N
     def ax(v: org.apache.spark.sql.Column, lo: Double, wd: Double) =
       greatest(lit(0), least(lit(N - 1), floor((v - lit(lo)) / lit(wd)).cast("int")))
     val df = env.toDF("xmin", "ymin", "xmax", "ymax")
-    val cx = (col("xmin") + col("xmax")) / 2
-    val cy = (col("ymin") + col("ymax")) / 2
-    def table(center: org.apache.spark.sql.Column, lo: Double, wd: Double,
-              edge: org.apache.spark.sql.Column): Array[Array[Long]] = {
-      val t = Array.ofDim[Long](N, N)
-      df.groupBy(ax(center, lo, wd).as("__c"), ax(edge, lo, wd).as("__e"))
-        .agg(count(lit(1)).as("__n"))
-        .collect().foreach(r => t(r.getInt(0))(r.getInt(1)) = r.getLong(2))
-      t
+    val cx = ax((col("xmin") + col("xmax")) / 2, space.xmin, w)
+    val cy = ax((col("ymin") + col("ymax")) / 2, space.ymin, h)
+    def lane(l: Int, c: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =
+      struct(lit(l).as("l"), (c * N + e).as("k"))
+    val rows = df.select(explode(array(
+        lane(0, cx, cy),
+        lane(1, cx, ax(col("xmin"), space.xmin, w)),
+        lane(2, cx, ax(col("xmax"), space.xmin, w)),
+        lane(3, cy, ax(col("ymin"), space.ymin, h)),
+        lane(4, cy, ax(col("ymax"), space.ymin, h)))).as("s"))
+      .groupBy(col("s.l").as("l"), col("s.k").as("k"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    val counts = Map.newBuilder[Int, Long]
+    val tabs = Array.fill(4)(Array.ofDim[Long](N, N))
+    rows.foreach { r =>
+      val l = r.getInt(0); val k = r.getInt(1); val n = r.getLong(2)
+      if (l == 0) counts += (k -> n)
+      else tabs(l - 1)(k / N)(k % N) = n
     }
-    CrossTables(
-      xs = table(cx, space.xmin, w, col("xmin")),
-      xe = table(cx, space.xmin, w, col("xmax")),
-      ys = table(cy, space.ymin, h, col("ymin")),
-      ye = table(cy, space.ymin, h, col("ymax")))
+    (counts.result(), CrossTables(tabs(0), tabs(1), tabs(2), tabs(3)))
   }
 
   /** Distributed bos: boundary-optimized strips on exact histograms. Each

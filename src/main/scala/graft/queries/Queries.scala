@@ -38,12 +38,27 @@ object Queries {
   def auxSql(name: String): String =
     s"read_parquet('/root/repo/target/oracle_aux/sf0.01/$name/*.parquet')"
 
-  /** events with `ts` as TimestampType. The parquet stores TIMESTAMP(NANOS)
-    * which Spark only reads as long (spark.sql.legacy.parquet.nanosAsLong,
-    * set by Verify/Bench/tests); truncate to micros like DuckDB does. */
+  /** events with `ts` as a timestamp. The testdata generator has shipped
+    * `ts` both as TIMESTAMP(NANOS) — which Spark surfaces as BIGINT nanos
+    * under spark.sql.legacy.parquet.nanosAsLong — and as TIMESTAMP(MICROS),
+    * which arrives as a timestamp type directly. Branch on the read schema
+    * so either vintage works; the nanos path truncates to micros like
+    * DuckDB does. */
   def eventsTable(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    adaptEventTs(table(spark, dir, "events"))
+
+  /** Shared by the batch table above and the readStream path in tests, so
+    * a testdata schema drift breaks both loudly at build time. */
+  def adaptEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+  }
 
   /** part -> one axis-aligned box per row on a 20x20 cell lattice:
     * corner = (key%20, floor(key/20)%20) * 10, side = 1 + p_size%10. */

@@ -97,6 +97,52 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.subsetOf(batch), "closed streaming sessions must appear in batch result")
   }
 
+  // Against the REAL driver testdata (not synthetic rows): the round-7
+  // events regression was a testdata ts-schema drift that every synthetic
+  // spec missed. This spec routes the actual parquet through the same
+  // eventsTable adaptation the gates use, in BOTH batch and readStream
+  // mode, so a future drift fails `sbt test` instead of the driver.
+  test("real events.parquet: readStream hourlyTypeCounts + sessionize == batch twins") {
+    import graft.queries.Queries
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val batchEvents = Queries.eventsTable(spark, dir)
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file stream source wants a directory; link the single file in
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_events")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val streamEvents = Queries.adaptEventTs(
+      spark.readStream.schema(rawSchema).parquet(streamDir.toString))
+
+    // hourly windowed agg, complete mode: every window emitted
+    val hq = EventOps.hourlyTypeCounts(streamEvents)
+      .writeStream.format("memory").queryName("hourly_real")
+      .outputMode("complete").start()
+    try hq.processAllAvailable() finally hq.stop()
+    val hStream = spark.table("hourly_real")
+      .orderBy("window_start", "event_type").collect().map(_.toSeq).toSeq
+    val hBatch = EventOps.hourlyTypeCounts(batchEvents)
+      .orderBy("window_start", "event_type").collect().map(_.toSeq).toSeq
+    assert(hStream.nonEmpty && hStream == hBatch)
+
+    // sessionize, append mode: closed streaming sessions ⊆ batch sessions
+    val gapMicros = 30L * 60 * 1000000
+    val sq = EventOps.streamingSessionize(streamEvents, gapMicros)
+      .writeStream.format("memory").queryName("sess_real")
+      .outputMode("append").start()
+    try sq.processAllAvailable() finally sq.stop()
+    val sStream = spark.table("sess_real")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val sBatch = EventOps.batchSessionize(batchEvents, gapMicros)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(sBatch.nonEmpty)
+    assert(sStream.subsetOf(sBatch),
+      "closed streaming sessions must appear in the batch result")
+  }
+
   test("SpatialIngest: streamed tile-partitioned store == batch tag; readable by SpatialStore") {
     implicit val sqlCtx = spark.sqlContext
     import graft.core.{GeometryCodec, Mbb}
