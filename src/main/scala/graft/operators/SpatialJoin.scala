@@ -108,7 +108,7 @@ object SpatialJoin {
     if (cfg.partitioner == "hc_dist") {
       val tiles = graft.partition.DistributedHilbert.tiles(
         mbbs.select(col(X1).as("xmin"), col(Y1).as("ymin"),
-          col(X2).as("xmax"), col(Y2).as("ymax")), space, bucket)
+          col(X2).as("xmax"), col(Y2).as("ymax")), space, n, bucket)
       return new TileIndex(tiles, space)
     }
     // str_dist: fully distributed STR packing over the WHOLE relation (two

@@ -569,8 +569,12 @@ object SpatialJoin3d {
     // ownership under `>= mid` midpoint descent is exactly p ∈ [lo, hi)
     // per axis, except axes where the leaf edge IS the space edge (the
     // descent clamps implicitly, so the constraint vanishes there). The
-    // 7-column box relation joins the REPLICA side (broadcast,
-    // tiling-sized), keeping the pair-level predicate codegen'd.
+    // 7-column box relation broadcast-joins AFTER the distance filter —
+    // same stage as the shuffle-hash rt join, so the box columns never
+    // ride an exchange — keeping the pair-level predicate codegen'd.
+    val paired = lt2p.join(rside(rt), Seq("__cell3"))
+      .withColumn("__d", dist)
+      .where(col("__d") <= col("__rad"))
     val dedupCandidates = cellBoxes match {
       case Some((bxs, sp)) =>
         val boxDf = bxs.zipWithIndex.map { case (b, i) =>
@@ -578,19 +582,13 @@ object SpatialJoin3d {
           .toDF("__cell3", "__bx0", "__by0", "__bz0", "__bx1", "__by1", "__bz1")
         def ownsAxis(p: Column, lo: Column, hi: Column, slo: Double, shi: Double) =
           (p >= lo || lo <= lit(slo)) && (p < hi || hi >= lit(shi))
-        lt2p.join(broadcast(boxDf), Seq("__cell3"))
-          .join(rside(rt), Seq("__cell3"))
-          .withColumn("__d", dist)
-          .where(col("__d") <= col("__rad"))
+        paired.join(broadcast(boxDf), Seq("__cell3"))
           .where(ownsAxis(refX, col("__bx0"), col("__bx1"), sp(0), sp(3)) &&
                  ownsAxis(refY, col("__by0"), col("__by1"), sp(1), sp(4)) &&
                  ownsAxis(refZ, col("__bz0"), col("__bz1"), sp(2), sp(5)))
           .drop("__bx0", "__by0", "__bz0", "__bx1", "__by1", "__bz1")
       case None =>
-        lt2p.join(rside(rt), Seq("__cell3"))
-          .withColumn("__d", dist)
-          .where(col("__d") <= col("__rad"))
-          .where(col("__cell3") === ownerOf(refX, refY, refZ))
+        paired.where(col("__cell3") === ownerOf(refX, refY, refZ))
     }
     dedupCandidates
       .withColumn("__rk", row_number().over(wRank))

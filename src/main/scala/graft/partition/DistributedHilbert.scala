@@ -17,8 +17,10 @@ import graft.functions.hilbert
 object DistributedHilbert {
   val Order = 16
 
-  /** @param env DataFrame with exactly 4 double columns xmin,ymin,xmax,ymax */
-  def tiles(env: DataFrame, space: Mbb, bucket: Int): Array[TileBoundary] = {
+  /** @param env DataFrame with exactly 4 double columns xmin,ymin,xmax,ymax
+    * @param n   relation row count (from the caller's planning stats) */
+  def tiles(env: DataFrame, space: Mbb, n: Long, bucket: Int): Array[TileBoundary] = {
+    DistributedStr.requireBounded("hc_dist", n, math.max(bucket, 1).toLong)
     val w = math.max(space.width, 1e-12); val h = math.max(space.height, 1e-12)
     val cx = (col("xmin") + col("xmax")) / 2
     val cy = (col("ymin") + col("ymax")) / 2

@@ -19,6 +19,7 @@ object DistributedSlc {
   def tiles(env: DataFrame, space: Mbb, n: Long, bucket: Int): Array[TileBoundary] = {
     if (n == 0) return Array(TileBoundary(0, space))
     val b = math.max(bucket, 1).toLong
+    DistributedStr.requireBounded("slc_dist", n, b)
     val cx = (col("xmin") + col("xmax")) / 2
     val cuts = env.toDF("xmin", "ymin", "xmax", "ymax")
       .select(cx.as("__cx"))

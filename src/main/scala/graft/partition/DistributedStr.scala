@@ -28,12 +28,33 @@ import graft.core.{Mbb, TileBoundary}
   */
 object DistributedStr {
 
+  /** Cap on the planned tile count across the sort-based distributed
+    * partitioners (str/hc/slc): the tile list is the ONLY planning state
+    * that reaches the driver (n/bucket union-MBBs or cut abscissas), and
+    * it is also broadcast to every task as the TileIndex — past a few
+    * million entries both sides degrade long before anything crashes.
+    * The check runs BEFORE the planning sort from the caller's exact row
+    * count, so an undersized bucket fails in milliseconds with the knob
+    * to turn, not after a full-relation sort (TileIndex.MaxShards-style
+    * guard discipline). */
+  val MaxTiles: Long = 4000000L
+
+  private[partition] def requireBounded(name: String, n: Long, bucket: Long): Unit = {
+    val planned = n / math.max(bucket, 1) + 1
+    require(planned <= MaxTiles,
+      s"$name would plan ~$planned tiles from $n rows at bucket=$bucket " +
+      s"(cap $MaxTiles): the tile list is driver-collected and " +
+      s"task-broadcast planning state. Raise Config.bucket so rows/bucket " +
+      s"<= $MaxTiles — at 100 TB that means bucket sized in rows, not MBs.")
+  }
+
   /** @param env DataFrame with exactly 4 double columns xmin,ymin,xmax,ymax
     * @param n   relation row count (the caller's planning stats already
     *            paid for it — recounting would re-scan the relation) */
   def tiles(env: DataFrame, n: Long, bucket: Int): Array[TileBoundary] = {
     if (n == 0) return Array.empty
     val b = math.max(bucket, 1).toLong
+    requireBounded("str_dist", n, b)
     val cx = (col("xmin") + col("xmax")) / 2
     val cy = (col("ymin") + col("ymax")) / 2
     val byX = env.toDF("xmin", "ymin", "xmax", "ymax")

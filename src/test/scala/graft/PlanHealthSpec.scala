@@ -97,4 +97,67 @@ class PlanHealthSpec extends SparkTestBase {
     assert(pushed.contains("c_mktsegment"),
       s"mktsegment filter not pushed: $pushed")
   }
+
+  test("distributed partitioner planning keeps its no-driver-sample shape") {
+    // The *_dist planners' whole point is planning WITHOUT a bounded
+    // driver sample: str/slc/hc via distributed sorts + per-partition
+    // rank passes, qt/bsp/bos via one exact-histogram aggregate. Assert
+    // the job shapes by stage callsite so a future edit can't silently
+    // fall back to the sampled path (whose signature is a `collect` at
+    // the SpatialJoin sample site) or add extra planning sorts.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
+    import org.apache.spark.sql.functions.col
+    import graft.operators.SpatialJoin
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new SparkListener {
+      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+        stages.add(s.stageInfo.name)
+    }
+    val env = Queries.partBoxes(spark, dir)
+      .select(col("x0").as("__xmin"), col("y0").as("__ymin"),
+        (col("x0") + col("w")).as("__xmax"), (col("y0") + col("w")).as("__ymax"))
+    def planWith(form: String): Seq[String] = {
+      stages.clear()
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        SpatialJoin.planTiles(env, env.limit(0),
+          SpatialJoin.Config(partitioner = form, bucket = 200))
+        // listener bus is async — give submitted-stage events a beat
+        Thread.sleep(500)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      import scala.jdk.CollectionConverters._
+      stages.asScala.toSeq
+    }
+    def count(names: Seq[String], marker: String): Int =
+      names.count(_.contains(marker))
+    for (form <- Seq("str_dist", "slc_dist", "hc_dist",
+        "qt_dist", "bsp_dist", "bos_dist")) {
+      val names = planWith(form)
+      // never the sampled path: its collect happens at the SpatialJoin
+      // sample site, the dist paths collect only in their own files
+      assert(count(names, "collect at SpatialJoin") == 0,
+        s"$form planning fell back to a driver sample: $names")
+      // stage names carry the callsite of the stage's LAST rdd, so the
+      // distributed passes show up as stages in their own source file
+      form match {
+        case "str_dist" =>
+          assert(count(names, "at DistributedStr.scala") >= 2,
+            s"str_dist lost its distributed rank/pack passes: $names")
+        case "slc_dist" =>
+          assert(count(names, "at DistributedSlc.scala") >= 1,
+            s"slc_dist lost its distributed cut pass: $names")
+        case "hc_dist" =>
+          assert(count(names, "at DistributedHilbert.scala") >= 1,
+            s"hc_dist lost its distributed run pass: $names")
+        case _ =>
+          // qt/bsp/bos_dist: exact-histogram aggregates only — pure SQL
+          // actions (whose stages carry no callsite), never an RDD pass
+          // from the sort-based planners' files
+          assert(count(names, "at DistributedStr.scala") == 0 &&
+            count(names, "at DistributedSlc.scala") == 0 &&
+            count(names, "at DistributedHilbert.scala") == 0,
+            s"$form should plan from histogram aggregates alone: $names")
+      }
+    }
+  }
 }

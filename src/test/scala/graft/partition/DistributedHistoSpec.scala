@@ -46,4 +46,22 @@ class DistributedHistoSpec extends SparkTestBase {
     assert(eq(cross.ys, tab(_.centerY, _.ymin, space.ymin, h)))
     assert(eq(cross.ye, tab(_.centerY, _.ymax, space.ymin, h)))
   }
+
+  test("sort-based distributed partitioners refuse unbounded tile plans") {
+    // an undersized bucket over a huge relation must fail fast with the
+    // sizing knob in the message, BEFORE the full-relation planning sort
+    val df = Seq((0.0, 0.0, 1.0, 1.0)).toDF("xmin", "ymin", "xmax", "ymax")
+    val hugeN = 100000000000L // 1e11 rows, bucket 1 -> 1e11 tiles
+    for ((name, run) <- Seq[(String, () => Any)](
+        "str_dist" -> (() => DistributedStr.tiles(df, hugeN, 1)),
+        "slc_dist" -> (() => DistributedSlc.tiles(df, space, hugeN, 1)),
+        "hc_dist" -> (() => DistributedHilbert.tiles(df, space, hugeN, 1)))) {
+      val e = intercept[IllegalArgumentException](run())
+      assert(e.getMessage.contains(name) &&
+        e.getMessage.contains("Raise Config.bucket"),
+        s"$name: diagnostic must name the partitioner and the knob; got: ${e.getMessage}")
+    }
+    // and a sane bucket still plans
+    assert(DistributedStr.tiles(df, 1L, 10).nonEmpty)
+  }
 }
