@@ -718,30 +718,83 @@ object SpatialJoin {
           xxhash64(col("__rx1"), col("__ry1"), col("__rx2"), col("__ry2")).asc,
           col("__rx1").asc, col("__ry1").asc)))
       .where(col("__pr") <= probeTileCap).drop("__pr")
-    val rtcJoin =
-      if (probeTiles.size.toLong * probeTileCap <= 1000000L) broadcast(rtc)
-      else rtc.hint("shuffle_hash")
     val lu = l.join(unsafeRadii, Seq(leftId))
       .withColumn("__ot", ownerTile(col(X1), col(Y1), col(X2), col(Y2)))
-    // probe metric = envelope MAX distance (far corners), pure column
-    // arithmetic: an upper bound on the geometry distance per candidate,
-    // so the k-th smallest over ≥ k candidates upper-bounds the row's
-    // true k-th NN — exact for point data, looser only by geometry
-    // extents. Whole-stage codegen end-to-end: no WKB parse, no JTS
-    // DistanceOp (a per-pair UDF here measured µs-scale and, post-AQE
-    // coalesce, serialized the whole probe into a handful of tasks)
-    val mdx = greatest(col(X2) - col("__rx1"), col("__rx2") - col(X1))
-    val mdy = greatest(col(Y2) - col("__ry1"), col("__ry2") - col(Y1))
-    val probeRad = lu.select(col(leftId), col("__ot"),
-        col(X1), col(Y1), col(X2), col(Y2))
-      .join(broadcast(probeDf), Seq("__ot"))
-      .withColumn(Tile, col("__pt"))
-      .join(rtcJoin, Seq(Tile))
-      .withColumn("__pd", sqrt(mdx * mdx + mdy * mdy))
-      .withColumn("__pk", row_number().over(
-        Window.partitionBy(col(leftId)).orderBy(col("__pd").asc)))
-      .where(col("__pk") === k)
-      .select(col(leftId), col("__pd"))
+    // probe metric = envelope MAX distance (far corners): an upper bound
+    // on the geometry distance per candidate, so the k-th smallest over
+    // ≥ k candidates upper-bounds the row's true k-th NN — exact for
+    // point data, looser only by geometry extents.
+    // Up to 1M capped candidates (tiling-sized, the same bound that made
+    // the relation broadcastable) the probe phase is a single map: the
+    // capped candidates are collected once and each left's k-th probe
+    // distance comes from a k-bounded heap over its ring tiles' broadcast
+    // arrays — no probe join, no per-left rank exchange, no join-back by
+    // leftId (the 3-D knnCore's probe shape; the k-th smallest of any ≥ k
+    // candidate subset is a valid bound, so no sort or tie-break is
+    // needed). Past 1M the relational window form carries the
+    // giant-tiling case.
+    val luP = if (probeTiles.size.toLong * probeTileCap <= 1000000L) {
+      val packed = rtc
+        .select(col(Tile), col("__rx1"), col("__ry1"), col("__rx2"), col("__ry2"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (t, rs) =>
+          val a = new Array[Double](rs.length * 4)
+          var i = 0
+          rs.foreach { row =>
+            var j = 0
+            while (j < 4) { a(i + j) = row.getDouble(1 + j); j += 1 }
+            i += 4
+          }
+          t -> a
+        }
+      val candBc = spark.sparkContext.broadcast(packed)
+      val ringSetsBc = spark.sparkContext.broadcast(ringSets)
+      val kk = k
+      val probeKth = udf { (ot: Int, x1: Double, y1: Double,
+                            x2: Double, y2: Double) =>
+        val sets = ringSetsBc.value
+        if (ot < 0 || ot >= sets.length || sets(ot).isEmpty)
+          null.asInstanceOf[java.lang.Double]
+        else {
+          val heap = new graft.functions.KthHeap(kk)
+          sets(ot).foreach { t =>
+            candBc.value.get(t) match {
+              case Some(a) =>
+                var i = 0
+                while (i < a.length) {
+                  // same max-distance arithmetic as the relational form
+                  val dx = math.max(x2 - a(i), a(i + 2) - x1)
+                  val dy = math.max(y2 - a(i + 1), a(i + 3) - y1)
+                  heap.insert(math.sqrt(dx * dx + dy * dy))
+                  i += 4
+                }
+              case None => ()
+            }
+          }
+          if (heap.n < kk) null.asInstanceOf[java.lang.Double]
+          else java.lang.Double.valueOf(heap.arr(0))
+        }
+      }
+      lu.withColumn("__pd",
+        probeKth(col("__ot"), col(X1), col(Y1), col(X2), col(Y2)))
+    } else {
+      // relational probe (whole-stage codegen; the cap rank compiles to
+      // WindowGroupLimit — map-side top-cap before the exchange)
+      val mdx = greatest(col(X2) - col("__rx1"), col("__rx2") - col(X1))
+      val mdy = greatest(col(Y2) - col("__ry1"), col("__ry2") - col(Y1))
+      val probeRad = lu.select(col(leftId), col("__ot"),
+          col(X1), col(Y1), col(X2), col(Y2))
+        .join(broadcast(probeDf), Seq("__ot"))
+        .withColumn(Tile, col("__pt"))
+        .join(rtc.hint("shuffle_hash"), Seq(Tile))
+        .withColumn("__pd", sqrt(mdx * mdx + mdy * mdy))
+        .withColumn("__pk", row_number().over(
+          Window.partitionBy(col(leftId)).orderBy(col("__pd").asc)))
+        .where(col("__pk") === k)
+        .select(col(leftId), col("__pd"))
+      lu.join(probeRad, Seq(leftId), "left")
+    }
 
     // pass-2 replication prunes to tiles some right ENVELOPE touches: a
     // pair's refpoint lies inside the right's envelope, so its emitting
@@ -776,10 +829,9 @@ object SpatialJoin {
     // remainder. Radius = min(k-th local distance/cap, per-row ring bound
     // + own half-diagonal, exact probe k-th distance) — least() skips the
     // null components (no ring plan / fewer than k parseable probes)
-    val l2 = lu
+    val l2 = luP
       .withColumn("__rr", ringRadRow(
         (col(X1) + col(X2)) / 2, (col(Y1) + col(Y2)) / 2, col("__ot")))
-      .join(probeRad, Seq(leftId), "left")
       .withColumn(Rad, least(col(Rad), col("__rr") + halfDiag, col("__pd")))
       // relative float slack: the probe radius is column sqrt(dx²+dy²)
       // but pass-2 distances come from JTS (Math.hypot internally), which
