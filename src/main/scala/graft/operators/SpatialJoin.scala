@@ -66,7 +66,12 @@ object SpatialJoin {
       earth: Boolean = false,
       twoLevel: Boolean = false,
       hotTileFactor: Int = 8,
-      keepTile: Boolean = false)
+      keepTile: Boolean = false,
+      // max capped probe candidates the kNN probe phase will collect and
+      // broadcast as driver maps (the exchange-free probe); past this the
+      // relational WindowGroupLimit probe runs. Lowered only in specs to
+      // force the relational branch at test scale.
+      probeCollectMax: Long = 1000000L)
 
   private val Tile = "__tile"
   private val X1 = "__xmin"; private val Y1 = "__ymin"
@@ -733,7 +738,7 @@ object SpatialJoin {
     // candidate subset is a valid bound, so no sort or tie-break is
     // needed). Past 1M the relational window form carries the
     // giant-tiling case.
-    val luP = if (probeTiles.size.toLong * probeTileCap <= 1000000L) {
+    val luP = if (probeTiles.size.toLong * probeTileCap <= cfg.probeCollectMax) {
       val packed = rtc
         .select(col(Tile), col("__rx1"), col("__ry1"), col("__rx2"), col("__ry2"))
         .collect()

@@ -354,7 +354,8 @@ object SpatialJoin3d {
                       diag: Double,
                       delegate: Map[Int, Long] => Option[DataFrame] = _ => None,
                       broadcastRightMax: Long = BroadcastRightMax,
-                      cellBoxes: Option[(Array[Array[Double]], Array[Double])] = None): DataFrame = {
+                      cellBoxes: Option[(Array[Array[Double]], Array[Double])] = None,
+                      probeCollectMax: Long = 1000000L): DataFrame = {
     val spark = left.sparkSession
 
     // MBB gap distance (0 when intersecting) — column arithmetic
@@ -441,7 +442,7 @@ object SpatialJoin3d {
     // subset upper-bounds the true k-th-NN gap, so no sort or tie-break
     // is needed for a valid radius). Past 1M candidates, the relational
     // form with the same algebra carries the giant-tiling case.
-    val l2 = if (probeCells.size.toLong * probeCellCap <= 1000000L) {
+    val l2 = if (probeCells.size.toLong * probeCellCap <= probeCollectMax) {
       val packed = cappedProbe.select(col("__cell3"),
           col(rc.xmin), col(rc.ymin), col(rc.zmin),
           col(rc.xmax), col(rc.ymax), col(rc.zmax))
@@ -637,7 +638,8 @@ object SpatialJoin3d {
                  right: DataFrame, rc: Mbb3Cols, rightId: String, k: Int,
                  cellsPerAxis: Int = 8,
                  broadcastRightMax: Long = BroadcastRightMax,
-                 bruteRightMax: Int = 1024): DataFrame = {
+                 bruteRightMax: Int = 1024,
+                 probeCollectMax: Long = 1000000L): DataFrame = {
     // 64³ = 262k cells bounds the driver-side count table and the
     // broadcast plan relation (~4 MB) — the same bounded-collect
     // discipline as the partitioners' driver samples
@@ -729,9 +731,11 @@ object SpatialJoin3d {
         val large = total > BroadcastRightMax
         if (concentrated || large)
           Some(knnJoinMbbOc(left, lc, leftId, right, rc, rightId, k,
-            broadcastRightMax = broadcastRightMax))
+            broadcastRightMax = broadcastRightMax,
+            probeCollectMax = probeCollectMax))
         else None
-      }, broadcastRightMax = broadcastRightMax)
+      }, broadcastRightMax = broadcastRightMax,
+      probeCollectMax = probeCollectMax)
   }
 
   /** [[knnJoinMbb]] over an OCTREE tiling instead of the uniform grid —
@@ -750,7 +754,8 @@ object SpatialJoin3d {
                    right: DataFrame, rc: Mbb3Cols, rightId: String, k: Int,
                    leafCap: Int = 512, sampleTarget: Int = 20000,
                    seed: Long = 42L,
-                   broadcastRightMax: Long = BroadcastRightMax): DataFrame = {
+                   broadcastRightMax: Long = BroadcastRightMax,
+                   probeCollectMax: Long = 1000000L): DataFrame = {
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"column name collision between join sides: $dup")
     val spark = left.sparkSession
@@ -804,7 +809,8 @@ object SpatialJoin3d {
       plans = counts => boxPlans(tree.leafBoxes, counts, k, diag),
       diag = diag,
       broadcastRightMax = broadcastRightMax,
-      cellBoxes = Some((tree.leafBoxes, sp)))
+      cellBoxes = Some((tree.leafBoxes, sp)),
+      probeCollectMax = probeCollectMax)
   }
 
   /** mbb_normalizer_3d: affine map of an MBB into the unit cube of `sp`

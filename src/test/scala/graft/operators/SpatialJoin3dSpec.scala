@@ -111,6 +111,17 @@ class SpatialJoin3dSpec extends SparkTestBase {
         cellsPerAxis = 4, broadcastRightMax = 0L, bruteRightMax = 0)
       .select("aid", "bid", "knn_rank").as[(Long, Long, Int)].collect()
     assert(gotSh.toSet == want, "shuffle-hash branch kNN mismatch")
+    // both PROBE forms answer identically: probeCollectMax = 0 forces the
+    // relational giant-tiling probe (plan/probe joins + kth_smallest
+    // aggregate) that the collected-map default skips at spec scale
+    val gotRel = SpatialJoin3d.knnJoinMbb(a, lc, "aid", b, rc, "bid", k = 3,
+        cellsPerAxis = 4, bruteRightMax = 0, probeCollectMax = 0L)
+      .select("aid", "bid", "knn_rank").as[(Long, Long, Int)].collect()
+    assert(gotRel.toSet == want, "relational probe branch kNN mismatch")
+    val gotRelOc = SpatialJoin3d.knnJoinMbbOc(a, lc, "aid", b, rc, "bid",
+        k = 3, leafCap = 64, sampleTarget = 200, probeCollectMax = 0L)
+      .select("aid", "bid", "knn_rank").as[(Long, Long, Int)].collect()
+    assert(gotRelOc.toSet == want, "octree relational probe kNN mismatch")
   }
 
   test("knnJoinMbb: k larger than the right side returns all, ranked") {

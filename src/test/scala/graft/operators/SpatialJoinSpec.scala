@@ -166,7 +166,13 @@ class SpatialJoinSpec extends SparkTestBase {
     assert(perLeft.forall(_ <= k))
   }
 
-  for ((mode, threshold) <- Seq(("broadcast", 10000), ("tiled", 0))) {
+  // the third mode pins the RELATIONAL probe branch (probeCollectMax = 0):
+  // the giant-tiling form with the WindowGroupLimit probe + join-back that
+  // the collected-map default skips at spec scale
+  for ((mode, threshold, pcm) <- Seq(
+      ("broadcast", 10000, 1000000L),
+      ("tiled", 0, 1000000L),
+      ("tiled relational-probe", 0, 0L))) {
     test(s"knnJoinExact == brute-force global kNN [$mode path, with ties]") {
       // points on a small lattice => plenty of distance ties
       val rnd = new Random(9)
@@ -176,7 +182,8 @@ class SpatialJoinSpec extends SparkTestBase {
       val k = 4
       val got = SpatialJoin.knnJoinExact(a, "g1", "id1", b, "g2", k,
           tieBreak = Seq("id2"),
-          cfg = SpatialJoin.Config(bucket = 30, knnBroadcastThreshold = threshold))
+          cfg = SpatialJoin.Config(bucket = 30, knnBroadcastThreshold = threshold,
+            probeCollectMax = pcm))
         .select("id1", "id2", "knn_rank").as[(Long, Long, Int)].collect()
 
       val gb = pb.map { case (i, w) => (i, GeometryCodec.fromWkt(w)) }
