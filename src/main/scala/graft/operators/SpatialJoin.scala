@@ -155,6 +155,40 @@ object SpatialJoin {
       val tiles = graft.partition.DistributedHisto.bosTiles(counts, cross, space, bucket)
       return new TileIndex(tiles, space)
     }
+    // fg depends on the input only through its row count, which the stats
+    // aggregate above already computed EXACTLY — no sample scan, no
+    // sampled-count jitter (tiles = ceil(n/bucket), the arithmetic the
+    // partition-stats oracles re-derive). Hot-tile shard detection runs
+    // as a second bounded aggregate over the CLOSED-FORM fg tile id (pure
+    // column arithmetic, ≤ tiles output rows) — exact counts, where the
+    // sampled path under-detects hotspots once the sample fraction drops
+    // at scale. twoLevel still samples: its hot-tile refinement needs
+    // member envelopes.
+    if (cfg.partitioner == "fg" && !cfg.twoLevel) {
+      val tiles = graft.partition.FixedGridPartitioner.partitionCount(n, space, bucket)
+      val shards: Map[Int, Int] =
+        if (cfg.hotTileFactor <= 0) Map.empty
+        else {
+          val (sx, sy) = graft.partition.FixedGridPartitioner.gridDims(n, space, bucket)
+          val w = math.max(space.width, 1e-12); val h = math.max(space.height, 1e-12)
+          def ax(c: org.apache.spark.sql.Column, lo: Double, span: Double, s: Int) =
+            greatest(lit(0), least(lit(s - 1),
+              floor((c - lit(lo)) / lit(span) * s).cast("int")))
+          val tileId =
+            ax(((col(Y1) + col(Y2)) / 2), space.ymin, h, sy) * sx +
+            ax(((col(X1) + col(X2)) / 2), space.xmin, w, sx)
+          val hotAt = cfg.hotTileFactor.toLong * bucket
+          val hot = mbbs.groupBy(tileId.as("__t"))
+            .agg(count(lit(1)).as("__c"))
+            .where(col("__c") > hotAt)
+            .collect()
+          hot.iterator.map { r =>
+            r.getInt(0) -> math.min(TileIndex.MaxShards,
+              math.ceil(2.0 * r.getLong(1) / hotAt).toInt)
+          }.toMap
+        }
+      return new TileIndex(tiles, space, shards)
+    }
     val fraction = math.min(1.0, cfg.sampleTarget.toDouble / n)
     val sample = mbbs.sample(withReplacement = false, fraction, cfg.seed)
       .limit(cfg.sampleTarget * 2)

@@ -41,12 +41,28 @@ object SpatialPartitioner {
 /** Uniform grid with square-ish tiles (reference fg_2d.cpp:29-84). */
 object FixedGridPartitioner extends SpatialPartitioner {
   val name = "fg"; val coversSpace = true
-  def partition(mbbs: Array[Mbb], space: Mbb, bucket: Int): Array[TileBoundary] = {
-    val n = math.max(mbbs.length, 1)
+  def partition(mbbs: Array[Mbb], space: Mbb, bucket: Int): Array[TileBoundary] =
+    partitionCount(mbbs.length.toLong, space, bucket)
+
+  /** Grid dimensions (columns × rows) for a given input size — the only
+    * thing the fg split derives from the data besides its envelope. */
+  def gridDims(rows: Long, space: Mbb, bucket: Int): (Int, Int) = {
+    val n = math.max(rows, 1L)
     val tiles = math.max(1, math.ceil(n.toDouble / math.max(bucket, 1)).toInt)
     val w = math.max(space.width, 1e-12); val h = math.max(space.height, 1e-12)
-    var sx = math.max(1, math.round(math.sqrt(tiles * w / h)).toInt)
+    val sx = math.max(1, math.round(math.sqrt(tiles * w / h)).toInt)
     val sy = math.max(1, math.ceil(tiles.toDouble / sx).toInt)
+    (sx, sy)
+  }
+
+  /** The fg grid depends on the input only through its ROW COUNT — no
+    * sample contents needed. Planners that already know the exact n call
+    * this directly and skip the sample collect entirely (it also removes
+    * the sampled-count jitter: tiles = ceil(n/bucket) exactly, which is
+    * the arithmetic the SQL oracle re-derives). */
+  def partitionCount(rows: Long, space: Mbb, bucket: Int): Array[TileBoundary] = {
+    val (sx, sy) = gridDims(rows, space, bucket)
+    val w = math.max(space.width, 1e-12); val h = math.max(space.height, 1e-12)
     val out = new ArrayBuffer[TileBoundary](sx * sy)
     var id = 0
     for (j <- 0 until sy; i <- 0 until sx) {
