@@ -69,6 +69,12 @@ object TextDedup {
       // consumed 3x (per-doc counts + both pair-join sides): persist the
       // 16-byte rows once instead of re-shingling the corpus three times
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize BEFORE wiring the consumers: a lazy persist read by
+    // concurrent stages of one job races its own cache population — all
+    // four consumer stages re-shingled the corpus in parallel (measured:
+    // 4 full scans at sf0.1, none hitting cache). One count() barrier
+    // makes every consumer a cache read.
+    sh.count()
     val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("nsh"))
     val a = sh.select(col(idCol).as("ida"), col("shash"))
     val b = sh.select(col(idCol).as("idb"), col("shash"))
