@@ -1316,6 +1316,121 @@ object Queries {
   val qFingerprintSql: String =
     "SELECT doc_id, md5(text) AS fp FROM documents"
 
+  /** Repetition filters (the Gopher/C4 quality class): duplicate-line
+    * fraction + most-frequent-word fraction per document. The corpus is
+    * single-line synthetic text, so a multi-line view is derived with
+    * IDENTICAL expressions on both engines (split on a frequent word,
+    * plus a deterministic duplicated marker on every third doc) — the
+    * gate verifies the repetition arithmetic over varied line shapes.
+    * Counts are ints, fractions single divisions: FP-exact. The top-word
+    * count uses explode + two-level aggregation (the 100 TB form — no
+    * per-row quadratic higher-order scan). */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions._
+    // plain substring replace (NOT regex) to match DuckDB's replace():
+    // identical left-to-right non-overlapping semantics in both engines
+    val lt = concat(
+      replace(col("text"), lit(" value "), lit("\n")),
+      when(col("doc_id") % 3 === 0, lit("\ndup\ndup")).otherwise(lit("")))
+    val d = table(spark, dir, "documents").select(col("doc_id"), col("text"),
+      lt.as("__lt"))
+    val base = d.select(col("doc_id"),
+      lineCount(col("__lt")).as("n_lines"),
+      dupLineCount(col("__lt")).as("n_dup_lines"),
+      dupLineFrac(col("__lt")).as("dup_line_frac"),
+      tokenCount(col("text")).as("n_words"))
+    val top = d.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_word_n"))
+    base.join(top, Seq("doc_id"))
+      .withColumn("top_word_frac",
+        col("top_word_n").cast("double") / col("n_words").cast("double"))
+  }
+
+  val qRepetitionSql: String =
+    """WITH d AS (SELECT doc_id, text,
+      |  concat(replace(text, ' value ', chr(10)),
+      |    CASE WHEN doc_id % 3 = 0 THEN chr(10)||'dup'||chr(10)||'dup' ELSE '' END) AS lt
+      |  FROM documents)
+      |SELECT doc_id,
+      | len(string_split(lt, chr(10))) AS n_lines,
+      | len(string_split(lt, chr(10))) - len(list_distinct(string_split(lt, chr(10)))) AS n_dup_lines,
+      | CAST(len(string_split(lt, chr(10))) - len(list_distinct(string_split(lt, chr(10)))) AS DOUBLE)
+      |   / len(string_split(lt, chr(10))) AS dup_line_frac,
+      | len(string_split(text, ' ')) AS n_words,
+      | list_max(list_transform(list_distinct(string_split(text, ' ')),
+      |     w -> len(list_filter(string_split(text, ' '), x -> x = w)))) AS top_word_n,
+      | CAST(list_max(list_transform(list_distinct(string_split(text, ' ')),
+      |     w -> len(list_filter(string_split(text, ' '), x -> x = w)))) AS DOUBLE)
+      |   / len(string_split(text, ' ')) AS top_word_frac
+      |FROM d""".stripMargin
+
+  /** PII redaction: emails, IPv4 literals and NNN-NNN-NNNN phone numbers
+    * replaced by typed placeholders, plus the span count. The synthetic
+    * corpus has no natural PII, so each doc gets a deterministic
+    * doc_id-derived contact block appended with IDENTICAL expressions on
+    * both engines — the gate verifies the regex rewrite and counting on
+    * every row. Patterns are alternation-free so Java regex (Spark) and
+    * RE2 (DuckDB) agree on every match; output is the placeholder-typed
+    * text's md5, so any span divergence fails the hash. */
+  def qRedact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions._
+    val withPii = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@mail.example.com or 10.0."),
+      col("doc_id") % 256, lit(".7 call 555-123-4567 ext "), col("doc_id") % 100)
+    table(spark, dir, "documents").select(
+      col("doc_id"),
+      piiCount(withPii).as("n_pii"),
+      md5(redactPii(withPii).cast("binary")).as("redacted_md5"))
+  }
+
+  val qRedactSql: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    s"""WITH d AS (SELECT doc_id,
+       |  concat(text, ' contact user', doc_id, '@mail.example.com or 10.0.',
+       |    doc_id % 256, '.7 call 555-123-4567 ext ', doc_id % 100) AS t
+       |  FROM documents),
+       |e AS (SELECT doc_id, t, regexp_replace(t, '$email', '<EMAIL>', 'g') AS t1 FROM d),
+       |i AS (SELECT doc_id, t, t1, regexp_replace(t1, '$ip', '<IP>', 'g') AS t2 FROM e)
+       |SELECT doc_id,
+       | len(regexp_extract_all(t, '$email')) +
+       | len(regexp_extract_all(t1, '$ip')) +
+       | len(regexp_extract_all(t2, '$phone')) AS n_pii,
+       | md5(regexp_replace(t2, '$phone', '<PHONE>', 'g')) AS redacted_md5
+       |FROM i""".stripMargin
+  }
+
+  /** Concat-then-chunk sequence packing (the GPT-style pre-training
+    * layout): documents concatenated in doc_id order, cut into 512-token
+    * chunks; each doc reports its token offset and spanned chunk range.
+    * The Spark side is the distributed two-pass prefix sum
+    * ([[graft.text.SequencePack]] — range partition + per-partition
+    * window + broadcast offsets; a global-order window would plan as ONE
+    * task); the oracle is the plain SQL running total. All int64 exact. */
+  def qSeqPack(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions._
+    val d = table(spark, dir, "documents").select(col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.text.SequencePack.packChunks(d, "doc_id", "n_tokens", 512L)
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+        col("first_chunk"), col("last_chunk"), col("n_chunks"))
+  }
+
+  val qSeqPackSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |  CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |    AS cum FROM t)
+      |SELECT doc_id, n_tokens, cum - n_tokens AS start_tok,
+      | CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS first_chunk,
+      | CAST(floor(greatest(cum - 1, cum - n_tokens) / 512.0) AS BIGINT) AS last_chunk,
+      | CAST(floor(greatest(cum - 1, cum - n_tokens) / 512.0) AS BIGINT)
+      |   - CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) + 1 AS n_chunks
+      |FROM c""".stripMargin
+
   /** Exact word-3-gram Jaccard near-duplicate pairs (threshold 0.5). */
   def qDedupNgram(spark: SparkSession, dir: String): DataFrame =
     graft.dedup.TextDedup.ngramJaccardPairs(

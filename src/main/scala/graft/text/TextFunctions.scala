@@ -77,4 +77,50 @@ object TextFunctions {
         i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
       .otherwise(array().cast(ArrayType(StringType)))
   }
+
+  // ------------------------------------------- repetition (Gopher/C4 class)
+
+  /** Newline-split lines (empty lines kept — both engines agree). */
+  def lines(text: Column): Column = split(text, "\n")
+
+  def lineCount(text: Column): Column = size(lines(text))
+
+  /** Lines minus distinct lines: how many lines are repeats of an earlier
+    * line — the numerator of the duplicate-line-fraction repetition filter. */
+  def dupLineCount(text: Column): Column =
+    size(lines(text)) - size(array_distinct(lines(text)))
+
+  /** Duplicate-line fraction (0 for single-line docs): ints + one division,
+    * FP-exact for the oracle. */
+  def dupLineFrac(text: Column): Column =
+    dupLineCount(text).cast("double") / lineCount(text).cast("double")
+
+  // ---------------------------------------------------- PII redaction
+
+  /** Redaction patterns, applied in this order. Deliberately alternation-
+    * free and backreference-free so Java regex (Spark) and RE2 (DuckDB)
+    * agree on every match: character classes + greedy bounded quantifiers
+    * have identical leftmost semantics in both engines. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII-scrubbed text: emails, then IPv4 literals, then NNN-NNN-NNNN
+    * phone numbers replaced with typed placeholder tokens. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
+  /** How many spans `redactPii` would replace (emails counted before the
+    * other patterns can see their digits — same order as the rewrite). */
+  def piiCount(text: Column): Column = {
+    val afterEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Pattern, "<IP>")
+    regexp_count(text, lit(EmailPattern)) +
+      regexp_count(afterEmail, lit(Ipv4Pattern)) +
+      regexp_count(afterIp, lit(PhonePattern))
+  }
 }
