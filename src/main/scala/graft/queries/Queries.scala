@@ -1431,6 +1431,63 @@ object Queries {
       |   - CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) + 1 AS n_chunks
       |FROM c""".stripMargin
 
+  /** Benchmark decontamination: flag training documents sharing any word
+    * 3-gram with a benchmark set (here every 50th doc — the eval-set
+    * stand-in). The shingle relation is checkpointed ([[writeOracleAux]])
+    * so the oracle runs the identical join/count in SQL over the same
+    * bits. 100 TB shape: the benchmark side is eval-set-sized, so its
+    * distinct shingles BROADCAST and the training side never shuffles —
+    * one scan + broadcast semi-join + per-doc count. */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions
+    val sh = table(spark, dir, "documents").select(col("doc_id"),
+      explode(TextFunctions.wordShingles(col("text"), 3)).as("s"))
+    val aux = writeOracleAux(sh, dir, "contam_shingles")
+    val bench = aux.where(col("doc_id") % 50 === 0).select(col("s")).distinct()
+    val train = aux.where(col("doc_id") % 50 =!= 0)
+    val hits = train.join(broadcast(bench), Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("s")).as("n_hits"))
+    table(spark, dir, "documents").where(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).cast("int").as("contaminated"))
+  }
+
+  val qDecontaminateSql: String =
+    s"""WITH sh AS (SELECT doc_id, s FROM ${auxSql("contam_shingles")}),
+       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+       |hits AS (SELECT sh.doc_id, count(DISTINCT sh.s) AS n
+       |         FROM sh JOIN bench USING (s) WHERE sh.doc_id % 50 != 0 GROUP BY 1)
+       |SELECT d.doc_id, coalesce(hits.n, 0) AS n_hits,
+       | CAST(coalesce(hits.n, 0) > 0 AS INT) AS contaminated
+       |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+       |WHERE d.doc_id % 50 != 0""".stripMargin
+
+  /** Stratified mixture sampling — per-source keep rates (the data-mixing
+    * step of a pre-training pipeline), deterministic via the same
+    * Knuth-multiplicative key hash as q_sample so task retries and the
+    * cross-engine oracle see identical selections. Stratum = doc_id % 4
+    * (the source stand-in) with keep rates 1, 1/2, 1/4, 1/8. */
+  def qMixSample(spark: SparkSession, dir: String): DataFrame = {
+    val stratum = col("doc_id") % 4
+    val threshold = when(stratum === 0, lit(4294967296L))
+      .when(stratum === 1, lit(2147483648L))
+      .when(stratum === 2, lit(1073741824L))
+      .otherwise(lit(536870912L))
+    table(spark, dir, "documents")
+      .where(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) < threshold)
+      .select(col("doc_id"), stratum.as("stratum"))
+  }
+
+  val qMixSampleSql: String =
+    """SELECT doc_id, doc_id % 4 AS stratum FROM documents
+      |WHERE (doc_id * 2654435761) % 4294967296 <
+      |  CASE doc_id % 4 WHEN 0 THEN 4294967296 WHEN 1 THEN 2147483648
+      |    WHEN 2 THEN 1073741824 ELSE 536870912 END""".stripMargin
+
   /** Exact word-3-gram Jaccard near-duplicate pairs (threshold 0.5). */
   def qDedupNgram(spark: SparkSession, dir: String): DataFrame =
     graft.dedup.TextDedup.ngramJaccardPairs(
