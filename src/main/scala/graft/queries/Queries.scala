@@ -29,7 +29,11 @@ object Queries {
     * the sf0.01 verify artifact the oracle reads. */
   def writeOracleAux(df: DataFrame, dir: String, name: String): DataFrame = {
     val path = s"/root/repo/target/oracle_aux/${new java.io.File(dir).getName}/$name"
-    df.coalesce(1).write.mode("overwrite").parquet(path)
+    // a handful of files, not coalesce(1): the oracle reads a glob, and a
+    // single-file write FORCES the whole upstream pipeline into one task
+    // (coalesce is narrow) — measured as the dominant stage of every
+    // checkpoint-backed gate
+    df.repartition(8).write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)
   }
 
@@ -1440,8 +1444,13 @@ object Queries {
     * one scan + broadcast semi-join + per-doc count. */
   def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.TextFunctions
+    // shingles hashed to 64-bit keys before the checkpoint: the aux file
+    // ships 16-byte rows instead of n-word strings (the write is the
+    // gate's dominant cost), and hash-equality joins are shingle-equality
+    // joins at ~1e-12 collision odds
     val sh = table(spark, dir, "documents").select(col("doc_id"),
-      explode(TextFunctions.wordShingles(col("text"), 3)).as("s"))
+      explode(TextFunctions.wordShingles(col("text"), 3)).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
     val aux = writeOracleAux(sh, dir, "contam_shingles")
     val bench = aux.where(col("doc_id") % 50 === 0).select(col("s")).distinct()
     val train = aux.where(col("doc_id") % 50 =!= 0)
