@@ -166,6 +166,58 @@ object ScaleRehearsal {
       if (mode == "ann") { spark.stop(); return }
     }
 
+    // -------------------- round-8 pipeline operators at 100x (500k docs)
+    // repetition stats, sequence packing, decontamination over the salted
+    // 100-copy corpus: the three shapes are a scan+explode aggregate, a
+    // distributed prefix sum, and a broadcast semi-join — none should
+    // shuffle the corpus more than once.
+    if (mode == "pipeline") {
+      import graft.text.{SequencePack, TextFunctions}
+      timed("gen_docs") {
+        val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+          .select("doc_id", "text")
+        docs0.crossJoin(spark.range(copies).select(col("id").as("copy")))
+          .repartition(64) // the crossJoin writes ONE giant file otherwise
+          .select((col("doc_id") + col("copy") * 10000000L).as("doc_id"),
+            regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("c"), col("copy"), lit("$1"))).as("text"))
+          .write.mode("overwrite").parquet(s"$dir/docs")
+      }
+      val docs = spark.read.parquet(s"$dir/docs")
+      println(s"[scale] docs=${docs.count()}")
+      val nRep = timed("repetition[500k docs]") {
+        val base = docs.select(col("doc_id"),
+          TextFunctions.dupLineFrac(col("text")).as("dlf"),
+          TextFunctions.tokenCount(col("text")).as("n_words"))
+        val top = docs.select(col("doc_id"),
+            explode(TextFunctions.tokens(col("text"))).as("w"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(max(col("c")).as("top_word_n"))
+        base.join(top, Seq("doc_id")).count()
+      }
+      println(s"[scale]   -> $nRep rows")
+      val nPack = timed("seq_pack[500k docs]") {
+        SequencePack.packChunks(
+          docs.select(col("doc_id"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+          "doc_id", "n_tokens", 2048L)
+          .agg(max(col("last_chunk"))).head().getLong(0)
+      }
+      println(s"[scale]   -> last_chunk=$nPack")
+      val nCon = timed("decontaminate[500k docs]") {
+        val sh = docs.select(col("doc_id"),
+          explode(TextFunctions.wordShingles(col("text"), 3)).as("s0"))
+          .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+        val bench = sh.where(col("doc_id") % 5000 === 0).select(col("s")).distinct()
+        sh.where(col("doc_id") % 5000 =!= 0)
+          .join(org.apache.spark.sql.functions.broadcast(bench), Seq("s"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+          .count()
+      }
+      println(s"[scale]   -> $nCon contaminated docs")
+      spark.stop(); return
+    }
+
     // ------------------------------------------------------------ data gen
     // Boxes: constant density vs the sf0.1 gate (0.5 boxes/unit^2, w 1-10)
     // over a sqrt(scale)-larger space, so the scale-up raises VOLUME, not
@@ -309,6 +361,7 @@ object ScaleRehearsal {
       val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
         .select("doc_id", "text")
       docs.crossJoin(spark.range(copies).select(col("id").as("copy")))
+        .repartition(64) // the crossJoin writes ONE giant file otherwise
         .select((col("doc_id") + col("copy") * 10000000L).as("doc_id"),
           regexp_replace(col("text"), lit("(\\S+)"),
             concat(lit("c"), col("copy"), lit("$1"))).as("text"))
