@@ -58,7 +58,16 @@ object Bench {
       System.err.println(s"[bench] GATES FAILED: ${failed.keys.mkString(", ")}")
       System.err.println("!" * 72)
     }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedList,"load1m":${r3(load)},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedList,"load1m":${r3(load)},"sf":"$sfDir"}"""
+    println(line)
+    // the driver's tail-capture truncated the r7 record to 63 of 76 gates;
+    // persist the full line so every timed gate survives in a committed
+    // artifact regardless of how much stdout the driver keeps
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/tools/bench_last.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

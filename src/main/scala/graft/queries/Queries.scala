@@ -1497,6 +1497,78 @@ object Queries {
       |  CASE doc_id % 4 WHEN 0 THEN 4294967296 WHEN 1 THEN 2147483648
       |    WHEN 2 THEN 1073741824 ELSE 536870912 END""".stripMargin
 
+  /** Gopher-class rule-based quality filter ([[graft.text.QualityFilter]]):
+    * word-count bounds, mean-word-length bounds, stopword-ratio floor, each
+    * as a 0/1 rule column plus the conjunction. Thresholds sized so every
+    * rule genuinely splits this corpus (word counts 10-99, p10/p90 of
+    * avg_wlen at 4.26/4.77, p10 of stop_ratio at 0.015). One codegen'd
+    * scan, no shuffle — the 100 TB form is a fused mapper. */
+  def qQualityFilter(spark: SparkSession, dir: String): DataFrame =
+    graft.text.QualityFilter.annotate(
+      table(spark, dir, "documents"), "text")
+      .select(col("doc_id"), col("n_words"), col("avg_wlen"),
+        col("stop_ratio"), col("pass_len"), col("pass_wlen"),
+        col("pass_stop"), col("keep"))
+
+  val qQualityFilterSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  len(string_split(text,' ')) AS n_words,
+       |  CAST(len(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+       |    / len(string_split(text,' ')) AS avg_wlen,
+       |  CAST(len(list_filter(string_split(text,' '), w -> w IN ($stopList))) AS DOUBLE)
+       |    / len(string_split(text,' ')) AS stop_ratio
+       | FROM documents)
+       |SELECT doc_id, n_words, avg_wlen, stop_ratio,
+       | CAST(n_words BETWEEN 25 AND 80 AS INT) AS pass_len,
+       | CAST(avg_wlen >= 4.3 AND avg_wlen <= 4.7 AS INT) AS pass_wlen,
+       | CAST(stop_ratio >= 0.02 AS INT) AS pass_stop,
+       | CAST(n_words BETWEEN 25 AND 80 AND avg_wlen >= 4.3 AND avg_wlen <= 4.7
+       |   AND stop_ratio >= 0.02 AS INT) AS keep
+       |FROM t""".stripMargin
+
+  /** Training-shard assembly ([[graft.text.ShardBuild]]): documents packed
+    * into (source, doc_id%3) shards (3 is coprime with the generator's
+    * source = doc_id%20, so the slot genuinely subdivides every source —
+    * %4 would be constant within one), concatenated in ascending doc_id
+    * order,
+    * md5-fingerprinted. The md5 column makes byte-determinism of the shard
+    * CONTENT the oracled contract — a retry-unstable concat order fails the
+    * hash. One hash shuffle on the shard key; the per-shard collect is the
+    * shard itself (a unit that must fit one writer task by construction). */
+  def qDocConcat(spark: SparkSession, dir: String): DataFrame =
+    graft.text.ShardBuild.buildShards(
+      table(spark, dir, "documents"),
+      groupCols = Seq("source"), idCol = "doc_id", textCol = "text", slots = 3)
+
+  val qDocConcatSql: String =
+    """SELECT source, doc_id % 3 AS slot, count(*) AS n_docs,
+      | CAST(sum(len(text)) AS BIGINT) AS sum_chars,
+      | md5(string_agg(text, chr(10) ORDER BY doc_id)) AS shard_md5
+      |FROM documents GROUP BY 1, 2""".stripMargin
+
+  /** BPE merge-candidate mining: adjacent word-pair frequencies across the
+    * corpus, top 20 by count (pair text as the deterministic tiebreak) —
+    * the pair-selection step of a BPE vocabulary build, one merge round at
+    * word granularity. explode + groupBy + bounded top-k: partial
+    * aggregation map-side, a 20-row driver result; never a per-document
+    * quadratic scan. */
+  def qBpeMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions._
+    table(spark, dir, "documents")
+      .select(explode(wordShinglesAll(col("text"), 2)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(20)
+  }
+
+  val qBpeMergeSql: String =
+    """WITH w AS (SELECT string_split(text,' ') AS ws FROM documents),
+      |p AS (SELECT unnest([array_to_string(ws[i:i+1],' ')
+      |    for i in generate_series(1, len(ws)-1)]) AS pair
+      |  FROM w WHERE len(ws) >= 2)
+      |SELECT pair, count(*) AS n FROM p GROUP BY 1
+      |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin
+
   /** Exact word-3-gram Jaccard near-duplicate pairs (threshold 0.5). */
   def qDedupNgram(spark: SparkSession, dir: String): DataFrame =
     graft.dedup.TextDedup.ngramJaccardPairs(

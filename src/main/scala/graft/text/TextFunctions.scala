@@ -78,6 +78,19 @@ object TextFunctions {
       .otherwise(array().cast(ArrayType(StringType)))
   }
 
+  /** All word n-gram occurrences WITH multiplicity (unlike [[wordShingles]],
+    * which is the distinct set) — the adjacent-pair frequency input of a
+    * BPE merge step, where a pair's count across the corpus decides the
+    * next merge. */
+  def wordShinglesAll(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    when(size(ws) >= n,
+      transform(
+        sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
   // ------------------------------------------- repetition (Gopher/C4 class)
 
   /** Newline-split lines (empty lines kept — both engines agree). */

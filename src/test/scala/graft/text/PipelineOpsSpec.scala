@@ -1,0 +1,85 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class PipelineOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("QualityFilter rules split on each axis independently") {
+    val rules = QualityFilter.Rules(
+      minWords = 3, maxWords = 5,
+      minAvgWordLen = 2.0, maxAvgWordLen = 4.0,
+      minStopRatio = 0.2)
+    val docs = Seq(
+      (1L, "the cat sat on"),        // 4 words, awl 2.75, stop 0.5 -> keep
+      (2L, "cat sat"),               // too few words
+      (3L, "the cat sat on a mat x"),// too many words
+      (4L, "xx yy zz"),              // no stopwords
+      (5L, "the extraordinarily magnificent contraption") // awl too high
+    ).toDF("doc_id", "text")
+    val got = QualityFilter.annotate(docs, "text", rules)
+      .select($"doc_id", $"pass_len", $"pass_wlen", $"pass_stop", $"keep")
+      .as[(Long, Int, Int, Int, Int)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(got(1L) == ((1, 1, 1, 1)))
+    assert(got(2L)._1 == 0 && got(2L)._4 == 0)
+    assert(got(3L)._1 == 0 && got(3L)._4 == 0)
+    assert(got(4L)._3 == 0 && got(4L)._4 == 0)
+    assert(got(5L)._2 == 0 && got(5L)._4 == 0)
+    val kept = QualityFilter.filter(docs, "text", rules)
+    assert(kept.columns.toSeq == Seq("doc_id", "text"),
+      "filter form must restore the original projection")
+    assert(kept.as[(Long, String)].collect().map(_._1).toSeq == Seq(1L))
+  }
+
+  test("ShardBuild concat is id-ordered and partitioning-invariant") {
+    val rnd = new scala.util.Random(7)
+    val docs = rnd.shuffle((0L until 200L).toList)
+      .map(id => (id, s"g${id % 3}", s"text body number $id"))
+      .toDF("doc_id", "grp", "text")
+    // reference md5 computed driver-side in explicit ascending-id order
+    val byShard = docs.as[(Long, String, String)].collect()
+      .groupBy { case (id, g, _) => (g, id % 5) }
+      .map { case (k, rows) =>
+        val joined = rows.sortBy(_._1).map(_._3).mkString("\n")
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(joined.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (k._1, k._2, rows.length.toLong, rows.map(_._3.length.toLong).sum, md)
+      }.toSet
+    for (parts <- Seq(1, 7)) {
+      val got = ShardBuild.buildShards(
+        docs.repartition(parts), Seq("grp"), "doc_id", "text", slots = 5)
+        .as[(String, Long, Long, Long, String)].collect().toSet
+      assert(got == byShard, s"shards diverged at numPartitions=$parts")
+    }
+  }
+
+  test("wordShinglesAll keeps multiplicity; wordShingles stays distinct") {
+    val d = Seq((1L, "a b a b a"), (2L, "x")).toDF("id", "text")
+    val all = d.select($"id",
+        TextFunctions.wordShinglesAll($"text", 2).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(all(1L) == Seq("a b", "b a", "a b", "b a"))
+    assert(all(2L) == Seq())
+    val dist = d.select($"id",
+        TextFunctions.wordShingles($"text", 2).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(dist(1L) == Seq("a b", "b a"))
+  }
+
+  test("BPE merge top pair on a known corpus") {
+    // "b c" occurs 4 times, "a b" 3, others fewer: the merge pick is "b c"
+    val docs = Seq(
+      (1L, "a b c b c"),
+      (2L, "a b c d"),
+      (3L, "a b c z z")).toDF("doc_id", "text")
+    val top = docs
+      .select(explode(TextFunctions.wordShinglesAll($"text", 2)).as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"pair".asc).limit(2)
+      .as[(String, Long)].collect().toSeq
+    assert(top == Seq(("b c", 4L), ("a b", 3L)))
+  }
+}
