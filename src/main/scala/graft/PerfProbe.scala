@@ -186,6 +186,22 @@ object PerfProbe {
         time("crosses2")(Queries.qSpjoinCrosses(spark, dir).count())
         time("touches1")(Queries.qSpjoinTouches(spark, dir).count())
         time("touches2")(Queries.qSpjoinTouches(spark, dir).count())
+      case "minhashcpu" =>
+        // attribute stage-25's ~30 s CPU: shingle+explode alone, +string
+        // xxhash, +64-min aggregate, full signatures, full gate
+        import org.apache.spark.sql.functions._
+        import graft.text.TextFunctions
+        val docs = Queries.table(spark, dir, "documents")
+        def shing = docs.select(col("doc_id"),
+          explode(TextFunctions.wordShingles(col("text"), 3)).as("__s"))
+        time("warmup")(shing.count())
+        time("explode_only")(shing.count())
+        time("explode_hash")(shing.select(col("doc_id"), xxhash64(col("__s")).as("h")).count())
+        time("tokens_only")(docs.select(size(split(col("text"), " "))).agg(sum("size(split(text,  , -1))")).count())
+        time("signatures")(graft.dedup.TextDedup.minHashSignatures(docs, "doc_id", "text", 3, 64).count())
+        time("signatures_2nd")(graft.dedup.TextDedup.minHashSignatures(docs, "doc_id", "text", 3, 64).count())
+        time("gate")(Queries.qMinhashLsh(spark, dir).count())
+        time("gate_2nd")(Queries.qMinhashLsh(spark, dir).count())
       case "minhash" =>
         time("warmup")(Queries.qMinhashLsh(spark, "/root/testdata/sf0.001").count())
         time("minhash1")(Queries.qMinhashLsh(spark, dir).count())

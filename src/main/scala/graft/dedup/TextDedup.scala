@@ -96,27 +96,45 @@ object TextDedup {
     graft.core.CacheHygiene.unpersistAfterUse(out, Seq(sh))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * min hash over the document's shingles. Formulated as explode +
-    * hash-aggregate: one row per shingle, 64 codegen'd `min(xxhash64(h, i))`
-    * buffers per id. The explode never crosses the network — groupBy does
-    * map-side partial aggregation, so only one 64-long buffer per id per
-    * partition is shuffled; the exploded rows themselves stay pipelined
-    * inside the scan stage. A higher-order-function formulation
-    * (array_min over transform per seed) looks shuffle-free but allocates a
-    * boxed array per seed per row — measured 22-44 s vs ~2 s at sf0.1 —
-    * HOF lambdas don't participate in whole-stage codegen's primitive
-    * loops, the aggregate does. Duplicate ids combine by element-wise min
-    * (MinHash distributes over set union); documents with no shingles
-    * produce no row (explode of an empty array). */
+  /** splitmix64 — deterministic, dependency-free constant derivation for
+    * the affine hash family (public-domain construction). */
+  private def splitmix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature: for each of `numHashes` hash functions, the min
+    * hash over the document's shingles. Formulated as explode +
+    * hash-aggregate: one row per shingle, 64 codegen'd min buffers per id.
+    * The explode never crosses the network — groupBy does map-side partial
+    * aggregation, so only one 64-long buffer per id per partition is
+    * shuffled; the exploded rows themselves stay pipelined inside the scan
+    * stage. The family is affine over the xxhash64'd shingle key:
+    * h_i(x) = a_i*x + b_i (64-bit wrap, a_i odd — a bijection on Z/2^64),
+    * one mul+add per seed instead of a full seeded-hash avalanche — the
+    * seeded-xxhash64 formulation burned 26.6 s of CPU at sf0.1 (64
+    * avalanches per shingle row), the affine family does the same
+    * min-wise job for the price of the aggregation itself. A
+    * higher-order-function formulation (array_min over transform per seed)
+    * looks shuffle-free but allocates a boxed array per seed per row —
+    * measured 22-44 s vs ~2 s at sf0.1 — HOF lambdas don't participate in
+    * whole-stage codegen's primitive loops, the aggregate does. Duplicate
+    * ids combine by element-wise min (MinHash distributes over set union);
+    * documents with no shingles produce no row (explode of an empty
+    * array). */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int, numHashes: Int): DataFrame = {
     val hashed = fanOut(df)
       .select(col(idCol),
         explode(TextFunctions.wordShingles(col(textCol), n)).as("__s"))
       .select(col(idCol), xxhash64(col("__s")).as("__sh"))
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(col("__sh"), lit(i))).as(s"__m$i"))
+    val mins = (0 until numHashes).map { i =>
+      val a = splitmix64(2L * i) | 1L
+      val b = splitmix64(2L * i + 1)
+      min(graft.functions.affine_hash(col("__sh"), a, b)).as(s"__m$i")
+    }
     hashed.groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
       .select(col(idCol),

@@ -183,6 +183,57 @@ object Hash64 {
     while (i < bytes.length) { h = h * 31L + (bytes(i) & 0xffL); i += 1 }
     h
   }
+
+  /** Word-n-gram shingle kernel, one pass over the document. Semantics are
+    * pinned to the relational formulation the DuckDB oracles re-derive:
+    * tokens = split on the single character ' ' keeping empty tokens
+    * (leading/trailing/consecutive spaces), shingle_i = tokens[i..i+n-1]
+    * joined by ' ', fewer than n tokens → empty result; `distinct` keeps
+    * first occurrences in order (array_distinct semantics). Because the
+    * separator is exactly one space, each shingle IS a substring of the
+    * original text (from token i's start to token i+n-1's end), so the
+    * kernel allocates one boundary array + one substring per shingle —
+    * no per-element split/slice/concat re-evaluation, which is where the
+    * higher-order-function formulation burned ~30 s of CPU at sf0.1 (the
+    * lambda re-derives the token array per element; HOF lambdas sit
+    * outside whole-stage codegen's subexpression elimination). */
+  def wordShingles(str: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+    val text = str.toString
+    val len = text.length
+    // token i spans [starts(i), starts(i+1) - 1); sentinel starts(W) = len+1
+    var w = 1
+    var i = 0
+    while (i < len) { if (text.charAt(i) == ' ') w += 1; i += 1 }
+    if (w < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val starts = new Array[Int](w + 1)
+    starts(0) = 0
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (text.charAt(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(w) = len + 1
+    val m = w - n + 1
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[UTF8String](m * 2)
+      i = 0
+      while (i < m) {
+        seen.add(UTF8String.fromString(text.substring(starts(i), starts(i + n) - 1)))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        seen.toArray(new Array[AnyRef](seen.size)).asInstanceOf[Array[Any]])
+    } else {
+      val out = new Array[Any](m)
+      i = 0
+      while (i < m) {
+        out(i) = UTF8String.fromString(text.substring(starts(i), starts(i + n) - 1))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
 }
 
 /** 64-bit SimHash of a whitespace-tokenized document: each token votes its
@@ -290,4 +341,48 @@ case class SeededHash64(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(l, r)
   override def prettyName: String = "seeded_hash64"
+}
+
+/** One member of the affine MinHash family: `a * x + b` with 64-bit wrap
+  * (Java long semantics regardless of spark.sql.ansi.enabled — a plain
+  * Column multiply would throw ARITHMETIC_OVERFLOW under ANSI). `a` odd
+  * makes x → a*x+b a bijection on Z/2^64, the textbook 2-universal
+  * permutation family for MinHash over an already-avalanched 64-bit key;
+  * min under signed long order is min of a consistent reordering, which is
+  * all MinHash needs. One mul+add per seed replaces a full seeded-hash
+  * avalanche — the signature aggregation evaluates numHashes of these per
+  * shingle row, so the constant factor is the whole game. */
+/** Word-n-gram shingles of a document as a single codegen'd kernel call
+  * (see [[Hash64.wordShingles]] for the pinned semantics). Null text yields
+  * null here; the Column wrappers coalesce to the empty array the
+  * relational formulation produced. */
+case class WordShingles(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, "shingle width must be >= 1")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Hash64.wordShingles(v.asInstanceOf[UTF8String], n, distinct)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Hash64.wordShingles($c, $n, $distinct)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = if (distinct) "word_shingles" else "word_shingles_all"
+}
+
+case class AffineHash(child: Expression, a: Long, b: Long)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = a * v.asInstanceOf[Long] + b
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"(${a}L * $c + ${b}L)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "affine_hash"
 }

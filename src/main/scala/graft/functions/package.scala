@@ -78,6 +78,9 @@ package object functions {
   def simhash64(text: Column): Column = col(SimHash64(ex(text)))
   def rolling_hash64(text: Column): Column = col(RollingHash64(ex(text)))
   def seeded_hash64(text: Column, seed: Column): Column = col(SeededHash64(ex(text), ex(seed)))
+  def affine_hash(x: Column, a: Long, b: Long): Column = col(AffineHash(ex(x), a, b))
+  def word_shingles(text: Column, n: Int): Column = col(WordShingles(ex(text), n, distinct = true))
+  def word_shingles_all(text: Column, n: Int): Column = col(WordShingles(ex(text), n, distinct = false))
   def sig_agreement(a: Column, b: Column): Column = col(SigAgreement(ex(a), ex(b)))
 
   /** Register every spatial function in the session's FunctionRegistry for

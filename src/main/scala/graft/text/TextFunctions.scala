@@ -68,28 +68,24 @@ object TextFunctions {
   def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))
 
   /** Distinct word n-gram shingles of a document, in order of first
-    * occurrence. Documents shorter than n words shingle to []. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ws = tokens(text)
-    when(size(ws) >= n,
-      array_distinct(transform(
-        sequence(lit(0), size(ws) - n),
-        i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
-      .otherwise(array().cast(ArrayType(StringType)))
-  }
+    * occurrence. Documents shorter than n words shingle to []; null text
+    * also shingles to [] (the behavior of the original size/when
+    * formulation). Both variants are one codegen'd kernel call
+    * ([[graft.functions.WordShingles]]) sharing a single shingle
+    * definition — the former per-element slice/concat_ws lambda chain
+    * re-derived the token array per shingle (~30 s CPU at sf0.1, the
+    * dominant cost of every shingle-consuming gate). */
+  def wordShingles(text: Column, n: Int): Column =
+    coalesce(graft.functions.word_shingles(text, n),
+      array().cast(ArrayType(StringType)))
 
   /** All word n-gram occurrences WITH multiplicity (unlike [[wordShingles]],
     * which is the distinct set) — the adjacent-pair frequency input of a
     * BPE merge step, where a pair's count across the corpus decides the
     * next merge. */
-  def wordShinglesAll(text: Column, n: Int): Column = {
-    val ws = tokens(text)
-    when(size(ws) >= n,
-      transform(
-        sequence(lit(0), size(ws) - n),
-        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
-      .otherwise(array().cast(ArrayType(StringType)))
-  }
+  def wordShinglesAll(text: Column, n: Int): Column =
+    coalesce(graft.functions.word_shingles_all(text, n),
+      array().cast(ArrayType(StringType)))
 
   // ------------------------------------------- repetition (Gopher/C4 class)
 
