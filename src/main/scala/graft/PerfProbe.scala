@@ -186,6 +186,46 @@ object PerfProbe {
         time("crosses2")(Queries.qSpjoinCrosses(spark, dir).count())
         time("touches1")(Queries.qSpjoinTouches(spark, dir).count())
         time("touches2")(Queries.qSpjoinTouches(spark, dir).count())
+      case "hygiene" =>
+        // within-session degradation probe (verdict r8 #2): five gates, two
+        // passes in ONE session, no System.gc between — run2/run1 per gate
+        // should stay <= 1.3. Telemetry between gates: persistent-RDD block
+        // count (localCheckpoint / persist leak signal) and the latency of a
+        // trivial action (leaked QueryExecutionListeners tax every action).
+        val gates: Seq[(String, String => Long)] = Seq(
+          "minhash_lsh" -> ((d: String) => Queries.qMinhashLsh(spark, d).count()),
+          "dedup_ngram" -> ((d: String) => Queries.qDedupNgram(spark, d).count()),
+          "dedup_cluster" -> ((d: String) => Queries.qDedupCluster(spark, d).count()),
+          "corpus_clean" -> ((d: String) => Queries.qCorpusClean(spark, d).count()),
+          "decontaminate" -> ((d: String) => Queries.qDecontaminate(spark, d).count()))
+        // JIT/codegen warmup at the smallest SF so pass-1 at sf0.1 is
+        // steady-state and the pass ratio isolates SESSION aging, not JIT
+        gates.foreach { case (_, f) =>
+          try { f("/root/testdata/sf0.001") } catch { case _: Throwable => () }
+        }
+        def telemetry(): String = {
+          val rdds = spark.sparkContext.getPersistentRDDs
+          val blocks = rdds.values.map(_.partitions.length).sum
+          val t0 = System.nanoTime()
+          spark.range(100).count()
+          val triv = (System.nanoTime() - t0) / 1e6
+          f"persistentRdds=${rdds.size}%3d parts=$blocks%5d trivialAction=${triv}%7.1f ms"
+        }
+        val r = Array.ofDim[Double](2, gates.length)
+        for (pass <- 0 until 2; i <- gates.indices) {
+          val (name, f) = gates(i)
+          val t0 = System.nanoTime()
+          f(dir)
+          r(pass)(i) = (System.nanoTime() - t0) / 1e9
+          println(f"[probe] pass${pass + 1} $name%-15s ${r(pass)(i)}%6.2f s  ${telemetry()}")
+        }
+        var worst = 0.0
+        gates.indices.foreach { i =>
+          val ratio = r(1)(i) / r(0)(i)
+          worst = math.max(worst, ratio)
+          println(f"[probe] ratio ${gates(i)._1}%-15s run2/run1 = $ratio%5.2f")
+        }
+        println(f"[probe] worst run2/run1 = $worst%5.2f (bar: 1.30)")
       case "minhashcpu" =>
         // attribute stage-25's ~30 s CPU: shingle+explode alone, +string
         // xxhash, +64-min aggregate, full signatures, full gate

@@ -78,14 +78,20 @@ object Components {
     // the logical plan in place, and with ~5 self-references per round the
     // plan grows exponentially (AQE's plan stringification alone OOMs
     // around round 10). Eager localCheckpoint materializes the round and
-    // restarts the plan from its blocks; superseded rounds are dropped by
-    // the ContextCleaner. On a multi-executor cluster prefer
-    // spark.checkpoint.dir + .checkpoint for executor-loss resilience —
-    // the round structure is identical.
-    def round(e: DataFrame): DataFrame = e.localCheckpoint(true)
+    // restarts the plan from its blocks. Waiting for the ContextCleaner to
+    // drop superseded rounds is NOT enough: it only runs under GC pressure,
+    // so round blocks accumulate in storage memory for the life of a
+    // long session (measured as lingering persistent RDDs after every
+    // dedup gate) — each round's block ids are tracked and freed explicitly
+    // the moment the round is superseded. On a multi-executor cluster
+    // prefer spark.checkpoint.dir + .checkpoint for executor-loss
+    // resilience — the round structure is identical.
+    val sc = nodes.sparkSession.sparkContext
+    def round(e: DataFrame): (DataFrame, Seq[Int]) =
+      graft.core.CacheHygiene.trackNewRdds(sc)(e.localCheckpoint(true))
 
     // normalize: direction large→small, self-loops dropped, deduped
-    var cur = round(edges
+    var (cur, curIds) = round(edges
       .select(greatest(col(srcCol), col(dstCol)).as(U),
               least(col(srcCol), col(dstCol)).as(V))
       .where(col(U) =!= col(V))
@@ -142,6 +148,9 @@ object Components {
           if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
         }
       }
+      // the normalized edge checkpoint is fully consumed by the collect —
+      // free its blocks now instead of leaving them to GC-driven cleanup
+      graft.core.CacheHygiene.freeRdds(sc, curIds)
       val mapping = new scala.collection.mutable.ArrayBuffer[(Any, Any)](parent.size)
       parent.keySet().forEach { k => mapping += ((k, find(k))) }
       val spark = nodes.sparkSession
@@ -162,14 +171,19 @@ object Components {
     var converged = prev._1 == 0L
     while (!converged && iter < maxIter) {
       val last = cur
-      val next = round(smallStar(largeStar(cur)))
+      val lastIds = curIds
+      val (next, nextIds) = round(smallStar(largeStar(cur)))
       val sum = checksum(next)
       cur = next
+      curIds = nextIds
       // exact confirmation of the probabilistic checksum match: equal-size
       // distinct sets are equal iff the one-sided difference is empty
       converged = sum == prev && next.except(last).isEmpty
       prev = sum
       iter += 1
+      // `last` is dead past the convergence check — free its round blocks
+      // immediately (they are the bulk of the storage footprint at scale)
+      graft.core.CacheHygiene.freeRdds(sc, lastIds)
     }
     // an unconverged edge set can still hold several parents per child —
     // the join below would then emit CONFLICTING labels with no signal.
@@ -181,9 +195,18 @@ object Components {
 
     // at convergence every edge points child→root; roots carry no edge
     val roots = cur.select(col(U).as(idCol), col(V).as("__comp"))
-    nodes.select(col(idCol)).distinct()
+    val out = nodes.select(col(idCol)).distinct()
       .join(roots, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__comp"), col(idCol)).as("comp"))
+    // the converged round is still referenced by the (lazy) result plan, so
+    // its blocks can only be freed once the caller's first action has
+    // consumed it — same contract as unpersistAfterUse, except a freed
+    // localCheckpoint cannot recompute: a SECOND action on this exact
+    // DataFrame would fail, so callers re-running re-derive the pipeline
+    // (every gate and bench run does)
+    val finalIds = curIds
+    graft.core.CacheHygiene.releaseAfterUse(out)(
+      graft.core.CacheHygiene.freeRdds(sc, finalIds))
   }
 
   /** Survivor selection: one representative row per duplicate cluster, all
