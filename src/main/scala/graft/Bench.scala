@@ -60,14 +60,22 @@ object Bench {
     }
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedList,"load1m":${r3(load)},"sf":"$sfDir"}"""
     println(line)
-    // the driver's tail-capture truncated the r7 record to 63 of 76 gates;
-    // persist the full line so every timed gate survives in a committed
-    // artifact regardless of how much stdout the driver keeps
+    // the driver's tail-capture truncated the r7/r8 records (last ~2.2 KB
+    // of stdout survive; the one-line record now exceeds that); persist the
+    // full line so every timed gate survives in a committed artifact
+    // regardless of how much stdout the driver keeps. Path is relative to
+    // the working directory (overridable) so a different checkout location
+    // still gets the safeguard, and a write failure says so instead of
+    // silently dropping it.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tools/bench_last.json")
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("/root/repo/tools/bench_last.json"),
+        java.nio.file.Paths.get(outPath),
         (line + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] WARNING: could not persist $outPath: $e")
+    }
     spark.stop()
   }
 }
