@@ -11,11 +11,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * as opaque `BinaryType` content + typed metadata, with decode/feature/
   * resize/frame-sample operators.
   *
-  * The CODEC layer is STUBBED (this container has no image/audio libraries):
-  * `decodeStub` derives deterministic pseudo-features from the bytes. The
-  * Spark-side plumbing — schema, per-partition batch iteration, operator
-  * signatures, partitioning behavior — is real and tested; swapping the stub
-  * for a JNI/javax.imageio decoder changes one function.
+  * IMAGE decode is REAL (JDK-only javax.imageio via [[ImageCodec]]:
+  * PNG/JPEG/BMP/GIF dims + pixel-derived features, see [[analyzeImages]]).
+  * AUDIO/VIDEO stay STUBBED (no JDK demuxer in this container):
+  * `decodeStub` derives deterministic pseudo-features from the bytes, and
+  * the Spark-side plumbing — schema, per-partition batch iteration,
+  * operator signatures, partitioning behavior — is identical for both, so
+  * swapping a stub for a real codec changes one function
+  * ([[withFeatures]]' `codec` parameter).
   *
   * All per-row work runs in `mapPartitions` (the Scala analog of
   * `mapInPandas` batch processing): one decoder instance per partition, rows
@@ -77,16 +80,46 @@ object Multimodal {
     out
   }
 
-  /** binary -> feature vector column via per-partition batch processing. */
-  def withFeatures(df: DataFrame, binCol: String, outCol: String = "features"): DataFrame = {
+  /** binary -> feature vector column via per-partition batch processing.
+    * `codec` is the bytes→features kernel: [[decodeStub]] by default,
+    * [[ImageCodec.imageFeatures]] for real image decode — the promised
+    * one-function swap, same plumbing. */
+  def withFeatures(df: DataFrame, binCol: String, outCol: String = "features",
+                   codec: Array[Byte] => Array[Float] = decodeStub): DataFrame = {
     val schema = df.schema.add(outCol, ArrayType(FloatType))
     val binIdx = df.schema.fieldIndex(binCol)
     implicit val enc = Encoders.row(schema)
     df.mapPartitions { rows =>
       // one decoder context per partition (where a real codec would init)
       rows.map { r =>
-        val feat = decodeStub(r.getAs[Array[Byte]](binIdx))
+        val feat = codec(r.getAs[Array[Byte]](binIdx))
         Row.fromSeq(r.toSeq :+ feat.toSeq)
+      }
+    }.toDF(schema.fieldNames.toIndexedSeq: _*)
+  }
+
+  /** One-pass REAL image analysis (javax.imageio): media_meta with the
+    * container's actual dims, grid-luminance features from decoded pixels,
+    * and the exact integer mean luminance — one decode per row, streaming
+    * per partition (decoding separately for meta and features would read
+    * every image twice). Undecodable/null bytes yield null meta/features
+    * (quarantine semantics, never a mid-scan throw). Non-image media keeps
+    * using [[withMediaMeta]] + [[decodeStub]]. */
+  def analyzeImages(df: DataFrame, binCol: String,
+                    mediaType: String = "image/png"): DataFrame = {
+    val schema = df.schema
+      .add("media_meta", MediaMetaType)
+      .add("features", ArrayType(FloatType))
+      .add("mean_luma", IntegerType)
+    val binIdx = df.schema.fieldIndex(binCol)
+    implicit val enc = Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        ImageCodec.analyze(r.getAs[Array[Byte]](binIdx)) match {
+          case Some(i) => Row.fromSeq(r.toSeq ++ Seq(
+            Row(mediaType, i.width, i.height, null, null), i.features.toSeq, i.meanLuma))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        }
       }
     }.toDF(schema.fieldNames.toIndexedSeq: _*)
   }

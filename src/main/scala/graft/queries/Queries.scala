@@ -1186,6 +1186,42 @@ object Queries {
        |FROM d""".stripMargin
   }
 
+  /** REAL image decode gate: deterministic solid-color PNGs are encoded
+    * per row (w/h/gray arithmetic on doc_id), then [[graft.multimodal
+    * .Multimodal.analyzeImages]] recovers width, height and mean luminance
+    * from the ACTUAL decoded pixels via javax.imageio — the oracle knows
+    * the generator arithmetic, so a hash match proves the decode read the
+    * real container, not the stub. PNG is lossless, so the uniform-color
+    * mean luminance is exact in integers. doc_id >= 0 precondition (Scala
+    * % vs SQL % diverge on negatives — corpus ids are non-negative). */
+  def qMultimodalReal(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{BinaryType, StructType}
+    import graft.multimodal.{ImageCodec, Multimodal}
+    val base = table(spark, dir, "documents")
+      .select(col("doc_id")).where(col("doc_id") < 200)
+    val schema = base.schema.add("content", BinaryType)
+    implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+    val withPng = base.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (16 + id % 32).toInt
+        val h = (16 + (id * 7) % 32).toInt
+        val g = ((id * 31) % 256).toInt
+        org.apache.spark.sql.Row(id, ImageCodec.encodePng(w, h, (g << 16) | (g << 8) | g))
+      }
+    }.toDF("doc_id", "content")
+    Multimodal.analyzeImages(withPng, "content")
+      .select(col("doc_id"), col("media_meta.width").as("w"),
+        col("media_meta.height").as("h"), col("mean_luma").as("luma"))
+  }
+
+  val qMultimodalRealSql: String =
+    """SELECT doc_id,
+      | CAST(16 + doc_id % 32 AS INT) AS w,
+      | CAST(16 + (doc_id * 7) % 32 AS INT) AS h,
+      | CAST((doc_id * 31) % 256 AS INT) AS luma
+      |FROM documents WHERE doc_id < 200""".stripMargin
+
   /** Embedding-cosine near-duplicate pairs (oracled): exact brute-force
     * threshold mining over a key-hash subsample — the baseline the LSH
     * variant (Similarity.nearDupPairs, ScalaTest recall-gated) approximates.

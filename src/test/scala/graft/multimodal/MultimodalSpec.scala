@@ -65,4 +65,58 @@ class MultimodalSpec extends SparkTestBase {
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted.toSeq).toMap
     assert(strided.values.forall(_ == Seq(0L, 1L)))
   }
+
+  test("ImageCodec: real PNG encode->decode roundtrip recovers dims and pixels") {
+    val png = ImageCodec.encodePng(40, 24, 0x555555)
+    val info = ImageCodec.analyze(png).get
+    assert(info.width == 40 && info.height == 24)
+    assert(info.meanLuma == 0x55, "uniform color -> exact integer mean")
+    // uniform image: every grid cell's luminance mean is gray/255 exactly
+    assert(info.features.length == 16)
+    assert(info.features.forall(f => math.abs(f - 0x55 / 255.0f) < 1e-6f))
+  }
+
+  test("ImageCodec: gradient features match stored expected cell means") {
+    // horizontal 0..255 gradient, 32x8, grid 4x4: cell column c covers
+    // x in [8c, 8c+8), luma(x) = x*255/31 (int division) — expected means
+    // computed independently of the codec
+    val png = ImageCodec.encodeGradientPng(32, 8)
+    val info = ImageCodec.analyze(png).get
+    assert(info.width == 32 && info.height == 8)
+    val expected = (0 until 4).map { c =>
+      val lumas = (8 * c until 8 * c + 8).map(x => (x * 255) / 31)
+      (lumas.sum.toDouble / (255.0 * lumas.length)).toFloat
+    }
+    (0 until 16).foreach { cell =>
+      assert(math.abs(info.features(cell) - expected(cell % 4)) < 1e-6f,
+        s"cell $cell: ${info.features(cell)} vs ${expected(cell % 4)}")
+    }
+    // rows are identical -> all four grid rows carry the same features
+    assert(info.features.slice(0, 4).toSeq == info.features.slice(12, 16).toSeq)
+  }
+
+  test("ImageCodec: undecodable bytes fall back to the stub, nulls are quarantined") {
+    val junk = "definitely-not-an-image".getBytes
+    assert(ImageCodec.analyze(junk).isEmpty)
+    assert(ImageCodec.imageFeatures(junk).toSeq == Multimodal.decodeStub(junk).toSeq)
+    assert(ImageCodec.analyze(null).isEmpty)
+  }
+
+  test("analyzeImages: one-pass real decode over a DataFrame, null-safe") {
+    val rows = Seq(
+      (1L, ImageCodec.encodePng(20, 10, 0xff0000)), // red: meanLuma 255/3=85
+      (2L, ImageCodec.encodeGradientPng(16, 16)),
+      (3L, null.asInstanceOf[Array[Byte]]))
+    val df = rows.toDF("media_id", "content")
+    val out = Multimodal.analyzeImages(df.repartition(2), "content")
+    val byId = out.select("media_id", "media_meta.width", "media_meta.height", "mean_luma")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getInt(1) == 20 && byId(1L).getInt(2) == 10)
+    assert(byId(1L).getInt(3) == 85)
+    assert(byId(2L).getInt(1) == 16)
+    assert(byId(3L).isNullAt(1) && byId(3L).isNullAt(3))
+    val feats = out.where(col("media_id") === 2L)
+      .select("features").head().getSeq[Float](0)
+    assert(feats.length == 16 && feats.sum > 0f)
+  }
 }
