@@ -1123,6 +1123,46 @@ object Queries {
        |SELECT id, w * w AS area FROM b
        |WHERE x0 <= 170 AND x0 + w >= 50 AND y0 <= 180 AND y0 + w >= 40""".stripMargin
 
+  /** STREAMING spatial ingest gate (batch-twin oracle): the deterministic
+    * part boxes are shipped as WKT through a real Structured Streaming
+    * query — file source → [[graft.streaming.SpatialIngest.start]] append
+    * sink (tile-partitioned parquet + meta against a tiling planned on the
+    * historical batch) — then the streamed store is containment-read like
+    * any batch-written store and oracled with the same plain-SQL window
+    * predicate as q_store_containment. All coordinates are integer-valued
+    * doubles, so the WKT text roundtrip is exact. */
+  def qStreamIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SpatialStore
+    import graft.streaming.SpatialIngest
+    val base = s"/root/repo/target/graft_stream_ingest/${new java.io.File(dir).getName}"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(base)) // the gate times the ingest itself: fresh run
+    val boxes = partBoxes(spark, dir)
+    boxes.select(col("id").cast("long").as("id"), st_astext(col("geom")).as("wkt"))
+      .write.parquet(s"$base/src")
+    // fixed tiling planned on the historical batch — distributed planning,
+    // same path the batch writer uses
+    val env = boxes.select(col("x0").as("__xmin"), col("y0").as("__ymin"),
+      (col("x0") + col("w")).as("__xmax"), (col("y0") + col("w")).as("__ymax"))
+    val index = SpatialJoin.planTiles(env, env.limit(0),
+      SpatialJoin.Config(partitioner = "fg", bucket = 300))
+    val stream = spark.readStream
+      .schema("id BIGINT, wkt STRING").parquet(s"$base/src")
+    val q = SpatialIngest.start(stream, "wkt", index, s"$base/store", s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val window = graft.core.GeometryCodec.toWkb(
+      graft.core.GeometryCodec.box(50, 40, 170, 180))
+    SpatialStore.containmentRead(spark, s"$base/store", window)
+      .select(col("id"), st_area(col("geom")).as("area"))
+  }
+
+  /** Same oracle as q_store_containment: the stream must land exactly the
+    * batch writer's content. */
+  val qStreamIngestSql: String = qStoreContainmentSql
+
   /** Multi-window batch containment over the spatial store: 25 windows (a
     * 5x5 lattice derived from nation keys) answered in ONE store scan via a
     * broadcast STRtree over the window set — the reference's stubbed
