@@ -1616,10 +1616,40 @@ object Queries {
       table(spark, dir, "documents"),
       groupCols = Seq("source"), idCol = "doc_id", textCol = "text", slots = 3)
 
+  /** Secondary ORDER BY text matches the engine's struct-sort tie-break
+    * for (hypothetical) duplicate ids; % == pmod for the corpus's
+    * non-negative ids (precondition documented in ShardBuild). */
   val qDocConcatSql: String =
     """SELECT source, doc_id % 3 AS slot, count(*) AS n_docs,
       | CAST(sum(len(text)) AS BIGINT) AS sum_chars,
-      | md5(string_agg(text, chr(10) ORDER BY doc_id)) AS shard_md5
+      | md5(string_agg(text, chr(10) ORDER BY doc_id, text)) AS shard_md5
+      |FROM documents GROUP BY 1, 2""".stripMargin
+
+  /** Shard FILE sink gate: [[graft.text.ShardBuild.writeShards]] writes
+    * one text file per shard, then the gate reads the RAW BYTES back
+    * (binaryFile source, partition dirs recovered as columns), strips the
+    * text sink's single trailing newline, and hashes — emitted next to the
+    * summary-side shard_md5 from buildShards, so the gate hash-checks
+    * file-bytes == computed-contract == oracle re-derivation in one row. */
+  def qShardFiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.ShardBuild
+    val path = s"/root/repo/target/graft_shards/${new java.io.File(dir).getName}"
+    val docs = table(spark, dir, "documents")
+    ShardBuild.writeShards(docs, Seq("source"), "doc_id", "text", 3, path)
+    val files = spark.read.format("binaryFile").load(path)
+      .select(col("source"), col("slot").cast("long").as("slot"),
+        md5(expr("substring(content, 1, length(content)-1)")).as("file_md5"))
+    val summary = ShardBuild.buildShards(docs, Seq("source"), "doc_id", "text", 3)
+      .select(col("source"), col("slot"), col("n_docs"), col("shard_md5"))
+    files.join(summary, Seq("source", "slot"))
+      .select(col("source"), col("slot"), col("n_docs"),
+        col("file_md5"), col("shard_md5"))
+  }
+
+  val qShardFilesSql: String =
+    """SELECT source, doc_id % 3 AS slot, count(*) AS n_docs,
+      | md5(string_agg(text, chr(10) ORDER BY doc_id, text)) AS file_md5,
+      | md5(string_agg(text, chr(10) ORDER BY doc_id, text)) AS shard_md5
       |FROM documents GROUP BY 1, 2""".stripMargin
 
   /** BPE merge-candidate mining: adjacent word-pair frequencies across the

@@ -56,6 +56,31 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("writeShards: one file per shard, file bytes = contract bytes + newline") {
+    val docs = (0L until 60L)
+      .map(id => (id, s"g${id % 2}", s"doc body $id"))
+      .toDF("doc_id", "grp", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_shardw").toString
+    ShardBuild.writeShards(docs.repartition(5), Seq("grp"), "doc_id", "text", 3, path)
+    val files = spark.read.format("binaryFile").load(path)
+      .select($"grp", $"slot".cast("long"), $"path", $"content").collect()
+    assert(files.length == 6, "2 groups x 3 slots = 6 shard files")
+    assert(files.map(r => (r.getString(0), r.getLong(1))).toSet ==
+      (for (g <- 0 until 2; s <- 0 until 3) yield (s"g$g", s.toLong)).toSet)
+    val want = ShardBuild.buildShards(docs, Seq("grp"), "doc_id", "text", 3)
+      .select($"grp", $"slot", $"shard_md5")
+      .as[(String, Long, String)].collect()
+      .map { case (g, s, m) => (g, s) -> m }.toMap
+    files.foreach { r =>
+      val bytes = r.getAs[Array[Byte]](3)
+      assert(bytes.last == '\n'.toByte, "text sink terminates the shard line")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes.dropRight(1)).map("%02x".format(_)).mkString
+      assert(md == want((r.getString(0), r.getLong(1))),
+        s"file bytes diverge from the shard_md5 contract at ${r.getString(2)}")
+    }
+  }
+
   test("wordShinglesAll keeps multiplicity; wordShingles stays distinct") {
     val d = Seq((1L, "a b a b a"), (2L, "x")).toDF("id", "text")
     val all = d.select($"id",
