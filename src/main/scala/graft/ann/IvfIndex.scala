@@ -54,6 +54,68 @@ object IvfIndex {
     Model(KMeans.lloyd(sample, nlist, seed, maxIter, tol))
   }
 
+  /** k-means|| training (Bahmani et al., "Scalable K-Means++", VLDB'12) —
+    * the 100 TB option next to the sample-bound default: candidate
+    * centroids are drawn DISTRIBUTED over the FULL corpus, each point kept
+    * with probability ∝ its squared distance to the current candidate set,
+    * so coverage is not limited by what fits in a driver sample; a
+    * weighted driver Lloyd then reduces the ~rounds×oversample candidates
+    * to `nlist`. Cost: 2 jobs per round (potential sum + draw) for a FIXED
+    * `rounds` (5 covers k up to ~10^5 per the paper), plus one weighting
+    * scan — independent of corpus size, vs 2 jobs per Lloyd ITERATION for
+    * a fully distributed trainer. Deterministic for a fixed partitioning:
+    * per-partition seeded RNGs, candidates kept in (round, partition,
+    * arrival) order, seeded weighted reduce. Falls back to [[train]] for
+    * corpora the default already covers ([[train]] stays the default —
+    * quality is sample-bound only when the corpus is both huge and highly
+    * clustered). */
+  def trainKMeansPar(items: DataFrame, vecCol: String, nlist: Int,
+                     seed: Long = 42L, rounds: Int = 5,
+                     oversamplePerRound: Int = 0,
+                     maxIter: Int = 20, tol: Double = 1e-4): Model = {
+    val l = if (oversamplePerRound > 0) oversamplePerRound else math.max(2 * nlist, 8)
+    val sc = items.sparkSession.sparkContext
+    val vecs = items.select(col(vecCol)).where(col(vecCol).isNotNull)
+      .rdd.map { r =>
+        val s = r.getSeq[Float](0)
+        val a = new Array[Double](s.length)
+        var i = 0
+        while (i < a.length) { a(i) = s(i); i += 1 }
+        a
+      }
+      // consumed 2×rounds + 2 times; released in the finally below
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val firstOpt = vecs.take(1)
+      require(firstOpt.nonEmpty, "no vectors to train on")
+      val cands = scala.collection.mutable.ArrayBuffer[Array[Double]](firstOpt(0))
+      var r = 1
+      var saturated = false
+      while (r <= rounds && !saturated) {
+        val bc = sc.broadcast(cands.toArray)
+        val phi = vecs.map(v => KMeans.minDist2(bc.value, v)).sum()
+        if (phi <= 0.0) saturated = true // every point IS a candidate
+        else {
+          val seedBase = seed * 7919L + r * 131L
+          val picked = vecs.mapPartitionsWithIndex { (pi, it) =>
+            val rng = new java.util.Random(seedBase + pi)
+            it.filter(v => rng.nextDouble() < l * KMeans.minDist2(bc.value, v) / phi)
+          }.collect()
+          cands ++= picked
+        }
+        bc.destroy()
+        r += 1
+      }
+      // weight each candidate by the population it attracts (one scan)
+      val bcAll = sc.broadcast(cands.toArray)
+      val counts = vecs.map(v => KMeans.nearestIndex(bcAll.value, v))
+        .countByValue()
+      bcAll.destroy()
+      val w = Array.tabulate(cands.length)(i => counts.getOrElse(i, 0L).toDouble)
+      Model(KMeans.lloydWeighted(cands.toArray, w, nlist, maxIter, tol))
+    } finally vecs.unpersist(blocking = false)
+  }
+
   /** Top-n nearest centroids by L2, allocation-free: a fixed-size
     * insertion list instead of sorting nlist boxed (distance, id) tuples —
     * the tuple sort cost ~40x the arithmetic at 2M items x 256 centroids

@@ -92,4 +92,104 @@ private[ann] object KMeans {
     }
     centroids
   }
+
+  /** Index of the nearest center by squared L2 (ties keep the lower
+    * index — the same order every assignment loop here uses). */
+  def nearestIndex(centers: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var ci = 0
+    while (ci < centers.length) {
+      val c = centers(ci)
+      val len = math.min(c.length, v.length)
+      var d = 0.0; var i = 0
+      while (i < len) { val diff = c(i) - v(i); d += diff * diff; i += 1 }
+      if (d < bestD) { bestD = d; best = ci }
+      ci += 1
+    }
+    best
+  }
+
+  /** Squared L2 distance to the nearest center (the k-means|| sampling
+    * potential). */
+  def minDist2(centers: Array[Array[Double]], v: Array[Double]): Double = {
+    var bestD = Double.MaxValue
+    var ci = 0
+    while (ci < centers.length) {
+      val c = centers(ci)
+      val len = math.min(c.length, v.length)
+      var d = 0.0; var i = 0
+      while (i < len) { val diff = c(i) - v(i); d += diff * diff; i += 1 }
+      if (d < bestD) bestD = d
+      ci += 1
+    }
+    bestD
+  }
+
+  /** WEIGHTED Lloyd — the k-means|| reduce step (Bahmani et al., VLDB'12):
+    * the oversampled candidates, weighted by the corpus population each
+    * attracts, collapse to k centroids. Candidates are few (~rounds ×
+    * oversample), so a single-threaded deterministic loop suffices. Init =
+    * the k heaviest candidates (deterministic, population-guided — a
+    * random draw could seed on a zero-weight duplicate). */
+  def lloydWeighted(points: Array[Array[Double]], w: Array[Double], k0: Int,
+                    maxIter: Int, tol: Double): Array[Array[Double]] = {
+    require(points.nonEmpty && points.length == w.length)
+    val k = math.min(k0, points.length)
+    // k-means++-style init, deterministic greedy form: heaviest candidate
+    // first, then repeatedly the candidate with the largest w·d² to the
+    // chosen set (weighted farthest-point). Top-k-by-weight seeds two
+    // centroids in one heavy cluster and none in a light one — the classic
+    // local minimum Lloyd cannot escape on well-separated clusters.
+    val chosen = new Array[Int](k)
+    val d2 = Array.fill(points.length)(Double.MaxValue)
+    chosen(0) = w.indices.maxBy(i => (w(i), -i))
+    var m = 1
+    while (m < k) {
+      val last = points(chosen(m - 1))
+      var i = 0
+      while (i < points.length) {
+        val p = points(i)
+        val len = math.min(p.length, last.length)
+        var d = 0.0; var j = 0
+        while (j < len) { val diff = p(j) - last(j); d += diff * diff; j += 1 }
+        if (d < d2(i)) d2(i) = d
+        i += 1
+      }
+      chosen(m) = points.indices.maxBy(i => (w(i) * d2(i), -i))
+      m += 1
+    }
+    val centroids = chosen.map(i => points(i).clone())
+    val dim = points.head.length
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIter && moved > tol) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val cw = new Array[Double](k)
+      var j = 0
+      while (j < points.length) {
+        val ci = nearestIndex(centroids, points(j))
+        val s = sums(ci); val v = points(j)
+        var i = 0
+        while (i < dim && i < v.length) { s(i) += w(j) * v(i); i += 1 }
+        cw(ci) += w(j)
+        j += 1
+      }
+      moved = 0.0
+      var ci = 0
+      while (ci < k) {
+        if (cw(ci) > 0) { // weightless cluster keeps its old centroid
+          val c = centroids(ci)
+          var i = 0
+          while (i < c.length) {
+            val nv = sums(ci)(i) / cw(ci)
+            val d = nv - c(i); moved += d * d
+            c(i) = nv; i += 1
+          }
+        }
+        ci += 1
+      }
+      iter += 1
+    }
+    centroids
+  }
 }

@@ -169,6 +169,49 @@ class TextPipelineSpec extends SparkTestBase {
     assert(recall >= 0.5, s"IVF recall $recall at nprobe=4/8 lists")
   }
 
+  test("IVF k-means|| init: full-corpus oversampling beats the sample-bound trainer on clustered data") {
+    // 16 well-separated Gaussian clusters in 16-dim: the regime where
+    // init quality decides coverage — random init from a (tiny) sample
+    // routinely seeds two centroids in one cluster and zero in another,
+    // while d^2-proportional oversampling touches every cluster
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(16)(Array.fill(16)(rnd.nextGaussian() * 50.0))
+    val pts = (0 until 1600).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian()).toFloat))
+    }
+    val items = pts.toDF("nid", "ivec")
+    def cost(m: IvfIndexTestAccess.Model): Double =
+      pts.map { case (_, v) =>
+        m.centroids.map { c =>
+          c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum
+        }.min
+      }.sum
+    val par = IvfIndexTestAccess.trainKMeansPar(items, "ivec", nlist = 16, seed = 5L)
+    assert(par.centroids.length == 16)
+    // sample-bound trainer: 64-vector budget (the 100 TB analog, where the
+    // sample sees a vanishing corpus fraction)
+    val sampled = IvfIndexTestAccess.train(items, "ivec", nlist = 16,
+      sampleTarget = 64, seed = 5L)
+    assert(cost(par) <= cost(sampled),
+      s"k-means|| potential ${cost(par)} vs sample-trained ${cost(sampled)}")
+    // absolute quality: with matched cluster count the quantization
+    // potential must approach the true per-point noise (dim * sigma^2 = 16)
+    assert(cost(par) / pts.length < 32.0,
+      s"k-means|| per-point potential ${cost(par) / pts.length} (true noise ~16)")
+    // the IVF search path is unchanged: recall vs brute stays high
+    val queries = items.where(col("nid") % 20 === 0)
+      .select(col("nid").as("qid"), col("ivec").as("qvec"))
+    val ivf = IvfIndexTestAccess.topK(items, "nid", "ivec",
+        queries, "qid", "qvec", k = 5, par, nprobe = 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val brute = Similarity.topKBrute(items, "nid", "ivec", queries, "qid", "qvec", 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    assert(recall >= 0.9,
+      s"IVF recall $recall with k-means|| centroids at nprobe=4/16 on clustered data")
+  }
+
   test("PQ top-k: ADC shortlist + exact re-rank recalls brute force") {
     val items = emb.select(col("vec_id").as("nid"), col("embedding").as("ivec"))
     val queries = emb.where(col("vec_id") % 10 === 0)
