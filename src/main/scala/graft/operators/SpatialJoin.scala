@@ -498,9 +498,19 @@ object SpatialJoin {
     * clustering, or a coarse adaptive leaf) inflates every resident row's
     * radius by the whole tile span and degenerates pass 2 to a
     * near-cartesian re-pair (measured in SCALE.md's knn2d rehearsal).
-    * Tiles that never reach k (right side smaller than k), and plans
-    * whose occupied×total product exceeds the quadratic budget, carry an
-    * empty set → the caller's cap. */
+    * Tiles that never reach k (right side smaller than k) carry an empty
+    * set → the caller's cap.
+    *
+    * Scale shape: an STRtree over the occupied tile boxes turns the former
+    * per-tile sort over ALL occupied tiles — whose occupied×total product
+    * needed a 4M give-up budget that any 100 TB tiling would trip — into a
+    * radius-expanding LOCAL neighborhood search. Per tile: query the tiles
+    * within search radius R (envelope expansion ⊇ mindist ≤ R), sort only
+    * those by (maxDist, tileId), take the prefix reaching k. If the prefix
+    * max M ≤ R the result is EXACTLY the full-sort answer (every tile of
+    * the optimal prefix has mindist ≤ maxDist ≤ M ≤ R, so it was a
+    * candidate); otherwise one re-query at R = M is provably sufficient.
+    * Cost: O(tiles × neighborhood) instead of O(tiles × occupied). */
   private[operators] def tileRingPlans(tiles: Array[TileBoundary],
                                        stats: Map[Int, (Long, Double)],
                                        k: Int): (Array[Array[Int]], Array[Double]) = {
@@ -510,22 +520,58 @@ object SpatialJoin {
     val occ = stats.toArray
       .filter { case (t, (c, _)) => c > 0 && t >= 0 && t < nT }
       .sortBy(_._1)
-    if (occ.isEmpty || occ.length.toLong * nT > 4L * 1000 * 1000)
+    if (occ.isEmpty || occ.iterator.map(_._2._1).sum < k)
       return (sets, mhds)
     def maxDist(a: Mbb, b: Mbb): Double = {
       val dx = math.max(a.xmax - b.xmin, b.xmax - a.xmin)
       val dy = math.max(a.ymax - b.ymin, b.ymax - a.ymin)
       math.sqrt(dx * dx + dy * dy)
     }
+    val tree = new STRtree()
+    occ.foreach { case (t, _) =>
+      val m = tiles(t).mbb
+      tree.insert(new Envelope(m.xmin, m.xmax, m.ymin, m.ymax), Integer.valueOf(t))
+    }
+    tree.build()
     var i = 0
     while (i < nT) {
-      val ds = occ.map { case (t, (c, hd)) => (maxDist(tiles(i).mbb, tiles(t).mbb), t, c, hd) }
-        .sortBy(d => (d._1, d._2))
-      var acc = 0L; var j = 0; var mhd = 0.0
-      while (j < ds.length && acc < k) {
-        acc += ds(j)._3; mhd = math.max(mhd, ds(j)._4); j += 1
+      val a = tiles(i).mbb
+      // initial radius: the tile's own diagonal (covers its immediate
+      // neighborhood on any roughly-uniform tiling), floored for
+      // degenerate point tiles
+      var radius = math.max(1e-9,
+        math.hypot(a.xmax - a.xmin, a.ymax - a.ymin))
+      var done = false
+      while (!done) {
+        val env = new Envelope(a.xmin - radius, a.xmax + radius,
+          a.ymin - radius, a.ymax + radius)
+        val cands = tree.query(env)
+        val ds = new Array[(Double, Int, Long, Double)](cands.size())
+        var c = 0
+        while (c < ds.length) {
+          val t = cands.get(c).asInstanceOf[Integer].intValue
+          val (cnt, hd) = stats(t)
+          ds(c) = (maxDist(a, tiles(t).mbb), t, cnt, hd)
+          c += 1
+        }
+        scala.util.Sorting.stableSort(ds,
+          (x: (Double, Int, Long, Double), y: (Double, Int, Long, Double)) =>
+            x._1 < y._1 || (x._1 == y._1 && x._2 < y._2))
+        var acc = 0L; var j = 0; var mhd = 0.0
+        while (j < ds.length && acc < k) {
+          acc += ds(j)._3; mhd = math.max(mhd, ds(j)._4); j += 1
+        }
+        if (acc >= k) {
+          val m = ds(j - 1)._1
+          if (m <= radius) {
+            sets(i) = ds.take(j).map(_._2)
+            mhds(i) = mhd
+            done = true
+          } else radius = m // one exact re-query: all maxDist ≤ m tiles land inside
+        } else if (ds.length == occ.length) {
+          done = true // unreachable (total ≥ k checked) — defensive exit
+        } else radius *= 2
       }
-      if (acc >= k) { sets(i) = ds.take(j).map(_._2); mhds(i) = mhd }
       i += 1
     }
     (sets, mhds)

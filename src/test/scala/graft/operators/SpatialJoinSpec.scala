@@ -252,4 +252,41 @@ class SpatialJoinSpec extends SparkTestBase {
       }
     }
   }
+
+  test("tileRingPlans: 10k-tile tiling gets non-empty plans matching the full-sort reference") {
+    import graft.core.{Mbb, TileBoundary}
+    // 100x100 uniform grid; occupied tiles = a deterministic ~30% subset
+    // with varying counts, plus a cleared 20x20 dead zone so some tiles
+    // must expand their search radius well past the immediate ring
+    val n = 100
+    val tiles = Array.tabulate(n * n) { t =>
+      val x = t % n; val y = t / n
+      TileBoundary(t, Mbb(x * 10.0, y * 10.0, x * 10.0 + 10, y * 10.0 + 10))
+    }
+    val stats: Map[Int, (Long, Double)] = tiles.indices.collect {
+      case t if (t * 2654435761L % 10) < 3 &&
+        !(t % n >= 40 && t % n < 60 && t / n >= 40 && t / n < 60) =>
+        t -> (((t % 7) + 1).toLong, (t % 5) * 0.5)
+    }.toMap
+    val k = 25
+    val (sets, mhds) = graft.operators.SpatialJoin.tileRingPlans(tiles, stats, k)
+    assert(sets.forall(_.nonEmpty),
+      "every tile must get a ring plan on a 10k-tile tiling (the old 4M budget gave up here)")
+    // reference: the former full-sort formulation, on sampled tiles
+    // including dead-zone centers (worst-case expansion)
+    def maxDist(a: Mbb, b: Mbb): Double = {
+      val dx = math.max(a.xmax - b.xmin, b.xmax - a.xmin)
+      val dy = math.max(a.ymax - b.ymin, b.ymax - a.ymin)
+      math.sqrt(dx * dx + dy * dy)
+    }
+    val occ = stats.toArray.sortBy(_._1)
+    for (i <- Seq(0, 57, 4040, 5050, 4545, 9999, 123, 8888)) {
+      val ds = occ.map { case (t, (c, hd)) => (maxDist(tiles(i).mbb, tiles(t).mbb), t, c, hd) }
+        .sortBy(d => (d._1, d._2))
+      var acc = 0L; var j = 0; var mhd = 0.0
+      while (j < ds.length && acc < k) { acc += ds(j)._3; mhd = math.max(mhd, ds(j)._4); j += 1 }
+      assert(sets(i).toSeq == ds.take(j).map(_._2).toSeq, s"ring set diverged at tile $i")
+      assert(mhds(i) == mhd, s"ring mhd diverged at tile $i")
+    }
+  }
 }
