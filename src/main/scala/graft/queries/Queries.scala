@@ -1874,6 +1874,30 @@ object Queries {
        | WHERE c.px >= b.x0 AND c.px <= b.x0 + b.w
        |   AND c.py >= b.y0 AND c.py <= b.y0 + b.w)""".stripMargin
 
+  /** The SQL form of global disjoint: plain `NOT EXISTS(st_intersects)`
+    * text, which Catalyst rewrites to a LeftAnti join and
+    * SpatialJoinStrategy plans as the tiled semi/anti engine
+    * (SpatialJoinExec) — the q_disjoint_global plan reachable without the
+    * programmatic API. Strategy + function registry are injected
+    * idempotently so the gate is self-contained in any session. */
+  def qDisjointSql(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.SpatialJoinStrategy
+    if (!spark.experimental.extraStrategies.contains(SpatialJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ SpatialJoinStrategy
+    graft.functions.registerAll(spark)
+    partBoxes(spark, dir).select(col("id").as("pid"), col("geom").as("g1"))
+      .createOrReplaceTempView("gate_disjoint_parts")
+    custPoints(spark, dir).select(col("id").as("cid"), col("geom").as("g2"))
+      .createOrReplaceTempView("gate_disjoint_custs")
+    spark.sql(
+      """SELECT cid FROM gate_disjoint_custs
+        |WHERE NOT EXISTS (SELECT 1 FROM gate_disjoint_parts
+        |                  WHERE st_intersects(g1, g2))""".stripMargin)
+  }
+
+  val qDisjointSqlSql: String = qDisjointGlobalSql
+
   /** P1: the reference's output-projection mini-language
     * (`--fields 1:K,2:K,measure`, resque_params_2d.hpp:70-160) applied to a
     * dwithin self-join (bos partitioner — G7): side-qualified columns plus

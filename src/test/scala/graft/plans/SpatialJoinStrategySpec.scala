@@ -99,4 +99,43 @@ class SpatialJoinStrategySpec extends SparkTestBase {
     assert(q.queryExecution.executedPlan.collect { case e: SpatialJoinExec => e }.isEmpty)
     assert(q.count() == 250)
   }
+
+  test("NOT EXISTS / EXISTS st_intersects plan as tiled semi/anti and match brute force") {
+    val la = boxes(220, 11); val lb = boxes(180, 12)
+    la.toDF("ida", "wa").withColumn("ga", st_geomfromwkt(col("wa")))
+      .createOrReplaceTempView("sa")
+    lb.toDF("idb", "wb").withColumn("gb", st_geomfromwkt(col("wb")))
+      .createOrReplaceTempView("sb")
+
+    val anti = spark.sql(
+      "SELECT ida FROM sa WHERE NOT EXISTS (SELECT 1 FROM sb WHERE st_intersects(ga, gb))")
+    assert(anti.queryExecution.executedPlan.collect {
+      case e: SpatialJoinExec => e
+    }.nonEmpty, s"expected tiled anti in:\n${anti.queryExecution.executedPlan}")
+    val semi = spark.sql(
+      "SELECT ida FROM sa WHERE EXISTS (SELECT 1 FROM sb WHERE st_intersects(ga, gb))")
+    assert(semi.queryExecution.executedPlan.collect {
+      case e: SpatialJoinExec => e
+    }.nonEmpty, s"expected tiled semi in:\n${semi.queryExecution.executedPlan}")
+
+    val matched = (for {
+      (i, wa) <- la
+      if lb.exists { case (_, wb) =>
+        GeometryCodec.fromWkt(wa).intersects(GeometryCodec.fromWkt(wb)) }
+    } yield i).toSet
+    assert(semi.as[Long].collect().toSet == matched)
+    assert(anti.as[Long].collect().toSet == la.map(_._1).toSet -- matched)
+
+    // null-geometry left rows match nothing: ANTI keeps them, SEMI drops
+    (la.take(5).map { case (i, w) => (i, w) } :+ (999L, "not-a-wkt"))
+      .toDF("ida", "wa").withColumn("ga", st_geomfromwkt(col("wa")))
+      .createOrReplaceTempView("sn")
+    val antiN = spark.sql(
+      "SELECT ida FROM sn WHERE NOT EXISTS (SELECT 1 FROM sb WHERE st_intersects(ga, gb))")
+    val semiN = spark.sql(
+      "SELECT ida FROM sn WHERE EXISTS (SELECT 1 FROM sb WHERE st_intersects(ga, gb))")
+    val first5 = la.take(5).map(_._1).toSet
+    assert(antiN.as[Long].collect().toSet == (first5 -- matched) + 999L)
+    assert(semiN.as[Long].collect().toSet == first5.intersect(matched))
+  }
 }
