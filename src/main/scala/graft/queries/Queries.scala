@@ -1974,6 +1974,33 @@ object Queries {
        | SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) rk
        | FROM p) WHERE rk <= 5""".stripMargin
 
+  /** IVF over k-means||-trained centroids (the distributed-init 100 TB
+    * option): same checkpoint-the-assignments oracle pattern as q_ann_ivf
+    * — the TRAINING is engine-internal, everything downstream of the
+    * checkpointed list assignments and probe sets re-derives in SQL, so
+    * the gate proves the full search path over distributed-init centroids
+    * end-to-end. */
+  def qAnnIvfKpar(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val items = emb.select(col("vec_id").as("nid"), col("embedding").as("ivec"))
+    val queries = emb.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val model = graft.ann.IvfIndex.trainKMeansPar(items, "ivec", nlist = 16)
+    val assign = writeOracleAux(
+      graft.ann.IvfIndex.assignments(items, "nid", "ivec", model),
+      dir, "ann_ivfkp_assign")
+    val probes = writeOracleAux(
+      graft.ann.IvfIndex.probeLists(queries, "qid", "qvec", model, nprobe = 4),
+      dir, "ann_ivfkp_probes")
+    graft.ann.IvfIndex.topKFromAssignments(items, "nid", "ivec",
+        queries, "qid", "qvec", k = 5, assign, probes)
+      .select(col("qid"), col("nid"), col("rank").as("rk"))
+  }
+
+  val qAnnIvfKparSql: String =
+    qAnnIvfSql.replace("ann_ivf_assign", "ann_ivfkp_assign")
+      .replace("ann_ivf_probes", "ann_ivfkp_probes")
+
   /** PQ (product-quantization) approximate top-k. Codebook training is
     * engine-internal, so the gate checkpoints the trained index — the
     * exploded (item, sub, code) database and the per-query (sub, code, dq)

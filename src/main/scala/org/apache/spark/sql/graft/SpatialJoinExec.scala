@@ -314,7 +314,10 @@ case class SpatialJoinExec(
         val residual = extra.map(Predicate.create(_, joinedAttrs))
         val joined = new JoinedRow
         // per-partition pre-dedup: a left row can match in many tiles of
-        // this partition; ship each id once
+        // this partition; ship each id once. Bounded — beyond the cap ids
+        // ship duplicated and the downstream distinct/subtractByKey still
+        // dedups (correctness never depends on this set)
+        val SeenCap = 4 * 1000 * 1000
         val seen = new java.util.HashSet[java.lang.Long]()
         tilesIter.flatMap { case (_, (ls, rs)) =>
           val tree = new STRtree()
@@ -347,8 +350,10 @@ case class SpatialJoinExec(
                     }
                     i += 1
                   }
-                  if (found) { seen.add(id); Iterator.single((id, null: Null)) }
-                  else Iterator.empty
+                  if (found) {
+                    if (seen.size < SeenCap) seen.add(id)
+                    Iterator.single((id, null: Null))
+                  } else Iterator.empty
                 }
               }
             }
