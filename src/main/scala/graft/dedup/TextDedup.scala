@@ -188,6 +188,32 @@ object TextDedup {
       .dropDuplicates("ida", "idb")
   }
 
+  /** C4-style cross-corpus LINE-level dedup: every distinct line keeps
+    * exactly its FIRST occurrence — (id, position) lexicographic minimum,
+    * the reference's keep-the-first uniq semantics
+    * (duplicate_remover.cpp:45-63) at line granularity — and documents
+    * reassemble from their surviving lines in original order. Documents
+    * whose every line loses (including single-empty-line docs beaten to
+    * the empty line) drop from the output, as C4 does.
+    *
+    * Scale shape: explode → one hash shuffle on the line (the partial
+    * min(struct) aggregate absorbs hot lines map-side — the empty line is
+    * the hottest key in any web corpus) → one shuffle back on the id for
+    * reassembly. No driver state, no windows over a global order. */
+  def dedupLinesAcross(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val keep = lines
+      .groupBy(col("__line"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__k"))
+      .select(col("__k").getField(idCol).as(idCol),
+        col("__k.__pos").as("__pos"), col("__line"))
+    keep.groupBy(col(idCol))
+      .agg(concat_ws("\n", transform(
+        array_sort(collect_list(struct(col("__pos"), col("__line")))),
+        s => s.getField("__line"))).as(textCol))
+  }
+
   /** SimHash near-duplicate pairs: 16-bit band blocking over the 64-bit
     * fingerprint (any identical quarter => candidate; catches all pairs with
     * Hamming distance <= 3 exactly, most below ~16), then exact Hamming

@@ -1693,6 +1693,29 @@ object Queries {
       | FROM shared JOIN cnt ca ON ca.doc_id = ida JOIN cnt cb ON cb.doc_id = idb)
       |WHERE jaccard >= 0.5""".stripMargin
 
+  /** Cross-corpus line-level dedup (C4-style): each distinct line keeps
+    * its first (doc_id, position) occurrence, documents reassemble from
+    * surviving lines in order; output = doc_id + md5 of the rebuilt text
+    * (bit-parity without shipping full documents through the compare).
+    * The oracle re-derives first-occurrence with a row_number window over
+    * the same (doc_id, pos) order. */
+  def qDedupLines(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.TextDedup.dedupLinesAcross(
+        table(spark, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"))
+
+  val qDedupLinesSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, chr(10)) ls FROM documents),
+      |l AS (SELECT doc_id, unnest([{'pos': i, 'line': ls[i]}
+      |    for i in generate_series(1, len(ls))], recursive := true)
+      |  FROM d),
+      |keep AS (SELECT doc_id, pos, line FROM (
+      |  SELECT doc_id, pos, line,
+      |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) rn FROM l)
+      |  WHERE rn = 1)
+      |SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS text_md5
+      |FROM keep GROUP BY doc_id""".stripMargin
+
   /** MinHash+LSH near-dup candidates. The seeded-hash signature family is
     * engine-internal, so the gate checkpoints the signature table and the
     * oracle re-derives everything downstream of it in SQL: banding (a band

@@ -81,6 +81,29 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("dedupLinesAcross: first (doc,pos) occurrence wins, docs reassemble in order, empty-line docs can vanish") {
+    import graft.dedup.TextDedup
+    val docs = Seq(
+      (1L, "alpha\nbeta\ngamma"),
+      (2L, "beta\ndelta"),        // beta loses to doc 1
+      (3L, "alpha\nbeta"),        // both lines lose -> doc 3 drops
+      (4L, "eps\neps\nzeta"),     // within-doc dup: second eps drops
+      (5L, ""),                   // the empty line's first occurrence
+      (6L, "")                    // loses the empty line -> drops
+    ).toDF("doc_id", "text")
+    val got = TextDedup.dedupLinesAcross(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "alpha\nbeta\ngamma",
+      2L -> "delta",
+      4L -> "eps\nzeta",
+      5L -> ""))
+    // partition-invariant (the shuffle keys carry the semantics)
+    val got7 = TextDedup.dedupLinesAcross(docs.repartition(7), "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got7 == got)
+  }
+
   test("wordShinglesAll keeps multiplicity; wordShingles stays distinct") {
     val d = Seq((1L, "a b a b a"), (2L, "x")).toDF("id", "text")
     val all = d.select($"id",
