@@ -226,6 +226,16 @@ object PerfProbe {
           println(f"[probe] ratio ${gates(i)._1}%-15s run2/run1 = $ratio%5.2f")
         }
         println(f"[probe] worst run2/run1 = $worst%5.2f (bar: 1.30)")
+      case "bpetrain" =>
+        // trainer wall-time on real corpora (no gate — merges aren't
+        // SQL-oracle-able; spec pins correctness vs a driver reference)
+        for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", dir)) {
+          val t0 = System.nanoTime()
+          val m = graft.text.BpeTrainer.train(
+            Queries.table(spark, sf, "documents"), "text", numMerges = 20)
+          println(f"[probe] bpetrain $sf%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  " +
+            s"merges=${m.size} top=${m.take(3).map(x => x.left + "+" + x.right).mkString(",")}")
+        }
       case "minhashcpu" =>
         // attribute stage-25's ~30 s CPU: shingle+explode alone, +string
         // xxhash, +64-min aggregate, full signatures, full gate

@@ -1,0 +1,112 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BPE vocabulary training — the iterative merge loop (Sennrich et al.,
+  * "Neural Machine Translation of Rare Words with Subword Units", ACL'16)
+  * the single-round q_bpe_merge gate is one step of.
+  *
+  * Scale shape: the corpus is scanned ONCE to build the distinct-pretoken
+  * frequency table (size = vocabulary, not corpus — the 100 TB corpus
+  * collapses to ~10^6-10^8 rows before any iteration); every merge round
+  * then runs over that shrinking table: one weighted adjacent-pair count
+  * (hash shuffle with map-side partial sum), a bounded `limit(1).collect()`
+  * for the deterministic winner (count desc, pair asc), and a NARROW
+  * fold-merge projection. The fold is a Spark `aggregate` higher-order
+  * function — per-element array rebuild is fine here because it runs over
+  * the short symbol arrays of the frequency table, never over the corpus;
+  * no UDF anywhere. Rounds localCheckpoint with explicitly-freed block ids
+  * (same lifecycle as Components' star rounds) so the plan doesn't grow
+  * per merge and a long training run doesn't accumulate storage blocks.
+  */
+object BpeTrainer {
+
+  /** One learned merge: adjacent symbol pair -> merged symbol, with the
+    * weighted count that won its round. */
+  final case class Merge(rank: Int, left: String, right: String, count: Long)
+
+  /** The word-frequency table: distinct pretoken -> corpus count,
+    * symbols = initial character split. */
+  def wordTable(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextFunctions.bpePretokens(col(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__n"))
+      .select(split(col("__w"), "").as("__sym"), col("__n"))
+
+  /** Fold-merge: rebuild the symbol array combining each adjacent
+    * (a, b) into ab, left-to-right non-overlapping (standard BPE apply:
+    * "aaa" with merge (a,a) -> ["aa", "a"]). Pure columns: an `aggregate`
+    * fold whose accumulator carries the rebuilt array plus a skip flag for
+    * the element consumed by the previous combine. */
+  private[text] def mergeSyms(sym: Column, a: String, b: String): Column = {
+    val acc = aggregate(
+      // fold over (previous, current) adjacency: zip the array with itself
+      // shifted — simpler: fold over indices via the element values,
+      // tracking whether the previous emitted element equals `a` AND was
+      // not itself just produced by this round's combine
+      sym,
+      struct(array().cast("array<string>").as("out"), lit(false).as("justMerged")),
+      (st, x) => {
+        val out = st.getField("out")
+        val lastIsA = size(out) > 0 &&
+          element_at(out, -1) === lit(a) && !st.getField("justMerged")
+        val canMerge = lastIsA && x === lit(b)
+        struct(
+          when(canMerge,
+            concat(slice(out, lit(1), size(out) - 1), array(lit(a + b))))
+            .otherwise(concat(out, array(x))).as("out"),
+          canMerge.as("justMerged"))
+      })
+    acc.getField("out")
+  }
+
+  /** Train `numMerges` merges. Deterministic: winner = max by
+    * (weighted count, then lexicographically smallest pair). Stops early
+    * when no adjacent pair occurs at least `minCount` times. */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+            minCount: Long = 2L): Seq[Merge] = {
+    val spark = df.sparkSession
+    val sc = spark.sparkContext
+    var (cur, curIds) = graft.core.CacheHygiene.trackNewRdds(sc)(
+      wordTable(df, textCol).localCheckpoint(true))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var done = false
+    var rank = 0
+    while (rank < numMerges && !done) {
+      // weighted adjacent-pair counts over the frequency table
+      val top = cur
+        // single-symbol words carry no pair (and sequence(0,-1) DESCENDS)
+        .where(size(col("__sym")) >= 2)
+        .select(col("__n"), col("__sym"),
+          explode(sequence(lit(0), size(col("__sym")) - 2)).as("__i"))
+        .select(col("__n"),
+          element_at(col("__sym"), col("__i") + 1).as("__a"),
+          element_at(col("__sym"), col("__i") + 2).as("__b"))
+        .groupBy("__a", "__b").agg(sum(col("__n")).as("__c"))
+        .where(col("__c") >= minCount)
+        .orderBy(col("__c").desc, col("__a").asc, col("__b").asc)
+        .limit(1).collect() // bounded: exactly one row
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(rank, a, b, c)
+        val lastIds = curIds
+        val (next, nextIds) = graft.core.CacheHygiene.trackNewRdds(sc)(
+          cur.select(mergeSyms(col("__sym"), a, b).as("__sym"), col("__n"))
+            .localCheckpoint(true))
+        cur = next
+        curIds = nextIds
+        graft.core.CacheHygiene.freeRdds(sc, lastIds)
+        rank += 1
+      }
+    }
+    graft.core.CacheHygiene.freeRdds(sc, curIds)
+    merges.toSeq
+  }
+
+  /** Apply a trained merge list to a symbol-array column in rank order
+    * (how a tokenizer consumes the vocabulary). Column-only; intended for
+    * bounded merge lists (each merge adds one fold pass to the plan). */
+  def applyMerges(sym: Column, merges: Seq[Merge]): Column =
+    merges.sortBy(_.rank).foldLeft(sym)((c, m) => mergeSyms(c, m.left, m.right))
+}

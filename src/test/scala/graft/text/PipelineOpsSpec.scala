@@ -104,6 +104,58 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got7 == got)
   }
 
+  test("BpeTrainer: merges match a driver reference on a known corpus; apply is non-overlapping") {
+    // hand-checkable corpus: "low lower lowest" style — first merge must
+    // be the most frequent adjacent char pair, weighted by word counts
+    val docs = Seq(
+      (1L, "low low low lower lower lowest"),
+      (2L, "new newer newest low")).toDF("doc_id", "text")
+    val got = BpeTrainer.train(docs, "text", numMerges = 6, minCount = 2)
+
+    // driver reference: same deterministic rule ((count desc, pair asc))
+    def pretokens(t: String): Seq[String] =
+      TextFunctions.BpePretokenPattern.r.findAllMatchIn(t).map(_.group(1)).toSeq
+    var words: Map[Seq[String], Long] = Seq(1L -> "low low low lower lower lowest",
+        2L -> "new newer newest low")
+      .flatMap { case (_, t) => pretokens(t) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .map { case (w, n) => (w.map(_.toString): Seq[String], n) }
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    for (_ <- 0 until 6) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, n) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + n
+        }
+      }
+      val eligible = counts.filter(_._2 >= 2)
+      if (eligible.nonEmpty) {
+        val ((a, b), c) = eligible.minBy { case ((x, y), n) => (-n, x, y) }
+        expect += ((a, b, c))
+        words = words.map { case (syms, n) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toSeq, n)
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      }
+    }
+    assert(got.map(m => (m.left, m.right, m.count)) == expect.toSeq,
+      s"got=${got}")
+    assert(got.map(_.rank) == got.indices)
+
+    // non-overlapping apply: "aaaa" + merge (a,a) -> ["aa","aa"]
+    val syms = Seq("aaaa").toDF("w").select(split($"w", "").as("s"))
+    val applied = syms.select(
+        BpeTrainer.applyMerges($"s", Seq(BpeTrainer.Merge(0, "a", "a", 9L))).as("m"))
+      .head().getSeq[String](0)
+    assert(applied == Seq("aa", "aa"))
+  }
+
   test("wordShinglesAll keeps multiplicity; wordShingles stays distinct") {
     val d = Seq((1L, "a b a b a"), (2L, "x")).toDF("id", "text")
     val all = d.select($"id",
