@@ -23,28 +23,10 @@ object TextDedup {
     df.select(col(idCol),
       explode(TextFunctions.wordShingles(col(textCol), n)).as("shingle"))
 
-  /** Small files arrive as one input split; shingling/hashing is the CPU
-    * hotspot, so fan the rows across the cluster first. No-op when the
-    * source is already parallel (the 100 TB case). Split count is estimated
-    * from the leaf files (count + size / maxPartitionBytes) — never via
-    * `df.rdd`, which would force a second physical plan just to read a
-    * partition count. Non-file sources (inputFiles empty) pass through. */
-  private def fanOut(df: DataFrame): DataFrame = {
-    val sc = df.sparkSession.sparkContext
-    val target = sc.defaultParallelism
-    val files = df.inputFiles
-    if (files.isEmpty || files.length >= target) return df
-    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
-    val fs = new org.apache.hadoop.fs.Path(files.head)
-      .getFileSystem(sc.hadoopConfiguration)
-    val splits = files.iterator.map { f =>
-      val len = try fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
-                catch { case _: java.io.IOException => 0L }
-      math.max(1L, (len + maxSplit - 1) / maxSplit)
-    }.sum
-    if (splits < target) df.repartition(target) else df
-  }
+  /** See [[graft.core.Parallelism.fanOut]] — shared with the spatial scan
+    * paths since round 9. */
+  private def fanOut(df: DataFrame): DataFrame =
+    graft.core.Parallelism.fanOut(df)
 
   /** Exact word-n-gram Jaccard similar pairs (idA < idB, jaccard >= t).
     * jaccard = |A∩B| / (|A| + |B| - |A∩B|) over distinct shingle sets —
