@@ -215,6 +215,21 @@ object ScaleRehearsal {
           .count()
       }
       println(s"[scale]   -> $nCon contaminated docs")
+      // line-level dedup at 500k docs: the per-copy token salt makes most
+      // lines distinct ACROSS copies but duplicated WITHIN a copy's shared
+      // phrasing; the empty/short lines are the hot keys the partial
+      // min(struct) must absorb map-side
+      val nLd = timed("dedup_lines[500k docs]") {
+        graft.dedup.TextDedup.dedupLinesAcross(docs, "doc_id", "text").count()
+      }
+      println(s"[scale]   -> $nLd docs with surviving lines")
+      // BPE trainer at 500k docs: cost must track the VOCAB (distinct
+      // pretokens), not the corpus — the salt multiplies the vocab ~100x
+      // vs the gate corpus, the corpus 100x; 10 merges end-to-end
+      val tBpe = timed("bpe_train_10[500k docs]") {
+        graft.text.BpeTrainer.train(docs, "text", numMerges = 10).size.toLong
+      }
+      println(s"[scale]   -> $tBpe merges")
       spark.stop(); return
     }
 
