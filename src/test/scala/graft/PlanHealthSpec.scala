@@ -88,6 +88,33 @@ class PlanHealthSpec extends SparkTestBase {
       .subsetOf(Set("doc_id", "text")))
   }
 
+  test("line dedup is two hash shuffles with map-side partial aggregation") {
+    val df = graft.dedup.TextDedup.dedupLinesAcross(
+      Queries.table(spark, dir, "documents"), "doc_id", "text")
+    val plan = df.queryExecution.executedPlan
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 2, s"expected <=2 shuffles (line, id), got ${shuffles.size}")
+    val text = plan.toString
+    // the min(struct) must run partial+final, absorbing hot lines map-side
+    assert(text.contains("partial_min") || text.contains("HashAggregate"),
+      "expected partial aggregation before the line shuffle")
+    assert(!text.contains("CartesianProduct") && !text.contains("BroadcastNestedLoopJoin"))
+    assert(scanColumns(df, "documents") == Set("doc_id", "text"))
+  }
+
+  test("semi/anti SQL spatial joins never fall back to nested loops") {
+    import org.apache.spark.sql.graft.{SpatialJoinExec, SpatialJoinStrategy}
+    if (!spark.experimental.extraStrategies.contains(SpatialJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ SpatialJoinStrategy
+    val df = Queries.qDisjointSql(spark, dir)
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collect { case e: SpatialJoinExec => e }.nonEmpty,
+      s"NOT EXISTS did not plan as the tiled anti join:\n$plan")
+    assert(!plan.toString.contains("BroadcastNestedLoopJoin"),
+      "BNLJ fallback in the anti join")
+  }
+
   test("predicate pushdown reaches dim-table scans in q3") {
     val q3 = Queries.q3Join(spark, dir)
     val custScan = scans(q3)
