@@ -124,6 +124,32 @@ object Multimodal {
     }.toDF(schema.fieldNames.toIndexedSeq: _*)
   }
 
+  /** One-pass REAL audio analysis (javax.sound.sampled, WAV/PCM) — the
+    * audio twin of [[analyzeImages]]: media_meta with the container's
+    * actual sample rate and frame count, per-time-bucket amplitude
+    * features, exact integer mean |sample|. Undecodable/null bytes yield
+    * null meta/features. */
+  def analyzeAudio(df: DataFrame, binCol: String,
+                   mediaType: String = "audio/wav"): DataFrame = {
+    val schema = df.schema
+      .add("media_meta", MediaMetaType)
+      .add("features", ArrayType(FloatType))
+      .add("mean_abs", IntegerType)
+    val binIdx = df.schema.fieldIndex(binCol)
+    implicit val enc = Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        AudioCodec.analyze(r.getAs[Array[Byte]](binIdx)) match {
+          case Some(i) => Row.fromSeq(r.toSeq ++ Seq(
+            Row(mediaType, null, null, i.sampleRate,
+              if (i.nFrames > Int.MaxValue) null else i.nFrames.toInt),
+            i.features.toSeq, i.meanAbs))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        }
+      }
+    }.toDF(schema.fieldNames.toIndexedSeq: _*)
+  }
+
   /** STUB resize: rewrites target dims in metadata and (stub) re-encodes
     * content as a truncated prefix — plumbing-real, codec-stub. */
   def resize(df: DataFrame, binCol: String, metaCol: String,

@@ -1262,6 +1262,41 @@ object Queries {
       | CAST((doc_id * 31) % 256 AS INT) AS luma
       |FROM documents WHERE doc_id < 200""".stripMargin
 
+  /** REAL audio decode gate — the WAV twin of q_multimodal_real:
+    * deterministic constant-amplitude PCM16 WAVs encoded per row, then
+    * [[graft.multimodal.Multimodal.analyzeAudio]] recovers sample rate,
+    * frame count and mean |amplitude| from the ACTUAL decoded stream via
+    * javax.sound.sampled; the oracle knows the generator arithmetic (PCM
+    * decode is exact, constant amplitude ⇒ integer-exact mean). */
+  def qMultimodalAudio(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.BinaryType
+    import graft.multimodal.{AudioCodec, Multimodal}
+    val base = table(spark, dir, "documents")
+      .select(col("doc_id")).where(col("doc_id") < 200)
+    val schema = base.schema.add("content", BinaryType)
+    implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+    val withWav = base.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val rate = (8000 + (id % 8) * 1000).toInt
+        val n = (64 + id % 64).toInt
+        val amp = ((id * 13) % 2048).toShort
+        org.apache.spark.sql.Row(id,
+          AudioCodec.encodeWavPcm16(rate, Array.fill(n)(amp)))
+      }
+    }.toDF("doc_id", "content")
+    Multimodal.analyzeAudio(withWav, "content")
+      .select(col("doc_id"), col("media_meta.sample_rate").as("rate"),
+        col("media_meta.n_frames").as("n_frames"), col("mean_abs"))
+  }
+
+  val qMultimodalAudioSql: String =
+    """SELECT doc_id,
+      | CAST(8000 + (doc_id % 8) * 1000 AS INT) AS rate,
+      | CAST(64 + doc_id % 64 AS INT) AS n_frames,
+      | CAST((doc_id * 13) % 2048 AS INT) AS mean_abs
+      |FROM documents WHERE doc_id < 200""".stripMargin
+
   /** Embedding-cosine near-duplicate pairs (oracled): exact brute-force
     * threshold mining over a key-hash subsample — the baseline the LSH
     * variant (Similarity.nearDupPairs, ScalaTest recall-gated) approximates.

@@ -102,6 +102,43 @@ class MultimodalSpec extends SparkTestBase {
     assert(ImageCodec.analyze(null).isEmpty)
   }
 
+  test("AudioCodec: real WAV encode->decode roundtrip recovers rate/frames/amplitude") {
+    // constant amplitude: exact integer mean |sample|
+    val wav = AudioCodec.encodeWavPcm16(16000, Array.fill(128)(700.toShort))
+    val info = AudioCodec.analyze(wav).get
+    assert(info.sampleRate == 16000 && info.nFrames == 128L)
+    assert(info.meanAbs == 700)
+    assert(info.features.length == 16)
+    assert(info.features.forall(f => math.abs(f - 700 / 32768.0f) < 1e-6f))
+    // ramp fixture: per-bucket means computed independently of the codec
+    val ramp = Array.tabulate(160)(i => (i * 10).toShort)
+    val rInfo = AudioCodec.analyze(AudioCodec.encodeWavPcm16(8000, ramp)).get
+    val expected = (0 until 16).map { b =>
+      val vals = (b * 10 until b * 10 + 10).map(_ * 10)
+      (vals.sum.toDouble / (32768.0 * vals.length)).toFloat
+    }
+    (0 until 16).foreach { b =>
+      assert(math.abs(rInfo.features(b) - expected(b)) < 1e-6f, s"bucket $b")
+    }
+    assert(AudioCodec.analyze("not-audio".getBytes).isEmpty)
+    assert(AudioCodec.analyze(null).isEmpty)
+    assert(AudioCodec.audioFeatures("junk".getBytes).toSeq ==
+      Multimodal.decodeStub("junk".getBytes).toSeq)
+  }
+
+  test("analyzeAudio: one-pass real decode over a DataFrame, null-safe") {
+    val rows = Seq(
+      (1L, AudioCodec.encodeWavPcm16(8000, Array.fill(64)(500.toShort))),
+      (2L, null.asInstanceOf[Array[Byte]]))
+    val out = Multimodal.analyzeAudio(rows.toDF("media_id", "content"), "content")
+    val byId = out.select("media_id", "media_meta.sample_rate",
+        "media_meta.n_frames", "mean_abs")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getInt(1) == 8000 && byId(1L).getInt(2) == 64)
+    assert(byId(1L).getInt(3) == 500)
+    assert(byId(2L).isNullAt(1) && byId(2L).isNullAt(3))
+  }
+
   test("analyzeImages: one-pass real decode over a DataFrame, null-safe") {
     val rows = Seq(
       (1L, ImageCodec.encodePng(20, 10, 0xff0000)), // red: meanLuma 255/3=85
