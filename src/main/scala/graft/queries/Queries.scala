@@ -1297,6 +1297,42 @@ object Queries {
       | CAST((doc_id * 13) % 2048 AS INT) AS mean_abs
       |FROM documents WHERE doc_id < 200""".stripMargin
 
+  /** REAL video-container parse gate: minimal deterministic MP4s
+    * (ftyp+moov/mvhd) per row; [[graft.multimodal.VideoCodec.parseMvhd]]
+    * recovers timescale/duration from the actual ISO-BMFF bytes (frame
+    * DECODE has no JDK codec and stays stubbed — this gates the honest
+    * real part, the container walk). */
+  def qMultimodalVideo(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.BinaryType
+    import graft.multimodal.VideoCodec
+    val base = table(spark, dir, "documents")
+      .select(col("doc_id")).where(col("doc_id") < 200)
+    val schema = base.schema.add("content", BinaryType)
+    implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+    val withMp4 = base.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val ts = (1000 + (id % 10) * 100).toInt
+        val dur = (ts * (1 + id % 30)).toInt
+        org.apache.spark.sql.Row(id, VideoCodec.encodeMp4Meta(ts, dur))
+      }
+    }.toDF("doc_id", "content")
+    val parse = udf { (bytes: Array[Byte]) =>
+      VideoCodec.parseMvhd(bytes).map(i =>
+        (i.timescale, i.duration, i.durationSeconds))
+    }
+    withMp4.select(col("doc_id"), parse(col("content")).as("m"))
+      .select(col("doc_id"), col("m._1").as("timescale"),
+        col("m._2").as("duration"), col("m._3").as("secs"))
+  }
+
+  val qMultimodalVideoSql: String =
+    """SELECT doc_id,
+      | CAST(1000 + (doc_id % 10) * 100 AS BIGINT) AS timescale,
+      | CAST((1000 + (doc_id % 10) * 100) * (1 + doc_id % 30) AS BIGINT) AS duration,
+      | CAST(1 + doc_id % 30 AS BIGINT) AS secs
+      |FROM documents WHERE doc_id < 200""".stripMargin
+
   /** Embedding-cosine near-duplicate pairs (oracled): exact brute-force
     * threshold mining over a key-hash subsample — the baseline the LSH
     * variant (Similarity.nearDupPairs, ScalaTest recall-gated) approximates.

@@ -139,6 +139,18 @@ class MultimodalSpec extends SparkTestBase {
     assert(byId(2L).isNullAt(1) && byId(2L).isNullAt(3))
   }
 
+  test("VideoCodec: ISO-BMFF box walk recovers mvhd timescale/duration; junk is quarantined") {
+    val mp4 = VideoCodec.encodeMp4Meta(1200, 36000)
+    val info = VideoCodec.parseMvhd(mp4).get
+    assert(info.timescale == 1200L && info.duration == 36000L)
+    assert(info.durationSeconds == 30L)
+    // the walker must skip leading boxes (ftyp), not assume moov-first
+    assert(new String(mp4.slice(4, 8), "US-ASCII") == "ftyp")
+    assert(VideoCodec.parseMvhd("nope".getBytes).isEmpty)
+    assert(VideoCodec.parseMvhd(null).isEmpty)
+    assert(VideoCodec.parseMvhd(mp4.take(20)).isEmpty, "truncated moov must quarantine")
+  }
+
   test("analyzeImages: one-pass real decode over a DataFrame, null-safe") {
     val rows = Seq(
       (1L, ImageCodec.encodePng(20, 10, 0xff0000)), // red: meanLuma 255/3=85
