@@ -170,6 +170,49 @@ object TextDedup {
       .dropDuplicates("ida", "idb")
   }
 
+  /** INCREMENTAL near-dup: candidates between a NEW batch's signatures and
+    * a STORED corpus signature table (plus the new batch against itself) —
+    * the corpus-refresh shape: the stored side is banded once per refresh
+    * and joined by band bucket, so the check scales with |new| × collision
+    * rate, never with |corpus|; the corpus itself is NEVER re-shingled
+    * (signatures persist across refreshes — that is the point of storing
+    * them). Output: (new_id, other_id, est_jaccard, other_is_new). */
+  def lshPairsIncremental(newSig: DataFrame, storedSig: DataFrame,
+                          idCol: String, numHashes: Int, bands: Int,
+                          estThreshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    def banded(sig: DataFrame): DataFrame = {
+      val bandStructs = array((0 until bands).map { bnd =>
+        struct(lit(bnd).as("band"),
+          xxhash64(slice(col("minhash"), bnd * rows + 1, rows)).as("key"))
+      }: _*)
+      sig.select(col(idCol), col("minhash"), explode(bandStructs).as("b"))
+        .select(col(idCol), col("minhash"),
+          col("b.band").as("band"), col("b.key").as("key"))
+    }
+    val n = banded(newSig)
+    val s = banded(storedSig)
+    val newVsStored = n
+      .select(col(idCol).as("new_id"), col("minhash").as("ma"), col("band"), col("key"))
+      .join(s.select(col(idCol).as("other_id"), col("minhash").as("mb"),
+        col("band"), col("key")).hint("shuffle_hash"), Seq("band", "key"))
+      .withColumn("other_is_new", lit(false))
+    val newVsNew = n
+      .select(col(idCol).as("new_id"), col("minhash").as("ma"), col("band"), col("key"))
+      .join(n.select(col(idCol).as("other_id"), col("minhash").as("mb"),
+        col("band"), col("key")).hint("shuffle_hash"), Seq("band", "key"))
+      .where(col("new_id") < col("other_id"))
+      .withColumn("other_is_new", lit(true))
+    newVsStored.unionByName(newVsNew)
+      .withColumn("est_jaccard",
+        graft.functions.sig_agreement(col("ma"), col("mb"))
+          .cast("double") / lit(numHashes.toDouble))
+      .where(col("est_jaccard") >= estThreshold)
+      .select(col("new_id"), col("other_id"), col("est_jaccard"), col("other_is_new"))
+      .dropDuplicates("new_id", "other_id", "other_is_new")
+  }
+
   /** C4-style cross-corpus LINE-level dedup: every distinct line keeps
     * exactly its FIRST occurrence — (id, position) lexicographic minimum,
     * the reference's keep-the-first uniq semantics

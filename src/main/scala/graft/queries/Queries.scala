@@ -1816,6 +1816,48 @@ object Queries {
        | FROM cand JOIN s sa ON sa.doc_id = ida JOIN s sb ON sb.doc_id = idb)
        |WHERE est_jaccard >= 0.5""".stripMargin
 
+  /** Incremental MinHash dedup (corpus refresh): docs with doc_id%5==0
+    * play the NEW batch, the rest the STORED corpus; both signature tables
+    * checkpoint so the banding / cross join / estimate / threshold
+    * downstream is pure SQL over the same bits. The stored side is never
+    * re-shingled — that is the operator's contract. */
+  def qMinhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val newSig = writeOracleAux(
+      graft.dedup.TextDedup.minHashSignatures(
+        docs.where(col("doc_id") % 5 === 0), "doc_id", "text", n = 3, numHashes = 64),
+      dir, "minhash_new")
+    val oldSig = writeOracleAux(
+      graft.dedup.TextDedup.minHashSignatures(
+        docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text", n = 3, numHashes = 64),
+      dir, "minhash_stored")
+    graft.dedup.TextDedup.lshPairsIncremental(
+      newSig, oldSig, "doc_id", numHashes = 64, bands = 16, estThreshold = 0.5)
+  }
+
+  val qMinhashIncrementalSql: String =
+    s"""WITH ns AS (SELECT doc_id, minhash FROM ${auxSql("minhash_new")}),
+       |os AS (SELECT doc_id, minhash FROM ${auxSql("minhash_stored")}),
+       |nb AS (SELECT doc_id, minhash, bnd, minhash[bnd*4+1 : bnd*4+4] AS key
+       |  FROM ns, (SELECT unnest(generate_series(0,15)) AS bnd)),
+       |ob AS (SELECT doc_id, minhash, bnd, minhash[bnd*4+1 : bnd*4+4] AS key
+       |  FROM os, (SELECT unnest(generate_series(0,15)) AS bnd)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id new_id, b.doc_id other_id, false other_is_new
+       |  FROM nb a JOIN ob b ON a.bnd = b.bnd AND a.key = b.key
+       |  UNION
+       |  SELECT DISTINCT a.doc_id, b.doc_id, true
+       |  FROM nb a JOIN nb b ON a.bnd = b.bnd AND a.key = b.key
+       |    AND a.doc_id < b.doc_id),
+       |est AS (SELECT new_id, other_id, other_is_new,
+       |  CAST(len(list_filter(generate_series(1,64),
+       |    i -> sa.minhash[i] = sb.minhash[i])) AS DOUBLE)/64.0 AS est_jaccard
+       | FROM cand
+       | JOIN ns sa ON sa.doc_id = new_id
+       | JOIN (SELECT * FROM ns UNION ALL SELECT * FROM os) sb ON sb.doc_id = other_id)
+       |SELECT new_id, other_id, est_jaccard, other_is_new FROM est
+       |WHERE est_jaccard >= 0.5""".stripMargin
+
   /** SimHash near-dup pairs — same checkpoint pattern: the fingerprint
     * expression is engine-internal, the 16-bit band blocking and exact
     * bit_count(xor) Hamming refine downstream are pure integer SQL. */

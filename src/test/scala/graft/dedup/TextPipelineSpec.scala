@@ -212,6 +212,21 @@ class TextPipelineSpec extends SparkTestBase {
       s"IVF recall $recall with k-means|| centroids at nprobe=4/16 on clustered data")
   }
 
+  test("incremental LSH: new batch collides with stored corpus and itself, tagged correctly") {
+    val mk = (ids: Seq[Long], texts: Seq[String]) =>
+      TextDedup.minHashSignatures(
+        ids.zip(texts).toDF("doc_id", "text"), "doc_id", "text", 3, 64)
+    val t = "the quick brown fox jumps over the lazy dog again and again today"
+    val stored = mk(Seq(10L, 11L), Seq(t, "completely different content about spark engines and parquet files"))
+    val fresh = mk(Seq(1L, 2L, 3L), Seq(t, t, "unrelated new document text with nothing shared at all here"))
+    val got = TextDedup.lshPairsIncremental(fresh, stored, "doc_id", 64, 16, 0.5)
+      .select("new_id", "other_id", "other_is_new")
+      .as[(Long, Long, Boolean)].collect().toSet
+    // doc 1 and 2 are copies of stored doc 10: both collide with it
+    // (other_is_new=false) and with each other (other_is_new=true)
+    assert(got == Set((1L, 10L, false), (2L, 10L, false), (1L, 2L, true)))
+  }
+
   test("PQ top-k: ADC shortlist + exact re-rank recalls brute force") {
     val items = emb.select(col("vec_id").as("nid"), col("embedding").as("ivec"))
     val queries = emb.where(col("vec_id") % 10 === 0)
