@@ -31,7 +31,10 @@ class CodegenParitySpec extends SparkTestBase {
         simhash64(col("txt")).as("sim"),
         rolling_hash64(col("txt")).as("roll"),
         seeded_hash64(col("txt"), lit(7L)).as("seeded"),
-        sig_agreement(col("sa"), col("sb")).as("agree"))
+        sig_agreement(col("sa"), col("sb")).as("agree"),
+        graft.functions.word_shingles(col("txt"), 2).as("ws"),
+        graft.functions.word_shingles_all(col("txt"), 2).as("wsa"),
+        graft.functions.affine_hash(rolling_hash64(col("txt")), 0x9e3779b97f4a7c15L | 1L, 12345L).as("aff"))
       .orderBy("id").collect().toSeq
     finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
   }

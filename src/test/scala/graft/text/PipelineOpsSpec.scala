@@ -156,6 +156,38 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(applied == Seq("aa", "aa"))
   }
 
+  test("WordShingles kernel is bit-identical to the relational formulation on adversarial inputs") {
+    // differential test vs the pre-round-9 slice/concat_ws/array_distinct
+    // chain it replaced — identical semantics is the kernel's contract
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    def relational(text: Column, n: Int, distinct: Boolean): Column = {
+      val ws = split(text, " ")
+      val all = transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + 1, lit(n))))
+      when(size(ws) >= n, if (distinct) array_distinct(all) else all)
+        .otherwise(array().cast(ArrayType(StringType)))
+    }
+    val rnd = new scala.util.Random(41)
+    val alphabet = "ab x"
+    val fixtures = Seq("", " ", "  ", "a", "a b", " a", "a ", "a  b",
+      "a b a b a", "one\ttab inside", "nl\ninside token") ++
+      (0 until 300).map(_ =>
+        (0 until rnd.nextInt(30)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = fixtures.toDF("t")
+    for (n <- Seq(1, 2, 3); distinct <- Seq(true, false)) {
+      val kernel = if (distinct) graft.functions.word_shingles($"t", n)
+                   else graft.functions.word_shingles_all($"t", n)
+      val rows = df.select(coalesce(kernel, array().cast(ArrayType(StringType))).as("k"),
+          relational($"t", n, distinct).as("r"), $"t").collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n distinct=$distinct text=${r.getString(2).replace("\n","\\n")}: " +
+            s"kernel=${r.getSeq[String](0)} relational=${r.getSeq[String](1)}")
+      }
+    }
+  }
+
   test("wordShinglesAll keeps multiplicity; wordShingles stays distinct") {
     val d = Seq((1L, "a b a b a"), (2L, "x")).toDF("id", "text")
     val all = d.select($"id",
