@@ -106,6 +106,11 @@ object IvfIndex {
         bc.destroy()
         r += 1
       }
+      // same ragged-input guard as train(): reject mixed dimensions with
+      // the actual values rather than failing deep in the weighted reduce
+      val dims = cands.iterator.map(_.length).toSet
+      require(dims.size == 1,
+        s"IVF training requires equal-dimension vectors, candidates contain dims $dims")
       // weight each candidate by the population it attracts (one scan)
       val bcAll = sc.broadcast(cands.toArray)
       val counts = vecs.map(v => KMeans.nearestIndex(bcAll.value, v))

@@ -179,8 +179,12 @@ private[ann] object KMeans {
       while (ci < k) {
         if (cw(ci) > 0) { // weightless cluster keeps its old centroid
           val c = centroids(ci)
+          // min(c.length, dim): a chosen candidate longer than points.head
+          // must not index past the dim-sized sum buffers (the assignment
+          // loops tolerate ragged lengths the same way)
+          val len = math.min(c.length, dim)
           var i = 0
-          while (i < c.length) {
+          while (i < len) {
             val nv = sums(ci)(i) / cw(ci)
             val d = nv - c(i); moved += d * d
             c(i) = nv; i += 1

@@ -2,7 +2,11 @@ package graft.core
 
 import org.apache.spark.sql.DataFrame
 
-/** Source-parallelism guard shared by the scan-heavy operators. */
+/** Source-parallelism guard for CPU-heavy scans. Currently used by the
+  * text-dedup shingle pipelines, where per-row CPU dwarfs the repartition
+  * cost; the spatial-join tag path was A/B-probed with it and measured
+  * break-even at sf0.1 (the extra shuffle cancels the serial-scan saving),
+  * so spatial scans deliberately do NOT use this guard. */
 object Parallelism {
 
   /** Small files arrive as one input split; parsing/shingling/tagging is

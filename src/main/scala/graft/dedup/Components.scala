@@ -195,18 +195,17 @@ object Components {
 
     // at convergence every edge points child→root; roots carry no edge
     val roots = cur.select(col(U).as(idCol), col(V).as("__comp"))
-    val out = nodes.select(col(idCol)).distinct()
+    nodes.select(col(idCol)).distinct()
       .join(roots, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__comp"), col(idCol)).as("comp"))
-    // the converged round is still referenced by the (lazy) result plan, so
-    // its blocks can only be freed once the caller's first action has
-    // consumed it — same contract as unpersistAfterUse, except a freed
-    // localCheckpoint cannot recompute: a SECOND action on this exact
-    // DataFrame would fail, so callers re-running re-derive the pipeline
-    // (every gate and bench run does)
-    val finalIds = curIds
-    graft.core.CacheHygiene.releaseAfterUse(out)(
-      graft.core.CacheHygiene.freeRdds(sc, finalIds))
+    // The CONVERGED round's blocks are deliberately NOT freed here: the
+    // lazy result plan references them, and a freed localCheckpoint cannot
+    // recompute — an explicit free would make the returned DataFrame
+    // single-action-only (and racy, since the listener bus is async). The
+    // converged edge list is small (one edge per non-root duplicate node),
+    // and once the caller drops the DataFrame the ContextCleaner reclaims
+    // it; the storage-accumulation risk lived in the O(log n) SUPERSEDED
+    // rounds, which are freed eagerly above.
   }
 
   /** Survivor selection: one representative row per duplicate cluster, all

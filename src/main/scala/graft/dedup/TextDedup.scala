@@ -23,8 +23,7 @@ object TextDedup {
     df.select(col(idCol),
       explode(TextFunctions.wordShingles(col(textCol), n)).as("shingle"))
 
-  /** See [[graft.core.Parallelism.fanOut]] — shared with the spatial scan
-    * paths since round 9. */
+  /** See [[graft.core.Parallelism.fanOut]]. */
   private def fanOut(df: DataFrame): DataFrame =
     graft.core.Parallelism.fanOut(df)
 
@@ -146,14 +145,7 @@ object TextDedup {
     * an exact power-of-two division). */
   def lshPairsFromSignatures(sig: DataFrame, idCol: String, numHashes: Int,
                              bands: Int, estThreshold: Double): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val bandStructs = array((0 until bands).map { bnd =>
-      struct(lit(bnd).as("band"),
-        xxhash64(slice(col("minhash"), bnd * rows + 1, rows)).as("key"))
-    }: _*)
-    val banded = sig.select(col(idCol), col("minhash"), explode(bandStructs).as("b"))
-      .select(col(idCol), col("minhash"), col("b.band").as("band"), col("b.key").as("key"))
+    val banded = bandKeys(sig, idCol, numHashes, bands)
     val a = banded.select(col(idCol).as("ida"), col("minhash").as("ma"),
       col("band"), col("key"))
     val b = banded.select(col(idCol).as("idb"), col("minhash").as("mb"),
@@ -180,19 +172,16 @@ object TextDedup {
   def lshPairsIncremental(newSig: DataFrame, storedSig: DataFrame,
                           idCol: String, numHashes: Int, bands: Int,
                           estThreshold: Double): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    def banded(sig: DataFrame): DataFrame = {
-      val bandStructs = array((0 until bands).map { bnd =>
-        struct(lit(bnd).as("band"),
-          xxhash64(slice(col("minhash"), bnd * rows + 1, rows)).as("key"))
-      }: _*)
-      sig.select(col(idCol), col("minhash"), explode(bandStructs).as("b"))
-        .select(col(idCol), col("minhash"),
-          col("b.band").as("band"), col("b.key").as("key"))
-    }
-    val n = banded(newSig)
-    val s = banded(storedSig)
+    // the banded new batch feeds THREE join sides (vs stored once, vs
+    // itself twice) — persist so a caller handing in raw signature plans
+    // doesn't recompute the shingle+aggregate pipeline per side (the same
+    // rationale as minHashLshPairs' signature persist), with the same
+    // materialization barrier so concurrent consumer stages of one action
+    // don't race the cache population
+    val n = bandKeys(newSig, idCol, numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    n.count()
+    val s = bandKeys(storedSig, idCol, numHashes, bands)
     val newVsStored = n
       .select(col(idCol).as("new_id"), col("minhash").as("ma"), col("band"), col("key"))
       .join(s.select(col(idCol).as("other_id"), col("minhash").as("mb"),
@@ -204,13 +193,30 @@ object TextDedup {
         col("band"), col("key")).hint("shuffle_hash"), Seq("band", "key"))
       .where(col("new_id") < col("other_id"))
       .withColumn("other_is_new", lit(true))
-    newVsStored.unionByName(newVsNew)
+    val out = newVsStored.unionByName(newVsNew)
       .withColumn("est_jaccard",
         graft.functions.sig_agreement(col("ma"), col("mb"))
           .cast("double") / lit(numHashes.toDouble))
       .where(col("est_jaccard") >= estThreshold)
       .select(col("new_id"), col("other_id"), col("est_jaccard"), col("other_is_new"))
       .dropDuplicates("new_id", "other_id", "other_is_new")
+    graft.core.CacheHygiene.unpersistAfterUse(out, Seq(n))
+  }
+
+  /** Shared banding: one row per (id, band) with the band's slice-hash
+    * key — THE band-bucket definition for both the batch self-join and the
+    * incremental path (one derivation, one place to change). */
+  private def bandKeys(sig: DataFrame, idCol: String, numHashes: Int,
+                       bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val bandStructs = array((0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        xxhash64(slice(col("minhash"), bnd * rows + 1, rows)).as("key"))
+    }: _*)
+    sig.select(col(idCol), col("minhash"), explode(bandStructs).as("b"))
+      .select(col(idCol), col("minhash"),
+        col("b.band").as("band"), col("b.key").as("key"))
   }
 
   /** C4-style cross-corpus LINE-level dedup: every distinct line keeps

@@ -343,15 +343,6 @@ case class SeededHash64(left: Expression, right: Expression)
   override def prettyName: String = "seeded_hash64"
 }
 
-/** One member of the affine MinHash family: `a * x + b` with 64-bit wrap
-  * (Java long semantics regardless of spark.sql.ansi.enabled — a plain
-  * Column multiply would throw ARITHMETIC_OVERFLOW under ANSI). `a` odd
-  * makes x → a*x+b a bijection on Z/2^64, the textbook 2-universal
-  * permutation family for MinHash over an already-avalanched 64-bit key;
-  * min under signed long order is min of a consistent reordering, which is
-  * all MinHash needs. One mul+add per seed replaces a full seeded-hash
-  * avalanche — the signature aggregation evaluates numHashes of these per
-  * shingle row, so the constant factor is the whole game. */
 /** Word-n-gram shingles of a document as a single codegen'd kernel call
   * (see [[Hash64.wordShingles]] for the pinned semantics). Null text yields
   * null here; the Column wrappers coalesce to the empty array the
@@ -373,6 +364,15 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
   override def prettyName: String = if (distinct) "word_shingles" else "word_shingles_all"
 }
 
+/** One member of the affine MinHash family: `a * x + b` with 64-bit wrap
+  * (Java long semantics regardless of spark.sql.ansi.enabled — a plain
+  * Column multiply would throw ARITHMETIC_OVERFLOW under ANSI). `a` odd
+  * makes x → a*x+b a bijection on Z/2^64, the textbook 2-universal
+  * permutation family for MinHash over an already-avalanched 64-bit key;
+  * min under signed long order is min of a consistent reordering, which is
+  * all MinHash needs. One mul+add per seed replaces a full seeded-hash
+  * avalanche — the signature aggregation evaluates numHashes of these per
+  * shingle row, so the constant factor is the whole game. */
 case class AffineHash(child: Expression, a: Long, b: Long)
     extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(LongType)

@@ -520,7 +520,9 @@ object SpatialJoin {
     val occ = stats.toArray
       .filter { case (t, (c, _)) => c > 0 && t >= 0 && t < nT }
       .sortBy(_._1)
-    if (occ.isEmpty || occ.iterator.map(_._2._1).sum < k)
+    // k <= 0 would satisfy acc >= k with an EMPTY prefix (ds(-1) below);
+    // empty plans are the degenerate answer, as the full-sort form gave
+    if (k <= 0 || occ.isEmpty || occ.iterator.map(_._2._1).sum < k)
       return (sets, mhds)
     def maxDist(a: Mbb, b: Mbb): Double = {
       val dx = math.max(a.xmax - b.xmin, b.xmax - a.xmin)

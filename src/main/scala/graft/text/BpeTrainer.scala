@@ -36,28 +36,22 @@ object BpeTrainer {
   /** Fold-merge: rebuild the symbol array combining each adjacent
     * (a, b) into ab, left-to-right non-overlapping (standard BPE apply:
     * "aaa" with merge (a,a) -> ["aa", "a"]). Pure columns: an `aggregate`
-    * fold whose accumulator carries the rebuilt array plus a skip flag for
-    * the element consumed by the previous combine. */
+    * fold over the array. Last-element comparison alone decides a combine
+    * — symbols are non-empty (char splits of non-empty pretokens, and
+    * merges of non-empty symbols), so a just-produced `ab` can never equal
+    * `a` and re-trigger overlapping merges. */
   private[text] def mergeSyms(sym: Column, a: String, b: String): Column = {
-    val acc = aggregate(
-      // fold over (previous, current) adjacency: zip the array with itself
-      // shifted — simpler: fold over indices via the element values,
-      // tracking whether the previous emitted element equals `a` AND was
-      // not itself just produced by this round's combine
+    require(a.nonEmpty && b.nonEmpty, "BPE symbols are non-empty")
+    aggregate(
       sym,
-      struct(array().cast("array<string>").as("out"), lit(false).as("justMerged")),
-      (st, x) => {
-        val out = st.getField("out")
-        val lastIsA = size(out) > 0 &&
-          element_at(out, -1) === lit(a) && !st.getField("justMerged")
-        val canMerge = lastIsA && x === lit(b)
-        struct(
-          when(canMerge,
-            concat(slice(out, lit(1), size(out) - 1), array(lit(a + b))))
-            .otherwise(concat(out, array(x))).as("out"),
-          canMerge.as("justMerged"))
+      array().cast("array<string>"),
+      (out, x) => {
+        val canMerge = size(out) > 0 && element_at(out, -1) === lit(a) &&
+          x === lit(b)
+        when(canMerge,
+          concat(slice(out, lit(1), size(out) - 1), array(lit(a + b))))
+          .otherwise(concat(out, array(x)))
       })
-    acc.getField("out")
   }
 
   /** Train `numMerges` merges. Deterministic: winner = max by

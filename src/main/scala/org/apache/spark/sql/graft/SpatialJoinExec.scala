@@ -279,8 +279,18 @@ case class SpatialJoinExec(
       (acc, m) => (acc._1.union(m), acc._2 + 1),
       (a, b) => (a._1.union(b._1), a._2 + b._2))
     if (n == 0) {
-      // no geometry anywhere: every left row is matchless
-      return if (anti) lWithId.map(_._2) else sparkContext.emptyRDD[InternalRow]
+      // no geometry anywhere: every left row is matchless. The envelope
+      // cache is dead either way; the id cache feeds the anti result, so
+      // it releases after that result's first job (semi consumes nothing)
+      rrdd.unpersist(blocking = false)
+      return if (anti) {
+        val out = lWithId.map(_._2)
+        graft.core.CacheHygiene.releaseAfterFirstJob(sparkContext, out)(
+          lWithId.unpersist(blocking = false))
+      } else {
+        lWithId.unpersist(blocking = false)
+        sparkContext.emptyRDD[InternalRow]
+      }
     }
     val bucket =
       if (bucketConf > 0) bucketConf

@@ -27,7 +27,11 @@ PATTERNS = {
     "env-secret": re.compile(r"ANTHROPIC_[A-Z_]*KEY"),
 }
 
-ROOTS = ["src", "build.sbt", "Bench.scala", "Verify.scala"]
+# resolve against the repo root (this file's parent's parent), never the
+# caller's CWD: a wrapper invoking the scan from elsewhere must not get a
+# freshly-stamped record attesting a clean scan over zero files
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ROOTS = [os.path.join(REPO, "src"), os.path.join(REPO, "build.sbt")]
 EXTS = {".scala", ".sbt", ".py", ".md", ".json", ".conf"}
 
 
@@ -50,13 +54,18 @@ def main():
             text = open(path, encoding="utf-8", errors="replace").read()
         except OSError:
             continue
+        rel = os.path.relpath(path, REPO)
         scanned += 1
-        digests.update(path.encode())
+        digests.update(rel.encode())
         digests.update(hashlib.sha256(text.encode()).digest())
         for key, pat in PATTERNS.items():
             for i, line in enumerate(text.splitlines(), 1):
                 if pat.search(line):
-                    hits[key].append(f"{path}:{i}")
+                    hits[key].append(f"{rel}:{i}")
+    if scanned == 0:
+        print("[leakcheck] ERROR: scanned 0 files — refusing to stamp a record",
+              file=sys.stderr)
+        return 2
     record = {
         "scanned_at_utc": datetime.datetime.now(datetime.timezone.utc)
         .strftime("%Y-%m-%dT%H:%M:%SZ"),
