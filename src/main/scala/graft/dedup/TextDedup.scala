@@ -245,6 +245,65 @@ object TextDedup {
         s => s.getField("__line"))).as(textCol))
   }
 
+  /** Duplicated-SPAN removal (exact substring dedup at word-k-gram
+    * granularity — the Lee et al. 2022 "Deduplicating Training Data Makes
+    * Language Models Better" dedup family, anchored on k-grams instead of a
+    * suffix array, which is the standard distributed approximation): any
+    * k-token span whose exact text occurs more than once in the corpus
+    * (across documents OR repeated inside one document) keeps only its
+    * FIRST occurrence — lexicographic minimum (id, token position), the
+    * same keep-the-first rule as [[dedupLinesAcross]] — and every other
+    * occurrence's tokens are cut from their documents. Documents reassemble
+    * from surviving tokens in original order; documents whose every token
+    * is covered by losing spans drop from the output. Tokenization is the
+    * pinned single-space split (empty tokens kept), so spans and token
+    * positions agree exactly with `split(text, ' ')` and the SQL oracle.
+    *
+    * Scale shape — every stage is linear in the token stream with bounded
+    * fan-out: (1) one hash shuffle on the gram key for the winner/count
+    * aggregate (min(struct) and count both partial-aggregate, so hot grams
+    * — stop-phrase runs — are absorbed map-side); (2) one gram-keyed hash
+    * join of occurrences against the per-gram winner row (1-row build side
+    * per key: data volume, never a cross product; AQE splits skewed
+    * buckets); (3) a k-wide positional explode of losing occurrences (fan
+    * out exactly k, distinct-ed by (id, pos)); (4) an anti-join on the
+    * doc-unique (id, pos) key; (5) per-document reassembly bounded by
+    * document length. The gram relation feeds two consumers (the aggregate
+    * and the join probe), so it persists for the duration of one action —
+    * same lifecycle as [[ngramJaccardPairs]]'s shingle cache. */
+  def dedupSpansAcross(df: DataFrame, idCol: String, textCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 1, s"span gram width must be >= 1, got $k")
+    val toks = df.select(col(idCol),
+      posexplode(split(col(textCol), " ", -1)).as(Seq("__pos", "__tok")))
+    // gram index i = start token position of tokens[i..i+k-1] (the kernel
+    // emits one shingle per start position, in order)
+    val grams = fanOut(df).select(col(idCol),
+        posexplode(TextFunctions.wordShinglesAll(col(textCol), k))
+          .as(Seq("__pos", "__g")))
+      .select(col(idCol), col("__pos"), xxhash64(col("__g")).as("__gh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grams.count() // materialization barrier — see ngramJaccardPairs
+    val winners = grams.groupBy(col("__gh"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__w"),
+        count(lit(1)).as("__c"))
+      .where(col("__c") >= 2)
+    val losers = grams.join(winners.hint("shuffle_hash"), "__gh")
+      .where(!(col(idCol) === col("__w").getField(idCol) &&
+        col("__pos") === col("__w.__pos")))
+      .select(col(idCol), col("__pos"))
+    val covered = losers
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + lit(k - 1))).as("__pos"))
+      .distinct()
+    val out = toks.join(covered, Seq(idCol, "__pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+        s => s.getField("__tok"))).as(textCol))
+    graft.core.CacheHygiene.unpersistAfterUse(out, Seq(grams))
+  }
+
   /** SimHash near-duplicate pairs: 16-bit band blocking over the 64-bit
     * fingerprint (any identical quarter => candidate; catches all pairs with
     * Hamming distance <= 3 exactly, most below ~16), then exact Hamming

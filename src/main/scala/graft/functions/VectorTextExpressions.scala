@@ -386,3 +386,101 @@ case class AffineHash(child: Expression, a: Long, b: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "affine_hash"
 }
+
+/** Full BPE tokenizer application: pretokenize with the GPT-2-style pattern
+  * (group-1 matches, identical to `TextFunctions.bpePretokens`), then merge
+  * each pretoken's code-point symbols under the trained merge list —
+  * repeatedly find the lowest-rank adjacent pair present and combine all
+  * its occurrences left-to-right (the standard greedy encode, equal to
+  * sequential rank-order passes on any WELL-FORMED list, i.e. one where a
+  * merge's symbols come from characters or strictly earlier merges — what
+  * [[graft.text.BpeTrainer.train]] produces by construction).
+  *
+  * The merge list lives ON the expression (a rank map built once per
+  * executor thread) and ships inside the serialized plan: at a production
+  * 50k-merge vocabulary that is a few MB once per task binary — the same
+  * cost class as a small broadcast, with no extra join in the plan. The
+  * encode loop is a generated-code static-shaped call through a codegen
+  * reference object ([[StDiscretize]]'s binding pattern), so the document
+  * scan stays inside whole-stage codegen. Cost per word: O(len × merges
+  * actually applied), never O(vocab). */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  // key = left-length-prefixed concatenation: unambiguous even when symbols
+  // contain any separator character (whitespace runs ARE pretokens here)
+  private def pairKey(a: String, b: String): String = a.length + ":" + a + b
+
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    var i = 0
+    merges.foreach { case (a, b) =>
+      require(a.nonEmpty && b.nonEmpty, "BPE merge symbols are non-empty")
+      m.putIfAbsent(pairKey(a, b), i)
+      i += 1
+    }
+    m
+  }
+  @transient private lazy val pretokenRe =
+    java.util.regex.Pattern.compile(graft.text.TextFunctions.BpePretokenPattern)
+
+  private def encodeWord(w: String, out: java.util.ArrayList[UTF8String]): Unit = {
+    // code-point symbols (matches the trainer's split-on-"" char table)
+    var syms = new java.util.ArrayList[String](w.length)
+    var ci = 0
+    while (ci < w.length) {
+      val cp = w.codePointAt(ci)
+      val n = Character.charCount(cp)
+      syms.add(w.substring(ci, ci + n))
+      ci += n
+    }
+    var continue = true
+    while (continue && syms.size >= 2) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.size - 1) {
+        val r = ranks.get(pairKey(syms.get(i), syms.get(i + 1)))
+        if (r != null && r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) continue = false
+      else {
+        val (a, b) = merges(best)
+        val next = new java.util.ArrayList[String](syms.size)
+        var j = 0
+        while (j < syms.size) {
+          if (j < syms.size - 1 && syms.get(j) == a && syms.get(j + 1) == b) {
+            next.add(a + b); j += 2
+          } else { next.add(syms.get(j)); j += 1 }
+        }
+        syms = next
+      }
+    }
+    var k = 0
+    while (k < syms.size) { out.add(UTF8String.fromString(syms.get(k))); k += 1 }
+  }
+
+  def encode(str: UTF8String): ArrayData = {
+    val text = str.toString
+    val m = pretokenRe.matcher(text)
+    val out = new java.util.ArrayList[UTF8String]()
+    while (m.find()) encodeWord(m.group(1), out)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size)).asInstanceOf[Array[Any]])
+  }
+
+  override def nullSafeEval(v: Any): Any = encode(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncode", this, classOf[BpeEncode].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.encode($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "bpe_encode"
+}

@@ -82,6 +82,7 @@ package object functions {
   def word_shingles(text: Column, n: Int): Column = col(WordShingles(ex(text), n, distinct = true))
   def word_shingles_all(text: Column, n: Int): Column = col(WordShingles(ex(text), n, distinct = false))
   def sig_agreement(a: Column, b: Column): Column = col(SigAgreement(ex(a), ex(b)))
+  def bpe_encode(text: Column, merges: Seq[(String, String)]): Column = col(BpeEncode(ex(text), merges))
 
   /** Register every spatial function in the session's FunctionRegistry for
     * SQL use. Idempotent. */

@@ -1787,6 +1787,99 @@ object Queries {
       |SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS text_md5
       |FROM keep GROUP BY doc_id""".stripMargin
 
+  /** Duplicated-span removal (exact substring dedup at 5-gram granularity):
+    * spans occurring more than once keep only their first (doc_id, pos)
+    * occurrence; other occurrences' tokens are cut and documents
+    * reassemble. The operator keys grams by xxhash64 of the gram substring
+    * (16-byte shuffle rows); the oracle re-derives the identical logic on
+    * the gram STRINGS — equal modulo 64-bit hash collisions, of which the
+    * sf0.01 corpus has none (gram equality is what both sides group on). */
+  def qDedupSpans(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.TextDedup.dedupSpansAcross(
+        table(spark, dir, "documents"), "doc_id", "text", k = 5)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"))
+
+  val qDedupSpansSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+      |toks AS (SELECT doc_id, unnest([{'pos': i-1, 'tok': ts[i]}
+      |    for i in generate_series(1, len(ts))], recursive := true)
+      |  FROM d),
+      |grams AS (SELECT doc_id, unnest([{'pos': i-1,
+      |      'g': array_to_string(ts[i : i+4], ' ')}
+      |    for i in generate_series(1, len(ts)-4)], recursive := true)
+      |  FROM d),
+      |occ AS (SELECT doc_id, pos,
+      |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) rn,
+      |    count(*) OVER (PARTITION BY g) c
+      |  FROM grams),
+      |covered AS (SELECT DISTINCT doc_id, pos + delta AS pos
+      |  FROM (SELECT doc_id, pos FROM occ WHERE c >= 2 AND rn > 1),
+      |       (SELECT unnest(generate_series(0, 4)) AS delta)),
+      |surv AS (SELECT t.doc_id, t.pos, t.tok FROM toks t
+      |  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+      |  WHERE c.doc_id IS NULL)
+      |SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY pos)) AS text_md5
+      |FROM surv GROUP BY doc_id""".stripMargin
+
+  /** FULL BPE tokenizer application: train a merge list on the corpus,
+    * checkpoint it, then encode every document with the [[graft.functions
+    * .BpeEncode]] kernel (greedy lowest-rank merges — on a trained list
+    * equal to sequential rank-order passes; PipelineOpsSpec pins that
+    * equivalence). The oracle replays the sequential formulation in SQL: a
+    * recursive CTE walks the checkpointed merges in rank order, applying
+    * each as a left-to-right non-overlapping pass via string `replace` over
+    * a boundary-wrapped symbol encoding (\x01 a \x01\x01 b \x01 occurrences
+    * never share characters, so replace-all IS the non-overlapping pass;
+    * sound because the corpus contains no \x01). Output: per-doc token
+    * stream md5 + token count. */
+  def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val merges = graft.text.BpeTrainer.train(docs, "text", numMerges = 8,
+      minCount = 2)
+    val mergeDf = spark.createDataFrame(
+      merges.map(m => (m.rank, m.left, m.right))).toDF("rank", "l", "r")
+    writeOracleAux(mergeDf, dir, "bpe_merges")
+    docs.select(col("doc_id"),
+        graft.text.BpeTrainer.encode(col("text"), merges).as("__t"))
+      .select(col("doc_id"),
+        md5(concat_ws("\u0001", col("__t")).cast("binary")).as("tok_md5"),
+        size(col("__t")).cast("long").as("n_tokens"))
+  }
+
+  val qBpeEncodeSql: String = {
+    val pat = graft.text.TextFunctions.BpePretokenPattern.replace("'", "''")
+    s"""WITH RECURSIVE m AS (SELECT rank, l, r FROM ${auxSql("bpe_merges")}),
+       |pt AS (SELECT doc_id, unnest([{'widx': i, 'w': ws[i]}
+       |    for i in generate_series(1, len(ws))], recursive := true)
+       |  FROM (SELECT doc_id, regexp_extract_all(text, '$pat', 1) ws
+       |        FROM documents)),
+       |words AS (SELECT doc_id, widx,
+       |    chr(1) || array_to_string(string_split(w, ''), chr(1)||chr(1))
+       |      || chr(1) AS s
+       |  FROM pt),
+       |it AS (
+       |  SELECT doc_id, widx, s, 0 AS round FROM words
+       |  UNION ALL
+       |  SELECT it.doc_id, it.widx,
+       |    replace(it.s, chr(1)||m.l||chr(1)||chr(1)||m.r||chr(1),
+       |      chr(1)||m.l||m.r||chr(1)),
+       |    it.round + 1
+       |  FROM it JOIN m ON m.rank = it.round),
+       |fin AS (SELECT doc_id, widx,
+       |    string_split(s[2 : len(s)-1], chr(1)||chr(1)) AS toks
+       |  FROM it WHERE round = (SELECT count(*) FROM m)),
+       |tok AS (SELECT doc_id, widx, unnest([{'tidx': i, 'tok': toks[i]}
+       |    for i in generate_series(1, len(toks))], recursive := true)
+       |  FROM fin),
+       |agg AS (SELECT doc_id,
+       |    string_agg(tok, chr(1) ORDER BY widx, tidx) AS stream,
+       |    count(*) AS n_tokens
+       |  FROM tok GROUP BY doc_id)
+       |SELECT d.doc_id, md5(coalesce(a.stream, '')) AS tok_md5,
+       |  coalesce(a.n_tokens, 0) AS n_tokens
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+  }
+
   /** MinHash+LSH near-dup candidates. The seeded-hash signature family is
     * engine-internal, so the gate checkpoints the signature table and the
     * oracle re-derives everything downstream of it in SQL: banding (a band

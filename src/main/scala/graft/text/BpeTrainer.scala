@@ -100,7 +100,18 @@ object BpeTrainer {
 
   /** Apply a trained merge list to a symbol-array column in rank order
     * (how a tokenizer consumes the vocabulary). Column-only; intended for
-    * bounded merge lists (each merge adds one fold pass to the plan). */
+    * bounded merge lists (each merge adds one fold pass to the plan).
+    * For production vocabularies use [[encode]] — one codegen kernel
+    * evaluating the whole list, plan size independent of vocab. */
   def applyMerges(sym: Column, merges: Seq[Merge]): Column =
     merges.sortBy(_.rank).foldLeft(sym)((c, m) => mergeSyms(c, m.left, m.right))
+
+  /** Full tokenizer application: text -> BPE token array under a trained
+    * merge list ([[graft.functions.BpeEncode]] — pretokenize + greedy
+    * lowest-rank merges in one codegen kernel; the merge table rides the
+    * expression, so plan size and per-row cost are independent of
+    * vocabulary size). */
+  def encode(text: Column, merges: Seq[Merge]): Column =
+    graft.functions.bpe_encode(text,
+      merges.sortBy(_.rank).map(m => (m.left, m.right)))
 }

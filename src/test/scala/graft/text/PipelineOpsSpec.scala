@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
+import graft.dedup.TextDedup
 
 class PipelineOpsSpec extends SparkTestBase {
   import spark.implicits._
@@ -199,6 +200,122 @@ class PipelineOpsSpec extends SparkTestBase {
         TextFunctions.wordShingles($"text", 2).as("s"))
       .as[(Long, Seq[String])].collect().toMap
     assert(dist(1L) == Seq("a b", "b a"))
+  }
+
+  /** Driver reference for dedupSpansAcross' exact semantics: duplicated
+    * k-gram (count >= 2 over ALL occurrences), first (id, pos) occurrence
+    * wins, every losing occurrence covers tokens [pos, pos+k-1], documents
+    * reassemble from uncovered tokens, empty survivors drop. */
+  private def spanDedupReference(docs: Seq[(Long, String)], k: Int): Map[Long, String] = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    val occ = docs.flatMap { case (id, t) =>
+      val ts = toks(id)
+      (0 to ts.length - k).map(i => (ts.slice(i, i + k).mkString(" "), id, i))
+    }
+    val losers = occ.groupBy(_._1).values.flatMap { os =>
+      if (os.size < 2) Nil
+      else os.sortBy(o => (o._2, o._3)).tail
+    }
+    val covered = losers.flatMap { case (_, id, p) =>
+      (p until p + k).map(id -> _)
+    }.toSet
+    docs.flatMap { case (id, _) =>
+      val surv = toks(id).zipWithIndex.collect {
+        case (t, i) if !covered(id -> i) => t
+      }
+      if (surv.isEmpty) None else Some(id -> surv.mkString(" "))
+    }.toMap
+  }
+
+  test("dedupSpansAcross: first occurrence wins, losing spans cut, exact duplicates vanish") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      // shares the 4-gram "quick brown fox jumps" -> those 4 tokens cut
+      (2L, "a quick brown fox jumps again and again and again"),
+      // exact copy of doc 1: every gram loses -> fully covered -> drops
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      // shorter than k tokens: no grams, unconditionally survives
+      (4L, "tiny doc"),
+      // in-document repetition: "x y z w" occurs twice in one doc
+      (5L, "x y z w q x y z w")).toDF("doc_id", "text")
+    val got = TextDedup.dedupSpansAcross(docs, "doc_id", "text", k = 4)
+      .as[(Long, String)].collect().toMap
+    val want = spanDedupReference(Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "a quick brown fox jumps again and again and again",
+      3L -> "the quick brown fox jumps over the lazy dog",
+      4L -> "tiny doc",
+      5L -> "x y z w q x y z w"), 4)
+    assert(got == want)
+    assert(got(1L) == "the quick brown fox jumps over the lazy dog",
+      "first occurrence keeps its span")
+    assert(got(2L) == "a again and again and again")
+    assert(!got.contains(3L), "an exact duplicate document must vanish")
+    assert(got(4L) == "tiny doc")
+    assert(got(5L) == "x y z w q", "in-document repeat loses its second span")
+  }
+
+  test("dedupSpansAcross matches the driver reference on random corpora and is partition-invariant") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val base = (0L until 40L).map { id =>
+      id -> Seq.fill(3 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val want = spanDedupReference(base, 3)
+    for (parts <- Seq(1, 13)) {
+      val got = TextDedup.dedupSpansAcross(
+          base.toDF("doc_id", "text").repartition(parts), "doc_id", "text", k = 3)
+        .as[(Long, String)].collect().toMap
+      assert(got == want, s"diverged from reference at numPartitions=$parts")
+    }
+  }
+
+  test("BpeEncode kernel == sequential applyMerges fold on a trained list") {
+    val docs = Seq(
+      (1L, "the theme then anthem"),
+      (2L, "the theme of the anthem"),
+      (3L, "then the theme 123 456!! ok"),
+      (4L, "aaaa aaa aa a")).toDF("doc_id", "text")
+    val merges = BpeTrainer.train(docs, "text", numMerges = 12, minCount = 2)
+    assert(merges.nonEmpty)
+    // reference path: pretokenize -> char split -> one fold pass per merge
+    // in rank order (the trainer's own apply semantics)
+    val ref = docs.select($"doc_id",
+        flatten(transform(TextFunctions.bpePretokens($"text"),
+          w => BpeTrainer.applyMerges(split(w, ""), merges))).as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    val got = docs.select($"doc_id",
+        BpeTrainer.encode($"text", merges).as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got == ref, s"kernel diverged from the fold reference\nmerges=$merges")
+    // a merged multi-char token must actually appear (the list is useful)
+    assert(got.values.flatten.exists(_.length > 1))
+    // encode of empty pretoken stream is an empty array, null text is null
+    val edge = Seq((1L, ""), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .select($"doc_id", BpeTrainer.encode($"text", merges).as("toks"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[String](1)))
+      .toMap
+    assert(edge(1L) == Seq.empty[String])
+    assert(edge(2L) == null)
+  }
+
+  test("BpeEncode handles space-bearing symbols and in-word repeats") {
+    // hand-built well-formed list over space-prefixed pretokens: GPT-2
+    // pretokens keep their leading space, so merge symbols contain spaces
+    val merges = Seq(
+      BpeTrainer.Merge(0, " ", "a", 9),   // ' a'
+      BpeTrainer.Merge(1, " a", " a", 5), // impossible pair (never adjacent within one pretoken after split) — must be inert
+      BpeTrainer.Merge(2, "a", "a", 4),   // 'aa'
+      BpeTrainer.Merge(3, "b", "b", 3))
+    val got = Seq((1L, "b aaab bb"))
+      .toDF("doc_id", "text")
+      .select(BpeTrainer.encode($"text", merges).as("toks"))
+      .as[Seq[String]].collect().head
+    // pretokens: ["b", " aaab", " bb"]; " aaab": ' a'+"aab" -> greedy rank0
+    // gives [' a','a','a','b'] then rank2 merges aa -> [' a','aa','b'];
+    // " bb": [' ','b','b'] -> rank3 [' ','bb'] (no ' b' merge in list)
+    assert(got == Seq("b", " a", "aa", "b", " ", "bb"), got.toString)
   }
 
   test("BPE merge top pair on a known corpus") {
