@@ -223,13 +223,31 @@ object ScaleRehearsal {
         graft.dedup.TextDedup.dedupLinesAcross(docs, "doc_id", "text").count()
       }
       println(s"[scale]   -> $nLd docs with surviving lines")
+      // span dedup at 500k docs: the gram stream is one 16-byte row per
+      // token position (same order as the corpus itself); the per-copy
+      // token salt makes spans duplicate only WITHIN a copy, so loser
+      // volume stays bounded while the winner aggregate's partial
+      // min(struct)/count still absorb the corpus-wide hot grams map-side
+      val nSd = timed("dedup_spans[500k docs]") {
+        graft.dedup.TextDedup.dedupSpansAcross(docs, "doc_id", "text", k = 5)
+          .count()
+      }
+      println(s"[scale]   -> $nSd docs with surviving tokens")
       // BPE trainer at 500k docs: cost must track the VOCAB (distinct
       // pretokens), not the corpus — the salt multiplies the vocab ~100x
       // vs the gate corpus, the corpus 100x; 10 merges end-to-end
-      val tBpe = timed("bpe_train_10[500k docs]") {
-        graft.text.BpeTrainer.train(docs, "text", numMerges = 10).size.toLong
+      val bpeMerges = timed("bpe_train_10[500k docs]") {
+        graft.text.BpeTrainer.train(docs, "text", numMerges = 10)
       }
-      println(s"[scale]   -> $tBpe merges")
+      println(s"[scale]   -> ${bpeMerges.size} merges")
+      // full encode under the trained list: one kernel scan, no shuffle
+      // (the aggregate is a scalar sum)
+      val nEnc = timed("bpe_encode[500k docs]") {
+        docs.select(sum(size(
+          graft.text.BpeTrainer.encode(col("text"), bpeMerges))))
+          .head().getLong(0)
+      }
+      println(s"[scale]   -> $nEnc tokens")
       spark.stop(); return
     }
 

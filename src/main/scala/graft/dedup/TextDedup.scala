@@ -274,8 +274,6 @@ object TextDedup {
   def dedupSpansAcross(df: DataFrame, idCol: String, textCol: String,
                        k: Int): DataFrame = {
     require(k >= 1, s"span gram width must be >= 1, got $k")
-    val toks = df.select(col(idCol),
-      posexplode(split(col(textCol), " ", -1)).as(Seq("__pos", "__tok")))
     // gram index i = start token position of tokens[i..i+k-1] (the kernel
     // emits one shingle per start position, in order)
     val grams = fanOut(df).select(col(idCol),
@@ -288,19 +286,23 @@ object TextDedup {
       .agg(min(struct(col(idCol), col("__pos"))).as("__w"),
         count(lit(1)).as("__c"))
       .where(col("__c") >= 2)
-    val losers = grams.join(winners.hint("shuffle_hash"), "__gh")
+    // per-document LOSER START lists (bounded by the doc's own token
+    // count): reassembly never explodes the corpus into token rows — the
+    // RemoveCoveredTokens kernel cuts spans in one pass over the text. The
+    // first formulation (posexplode all tokens, anti-join covered (id,pos),
+    // collect_list back) moved the whole token stream through three
+    // shuffles: 113 s / 1.4 GB shuffle at the 500k-doc rehearsal.
+    val spans = grams.join(winners.hint("shuffle_hash"), "__gh")
       .where(!(col(idCol) === col("__w").getField(idCol) &&
         col("__pos") === col("__w.__pos")))
-      .select(col(idCol), col("__pos"))
-    val covered = losers
-      .select(col(idCol),
-        explode(sequence(col("__pos"), col("__pos") + lit(k - 1))).as("__pos"))
-      .distinct()
-    val out = toks.join(covered, Seq(idCol, "__pos"), "left_anti")
       .groupBy(col(idCol))
-      .agg(concat_ws(" ", transform(
-        array_sort(collect_list(struct(col("__pos"), col("__tok")))),
-        s => s.getField("__tok"))).as(textCol))
+      .agg(collect_list(col("__pos").cast("int")).as("__starts"))
+    val out = df.select(col(idCol), col(textCol))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol), graft.functions.remove_covered_tokens(
+        col(textCol),
+        coalesce(col("__starts"), array().cast("array<int>")), k).as(textCol))
+      .where(col(textCol).isNotNull)
     graft.core.CacheHygiene.unpersistAfterUse(out, Seq(grams))
   }
 

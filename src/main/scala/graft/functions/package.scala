@@ -83,6 +83,8 @@ package object functions {
   def word_shingles_all(text: Column, n: Int): Column = col(WordShingles(ex(text), n, distinct = false))
   def sig_agreement(a: Column, b: Column): Column = col(SigAgreement(ex(a), ex(b)))
   def bpe_encode(text: Column, merges: Seq[(String, String)]): Column = col(BpeEncode(ex(text), merges))
+  def bloom_contains_long(x: Column, bf: org.apache.spark.util.sketch.BloomFilter): Column = col(BloomContainsLong(ex(x), bf))
+  def remove_covered_tokens(text: Column, starts: Column, k: Int): Column = col(RemoveCoveredTokens(ex(text), ex(starts), k))
 
   /** Register every spatial function in the session's FunctionRegistry for
     * SQL use. Idempotent. */

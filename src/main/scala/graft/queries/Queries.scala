@@ -1622,6 +1622,31 @@ object Queries {
        |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
        |WHERE d.doc_id % 50 != 0""".stripMargin
 
+  /** Bloom-prefiltered decontamination — the NEXT scale regime after
+    * q_decontaminate's broadcast semi-join: when the benchmark shingle set
+    * is too large to broadcast as a hash relation, a Bloom filter keeps the
+    * training side scan-only and only candidate rows (true hits + the fpp
+    * sliver) pay join cost. Output is EXACT (the verification join kills
+    * false positives; Bloom filters have no false negatives), so the oracle
+    * is the plain hits SQL over the checkpointed shingles — identical
+    * result whatever the filter's fp behavior. */
+  def qDecontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions
+    val sh = table(spark, dir, "documents").select(col("doc_id"),
+      explode(TextFunctions.wordShingles(col("text"), 3)).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+    val aux = writeOracleAux(sh, dir, "contam_shingles_bloom")
+    val bench = aux.where(col("doc_id") % 50 === 0).select(col("s")).distinct()
+    val train = aux.where(col("doc_id") % 50 =!= 0)
+    graft.text.Decontaminate.flagBloom(train, "doc_id", "s", bench, fpp = 0.03)
+  }
+
+  val qDecontaminateBloomSql: String =
+    s"""WITH sh AS (SELECT doc_id, s FROM ${auxSql("contam_shingles_bloom")}),
+       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0)
+       |SELECT sh.doc_id, count(DISTINCT sh.s) AS n_hits
+       |FROM sh JOIN bench USING (s) WHERE sh.doc_id % 50 != 0 GROUP BY 1""".stripMargin
+
   /** Stratified mixture sampling — per-source keep rates (the data-mixing
     * step of a pre-training pipeline), deterministic via the same
     * Knuth-multiplicative key hash as q_sample so task retries and the

@@ -1,0 +1,50 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination over shingle-hash relations.
+  *
+  * The broadcast semi-join form (q_decontaminate) is right while the
+  * benchmark side is eval-set-sized. This operator is the next scale regime:
+  * when the union of benchmark suites is itself too large to broadcast as a
+  * hash relation, a Bloom filter over the benchmark shingle keys keeps the
+  * TRAINING side scan-only — the filter is a scan predicate (no join, no
+  * shuffle of the corpus), and only the surviving candidate rows (true hits
+  * + the fpp sliver of false positives) proceed to an exact verification
+  * join. The output is therefore EXACT — bit-identical to the semi-join
+  * form; the Bloom filter only bounds how much of the corpus pays join
+  * cost. A 1e9-shingle benchmark set at 3% fpp is a ~0.9 GB filter —
+  * shippable where a 16-byte-per-key hash relation (~16 GB + build) is not.
+  */
+object Decontaminate {
+
+  /** Exact per-document benchmark-hit counts via Bloom prefilter.
+    *
+    * `trainSh`: (idCol, sCol) training shingle hashes (long);
+    * `benchSh`: (sCol) benchmark shingle hashes, DISTINCT.
+    * Returns (idCol, n_hits) for documents with >= 1 exact hit — identical
+    * to `trainSh join benchSh groupBy id countDistinct` (false-positive
+    * rows die in the verification join; Bloom filters have no false
+    * negatives, so no true row is lost).
+    *
+    * Scale notes: the filter is built by Spark's distributed
+    * `stat.bloomFilter` aggregate (one pass over the bench side, tree-
+    * reduced) and rides the candidate scan as a codegen reference object —
+    * the task binary is torrent-broadcast once per executor, the same
+    * transport as an explicit broadcast variable. The verification join
+    * shuffles only candidate rows; at fpp=0.03 that is ~3% of non-hit
+    * corpus shingles plus the true hits. */
+  def flagBloom(trainSh: DataFrame, idCol: String, sCol: String,
+                benchSh: DataFrame, fpp: Double = 0.03): DataFrame = {
+    // expectedNumItems wants the true cardinality: an undersized filter
+    // blows past fpp and the verification join pays for it (correctness
+    // unaffected). One count over the (small) bench side.
+    val n = math.max(benchSh.count(), 1L)
+    val bf = benchSh.stat.bloomFilter(sCol, n, fpp)
+    val cand = trainSh.where(graft.functions.bloom_contains_long(col(sCol), bf))
+    cand.join(benchSh.select(col(sCol)), Seq(sCol))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col(sCol)).as("n_hits"))
+  }
+}

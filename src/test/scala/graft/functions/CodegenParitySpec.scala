@@ -131,4 +131,41 @@ class CodegenParitySpec extends SparkTestBase {
     assert(byId(4L).isNullAt(3))                 // empty side -> null mindist
     assert(!byId(4L).getBoolean(2))              // empty right -> not contained
   }
+
+  private def pipelineKernelResults(mode: String): Seq[Row] = {
+    import spark.implicits._
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    Seq(1L, 2L, 3L).foreach(bf.putLong)
+    val merges = Seq(("t", "h"), ("th", "e"))
+    val df = Seq(
+      (1L, "the theme there", 1L, Seq(0, 5)),
+      (2L, "a b c d e f", 2L, Seq[Int]()),
+      (3L, "", 99L, Seq(0)),
+      (4L, "x y", 3L, Seq(0, 1))
+    ).toDF("id", "txt", "key", "starts")
+    spark.conf.set("spark.sql.codegen.factoryMode", mode)
+    try df.select(col("id"),
+        bpe_encode(col("txt"), merges).as("bpe"),
+        bloom_contains_long(col("key"), bf).as("bloom"),
+        remove_covered_tokens(col("txt"), col("starts"), 2).as("cut"))
+      .orderBy("id").collect().toSeq
+    finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
+  test("round-9b kernels (bpe_encode / bloom / span cut): generated code bit-matches interpreted eval") {
+    val gen = pipelineKernelResults("CODEGEN_ONLY")
+    val interp = pipelineKernelResults("NO_CODEGEN")
+    assert(gen == interp)
+    val byId = gen.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getSeq[String](1) == Seq("the", " ", "the", "m", "e", " ", "the", "r", "e"))
+    // true members always pass (no false negatives); row 3's non-member
+    // value is mode-parity-checked above but not asserted (fp possible)
+    assert(byId(1L).getBoolean(2) && byId(2L).getBoolean(2) && byId(4L).getBoolean(2))
+    // tokens: [the, theme, there]; start 0 covers {0,1}, start 5 is out of
+    // range -> only index 2 survives
+    assert(byId(1L).getString(3) == "there")
+    assert(byId(2L).getString(3) == "a b c d e f")
+    assert(byId(3L).isNullAt(3))             // single empty token covered -> null
+    assert(byId(4L).isNullAt(3))             // both tokens covered -> null
+  }
 }

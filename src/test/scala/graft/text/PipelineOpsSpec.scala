@@ -318,6 +318,42 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == Seq("b", " a", "aa", "b", " ", "bb"), got.toString)
   }
 
+  test("Bloom decontamination is exact: equals the broadcast semi-join path, prefilter is a superset") {
+    val rnd = new scala.util.Random(11)
+    // 400 train docs, 20 bench docs; ~10% of train docs share a phrase
+    // with a bench doc
+    val benchPhrases = (0 until 20).map(i => s"bench phrase number $i shared")
+    val docs = (0L until 400L).map { id =>
+      val base = Seq.fill(8)(s"w${rnd.nextInt(500)}").mkString(" ")
+      if (id % 10 == 0) base + " " + benchPhrases(rnd.nextInt(20)) else base
+    }
+    val trainSh = docs.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .select($"doc_id", explode(TextFunctions.wordShingles($"text", 3)).as("s0"))
+      .select($"doc_id", xxhash64($"s0").as("s"))
+    val benchSh = benchPhrases.toDF("text")
+      .select(explode(TextFunctions.wordShingles($"text", 3)).as("s0"))
+      .select(xxhash64($"s0").as("s")).distinct()
+    val exact = trainSh.join(broadcast(benchSh), Seq("s"))
+      .groupBy($"doc_id").agg(countDistinct($"s").as("n_hits"))
+      .as[(Long, Long)].collect().toMap
+    assert(exact.nonEmpty)
+    val got = Decontaminate.flagBloom(trainSh, "doc_id", "s", benchSh, fpp = 0.03)
+      .as[(Long, Long)].collect().toMap
+    assert(got == exact, "Bloom path must be bit-identical to the semi-join path")
+    // the prefilter alone passes every true hit (no false negatives) and
+    // stays near the fpp budget on the rest
+    val n = benchSh.count()
+    val bf = benchSh.stat.bloomFilter("s", n, 0.03)
+    val pre = trainSh.where(graft.functions.bloom_contains_long($"s", bf))
+    val trueHits = trainSh.join(broadcast(benchSh), Seq("s"))
+    assert(pre.count() >= trueHits.count())
+    val nonHit = trainSh.count() - trueHits.count()
+    val fpRows = pre.count() - trueHits.count()
+    assert(fpRows.toDouble / nonHit.toDouble < 0.10,
+      s"prefilter pass rate on non-hits: $fpRows/$nonHit")
+  }
+
   test("BPE merge top pair on a known corpus") {
     // "b c" occurs 4 times, "a b" 3, others fewer: the merge pick is "b c"
     val docs = Seq(
