@@ -52,6 +52,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     r("st_npoints", es => StNumPoints(es.head))
     r("st_discretize", StDiscretize.fromSqlArgs _)
     r("st_makeline", es => StMakeLine(es))
+    r("word_shingles", es => WordShingles(es(0),
+      graft.functions.sqlFoldInt(es(1), "word_shingles n"), distinct = true))
+    r("word_shingles_all", es => WordShingles(es(0),
+      graft.functions.sqlFoldInt(es(1), "word_shingles_all n"), distinct = false))
+    r("remove_covered_tokens", es => RemoveCoveredTokens(es(0), es(1),
+      graft.functions.sqlFoldInt(es(2), "remove_covered_tokens k")))
     r("intervals_overlap", es => IntervalsOverlap(es(0), es(1)))
     r("intervals_contain", es => IntervalsContain(es(0), es(1)))
     r("intervals_mindist", es => IntervalsMinDist(es(0), es(1)))

@@ -130,5 +130,17 @@ package object functions {
     r("sig_agreement", es => SigAgreement(es(0), es(1)))
     r("rolling_hash64", es => RollingHash64(es.head))
     r("seeded_hash64", es => SeededHash64(es(0), es(1)))
+    r("word_shingles", es => WordShingles(es(0), sqlFoldInt(es(1), "word_shingles n"), distinct = true))
+    r("word_shingles_all", es => WordShingles(es(0), sqlFoldInt(es(1), "word_shingles_all n"), distinct = false))
+    r("remove_covered_tokens", es => RemoveCoveredTokens(es(0), es(1), sqlFoldInt(es(2), "remove_covered_tokens k")))
+  }
+
+  /** Literal-int SQL argument (parameterizes an expression instance). */
+  def sqlFoldInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be an integer literal, got: ${e.sql}")
+    e.eval(null) match {
+      case n: Number => n.intValue()
+      case v => throw new IllegalArgumentException(s"$what is not numeric: $v")
+    }
   }
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left row, the single most recent right row with
+  * `rightTs <= leftTs` in the same key group (pandas `merge_asof` /
+  * kdb `aj` semantics) — event attribution, slowly-changing-dimension
+  * lookup, price-at-trade joins.
+  *
+  * Spark-first shape: NO join at all. Both sides union into one relation
+  * tagged by side, and a single window per key — ordered by (ts, side,
+  * right-payload) with right rows sorting before left rows at equal
+  * timestamps — carries the last non-null right payload forward
+  * (`last(..., ignoreNulls)` over UNBOUNDED PRECEDING..CURRENT ROW, a
+  * running aggregate Spark evaluates streamingly, never materializing the
+  * frame). One shuffle on the key, linear scan within each key group.
+  * The naive alternative — a range join `l.ts >= r.ts` then max-per-left
+  * dedup — builds O(|L|·|R|) intermediate pairs per key and shuffles
+  * twice; this form is what a 100 TB event log needs.
+  *
+  * Determinism: ties among right rows at the same (key, ts) break by the
+  * lexicographic order of the right payload struct (fields: rightTs, then
+  * the remaining right columns in their original order) — retry-stable and
+  * reproducible in plain SQL (`ORDER BY ts, side, <payload cols>`).
+  * Left rows with no prior right row carry null right columns. `leftTs`
+  * and `rightTs` must be mutually comparable (same type; the caller casts).
+  * A `merge_asof`-style tolerance is a post-filter:
+  * `when(l.ts - r_ts <= tol, ...)` on the output. */
+object AsofJoin {
+
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               leftTs: String, rightTs: String,
+               rightPrefix: String = "r_"): DataFrame = {
+    require(keyCols.nonEmpty, "as-of join needs at least one key column")
+    val lPayload = left.columns.filterNot(keyCols.contains).toSeq
+    val rPayload = (rightTs +: right.columns.filterNot(c =>
+      keyCols.contains(c) || c == rightTs)).toSeq
+    require(lPayload.nonEmpty, "left side carries no non-key columns")
+    val rType = right.select(struct(rPayload.map(col): _*).as("__r"))
+      .schema("__r").dataType
+    val lType = left.select(struct(lPayload.map(col): _*).as("__l"))
+      .schema("__l").dataType
+    val l = left.select(keyCols.map(col) ++ Seq(
+      col(leftTs).as("__ts"), lit(1).as("__side"),
+      struct(lPayload.map(col): _*).as("__l"),
+      lit(null).cast(rType).as("__r")): _*)
+    val r = right.select(keyCols.map(col) ++ Seq(
+      col(rightTs).as("__ts"), lit(0).as("__side"),
+      lit(null).cast(lType).as("__l"),
+      struct(rPayload.map(col): _*).as("__r")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(keyCols.map(col) ++
+        lPayload.map(c => col("__l").getField(c).as(c)) ++
+        rPayload.map(c => col("__m").getField(c).as(rightPrefix + c)): _*)
+  }
+}

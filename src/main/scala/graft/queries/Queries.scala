@@ -1409,6 +1409,47 @@ object Queries {
       | CAST(count(*) AS INT) AS n_events
       |FROM t GROUP BY user_id, sid""".stripMargin
 
+  /** As-of join: every click event attributed to the user's most recent
+    * view event at-or-before it ([[graft.operators.AsofJoin]] — union +
+    * one running window, no join). The oracle replays the identical
+    * union-window algebra; both sides break right-row ties by the
+    * (r_uts, r_view_id) payload order (the operator's documented
+    * lexicographic-struct tiebreak). */
+  def qAsof(spark: SparkSession, dir: String): DataFrame = {
+    val e = eventsTable(spark, dir).select(col("event_id"), col("user_id"),
+      expr("unix_micros(cast(ts as timestamp))").as("uts"), col("event_type"))
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("uts"), col("event_id"))
+    val views = e.where(col("event_type") === "view")
+      .select(col("user_id"), col("uts"), col("event_id").as("view_id"))
+    graft.operators.AsofJoin.asofJoin(clicks, views, Seq("user_id"), "uts", "uts")
+      // no-prior-view nulls -> -1 sentinels: nullable BIGINTs go through
+      // pandas as float64 on the oracle side ("1.7e+15" vs the int repr)
+      .select(col("user_id"), col("uts"), col("event_id"),
+        coalesce(col("r_uts"), lit(-1L)).as("r_uts"),
+        coalesce(col("r_view_id"), lit(-1L)).as("r_view_id"))
+  }
+
+  val qAsofSql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) uts, event_type
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id, uts, 1 AS side, uts AS l_uts, event_id AS l_eid,
+      |    CAST(NULL AS BIGINT) AS rv_uts, CAST(NULL AS BIGINT) AS rv_vid
+      |  FROM e WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, uts, 0, NULL, NULL, uts, event_id
+      |  FROM e WHERE event_type = 'view'),
+      |w AS (SELECT user_id, side, l_uts, l_eid,
+      |    last_value(rv_uts IGNORE NULLS) OVER win AS m_uts,
+      |    last_value(rv_vid IGNORE NULLS) OVER win AS m_vid
+      |  FROM u WINDOW win AS (PARTITION BY user_id
+      |    ORDER BY uts, side, rv_uts, rv_vid
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT user_id, l_uts AS uts, l_eid AS event_id,
+      |  coalesce(m_uts, -1) AS r_uts, coalesce(m_vid, -1) AS r_view_id
+      |FROM w WHERE side = 1""".stripMargin
+
   // ---------------------------------------------------- LLM-pipeline: text
 
   /** Text analysis over documents: token counts, BPE estimate, stopword

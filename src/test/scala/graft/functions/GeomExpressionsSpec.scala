@@ -155,5 +155,16 @@ class GeomExpressionsSpec extends SparkTestBase {
     val err = intercept[Exception](spark.sql(
       "SELECT st_discretize(st_point(1D,1D), 0D,0D,10D,10D, 0D,0D,100D,100D, 1) d").head())
     assert(err.getMessage.contains("boolean literal"))
+    // text kernels with literal-int parameters
+    val r4 = spark.sql(
+      "SELECT word_shingles('a b a b', 2) ws, " +
+      "word_shingles_all('a b a b', 2) wsa, " +
+      "remove_covered_tokens('a b c d', array(1), 2) cut").head()
+    assert(r4.getSeq[String](0) == Seq("a b", "b a"))
+    assert(r4.getSeq[String](1) == Seq("a b", "b a", "a b"))
+    assert(r4.getString(2) == "a d")
+    val err2 = intercept[Exception](spark.sql(
+      "SELECT word_shingles('x', n) w FROM VALUES (2) t(n)").head())
+    assert(err2.getMessage.contains("integer literal"))
   }
 }

@@ -150,4 +150,56 @@ class ExtendedOpsSpec extends SparkTestBase {
     }
     assert(tiles(twoLevel = true) > tiles(twoLevel = false))
   }
+
+  test("asofJoin: latest prior right per key, equal-ts visible, no-prior nulls, deterministic ties") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, "l-a"),   // sees r at 90
+      (1L, 90L, "l-b"),    // equal ts: right at 90 IS visible
+      (1L, 50L, "l-c"),    // no prior right -> nulls
+      (2L, 100L, "l-d"),   // ties at ts=80: lexicographically greatest payload wins
+      (3L, 10L, "l-e")     // key with no right rows at all
+    ).toDF("uid", "ts", "lval")
+    val right = Seq(
+      (1L, 90L, "r-x"),
+      (1L, 60L, "r-y"),
+      (2L, 80L, "r-m"),
+      (2L, 80L, "r-z")
+    ).toDF("uid", "ts", "rval")
+    for (parts <- Seq(1, 7)) {
+      val got = AsofJoin.asofJoin(
+          left.repartition(parts), right.repartition(parts),
+          Seq("uid"), "ts", "ts")
+        .as[(Long, Long, String, Option[Long], Option[String])]
+        .collect().toSet
+      assert(got == Set(
+        (1L, 100L, "l-a", Some(90L), Some("r-x")),
+        (1L, 90L, "l-b", Some(90L), Some("r-x")),
+        (1L, 50L, "l-c", None, None),
+        (2L, 100L, "l-d", Some(80L), Some("r-z")),
+        (3L, 10L, "l-e", None, None)), s"parts=$parts: $got")
+    }
+    // differential vs the naive range-join + max-per-left formulation on
+    // random data (tie-free so both formulations are deterministic)
+    val rnd = new scala.util.Random(5)
+    val bigL = Seq.fill(300)((rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong * 2, "L" + rnd.nextInt(1000)))
+      .toDF("uid", "ts", "lval")
+    val bigR = Seq.fill(300)((rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong * 2 + 1, "R" + rnd.nextInt(1000)))
+      .distinct.toDF("uid", "ts", "rval")
+    val gotBig = AsofJoin.asofJoin(bigL, bigR, Seq("uid"), "ts", "ts")
+      .as[(Long, Long, String, Option[Long], Option[String])].collect().toSet
+    val naive = {
+      val pairs = bigL.as("l").join(bigR.as("r"),
+          $"l.uid" === $"r.uid" && $"r.ts" <= $"l.ts", "left")
+        .select($"l.uid".as("uid"), $"l.ts".as("ts"), $"l.lval".as("lval"),
+          $"r.ts".as("r_ts"), $"r.rval".as("r_rval"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"uid", $"ts", $"lval")
+        .orderBy($"r_ts".desc_nulls_last, $"r_rval".desc_nulls_last)
+      pairs.withColumn("rn", row_number().over(w)).where($"rn" === 1)
+        .drop("rn")
+        .as[(Long, Long, String, Option[Long], Option[String])].collect().toSet
+    }
+    assert(gotBig == naive)
+  }
 }
