@@ -102,6 +102,38 @@ class PlanHealthSpec extends SparkTestBase {
     assert(scanColumns(df, "documents") == Set("doc_id", "text"))
   }
 
+  test("as-of join is one shuffle and contains no join operator") {
+    import org.apache.spark.sql.functions.{col => c}
+    val e = Queries.table(spark, dir, "events")
+      .select(c("event_id"), c("user_id"),
+        (c("event_id") % 1000).as("uts"), c("event_type"))
+    val df = graft.operators.AsofJoin.asofJoin(
+      e.where(c("event_type") === "click").select("user_id", "uts", "event_id"),
+      e.where(c("event_type") === "view").select("user_id", "uts", "event_id"),
+      Seq("user_id"), "uts", "uts")
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = df.queryExecution.executedPlan
+    val plans = root +: root.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+    val shuffles = plans.flatMap(_.collect { case s: ShuffleExchangeExec => s })
+    assert(shuffles.size == 1,
+      s"as-of must be exactly the one key shuffle, got ${shuffles.size}:\n$root")
+    val text = plans.map(_.toString).mkString
+    assert(!text.contains("Join"), s"as-of must not plan a join:\n$text")
+  }
+
+  test("span dedup reassembly never explodes the corpus into token rows") {
+    val df = graft.dedup.TextDedup.dedupSpansAcross(
+      Queries.table(spark, dir, "documents"), "doc_id", "text", k = 5)
+    val text = df.queryExecution.executedPlan.toString
+    assert(text.contains("remove_covered_tokens"),
+      "reassembly must go through the span-cut kernel")
+    // the old reassembly carried a second token-stream posexplode plus a
+    // covered-position explode and an anti-join; none may reappear
+    assert(!text.contains("LeftAnti"), "no anti-join in span reassembly")
+    assert(!text.contains("CartesianProduct") && !text.contains("BroadcastNestedLoopJoin"))
+    assert(scanColumns(df, "documents") == Set("doc_id", "text"))
+  }
+
   test("semi/anti SQL spatial joins never fall back to nested loops") {
     import org.apache.spark.sql.graft.{SpatialJoinExec, SpatialJoinStrategy}
     if (!spark.experimental.extraStrategies.contains(SpatialJoinStrategy))
