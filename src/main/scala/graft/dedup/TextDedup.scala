@@ -258,6 +258,8 @@ object TextDedup {
     * is covered by losing spans drop from the output. Tokenization is the
     * pinned single-space split (empty tokens kept), so spans and token
     * positions agree exactly with `split(text, ' ')` and the SQL oracle.
+    * `keepFirst = false` switches to the scrub-entirely policy: every
+    * occurrence of a duplicated span is cut, first included.
     *
     * Scale shape — every stage is linear in the token stream with bounded
     * fan-out: (1) one hash shuffle on the gram key for the winner/count
@@ -272,7 +274,7 @@ object TextDedup {
     * and the join probe), so it persists for the duration of one action —
     * same lifecycle as [[ngramJaccardPairs]]'s shingle cache. */
   def dedupSpansAcross(df: DataFrame, idCol: String, textCol: String,
-                       k: Int): DataFrame = {
+                       k: Int, keepFirst: Boolean = true): DataFrame = {
     require(k >= 1, s"span gram width must be >= 1, got $k")
     // gram index i = start token position of tokens[i..i+k-1] (the kernel
     // emits one shingle per start position, in order)
@@ -292,9 +294,13 @@ object TextDedup {
     // first formulation (posexplode all tokens, anti-join covered (id,pos),
     // collect_list back) moved the whole token stream through three
     // shuffles: 113 s / 1.4 GB shuffle at the 500k-doc rehearsal.
-    val spans = grams.join(winners.hint("shuffle_hash"), "__gh")
-      .where(!(col(idCol) === col("__w").getField(idCol) &&
-        col("__pos") === col("__w.__pos")))
+    // keepFirst=false removes EVERY occurrence of a duplicated span (the
+    // scrub-entirely policy some pipelines prefer over keep-one)
+    val losing = grams.join(winners.hint("shuffle_hash"), "__gh")
+    val spans = (if (keepFirst)
+        losing.where(!(col(idCol) === col("__w").getField(idCol) &&
+          col("__pos") === col("__w.__pos")))
+      else losing)
       .groupBy(col(idCol))
       .agg(collect_list(col("__pos").cast("int")).as("__starts"))
     val out = df.select(col(idCol), col(textCol))

@@ -66,6 +66,33 @@ class StreamingSpec extends SparkTestBase {
     assert(batch == streamed, "batch twin agrees")
   }
 
+  test("Bloom decontamination prefilter runs incrementally: stream candidates == batch candidates") {
+    implicit val sqlCtx = spark.sqlContext
+    // a static benchmark Bloom filter applied to a document STREAM: the
+    // probe is a stateless scan predicate, so the same expression runs
+    // under readStream with no state store and no watermark
+    val benchKeys = Seq(10L, 20L, 30L).toDF("s")
+    val bf = benchKeys.stat.bloomFilter("s", 3, 0.01)
+    val docsShingled = Seq(
+      (1L, 10L), (1L, 99L), (2L, 98L), (3L, 30L), (3L, 97L), (4L, 96L))
+    val pred = graft.functions.bloom_contains_long(col("s"), bf)
+    val stream = MemoryStream[(Long, Long)]
+    val q = stream.toDF().toDF("doc_id", "s").where(pred)
+      .writeStream.format("memory").queryName("bloom_test")
+      .outputMode("append").start()
+    try {
+      stream.addData(docsShingled.take(3)); q.processAllAvailable()
+      stream.addData(docsShingled.drop(3)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("bloom_test")
+      .as[(Long, Long)].collect().toSet
+    val batch = docsShingled.toDF("doc_id", "s").where(pred)
+      .as[(Long, Long)].collect().toSet
+    assert(batch == streamed, "stream and batch prefilters must agree")
+    assert(streamed.map(_._1).intersect(Set(1L, 3L)) == Set(1L, 3L),
+      "true hits must pass the prefilter")
+  }
+
   test("streamingSessionize closed sessions agree with batchSessionize") {
     implicit val sqlCtx = spark.sqlContext
     val gapMicros = 30L * 60 * 1000000

@@ -270,6 +270,17 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("dedupSpansAcross keepFirst=false scrubs every occurrence, winner included") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta tail"),
+      (2L, "head alpha beta gamma delta")).toDF("doc_id", "text")
+    val got = TextDedup.dedupSpansAcross(docs, "doc_id", "text", k = 4,
+        keepFirst = false)
+      .as[(Long, String)].collect().toMap
+    // the shared 4-gram "alpha beta gamma delta" is cut from BOTH docs
+    assert(got == Map(1L -> "tail", 2L -> "head"))
+  }
+
   test("BpeEncode kernel == sequential applyMerges fold on a trained list") {
     val docs = Seq(
       (1L, "the theme then anthem"),
