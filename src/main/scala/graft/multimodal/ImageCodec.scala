@@ -110,4 +110,32 @@ object ImageCodec {
     * for bytes ImageIO cannot decode. */
   def imageFeatures(bytes: Array[Byte]): Array[Float] =
     analyze(bytes).map(_.features).getOrElse(Multimodal.decodeStub(bytes))
+
+  /** Nearest-neighbor resize to exactly (outW, outH), re-encoded as PNG.
+    * Output pixel (x, y) = input pixel (x·w/outW, y·h/outH) with integer
+    * floor — a hand-rolled sampling loop, NOT AffineTransformOp, so the
+    * rule is deterministic by construction on every JVM and the resized
+    * pixels are recoverable by generator arithmetic in an oracle (PNG
+    * round-trip is lossless). None for null/undecodable input. */
+  def resizeNearestPng(bytes: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
+    require(outW >= 1 && outH >= 1, s"resize dims must be >= 1, got ${outW}x$outH")
+    decode(bytes).map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new BufferedImage(outW, outH, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < outH) {
+        val sy = y * h / outH
+        var x = 0
+        while (x < outW) {
+          out.setRGB(x, y, img.getRGB(x * w / outW, sy))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+  }
 }

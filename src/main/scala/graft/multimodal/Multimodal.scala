@@ -98,6 +98,28 @@ object Multimodal {
     }.toDF(schema.fieldNames.toIndexedSeq: _*)
   }
 
+  /** REAL image resize stage ([[ImageCodec.resizeNearestPng]]): appends a
+    * `resized` binary column holding the (outW × outH) nearest-neighbor
+    * PNG; undecodable/null inputs resize to null (quarantine semantics).
+    * Same mapPartitions plumbing as every codec stage — one decode + one
+    * encode per row, streaming per partition. The deterministic sampling
+    * rule (floor source index) is what makes a resized-pixel oracle
+    * possible: q_multimodal_resize re-analyzes the ACTUAL resized bytes
+    * and the oracle re-derives mean luminance from generator arithmetic. */
+  def resizeImages(df: DataFrame, binCol: String,
+                   outW: Int, outH: Int): DataFrame = {
+    val schema = df.schema.add("resized", BinaryType)
+    val binIdx = df.schema.fieldIndex(binCol)
+    implicit val enc = Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val rz = ImageCodec.resizeNearestPng(
+          r.getAs[Array[Byte]](binIdx), outW, outH).orNull
+        Row.fromSeq(r.toSeq :+ rz)
+      }
+    }.toDF(schema.fieldNames.toIndexedSeq: _*)
+  }
+
   /** One-pass REAL image analysis (javax.imageio): media_meta with the
     * container's actual dims, grid-luminance features from decoded pixels,
     * and the exact integer mean luminance — one decode per row, streaming

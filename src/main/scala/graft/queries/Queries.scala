@@ -1262,6 +1262,44 @@ object Queries {
       | CAST((doc_id * 31) % 256 AS INT) AS luma
       |FROM documents WHERE doc_id < 200""".stripMargin
 
+  /** REAL image RESIZE gate: deterministic horizontal-gradient PNGs
+    * (width from doc_id arithmetic) are nearest-neighbor-resized to a
+    * fixed 24×12 ([[graft.multimodal.ImageCodec.resizeNearestPng]] — floor
+    * source sampling, PNG lossless round-trip), then RE-ANALYZED from the
+    * actual resized bytes. The oracle re-derives the mean luminance of the
+    * resized image purely from generator arithmetic: resized column x
+    * samples source column x·w/24 (floor), whose gray value is
+    * (sx·255)/(w−1) (floor) — every row identical, so mean luma =
+    * floor(Σ_x v(x) / 24). A hash match proves decode → resize → encode →
+    * decode all moved real pixels. */
+  def qMultimodalResize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.BinaryType
+    import graft.multimodal.{ImageCodec, Multimodal}
+    val base = table(spark, dir, "documents")
+      .select(col("doc_id")).where(col("doc_id") < 200)
+    val schema = base.schema.add("content", BinaryType)
+    implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+    val withPng = base.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (16 + id % 48).toInt
+        val h = (8 + (id * 5) % 24).toInt
+        org.apache.spark.sql.Row(id, ImageCodec.encodeGradientPng(w, h))
+      }
+    }.toDF("doc_id", "content")
+    val resized = Multimodal.resizeImages(withPng, "content", 24, 12)
+    Multimodal.analyzeImages(resized.select("doc_id", "resized"), "resized")
+      .select(col("doc_id"), col("media_meta.width").as("w"),
+        col("media_meta.height").as("h"), col("mean_luma").as("luma"))
+  }
+
+  val qMultimodalResizeSql: String =
+    """SELECT doc_id, 24 AS w, 12 AS h,
+      | CAST(list_sum([ (((x * (16 + doc_id % 48)) // 24) * 255)
+      |     // (16 + doc_id % 48 - 1)
+      |   for x in generate_series(0, 23) ]) // 24 AS INT) AS luma
+      |FROM documents WHERE doc_id < 200""".stripMargin
+
   /** REAL audio decode gate — the WAV twin of q_multimodal_real:
     * deterministic constant-amplitude PCM16 WAVs encoded per row, then
     * [[graft.multimodal.Multimodal.analyzeAudio]] recovers sample rate,

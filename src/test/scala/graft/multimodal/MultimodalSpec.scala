@@ -168,4 +168,32 @@ class MultimodalSpec extends SparkTestBase {
       .select("features").head().getSeq[Float](0)
     assert(feats.length == 16 && feats.sum > 0f)
   }
+
+  test("resizeNearestPng: floor-sampled pixels, exact up/downscale, null quarantine") {
+    // downscale 40x20 gradient -> 24x12 and upscale 5x3 -> 10x9: every
+    // output pixel must equal source pixel (x*w/outW, y*h/outH)
+    for ((w, h, ow, oh) <- Seq((40, 20, 24, 12), (5, 3, 10, 9))) {
+      val src = ImageCodec.encodeGradientPng(w, h)
+      val rz = ImageCodec.resizeNearestPng(src, ow, oh).get
+      val s = ImageCodec.decode(src).get
+      val o = ImageCodec.decode(rz).get
+      assert(o.getWidth == ow && o.getHeight == oh)
+      for (y <- 0 until oh; x <- 0 until ow)
+        assert((o.getRGB(x, y) & 0xffffff) ==
+          (s.getRGB(x * w / ow, y * h / oh) & 0xffffff),
+          s"pixel ($x,$y) of ${w}x$h -> ${ow}x$oh")
+    }
+    assert(ImageCodec.resizeNearestPng(Array[Byte](1, 2, 3), 4, 4).isEmpty)
+    assert(ImageCodec.resizeNearestPng(null, 4, 4).isEmpty)
+    // DataFrame stage: resized column present, undecodable row -> null
+    val df = Seq(
+      (1L, ImageCodec.encodeGradientPng(30, 10)),
+      (2L, Array[Byte](9, 9, 9))).toDF("media_id", "content")
+    val out = Multimodal.resizeImages(df, "content", 8, 4)
+      .select(col("media_id"), col("resized"))
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(out(2L) == null)
+    val info = ImageCodec.analyze(out(1L).asInstanceOf[Array[Byte]]).get
+    assert(info.width == 8 && info.height == 4)
+  }
 }
