@@ -58,6 +58,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.sqlFoldInt(es(1), "word_shingles_all n"), distinct = false))
     r("remove_covered_tokens", es => RemoveCoveredTokens(es(0), es(1),
       graft.functions.sqlFoldInt(es(2), "remove_covered_tokens k")))
+    r("nfc_normalize", es => NormalizeText(es.head, "NFC"))
+    r("nfkc_normalize", es => NormalizeText(es.head, "NFKC"))
     r("intervals_overlap", es => IntervalsOverlap(es(0), es(1)))
     r("intervals_contain", es => IntervalsContain(es(0), es(1)))
     r("intervals_mindist", es => IntervalsMinDist(es(0), es(1)))

@@ -556,6 +556,34 @@ case class RemoveCoveredTokens(text: Expression, starts: Expression, k: Int)
   override def prettyName: String = "remove_covered_tokens"
 }
 
+/** Unicode normalization (java.text.Normalizer) — the text-cleanup step a
+  * multilingual corpus needs before any hash-based dedup (canonically
+  * equivalent strings like "e"+COMBINING ACUTE vs precomposed "é" would
+  * otherwise shingle and fingerprint differently). `form` is one of
+  * NFC/NFD/NFKC/NFKD; NFC matches DuckDB's `nfc_normalize`, which is what
+  * makes the gate cross-engine-exact. Spark itself has no normalizer
+  * built-in. */
+case class NormalizeText(child: Expression, form: String)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  private val normForm = java.text.Normalizer.Form.valueOf(form)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      v.asInstanceOf[UTF8String].toString, normForm))
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"java.text.Normalizer.normalize($c.toString(), " +
+        s"java.text.Normalizer.Form.$form))")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = s"${form.toLowerCase}_normalize"
+}
+
 /** Bloom-filter membership probe over a 64-bit key column. The filter is a
   * codegen reference object — serialized once into the task binary (which
   * Spark torrent-broadcasts per executor, the same transport as an explicit

@@ -85,6 +85,8 @@ package object functions {
   def bpe_encode(text: Column, merges: Seq[(String, String)]): Column = col(BpeEncode(ex(text), merges))
   def bloom_contains_long(x: Column, bf: org.apache.spark.util.sketch.BloomFilter): Column = col(BloomContainsLong(ex(x), bf))
   def remove_covered_tokens(text: Column, starts: Column, k: Int): Column = col(RemoveCoveredTokens(ex(text), ex(starts), k))
+  def nfc_normalize(text: Column): Column = col(NormalizeText(ex(text), "NFC"))
+  def nfkc_normalize(text: Column): Column = col(NormalizeText(ex(text), "NFKC"))
 
   /** Register every spatial function in the session's FunctionRegistry for
     * SQL use. Idempotent. */
@@ -133,6 +135,8 @@ package object functions {
     r("word_shingles", es => WordShingles(es(0), sqlFoldInt(es(1), "word_shingles n"), distinct = true))
     r("word_shingles_all", es => WordShingles(es(0), sqlFoldInt(es(1), "word_shingles_all n"), distinct = false))
     r("remove_covered_tokens", es => RemoveCoveredTokens(es(0), es(1), sqlFoldInt(es(2), "remove_covered_tokens k")))
+    r("nfc_normalize", es => NormalizeText(es.head, "NFC"))
+    r("nfkc_normalize", es => NormalizeText(es.head, "NFKC"))
   }
 
   /** Literal-int SQL argument (parameterizes an expression instance). */

@@ -1488,6 +1488,29 @@ object Queries {
       |  coalesce(m_uts, -1) AS r_uts, coalesce(m_vid, -1) AS r_view_id
       |FROM w WHERE side = 1""".stripMargin
 
+  /** Unicode NFC normalization — deterministic combining-character fixtures
+    * synthesized identically in both engines (Scala \\uXXXX literals ==
+    * DuckDB chr() arithmetic): "e"+COMBINING ACUTE and "A"+COMBINING RING
+    * must compose to precomposed é / Å. Output md5 + post-normalization
+    * codepoint length (Spark `length` and DuckDB `len` both count
+    * codepoints). DuckDB's nfc_normalize is the oracle — a true
+    * cross-engine check of the normalizer, not a self-comparison. */
+  def qTextNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val raw = concat(lit("Café doc "), col("doc_id").cast("string"),
+      lit(" Å xé ffiﬃ"))
+    table(spark, dir, "documents").select(col("doc_id"),
+      md5(graft.functions.nfc_normalize(raw).cast("binary")).as("norm_md5"),
+      length(graft.functions.nfc_normalize(raw)).cast("long").as("n_cp"))
+  }
+
+  val qTextNormalizeSql: String =
+    """SELECT doc_id,
+      | md5(nfc_normalize('Cafe'||chr(769)||' doc '||doc_id||' A'||chr(778)
+      |   ||' x'||chr(233)||' ffi'||chr(64259))) AS norm_md5,
+      | CAST(len(nfc_normalize('Cafe'||chr(769)||' doc '||doc_id||' A'
+      |   ||chr(778)||' x'||chr(233)||' ffi'||chr(64259))) AS BIGINT) AS n_cp
+      |FROM documents""".stripMargin
+
   // ---------------------------------------------------- LLM-pipeline: text
 
   /** Text analysis over documents: token counts, BPE estimate, stopword

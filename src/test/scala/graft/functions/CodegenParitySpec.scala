@@ -147,7 +147,8 @@ class CodegenParitySpec extends SparkTestBase {
     try df.select(col("id"),
         bpe_encode(col("txt"), merges).as("bpe"),
         bloom_contains_long(col("key"), bf).as("bloom"),
-        remove_covered_tokens(col("txt"), col("starts"), 2).as("cut"))
+        remove_covered_tokens(col("txt"), col("starts"), 2).as("cut"),
+        nfc_normalize(concat(col("txt"), lit("e\u0301"))).as("nfc"))
       .orderBy("id").collect().toSeq
     finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
   }
@@ -164,6 +165,8 @@ class CodegenParitySpec extends SparkTestBase {
     // tokens: [the, theme, there]; start 0 covers {0,1}, start 5 is out of
     // range -> only index 2 survives
     assert(byId(1L).getString(3) == "there")
+    // combining acute composes onto the trailing 'e' appended to each text
+    assert(byId(2L).getString(4).endsWith("f\u00e9"))
     assert(byId(2L).getString(3) == "a b c d e f")
     assert(byId(3L).isNullAt(3))             // single empty token covered -> null
     assert(byId(4L).isNullAt(3))             // both tokens covered -> null
