@@ -556,6 +556,35 @@ case class RemoveCoveredTokens(text: Expression, starts: Expression, k: Int)
   override def prettyName: String = "remove_covered_tokens"
 }
 
+/** Count-Min-Sketch threshold probe over a 64-bit key column: true iff the
+  * sketch's estimate for the key is >= `min`. Like [[BloomContainsLong]],
+  * the sketch is a codegen reference object riding the task binary, so the
+  * probe is a scan predicate — the heavy-hitter prefilter of
+  * [[graft.text.FrequentItems.heavyHitters]]. CMS never underestimates, so
+  * a `false` is definitive (the key's true count is below min); `true` may
+  * be collision-inflated — the caller's exact aggregate settles it. */
+case class CmsAtLeast(child: Expression,
+                      cms: org.apache.spark.util.sketch.CountMinSketch,
+                      min: Long)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(v: Any): Any =
+    cms.estimateCount(v.asInstanceOf[Long]) >= min
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("cms", cms,
+      classOf[org.apache.spark.util.sketch.CountMinSketch].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"$ref.estimateCount((Object) ((Long) $c)) >= ${min}L")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "cms_at_least"
+}
+
 /** Unicode normalization (java.text.Normalizer) — the text-cleanup step a
   * multilingual corpus needs before any hash-based dedup (canonically
   * equivalent strings like "e"+COMBINING ACUTE vs precomposed "é" would

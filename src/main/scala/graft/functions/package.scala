@@ -85,6 +85,7 @@ package object functions {
   def bpe_encode(text: Column, merges: Seq[(String, String)]): Column = col(BpeEncode(ex(text), merges))
   def bloom_contains_long(x: Column, bf: org.apache.spark.util.sketch.BloomFilter): Column = col(BloomContainsLong(ex(x), bf))
   def remove_covered_tokens(text: Column, starts: Column, k: Int): Column = col(RemoveCoveredTokens(ex(text), ex(starts), k))
+  def cms_at_least(x: Column, cms: org.apache.spark.util.sketch.CountMinSketch, min: Long): Column = col(CmsAtLeast(ex(x), cms, min))
   def nfc_normalize(text: Column): Column = col(NormalizeText(ex(text), "NFC"))
   def nfkc_normalize(text: Column): Column = col(NormalizeText(ex(text), "NFKC"))
 

@@ -1488,6 +1488,24 @@ object Queries {
       |  coalesce(m_uts, -1) AS r_uts, coalesce(m_vid, -1) AS r_view_id
       |FROM w WHERE side = 1""".stripMargin
 
+  /** Exact heavy-hitter words via the Count-Min-Sketch prefilter
+    * ([[graft.text.FrequentItems.heavyHitters]]): output is EXACTLY the
+    * plain groupBy-having result (CMS only overestimates → the prefilter
+    * passes every true heavy hitter's rows; the exact HAVING kills
+    * collision strays), so the oracle is the plain SQL aggregate — any
+    * sketch bug that drops a row breaks the hash. */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val words = table(spark, dir, "documents").select(
+      explode(graft.text.TextFunctions.tokens(col("text"))).as("word"))
+    graft.text.FrequentItems.heavyHitters(words, "word", minCount = 200L,
+      eps = 1e-3)
+  }
+
+  val qHeavyHittersSql: String =
+    """SELECT word, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |GROUP BY word HAVING count(*) >= 200""".stripMargin
+
   /** Unicode NFC normalization — deterministic combining-character fixtures
     * synthesized identically in both engines (Scala \\uXXXX literals ==
     * DuckDB chr() arithmetic): "e"+COMBINING ACUTE and "A"+COMBINING RING

@@ -365,6 +365,22 @@ class PipelineOpsSpec extends SparkTestBase {
       s"prefilter pass rate on non-hits: $fpRows/$nonHit")
   }
 
+  test("CMS heavy hitters == plain groupBy-having, including under a tiny (collision-heavy) sketch") {
+    val rnd = new scala.util.Random(3)
+    // zipf-ish: key k appears ~ 2000/k times
+    val rows = (1 to 60).flatMap(k => Seq.fill(2000 / k)(s"key$k")) ++
+      (0 until 3000).map(i => s"tail${rnd.nextInt(2000)}")
+    val df = rnd.shuffle(rows).toDF("word").repartition(9)
+    val exact = df.groupBy($"word").count().where($"count" >= 100)
+      .as[(String, Long)].collect().toMap
+    assert(exact.nonEmpty && exact.size < 25)
+    for (eps <- Seq(1e-4, 0.05)) { // 0.05 -> ~55 counters: collisions certain
+      val got = FrequentItems.heavyHitters(df, "word", minCount = 100L, eps = eps)
+        .as[(String, Long)].collect().toMap
+      assert(got == exact, s"diverged from exact at eps=$eps")
+    }
+  }
+
   test("BPE merge top pair on a known corpus") {
     // "b c" occurs 4 times, "a b" 3, others fewer: the merge pick is "b c"
     val docs = Seq(
