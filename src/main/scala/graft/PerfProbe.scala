@@ -197,7 +197,12 @@ object PerfProbe {
           "dedup_ngram" -> ((d: String) => Queries.qDedupNgram(spark, d).count()),
           "dedup_cluster" -> ((d: String) => Queries.qDedupCluster(spark, d).count()),
           "corpus_clean" -> ((d: String) => Queries.qCorpusClean(spark, d).count()),
-          "decontaminate" -> ((d: String) => Queries.qDecontaminate(spark, d).count()))
+          "decontaminate" -> ((d: String) => Queries.qDecontaminate(spark, d).count()),
+          // round-9b additions: span dedup persists the gram relation
+          // (CacheHygiene lifecycle), bpe_encode trains + checkpoints
+          // per call — both must leave no blocks behind
+          "dedup_spans" -> ((d: String) => Queries.qDedupSpans(spark, d).count()),
+          "bpe_encode" -> ((d: String) => Queries.qBpeEncode(spark, d).count()))
         // JIT/codegen warmup at the smallest SF so pass-1 at sf0.1 is
         // steady-state and the pass ratio isolates SESSION aging, not JIT
         gates.foreach { case (_, f) =>

@@ -251,6 +251,41 @@ object ScaleRehearsal {
       spark.stop(); return
     }
 
+    // ---------------------- heavy hitters on a heavy-tailed key space
+    // Measured FIRST on the salted 3-gram stream with minCount=100: the
+    // CMS path was 5x SLOWER with identical shuffle — the sketch
+    // SATURATES (error bound eps*N = 1e-4 * 170M = 17000 >> minCount), so
+    // the prefilter passes everything, and stat.countMinSketch's build is
+    // an RDD-boxed pass over every row. The operator's applicability
+    // condition is minCount >> eps*N — phi-frequent items, not
+    // low-support HAVING. This mode measures the regime where that holds:
+    // an UNSALTED 100x corpus (gram counts scale with copies) and a
+    // 30000 threshold (vs eps*N ~ 17000).
+    if (mode == "hh") {
+      // The regime where BOTH conditions hold: (a) a huge DISTINCT tail
+      // that partial aggregation cannot compress (xxhash-salted grams,
+      // ~100M distinct singletons) and (b) hot keys far above eps*N
+      // (1000 injected phrase ids repeated ~86k times each; minCount
+      // 50000 >> eps*N ~ 17000). The key stream is synthesized directly
+      // (long keys) so the two paths differ only in the aggregation
+      // strategy, not in text parsing.
+      val n = 170000000L
+      val keys = spark.range(n).select(
+        when(col("id") % 2 === 0, pmod(xxhash64(col("id")), lit(1000L)))
+          .otherwise(xxhash64(col("id"), lit(7)))
+          .as("g"))
+      val nPlain = timed("hh_plain_groupby[170M keys]") {
+        keys.groupBy(col("g")).count()
+          .where(col("count") >= 50000).count()
+      }
+      val nCms = timed("hh_cms_prefilter[170M keys]") {
+        graft.text.FrequentItems.heavyHitters(keys, "g",
+          minCount = 50000L, eps = 1e-4).count()
+      }
+      println(s"[scale]   -> plain=$nPlain cms=$nCms (must be equal)")
+      spark.stop(); return
+    }
+
     // ------------------------------------------------------------ data gen
     // Boxes: constant density vs the sf0.1 gate (0.5 boxes/unit^2, w 1-10)
     // over a sqrt(scale)-larger space, so the scale-up raises VOLUME, not

@@ -24,7 +24,18 @@ import org.apache.spark.sql.functions._
   * scan predicate is a long probe); a hash collision merges two keys'
   * estimates — still an overestimate, still a superset, still exact
   * output. Sketch size = O(1/eps * ln(1/(1-confidence))) counters on the
-  * driver — eps 1e-4 is ~2.7 MB of longs, independent of corpus size. */
+  * driver — eps 1e-4 is ~2.7 MB of longs, independent of corpus size.
+  *
+  * APPLICABILITY (measured, SCALE.md round-9b): the prefilter only drops
+  * rows when `minCount >> eps * N` (N = total stream length) — the
+  * phi-frequent-items regime. Below that the sketch SATURATES (its error
+  * bound eps*N exceeds the threshold, every key's estimate passes) and
+  * the operator degrades to plain-groupBy cost plus a wasted sketch pass
+  * — still exact, never faster. For low-support HAVING queries use the
+  * plain aggregate. Note also that Spark's `stat.countMinSketch` builds
+  * through a boxed-row RDD aggregate; at true 100 TB scale the build pass
+  * would want a codegen sketch aggregate (the probe side here already is
+  * codegen). */
 object FrequentItems {
 
   /** (keyCol, n) for every key with exact count >= minCount. */
@@ -33,7 +44,17 @@ object FrequentItems {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val keyed = items.select(col(keyCol),
       xxhash64(col(keyCol)).as("__k"))
-    val cms = keyed.stat.countMinSketch("__k", eps, confidence, 42)
+    // build through the SQL count_min_sketch AGGREGATE (ObjectHashAggregate
+    // over unsafe rows), not DataFrameStatFunctions.countMinSketch — the
+    // latter is an RDD aggregate that boxes every row (measured ~10x the
+    // scan cost at 170M rows, SCALE.md round-9b); same sketch bytes either
+    // way (CountMinSketch.writeTo layout)
+    val bytes = keyed.select(expr(
+        s"count_min_sketch(__k, CAST($eps AS DOUBLE), " +
+          s"CAST($confidence AS DOUBLE), 42)").as("s"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
     keyed.where(graft.functions.cms_at_least(col("__k"), cms, minCount))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"))

@@ -90,4 +90,46 @@ class PropertySpec extends AnyFunSuite {
       Geo.haversineMeters(a, b, a, b) == 0.0
     })
   }
+
+  test("RemoveCoveredTokens kernel == split-based reference on adversarial inputs") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    // texts with empty tokens (leading/trailing/double spaces) included
+    val textGen = Gen.listOfN(14,
+      Gen.oneOf("a", "bb", "", "c")).map(_.mkString(" "))
+    val kGen = Gen.chooseNum(1, 4)
+    check("reference", Prop.forAll(textGen, kGen,
+        Gen.listOf(Gen.chooseNum(0, 16))) { (s, k, starts) =>
+      val kernel = graft.functions.RemoveCoveredTokens(
+        Literal("x"), Literal("y"), k)
+      val got = Option(kernel.compute(UTF8String.fromString(s),
+        new GenericArrayData(starts.toArray))).map(_.toString)
+      val toks = s.split(" ", -1)
+      val covered = starts.flatMap(p => p until p + k).toSet
+      val surv = toks.zipWithIndex.collect {
+        case (t, i) if !covered(i) => t
+      }
+      val want = if (surv.isEmpty) None else Some(surv.mkString(" "))
+      got == want
+    })
+  }
+
+  test("BpeEncode: token stream always re-concatenates to the pretoken stream") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val textGen = Gen.listOfN(12, Gen.oneOf(
+      "the", "then", "123", "!!", " ", "é", "'ll")).map(_.mkString)
+    val symGen = Gen.oneOf("t", "h", "e", "th", "he", "1", "2", "!", " ")
+    val mergesGen = Gen.listOfN(6, Gen.zip(symGen, symGen))
+    check("preserves-content", Prop.forAll(textGen, mergesGen) { (s, merges) =>
+      val enc = graft.functions.BpeEncode(Literal("x"), merges)
+      val toks = enc.encode(UTF8String.fromString(s))
+      val joined = (0 until toks.numElements())
+        .map(i => toks.getUTF8String(i).toString).mkString
+      val pretokens = graft.text.TextFunctions.BpePretokenPattern.r
+        .findAllMatchIn(s).map(_.group(1)).mkString
+      joined == pretokens
+    })
+  }
 }
