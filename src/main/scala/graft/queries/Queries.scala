@@ -1488,6 +1488,28 @@ object Queries {
       |  coalesce(m_uts, -1) AS r_uts, coalesce(m_vid, -1) AS r_view_id
       |FROM w WHERE side = 1""".stripMargin
 
+  /** Top-3 TF-IDF terms per document under the deterministic integer
+    * ordering (tf desc, dfreq asc, word asc — agrees with the tfidf order
+    * wherever tfidf is tie-free, and is FP-free so the oracle window
+    * reproduces it exactly). */
+  def qTfidfTop(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TfIdf.topTerms(
+      table(spark, dir, "documents"), "doc_id", "text", k = 3)
+
+  val qTfidfTopSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, word, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |    FROM documents)
+      |  GROUP BY doc_id, word),
+      |dfreq AS (SELECT word, count(*) AS dfreq FROM tf GROUP BY word),
+      |r AS (SELECT doc_id, word, tf, dfreq,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY tf DESC, dfreq ASC, word ASC) AS rank
+      |  FROM tf JOIN dfreq USING (word))
+      |SELECT doc_id, CAST(rank AS INT) AS rank, word, tf, dfreq
+      |FROM r WHERE rank <= 3""".stripMargin
+
   /** Exact heavy-hitter words via the Count-Min-Sketch prefilter
     * ([[graft.text.FrequentItems.heavyHitters]]): output is EXACTLY the
     * plain groupBy-having result (CMS only overestimates → the prefilter

@@ -381,6 +381,29 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("TfIdf: hand-computed tf/df/idf on a tiny corpus; topTerms breaks tf ties by rarity") {
+    val docs = Seq(
+      (1L, "cat dog cat"),
+      (2L, "dog bird"),
+      (3L, "cat fish fish fish")).toDF("doc_id", "text")
+    val got = TfIdf.tfIdf(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got.size == 6)
+    assert(got((1L, "cat"))._1 == 2 && got((1L, "cat"))._2 == 2)
+    assert(got((3L, "fish"))._1 == 3 && got((3L, "fish"))._2 == 1)
+    // idf = ln((N+1)/(df+1)) + 1 with N=3
+    assert(math.abs(got((3L, "fish"))._3 - 3 * (math.log(4.0 / 2.0) + 1)) < 1e-12)
+    assert(math.abs(got((1L, "cat"))._3 - 2 * (math.log(4.0 / 3.0) + 1)) < 1e-12)
+    val top = TfIdf.topTerms(docs, "doc_id", "text", k = 2)
+      .as[(Long, Int, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(top((1L, 1)) == "cat" && top((1L, 2)) == "dog")
+    assert(top((3L, 1)) == "fish" && top((3L, 2)) == "cat")
+    // doc 2: tf tie between dog and bird -> rarer (df=1) bird ranks first
+    assert(top((2L, 1)) == "bird" && top((2L, 2)) == "dog")
+  }
+
   test("BPE merge top pair on a known corpus") {
     // "b c" occurs 4 times, "a b" 3, others fewer: the merge pick is "b c"
     val docs = Seq(
