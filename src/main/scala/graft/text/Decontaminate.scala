@@ -39,8 +39,12 @@ object Decontaminate {
                 benchSh: DataFrame, fpp: Double = 0.03): DataFrame = {
     // expectedNumItems wants the true cardinality: an undersized filter
     // blows past fpp and the verification join pays for it (correctness
-    // unaffected). One count over the (small) bench side.
-    val n = math.max(benchSh.count(), 1L)
+    // unaffected). One count over the (small) bench side — which also
+    // guards the empty benchmark: stat.bloomFilter over ZERO rows returns
+    // null filter bytes and NPEs inside Spark's readFrom.
+    val n = benchSh.count()
+    if (n == 0L)
+      return trainSh.select(col(idCol), lit(0L).as("n_hits")).where(lit(false))
     val bf = benchSh.stat.bloomFilter(sCol, n, fpp)
     val cand = trainSh.where(graft.functions.bloom_contains_long(col(sCol), bf))
     cand.join(benchSh.select(col(sCol)), Seq(sCol))

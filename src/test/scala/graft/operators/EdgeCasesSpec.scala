@@ -69,6 +69,31 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(graft.dedup.TextDedup.simHashPairs(emptyDocs, "id", "text", 3).count() == 0)
   }
 
+  test("round-9b operators survive empty and degenerate inputs") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.dedup.TextDedup.dedupSpansAcross(emptyDocs, "doc_id", "text", 5)
+      .count() == 0)
+    assert(graft.text.TfIdf.tfIdf(emptyDocs, "doc_id", "text").count() == 0)
+    assert(graft.text.FrequentItems.heavyHitters(
+      emptyDocs.select(col("text").as("word")), "word", 5).count() == 0)
+    // as-of with an empty right side: every left row, all-null right cols
+    val left = Seq((1L, 10L, "x")).toDF("k", "ts", "v")
+    val emptyRight = Seq.empty[(Long, Long, String)].toDF("k", "ts", "rv")
+    val asof = graft.operators.AsofJoin.asofJoin(
+      left, emptyRight, Seq("k"), "ts", "ts").collect()
+    assert(asof.length == 1 && asof(0).isNullAt(3) && asof(0).isNullAt(4))
+    // empty bench side: Bloom filter built over zero keys flags nothing
+    val trainSh = Seq((1L, 5L)).toDF("doc_id", "s")
+    val emptyBench = Seq.empty[Tuple1[Long]].toDF("s")
+    assert(graft.text.Decontaminate.flagBloom(trainSh, "doc_id", "s", emptyBench)
+      .count() == 0)
+    // single-doc span dedup with in-doc repetition: "a b" repeats at
+    // start 2 -> tokens {2,3} cut, first occurrence survives
+    val one = Seq((7L, "a b a b")).toDF("doc_id", "text")
+    assert(graft.dedup.TextDedup.dedupSpansAcross(one, "doc_id", "text", 2)
+      .as[(Long, String)].collect().toSeq == Seq((7L, "a b")))
+  }
+
   test("all-null geometries produce empty join, not an error") {
     val bad = Seq((1L, "nope"), (2L, "")).toDF("id1", "w")
       .withColumn("g1", st_geomfromwkt(col("w"))).drop("w")
