@@ -234,6 +234,43 @@ object Hash64 {
       new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
     }
   }
+
+  /** Character-n-gram kernel: substr(text, i, n) by CODE POINTS for every
+    * start 1..len-n+1, matching DuckDB's substr counting (code-unit
+    * indexing would diverge on astral chars). */
+  def charShingles(str: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+    val text = str.toString
+    // code point start offsets (in code units) + sentinel end
+    val cps = new java.util.ArrayList[Integer](text.length + 1)
+    var i = 0
+    while (i < text.length) {
+      cps.add(i)
+      i += Character.charCount(text.codePointAt(i))
+    }
+    cps.add(text.length)
+    val total = cps.size - 1 // number of code points
+    val m = total - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[UTF8String](m * 2)
+      var j = 0
+      while (j < m) {
+        seen.add(UTF8String.fromString(text.substring(cps.get(j), cps.get(j + n))))
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        seen.toArray(new Array[AnyRef](seen.size)).asInstanceOf[Array[Any]])
+    } else {
+      val out = new Array[Any](m)
+      var j = 0
+      while (j < m) {
+        out(j) = UTF8String.fromString(text.substring(cps.get(j), cps.get(j + n)))
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
 }
 
 /** 64-bit SimHash of a whitespace-tokenized document: each token votes its
@@ -362,6 +399,30 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
       c => s"graft.functions.Hash64.wordShingles($c, $n, $distinct)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = if (distinct) "word_shingles" else "word_shingles_all"
+}
+
+/** Character-n-gram shingles (the language-ID / fuzzy-matching twin of
+  * [[WordShingles]]): one substring per start offset 0..len-n, in order;
+  * `distinct` keeps first occurrences. Same pinned relational semantics —
+  * substr(text, i, n) for i in 1..len-n+1 — so a DuckDB comprehension
+  * reproduces it exactly. Shorter-than-n text yields []. */
+case class CharShingles(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, s"char shingle width must be >= 1, got $n")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Hash64.charShingles(v.asInstanceOf[UTF8String], n, distinct)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Hash64.charShingles($c, $n, $distinct)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String =
+    if (distinct) "char_shingles" else "char_shingles_all"
 }
 
 /** One member of the affine MinHash family: `a * x + b` with 64-bit wrap

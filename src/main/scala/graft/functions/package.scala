@@ -81,6 +81,8 @@ package object functions {
   def affine_hash(x: Column, a: Long, b: Long): Column = col(AffineHash(ex(x), a, b))
   def word_shingles(text: Column, n: Int): Column = col(WordShingles(ex(text), n, distinct = true))
   def word_shingles_all(text: Column, n: Int): Column = col(WordShingles(ex(text), n, distinct = false))
+  def char_shingles(text: Column, n: Int): Column = col(CharShingles(ex(text), n, distinct = true))
+  def char_shingles_all(text: Column, n: Int): Column = col(CharShingles(ex(text), n, distinct = false))
   def sig_agreement(a: Column, b: Column): Column = col(SigAgreement(ex(a), ex(b)))
   def bpe_encode(text: Column, merges: Seq[(String, String)]): Column = col(BpeEncode(ex(text), merges))
   def bloom_contains_long(x: Column, bf: org.apache.spark.util.sketch.BloomFilter): Column = col(BloomContainsLong(ex(x), bf))
@@ -135,6 +137,8 @@ package object functions {
     r("seeded_hash64", es => SeededHash64(es(0), es(1)))
     r("word_shingles", es => WordShingles(es(0), sqlFoldInt(es(1), "word_shingles n"), distinct = true))
     r("word_shingles_all", es => WordShingles(es(0), sqlFoldInt(es(1), "word_shingles_all n"), distinct = false))
+    r("char_shingles", es => CharShingles(es(0), sqlFoldInt(es(1), "char_shingles n"), distinct = true))
+    r("char_shingles_all", es => CharShingles(es(0), sqlFoldInt(es(1), "char_shingles_all n"), distinct = false))
     r("remove_covered_tokens", es => RemoveCoveredTokens(es(0), es(1), sqlFoldInt(es(2), "remove_covered_tokens k")))
     r("nfc_normalize", es => NormalizeText(es.head, "NFC"))
     r("nfkc_normalize", es => NormalizeText(es.head, "NFKC"))

@@ -1488,6 +1488,38 @@ object Queries {
       |  coalesce(m_uts, -1) AS r_uts, coalesce(m_vid, -1) AS r_view_id
       |FROM w WHERE side = 1""".stripMargin
 
+  /** Char-3-gram-profile language ID: profiles trained on the even-id
+    * split (top-200 grams per language by frequency, deterministic
+    * ordering), odd-id docs classified by distinct-gram profile overlap,
+    * argmax with lexicographic tie-break — the whole model is a relation,
+    * so the oracle re-derives train AND inference in SQL. */
+  def qLangProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val prof = graft.text.LangProfile.train(
+      docs.where(col("doc_id") % 2 === 0), "lang", "text")
+    graft.text.LangProfile.classify(
+      docs.where(col("doc_id") % 2 === 1), "doc_id", "text", prof)
+  }
+
+  val qLangProfileSql: String =
+    """WITH trg AS (SELECT lang,
+      |    unnest([text[i : i+2] for i in generate_series(1, len(text)-2)]) AS gram
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |cnt AS (SELECT lang, gram, count(*) AS c FROM trg GROUP BY 1, 2),
+      |prof AS (SELECT lang, gram FROM (
+      |    SELECT lang, gram, row_number() OVER (PARTITION BY lang
+      |      ORDER BY c DESC, gram ASC) AS r FROM cnt)
+      |  WHERE r <= 200),
+      |teg AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id,
+      |    unnest([text[i : i+2] for i in generate_series(1, len(text)-2)]) AS gram
+      |  FROM documents WHERE doc_id % 2 = 1)),
+      |sc AS (SELECT doc_id, lang, count(*) AS score
+      |  FROM teg JOIN prof USING (gram) GROUP BY 1, 2)
+      |SELECT doc_id, lang AS pred_lang, score FROM (
+      |  SELECT doc_id, lang, score, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, lang ASC) AS r FROM sc)
+      |WHERE r = 1""".stripMargin
+
   /** Top-3 TF-IDF terms per document under the deterministic integer
     * ordering (tf desc, dfreq asc, word asc — agrees with the tfidf order
     * wherever tfidf is tie-free, and is FP-free so the oracle window

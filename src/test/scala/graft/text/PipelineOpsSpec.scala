@@ -404,6 +404,29 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(top((2L, 1)) == "bird" && top((2L, 2)) == "dog")
   }
 
+  test("LangProfile: trains relational profiles and classifies held-out docs by alphabet") {
+    val rnd = new scala.util.Random(19)
+    def doc(alphabet: String): String =
+      Seq.fill(12)(Seq.fill(4)(alphabet(rnd.nextInt(alphabet.size))).mkString).mkString(" ")
+    val train = (0L until 40L).map { i =>
+      if (i % 2 == 0) (i, "aa", doc("abcde")) else (i, "zz", doc("vwxyz"))
+    }.toDF("doc_id", "lang", "text")
+    val prof = LangProfile.train(train, "lang", "text", n = 3, profileSize = 50)
+    val langs = prof.select("lang").distinct().as[String].collect().toSet
+    assert(langs == Set("aa", "zz"))
+    assert(prof.count() <= 100)
+    val test = Seq(
+      (100L, doc("abcde")), (101L, doc("vwxyz")), (102L, doc("abcde")))
+      .toDF("doc_id", "text")
+    val got = LangProfile.classify(test, "doc_id", "text", prof, n = 3)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(got == Map(100L -> "aa", 101L -> "zz", 102L -> "aa"))
+    // a doc sharing no grams with any profile gets no prediction row
+    val none = LangProfile.classify(
+      Seq((200L, "0123 45678 9!!!")).toDF("doc_id", "text"), "doc_id", "text", prof)
+    assert(none.count() == 0)
+  }
+
   test("BPE merge top pair on a known corpus") {
     // "b c" occurs 4 times, "a b" 3, others fewer: the merge pick is "b c"
     val docs = Seq(
