@@ -134,6 +134,19 @@ class PlanHealthSpec extends SparkTestBase {
     assert(scanColumns(df, "documents") == Set("doc_id", "text"))
   }
 
+  test("LangProfile inference broadcasts the profile relation") {
+    import org.apache.spark.sql.functions.{col => c}
+    val docs = Queries.table(spark, dir, "documents")
+    val prof = graft.text.LangProfile.train(
+      docs.where(c("doc_id") % 2 === 0), "lang", "text")
+    val df = graft.text.LangProfile.classify(
+      docs.where(c("doc_id") % 2 === 1), "doc_id", "text", prof)
+    val text = df.queryExecution.executedPlan.toString
+    assert(text.contains("BroadcastHashJoin"),
+      s"profile join must broadcast (langs x 200 rows):\n$text")
+    assert(!text.contains("CartesianProduct") && !text.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("semi/anti SQL spatial joins never fall back to nested loops") {
     import org.apache.spark.sql.graft.{SpatialJoinExec, SpatialJoinStrategy}
     if (!spark.experimental.extraStrategies.contains(SpatialJoinStrategy))

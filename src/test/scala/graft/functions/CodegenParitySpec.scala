@@ -148,7 +148,9 @@ class CodegenParitySpec extends SparkTestBase {
         bpe_encode(col("txt"), merges).as("bpe"),
         bloom_contains_long(col("key"), bf).as("bloom"),
         remove_covered_tokens(col("txt"), col("starts"), 2).as("cut"),
-        nfc_normalize(concat(col("txt"), lit("e\u0301"))).as("nfc"))
+        nfc_normalize(concat(col("txt"), lit("e\u0301"))).as("nfc"),
+        char_shingles(col("txt"), 3).as("cs"),
+        char_shingles_all(col("txt"), 3).as("csa"))
       .orderBy("id").collect().toSeq
     finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
   }
@@ -167,6 +169,10 @@ class CodegenParitySpec extends SparkTestBase {
     assert(byId(1L).getString(3) == "there")
     // combining acute composes onto the trailing 'e' appended to each text
     assert(byId(2L).getString(4).endsWith("f\u00e9"))
+    // char shingles: "x y" -> ["x y"]; "" -> []; distinct vs all on repeats
+    assert(byId(4L).getSeq[String](5) == Seq("x y"))
+    assert(byId(3L).getSeq[String](5) == Seq.empty)
+    assert(byId(1L).getSeq[String](6).length == "the theme there".length - 2)
     assert(byId(2L).getString(3) == "a b c d e f")
     assert(byId(3L).isNullAt(3))             // single empty token covered -> null
     assert(byId(4L).isNullAt(3))             // both tokens covered -> null
