@@ -251,6 +251,32 @@ object ScaleRehearsal {
       spark.stop(); return
     }
 
+    // ------------- TF-IDF + n-gram-profile language ID at 100x (500k docs)
+    // Both reduce the exploded stream to vocabulary-sized relations via
+    // partial aggregation; the profile join is a broadcast. Uses the
+    // salted corpus from a prior `pipeline` run (vocab ~100x the gate's).
+    if (mode == "textrank") {
+      val docs = spark.read.parquet(s"$dir/docs")
+      val nTf = timed("tfidf_top3[500k docs]") {
+        graft.text.TfIdf.topTerms(docs, "doc_id", "text", 3).count()
+      }
+      println(s"[scale]   -> $nTf (doc, rank) rows")
+      // labels: synthetic 4-way split (the salted corpus has no lang col)
+      val labeled = docs.withColumn("lang",
+        concat(lit("l"), pmod(col("doc_id"), lit(4L))))
+      val prof = timed("langprofile_train[500k]") {
+        // persist so the classify timing measures inference, not re-train
+        val p = graft.text.LangProfile.train(labeled, "lang", "text",
+          n = 3, profileSize = 200).persist()
+        p.count(); p
+      }
+      val nCl = timed("langprofile_classify[500k]") {
+        graft.text.LangProfile.classify(docs, "doc_id", "text", prof).count()
+      }
+      println(s"[scale]   -> $nCl classified")
+      spark.stop(); return
+    }
+
     // ---------------------- heavy hitters on a heavy-tailed key space
     // Measured FIRST on the salted 3-gram stream with minCount=100: the
     // CMS path was 5x SLOWER with identical shuffle — the sketch

@@ -1488,6 +1488,20 @@ object Queries {
       |  coalesce(m_uts, -1) AS r_uts, coalesce(m_vid, -1) AS r_view_id
       |FROM w WHERE side = 1""".stripMargin
 
+  /** BM25 retrieval scores for a small term workload drawn from the corpus
+    * itself (each of docs 0-4 contributes its first two tokens as a
+    * query). FP-accumulated scores are not cross-engine bit-comparable, so
+    * this gate is rows-only (no oracle SQL); the formula is spec-pinned
+    * against a driver reference in PipelineOpsSpec. */
+  def qBm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val queries = docs.where(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"),
+        explode(slice(graft.text.TextFunctions.tokens(col("text")), 1, 2))
+          .as("term"))
+    graft.text.TfIdf.bm25(docs, "doc_id", "text", queries, "qid", "term")
+  }
+
   /** Char-3-gram-profile language ID: profiles trained on the even-id
     * split (top-200 grams per language by frequency, deterministic
     * ordering), odd-id docs classified by distinct-gram profile overlap,

@@ -34,6 +34,44 @@ object TfIdf {
       .select(col(idCol), col("word"), col("tf"), col("dfreq"), col("tfidf"))
   }
 
+  /** BM25 document scoring for a term-query workload (Robertson et al.,
+    * Okapi BM25): for queries given as (qidCol, termCol) rows, score every
+    * document sharing at least one term with a query:
+    *
+    *   score(d, q) = Σ_{t ∈ q ∩ d} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+    *
+    * with the same smoothed idf as [[tfIdf]]. Scale shape: the corpus
+    * reduces to the (doc, term, tf) + (doc, len) relations once (partial
+    * aggregation); the query workload is workload-sized — broadcast — so
+    * the corpus never shuffles per query; per-(doc, query) partial scores
+    * sum in one hash aggregate. avgdl and N are two scalar planning
+    * aggregates. FP accumulation order is Spark's partial-sum order —
+    * scores are floats for RANKING, not for cross-engine bit-compare
+    * (the driver gate is rows-only; correctness is spec-pinned against a
+    * driver-computed reference). */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queries: DataFrame, qidCol: String, termCol: String,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val n = docs.count()
+    val tf = docs.select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
+    val lens = docs.select(col(idCol),
+      TextFunctions.tokenCount(col(textCol)).cast("double").as("__len"))
+    val avgdl = lens.agg(avg(col("__len"))).head().getDouble(0)
+    val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    val q = queries.select(col(qidCol), col(termCol).as("__t"))
+    tf.join(broadcast(q), Seq("__t"))
+      .join(dfreq, Seq("__t"))
+      .join(lens, Seq(idCol))
+      .withColumn("__part",
+        (log((lit(n) + 1.0) / (col("__df") + 1.0)) + 1.0) *
+          (col("__tf") * (k1 + 1.0)) /
+          (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__len") / avgdl)))
+      .groupBy(col(qidCol), col(idCol))
+      .agg(sum(col("__part")).as("score"))
+  }
+
   /** Top-k terms per document under the deterministic integer ordering
     * (tf desc, then rarer-first dfreq asc, then word asc) — the FP-free
     * twin of ranking by tfidf: for fixed tf, smaller df ⇔ larger idf ⇔

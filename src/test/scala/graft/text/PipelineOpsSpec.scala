@@ -427,6 +427,46 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(none.count() == 0)
   }
 
+  test("bm25 matches a driver-computed reference and ranks exact term matches sensibly") {
+    val docs = Seq(
+      (1L, "spark spatial join engine"),
+      (2L, "spark streaming engine"),
+      (3L, "cooking with cast iron"),
+      (4L, "spark spark spark tuning")).toDF("doc_id", "text")
+    val queries = Seq((10L, "spark"), (10L, "engine"), (20L, "iron"))
+      .toDF("qid", "term")
+    val got = TfIdf.bm25(docs, "doc_id", "text", queries, "qid", "term")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // driver reference with identical formula
+    val corpus = Map(1L -> "spark spatial join engine",
+      2L -> "spark streaming engine", 3L -> "cooking with cast iron",
+      4L -> "spark spark spark tuning")
+    val toks = corpus.map { case (k, v) => k -> v.split(" ").toSeq }
+    val nDocs = corpus.size
+    val avgdl = toks.values.map(_.size).sum.toDouble / nDocs
+    val dfOf = toks.values.flatMap(_.distinct).groupBy(identity).map {
+      case (t, o) => t -> o.size }
+    def ref(doc: Long, terms: Seq[String]): Double = {
+      val (k1, b) = (1.2, 0.75)
+      terms.map { t =>
+        val tf = toks(doc).count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else {
+          val idf = math.log((nDocs + 1.0) / (dfOf(t) + 1.0)) + 1.0
+          idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * toks(doc).size / avgdl))
+        }
+      }.sum
+    }
+    assert(got.keySet == Set((10L, 1L), (10L, 2L), (10L, 4L), (20L, 3L)))
+    got.foreach { case ((q, d), s) =>
+      val terms = if (q == 10L) Seq("spark", "engine") else Seq("iron")
+      assert(math.abs(s - ref(d, terms)) < 1e-9, s"q$q d$d: $s vs ${ref(d, terms)}")
+    }
+    // doc 2 (both terms, shorter) outranks doc 4 (one term, high tf)
+    assert(got((10L, 2L)) > got((10L, 4L)))
+  }
+
   test("BPE merge top pair on a known corpus") {
     // "b c" occurs 4 times, "a b" 3, others fewer: the merge pick is "b c"
     val docs = Seq(
