@@ -56,6 +56,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.sqlFoldInt(es(1), "word_shingles n"), distinct = true))
     r("word_shingles_all", es => WordShingles(es(0),
       graft.functions.sqlFoldInt(es(1), "word_shingles_all n"), distinct = false))
+    r("char_shingles", es => CharShingles(es(0),
+      graft.functions.sqlFoldInt(es(1), "char_shingles n"), distinct = true))
+    r("char_shingles_all", es => CharShingles(es(0),
+      graft.functions.sqlFoldInt(es(1), "char_shingles_all n"), distinct = false))
     r("remove_covered_tokens", es => RemoveCoveredTokens(es(0), es(1),
       graft.functions.sqlFoldInt(es(2), "remove_covered_tokens k")))
     r("nfc_normalize", es => NormalizeText(es.head, "NFC"))

@@ -285,8 +285,8 @@ object ScaleRehearsal {
     // an RDD-boxed pass over every row. The operator's applicability
     // condition is minCount >> eps*N — phi-frequent items, not
     // low-support HAVING. This mode measures the regime where that holds:
-    // an UNSALTED 100x corpus (gram counts scale with copies) and a
-    // 30000 threshold (vs eps*N ~ 17000).
+    // a distinct-heavy synthesized tail plus hot keys with a 50000
+    // threshold (vs eps*N ~ 17000).
     if (mode == "hh") {
       // The regime where BOTH conditions hold: (a) a huge DISTINCT tail
       // that partial aggregation cannot compress (xxhash-salted grams,

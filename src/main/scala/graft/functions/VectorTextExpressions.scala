@@ -240,15 +240,18 @@ object Hash64 {
     * indexing would diverge on astral chars). */
   def charShingles(str: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     val text = str.toString
-    // code point start offsets (in code units) + sentinel end
-    val cps = new java.util.ArrayList[Integer](text.length + 1)
+    // code point start offsets (in code units) + sentinel end — a plain
+    // int[] sized by the code-unit upper bound (this is a scan-stage hot
+    // kernel; one boxed Integer per character was measurable allocation)
+    val cps = new Array[Int](text.length + 1)
+    var total = 0
     var i = 0
     while (i < text.length) {
-      cps.add(i)
+      cps(total) = i
+      total += 1
       i += Character.charCount(text.codePointAt(i))
     }
-    cps.add(text.length)
-    val total = cps.size - 1 // number of code points
+    cps(total) = text.length
     val m = total - n + 1
     if (m <= 0)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
@@ -256,7 +259,7 @@ object Hash64 {
       val seen = new java.util.LinkedHashSet[UTF8String](m * 2)
       var j = 0
       while (j < m) {
-        seen.add(UTF8String.fromString(text.substring(cps.get(j), cps.get(j + n))))
+        seen.add(UTF8String.fromString(text.substring(cps(j), cps(j + n))))
         j += 1
       }
       new org.apache.spark.sql.catalyst.util.GenericArrayData(
@@ -265,7 +268,7 @@ object Hash64 {
       val out = new Array[Any](m)
       var j = 0
       while (j < m) {
-        out(j) = UTF8String.fromString(text.substring(cps.get(j), cps.get(j + n)))
+        out(j) = UTF8String.fromString(text.substring(cps(j), cps(j + n)))
         j += 1
       }
       new org.apache.spark.sql.catalyst.util.GenericArrayData(out)

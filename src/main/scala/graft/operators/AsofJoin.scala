@@ -46,18 +46,27 @@ object AsofJoin {
       col(leftTs).as("__ts"), lit(1).as("__side"),
       struct(lPayload.map(col): _*).as("__l"),
       lit(null).cast(rType).as("__r")): _*)
-    val r = right.select(keyCols.map(col) ++ Seq(
-      col(rightTs).as("__ts"), lit(0).as("__side"),
-      lit(null).cast(lType).as("__l"),
-      struct(rPayload.map(col): _*).as("__r")): _*)
+    // a null right timestamp has no position on the time axis — Spark's
+    // ASC-nulls-first would otherwise sort it BEFORE every left row and
+    // serve it as the "earliest prior match" (diverging from merge_asof
+    // and from the nulls-last plain-SQL twin); such rows can match nothing
+    val r = right.where(col(rightTs).isNotNull)
+      .select(keyCols.map(col) ++ Seq(
+        col(rightTs).as("__ts"), lit(0).as("__side"),
+        lit(null).cast(lType).as("__l"),
+        struct(rPayload.map(col): _*).as("__r")): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
+    val out = l.unionByName(r)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select(keyCols.map(col) ++
-        lPayload.map(c => col("__l").getField(c).as(c)) ++
-        rPayload.map(c => col("__m").getField(c).as(rightPrefix + c)): _*)
+    // a null LEFT timestamp likewise has no as-of point: emit the row with
+    // null right columns instead of whatever the null-first sort ordered
+    // before it (rows are preserved, never silently dropped)
+    out.select(keyCols.map(col) ++
+      lPayload.map(c => col("__l").getField(c).as(c)) ++
+      rPayload.map(c => when(col("__ts").isNotNull,
+        col("__m").getField(c)).as(rightPrefix + c)): _*)
   }
 }

@@ -39,16 +39,23 @@ object Decontaminate {
                 benchSh: DataFrame, fpp: Double = 0.03): DataFrame = {
     // expectedNumItems wants the true cardinality: an undersized filter
     // blows past fpp and the verification join pays for it (correctness
-    // unaffected). One count over the (small) bench side — which also
+    // unaffected). The bench side feeds THREE consumers (cardinality
+    // count, filter build, verification join) — in the operator's
+    // motivating regime it is large, so persist it for the duration
+    // instead of recomputing its lineage per action. The count also
     // guards the empty benchmark: stat.bloomFilter over ZERO rows returns
     // null filter bytes and NPEs inside Spark's readFrom.
-    val n = benchSh.count()
-    if (n == 0L)
+    val bench = benchSh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = bench.count()
+    if (n == 0L) {
+      bench.unpersist()
       return trainSh.select(col(idCol), lit(0L).as("n_hits")).where(lit(false))
-    val bf = benchSh.stat.bloomFilter(sCol, n, fpp)
+    }
+    val bf = bench.stat.bloomFilter(sCol, n, fpp)
     val cand = trainSh.where(graft.functions.bloom_contains_long(col(sCol), bf))
-    cand.join(benchSh.select(col(sCol)), Seq(sCol))
+    val out = cand.join(bench.select(col(sCol)), Seq(sCol))
       .groupBy(col(idCol))
       .agg(countDistinct(col(sCol)).as("n_hits"))
+    graft.core.CacheHygiene.unpersistAfterUse(out, Seq(bench))
   }
 }

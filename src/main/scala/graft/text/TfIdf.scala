@@ -58,7 +58,14 @@ object TfIdf {
       .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
     val lens = docs.select(col(idCol),
       TextFunctions.tokenCount(col(textCol)).cast("double").as("__len"))
-    val avgdl = lens.agg(avg(col("__len"))).head().getDouble(0)
+    // avg over zero rows is null — an empty corpus scores nothing (and
+    // must not NPE unboxing the scalar)
+    val avgRow = lens.agg(avg(col("__len"))).head()
+    if (avgRow.isNullAt(0))
+      return queries.where(lit(false)).select(col(qidCol))
+        .withColumn(idCol, lit(null).cast(docs.schema(idCol).dataType))
+        .withColumn("score", lit(0.0))
+    val avgdl = avgRow.getDouble(0)
     val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
     val q = queries.select(col(qidCol), col(termCol).as("__t"))
     tf.join(broadcast(q), Seq("__t"))

@@ -87,6 +87,10 @@ class EdgeCasesSpec extends SparkTestBase {
     val emptyBench = Seq.empty[Tuple1[Long]].toDF("s")
     assert(graft.text.Decontaminate.flagBloom(trainSh, "doc_id", "s", emptyBench)
       .count() == 0)
+    // empty corpus through bm25: no scores, no NPE on the null avg length
+    val q = Seq((1L, "spark")).toDF("qid", "term")
+    assert(graft.text.TfIdf.bm25(emptyDocs, "doc_id", "text", q, "qid", "term")
+      .count() == 0)
     // single-doc span dedup with in-doc repetition: "a b" repeats at
     // start 2 -> tokens {2,3} cut, first occurrence survives
     val one = Seq((7L, "a b a b")).toDF("doc_id", "text")

@@ -179,6 +179,22 @@ class ExtendedOpsSpec extends SparkTestBase {
         (2L, 100L, "l-d", Some(80L), Some("r-z")),
         (3L, 10L, "l-e", None, None)), s"parts=$parts: $got")
     }
+    // null timestamps have no as-of position: a null-ts right row matches
+    // nothing (it would otherwise sort nulls-first as "earliest"); a
+    // null-ts left row is kept with null right columns
+    val gotN = AsofJoin.asofJoin(
+        Seq((Some(9L), Some(5L), "ln"), (Some(9L), None, "l-null"))
+          .toDF("uid", "ts", "lval"),
+        Seq((Some(9L), None, "r-null"), (Some(9L), Some(3L), "r-ok"))
+          .toDF("uid", "ts", "rval"),
+        Seq("uid"), "ts", "ts")
+      .as[(Long, Option[Long], String, Option[Long], Option[String])]
+      .collect().map(r => r._3 -> ((r._4, r._5))).toMap
+    assert(gotN("ln") == ((Some(3L), Some("r-ok"))),
+      "null-ts right row must never be the match")
+    assert(gotN("l-null") == ((None, None)),
+      "null-ts left row keeps its row with null right columns")
+
     // differential vs the naive range-join + max-per-left formulation on
     // random data (tie-free so both formulations are deterministic)
     val rnd = new scala.util.Random(5)
