@@ -312,6 +312,45 @@ object TextDedup {
     graft.core.CacheHygiene.unpersistAfterUse(out, Seq(grams))
   }
 
+  /** INCREMENTAL line-level dedup (corpus refresh — the line-dedup twin of
+    * [[lshPairsIncremental]]): dedup a NEW document batch against a STORED
+    * line-key table (xxhash64 of every line that already won first
+    * occurrence in prior batches) plus itself. A new line survives iff it
+    * wins first occurrence within the batch AND its key is absent from the
+    * store; documents reassemble from surviving lines; docs whose every
+    * line loses drop. The stored corpus is NEVER re-read — that is the
+    * operator's contract; callers append the returned survivors' keys
+    * ([[lineKeys]] over the output) to the store for the next refresh.
+    *
+    * Scale shape: one hash shuffle on the line for the batch-internal
+    * winner aggregate (hot lines absorbed map-side), one key-shuffled
+    * anti-join against the store (batch-sized probe side — the store
+    * shuffles once per refresh, which is the point), one shuffle back on
+    * the id for reassembly. */
+  def dedupLinesIncremental(newDf: DataFrame, idCol: String, textCol: String,
+                            storedKeys: DataFrame): DataFrame = {
+    val keyCol = storedKeys.columns.head
+    val lines = newDf.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val keep = lines
+      .groupBy(col("__line"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__k"))
+      .select(col("__k").getField(idCol).as(idCol),
+        col("__k.__pos").as("__pos"), col("__line"))
+      .join(storedKeys.select(col(keyCol).as("__lk")),
+        xxhash64(col("__line")) === col("__lk"), "left_anti")
+    keep.groupBy(col(idCol))
+      .agg(concat_ws("\n", transform(
+        array_sort(collect_list(struct(col("__pos"), col("__line")))),
+        s => s.getField("__line"))).as(textCol))
+  }
+
+  /** (key) relation of a document batch's line keys — what a refresh
+    * appends to the stored table after [[dedupLinesIncremental]]. */
+  def lineKeys(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), "\n")).as("__line"))
+      .select(xxhash64(col("__line")).as("lkey")).distinct()
+
   /** SimHash near-duplicate pairs: 16-bit band blocking over the 64-bit
     * fingerprint (any identical quarter => candidate; catches all pairs with
     * Hamming distance <= 3 exactly, most below ~16), then exact Hamming

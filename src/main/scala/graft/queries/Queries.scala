@@ -2093,6 +2093,43 @@ object Queries {
        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
   }
 
+  /** Incremental line dedup (corpus refresh): docs with doc_id%5==0 play
+    * the NEW batch; the STORED table — distinct lines of the rest,
+    * checkpointed so the oracle reads the same bits — stands in for the
+    * accumulated line store. The Spark side anti-joins on xxhash64 line
+    * keys (the operator's 8-byte production shape); the oracle anti-joins
+    * on the lines themselves — equal modulo 64-bit collisions, of which
+    * this corpus has none (line equality is what both sides mean). The
+    * stored corpus documents are never re-read by the dedup itself.
+    * Output: doc_id + rebuilt-text md5. */
+  def qDedupLinesIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val storedLines = writeOracleAux(
+      docs.where(col("doc_id") % 5 =!= 0)
+        .select(explode(split(col("text"), "\n")).as("line")).distinct(),
+      dir, "lines_stored")
+    val storedKeys = storedLines.select(xxhash64(col("line")).as("lkey"))
+    graft.dedup.TextDedup.dedupLinesIncremental(
+        docs.where(col("doc_id") % 5 === 0), "doc_id", "text", storedKeys)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"))
+  }
+
+  val qDedupLinesIncrementalSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, chr(10)) ls
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |l AS (SELECT doc_id, unnest([{'pos': i, 'line': ls[i]}
+       |    for i in generate_series(1, len(ls))], recursive := true)
+       |  FROM d),
+       |keep0 AS (SELECT doc_id, pos, line FROM (
+       |  SELECT doc_id, pos, line,
+       |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) rn FROM l)
+       |  WHERE rn = 1),
+       |keep AS (SELECT k.doc_id, k.pos, k.line FROM keep0 k
+       |  LEFT JOIN ${auxSql("lines_stored")} s ON k.line = s.line
+       |  WHERE s.line IS NULL)
+       |SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS text_md5
+       |FROM keep GROUP BY doc_id""".stripMargin
+
   /** MinHash+LSH near-dup candidates. The seeded-hash signature family is
     * engine-internal, so the gate checkpoints the signature table and the
     * oracle re-derives everything downstream of it in SQL: banding (a band

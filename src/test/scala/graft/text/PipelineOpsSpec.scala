@@ -467,6 +467,30 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got((10L, 2L)) > got((10L, 4L)))
   }
 
+  test("dedupLinesIncremental: store suppresses, batch dedups itself, key append closes the loop") {
+    val batch1 = Seq(
+      (1L, "alpha\nbeta"),
+      (2L, "beta\ngamma")).toDF("doc_id", "text")
+    val emptyStore = Seq.empty[Tuple1[Long]].toDF("lkey")
+    val out1 = TextDedup.dedupLinesIncremental(batch1, "doc_id", "text", emptyStore)
+      .as[(Long, String)].collect().toMap
+    // with an empty store this IS dedupLinesAcross on the batch
+    val across = TextDedup.dedupLinesAcross(batch1, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out1 == across && out1 == Map(1L -> "alpha\nbeta", 2L -> "gamma"))
+    // refresh: append batch-1 SURVIVOR keys, feed batch 2
+    val store2 = emptyStore.unionByName(
+      TextDedup.lineKeys(out1.toSeq.toDF("doc_id", "text"), "text"))
+    val batch2 = Seq(
+      (10L, "gamma\ndelta"),    // gamma stored -> only delta survives
+      (11L, "alpha"),           // fully stored -> doc vanishes
+      (12L, "epsilon\nepsilon") // in-batch repeat -> one line
+    ).toDF("doc_id", "text")
+    val out2 = TextDedup.dedupLinesIncremental(batch2, "doc_id", "text", store2)
+      .as[(Long, String)].collect().toMap
+    assert(out2 == Map(10L -> "delta", 12L -> "epsilon"))
+  }
+
   test("BPE merge top pair on a known corpus") {
     // "b c" occurs 4 times, "a b" 3, others fewer: the merge pick is "b c"
     val docs = Seq(
