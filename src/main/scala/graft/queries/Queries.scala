@@ -2250,6 +2250,49 @@ object Queries {
       | SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) rk
       | FROM p) WHERE rk <= 5""".stripMargin
 
+  /** Int8-quantized brute ANN: embeddings quantize to per-vector int8
+    * codes + scale ([[graft.ann.Quantize]] — the 4× storage layout),
+    * checkpoint as aux, and top-5 cosine runs over the DEQUANTIZED
+    * vectors. The oracle dequantizes the same aux codes in SQL and ranks
+    * the identically-accumulated double cosine — rank-only output, the
+    * q_ann_topk FP-stability precedent. Quantization arithmetic itself is
+    * spec-gated (error bound, recall). */
+  def qAnnInt8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val aux = writeOracleAux(
+      graft.ann.Quantize.quantizeInt8(emb, "embedding")
+        .select(col("vec_id"), col("q_codes"), col("q_scale")),
+      dir, "int8_codes")
+    val dq = aux.select(col("vec_id"),
+      graft.ann.Quantize.dequantize(col("q_codes"), col("q_scale")).as("dvec"))
+    val items = dq.select(col("vec_id").as("nid"), col("dvec").as("ivec"))
+    val queries = dq.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("dvec").as("qvec"))
+    graft.ann.Similarity.topKBrute(items, "nid", "ivec",
+        queries, "qid", "qvec", k = 5)
+      .select(col("qid"), col("nid"), col("rank").as("rk"))
+  }
+
+  /** The dequantized vector round-trips through FLOAT on the Spark side
+    * (the cosine kernel's input type) — the oracle mirrors that cast
+    * exactly, then promotes to DOUBLE for the products like the kernel. */
+  val qAnnInt8Sql: String =
+    s"""WITH d AS (SELECT vec_id,
+       |    list_transform(q_codes,
+       |      c -> CAST(CAST(c AS DOUBLE) * q_scale AS FLOAT)) AS e
+       |  FROM ${auxSql("int8_codes")}),
+       |q AS (SELECT vec_id qid, e FROM d WHERE vec_id % 50 = 0),
+       |p AS (SELECT q.qid, b.vec_id nid,
+       |  list_sum(list_transform(generate_series(1,64),
+       |    i -> CAST(q.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)))
+       |  / (sqrt(list_sum(list_transform(q.e, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       |   * sqrt(list_sum(list_transform(b.e, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+       |  AS c
+       | FROM q JOIN d b ON b.vec_id <> q.qid)
+       |SELECT qid, nid, rk FROM (
+       | SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) rk
+       | FROM p) WHERE rk <= 5""".stripMargin
+
   /** D1 (as LLM-pipeline exact dedup): keep min doc_id per identical text. */
   def qDedupExact(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
