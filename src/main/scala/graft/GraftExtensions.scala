@@ -62,6 +62,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.sqlFoldInt(es(1), "char_shingles_all n"), distinct = false))
     r("remove_covered_tokens", es => RemoveCoveredTokens(es(0), es(1),
       graft.functions.sqlFoldInt(es(2), "remove_covered_tokens k")))
+    r("compression_ratio", es => CompressionRatio(es.head))
     r("nfc_normalize", es => NormalizeText(es.head, "NFC"))
     r("nfkc_normalize", es => NormalizeText(es.head, "NFKC"))
     r("intervals_overlap", es => IntervalsOverlap(es(0), es(1)))

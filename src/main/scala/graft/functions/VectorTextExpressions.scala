@@ -649,6 +649,57 @@ case class CmsAtLeast(child: Expression,
   override def prettyName: String = "cms_at_least"
 }
 
+/** Deflate compression ratio of a document (compressed bytes / UTF-8
+  * bytes, level-6 zlib): the Gopher-class repetition/quality signal —
+  * boilerplate and machine-generated repetition compress far below
+  * natural text, random noise compresses above 1. Deterministic for a
+  * given JDK deflater (same level, same input ⇒ same output size);
+  * ScalaTest-gated, not oracle-gated — no SQL engine re-derives deflate.
+  * One Deflater per expression instance, reset between rows (expressions
+  * evaluate single-threaded within a task, and codegen binds the instance
+  * as a reference object), so the scan does not allocate a native zlib
+  * context per document. Empty text ⇒ null (a 0/0 ratio). */
+case class CompressionRatio(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  @transient private lazy val deflater =
+    new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+  @transient private lazy val buf = new Array[Byte](8192)
+
+  def compute(str: UTF8String): java.lang.Double = {
+    val raw = str.getBytes
+    if (raw.length == 0) return null
+    deflater.reset()
+    deflater.setInput(raw)
+    deflater.finish()
+    var total = 0L
+    while (!deflater.finished()) total += deflater.deflate(buf)
+    java.lang.Double.valueOf(total.toDouble / raw.length)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("cratio", this, classOf[CompressionRatio].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("cr")
+      s"""
+         |java.lang.Double $tmp = $ref.compute($c);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "compression_ratio"
+}
+
 /** Unicode normalization (java.text.Normalizer) — the text-cleanup step a
   * multilingual corpus needs before any hash-based dedup (canonically
   * equivalent strings like "e"+COMBINING ACUTE vs precomposed "é" would

@@ -88,6 +88,7 @@ package object functions {
   def bloom_contains_long(x: Column, bf: org.apache.spark.util.sketch.BloomFilter): Column = col(BloomContainsLong(ex(x), bf))
   def remove_covered_tokens(text: Column, starts: Column, k: Int): Column = col(RemoveCoveredTokens(ex(text), ex(starts), k))
   def cms_at_least(x: Column, cms: org.apache.spark.util.sketch.CountMinSketch, min: Long): Column = col(CmsAtLeast(ex(x), cms, min))
+  def compression_ratio(text: Column): Column = col(CompressionRatio(ex(text)))
   def nfc_normalize(text: Column): Column = col(NormalizeText(ex(text), "NFC"))
   def nfkc_normalize(text: Column): Column = col(NormalizeText(ex(text), "NFKC"))
 
@@ -140,6 +141,7 @@ package object functions {
     r("char_shingles", es => CharShingles(es(0), sqlFoldInt(es(1), "char_shingles n"), distinct = true))
     r("char_shingles_all", es => CharShingles(es(0), sqlFoldInt(es(1), "char_shingles_all n"), distinct = false))
     r("remove_covered_tokens", es => RemoveCoveredTokens(es(0), es(1), sqlFoldInt(es(2), "remove_covered_tokens k")))
+    r("compression_ratio", es => CompressionRatio(es.head))
     r("nfc_normalize", es => NormalizeText(es.head, "NFC"))
     r("nfkc_normalize", es => NormalizeText(es.head, "NFKC"))
   }

@@ -491,6 +491,34 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out2 == Map(10L -> "delta", 12L -> "epsilon"))
   }
 
+  test("compression_ratio: repetition compresses below natural text, noise above; codegen parity") {
+    val rnd = new scala.util.Random(31)
+    val noise = Seq.fill(800)(((rnd.nextInt(94)) + 33).toChar).mkString
+    val docs = Seq(
+      (1L, "the boilerplate line repeats\n" * 40),
+      (2L, "A moderately varied natural sentence with assorted words, " +
+        "clauses, and punctuation that resists naive repetition." * 3),
+      (3L, noise),
+      (4L, "")).toDF("doc_id", "text")
+    def ratios(mode: String): Map[Long, Option[Double]] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try docs.select($"doc_id",
+          graft.functions.compression_ratio($"text").as("r"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    val gen = ratios("CODEGEN_ONLY")
+    assert(gen == ratios("NO_CODEGEN"), "generated != interpreted")
+    assert(gen(4L).isEmpty, "empty text has no ratio")
+    val (rep, nat, rnd3) = (gen(1L).get, gen(2L).get, gen(3L).get)
+    assert(rep < 0.1, s"heavy repetition should crush: $rep")
+    assert(rep < nat && nat < rnd3, s"ordering violated: $rep, $nat, $rnd3")
+    assert(rnd3 > 0.8, s"incompressible noise stays near 1: $rnd3")
+    // determinism across evaluations (same deflater level, same input)
+    assert(ratios("CODEGEN_ONLY") == gen)
+  }
+
   test("BPE merge top pair on a known corpus") {
     // "b c" occurs 4 times, "a b" 3, others fewer: the merge pick is "b c"
     val docs = Seq(
