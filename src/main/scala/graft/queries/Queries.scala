@@ -1488,19 +1488,40 @@ object Queries {
       |  coalesce(m_uts, -1) AS r_uts, coalesce(m_vid, -1) AS r_view_id
       |FROM w WHERE side = 1""".stripMargin
 
-  /** BM25 retrieval scores for a small term workload drawn from the corpus
-    * itself (each of docs 0-4 contributes its first two tokens as a
-    * query). FP-accumulated scores are not cross-engine bit-comparable, so
-    * this gate is rows-only (no oracle SQL); the formula is spec-pinned
-    * against a driver reference in PipelineOpsSpec. */
+  /** BM25 retrieval for a small term workload drawn from the corpus itself
+    * (each of docs 0-4 contributes its first two tokens as a query). FP
+    * accumulation order makes raw scores engine-specific, so the gate uses
+    * the checkpoint pattern ([[writeOracleAux]]): the score relation is
+    * written once and BOTH engines consume those identical bits — the
+    * shipped downstream is the top-10 ranking per query plus
+    * floor(score·1e6) (IEEE multiply+floor on identical inputs is
+    * bit-deterministic across engines), all integer columns, hash-exact.
+    * The formula itself stays spec-pinned against a driver reference in
+    * PipelineOpsSpec. */
   def qBm25(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     val queries = docs.where(col("doc_id") < 5)
       .select(col("doc_id").as("qid"),
         explode(slice(graft.text.TextFunctions.tokens(col("text")), 1, 2))
           .as("term"))
-    graft.text.TfIdf.bm25(docs, "doc_id", "text", queries, "qid", "term")
+    val aux = writeOracleAux(
+      graft.text.TfIdf.bm25(docs, "doc_id", "text", queries, "qid", "term"),
+      dir, "bm25_scores")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    aux.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        floor(col("score") * 1e6).as("score_micro"))
   }
+
+  val qBm25Sql: String =
+    s"""SELECT qid, CAST(rank AS INT) AS rank, doc_id,
+       |  CAST(floor(score * 1e6) AS BIGINT) AS score_micro FROM (
+       |  SELECT qid, doc_id, score, row_number() OVER (PARTITION BY qid
+       |    ORDER BY score DESC, doc_id ASC) AS rank
+       |  FROM ${auxSql("bm25_scores")})
+       |WHERE rank <= 10""".stripMargin
 
   /** Char-3-gram-profile language ID: profiles trained on the even-id
     * split (top-200 grams per language by frequency, deterministic
