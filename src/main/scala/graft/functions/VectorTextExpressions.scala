@@ -658,15 +658,23 @@ case class CmsAtLeast(child: Expression,
   * One Deflater per expression instance, reset between rows (expressions
   * evaluate single-threaded within a task, and codegen binds the instance
   * as a reference object), so the scan does not allocate a native zlib
-  * context per document. Empty text ⇒ null (a 0/0 ratio). */
+  * context per document; the native context is released deterministically
+  * at task completion (TaskContext listener → end()), not left to GC
+  * finalization — long jobs with many tasks would otherwise accumulate
+  * native zlib state. Driver-side eval (no TaskContext, tests only) falls
+  * back to the Cleaner. Empty text ⇒ null (a 0/0 ratio). */
 case class CompressionRatio(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  @transient private lazy val deflater =
-    new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+  @transient private lazy val deflater = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ => d.end())
+    d
+  }
   @transient private lazy val buf = new Array[Byte](8192)
 
   def compute(str: UTF8String): java.lang.Double = {

@@ -1515,6 +1515,41 @@ object Queries {
         floor(col("score") * 1e6).as("score_micro"))
   }
 
+  /** Compression-ratio quality filter (the Gopher-class deflate signal):
+    * no SQL engine re-derives deflate, so the ratio column is checkpointed
+    * ([[writeOracleAux]]) and the gate ships the SQL-expressible
+    * downstream — the keep/drop threshold band plus the top-20 most
+    * compressible docs per band (boilerplate suspects on the drop side,
+    * borderline repetition on the keep side). Doubles pass through both
+    * engines bit-identically from the shared parquet; comparisons and the
+    * rank order on identical bits are exact. */
+  def qCompressionFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val aux = writeOracleAux(
+      docs.select(col("doc_id"), compression_ratio(col("text")).as("cratio")),
+      dir, "compression_ratios")
+    val keep = col("cratio") >= 0.25 && col("cratio") <= 1.0
+    // rank within each keep-band: the global window would be one task, the
+    // per-band window is two — and the gate's contract is per-band anyway
+    val w = Window.partitionBy(col("keep"))
+      .orderBy(col("cratio").asc, col("doc_id").asc)
+    aux.where(col("cratio").isNotNull)
+      .withColumn("keep", keep)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 20)
+      .select(col("doc_id"), col("cratio"), col("keep"), col("rank"))
+  }
+
+  val qCompressionFilterSql: String =
+    s"""SELECT doc_id, cratio, keep, CAST(rank AS INT) AS rank FROM (
+       |  SELECT doc_id, cratio,
+       |    cratio >= 0.25 AND cratio <= 1.0 AS keep,
+       |    row_number() OVER (
+       |      PARTITION BY (cratio >= 0.25 AND cratio <= 1.0)
+       |      ORDER BY cratio ASC, doc_id ASC) AS rank
+       |  FROM ${auxSql("compression_ratios")} WHERE cratio IS NOT NULL)
+       |WHERE rank <= 20""".stripMargin
+
   val qBm25Sql: String =
     s"""SELECT qid, CAST(rank AS INT) AS rank, doc_id,
        |  CAST(floor(score * 1e6) AS BIGINT) AS score_micro FROM (
