@@ -278,13 +278,19 @@ object TextDedup {
     require(k >= 1, s"span gram width must be >= 1, got $k")
     // gram index i = start token position of tokens[i..i+k-1] (the kernel
     // emits one shingle per start position, in order)
+    // 128-bit effective gram key (two independently-seeded xxhash64's —
+    // prepending a constant re-chains the hash): at the operator's target
+    // scale (~1e12 grams) a SINGLE 64-bit key would see thousands of
+    // birthday collisions, each silently cutting an unrelated span;
+    // 128 bits puts the expected count at ~1e-14.
     val grams = fanOut(df).select(col(idCol),
         posexplode(TextFunctions.wordShinglesAll(col(textCol), k))
           .as(Seq("__pos", "__g")))
-      .select(col(idCol), col("__pos"), xxhash64(col("__g")).as("__gh"))
+      .select(col(idCol), col("__pos"), xxhash64(col("__g")).as("__gh"),
+        xxhash64(lit(1), col("__g")).as("__gh2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     grams.count() // materialization barrier — see ngramJaccardPairs
-    val winners = grams.groupBy(col("__gh"))
+    val winners = grams.groupBy(col("__gh"), col("__gh2"))
       .agg(min(struct(col(idCol), col("__pos"))).as("__w"),
         count(lit(1)).as("__c"))
       .where(col("__c") >= 2)
@@ -296,7 +302,7 @@ object TextDedup {
     // shuffles: 113 s / 1.4 GB shuffle at the 500k-doc rehearsal.
     // keepFirst=false removes EVERY occurrence of a duplicated span (the
     // scrub-entirely policy some pipelines prefer over keep-one)
-    val losing = grams.join(winners.hint("shuffle_hash"), "__gh")
+    val losing = grams.join(winners.hint("shuffle_hash"), Seq("__gh", "__gh2"))
     val spans = (if (keepFirst)
         losing.where(!(col(idCol) === col("__w").getField(idCol) &&
           col("__pos") === col("__w.__pos")))
@@ -329,27 +335,43 @@ object TextDedup {
     * the id for reassembly. */
   def dedupLinesIncremental(newDf: DataFrame, idCol: String, textCol: String,
                             storedKeys: DataFrame): DataFrame = {
-    val keyCol = storedKeys.columns.head
+    // the store is the [[lineKeys]] 128-bit (lkey, lkey2) relation — a
+    // 64-bit key alone would silently DROP a distinct new line on any
+    // collision with a stored key (unrecoverable: the stored corpus is
+    // never re-read). Single-column stores from older runs still work,
+    // at the documented 64-bit collision-loss bound.
     val lines = newDf.select(col(idCol),
       posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val kc = storedKeys.columns
+    val store =
+      if (kc.length >= 2)
+        storedKeys.select(col(kc(0)).as("__lk"), col(kc(1)).as("__lk2"))
+      else storedKeys.select(col(kc(0)).as("__lk"),
+        lit(null).cast("long").as("__lk2"))
+    val joinCond =
+      if (kc.length >= 2)
+        xxhash64(col("__line")) === col("__lk") &&
+          xxhash64(lit(1), col("__line")) === col("__lk2")
+      else xxhash64(col("__line")) === col("__lk")
     val keep = lines
       .groupBy(col("__line"))
       .agg(min(struct(col(idCol), col("__pos"))).as("__k"))
       .select(col("__k").getField(idCol).as(idCol),
         col("__k.__pos").as("__pos"), col("__line"))
-      .join(storedKeys.select(col(keyCol).as("__lk")),
-        xxhash64(col("__line")) === col("__lk"), "left_anti")
+      .join(store, joinCond, "left_anti")
     keep.groupBy(col(idCol))
       .agg(concat_ws("\n", transform(
         array_sort(collect_list(struct(col("__pos"), col("__line")))),
         s => s.getField("__line"))).as(textCol))
   }
 
-  /** (key) relation of a document batch's line keys — what a refresh
-    * appends to the stored table after [[dedupLinesIncremental]]. */
+  /** (lkey, lkey2) relation of a document batch's 128-bit line keys — what
+    * a refresh appends to the stored table after
+    * [[dedupLinesIncremental]]. */
   def lineKeys(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(split(col(textCol), "\n")).as("__line"))
-      .select(xxhash64(col("__line")).as("lkey")).distinct()
+      .select(xxhash64(col("__line")).as("lkey"),
+        xxhash64(lit(1), col("__line")).as("lkey2")).distinct()
 
   /** SimHash near-duplicate pairs: 16-bit band blocking over the 64-bit
     * fingerprint (any identical quarter => candidate; catches all pairs with

@@ -27,7 +27,14 @@ import org.apache.spark.sql.functions._
   * Left rows with no prior right row carry null right columns. `leftTs`
   * and `rightTs` must be mutually comparable (same type; the caller casts).
   * A `merge_asof`-style tolerance is a post-filter:
-  * `when(l.ts - r_ts <= tol, ...)` on the output. */
+  * `when(l.ts - r_ts <= tol, ...)` on the output.
+  *
+  * Skew bound: each key group is ONE window partition — a single hot key
+  * (one instrument carrying most of the tape) serializes onto one task.
+  * When one key dominates, pre-split it on a coarse time bucket and
+  * stitch the bucket boundaries with a per-(key, bucket) last-right
+  * carry-forward, or accept the single-task bound if the hot key fits an
+  * executor. */
 object AsofJoin {
 
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
@@ -38,6 +45,14 @@ object AsofJoin {
     val rPayload = (rightTs +: right.columns.filterNot(c =>
       keyCols.contains(c) || c == rightTs)).toSeq
     require(lPayload.nonEmpty, "left side carries no non-key columns")
+    // prefixed right names must not collide with the left output (a left
+    // payload column literally named e.g. "r_uts" would yield duplicate
+    // output names, silently breaking downstream name-based selection)
+    val outLeft = (keyCols ++ lPayload).toSet
+    val clashes = rPayload.map(rightPrefix + _).filter(outLeft.contains)
+    require(clashes.isEmpty,
+      s"asofJoin output name collision: ${clashes.mkString(", ")} — " +
+        "already present on the left side; pass a different rightPrefix")
     val rType = right.select(struct(rPayload.map(col): _*).as("__r"))
       .schema("__r").dataType
     val lType = left.select(struct(lPayload.map(col): _*).as("__l"))

@@ -2152,10 +2152,10 @@ object Queries {
   /** Incremental line dedup (corpus refresh): docs with doc_id%5==0 play
     * the NEW batch; the STORED table — distinct lines of the rest,
     * checkpointed so the oracle reads the same bits — stands in for the
-    * accumulated line store. The Spark side anti-joins on xxhash64 line
-    * keys (the operator's 8-byte production shape); the oracle anti-joins
-    * on the lines themselves — equal modulo 64-bit collisions, of which
-    * this corpus has none (line equality is what both sides mean). The
+    * accumulated line store. The Spark side anti-joins on 128-bit
+    * two-seed xxhash64 line keys (the operator's 16-byte production
+    * shape); the oracle anti-joins on the lines themselves — equal modulo
+    * 128-bit collisions, i.e. never in practice. The
     * stored corpus documents are never re-read by the dedup itself.
     * Output: doc_id + rebuilt-text md5. */
   def qDedupLinesIncremental(spark: SparkSession, dir: String): DataFrame = {
@@ -2164,7 +2164,8 @@ object Queries {
       docs.where(col("doc_id") % 5 =!= 0)
         .select(explode(split(col("text"), "\n")).as("line")).distinct(),
       dir, "lines_stored")
-    val storedKeys = storedLines.select(xxhash64(col("line")).as("lkey"))
+    val storedKeys = storedLines.select(xxhash64(col("line")).as("lkey"),
+      xxhash64(lit(1), col("line")).as("lkey2"))
     graft.dedup.TextDedup.dedupLinesIncremental(
         docs.where(col("doc_id") % 5 === 0), "doc_id", "text", storedKeys)
       .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"))

@@ -471,13 +471,17 @@ class PipelineOpsSpec extends SparkTestBase {
     val batch1 = Seq(
       (1L, "alpha\nbeta"),
       (2L, "beta\ngamma")).toDF("doc_id", "text")
-    val emptyStore = Seq.empty[Tuple1[Long]].toDF("lkey")
+    val emptyStore = Seq.empty[(Long, Long)].toDF("lkey", "lkey2")
     val out1 = TextDedup.dedupLinesIncremental(batch1, "doc_id", "text", emptyStore)
       .as[(Long, String)].collect().toMap
     // with an empty store this IS dedupLinesAcross on the batch
     val across = TextDedup.dedupLinesAcross(batch1, "doc_id", "text")
       .as[(Long, String)].collect().toMap
     assert(out1 == across && out1 == Map(1L -> "alpha\nbeta", 2L -> "gamma"))
+    // legacy single-column (64-bit) store still accepted
+    val legacy = TextDedup.dedupLinesIncremental(batch1, "doc_id", "text",
+      Seq.empty[Tuple1[Long]].toDF("lkey")).as[(Long, String)].collect().toMap
+    assert(legacy == out1)
     // refresh: append batch-1 SURVIVOR keys, feed batch 2
     val store2 = emptyStore.unionByName(
       TextDedup.lineKeys(out1.toSeq.toDF("doc_id", "text"), "text"))
