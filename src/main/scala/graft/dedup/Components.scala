@@ -83,12 +83,37 @@ object Components {
     // so round blocks accumulate in storage memory for the life of a
     // long session (measured as lingering persistent RDDs after every
     // dedup gate) — each round's block ids are tracked and freed explicitly
-    // the moment the round is superseded. On a multi-executor cluster
-    // prefer spark.checkpoint.dir + .checkpoint for executor-loss
-    // resilience — the round structure is identical.
-    val sc = nodes.sparkSession.sparkContext
+    // the moment the round is superseded.
+    //
+    // Checkpoint MODE is configurable (spark.graft.components.checkpoint =
+    // auto | local | reliable): localCheckpoint stores round blocks on
+    // executors — fast, but an executor loss kills the job's lineage; a
+    // RELIABLE checkpoint writes rounds to spark.sparkContext's checkpoint
+    // dir (HDFS/object store) and survives executor loss — what a real
+    // multi-executor cluster should run. `auto` (the default) picks
+    // reliable whenever the session has a checkpoint dir configured.
+    // Reliable rounds leave no storage blocks to free (freeRdds gets an
+    // empty list); their files live until the checkpoint dir is cleaned —
+    // point it at a job-scoped path, or set
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true.
+    val spark = nodes.sparkSession
+    val sc = spark.sparkContext
+    val mode = spark.conf.getOption("spark.graft.components.checkpoint")
+      .getOrElse("auto")
+    val reliable = mode match {
+      case "reliable" =>
+        require(sc.getCheckpointDir.isDefined,
+          "spark.graft.components.checkpoint=reliable needs " +
+            "SparkContext.setCheckpointDir (spark.checkpoint.dir) set")
+        true
+      case "local" => false
+      case "auto"  => sc.getCheckpointDir.isDefined
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.components.checkpoint must be auto|local|reliable, got $other")
+    }
     def round(e: DataFrame): (DataFrame, Seq[Int]) =
-      graft.core.CacheHygiene.trackNewRdds(sc)(e.localCheckpoint(true))
+      if (reliable) (e.checkpoint(true), Nil)
+      else graft.core.CacheHygiene.trackNewRdds(sc)(e.localCheckpoint(true))
 
     // normalize: direction large→small, self-loops dropped, deduped
     var (cur, curIds) = round(edges
@@ -153,7 +178,6 @@ object Components {
       graft.core.CacheHygiene.freeRdds(sc, curIds)
       val mapping = new scala.collection.mutable.ArrayBuffer[(Any, Any)](parent.size)
       parent.keySet().forEach { k => mapping += ((k, find(k))) }
-      val spark = nodes.sparkSession
       val idField = cur.schema.fields.head
       val schema = org.apache.spark.sql.types.StructType(Seq(
         idField.copy(name = idCol), idField.copy(name = "__comp")))

@@ -54,6 +54,45 @@ class ComponentsSpec extends SparkTestBase {
     assert(got.forall(_._2 == 0L) && got.length == n)
   }
 
+  test("reliable-checkpoint mode (cluster path) matches local-checkpoint rounds") {
+    // the executor-loss-resilient path a real cluster runs: rounds go
+    // through sc.checkpoint into the checkpoint dir instead of
+    // localCheckpoint blocks — same star-contraction structure, same labels
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    val hadCkpt = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    spark.conf.set("spark.graft.components.checkpoint", "reliable")
+    try {
+      val rnd = new Random(7)
+      val n = 70
+      val edges = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(t => t._1 != t._2)
+      val nodes = (0L until n.toLong).toDF("id")
+      val got = Components.connectedComponents(nodes, "id",
+          edges.toDF("a", "b"), "a", "b", driverThreshold = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(got == unionFind(n, edges))
+      // the rounds really went through the reliable path: checkpoint files
+      // exist under the dir
+      def anyFile(f: java.io.File): Boolean =
+        f.isFile || Option(f.listFiles()).exists(_.exists(anyFile))
+      assert(anyFile(dir.toFile), "no reliable checkpoint files written")
+      // misconfiguration screams instead of silently running local
+      spark.conf.set("spark.graft.components.checkpoint", "bogus")
+      intercept[IllegalArgumentException] {
+        Components.connectedComponents(nodes, "id",
+          edges.toDF("a", "b"), "a", "b", driverThreshold = 0)
+      }
+    } finally {
+      // the checkpoint dir cannot be UNset on a live SparkContext — pin the
+      // rest of this suite to the local mode so `auto` never routes later
+      // tests into the (deleted) temp dir
+      spark.conf.set("spark.graft.components.checkpoint", "local")
+      hadCkpt.foreach(spark.sparkContext.setCheckpointDir)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
   test("null edge endpoints are ignored on both paths") {
     val nodes = (0L until 6L).toDF("id")
     val e = Seq((Some(1L), Some(2L)), (Some(3L), None), (None, None))
