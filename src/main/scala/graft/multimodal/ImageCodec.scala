@@ -57,6 +57,46 @@ object ImageCodec {
     out.toByteArray
   }
 
+  /** Encode a 32×32 PNG of 4-px gray blocks: block (bx, by)'s value is a
+    * splitmix-style integer mix of (seed, bx, by) — pseudo-random PER SEED
+    * (a linear formula would make adjacent-block comparisons, and hence
+    * dHash, nearly seed-independent) — with block (pbx, pby) shifted +128
+    * (mod 256). The near-duplicate fixture family for perceptual hashing:
+    * same seed + different perturbed block ⇒ a few dHash bits apart;
+    * different seeds ⇒ ~half the bits. All-integer generator arithmetic,
+    * so an oracle or spec re-derives the sampled pixels exactly. */
+  def blockValue(seed: Long, bx: Int, by: Int): Int = {
+    var z = seed * 2654435761L + bx * 97L + by * 1013L
+    z ^= z >>> 33
+    z *= 0xff51afd7ed558ccdL
+    z ^= z >>> 29
+    (z & 0xff).toInt
+  }
+
+  def encodeBlocksPng(seed: Long, pbx: Int, pby: Int): Array[Byte] = {
+    val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        val base = blockValue(seed, bx, by)
+        val v = if (bx == pbx && by == pby) (base + 128) % 256 else base
+        val rgb = (v << 16) | (v << 8) | v
+        var y = by * 4
+        while (y < by * 4 + 4) {
+          var x = bx * 4
+          while (x < bx * 4 + 4) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Decode any ImageIO-supported container; None for null/undecodable
     * bytes (a real pipeline routes those to a quarantine column, it never
     * throws mid-scan). */
@@ -110,6 +150,109 @@ object ImageCodec {
     * for bytes ImageIO cannot decode. */
   def imageFeatures(bytes: Array[Byte]): Array[Float] =
     analyze(bytes).map(_.features).getOrElse(Multimodal.decodeStub(bytes))
+
+  /** 64-bit difference hash (dHash) over decoded pixels: sample a 9×8
+    * luma grid with the same deterministic floor rule as
+    * [[resizeNearestPng]] (grid point (x, y) reads source pixel
+    * (x·w/9, y·h/8); luma = r+g+b sum, 0..765 — integer, no rounding), then
+    * bit y·8+x = 1 iff luma(x,y) < luma(x+1,y). Pure integer pipeline end
+    * to end, so the hash is pixel-exact and reproducible on any JVM —
+    * near-duplicate images (re-encodes, small edits, minor crops) differ in
+    * a few bits, unrelated images in ~32. None for null/undecodable. */
+  def dHash64(bytes: Array[Byte]): Option[Long] = decode(bytes).map(dHashOf)
+
+  def dHashOf(img: BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val lum = new Array[Int](9 * 8)
+    var y = 0
+    while (y < 8) {
+      val sy = y * h / 8
+      var x = 0
+      while (x < 9) {
+        val rgb = img.getRGB(x * w / 9, sy)
+        lum(y * 9 + x) =
+          ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var bit = 0
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (lum(y * 9 + x) < lum(y * 9 + x + 1)) hash |= (1L << bit)
+        bit += 1
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** 64-bit DCT perceptual hash (pHash): 32×32 luma sample (same floor
+    * rule), 2-D DCT-II, keep the lowest-frequency 8×8 block, threshold
+    * each coefficient against the mean of the block EXCLUDING the DC term
+    * (the standard pHash variant — DC is overall brightness and would
+    * dominate the mean). Doubles, but every step is fixed-order IEEE
+    * arithmetic on integer-derived inputs, so the hash is deterministic
+    * across JVMs. More robust than [[dHash64]] to global brightness /
+    * contrast shifts; a few times the compute. */
+  def pHash64(bytes: Array[Byte]): Option[Long] = decode(bytes).map { img =>
+    val n = 32
+    val w = img.getWidth
+    val h = img.getHeight
+    val lum = new Array[Double](n * n)
+    var y = 0
+    while (y < n) {
+      val sy = y * h / n
+      var x = 0
+      while (x < n) {
+        val rgb = img.getRGB(x * w / n, sy)
+        lum(y * n + x) =
+          (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)).toDouble
+        x += 1
+      }
+      y += 1
+    }
+    // DCT-II, low 8×8 block only: 64 output coefficients × n² inputs —
+    // O(64·1024) per image, no FFT needed at this size
+    val cos = Array.tabulate(8, n)((u, i) =>
+      math.cos((2 * i + 1) * u * math.Pi / (2.0 * n)))
+    val coef = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < n) {
+          var xx = 0
+          while (xx < n) {
+            s += lum(yy * n + xx) * cos(u)(yy) * cos(v)(xx)
+            xx += 1
+          }
+          yy += 1
+        }
+        coef(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    var mean = 0.0
+    var i = 1
+    while (i < 64) { mean += coef(i); i += 1 }
+    mean /= 63.0
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (coef(i) > mean) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
 
   /** Nearest-neighbor resize to exactly (outW, outH), re-encoded as PNG.
     * Output pixel (x, y) = input pixel (x·w/outW, y·h/outH) with integer

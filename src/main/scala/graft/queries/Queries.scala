@@ -1515,6 +1515,50 @@ object Queries {
         floor(col("score") * 1e6).as("score_micro"))
   }
 
+  /** IMAGE near-dup gate: 160 real PNGs in 40 groups of 4 — each group
+    * shares a deterministic block pattern, members differ in ONE shifted
+    * block ([[graft.multimodal.ImageCodec.encodeBlocksPng]]) — are
+    * dHash-fingerprinted from their ACTUAL decoded pixels
+    * ([[graft.multimodal.ImageDedup.fingerprints]]), the 8-byte hash table
+    * is checkpointed, and the gate ships the SQL-expressible downstream:
+    * 16-bit band blocking + exact bit_count(xor) Hamming ≤ 8 — the same
+    * relational stage the text SimHash gate oracles. Pixel-exactness of
+    * the hash itself is pinned in ImageDedupSpec against generator
+    * arithmetic. */
+  def qImageNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.BinaryType
+    import graft.multimodal.{ImageCodec, ImageDedup}
+    val base = table(spark, dir, "documents")
+      .select(col("doc_id")).where(col("doc_id") < 160)
+    val schema = base.schema.add("content", BinaryType)
+    implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+    val withPng = base.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val m = (id % 4).toInt
+        org.apache.spark.sql.Row(id,
+          ImageCodec.encodeBlocksPng(id / 4, m * 2, m * 3 % 8))
+      }
+    }.toDF("doc_id", "content")
+    val aux = writeOracleAux(
+      ImageDedup.fingerprints(withPng, "doc_id", "content"),
+      dir, "image_dhash")
+    graft.dedup.TextDedup.simHashPairsFromFingerprints(
+      aux.where(col("sh").isNotNull), "doc_id", maxHamming = 8)
+  }
+
+  val qImageNeardupSql: String =
+    s"""WITH s AS (SELECT doc_id, sh FROM ${auxSql("image_dhash")}
+       |  WHERE sh IS NOT NULL),
+       |bd AS (SELECT doc_id, bnd, (sh >> (bnd*16)) & 65535 AS key
+       |  FROM s, (SELECT unnest(generate_series(0,3)) AS bnd)),
+       |cand AS (SELECT DISTINCT a.doc_id ida, b.doc_id idb FROM bd a
+       |  JOIN bd b ON a.bnd = b.bnd AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT ida, idb, hamming FROM (
+       | SELECT ida, idb, bit_count(xor(sa.sh, sb.sh)) AS hamming
+       | FROM cand JOIN s sa ON sa.doc_id = ida JOIN s sb ON sb.doc_id = idb)
+       |WHERE hamming <= 8""".stripMargin
+
   /** Compression-ratio quality filter (the Gopher-class deflate signal):
     * no SQL engine re-derives deflate, so the ratio column is checkpointed
     * ([[writeOracleAux]]) and the gate ships the SQL-expressible
