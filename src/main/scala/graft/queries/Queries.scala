@@ -1515,6 +1515,68 @@ object Queries {
         floor(col("score") * 1e6).as("score_micro"))
   }
 
+  /** STREAMING incremental dedup gate — the full corpus-refresh lifecycle
+    * ([[graft.streaming.DedupIngest]]): batch 1 (doc_id%3==1) lands as the
+    * first microbatch of a real foreachBatch Structured Streaming query,
+    * batch 2 (doc_id%3==2) arrives as a SECOND file while the stream runs
+    * — deduped against the key store batch 1 left behind. The stored
+    * corpus is never re-read; only the 16-byte line-key relation cycles.
+    * The oracle re-derives both phases in SQL (batch-1 first-occurrence
+    * winners, whose distinct lines ARE the key store, then batch-2 winners
+    * anti-joined against them). Stream==batch equality is additionally
+    * spec-pinned in StreamingDedupSpec. */
+  def qStreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.DedupIngest
+    val base = s"/root/repo/target/graft_stream_dedup/${new java.io.File(dir).getName}"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(base)) // full lifecycle per run: fresh dirs
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    docs.where(col("doc_id") % 3 === 1)
+      .coalesce(1).write.parquet(s"$base/src")
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING").parquet(s"$base/src")
+    val q = DedupIngest.start(stream, "doc_id", "text",
+      s"$base/out", s"$base/keys", s"$base/ckpt")
+    try {
+      q.processAllAvailable()
+      // second refresh arrives while the stream runs
+      docs.where(col("doc_id") % 3 === 2)
+        .coalesce(1).write.mode("append").parquet(s"$base/src")
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.read.parquet(s"$base/out")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"))
+  }
+
+  val qStreamDedupSql: String =
+    """WITH d1 AS (SELECT doc_id, string_split(text, chr(10)) ls
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |l1 AS (SELECT doc_id, unnest([{'pos': i, 'line': ls[i]}
+      |    for i in generate_series(1, len(ls))], recursive := true)
+      |  FROM d1),
+      |keep1 AS (SELECT doc_id, pos, line FROM (
+      |  SELECT doc_id, pos, line,
+      |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) rn FROM l1)
+      |  WHERE rn = 1),
+      |d2 AS (SELECT doc_id, string_split(text, chr(10)) ls
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |l2 AS (SELECT doc_id, unnest([{'pos': i, 'line': ls[i]}
+      |    for i in generate_series(1, len(ls))], recursive := true)
+      |  FROM d2),
+      |keep2a AS (SELECT doc_id, pos, line FROM (
+      |  SELECT doc_id, pos, line,
+      |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) rn FROM l2)
+      |  WHERE rn = 1),
+      |keep2 AS (SELECT k.doc_id, k.pos, k.line FROM keep2a k
+      |  LEFT JOIN (SELECT DISTINCT line FROM l1) s ON k.line = s.line
+      |  WHERE s.line IS NULL),
+      |united AS (SELECT * FROM keep1 UNION ALL SELECT * FROM keep2)
+      |SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS text_md5
+      |FROM united GROUP BY doc_id""".stripMargin
+
   /** IMAGE near-dup gate: 160 real PNGs in 40 groups of 4 — each group
     * shares a deterministic block pattern, members differ in ONE shifted
     * block ([[graft.multimodal.ImageCodec.encodeBlocksPng]]) — are
