@@ -60,6 +60,11 @@ object Bench {
     }
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedList,"load1m":${r3(load)},"sf":"$sfDir"}"""
     println(line)
+    // the driver keeps only the LAST ~2.2 KB of stdout, which truncated
+    // the FRONT (headline fields) of the r7-r9 records — print a compact
+    // summary AFTER the full line so whatever survives tail-capture always
+    // carries the totals; the full per-query map is persisted below
+    println(s"""{"metric":"total_compact","value":${r3(total)},"unit":"sec","n":${results.size},"n_failed":${failed.size},"failed":$failedList,"load1m":${r3(load)},"sf":"$sfDir"}""")
     // the driver's tail-capture truncated the r7/r8 records (last ~2.2 KB
     // of stdout survive; the one-line record now exceeds that); persist the
     // full line so every timed gate survives in a committed artifact

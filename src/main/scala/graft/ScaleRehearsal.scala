@@ -251,6 +251,35 @@ object ScaleRehearsal {
       spark.stop(); return
     }
 
+    // -------------------- Bloom decontamination at 100x (round-10 item:
+    // flagBloom was previously only upper-bounded by the exact-join proxy).
+    // Same salted 500k-doc corpus and 1-in-5000 benchmark split as the
+    // `pipeline` decontaminate measurement, so the broadcast-semi-join
+    // number is directly comparable; Bloom path = distributed filter build
+    // over the bench shingles + codegen scan predicate + verification join
+    // over candidates only.
+    if (mode == "bloom") {
+      import graft.text.TextFunctions
+      val docs = spark.read.parquet(s"$dir/docs")
+      println(s"[scale] docs=${docs.count()}")
+      val sh = docs.select(col("doc_id"),
+          explode(TextFunctions.wordShingles(col("text"), 3)).as("s0"))
+        .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+      val bench = sh.where(col("doc_id") % 5000 === 0).select(col("s")).distinct()
+      val train = sh.where(col("doc_id") % 5000 =!= 0)
+      val nBloom = timed("decontaminate_bloom[500k]") {
+        graft.text.Decontaminate.flagBloom(train, "doc_id", "s", bench).count()
+      }
+      println(s"[scale]   -> $nBloom contaminated docs (bloom)")
+      val nJoin = timed("decontaminate_join[500k]") {
+        train.join(org.apache.spark.sql.functions.broadcast(bench), Seq("s"))
+          .groupBy(col("doc_id")).agg(countDistinct(col("s")).as("n_hits"))
+          .count()
+      }
+      println(s"[scale]   -> $nJoin contaminated docs (broadcast join, must equal)")
+      spark.stop(); return
+    }
+
     // ------------- TF-IDF + n-gram-profile language ID at 100x (500k docs)
     // Both reduce the exploded stream to vocabulary-sized relations via
     // partial aggregation; the profile join is a broadcast. Uses the
@@ -309,6 +338,23 @@ object ScaleRehearsal {
           minCount = 50000L, eps = 1e-4).count()
       }
       println(s"[scale]   -> plain=$nPlain cms=$nCms (must be equal)")
+      // build-pass isolation (round-10): the old SQL count_min_sketch
+      // aggregate (ObjectHashAggregate, child.eval boxes every key) vs the
+      // primitive UnsafeRow build — identical sketch dimensions/seed
+      val sqlBytes = timed("cms_build_sql_agg[170M]") {
+        keys.select(expr(
+            "count_min_sketch(g, CAST(1e-4 AS DOUBLE), " +
+              "CAST(0.99 AS DOUBLE), 42)").as("s"))
+          .head().getAs[Array[Byte]](0)
+      }
+      val prim = timed("cms_build_primitive[170M]") {
+        graft.text.FrequentItems.buildSketchLong(keys, "g", 1e-4, 0.99)
+      }
+      val sqlCms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(sqlBytes))
+      val probes = Seq(0L, 1L, 42L, 999L).map(k =>
+        (sqlCms.estimateCount(k), prim.estimateCount(k)))
+      println(s"[scale]   -> estimate parity (sql vs primitive): $probes")
       spark.stop(); return
     }
 

@@ -32,11 +32,36 @@ import org.apache.spark.sql.functions._
   * bound eps*N exceeds the threshold, every key's estimate passes) and
   * the operator degrades to plain-groupBy cost plus a wasted sketch pass
   * — still exact, never faster. For low-support HAVING queries use the
-  * plain aggregate. Note also that Spark's `stat.countMinSketch` builds
-  * through a boxed-row RDD aggregate; at true 100 TB scale the build pass
-  * would want a codegen sketch aggregate (the probe side here already is
-  * codegen). */
+  * plain aggregate. */
 object FrequentItems {
+
+  /** Build a CountMinSketch over a long key column with ZERO per-row
+    * boxing: the child plan's whole-stage-codegen output is consumed as
+    * raw UnsafeRows (`queryExecution.toRdd` + `getLong`), one sketch per
+    * partition, tree-merged — no driver single-reducer bottleneck, no
+    * shuffle of row data (only partition-count × sketch-size merge
+    * traffic). This replaces the SQL `count_min_sketch` aggregate build
+    * (a TypedImperativeAggregate whose per-row `child.eval` boxes every
+    * key through ObjectHashAggregate), and the older
+    * DataFrameStatFunctions RDD path that boxed whole Rows. Same sketch
+    * semantics either way: same impl class, seed, and dimensions, so
+    * estimates are identical. Build-pass cost measured at the 170M-key
+    * rehearsal in SCALE.md (round 10). */
+  def buildSketchLong(keys: DataFrame, keyCol: String, eps: Double,
+                      confidence: Double, seed: Int = 42)
+      : org.apache.spark.util.sketch.CountMinSketch = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val rdd = keys.select(col(keyCol).cast("long")).queryExecution.toRdd
+    if (rdd.getNumPartitions == 0) return CountMinSketch.create(eps, confidence, seed)
+    rdd.mapPartitions { it =>
+      val cms = CountMinSketch.create(eps, confidence, seed)
+      while (it.hasNext) {
+        val r = it.next()
+        if (!r.isNullAt(0)) cms.addLong(r.getLong(0))
+      }
+      Iterator.single(cms)
+    }.treeReduce({ (a, b) => a.mergeInPlace(b); a }, depth = 2)
+  }
 
   /** (keyCol, n) for every key with exact count >= minCount. */
   def heavyHitters(items: DataFrame, keyCol: String, minCount: Long,
@@ -44,17 +69,7 @@ object FrequentItems {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val keyed = items.select(col(keyCol),
       xxhash64(col(keyCol)).as("__k"))
-    // build through the SQL count_min_sketch AGGREGATE (ObjectHashAggregate
-    // over unsafe rows), not DataFrameStatFunctions.countMinSketch — the
-    // latter is an RDD aggregate that boxes every row (measured ~10x the
-    // scan cost at 170M rows, SCALE.md round-9b); same sketch bytes either
-    // way (CountMinSketch.writeTo layout)
-    val bytes = keyed.select(expr(
-        s"count_min_sketch(__k, CAST($eps AS DOUBLE), " +
-          s"CAST($confidence AS DOUBLE), 42)").as("s"))
-      .head().getAs[Array[Byte]](0)
-    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(bytes))
+    val cms = buildSketchLong(keyed, "__k", eps, confidence)
     keyed.where(graft.functions.cms_at_least(col("__k"), cms, minCount))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"))
