@@ -102,6 +102,39 @@ class PlanHealthSpec extends SparkTestBase {
     assert(scanColumns(df, "documents") == Set("doc_id", "text"))
   }
 
+  test("image near-dup shuffles only 8-byte fingerprints, never image bytes") {
+    import org.apache.spark.sql.types.BinaryType
+    import graft.multimodal.{ImageCodec, ImageDedup}
+    import org.apache.spark.sql.functions.{col => c}
+    val spark2 = spark
+    import spark2.implicits._
+    val imgs = (0L until 12L)
+      .map(id => (id, ImageCodec.encodeBlocksPng(id / 3, (id % 3).toInt, 0)))
+      .toDF("id", "content")
+    val df = ImageDedup.nearDupPairs(imgs, "id", "content", maxHamming = 8)
+    df.count() // resolve AQE
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = df.queryExecution.executedPlan
+    val plans = root +: root.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+    val shuffles = plans.flatMap(_.collect { case s: ShuffleExchangeExec => s })
+    assert(shuffles.nonEmpty, "band join must be a keyed shuffle join")
+    shuffles.foreach { s =>
+      assert(!s.child.schema.fields.exists(_.dataType == BinaryType),
+        s"image bytes entered a shuffle:\n${s.child.schema}")
+    }
+    val text = plans.map(_.toString).mkString
+    assert(!text.contains("CartesianProduct") && !text.contains("BroadcastNestedLoopJoin"),
+      "banding must stay an equi-join")
+  }
+
+  test("compression filter prunes the documents scan and checkpoints 2 columns") {
+    val df = Queries.qCompressionFilter(spark, dir)
+    // upstream of the checkpoint: only (doc_id, text) read from documents
+    // (the returned plan reads the aux parquet, itself 2 columns wide)
+    assert(scans(df).forall(_.schema.fieldNames.toSet
+      .subsetOf(Set("doc_id", "cratio"))))
+  }
+
   test("as-of join is one shuffle and contains no join operator") {
     import org.apache.spark.sql.functions.{col => c}
     val e = Queries.table(spark, dir, "events")
