@@ -97,4 +97,85 @@ object AudioCodec {
   def audioFeatures(bytes: Array[Byte]): Array[Float] =
     analyze(bytes).filter(_.features.nonEmpty).map(_.features)
       .getOrElse(Multimodal.decodeStub(bytes))
+
+  /** Deterministic segment amplitude (0..32767) for the near-dup WAV
+    * fixture family — the audio twin of [[ImageCodec.blockValue]]'s
+    * splitmix-style mix (a linear formula would make adjacent-segment
+    * comparisons seed-independent). */
+  def segAmp(seed: Long, seg: Int): Int = {
+    var z = seed * 2654435761L + seg * 10007L
+    z ^= z >>> 33
+    z *= 0xff51afd7ed558ccdL
+    z ^= z >>> 29
+    (z & 0x7fff).toInt
+  }
+
+  /** 65-segment blocky WAV fixture (8 kHz, 64 constant samples per
+    * segment — segments align 1:1 with [[aHash64]]'s 65 envelope buckets,
+    * so a spec or oracle re-derives the hash from [[segAmp]] arithmetic
+    * alone): segment `pSeg` is shifted +16384 (mod 32768), giving the
+    * same near-dup group structure as [[ImageCodec.encodeBlocksPng]]. */
+  def encodeBlocksWav(seed: Long, pSeg: Int): Array[Byte] = {
+    val samples = new Array[Short](65 * 64)
+    var s = 0
+    while (s < 65) {
+      val base = segAmp(seed, s)
+      val amp = (if (s == pSeg) (base + 16384) % 32768 else base).toShort
+      var i = s * 64
+      val end = i + 64
+      while (i < end) { samples(i) = amp; i += 1 }
+      s += 1
+    }
+    encodeWavPcm16(8000, samples)
+  }
+
+  /** 64-bit energy-envelope difference hash over decoded PCM — the audio
+    * analog of [[ImageCodec.dHash64]]: mean |sample| over 65 equal time
+    * slices (exact integer sums; bucket of sample i = i·65/n, floor), bit
+    * i = 1 iff envelope(i) < envelope(i+1). The hash captures the SHAPE
+    * of the loudness envelope, so re-encodes and moderate gain changes
+    * keep most bits while unrelated audio lands ~32 away. (A
+    * spectral-domain fingerprint — Chromaprint class — is the
+    * heavier-duty production choice; the JDK ships no FFT, and the
+    * envelope hash keeps the whole pipeline deterministic
+    * integer-then-fixed-IEEE arithmetic, which is what makes the gate's
+    * checkpointed hash table spec-pinnable.) None for null/undecodable
+    * or non-16-bit/non-mono content (quarantine semantics). */
+  def aHash64(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null) return None
+    try {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) return None
+        val raw = in.readAllBytes()
+        val n = raw.length / 2
+        if (n == 0) return None
+        val bb = java.nio.ByteBuffer.wrap(raw).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        val sums = new Array[Long](65)
+        val counts = new Array[Long](65)
+        var i = 0
+        while (i < n) {
+          val bkt = math.min(64, (i.toLong * 65 / n).toInt)
+          sums(bkt) += math.abs(bb.getShort(i * 2).toLong)
+          counts(bkt) += 1
+          i += 1
+        }
+        var hash = 0L
+        var b = 0
+        while (b < 64) {
+          val e0 = if (counts(b) == 0) 0.0 else sums(b).toDouble / counts(b)
+          val e1 = if (counts(b + 1) == 0) 0.0 else sums(b + 1).toDouble / counts(b + 1)
+          if (e0 < e1) hash |= (1L << b)
+          b += 1
+        }
+        Some(hash)
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+  }
 }

@@ -1621,6 +1621,49 @@ object Queries {
        | FROM cand JOIN s sa ON sa.doc_id = ida JOIN s sb ON sb.doc_id = idb)
        |WHERE hamming <= 8""".stripMargin
 
+  /** AUDIO near-dup gate — the WAV twin of [[qImageNeardup]]: 160 real
+    * PCM16 WAVs in 40 groups of 4 (shared 65-segment envelope per group,
+    * one shifted segment per member,
+    * [[graft.multimodal.AudioCodec.encodeBlocksWav]]) are
+    * envelope-fingerprinted from their ACTUAL decoded samples
+    * ([[graft.multimodal.AudioDedup.fingerprints]]); the hash table is
+    * checkpointed and the gate ships the same SQL banding + Hamming
+    * downstream. Sample-exactness of the hash is pinned in
+    * AudioDedupSpec against generator arithmetic. */
+  def qAudioNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.BinaryType
+    import graft.multimodal.{AudioCodec, AudioDedup}
+    val base = table(spark, dir, "documents")
+      .select(col("doc_id")).where(col("doc_id") < 160)
+    val schema = base.schema.add("content", BinaryType)
+    implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+    val withWav = base.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val m = (id % 4).toInt
+        org.apache.spark.sql.Row(id,
+          AudioCodec.encodeBlocksWav(id / 4, m * 13 % 65))
+      }
+    }.toDF("doc_id", "content")
+    val aux = writeOracleAux(
+      AudioDedup.fingerprints(withWav, "doc_id", "content"),
+      dir, "audio_ahash")
+    graft.dedup.TextDedup.simHashPairsFromFingerprints(
+      aux.where(col("sh").isNotNull), "doc_id", maxHamming = 8)
+  }
+
+  val qAudioNeardupSql: String =
+    s"""WITH s AS (SELECT doc_id, sh FROM ${auxSql("audio_ahash")}
+       |  WHERE sh IS NOT NULL),
+       |bd AS (SELECT doc_id, bnd, (sh >> (bnd*16)) & 65535 AS key
+       |  FROM s, (SELECT unnest(generate_series(0,3)) AS bnd)),
+       |cand AS (SELECT DISTINCT a.doc_id ida, b.doc_id idb FROM bd a
+       |  JOIN bd b ON a.bnd = b.bnd AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT ida, idb, hamming FROM (
+       | SELECT ida, idb, bit_count(xor(sa.sh, sb.sh)) AS hamming
+       | FROM cand JOIN s sa ON sa.doc_id = ida JOIN s sb ON sb.doc_id = idb)
+       |WHERE hamming <= 8""".stripMargin
+
   /** Compression-ratio quality filter (the Gopher-class deflate signal):
     * no SQL engine re-derives deflate, so the ratio column is checkpointed
     * ([[writeOracleAux]]) and the gate ships the SQL-expressible
