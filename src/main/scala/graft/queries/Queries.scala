@@ -1393,6 +1393,44 @@ object Queries {
       |   * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
       |  >= 0.2""".stripMargin
 
+  /** SEMANTIC dedup end-to-end — the embedding-space twin of the text
+    * dedup composition: exact cosine near-dup pair mining
+    * ([[graft.ann.Similarity.nearDupPairsBrute]]) → connected components
+    * over the pair graph → one survivor per semantic cluster (min id,
+    * reference keep-the-first semantics lifted to embedding space). The
+    * oracle replays all three stages in SQL: the cosine join, a recursive
+    * reachability CTE, and the survivor filter (with every node present,
+    * the survivor IS the component label). */
+  def qSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sub = table(spark, dir, "embeddings").where(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val pairs = graft.ann.Similarity.nearDupPairsBrute(
+      sub, "vec_id", "embedding", 0.3)
+    graft.dedup.Components.dedupByComponents(
+        sub.select(col("vec_id")), "vec_id", pairs, "ida", "idb")
+      .select(col("vec_id"))
+  }
+
+  val qSemanticDedupSql: String =
+    """WITH RECURSIVE v AS (
+      | SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+      |pairs AS (
+      | SELECT a.vec_id AS ida, b.vec_id AS idb
+      | FROM v a JOIN v b ON a.vec_id < b.vec_id
+      | WHERE list_sum(list_transform(generate_series(1, 64),
+      |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |   / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |    * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |   >= 0.3),
+      |sym AS (SELECT ida AS s, idb AS d FROM pairs
+      |        UNION ALL SELECT idb, ida FROM pairs),
+      |reach(id, lab) AS (
+      |  SELECT vec_id, vec_id FROM v
+      |  UNION
+      |  SELECT sym.d, reach.lab FROM reach JOIN sym ON sym.s = reach.id),
+      |comp AS (SELECT id AS vec_id, min(lab) AS comp FROM reach GROUP BY 1)
+      |SELECT vec_id FROM comp WHERE vec_id = comp""".stripMargin
+
   /** BPE pre-tokenization (oracled): the GPT-2-style regex splitter over
     * documents; output = token count + md5 fingerprint of the joined token
     * stream, so the oracle checks every token boundary without shipping
