@@ -65,6 +65,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     r("compression_ratio", es => CompressionRatio(es.head))
     r("nfc_normalize", es => NormalizeText(es.head, "NFC"))
     r("nfkc_normalize", es => NormalizeText(es.head, "NFKC"))
+    r("strip_html", es => StripHtml(es.head))
     r("intervals_overlap", es => IntervalsOverlap(es(0), es(1)))
     r("intervals_contain", es => IntervalsContain(es(0), es(1)))
     r("intervals_mindist", es => IntervalsMinDist(es(0), es(1)))

@@ -762,3 +762,119 @@ case class BloomContainsLong(child: Expression,
     copy(child = c)
   override def prettyName: String = "bloom_contains_long"
 }
+
+/** HTML → text extraction kernel (the boilerplate-removal front door of a
+  * web-crawl pipeline). Pinned semantics, chosen to be exactly replayable
+  * as a SQL regex/replace chain so the gate is cross-engine-verifiable:
+  *
+  *  1. `<script…>…</script>` / `<style…>…</style>` blocks (case-insensitive,
+  *     tag name PREFIX match, literal `</script>`/`</style>` close) → one
+  *     space; an unclosed block falls through to rule 2 (the open tag alone
+  *     is removed, content kept) — the regex `(?is)<script[^>]*>.*?</script>`
+  *     behaves identically.
+  *  2. `<…>` tags → one space; a `<` with no later `>` is literal text
+  *     (regex `<[^>]*>` can't match it either).
+  *  3. One decode pass over the remaining text for the core entities
+  *     `&lt; &gt; &quot; &#39; &apos; &nbsp; &amp;` — equal to the
+  *     sequential replace chain with `&amp;` LAST (the classic order:
+  *     `&amp;lt;` decodes to the literal text `&lt;`, never to `<`).
+  *  4. Whitespace runs `[ \t\n\r]+` collapse to one space; ends trimmed.
+  *
+  * Single forward pass, no allocation beyond the output builder. */
+object HtmlStrip {
+  private def indexOfIgnoreCase(s: String, target: String, from: Int): Int = {
+    val n = s.length - target.length
+    var i = math.max(from, 0)
+    while (i <= n) {
+      if (s.regionMatches(true, i, target, 0, target.length)) return i
+      i += 1
+    }
+    -1
+  }
+
+  def strip(s: UTF8String): UTF8String = {
+    val in = s.toString
+    val n = in.length
+    val sb = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    def emit(c: Char): Unit = {
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r') pendingSpace = true
+      else {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        pendingSpace = false
+        sb.append(c)
+      }
+    }
+    var i = 0
+    while (i < n) {
+      val c = in.charAt(i)
+      if (c == '<') {
+        val close = in.indexOf('>', i + 1)
+        if (close < 0) { emit('<'); i += 1 } // unterminated: literal text
+        else {
+          // block elements whose CONTENT is boilerplate, not text
+          val skipTo =
+            if (in.regionMatches(true, i + 1, "script", 0, 6)) {
+              val e = indexOfIgnoreCase(in, "</script>", close + 1)
+              if (e < 0) -1 else e + 9
+            } else if (in.regionMatches(true, i + 1, "style", 0, 5)) {
+              val e = indexOfIgnoreCase(in, "</style>", close + 1)
+              if (e < 0) -1 else e + 8
+            } else -1
+          pendingSpace = true
+          i = if (skipTo < 0) close + 1 else skipTo
+        }
+      } else if (c == '&') {
+        // one-pass decode of the core entity set; unknown entities literal
+        def at(lit: String): Boolean =
+          in.regionMatches(false, i, lit, 0, lit.length)
+        if (at("&lt;")) { emit('<'); i += 4 }
+        else if (at("&gt;")) { emit('>'); i += 4 }
+        else if (at("&quot;")) { emit('"'); i += 6 }
+        else if (at("&#39;")) { emit('\''); i += 5 }
+        else if (at("&apos;")) { emit('\''); i += 6 }
+        else if (at("&nbsp;")) { emit(' '); i += 6 }
+        else if (at("&amp;")) { emit('&'); i += 5 }
+        else { emit('&'); i += 1 }
+      } else { emit(c); i += 1 }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** The DuckDB/ANSI replay of [[strip]] over a text expression — kept next
+    * to the kernel so a semantics change breaks both together. */
+  def sql(input: String): String = {
+    val noScript =
+      s"regexp_replace($input, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+    val noStyle =
+      s"regexp_replace($noScript, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    val noTags = s"regexp_replace($noStyle, '<[^>]*>', ' ', 'g')"
+    val decoded = Seq(
+      "&lt;" -> "'<'", "&gt;" -> "'>'", "&quot;" -> "'\"'",
+      "&#39;" -> "''''", "&apos;" -> "''''", "&nbsp;" -> "' '",
+      "&amp;" -> "'&'"
+    ).foldLeft(noTags) { case (acc, (ent, rep)) =>
+      s"replace($acc, '$ent', $rep)"
+    }
+    s"trim(regexp_replace($decoded, '[ \\t\\n\\r]+', ' ', 'g'))"
+  }
+}
+
+/** Codegen wrapper for [[HtmlStrip.strip]]: tag/boilerplate removal +
+  * entity decode + whitespace collapse as one scan-local kernel call —
+  * no shuffle, no UDF, stays inside whole-stage codegen. */
+case class StripHtml(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    HtmlStrip.strip(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HtmlStrip.strip($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "strip_html"
+}

@@ -91,6 +91,7 @@ package object functions {
   def compression_ratio(text: Column): Column = col(CompressionRatio(ex(text)))
   def nfc_normalize(text: Column): Column = col(NormalizeText(ex(text), "NFC"))
   def nfkc_normalize(text: Column): Column = col(NormalizeText(ex(text), "NFKC"))
+  def strip_html(text: Column): Column = col(StripHtml(ex(text)))
 
   /** Register every spatial function in the session's FunctionRegistry for
     * SQL use. Idempotent. */
@@ -144,6 +145,7 @@ package object functions {
     r("compression_ratio", es => CompressionRatio(es.head))
     r("nfc_normalize", es => NormalizeText(es.head, "NFC"))
     r("nfkc_normalize", es => NormalizeText(es.head, "NFKC"))
+    r("strip_html", es => StripHtml(es.head))
   }
 
   /** Literal-int SQL argument (parameterizes an expression instance). */

@@ -2078,6 +2078,81 @@ object Queries {
        |SELECT sh.doc_id, count(DISTINCT sh.s) AS n_hits
        |FROM sh JOIN bench USING (s) WHERE sh.doc_id % 50 != 0 GROUP BY 1""".stripMargin
 
+  /** Deterministic train/valid/test split + reproducible shuffle key
+    * ([[graft.text.CorpusSplit]]): pure integer key-hash arithmetic, so a
+    * document keeps its split across reruns/repartitions/epochs and the
+    * oracle replays it exactly. The shuffle key (salt=7, a different draw
+    * than the split hash) is the sort key a writer range-partitions on —
+    * assignment itself is a scan-local projection, zero shuffle. */
+  def qCorpusSplit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.CorpusSplit
+    val splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)
+    CorpusSplit.withShuffleKey(
+      CorpusSplit.assignSplits(
+        table(spark, dir, "documents"), "doc_id", splits),
+      "doc_id", salt = 7)
+      .select(col("doc_id"), col("split"), col("shuffle_key"))
+  }
+
+  val qCorpusSplitSql: String = {
+    val splitCase = graft.text.CorpusSplit.assignSplitsSql(
+      "doc_id", Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
+    s"""SELECT doc_id, $splitCase AS split,
+       | ((doc_id + 7) * 2654435761) % 4294967296 AS shuffle_key
+       |FROM documents""".stripMargin
+  }
+
+  /** Host-level curation ([[graft.text.HostCurate]]): blocklist drop +
+    * per-host document cap (k=8) in deterministic key-hash order — the
+    * RefinedWeb-style control that stops a single host from flooding the
+    * mix. The engine runs the two-stage skew-safe top-k (stage-2 windows
+    * bounded by k·salts rows per host regardless of host skew); the oracle
+    * is the semantically-identical single-window SQL. */
+  def qHostCap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.HostCurate
+    val kept = HostCurate.dropHosts(
+      table(spark, dir, "documents"), "source", Seq("src4", "src13"))
+    HostCurate.capPerHost(kept, "source", "doc_id", k = 8)
+      .select(col("doc_id"), col("source"), col("host_rank"))
+  }
+
+  val qHostCapSql: String =
+    """SELECT doc_id, source, host_rank FROM (
+      | SELECT doc_id, source,
+      |  row_number() OVER (PARTITION BY source
+      |    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS host_rank
+      | FROM documents WHERE source NOT IN ('src4', 'src13'))
+      |WHERE host_rank <= 8""".stripMargin
+
+  /** HTML → text extraction ([[graft.functions.StripHtml]]): documents are
+    * wrapped into deterministic HTML (title/style/script/markup/entities —
+    * every kernel rule exercised), the engine strips with the one-pass
+    * codegen kernel, and the oracle replays the pinned regex/replace-chain
+    * semantics ([[graft.functions.HtmlStrip.sql]]) over the same wrap. Full
+    * stripped text ships through the comparer — every byte is gated. */
+  def qHtmlStrip(spark: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style type=\"text/css\">p { color: red; }</style></head>" +
+        "<body><script type=\"text/javascript\">var x = 1 < 2;</script><h1>Doc "),
+      col("doc_id").cast("string"),
+      lit("</h1>\n<p class=\"main\">"), col("text"),
+      lit(" &amp; more &lt;markup&gt; &quot;q&quot; &apos;x&#39; a&nbsp;b " +
+        "&foo; end</p><br/><div>tail</div></body></html>"))
+    table(spark, dir, "documents")
+      .select(col("doc_id"), strip_html(html).as("stripped"))
+  }
+
+  val qHtmlStripSql: String = {
+    val wrap = "'<html><head><title>Doc ' || doc_id || " +
+      "'</title><style type=\"text/css\">p { color: red; }</style></head>" +
+      "<body><script type=\"text/javascript\">var x = 1 < 2;</script><h1>Doc ' " +
+      "|| doc_id || '</h1>' || chr(10) || '<p class=\"main\">' || text || " +
+      "' &amp; more &lt;markup&gt; &quot;q&quot; &apos;x&#39; a&nbsp;b " +
+      "&foo; end</p><br/><div>tail</div></body></html>'"
+    s"SELECT doc_id, ${graft.functions.HtmlStrip.sql(s"($wrap)")} AS stripped FROM documents"
+  }
+
   /** Stratified mixture sampling — per-source keep rates (the data-mixing
     * step of a pre-training pipeline), deterministic via the same
     * Knuth-multiplicative key hash as q_sample so task retries and the

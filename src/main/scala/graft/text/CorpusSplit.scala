@@ -1,0 +1,80 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus organization for training runs: reproducible
+  * train/validation/test SPLIT assignment and a pseudorandom SHUFFLE key
+  * that fixes the global training order without a global sort.
+  *
+  * Both are pure integer arithmetic over the record id (Knuth's 32-bit
+  * multiplicative hash), so they are exactly replayable in any SQL engine,
+  * stable under retries/re-partitioning, and free of driver state. At
+  * 100 TB this matters more than randomness quality: a split that depends
+  * on row order or an RNG seed-per-partition silently reshuffles when the
+  * file layout changes; a key-hash split never does.
+  *
+  * Scale shape: split assignment is a scan-local projection (no shuffle).
+  * Materializing the shuffled ORDER is one range-partitioned sort by
+  * `shuffle_key` (`repartitionByRange(...).sortWithinPartitions(...)` at
+  * write time) — the only shuffle, and exactly the one the semantics
+  * require. Re-shuffling per epoch = a different `salt`, nothing re-read.
+  */
+object CorpusSplit {
+
+  /** Knuth multiplicative constant (2^32 · golden-ratio conjugate). */
+  val KnuthA = 2654435761L
+  val Mod = 4294967296L
+
+  /** 32-bit multiplicative key hash in [0, 2^32) — cross-engine exact.
+    * `salt` shifts the hash (epoch re-shuffle / independent draws); the
+    * multiply happens AFTER the salt add so a salt change avalanches. */
+  def keyHash(id: Column, salt: Long = 0L): Column =
+    pmod((id + lit(salt)) * lit(KnuthA), lit(Mod))
+
+  /** Assign each row to the first split whose cumulative weight bucket
+    * contains `keyHash(id)`. Weights are relative (need not sum to 1);
+    * the boundary arithmetic floors to integers of 2^32 so the SQL twin
+    * is bit-exact. Adds `split` (string). Deterministic in the id alone —
+    * a document keeps its split across reruns, epochs and repartitions,
+    * which is what keeps eval sets uncontaminated over a corpus's life. */
+  def assignSplits(df: DataFrame, idCol: String,
+                   splits: Seq[(String, Double)],
+                   salt: Long = 0L): DataFrame = {
+    require(splits.nonEmpty, "assignSplits: at least one split")
+    val total = splits.map(_._2).sum
+    require(total > 0, "assignSplits: weights must sum > 0")
+    // cumulative integer thresholds out of 2^32 (last pinned to 2^32 so
+    // FP accumulation can never leave a hash unassigned)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.floor(c / total * Mod).toLong)
+    val bounds = cum.dropRight(1) :+ Mod
+    val h = keyHash(col(idCol), salt)
+    val expr = splits.zip(bounds).reverse.foldLeft(lit(null).cast("string")) {
+      case (acc, ((name, _), hi)) => when(h < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** SQL fragment (DuckDB/ANSI) computing the same split column — the
+    * oracle twin of [[assignSplits]]; kept next to the Scala so a boundary
+    * change breaks both together. */
+  def assignSplitsSql(idCol: String, splits: Seq[(String, Double)],
+                      salt: Long = 0L): String = {
+    val total = splits.map(_._2).sum
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.floor(c / total * Mod).toLong)
+    val bounds = cum.dropRight(1) :+ Mod
+    val h = s"(($idCol + $salt) * $KnuthA) % $Mod"
+    val cases = splits.zip(bounds).map { case ((name, _), hi) =>
+      s"WHEN $h < $hi THEN '$name'"
+    }.mkString(" ")
+    s"CASE $cases END"
+  }
+
+  /** Add a deterministic `shuffle_key` column: ORDER BY it (or
+    * `repartitionByRange` on it at write time) is the reproducible global
+    * shuffle of the corpus. One key hash — no RNG, no zipWithIndex. */
+  def withShuffleKey(df: DataFrame, idCol: String, salt: Long = 0L): DataFrame =
+    df.withColumn("shuffle_key", keyHash(col(idCol), salt))
+}

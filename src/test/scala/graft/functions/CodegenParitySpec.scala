@@ -177,4 +177,41 @@ class CodegenParitySpec extends SparkTestBase {
     assert(byId(3L).isNullAt(3))             // single empty token covered -> null
     assert(byId(4L).isNullAt(3))             // both tokens covered -> null
   }
+
+  private def htmlResults(mode: String): Seq[Row] = {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "<p>a</p> <p>b</p>"),
+      (2L, "<ScRiPt>var x = 1 < 2;</SCRIPT>kept"),
+      (3L, "<style>p{}</style>x<styleless>y</styleless>z"),
+      (4L, "&amp;lt; is literal, &lt; decodes, &bogus; stays"),
+      (5L, "a < b and <unterminated forever"),
+      (6L, "  \t\n lots   of\r\nspace  "),
+      (7L, "<script>no close tag eats rest? no:</p>tail")
+    ).toDF("id", "html")
+    spark.conf.set("spark.sql.codegen.factoryMode", mode)
+    try df.select(col("id"), strip_html(col("html")).as("s"))
+      .orderBy("id").collect().toSeq
+    finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
+  test("strip_html: generated code bit-matches interpreted eval; kernel rules pinned") {
+    val gen = htmlResults("CODEGEN_ONLY")
+    assert(gen == htmlResults("NO_CODEGEN"))
+    val byId = gen.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(1L) == "a b")
+    // script block removed case-insensitively, content (with its '<') gone
+    assert(byId(2L) == "kept")
+    // style PREFIX match: <styleless> opens a block closed by </styleless>?
+    // no — block close is the literal </style>, absent, so both styleless
+    // tags fall through to plain tag removal (regex parity)
+    assert(byId(3L) == "x y z")
+    // one-pass entity decode: &amp;lt; -> literal "&lt;", unknown stays
+    assert(byId(4L) == "&lt; is literal, < decodes, &bogus; stays")
+    // '<' with no later '>' is literal text
+    assert(byId(5L) == "a < b and <unterminated forever")
+    assert(byId(6L) == "lots of space")
+    // unclosed <script> degrades to tag removal, content kept
+    assert(byId(7L) == "no close tag eats rest? no: tail")
+  }
 }

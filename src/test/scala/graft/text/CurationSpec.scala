@@ -1,0 +1,95 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(n: Int) =
+    (0L until n.toLong).map(id => (id, s"h${id % 7}", s"doc $id"))
+      .toDF("doc_id", "host", "text")
+
+  test("assignSplits partitions the corpus, near the requested weights") {
+    val splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val out = CorpusSplit.assignSplits(docs(2000), "doc_id", splits)
+    assert(out.where($"split".isNull).count() == 0, "every row assigned")
+    val counts = out.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "valid", "test"))
+    assert(counts("train") > 1500 && counts("train") < 1700,
+      s"train ~0.8 of 2000, got ${counts("train")}")
+    assert(counts("valid") > 120 && counts("valid") < 280)
+  }
+
+  test("split assignment is a pure function of id: stable under reorder and repartition") {
+    val splits = Seq("a" -> 0.5, "b" -> 0.5)
+    val base = CorpusSplit.assignSplits(docs(500), "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val shuffled = CorpusSplit.assignSplits(
+      docs(500).orderBy(rand(42)).repartition(13), "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(base == shuffled)
+  }
+
+  test("a different salt reshuffles; the same salt is identical; SQL twin stays in sync") {
+    val s0 = CorpusSplit.withShuffleKey(docs(300), "doc_id", salt = 0)
+    val s0b = CorpusSplit.withShuffleKey(docs(300), "doc_id", salt = 0)
+    val s1 = CorpusSplit.withShuffleKey(docs(300), "doc_id", salt = 1)
+    val k0 = s0.select("doc_id", "shuffle_key").as[(Long, Long)].collect().toMap
+    val k0b = s0b.select("doc_id", "shuffle_key").as[(Long, Long)].collect().toMap
+    val k1 = s1.select("doc_id", "shuffle_key").as[(Long, Long)].collect().toMap
+    assert(k0 == k0b)
+    assert(k0 != k1, "salt must change the order")
+    // the emitted SQL twin evaluates to the same assignment via Spark SQL
+    val sqlExpr = CorpusSplit.assignSplitsSql(
+      "doc_id", Seq("x" -> 0.3, "y" -> 0.7), salt = 5)
+    val viaSql = docs(300).selectExpr("doc_id", s"$sqlExpr AS split")
+      .as[(Long, String)].collect().toMap
+    val viaScala = CorpusSplit.assignSplits(
+        docs(300), "doc_id", Seq("x" -> 0.3, "y" -> 0.7), salt = 5)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(viaSql == viaScala)
+  }
+
+  test("capPerHost equals the single-window reference, including under host skew") {
+    // host h0 gets 400 extra docs — the skew case the two-stage form exists for
+    val skewed = docs(200).unionByName(
+      (1000L until 1400L).map(id => (id, "h0", s"doc $id"))
+        .toDF("doc_id", "host", "text"))
+    for (k <- Seq(1, 5, 17); salts <- Seq(1, 4, 32)) {
+      val fast = HostCurate.capPerHost(skewed, "host", "doc_id", k, salts)
+        .select("doc_id", "host", "host_rank")
+        .as[(Long, String, Int)].collect().toSet
+      val ref = HostCurate.capPerHostReference(skewed, "host", "doc_id", k)
+        .select("doc_id", "host", "host_rank")
+        .as[(Long, String, Int)].collect().toSet
+      assert(fast == ref, s"k=$k salts=$salts")
+    }
+  }
+
+  test("capPerHost keeps at most k per host and ranks 1..k densely") {
+    val out = HostCurate.capPerHost(docs(300), "host", "doc_id", k = 9)
+      .groupBy("host").agg(count(lit(1)).as("n"), max("host_rank").as("mx"),
+        min("host_rank").as("mn"))
+      .as[(String, Long, Int, Int)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (h, n, mx, mn) =>
+      assert(n <= 9 && mx == n && mn == 1, s"host $h: n=$n mx=$mx mn=$mn")
+    }
+  }
+
+  test("blocklist drops exactly the blocked hosts, both forms") {
+    val d = docs(140)
+    val lit = HostCurate.dropHosts(d, "host", Seq("h1", "h3"))
+    assert(lit.select("host").distinct().as[String].collect().toSet ==
+      Set("h0", "h2", "h4", "h5", "h6"))
+    val rel = HostCurate.dropHostsRelation(d, "host",
+      Seq("h1", "h3").toDF("bad"), "bad")
+    assert(rel.select("doc_id").as[Long].collect().toSet ==
+      lit.select("doc_id").as[Long].collect().toSet)
+    assert(rel.columns.toSeq == d.columns.toSeq,
+      "anti-join must preserve the original projection")
+  }
+}
