@@ -1553,6 +1553,47 @@ object Queries {
         floor(col("score") * 1e6).as("score_micro"))
   }
 
+  /** N-gram LM quality scoring ([[graft.text.NgramLm]] — the CCNet
+    * perplexity-filter class): model trained on the doc_id%5==0 reference
+    * slice, every document scored by mean per-gram log-probability. FP
+    * accumulation makes raw scores engine-specific, so the gate uses the
+    * bm25 checkpoint pattern: the score relation is written once, BOTH
+    * engines consume those identical bits, and the shipped downstream is
+    * all-integer — floor(logp·1e6), the head/middle/tail band split the
+    * filter would act on, and the per-band rank. Formula itself is
+    * spec-pinned against a driver reference in NgramLmSpec. */
+  def qLmScore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.NgramLm
+    val docs = table(spark, dir, "documents")
+    val model = NgramLm.train(
+      docs.where(col("doc_id") % 5 === 0), "text", n = 3, topV = 2000)
+    val aux = writeOracleAux(
+      NgramLm.score(docs, "doc_id", "text", model, n = 3, alpha = 0.5),
+      dir, "lm_scores")
+    val micro = aux.select(col("doc_id"), col("n_grams"),
+      floor(col("logp") * 1e6).as("lp_micro"))
+    val banded = micro.withColumn("band",
+      when(col("lp_micro") >= -5360000L, "head")
+        .when(col("lp_micro") >= -5400000L, "middle")
+        .otherwise("tail"))
+    val w = Window.partitionBy(col("band"))
+      .orderBy(col("lp_micro").desc, col("doc_id").asc)
+    banded.withColumn("band_rank", row_number().over(w))
+  }
+
+  val qLmScoreSql: String =
+    s"""WITH s AS (SELECT doc_id, n_grams,
+       |  CAST(floor(logp * 1e6) AS BIGINT) AS lp_micro
+       |  FROM ${auxSql("lm_scores")}),
+       |b AS (SELECT doc_id, n_grams, lp_micro,
+       |  CASE WHEN lp_micro >= -5360000 THEN 'head'
+       |       WHEN lp_micro >= -5400000 THEN 'middle'
+       |       ELSE 'tail' END AS band FROM s)
+       |SELECT doc_id, n_grams, lp_micro, band,
+       | row_number() OVER (PARTITION BY band
+       |   ORDER BY lp_micro DESC, doc_id ASC) AS band_rank
+       |FROM b""".stripMargin
+
   /** STREAMING incremental dedup gate — the full corpus-refresh lifecycle
     * ([[graft.streaming.DedupIngest]]): batch 1 (doc_id%3==1) lands as the
     * first microbatch of a real foreachBatch Structured Streaming query,
