@@ -66,6 +66,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     r("nfc_normalize", es => NormalizeText(es.head, "NFC"))
     r("nfkc_normalize", es => NormalizeText(es.head, "NFKC"))
     r("strip_html", es => StripHtml(es.head))
+    r("cdc_chunks", es => CdcChunks(es(0),
+      graft.functions.sqlFoldInt(es(1), "cdc_chunks min"),
+      graft.functions.sqlFoldInt(es(2), "cdc_chunks avgBits"),
+      graft.functions.sqlFoldInt(es(3), "cdc_chunks max")))
     r("intervals_overlap", es => IntervalsOverlap(es(0), es(1)))
     r("intervals_contain", es => IntervalsContain(es(0), es(1)))
     r("intervals_mindist", es => IntervalsMinDist(es(0), es(1)))

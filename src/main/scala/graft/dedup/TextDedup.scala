@@ -41,7 +41,21 @@ object TextDedup {
     val sh0 = fanOut(df).select(col(idCol),
       explode(transform(TextFunctions.wordShingles(col(textCol), n),
         s => xxhash64(s))).as("shash"))
-    val sh = (maxShingleDocFreq match {
+    keyJaccardPairs(sh0, idCol, "shash", threshold, maxShingleDocFreq)
+  }
+
+  /** Exact Jaccard similar pairs over an arbitrary per-id KEY-SET relation
+    * (idA < idB, jaccard >= t) — the engine under [[ngramJaccardPairs]],
+    * shared by binary chunk dedup ([[BinaryDedup]]) and container-level
+    * video dedup. Caller contract: (id, key) rows are DISTINCT (the counts
+    * below are set sizes). Same scale shape as the shingle form: one
+    * persist of the 16-byte key rows feeding three consumers, optional
+    * hot-key cap, pinned shuffled hash join. */
+  def keyJaccardPairs(keys0: DataFrame, idCol: String, keyCol: String,
+                      threshold: Double,
+                      maxKeyDocFreq: Option[Int] = None): DataFrame = {
+    val sh0 = keys0.select(col(idCol), col(keyCol).as("shash"))
+    val sh = (maxKeyDocFreq match {
       case Some(cap) =>
         val hot = sh0.groupBy("shash").count().where(col("count") > cap)
           .select("shash")

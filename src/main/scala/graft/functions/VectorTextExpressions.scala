@@ -878,3 +878,115 @@ case class StripHtml(child: Expression)
     copy(child = c)
   override def prettyName: String = "strip_html"
 }
+
+/** Content-defined chunking (Gear/FastCDC class) — the blob-dedup
+  * primitive: boundaries are picked where a rolling hash of the last bytes
+  * hits a mask, so an insertion early in a blob only perturbs the chunk it
+  * lands in; every later boundary RE-SYNCS and the chunks (and their
+  * hashes) match again. That resynchronization is what makes chunk-set
+  * overlap a usable near-duplicate signal for binary columns at corpus
+  * scale — fixed-size blocks lose alignment forever after one inserted
+  * byte.
+  *
+  * Gear table: 256 splitmix64 constants (deterministic, seed = byte
+  * value); rolling state `h = (h << 1) + gear(b)`; boundary when the top
+  * `avgBits` bits of h are zero (expected chunk ≈ 2^avgBits bytes),
+  * subject to min/max chunk bounds (max forces a cut, min suppresses
+  * early cuts; both also bound memory). Chunk ids are FNV-1a-64 +
+  * splitmix finalizer over the chunk bytes ([[Hash64.hash]]'s byte
+  * twin). */
+object CdcChunker {
+  private val gear: Array[Long] = Array.tabulate(256) { i =>
+    var z = i.toLong + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def hashRange(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h += 0x9e3779b97f4a7c15L
+    h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+    h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+    h ^ (h >>> 31)
+  }
+
+  /** Chunk boundary END offsets (exclusive), always ending at length. */
+  def boundaries(bytes: Array[Byte], minSize: Int, avgBits: Int,
+                 maxSize: Int): Array[Int] = {
+    val mask = ~((1L << (64 - avgBits)) - 1L) // top avgBits bits
+    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    val n = bytes.length
+    var start = 0
+    while (start < n) {
+      var h = 0L
+      var i = start
+      var cut = -1
+      val hardEnd = math.min(start + maxSize, n)
+      while (i < hardEnd && cut < 0) {
+        h = (h << 1) + gear(bytes(i) & 0xff)
+        i += 1
+        if (i - start >= minSize && (h & mask) == 0L) cut = i
+      }
+      val end = if (cut > 0) cut else hardEnd
+      out += end
+      start = end
+    }
+    out.toArray
+  }
+
+  /** Chunk hashes of a blob (one long per chunk, in order). Empty input →
+    * empty array. */
+  def chunkHashes(bytes: Array[Byte], minSize: Int, avgBits: Int,
+                  maxSize: Int): Array[Long] = {
+    val ends = boundaries(bytes, minSize, avgBits, maxSize)
+    val out = new Array[Long](ends.length)
+    var start = 0
+    var i = 0
+    while (i < ends.length) {
+      out(i) = hashRange(bytes, start, ends(i))
+      start = ends(i)
+      i += 1
+    }
+    out
+  }
+
+  /** Boxed-array form for the codegen call (ArrayData wants a fresh
+    * GenericArrayData; primitive longs are fine). */
+  def chunkArray(bytes: Array[Byte], minSize: Int, avgBits: Int,
+                 maxSize: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      chunkHashes(bytes, minSize, avgBits, maxSize))
+}
+
+/** Codegen wrapper: `cdc_chunks(bin, min, avgBits, max)` → array<long> of
+  * content-defined chunk hashes. One scan-local pass per blob; the blob
+  * bytes never leave the scan — only 8-byte chunk ids flow into the dedup
+  * join. */
+case class CdcChunks(child: Expression, minSize: Int, avgBits: Int,
+                     maxSize: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(minSize >= 1 && maxSize >= minSize,
+    s"cdc_chunks: need 1 <= minSize <= maxSize, got $minSize/$maxSize")
+  require(avgBits >= 1 && avgBits <= 48,
+    s"cdc_chunks: avgBits out of range: $avgBits")
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    CdcChunker.chunkArray(v.asInstanceOf[Array[Byte]], minSize, avgBits, maxSize)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CdcChunker.chunkArray($c, $minSize, $avgBits, $maxSize)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "cdc_chunks"
+}

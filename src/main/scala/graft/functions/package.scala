@@ -92,6 +92,8 @@ package object functions {
   def nfc_normalize(text: Column): Column = col(NormalizeText(ex(text), "NFC"))
   def nfkc_normalize(text: Column): Column = col(NormalizeText(ex(text), "NFKC"))
   def strip_html(text: Column): Column = col(StripHtml(ex(text)))
+  def cdc_chunks(bin: Column, minSize: Int, avgBits: Int, maxSize: Int): Column =
+    col(CdcChunks(ex(bin), minSize, avgBits, maxSize))
 
   /** Register every spatial function in the session's FunctionRegistry for
     * SQL use. Idempotent. */
@@ -146,6 +148,8 @@ package object functions {
     r("nfc_normalize", es => NormalizeText(es.head, "NFC"))
     r("nfkc_normalize", es => NormalizeText(es.head, "NFKC"))
     r("strip_html", es => StripHtml(es.head))
+    r("cdc_chunks", es => CdcChunks(es(0), sqlFoldInt(es(1), "cdc_chunks min"),
+      sqlFoldInt(es(2), "cdc_chunks avgBits"), sqlFoldInt(es(3), "cdc_chunks max")))
   }
 
   /** Literal-int SQL argument (parameterizes an expression instance). */

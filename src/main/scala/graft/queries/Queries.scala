@@ -1594,6 +1594,44 @@ object Queries {
        |   ORDER BY lp_micro DESC, doc_id ASC) AS band_rank
        |FROM b""".stripMargin
 
+  /** Content-defined-chunking blob dedup ([[graft.dedup.BinaryDedup]]):
+    * each document yields two binary blobs — its repeated text and a
+    * prefix-mutated twin — so the defining CDC property (boundaries
+    * re-sync after an insertion; fixed blocks would never realign) is what
+    * actually produces the pairs. The distinct chunk relation is
+    * checkpointed and BOTH engines consume those bits: the engine runs
+    * [[graft.dedup.TextDedup.keyJaccardPairs]] over it, the oracle the
+    * same join/threshold in SQL (jaccard = one division of exact ints —
+    * FP-exact). Kernel semantics (bounds, re-sync, determinism) are
+    * spec-pinned in BinaryDedupSpec. */
+  def qCdcDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.{BinaryDedup, TextDedup}
+    val base = table(spark, dir, "documents").where(col("doc_id") < 200)
+    val blobs = base.select(explode(array(
+        struct((col("doc_id") * 2).as("bid"),
+          encode(repeat(col("text"), 8), "UTF-8").as("content")),
+        struct((col("doc_id") * 2 + 1).as("bid"),
+          encode(concat(lit("MUTATED-PREFIX::"), repeat(col("text"), 8)),
+            "UTF-8").as("content")))).as("b"))
+      .select(col("b.bid").as("bid"), col("b.content").as("content"))
+    val chunks = BinaryDedup.chunkTable(blobs, "bid", "content",
+      minSize = 64, avgBits = 8, maxSize = 1024)
+    val aux = writeOracleAux(chunks, dir, "cdc_chunks")
+    TextDedup.keyJaccardPairs(aux, "bid", "chash", 0.5)
+  }
+
+  val qCdcDedupSql: String =
+    s"""WITH c AS (SELECT bid, chash FROM ${auxSql("cdc_chunks")}),
+       |n AS (SELECT bid, count(*) AS nc FROM c GROUP BY 1),
+       |shared AS (SELECT a.bid AS ida, b.bid AS idb, count(*) AS sh
+       |  FROM c a JOIN c b ON a.chash = b.chash AND a.bid < b.bid
+       |  GROUP BY 1, 2)
+       |SELECT ida, idb,
+       | CAST(sh AS DOUBLE) / (na.nc + nb.nc - sh) AS jaccard
+       |FROM shared
+       |JOIN n na ON na.bid = ida JOIN n nb ON nb.bid = idb
+       |WHERE CAST(sh AS DOUBLE) / (na.nc + nb.nc - sh) >= 0.5""".stripMargin
+
   /** STREAMING incremental dedup gate — the full corpus-refresh lifecycle
     * ([[graft.streaming.DedupIngest]]): batch 1 (doc_id%3==1) lands as the
     * first microbatch of a real foreachBatch Structured Streaming query,

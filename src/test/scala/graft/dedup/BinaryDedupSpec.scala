@@ -1,0 +1,89 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.CdcChunker
+
+class BinaryDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def blob(seed: Long, n: Int): Array[Byte] = {
+    val r = new scala.util.Random(seed)
+    val b = new Array[Byte](n)
+    r.nextBytes(b)
+    b
+  }
+
+  test("CDC boundaries: cover the input, respect min/max, deterministic") {
+    val data = blob(1, 20000)
+    val ends = CdcChunker.boundaries(data, 64, 8, 1024)
+    assert(ends.last == data.length)
+    assert(ends.toSeq == ends.sorted.toSeq && ends.distinct.length == ends.length)
+    val sizes = ends.zip(0 +: ends.dropRight(1).toSeq).map { case (e, s) => e - s }
+    // every chunk but possibly the LAST respects the min bound; all respect max
+    sizes.dropRight(1).foreach(sz => assert(sz >= 64, s"chunk $sz < min"))
+    sizes.foreach(sz => assert(sz <= 1024, s"chunk $sz > max"))
+    // avg near 2^8 (loose band: mask hits are geometric)
+    val avg = sizes.sum.toDouble / sizes.length
+    assert(avg > 100 && avg < 700, s"avg chunk $avg far from 256")
+    assert(CdcChunker.chunkHashes(data, 64, 8, 1024).toSeq ==
+      CdcChunker.chunkHashes(data.clone(), 64, 8, 1024).toSeq)
+  }
+
+  test("the defining CDC property: boundaries re-sync after a prefix insertion") {
+    val data = blob(2, 16000)
+    val shifted = "INSERTED".getBytes("UTF-8") ++ data
+    val a = CdcChunker.chunkHashes(data, 64, 8, 1024).toSet
+    val b = CdcChunker.chunkHashes(shifted, 64, 8, 1024).toSet
+    val shared = (a intersect b).size
+    // all but the first chunk (or two, if the insertion bridges a cut)
+    // must re-sync; fixed-size blocking would share ZERO blocks
+    assert(shared >= a.size - 2,
+      s"only $shared of ${a.size} chunks re-synced after insertion")
+    val jac = shared.toDouble / (a.size + b.size - shared)
+    assert(jac > 0.7, s"jaccard $jac")
+  }
+
+  test("empty input yields no chunks; sub-min blob yields one whole chunk") {
+    assert(CdcChunker.chunkHashes(Array.emptyByteArray, 64, 8, 1024).isEmpty)
+    val tiny = blob(3, 40) // < minSize
+    val hs = CdcChunker.chunkHashes(tiny, 64, 8, 1024)
+    assert(hs.length == 1)
+  }
+
+  test("cdc_chunks expression: codegen bit-matches interpreted; null-safe") {
+    val df = Seq((1L, blob(4, 5000)), (2L, Array.emptyByteArray),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("id", "content")
+    def run(mode: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try df.select(col("id"),
+          graft.functions.cdc_chunks(col("content"), 64, 8, 1024).as("c"))
+        .orderBy("id").collect().toSeq
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    val gen = run("CODEGEN_ONLY")
+    assert(gen == run("NO_CODEGEN"))
+    assert(gen(0).getSeq[Long](1).nonEmpty)
+    assert(gen(1).getSeq[Long](1).isEmpty)
+    assert(gen(2).isNullAt(1))
+    // SQL registration agrees with the Column form
+    df.createOrReplaceTempView("cdc_blobs")
+    graft.functions.registerAll(spark)
+    val viaSql = spark.sql(
+      "SELECT id, cdc_chunks(content, 64, 8, 1024) AS c FROM cdc_blobs")
+      .orderBy("id").collect().toSeq
+    assert(viaSql == gen)
+  }
+
+  test("nearDupPairs finds the mutated twin and not unrelated blobs") {
+    val a = blob(10, 8000)
+    val aMut = "PREFIX::".getBytes("UTF-8") ++ a
+    val b = blob(11, 8000)
+    val df = Seq((1L, a), (2L, aMut), (3L, b)).toDF("id", "content")
+    val pairs = BinaryDedup.nearDupPairs(df, "id", "content", 0.5,
+        minSize = 64, avgBits = 8, maxSize = 1024)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
