@@ -146,6 +146,22 @@ object Hash64 {
     h ^ (h >>> 31)
   }
 
+  /** FNV-1a 64 + splitmix finalizer over a byte RANGE — the binary twin of
+    * [[hash]], shared by the CDC chunker and the video sample hasher. */
+  def hashByteRange(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h += 0x9e3779b97f4a7c15L
+    h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+    h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+    h ^ (h >>> 31)
+  }
+
   /** SimHash64 kernel — shared by the interpreted eval and the generated
     * code (a top-level object gets Java static forwarders, so codegen calls
     * `graft.functions.Hash64.simhash(...)` directly). */
@@ -903,20 +919,6 @@ object CdcChunker {
     z ^ (z >>> 31)
   }
 
-  private def hashRange(bytes: Array[Byte], from: Int, until: Int): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = from
-    while (i < until) {
-      h ^= (bytes(i) & 0xffL)
-      h *= 0x100000001b3L
-      i += 1
-    }
-    h += 0x9e3779b97f4a7c15L
-    h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
-    h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
-    h ^ (h >>> 31)
-  }
-
   /** Chunk boundary END offsets (exclusive), always ending at length. */
   def boundaries(bytes: Array[Byte], minSize: Int, avgBits: Int,
                  maxSize: Int): Array[Int] = {
@@ -950,7 +952,7 @@ object CdcChunker {
     var start = 0
     var i = 0
     while (i < ends.length) {
-      out(i) = hashRange(bytes, start, ends(i))
+      out(i) = Hash64.hashByteRange(bytes, start, ends(i))
       start = ends(i)
       i += 1
     }

@@ -42,6 +42,107 @@ object VideoCodec {
     ftyp ++ moov
   }
 
+  /** Minimal MP4 WITH a real sample table: ftyp + moov(mvhd +
+    * trak/mdia/minf/stbl/stsz) + mdat holding the concatenated sample
+    * payloads. stsz carries per-sample sizes (sample_size=0 → table
+    * form), which is all [[parseSampleHashes]] needs to recover each
+    * sample's byte range. */
+  def encodeMp4WithSamples(timescale: Int, duration: Int,
+                           samples: Array[Array[Byte]]): Array[Byte] = {
+    def box(kind: String, payload: Array[Byte]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(8 + payload.length)
+      buf.putInt(8 + payload.length)
+      buf.put(kind.getBytes("US-ASCII"))
+      buf.put(payload)
+      buf.array()
+    }
+    val meta = encodeMp4Meta(timescale, duration)
+    // encodeMp4Meta = ftyp ++ moov(mvhd); rebuild moov to add the trak
+    val stszPayload = java.nio.ByteBuffer.allocate(12 + 4 * samples.length)
+    stszPayload.putInt(0)              // version+flags
+    stszPayload.putInt(0)              // sample_size = 0 -> per-sample table
+    stszPayload.putInt(samples.length) // sample_count
+    samples.foreach(s => stszPayload.putInt(s.length))
+    val trak = box("trak", box("mdia", box("minf",
+      box("stbl", box("stsz", stszPayload.array())))))
+    val mvhdBox = {
+      // extract the mvhd box bytes from the meta's moov (fixed layout:
+      // ftyp is 24 bytes, moov header 8, then mvhd)
+      java.util.Arrays.copyOfRange(meta, 32, meta.length)
+    }
+    val moov = box("moov", mvhdBox ++ trak)
+    val ftyp = java.util.Arrays.copyOfRange(meta, 0, 24)
+    val mdat = box("mdat", samples.flatten)
+    ftyp ++ moov ++ mdat
+  }
+
+  /** Per-sample content hashes from the REAL container structure: stsz
+    * sizes partition the mdat payload into sample byte ranges, each hashed
+    * with the engine's shared byte-range hash. None (quarantine) for
+    * null/truncated/structurally-inconsistent bytes — including an stsz
+    * that claims more bytes than mdat holds. Pixel-level decode still has
+    * no JDK codec; this is the honest container-aware signature a
+    * dedup pass can extract without native decoders. */
+  def parseSampleHashes(bytes: Array[Byte]): Option[Array[Long]] = {
+    if (bytes == null || bytes.length < 8) return None
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      def findBox(start: Int, end: Int, kind: String): Option[(Int, Int)] = {
+        var off = start
+        while (off + 8 <= end) {
+          val size = bb.getInt(off).toLong & 0xffffffffL
+          val k = new String(bytes, off + 4, 4, "US-ASCII")
+          if (size < 8 || off + size > end) return None
+          if (k == kind) return Some((off + 8, off + size.toInt))
+          off += size.toInt
+        }
+        None
+      }
+      def findPath(start: Int, end: Int, path: List[String]): Option[(Int, Int)] =
+        path match {
+          case Nil => Some((start, end))
+          case k :: rest => findBox(start, end, k).flatMap {
+            case (s, e) => findPath(s, e, rest)
+          }
+        }
+      for {
+        (stszStart, stszEnd) <- findPath(0, bytes.length,
+          List("moov", "trak", "mdia", "minf", "stbl", "stsz"))
+        (mdatStart, mdatEnd) <- findBox(0, bytes.length, "mdat")
+        hashes <- {
+          if (stszStart + 12 > stszEnd) None
+          else {
+            val fixedSize = bb.getInt(stszStart + 4)
+            val count = bb.getInt(stszStart + 8)
+            if (count < 0 || fixedSize < 0) None
+            else {
+              val sizes: Option[Array[Int]] =
+                if (fixedSize > 0) Some(Array.fill(count)(fixedSize))
+                else if (stszStart + 12 + 4L * count > stszEnd) None
+                else Some(Array.tabulate(count)(i =>
+                  bb.getInt(stszStart + 12 + 4 * i)))
+              sizes.flatMap { sz =>
+                if (sz.exists(_ < 0)) None
+                else {
+                  val total = sz.foldLeft(0L)(_ + _)
+                  if (total > (mdatEnd - mdatStart).toLong) None
+                  else {
+                    var off = mdatStart
+                    Some(sz.map { s =>
+                      val h = graft.functions.Hash64.hashByteRange(bytes, off, off + s)
+                      off += s
+                      h
+                    })
+                  }
+                }
+              }
+            }
+          }
+        }
+      } yield hashes
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
   /** Walk the top-level boxes for `moov`, then its children for `mvhd`
     * (v0 or v1); None for null/non-MP4/truncated bytes — quarantine
     * semantics, never a throw. */

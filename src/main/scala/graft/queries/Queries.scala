@@ -1594,6 +1594,56 @@ object Queries {
        |   ORDER BY lp_micro DESC, doc_id ASC) AS band_rank
        |FROM b""".stripMargin
 
+  /** VIDEO near-dup gate — the container lane of the multimodal dedup
+    * triad: 120 real ISO-BMFF files in 30 groups of 4, each group sharing
+    * 12 sample payloads with member m swapping sample m for a
+    * member-unique payload. [[graft.multimodal.VideoDedup.sampleHashes]]
+    * recovers per-sample hashes from the ACTUAL stsz+mdat structure, the
+    * 8-byte hash relation is checkpointed, and both engines run the
+    * identical Jaccard join downstream (in-group expected 10/14 = 0.714 ≥
+    * 0.6; cross-group shares nothing). Structure round-trip + quarantine
+    * are spec-pinned in VideoDedupSpec. */
+  def qVideoNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.BinaryType
+    import graft.multimodal.{VideoCodec, VideoDedup}
+    import graft.dedup.TextDedup
+    val base = table(spark, dir, "documents")
+      .select(col("doc_id")).where(col("doc_id") < 120)
+    val schema = base.schema.add("content", BinaryType)
+    implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+    val withMp4 = base.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val group = id / 4
+        val member = (id % 4).toInt
+        val samples = Array.tabulate(12) { s =>
+          if (s == member)
+            Array.tabulate(96)(j => ((id * 13 + j * 5 + 7) % 251).toByte)
+          else
+            Array.tabulate(96)(j => ((group * 31 + s * 7 + j) % 251).toByte)
+        }
+        org.apache.spark.sql.Row(id,
+          VideoCodec.encodeMp4WithSamples(1000, 12000, samples))
+      }
+    }.toDF("doc_id", "content")
+    val aux = writeOracleAux(
+      VideoDedup.sampleHashes(withMp4, "doc_id", "content"),
+      dir, "video_samples")
+    TextDedup.keyJaccardPairs(aux, "doc_id", "shash", 0.6)
+  }
+
+  val qVideoNeardupSql: String =
+    s"""WITH c AS (SELECT doc_id, shash FROM ${auxSql("video_samples")}),
+       |n AS (SELECT doc_id, count(*) AS nc FROM c GROUP BY 1),
+       |shared AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS sh
+       |  FROM c a JOIN c b ON a.shash = b.shash AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT ida, idb,
+       | CAST(sh AS DOUBLE) / (na.nc + nb.nc - sh) AS jaccard
+       |FROM shared
+       |JOIN n na ON na.doc_id = ida JOIN n nb ON nb.doc_id = idb
+       |WHERE CAST(sh AS DOUBLE) / (na.nc + nb.nc - sh) >= 0.6""".stripMargin
+
   /** Content-defined-chunking blob dedup ([[graft.dedup.BinaryDedup]]):
     * each document yields two binary blobs — its repeated text and a
     * prefix-mutated twin — so the defining CDC property (boundaries
