@@ -135,6 +135,92 @@ class PlanHealthSpec extends SparkTestBase {
       .subsetOf(Set("doc_id", "cratio"))))
   }
 
+  test("CDC blob dedup shuffles only 8-byte chunk ids, never blob bytes") {
+    import org.apache.spark.sql.types.BinaryType
+    val spark2 = spark
+    import spark2.implicits._
+    val r = new scala.util.Random(5)
+    val blobs = (0L until 10L).map { id =>
+      val b = new Array[Byte](4000); r.nextBytes(b); (id, b)
+    }.toDF("id", "content")
+    val df = graft.dedup.BinaryDedup.nearDupPairs(blobs, "id", "content", 0.5,
+      minSize = 64, avgBits = 8, maxSize = 1024)
+    df.count() // resolve AQE
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = df.queryExecution.executedPlan
+    val plans = root +: root.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+    val shuffles = plans.flatMap(_.collect { case s: ShuffleExchangeExec => s })
+    assert(shuffles.nonEmpty, "pair mining must be a keyed shuffle join")
+    shuffles.foreach { s =>
+      assert(!s.child.schema.fields.exists(_.dataType == BinaryType),
+        s"blob bytes entered a shuffle:\n${s.child.schema}")
+    }
+    val text = plans.map(_.toString).mkString
+    assert(!text.contains("CartesianProduct") && !text.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("html strip is a scan-local projection: zero shuffles, pruned scan") {
+    val df = Queries.qHtmlStrip(spark, dir)
+    assert(scanColumns(df, "documents") == Set("doc_id", "text"))
+    val root = df.queryExecution.executedPlan
+    assert(root.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"strip must not shuffle:\n$root")
+    assert(root.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty, s"strip kernel must stay inside whole-stage codegen:\n$root")
+  }
+
+  test("corpus split is a scan-local projection with zero shuffles") {
+    val df = Queries.qCorpusSplit(spark, dir)
+    assert(scanColumns(df, "documents") == Set("doc_id"))
+    assert(df.queryExecution.executedPlan
+      .collect { case s: ShuffleExchangeExec => s }.isEmpty)
+  }
+
+  test("host cap plans exactly the two top-k window shuffles") {
+    val df = Queries.qHostCap(spark, dir)
+    df.count()
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = df.queryExecution.executedPlan
+    val plans = root +: root.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+    val shuffles = plans.flatMap(_.collect { case s: ShuffleExchangeExec => s })
+    assert(shuffles.size == 2,
+      s"two-stage cap = salted window + host window, got ${shuffles.size}:\n$root")
+    assert(scanColumns(df, "documents") == Set("doc_id", "source"),
+      "text column must be pruned from the cap scan")
+  }
+
+  test("LM scoring broadcasts the model; the corpus side never shuffles grams") {
+    import org.apache.spark.sql.functions.{col => c}
+    val docs = Queries.table(spark, dir, "documents")
+    val model = graft.text.NgramLm.train(
+      docs.where(c("doc_id") % 5 === 0), "text", 3, topV = 500)
+    val df = graft.text.NgramLm.score(docs, "doc_id", "text", model, 3, 0.5)
+    df.count()
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = df.queryExecution.executedPlan
+    val plans = root +: root.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+    val text = plans.map(_.toString).mkString
+    assert(text.contains("BroadcastHashJoin"),
+      s"model join must broadcast:\n$text")
+    assert(!text.contains("SortMergeJoin"),
+      "gram relation must never sort-merge")
+    assert(text.contains("TakeOrderedAndProject"),
+      "train top-V must plan as TakeOrdered, never a one-partition window")
+    // exactly two shuffles: the train-side vocab aggregation (feeding the
+    // broadcast) and the per-doc (sum, count) buffer aggregation — the
+    // exploded gram rows themselves never cross the network
+    val shuffles = plans.flatMap(_.collect { case s: ShuffleExchangeExec => s })
+    assert(shuffles.size == 2,
+      s"score = vocab agg + doc agg shuffles, got ${shuffles.size}")
+    shuffles.foreach { s =>
+      val cols = s.child.schema.fieldNames.toSet
+      assert(cols.contains("doc_id") || cols.contains("gram"),
+        s"unexpected shuffle schema: $cols")
+      assert(!cols.contains("text"), "raw text entered a shuffle")
+    }
+  }
+
   test("as-of join is one shuffle and contains no join operator") {
     import org.apache.spark.sql.functions.{col => c}
     val e = Queries.table(spark, dir, "events")
