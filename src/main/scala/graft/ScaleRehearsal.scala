@@ -306,6 +306,62 @@ object ScaleRehearsal {
       spark.stop(); return
     }
 
+    // -------------- round-10 curation operators at 100x (500k docs)
+    // corpus split (scan-local), host cap under a 30%-of-corpus mega-host
+    // (the skew case the two-stage top-k exists for), html strip kernel
+    // throughput, LM scoring with a 50k-gram model, and CDC blob dedup
+    // over 500k ~1.4KB blobs. Uses the salted corpus from a prior
+    // `pipeline` run ($dir/docs).
+    if (mode == "curate") {
+      import graft.text.{CorpusSplit, HostCurate, NgramLm}
+      val docs = spark.read.parquet(s"$dir/docs")
+      println(s"[scale] docs=${docs.count()}")
+      val nSplit = timed("corpus_split[500k]") {
+        CorpusSplit.assignSplits(docs, "doc_id",
+            Seq("train" -> 0.98, "valid" -> 0.01, "test" -> 0.01))
+          .groupBy("split").count().collect().toSeq
+      }
+      println(s"[scale]   -> $nSplit")
+      // host skew: 30% of the corpus lands on one mega-host
+      val hosted = docs.withColumn("host",
+        when(col("doc_id") % 10 < 3, lit("mega"))
+          .otherwise(concat(lit("h"), pmod(col("doc_id"), lit(997L)))))
+      val nCap = timed("host_cap[500k, k=100]") {
+        HostCurate.capPerHost(hosted.select("doc_id", "host"),
+          "host", "doc_id", k = 100).count()
+      }
+      println(s"[scale]   -> $nCap kept (<= 998*100)")
+      val nStrip = timed("html_strip[500k]") {
+        docs.select(sum(length(graft.functions.strip_html(concat(
+            lit("<html><head><style>p{}</style></head><body><p>"),
+            col("text"), lit(" &amp; tail</p></body></html>"))))))
+          .head().getLong(0)
+      }
+      println(s"[scale]   -> $nStrip stripped chars")
+      val model = timed("lm_train[100k ref docs, topV=50k]") {
+        val m = NgramLm.train(docs.where(col("doc_id") % 5 === 0), "text",
+          n = 3, topV = 50000).persist()
+        m.count(); m
+      }
+      val nLm = timed("lm_score[500k]") {
+        NgramLm.score(docs, "doc_id", "text", model, n = 3).count()
+      }
+      println(s"[scale]   -> $nLm docs scored")
+      timed("gen_blobs[500k]") {
+        docs.select(col("doc_id").as("bid"),
+            encode(repeat(col("text"), 4), "UTF-8").as("content"))
+          .write.mode("overwrite").parquet(s"$dir/blobs")
+      }
+      val blobs = spark.read.parquet(s"$dir/blobs")
+      val nPairs = timed("cdc_neardup[500k blobs]") {
+        graft.dedup.BinaryDedup.nearDupPairs(blobs, "bid", "content", 0.6,
+          minSize = 64, avgBits = 8, maxSize = 1024,
+          maxChunkDocFreq = Some(1000)).count()
+      }
+      println(s"[scale]   -> $nPairs near-dup blob pairs")
+      spark.stop(); return
+    }
+
     // ---------------------- heavy hitters on a heavy-tailed key space
     // Measured FIRST on the salted 3-gram stream with minCount=100: the
     // CMS path was 5x SLOWER with identical shuffle — the sketch
