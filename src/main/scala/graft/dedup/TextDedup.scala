@@ -44,6 +44,17 @@ object TextDedup {
     keyJaccardPairs(sh0, idCol, "shash", threshold, maxShingleDocFreq)
   }
 
+  /** Word-n-gram near-containment pairs (the quotation/excerpt detector —
+    * see [[keyContainmentPairs]]). */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                            n: Int, threshold: Double,
+                            maxShingleDocFreq: Option[Int] = None): DataFrame = {
+    val sh0 = fanOut(df).select(col(idCol),
+      explode(transform(TextFunctions.wordShingles(col(textCol), n),
+        s => xxhash64(s))).as("shash"))
+    keyContainmentPairs(sh0, idCol, "shash", threshold, maxShingleDocFreq)
+  }
+
   /** Exact Jaccard similar pairs over an arbitrary per-id KEY-SET relation
     * (idA < idB, jaccard >= t) — the engine under [[ngramJaccardPairs]],
     * shared by binary chunk dedup ([[BinaryDedup]]) and container-level
@@ -53,7 +64,23 @@ object TextDedup {
     * hot-key cap, pinned shuffled hash join. */
   def keyJaccardPairs(keys0: DataFrame, idCol: String, keyCol: String,
                       threshold: Double,
-                      maxKeyDocFreq: Option[Int] = None): DataFrame = {
+                      maxKeyDocFreq: Option[Int] = None): DataFrame =
+    keyOverlapPairs(keys0, idCol, keyCol, threshold, maxKeyDocFreq,
+      containment = false)
+
+  /** Near-CONTAINMENT pairs: shared / min(|A|, |B|) >= t — the quotation/
+    * subset relation Jaccard structurally misses (a short document fully
+    * embedded in a long one has jaccard ≈ |A|/|B| but containment 1.0).
+    * Output column is `containment`; same engine, same scale shape. */
+  def keyContainmentPairs(keys0: DataFrame, idCol: String, keyCol: String,
+                          threshold: Double,
+                          maxKeyDocFreq: Option[Int] = None): DataFrame =
+    keyOverlapPairs(keys0, idCol, keyCol, threshold, maxKeyDocFreq,
+      containment = true)
+
+  private def keyOverlapPairs(keys0: DataFrame, idCol: String, keyCol: String,
+                              threshold: Double, maxKeyDocFreq: Option[Int],
+                              containment: Boolean): DataFrame = {
     val sh0 = keys0.select(col(idCol), col(keyCol).as("shash"))
     val sh = (maxKeyDocFreq match {
       case Some(cap) =>
@@ -79,13 +106,20 @@ object TextDedup {
     val shared = a.join(b.hint("shuffle_hash"), "shash")
       .where(col("ida") < col("idb"))
       .groupBy("ida", "idb").agg(count(lit(1)).as("shared"))
+    val measureName = if (containment) "containment" else "jaccard"
+    // both measures are one division of exact integer counts — FP-exact
+    // and replayable bit-for-bit by any SQL engine
+    val measure =
+      if (containment)
+        col("shared").cast("double") / least(col("na"), col("nb")).cast("double")
+      else
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")).cast("double")
     val out = shared
       .join(cnt.select(col(idCol).as("ida"), col("nsh").as("na")), "ida")
       .join(cnt.select(col(idCol).as("idb"), col("nsh").as("nb")), "idb")
-      .withColumn("jaccard",
-        col("shared").cast("double") / (col("na") + col("nb") - col("shared")).cast("double"))
-      .where(col("jaccard") >= threshold)
-      .select(col("ida"), col("idb"), col("jaccard"))
+      .withColumn(measureName, measure)
+      .where(col(measureName) >= threshold)
+      .select(col("ida"), col("idb"), col(measureName))
     // the shingle cache pays for its three consumers within one action,
     // then frees — no block accumulation across a long-lived session
     graft.core.CacheHygiene.unpersistAfterUse(out, Seq(sh))

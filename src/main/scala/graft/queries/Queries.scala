@@ -2424,6 +2424,69 @@ object Queries {
       | FROM shared JOIN cnt ca ON ca.doc_id = ida JOIN cnt cb ON cb.doc_id = idb)
       |WHERE jaccard >= 0.5""".stripMargin
 
+  /** Near-CONTAINMENT mining ([[graft.dedup.TextDedup.ngramContainmentPairs]]):
+    * the corpus is documents 0-299 plus a half-length EXCERPT of each
+    * (id+10000, first ⌊tokens/2⌋ words) — the excerpt's shingle set is a
+    * subset of its source's, so containment hits 1.0 where Jaccard sits
+    * near 0.5 and the pair would slip a Jaccard threshold. Both engines
+    * build the derived corpus from the same token arithmetic; containment
+    * = one division of exact ints (FP-exact). */
+  def qTextContainment(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "documents")
+      .where(col("doc_id") < 300).select(col("doc_id"), col("text"))
+    val toks = split(col("text"), " ")
+    val excerpts = base.select((col("doc_id") + 10000L).as("doc_id"),
+      // floor() both here and in the SQL twin: DuckDB's double->int CAST
+      // rounds where Spark's truncates — floor first makes them agree
+      array_join(slice(toks, lit(1),
+        greatest(lit(1), floor(size(toks) / 2).cast("int"))), " ").as("text"))
+    graft.dedup.TextDedup.ngramContainmentPairs(
+      base.unionByName(excerpts), "doc_id", "text", n = 3, threshold = 0.9)
+  }
+
+  val qTextContainmentSql: String =
+    """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+      |exc AS (SELECT doc_id + 10000 AS doc_id,
+      |  array_to_string(ws[1:greatest(1, CAST(floor(len(ws)/2) AS INT))], ' ') AS text
+      |  FROM (SELECT doc_id, string_split(text, ' ') ws FROM base)),
+      |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM exc),
+      |w AS (SELECT doc_id, string_split(text, ' ') ws FROM corpus),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |  [array_to_string(ws[i:i+2],' ') for i in generate_series(1, len(ws)-2)])) AS shingle
+      |  FROM w WHERE len(ws) >= 3),
+      |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      |shared AS (SELECT a.doc_id ida, b.doc_id idb, count(*) s FROM sh a
+      |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1,2)
+      |SELECT ida, idb, containment FROM (
+      | SELECT ida, idb, CAST(s AS DOUBLE)/least(ca.n, cb.n) AS containment
+      | FROM shared JOIN cnt ca ON ca.doc_id = ida JOIN cnt cb ON cb.doc_id = idb)
+      |WHERE containment >= 0.9""".stripMargin
+
+  /** Token-window chunking ([[graft.text.TextChunk.chunkByTokens]] — the
+    * retrieval/long-context layout step): 40-token windows, 8-token
+    * overlap. Scan-local built-in expressions only; every chunk's full
+    * text is hash-gated (md5) plus its exact token count and index. The
+    * oracle replays the identical integer window arithmetic. */
+  def qTextChunks(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextChunk.chunkByTokens(
+        table(spark, dir, "documents"), "doc_id", "text",
+        size = 40, overlap = 8)
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        md5(col("chunk_text").cast("binary")).as("chunk_md5"))
+
+  val qTextChunksSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      |c AS (SELECT doc_id, ws,
+      |  unnest(generate_series(0,
+      |    greatest(1, CAST(floor((len(ws) - 8 + 31) / 32.0) AS BIGINT)) - 1))
+      |    AS chunk_idx
+      |  FROM w)
+      |SELECT doc_id, chunk_idx,
+      | len(ws[chunk_idx * 32 + 1 : chunk_idx * 32 + 40]) AS n_tokens,
+      | md5(array_to_string(ws[chunk_idx * 32 + 1 : chunk_idx * 32 + 40], ' '))
+      |   AS chunk_md5
+      |FROM c""".stripMargin
+
   /** Cross-corpus line-level dedup (C4-style): each distinct line keeps
     * its first (doc_id, position) occurrence, documents reassemble from
     * surviving lines in order; output = doc_id + md5 of the rebuilt text
