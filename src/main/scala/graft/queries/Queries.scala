@@ -1553,6 +1553,52 @@ object Queries {
         floor(col("score") * 1e6).as("score_micro"))
   }
 
+  /** Embedding hygiene ([[graft.ann.VectorHygiene]] — the pre-ANN
+    * quarantine pass): four corruption classes injected deterministically
+    * into the embeddings table (NaN components, zero vectors, truncated
+    * dimensionality, 100× scale blow-ups), classified by one codegen scan.
+    * Booleans/labels only ship — every rule sits orders of magnitude from
+    * its threshold (unit-norm corpus, bounds [0.5, 2], outlier norm² 1e4)
+    * so FP accumulation can never flip a gated value. */
+  def qVecHygiene(spark: SparkSession, dir: String): DataFrame = {
+    val m = col("vec_id") % 50
+    val v = col("embedding")
+    val nanF = expr("CAST('NaN' AS FLOAT)")
+    val mutated = table(spark, dir, "embeddings").withColumn("embedding",
+      when(m === 1, transform(v, _ => nanF))
+        .when(m === 2, transform(v, _ => lit(0.0f)))
+        .when(m === 3, slice(v, 1, 10))
+        .when(m === 4, transform(v, x => (x * lit(100.0f)).cast("float")))
+        .otherwise(v))
+    graft.ann.VectorHygiene.annotate(mutated, "embedding", 64, 0.5, 2.0)
+      .select(col("vec_id"), col("dim"), col("has_bad"), col("is_zero"),
+        col("reason"), col("clean"))
+  }
+
+  val qVecHygieneSql: String =
+    """WITH m AS (SELECT vec_id,
+      |  CASE WHEN vec_id % 50 = 1 THEN list_transform(embedding, x -> CAST('NaN' AS FLOAT))
+      |       WHEN vec_id % 50 = 2 THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+      |       WHEN vec_id % 50 = 3 THEN embedding[1:10]
+      |       WHEN vec_id % 50 = 4 THEN list_transform(embedding, x -> CAST(x * 100 AS FLOAT))
+      |       ELSE embedding END AS v
+      |  FROM embeddings),
+      |a AS (SELECT vec_id, len(v) AS dim,
+      |  len(list_filter(v, x -> x - x != 0 OR isnan(x))) > 0 AS has_bad,
+      |  list_sum(list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS norm2
+      |  FROM m),
+      |r AS (SELECT vec_id, dim, has_bad,
+      |  (NOT has_bad AND norm2 = 0) AS is_zero,
+      |  CASE WHEN dim != 64 THEN 'wrong_dim'
+      |       WHEN has_bad THEN 'nan_or_inf'
+      |       WHEN NOT has_bad AND norm2 = 0 THEN 'zero_vector'
+      |       WHEN norm2 < 0.5 THEN 'norm_low'
+      |       WHEN norm2 > 2.0 THEN 'norm_high'
+      |       ELSE 'clean' END AS reason
+      |  FROM a)
+      |SELECT vec_id, dim, has_bad, is_zero, reason,
+      | (reason = 'clean') AS clean FROM r""".stripMargin
+
   /** N-gram LM quality scoring ([[graft.text.NgramLm]] — the CCNet
     * perplexity-filter class): model trained on the doc_id%5==0 reference
     * slice, every document scored by mean per-gram log-probability. FP
