@@ -1553,6 +1553,32 @@ object Queries {
         floor(col("score") * 1e6).as("score_micro"))
   }
 
+  /** Token-budget mixture sampling ([[graft.text.TokenBudget]]): three
+    * sources sampled to explicit character budgets in deterministic
+    * key-hash order (the crossing document kept — budgets are floors),
+    * every other source dropped. Pure integer window arithmetic over the
+    * existing n_chars column; the oracle replays the identical exclusive
+    * running sum. */
+  def qTokenBudget(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TokenBudget.sampleToBudget(
+        table(spark, dir, "documents"), "source", "doc_id", "n_chars",
+        Map("src0" -> 3000L, "src5" -> 5000L, "src12" -> 2000L))
+      .select(col("doc_id"), col("source"), col("tokens_before"))
+
+  val qTokenBudgetSql: String =
+    """WITH b AS (SELECT doc_id, source, n_chars,
+      |  CASE source WHEN 'src0' THEN 3000 WHEN 'src5' THEN 5000
+      |    WHEN 'src12' THEN 2000 END AS budget
+      |  FROM documents WHERE source IN ('src0', 'src5', 'src12')),
+      |r AS (SELECT doc_id, source, budget,
+      |  CAST(coalesce(sum(n_chars) OVER (PARTITION BY source
+      |    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |    AS tokens_before
+      |  FROM b)
+      |SELECT doc_id, source, tokens_before FROM r
+      |WHERE tokens_before < budget""".stripMargin
+
   /** Embedding hygiene ([[graft.ann.VectorHygiene]] — the pre-ANN
     * quarantine pass): four corruption classes injected deterministically
     * into the embeddings table (NaN components, zero vectors, truncated

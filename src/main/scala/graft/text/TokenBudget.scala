@@ -1,0 +1,49 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget mixture sampling — the data-mixing step stated the way
+  * mixes are actually specified: "N tokens of source X", not a keep-rate.
+  * Documents are taken per source in deterministic key-hash order until
+  * the source's token budget is reached; the document that CROSSES the
+  * budget is kept (budgets are floors, not ceilings — the standard
+  * epoch-building convention, and the choice that makes tiny budgets
+  * still yield data). A rate-based sampler ([[graft.queries.Queries]]
+  * q_mix_sample) needs a cardinality estimate to hit a token target;
+  * this hits it exactly, deterministically, and retry-stably.
+  *
+  * Shape: one running-sum window per source over (hash, id) order. The
+  * same hot-source bound as any per-group window applies; unlike top-k
+  * the running sum cannot two-stage exactly, but the window carries only
+  * (id, source, n_tokens) — at 100 TB the window input is the metadata
+  * relation (~10 bytes/doc), not the corpus, and a 10^9-doc source is a
+  * few GB in one sort — partition the epoch build per source beyond
+  * that. */
+object TokenBudget {
+
+  /** Keep documents of each source, in [[CorpusSplit.keyHash]] order,
+    * while the EXCLUSIVE running token sum is below that source's budget
+    * (so the crossing document is kept; later ones drop). Sources absent
+    * from `budgets` are dropped entirely. Adds `tokens_before` (the
+    * exclusive prefix sum) for audit. */
+  def sampleToBudget(df: DataFrame, srcCol: String, idCol: String,
+                     tokenCol: String,
+                     budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty, "sampleToBudget: no budgets")
+    require(budgets.values.forall(_ > 0), "sampleToBudget: budgets must be > 0")
+    val budget = budgets.foldLeft(lit(null).cast("long")) {
+      case (acc, (s, b)) => when(col(srcCol) === s, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(CorpusSplit.keyHash(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__budget", budget)
+      .where(col("__budget").isNotNull)
+      .withColumn("tokens_before",
+        coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .where(col("tokens_before") < col("__budget"))
+      .drop("__budget")
+  }
+}

@@ -80,6 +80,34 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("token budget: floors semantics, hash order, unknown sources dropped") {
+    val d = (0L until 100L).map(id =>
+        (id, if (id % 2 == 0) "a" else "b", 10L))
+      .toDF("doc_id", "src", "n_tok")
+    val got = TokenBudget.sampleToBudget(d, "src", "doc_id", "n_tok",
+        Map("a" -> 35L))
+      .select("doc_id", "src", "tokens_before")
+      .as[(Long, String, Long)].collect()
+    // budget 35, docs of 10 tokens: prefix sums 0,10,20,30 < 35 -> exactly
+    // 4 docs kept (the 4th CROSSES the budget and is kept); source b gone
+    assert(got.length == 4)
+    assert(got.forall(_._2 == "a"))
+    assert(got.map(_._3).sorted.toSeq == Seq(0L, 10L, 20L, 30L))
+    // selection = the 4 smallest key hashes among source a's docs
+    val expectIds = (0L until 100L).filter(_ % 2 == 0)
+      .sortBy(id => (((id * 2654435761L) % 4294967296L + 4294967296L) % 4294967296L, id))
+      .take(4).toSet
+    assert(got.map(_._1).toSet == expectIds)
+    // determinism under repartition
+    val again = TokenBudget.sampleToBudget(d.repartition(7), "src", "doc_id",
+        "n_tok", Map("a" -> 35L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == expectIds)
+    intercept[IllegalArgumentException] {
+      TokenBudget.sampleToBudget(d, "src", "doc_id", "n_tok", Map("a" -> 0L))
+    }
+  }
+
   test("blocklist drops exactly the blocked hosts, both forms") {
     val d = docs(140)
     val lit = HostCurate.dropHosts(d, "host", Seq("h1", "h3"))
