@@ -39,6 +39,39 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.length == 4) // (h0 click), (h1 view), (h1 click), (h2 view)
   }
 
+  test("curation projections (strip/split/chunk) run identically under readStream") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    // the composed stateless front of an ingest pipeline: html strip ->
+    // split assignment -> token-window chunking — all scan-local, so the
+    // SAME transform must run incrementally with no changes
+    def front(df: DataFrame): DataFrame =
+      graft.text.TextChunk.chunkByTokens(
+        graft.text.CorpusSplit.assignSplits(
+          df.select(col("doc_id"),
+            graft.functions.strip_html(col("html")).as("text")),
+          "doc_id", Seq("train" -> 0.9, "eval" -> 0.1)),
+        "doc_id", "text", size = 5, overlap = 1)
+    val docs = (0L until 40L).map(id =>
+      (id, s"<p>doc $id</p><script>x</script>" +
+        (1 to 11).map(i => s"w$i").mkString("<b>", " ", "</b>")))
+    val stream = MemoryStream[(Long, String)]
+    val q = front(stream.toDF().toDF("doc_id", "html"))
+      .writeStream.format("memory").queryName("curation_front")
+      .outputMode("append").start()
+    try {
+      stream.addData(docs.take(15)); q.processAllAvailable()
+      stream.addData(docs.drop(15)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("curation_front")
+      .orderBy("doc_id", "chunk_idx").collect().map(_.toSeq).toSeq
+    val batch = front(docs.toDF("doc_id", "html"))
+      .orderBy("doc_id", "chunk_idx").collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty && batch.size > docs.size, "chunking must fan out")
+  }
+
   test("dedupByKey: incremental first-occurrence dedup == batch dropDuplicates") {
     implicit val sqlCtx = spark.sqlContext
     // duplicate event_ids arriving across two batches; first occurrence wins
