@@ -1676,30 +1676,10 @@ object Queries {
     * 0.6; cross-group shares nothing). Structure round-trip + quarantine
     * are spec-pinned in VideoDedupSpec. */
   def qVideoNeardup(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.BinaryType
-    import graft.multimodal.{VideoCodec, VideoDedup}
+    import graft.multimodal.VideoDedup
     import graft.dedup.TextDedup
-    val base = table(spark, dir, "documents")
-      .select(col("doc_id")).where(col("doc_id") < 120)
-    val schema = base.schema.add("content", BinaryType)
-    implicit val enc = org.apache.spark.sql.Encoders.row(schema)
-    val withMp4 = base.mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(0)
-        val group = id / 4
-        val member = (id % 4).toInt
-        val samples = Array.tabulate(12) { s =>
-          if (s == member)
-            Array.tabulate(96)(j => ((id * 13 + j * 5 + 7) % 251).toByte)
-          else
-            Array.tabulate(96)(j => ((group * 31 + s * 7 + j) % 251).toByte)
-        }
-        org.apache.spark.sql.Row(id,
-          VideoCodec.encodeMp4WithSamples(1000, 12000, samples))
-      }
-    }.toDF("doc_id", "content")
     val aux = writeOracleAux(
-      VideoDedup.sampleHashes(withMp4, "doc_id", "content"),
+      VideoDedup.sampleHashes(videoFixture(spark, dir), "doc_id", "content"),
       dir, "video_samples")
     TextDedup.keyJaccardPairs(aux, "doc_id", "shash", 0.6)
   }
@@ -1715,6 +1695,69 @@ object Queries {
        |FROM shared
        |JOIN n na ON na.doc_id = ida JOIN n nb ON nb.doc_id = idb
        |WHERE CAST(sh AS DOUBLE) / (na.nc + nb.nc - sh) >= 0.6""".stripMargin
+
+  /** VIDEO dedup END-TO-END — the multimodal twin of [[qSemanticDedup]]:
+    * the same 30×4 sample-swapped fixture as [[qVideoNeardup]], composed
+    * through pair mining → connected components → one survivor per
+    * cluster (min id, keep-the-first). The oracle replays all three
+    * stages over the checkpointed sample-hash relation: the Jaccard join,
+    * a recursive reachability CTE, and the survivor filter. Expected: the
+    * 30 group-minimum ids. */
+  def qVideoDedupE2e(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.VideoDedup
+    import graft.dedup.{Components, TextDedup}
+    val aux = writeOracleAux(
+      VideoDedup.sampleHashes(videoFixture(spark, dir), "doc_id", "content"),
+      dir, "video_samples_e2e")
+    val pairs = TextDedup.keyJaccardPairs(aux, "doc_id", "shash", 0.6)
+    Components.dedupByComponents(
+        aux.select(col("doc_id")).distinct(), "doc_id", pairs, "ida", "idb")
+      .select(col("doc_id"))
+  }
+
+  val qVideoDedupE2eSql: String =
+    s"""WITH RECURSIVE c AS (SELECT doc_id, shash FROM ${auxSql("video_samples_e2e")}),
+       |n AS (SELECT doc_id, count(*) AS nc FROM c GROUP BY 1),
+       |shared AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS sh
+       |  FROM c a JOIN c b ON a.shash = b.shash AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT ida, idb FROM shared
+       |  JOIN n na ON na.doc_id = ida JOIN n nb ON nb.doc_id = idb
+       |  WHERE CAST(sh AS DOUBLE) / (na.nc + nb.nc - sh) >= 0.6),
+       |sym AS (SELECT ida AS s, idb AS d FROM pairs
+       |        UNION ALL SELECT idb, ida FROM pairs),
+       |ids AS (SELECT DISTINCT doc_id FROM c),
+       |reach(id, lab) AS (
+       |  SELECT doc_id, doc_id FROM ids
+       |  UNION
+       |  SELECT sym.d, reach.lab FROM reach JOIN sym ON sym.s = reach.id),
+       |comp AS (SELECT id AS doc_id, min(lab) AS comp FROM reach GROUP BY 1)
+       |SELECT doc_id FROM comp WHERE doc_id = comp""".stripMargin
+
+  /** Shared 30×4 sample-swapped MP4 fixture for the video dedup gates. */
+  private def videoFixture(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.BinaryType
+    import graft.multimodal.VideoCodec
+    val base = table(spark, dir, "documents")
+      .select(col("doc_id")).where(col("doc_id") < 120)
+    val schema = base.schema.add("content", BinaryType)
+    implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+    base.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val group = id / 4
+        val member = (id % 4).toInt
+        val samples = Array.tabulate(12) { s =>
+          if (s == member)
+            Array.tabulate(96)(j => ((id * 13 + j * 5 + 7) % 251).toByte)
+          else
+            Array.tabulate(96)(j => ((group * 31 + s * 7 + j) % 251).toByte)
+        }
+        org.apache.spark.sql.Row(id,
+          VideoCodec.encodeMp4WithSamples(1000, 12000, samples))
+      }
+    }.toDF("doc_id", "content")
+  }
 
   /** Content-defined-chunking blob dedup ([[graft.dedup.BinaryDedup]]):
     * each document yields two binary blobs — its repeated text and a
