@@ -38,4 +38,64 @@ object BinaryDedup {
     TextDedup.keyJaccardPairs(
       chunkTable(df, idCol, binCol, minSize, avgBits, maxSize),
       idCol, "chash", threshold, maxChunkDocFreq)
+
+  /** INCREMENTAL blob near-dup (corpus refresh — the binary twin of
+    * [[TextDedup.dedupLinesIncremental]]): match a NEW batch's chunk sets
+    * against a STORED `(id, chash)` chunk relation. The stored BLOBS are
+    * never re-read or re-chunked — the chunk relation IS the store, and a
+    * refresh appends the survivors' chunks ([[chunkTable]] over the kept
+    * blobs) for the next batch.
+    *
+    * Returns `(newIdCol, store_id, jaccard)` matches at
+    * `jaccard >= threshold` — set sizes on the store side come from the
+    * store itself (a per-id count aggregate, no blob access). Callers
+    * anti-join their batch against the matches for survivors.
+    *
+    * Scale shape: the store shuffles once per refresh keyed on the 8-byte
+    * chunk id (that is the point of incremental — the alternative re-pairs
+    * the whole corpus), the new batch is the small probe side, and both
+    * count relations are id-sized. */
+  def matchesAgainstStore(newDf: DataFrame, idCol: String, binCol: String,
+                          storedChunks: DataFrame,
+                          threshold: Double,
+                          minSize: Int = 256, avgBits: Int = 12,
+                          maxSize: Int = 8192): DataFrame = {
+    val newChunks = chunkTable(newDf, idCol, binCol, minSize, avgBits, maxSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    newChunks.count() // materialize before its two consumers (see keyJaccardPairs)
+    val out = matchChunkTables(newChunks, idCol, storedChunks, threshold)
+    graft.core.CacheHygiene.unpersistAfterUse(out, Seq(newChunks))
+  }
+
+  /** Chunk-relation-level core of [[matchesAgainstStore]]: both sides are
+    * already `(id, chash)` relations (e.g. checkpointed stores). */
+  def matchChunkTables(newChunks: DataFrame, idCol: String,
+                       storedChunks: DataFrame,
+                       threshold: Double): DataFrame = {
+    val kc = storedChunks.columns
+    val store = storedChunks.select(
+      col(kc(0)).as("store_id"), col(kc(1)).as("chash"))
+    val newCnt = newChunks.groupBy(col(idCol)).agg(count(lit(1)).as("na"))
+    val storeCnt = store.groupBy(col("store_id")).agg(count(lit(1)).as("nb"))
+    val shared = newChunks.join(store.hint("shuffle_hash"), "chash")
+      .groupBy(col(idCol), col("store_id")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(newCnt, idCol).join(storeCnt, "store_id")
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("na") + col("nb") - col("shared")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col(idCol), col("store_id"), col("jaccard"))
+  }
+
+  /** New-batch blobs with no stored near-dup (the rows a refresh keeps and
+    * whose chunks it appends to the store). Original projection preserved. */
+  def dedupAgainstStore(newDf: DataFrame, idCol: String, binCol: String,
+                        storedChunks: DataFrame, threshold: Double,
+                        minSize: Int = 256, avgBits: Int = 12,
+                        maxSize: Int = 8192): DataFrame =
+    newDf.join(
+        matchesAgainstStore(newDf, idCol, binCol, storedChunks, threshold,
+          minSize, avgBits, maxSize).select(col(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+      .select(newDf.columns.map(col).toIndexedSeq: _*)
 }

@@ -1797,6 +1797,50 @@ object Queries {
        |JOIN n na ON na.bid = ida JOIN n nb ON nb.bid = idb
        |WHERE CAST(sh AS DOUBLE) / (na.nc + nb.nc - sh) >= 0.5""".stripMargin
 
+  /** INCREMENTAL blob near-dup ([[graft.dedup.BinaryDedup]]
+    * matchesAgainstStore — the binary corpus-refresh lane): the store is
+    * the chunk relation of batch-1 blobs (docs 0-99; blobs never
+    * re-chunked), the new batch is 100 fresh blobs (docs 100-199) plus
+    * prefix-mutated twins of the first 50 stored ones. Both chunk
+    * relations are checkpointed; engine and oracle run the identical
+    * join/threshold over those bits. Matches = the twins whose blobs are
+    * long enough that one mutated chunk stays under half the set (short
+    * 2-3-chunk blobs legitimately fall below 0.5), plus any
+    * exact-duplicate texts the base corpus carries. */
+  def qCdcIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.BinaryDedup
+    val docs = table(spark, dir, "documents")
+    val storeBlobs = docs.where(col("doc_id") < 100)
+      .select(col("doc_id").as("bid"),
+        encode(repeat(col("text"), 8), "UTF-8").as("content"))
+    val newBlobs = docs.where(col("doc_id") >= 100 && col("doc_id") < 200)
+      .select(col("doc_id").as("bid"),
+        encode(repeat(col("text"), 8), "UTF-8").as("content"))
+      .unionByName(docs.where(col("doc_id") < 50)
+        .select((col("doc_id") + 20000L).as("bid"),
+          encode(concat(lit("MUT::"), repeat(col("text"), 8)), "UTF-8")
+            .as("content")))
+    val auxStore = writeOracleAux(
+      BinaryDedup.chunkTable(storeBlobs, "bid", "content", 64, 8, 1024),
+      dir, "cdc_store")
+    val auxNew = writeOracleAux(
+      BinaryDedup.chunkTable(newBlobs, "bid", "content", 64, 8, 1024),
+      dir, "cdc_newbatch")
+    BinaryDedup.matchChunkTables(auxNew, "bid", auxStore, 0.5)
+  }
+
+  val qCdcIncrementalSql: String =
+    s"""WITH nc AS (SELECT bid, chash FROM ${auxSql("cdc_newbatch")}),
+       |sc AS (SELECT bid AS store_id, chash FROM ${auxSql("cdc_store")}),
+       |na AS (SELECT bid, count(*) AS n FROM nc GROUP BY 1),
+       |nb AS (SELECT store_id, count(*) AS n FROM sc GROUP BY 1),
+       |shared AS (SELECT nc.bid, sc.store_id, count(*) AS sh
+       |  FROM nc JOIN sc ON nc.chash = sc.chash GROUP BY 1, 2)
+       |SELECT bid, store_id,
+       | CAST(sh AS DOUBLE) / (na.n + nb.n - sh) AS jaccard
+       |FROM shared JOIN na USING (bid) JOIN nb USING (store_id)
+       |WHERE CAST(sh AS DOUBLE) / (na.n + nb.n - sh) >= 0.5""".stripMargin
+
   /** STREAMING incremental dedup gate — the full corpus-refresh lifecycle
     * ([[graft.streaming.DedupIngest]]): batch 1 (doc_id%3==1) lands as the
     * first microbatch of a real foreachBatch Structured Streaming query,

@@ -76,6 +76,39 @@ class BinaryDedupSpec extends SparkTestBase {
     assert(viaSql == gen)
   }
 
+  test("incremental refresh loop: store suppresses twins, survivors extend the store") {
+    val a = blob(20, 8000)
+    val b = blob(21, 8000)
+    val c = blob(22, 8000)
+    val batch1 = Seq((1L, a), (2L, b)).toDF("id", "content")
+    // the store IS the chunk relation; blobs never re-chunked
+    val store1 = BinaryDedup.chunkTable(batch1, "id", "content", 64, 8, 1024)
+    // refresh: a mutated twin of a stored blob + a genuinely new blob
+    val batch2 = Seq(
+      (10L, "PRE::".getBytes("UTF-8") ++ a),
+      (11L, c)
+    ).toDF("id", "content")
+    val matches = BinaryDedup.matchesAgainstStore(
+        batch2, "id", "content", store1, 0.5, 64, 8, 1024)
+      .select("id", "store_id").as[(Long, Long)].collect().toSet
+    assert(matches == Set((10L, 1L)))
+    val kept = BinaryDedup.dedupAgainstStore(
+      batch2, "id", "content", store1, 0.5, 64, 8, 1024)
+    assert(kept.columns.toSeq == Seq("id", "content"))
+    assert(kept.select("id").as[Long].collect().toSeq == Seq(11L))
+    // second refresh against the grown store: twins of BOTH epochs suppress
+    val store2 = store1.unionByName(
+      BinaryDedup.chunkTable(kept, "id", "content", 64, 8, 1024))
+    val batch3 = Seq(
+      (20L, "X".getBytes("UTF-8") ++ c), // twin of the epoch-2 survivor
+      (21L, blob(23, 8000))
+    ).toDF("id", "content")
+    val m3 = BinaryDedup.matchesAgainstStore(
+        batch3, "id", "content", store2, 0.5, 64, 8, 1024)
+      .select("id", "store_id").as[(Long, Long)].collect().toSet
+    assert(m3 == Set((20L, 11L)))
+  }
+
   test("nearDupPairs finds the mutated twin and not unrelated blobs") {
     val a = blob(10, 8000)
     val aMut = "PREFIX::".getBytes("UTF-8") ++ a
