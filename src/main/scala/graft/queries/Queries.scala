@@ -1579,6 +1579,40 @@ object Queries {
       |SELECT doc_id, source, tokens_before FROM r
       |WHERE tokens_before < budget""".stripMargin
 
+  /** Eval-set hygiene end-to-end: the deterministic split
+    * ([[graft.text.CorpusSplit.assignSplits]]) carves a test set, then
+    * every TRAIN document is flagged by 3-gram overlap with the test
+    * side (the [[graft.text.Decontaminate]] composition) — the leakage
+    * report a training run gates on. Fully SQL-expressible: the oracle
+    * replays split CASE, shingling, and the distinct-hit count. */
+  def qSplitDecon(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.{CorpusSplit, TextFunctions}
+    val split = CorpusSplit.assignSplits(
+      table(spark, dir, "documents"),
+      "doc_id", Seq("train" -> 0.95, "test" -> 0.05))
+    val sh = split.select(col("doc_id"), col("split"),
+        explode(TextFunctions.wordShingles(col("text"), 3)).as("s0"))
+      .select(col("doc_id"), col("split"), xxhash64(col("s0")).as("s"))
+    val testSh = sh.where(col("split") === "test").select("s").distinct()
+    sh.where(col("split") === "train")
+      .join(broadcast(testSh), Seq("s"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+  }
+
+  val qSplitDeconSql: String = {
+    val splitCase = graft.text.CorpusSplit.assignSplitsSql(
+      "doc_id", Seq("train" -> 0.95, "test" -> 0.05))
+    s"""WITH d AS (SELECT doc_id, $splitCase AS split,
+       |  string_split(text, ' ') ws FROM documents),
+       |sh AS (SELECT doc_id, split, unnest(list_distinct(
+       |  [array_to_string(ws[i:i+2],' ') for i in generate_series(1, len(ws)-2)])) AS s
+       |  FROM d WHERE len(ws) >= 3),
+       |t AS (SELECT DISTINCT s FROM sh WHERE split = 'test')
+       |SELECT sh.doc_id, count(*) AS n_hits
+       |FROM sh JOIN t USING (s) WHERE sh.split = 'train'
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Embedding hygiene ([[graft.ann.VectorHygiene]] — the pre-ANN
     * quarantine pass): four corruption classes injected deterministically
     * into the embeddings table (NaN components, zero vectors, truncated

@@ -77,4 +77,18 @@ object CorpusSplit {
     * shuffle of the corpus. One key hash — no RNG, no zipWithIndex. */
   def withShuffleKey(df: DataFrame, idCol: String, salt: Long = 0L): DataFrame =
     df.withColumn("shuffle_key", keyHash(col(idCol), salt))
+
+  /** Materialize the shuffled training order: range-partition on the
+    * shuffle key (so file f's keys all precede file f+1's — reading files
+    * in name order IS the global shuffled order) and sort within each
+    * partition. One range shuffle; numFiles controls parallelism and file
+    * granularity, independent of cluster size. */
+  def writeShuffled(df: DataFrame, idCol: String, path: String,
+                    numFiles: Int, salt: Long = 0L): Unit = {
+    require(numFiles > 0, "writeShuffled: numFiles must be positive")
+    withShuffleKey(df, idCol, salt)
+      .repartitionByRange(numFiles, col("shuffle_key"), col(idCol))
+      .sortWithinPartitions(col("shuffle_key"), col(idCol))
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -159,6 +159,27 @@ class PlanHealthSpec extends SparkTestBase {
     assert(!text.contains("CartesianProduct") && !text.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("video near-dup shuffles only 8-byte sample ids, never video bytes") {
+    import org.apache.spark.sql.types.BinaryType
+    import graft.multimodal.{VideoCodec, VideoDedup}
+    val spark2 = spark
+    import spark2.implicits._
+    val vids = (0L until 8L).map { id =>
+      val samples = Array.tabulate(6)(s =>
+        Array.tabulate(64)(j => ((id / 2 * 31 + s * 7 + j) % 251).toByte))
+      (id, VideoCodec.encodeMp4WithSamples(1000, 6000, samples))
+    }.toDF("id", "content")
+    val df = VideoDedup.nearDupPairs(vids, "id", "content", 0.6)
+    df.count()
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = df.queryExecution.executedPlan
+    val plans = root +: root.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+    plans.flatMap(_.collect { case s: ShuffleExchangeExec => s }).foreach { s =>
+      assert(!s.child.schema.fields.exists(_.dataType == BinaryType),
+        s"video bytes entered a shuffle:\n${s.child.schema}")
+    }
+  }
+
   test("html strip is a scan-local projection: zero shuffles, pruned scan") {
     val df = Queries.qHtmlStrip(spark, dir)
     assert(scanColumns(df, "documents") == Set("doc_id", "text"))

@@ -53,6 +53,25 @@ class CurationSpec extends SparkTestBase {
     assert(viaSql == viaScala)
   }
 
+  test("writeShuffled: files in name order ARE the global shuffled order") {
+    val path = "target/graft_test_shuffled"
+    CorpusSplit.writeShuffled(docs(500), "doc_id", path, numFiles = 5)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length == 5)
+    val perFile = files.map(f => spark.read.parquet(f)
+      .select("doc_id", "shuffle_key").as[(Long, Long)].collect().toSeq)
+    // within each file the keys are sorted; across files in NAME order the
+    // ranges are disjoint and ascending — concatenation is the global order
+    perFile.foreach(rows =>
+      assert(rows.map(_._2).toSeq == rows.map(_._2).sorted))
+    val flat = perFile.flatten.map(_._2)
+    assert(flat.toSeq == flat.sorted.toSeq, "file-name order must be global key order")
+    assert(perFile.flatten.map(_._1).toSet == (0L until 500L).toSet, "no row lost")
+    // and the order is the hash order, not id order (it IS a shuffle)
+    assert(perFile.flatten.map(_._1).take(20).toSeq != (0L until 20L).toSeq)
+  }
+
   test("capPerHost equals the single-window reference, including under host skew") {
     // host h0 gets 400 extra docs — the skew case the two-stage form exists for
     val skewed = docs(200).unionByName(
