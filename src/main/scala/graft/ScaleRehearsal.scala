@@ -359,6 +359,22 @@ object ScaleRehearsal {
           maxChunkDocFreq = Some(1000)).count()
       }
       println(s"[scale]   -> $nPairs near-dup blob pairs")
+      // incremental refresh: 500k-blob store vs a 5k-blob new batch (the
+      // realistic refresh ratio) — the store is a materialized chunk
+      // relation, the new batch chunks once and probes it
+      timed("gen_chunk_store[500k]") {
+        graft.dedup.BinaryDedup.chunkTable(blobs, "bid", "content",
+            64, 8, 1024)
+          .write.mode("overwrite").parquet(s"$dir/chunk_store")
+      }
+      val store = spark.read.parquet(s"$dir/chunk_store")
+      val newBatch = blobs.where(col("bid") % 100 === 7)
+        .select((col("bid") + 100000000L).as("bid"), col("content"))
+      val nInc = timed("cdc_incremental[5k vs 500k]") {
+        graft.dedup.BinaryDedup.matchesAgainstStore(
+          newBatch, "bid", "content", store, 0.6, 64, 8, 1024).count()
+      }
+      println(s"[scale]   -> $nInc stored matches for the refresh batch")
       spark.stop(); return
     }
 
