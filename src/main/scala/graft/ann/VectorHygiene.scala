@@ -33,7 +33,10 @@ object VectorHygiene {
       .withColumn("is_zero", !bad && norm2 === 0.0)
       .withColumn("norm2", norm2)
       .withColumn("reason",
-        when(col("dim") =!= expectDim, "wrong_dim")
+        // null vector first: every other rule evaluates to NULL on a null
+        // array and a three-valued-logic fall-through would label it clean
+        when(v.isNull, "null_vector")
+          .when(col("dim") =!= expectDim, "wrong_dim")
           .when(col("has_bad"), "nan_or_inf")
           .when(col("is_zero"), "zero_vector")
           .when(col("norm2") < minNorm2, "norm_low")

@@ -117,7 +117,13 @@ object VideoCodec {
             if (count < 0 || fixedSize < 0) None
             else {
               val sizes: Option[Array[Int]] =
-                if (fixedSize > 0) Some(Array.fill(count)(fixedSize))
+                // validate BEFORE allocating: a crafted count must not
+                // reserve gigabytes ahead of the total<=mdat check below
+                if (fixedSize > 0) {
+                  if (fixedSize.toLong * count > (mdatEnd - mdatStart).toLong)
+                    None
+                  else Some(Array.fill(count)(fixedSize))
+                }
                 else if (stszStart + 12 + 4L * count > stszEnd) None
                 else Some(Array.tabulate(count)(i =>
                   bb.getInt(stszStart + 12 + 4 * i)))

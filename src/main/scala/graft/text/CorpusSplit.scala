@@ -28,7 +28,12 @@ object CorpusSplit {
 
   /** 32-bit multiplicative key hash in [0, 2^32) — cross-engine exact.
     * `salt` shifts the hash (epoch re-shuffle / independent draws); the
-    * multiply happens AFTER the salt add so a salt change avalanches. */
+    * multiply happens AFTER the salt add so a salt change avalanches.
+    *
+    * Precondition (same as ShardBuild's slot key): `id + salt >= 0`.
+    * Spark's pmod and plain SQL `%` agree only on non-negative operands —
+    * a negative id would silently land in a different split than the SQL
+    * twin assigns. */
   def keyHash(id: Column, salt: Long = 0L): Column =
     pmod((id + lit(salt)) * lit(KnuthA), lit(Mod))
 
@@ -67,7 +72,7 @@ object CorpusSplit {
     val bounds = cum.dropRight(1) :+ Mod
     val h = s"(($idCol + $salt) * $KnuthA) % $Mod"
     val cases = splits.zip(bounds).map { case ((name, _), hi) =>
-      s"WHEN $h < $hi THEN '$name'"
+      s"WHEN $h < $hi THEN '${name.replace("'", "''")}'"
     }.mkString(" ")
     s"CASE $cases END"
   }

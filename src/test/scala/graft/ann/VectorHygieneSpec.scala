@@ -30,6 +30,18 @@ class VectorHygieneSpec extends SparkTestBase {
     assert(got(7L) == (("norm_high", false)))
   }
 
+  test("a null vector is quarantined, not three-valued-logic'd to clean") {
+    val rows = Seq((1L, good), (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val got = VectorHygiene.annotate(rows, "embedding", 2, 0.5, 2.0)
+      .select("vec_id", "reason", "clean")
+      .as[(Long, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(2L) == (("null_vector", false)))
+    assert(got(1L) == (("clean", true)))
+    assert(VectorHygiene.clean(rows, "embedding", 2, 0.5, 2.0).count() == 1)
+  }
+
   test("clean() preserves projection and keeps only indexable vectors") {
     val rows = Seq((1L, good), (2L, Array(Float.NaN, 1.0f)))
       .toDF("vec_id", "embedding")
