@@ -1579,6 +1579,69 @@ object Queries {
       |SELECT doc_id, source, tokens_before FROM r
       |WHERE tokens_before < budget""".stripMargin
 
+  /** FULL curation pipeline end-to-end, raw crawl shape to training-ready
+    * organization: HTML wrap → [[graft.functions.StripHtml]] → Gopher
+    * quality rules on the STRIPPED text → exact dedup (first-id wins) →
+    * per-host cap → deterministic split assignment, with the surviving
+    * text md5-pinned. Every stage is SQL-expressible, so unlike the
+    * checkpoint-gated families this composition is replayed END TO END by
+    * one oracle query — stage boundaries included (a row that leaks past
+    * quality into the cap changes host_rank for every later row of its
+    * host). */
+  def qPipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.{CorpusSplit, HostCurate, QualityFilter}
+    val html = concat(
+      lit("<html><head><style>p{}</style></head><body><h1>Doc "),
+      col("doc_id").cast("string"),
+      lit("</h1><p>"), col("text"),
+      lit(" &amp; tail</p><script>var x = 1;</script></body></html>"))
+    val stripped = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), strip_html(html).as("text2"))
+    val quality = QualityFilter.filter(stripped, "text2",
+      QualityFilter.Rules(minWords = 28, maxWords = 85,
+        minAvgWordLen = 1.0, maxAvgWordLen = 9.0, minStopRatio = 0.01))
+    val w = Window.partitionBy(col("text2")).orderBy(col("doc_id"))
+    val exact = quality.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    val capped = HostCurate.capPerHost(exact, "source", "doc_id", k = 8)
+    CorpusSplit.assignSplits(capped, "doc_id",
+        Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
+      .select(col("doc_id"), col("source"), col("host_rank"), col("split"),
+        md5(col("text2").cast("binary")).as("text_md5"))
+  }
+
+  val qPipelineE2eSql: String = {
+    val wrap = "'<html><head><style>p{}</style></head><body><h1>Doc ' || " +
+      "doc_id || '</h1><p>' || text || " +
+      "' &amp; tail</p><script>var x = 1;</script></body></html>'"
+    val strip = graft.functions.HtmlStrip.sql(s"($wrap)")
+    val splitCase = graft.text.CorpusSplit.assignSplitsSql(
+      "doc_id", Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
+    s"""WITH s AS (SELECT doc_id, source, $strip AS text2 FROM documents),
+       |f AS (SELECT doc_id, source, text2,
+       |  len(string_split(text2, ' ')) AS nw,
+       |  CAST(len(text2) - (len(string_split(text2, ' ')) - 1) AS DOUBLE)
+       |    / len(string_split(text2, ' ')) AS awl,
+       |  CAST(len(list_filter(string_split(text2, ' '), w -> w IN ($stopList))) AS DOUBLE)
+       |    / len(string_split(text2, ' ')) AS sr
+       |  FROM s),
+       |q AS (SELECT doc_id, source, text2 FROM f
+       |  WHERE nw BETWEEN 28 AND 85 AND awl >= 1.0 AND awl <= 9.0
+       |    AND sr >= 0.01),
+       |e AS (SELECT doc_id, source, text2 FROM (
+       |  SELECT doc_id, source, text2,
+       |    row_number() OVER (PARTITION BY text2 ORDER BY doc_id) AS rn
+       |  FROM q) WHERE rn = 1),
+       |c AS (SELECT doc_id, source, text2, host_rank FROM (
+       |  SELECT doc_id, source, text2,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS host_rank
+       |  FROM e) WHERE host_rank <= 8)
+       |SELECT doc_id, source, host_rank, $splitCase AS split,
+       | md5(text2) AS text_md5
+       |FROM c""".stripMargin
+  }
+
   /** Eval-set hygiene end-to-end: the deterministic split
     * ([[graft.text.CorpusSplit.assignSplits]]) carves a test set, then
     * every TRAIN document is flagged by 3-gram overlap with the test
@@ -2181,7 +2244,10 @@ object Queries {
       qualityScore(col("text")).as("quality"))
   }
 
-  private val stopList = graft.text.TextFunctions.Stopwords
+  // lazy: referenced by oracle-SQL vals declared ABOVE this line — a plain
+  // val would interpolate as "null" during object initialization (exactly
+  // what silently zeroed q_pipeline_e2e's stop-ratio stage in review)
+  private lazy val stopList = graft.text.TextFunctions.Stopwords
     .map(w => s"'$w'").mkString(", ")
 
   val qTextStatsSql: String =
