@@ -1676,6 +1676,41 @@ object Queries {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Per-language LM scoring ([[graft.text.NgramLm.trainByLang]] — the
+    * CCNet shape: each document scored under its OWN language's model):
+    * two synthetic "languages" (raw text vs reversed text — disjoint
+    * trigram distributions), one keyed model trained on the %5==0 slice
+    * of each, every document scored under its own. Same checkpointed-
+    * score integer downstream as q_lm_score, ranked per language. */
+  def qLmByLang(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.NgramLm
+    val docs = table(spark, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, lit("en")).otherwise(lit("rv")).as("lang"),
+      when(col("doc_id") % 2 === 0, col("text"))
+        .otherwise(reverse(col("text"))).as("text"))
+    val model = NgramLm.trainByLang(
+      docs.where(col("doc_id") % 5 === 0), "lang", "text", n = 3,
+      topVPerLang = 1500)
+    val aux = writeOracleAux(
+      NgramLm.scoreByLang(docs, "doc_id", "lang", "text", model,
+        n = 3, alpha = 0.5),
+      dir, "lm_bylang_scores")
+    aux.select(col("doc_id"), col("lang"), col("n_grams"),
+        floor(col("logp") * 1e6).as("lp_micro"))
+      .withColumn("lang_rank", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("lp_micro").desc, col("doc_id").asc)))
+  }
+
+  val qLmByLangSql: String =
+    s"""WITH s AS (SELECT doc_id, lang, n_grams,
+       |  CAST(floor(logp * 1e6) AS BIGINT) AS lp_micro
+       |  FROM ${auxSql("lm_bylang_scores")})
+       |SELECT doc_id, lang, n_grams, lp_micro,
+       | row_number() OVER (PARTITION BY lang
+       |   ORDER BY lp_micro DESC, doc_id ASC) AS lang_rank
+       |FROM s""".stripMargin
+
   /** Embedding hygiene ([[graft.ann.VectorHygiene]] — the pre-ANN
     * quarantine pass): four corruption classes injected deterministically
     * into the embeddings table (NaN components, zero vectors, truncated

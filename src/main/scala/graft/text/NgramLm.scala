@@ -39,6 +39,47 @@ object NgramLm {
       .select(col("gram"), col("cnt"))
   }
 
+  /** Per-LANGUAGE models in one pass (the CCNet shape: each document is
+    * scored under its own language's reference distribution): one keyed
+    * relation (langCol, gram, cnt), top `topVPerLang` grams per language
+    * via a window over the aggregated vocabulary relation (per-language
+    * partitions — bounded by the per-lang vocab, not the corpus). */
+  def trainByLang(docs: DataFrame, langCol: String, textCol: String,
+                  n: Int = 3, topVPerLang: Int = 10000): DataFrame = {
+    val cnt = docs.select(col(langCol),
+        explode(graft.functions.char_shingles_all(col(textCol), n)).as("gram"))
+      .groupBy(col(langCol), col("gram")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(langCol))
+      .orderBy(col("cnt").desc, col("gram").asc)
+    cnt.withColumn("__r", row_number().over(w)).where(col("__r") <= topVPerLang)
+      .select(col(langCol), col("gram"), col("cnt"))
+  }
+
+  /** Score each document under ITS OWN language's model: join on
+    * (lang, gram) against the broadcast keyed model; per-language (N, V)
+    * smoothing stats come from a languages-sized aggregate joined in.
+    * Documents in a language absent from the model produce no row. */
+  def scoreByLang(docs: DataFrame, idCol: String, langCol: String,
+                  textCol: String, model: DataFrame,
+                  n: Int = 3, alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0, "ngramLm.scoreByLang: alpha must be > 0")
+    val mc = model.columns
+    val m = model.select(col(mc(0)).as(langCol), col(mc(1)).as("gram"),
+      col(mc(2)).as("cnt"))
+    val stats = m.groupBy(col(langCol)).agg(
+      sum(col("cnt")).as("__N"), count(lit(1)).as("__V"))
+    val grams = docs.select(col(idCol), col(langCol),
+      explode(graft.functions.char_shingles_all(col(textCol), n)).as("gram"))
+    grams
+      .join(broadcast(stats), Seq(langCol)) // inner: unknown langs drop
+      .join(broadcast(m), Seq(langCol, "gram"), "left")
+      .select(col(idCol), col(langCol),
+        log((coalesce(col("cnt"), lit(0L)) + lit(alpha)) /
+          (col("__N") + lit(alpha) * col("__V"))).as("__lp"))
+      .groupBy(col(idCol), col(langCol))
+      .agg(count(lit(1)).as("n_grams"), avg(col("__lp")).as("logp"))
+  }
+
   /** Score each document: `(idCol, n_grams, logp)` where logp is the mean
     * of ln((c_g + alpha) / (N + alpha*V)) over the document's character
     * n-grams (with multiplicity). Documents shorter than `n` characters

@@ -52,6 +52,27 @@ class NgramLmSpec extends SparkTestBase {
       s"in-distribution ${got(1L)} must beat noise ${got(2L)}")
   }
 
+  test("per-language models: own-language text outscores cross-language; unknown langs drop") {
+    val ref = (0 until 40).flatMap { i =>
+      Seq((i.toLong * 2, "aa", "the quick brown fox jumps over"),
+        (i.toLong * 2 + 1, "bb", "revo spmuj xof nworb kciuq eht"))
+    }.toDF("doc_id", "lang", "text")
+    val model = NgramLm.trainByLang(ref, "lang", "text", 3, topVPerLang = 500)
+    assert(model.select("lang").distinct().as[String].collect().toSet ==
+      Set("aa", "bb"))
+    // the same sentence labeled with each language, plus an unknown lang
+    val cand = Seq(
+      (1L, "aa", "the quick brown fox"),
+      (2L, "bb", "the quick brown fox"),
+      (3L, "zz", "the quick brown fox")
+    ).toDF("doc_id", "lang", "text")
+    val got = NgramLm.scoreByLang(cand, "doc_id", "lang", "text", model, 3, 0.5)
+      .select("doc_id", "logp").as[(Long, Double)].collect().toMap
+    assert(got.keySet == Set(1L, 2L), "unknown language must produce no row")
+    assert(got(1L) > got(2L),
+      s"own-language model ${got(1L)} must beat cross-language ${got(2L)}")
+  }
+
   test("topV cap bounds the model; dropped grams score as unseen") {
     val ref = Seq((1L, "aaaa bbbb aaaa bbbb aaaa cc")).toDF("doc_id", "text")
     val full = NgramLm.train(ref, "text", 2, topV = 1000)
