@@ -2756,6 +2756,38 @@ object Queries {
       | FROM shared JOIN cnt ca ON ca.doc_id = ida JOIN cnt cb ON cb.doc_id = idb)
       |WHERE containment >= 0.9""".stripMargin
 
+  /** JSONL ingestion round-trip with quarantine
+    * ([[graft.sources.JsonlSource]]): the documents table is written as
+    * newline-delimited JSON with one malformed line injected per 50 docs,
+    * read back through the text-scan + from_json quarantine path, and the
+    * gate ships every recovered row's content hash plus the quarantine
+    * count — so JSON escaping, parse recovery, and the nothing-silently-
+    * dropped contract are all pinned against the source of truth (the
+    * oracle never touches the file; it derives from the table). */
+  def qJsonl(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.JsonlSource
+    val base = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val path = s"/root/repo/target/graft_jsonl/${new java.io.File(dir).getName}"
+    base.select(to_json(struct(col("doc_id"), col("text"))).as("value"))
+      .unionByName(base.where(col("doc_id") % 50 === 0)
+        .select(concat(lit("{broken json line "), col("doc_id")).as("value")))
+      .write.mode("overwrite").text(path)
+    val (good, bad) = JsonlSource.read(spark, path,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val nBad = bad.agg(count(lit(1)).as("n_bad"))
+    good.select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"))
+      .crossJoin(broadcast(nBad)) // 1-row quarantine summary rides along
+  }
+
+  val qJsonlSql: String =
+    """SELECT doc_id, md5(text) AS text_md5,
+      | (SELECT count(*) FROM documents WHERE doc_id % 50 = 0) AS n_bad
+      |FROM documents""".stripMargin
+
   /** Token-window chunking ([[graft.text.TextChunk.chunkByTokens]] — the
     * retrieval/long-context layout step): 40-token windows, 8-token
     * overlap. Scan-local built-in expressions only; every chunk's full
