@@ -202,7 +202,13 @@ object PerfProbe {
           // (CacheHygiene lifecycle), bpe_encode trains + checkpoints
           // per call — both must leave no blocks behind
           "dedup_spans" -> ((d: String) => Queries.qDedupSpans(spark, d).count()),
-          "bpe_encode" -> ((d: String) => Queries.qBpeEncode(spark, d).count()))
+          "bpe_encode" -> ((d: String) => Queries.qBpeEncode(spark, d).count()),
+          // round-10 additions: the keyJaccard persist users outside the
+          // text lane (CDC chunks, video samples, containment shingles) —
+          // each persists a key relation per call and must release it
+          "cdc_dedup" -> ((d: String) => Queries.qCdcDedup(spark, d).count()),
+          "video_neardup" -> ((d: String) => Queries.qVideoNeardup(spark, d).count()),
+          "text_containment" -> ((d: String) => Queries.qTextContainment(spark, d).count()))
         // JIT/codegen warmup at the smallest SF so pass-1 at sf0.1 is
         // steady-state and the pass ratio isolates SESSION aging, not JIT
         gates.foreach { case (_, f) =>
