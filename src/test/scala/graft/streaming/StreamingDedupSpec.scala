@@ -51,6 +51,53 @@ class StreamingDedupSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("streaming blob refresh == dedupAgainstStore twin; twins drop across and within batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.dedup.BinaryDedup
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-blob")
+    def blob(seed: Long): Array[Byte] = {
+      val r = new scala.util.Random(seed)
+      val b = new Array[Byte](8000); r.nextBytes(b); b
+    }
+    val a = blob(1); val b = blob(2); val c = blob(3)
+    val batch1 = Seq((1L, a), (2L, b))
+    val batch2 = Seq(
+      (10L, "P::".getBytes("UTF-8") ++ a), // twin of stored 1 -> drops
+      (11L, c),                            // fresh -> survives
+      (12L, "Q::".getBytes("UTF-8") ++ c)) // in-batch twin of 11 -> drops
+    val stream = MemoryStream[(Long, Array[Byte])]
+    val q = BlobIngest.start(stream.toDF().toDF("bid", "content"),
+      "bid", "content", s"$dir/out", s"$dir/chunks", s"$dir/ckpt",
+      threshold = 0.5, minSize = 64, avgBits = 8, maxSize = 1024)
+    try {
+      stream.addData(batch1); q.processAllAvailable()
+      stream.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val survivors = spark.read.parquet(s"$dir/out")
+      .select("bid").as[Long].collect().toSet
+    assert(survivors == Set(1L, 2L, 11L))
+    // the chunk store is exactly the survivors' chunk relation
+    val store = spark.read.parquet(s"$dir/chunks")
+    val twin = BinaryDedup.chunkTable(
+      Seq((1L, a), (2L, b), (11L, c)).toDF("bid", "content"),
+      "bid", "content", 64, 8, 1024)
+    assert(store.as[(Long, Long)].collect().toSet ==
+      twin.as[(Long, Long)].collect().toSet)
+    // a later twin of an epoch-2 survivor is suppressed by the grown store
+    stream2Check(dir.toString, c)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
+  private def stream2Check(dir: String, c: Array[Byte]): Unit = {
+    import graft.dedup.BinaryDedup
+    val batch3 = Seq((20L, "R::".getBytes("UTF-8") ++ c))
+      .toDF("bid", "content")
+    val store = spark.read.parquet(s"$dir/chunks")
+    val kept = BinaryDedup.dedupAgainstStore(batch3, "bid", "content",
+      store, 0.5, 64, 8, 1024)
+    assert(kept.count() == 0)
+  }
+
   test("a replayed line never survives twice across many refreshes") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-dedup2")
