@@ -68,15 +68,26 @@ object BinaryDedup {
   }
 
   /** Chunk-relation-level core of [[matchesAgainstStore]]: both sides are
-    * already `(id, chash)` relations (e.g. checkpointed stores). */
+    * already `(id, chash)` relations (e.g. checkpointed stores).
+    * `storeCounts` optionally supplies a maintained `(id, nb)` relation —
+    * a refresh loop that appends survivors can keep it incrementally and
+    * skip the per-id recount scan entirely; when absent it is derived
+    * here (partial aggregation: only (id, count) buffers shuffle). */
   def matchChunkTables(newChunks: DataFrame, idCol: String,
                        storedChunks: DataFrame,
-                       threshold: Double): DataFrame = {
+                       threshold: Double,
+                       storeCounts: Option[DataFrame] = None): DataFrame = {
     val kc = storedChunks.columns
     val store = storedChunks.select(
       col(kc(0)).as("store_id"), col(kc(1)).as("chash"))
     val newCnt = newChunks.groupBy(col(idCol)).agg(count(lit(1)).as("na"))
-    val storeCnt = store.groupBy(col("store_id")).agg(count(lit(1)).as("nb"))
+    val storeCnt = storeCounts match {
+      case Some(c) =>
+        val cc = c.columns
+        c.select(col(cc(0)).as("store_id"), col(cc(1)).cast("long").as("nb"))
+      case None =>
+        store.groupBy(col("store_id")).agg(count(lit(1)).as("nb"))
+    }
     val shared = newChunks.join(store.hint("shuffle_hash"), "chash")
       .groupBy(col(idCol), col("store_id")).agg(count(lit(1)).as("shared"))
     shared
@@ -86,6 +97,39 @@ object BinaryDedup {
       .where(col("jaccard") >= threshold)
       .select(col(idCol), col("store_id"), col("jaccard"))
   }
+
+  /** Write the chunk store as a BUCKETED catalog table (bucketBy on the
+    * chunk id, sorted within buckets): every future refresh join then
+    * reads the store WITHOUT ANY SHUFFLE — not even of its 8-byte keys —
+    * because the on-disk bucket layout already satisfies the join's
+    * distribution; only the (small) new batch exchanges to the bucket
+    * count. At a 100 TB blob corpus the store is the big side by orders
+    * of magnitude, so this moves the refresh's shuffle cost from
+    * O(corpus) to O(batch). Append refreshes with
+    * [[appendToBucketedStore]] (same bucket spec — Spark enforces it). */
+  def writeBucketedStore(chunks: DataFrame, table: String,
+                         buckets: Int): Unit =
+    chunks.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "chash").sortBy("chash")
+      .saveAsTable(table)
+
+  /** Append a refresh's survivor chunks into the bucketed store. */
+  def appendToBucketedStore(chunks: DataFrame, table: String,
+                            buckets: Int): Unit =
+    chunks.write.mode("append").format("parquet")
+      .bucketBy(buckets, "chash").sortBy("chash")
+      .saveAsTable(table)
+
+  /** [[matchesAgainstStore]] against a bucketed store table: identical
+    * semantics, store side scan-joins in place. */
+  def matchesAgainstBucketedStore(newDf: DataFrame, idCol: String,
+                                  binCol: String, storeTable: String,
+                                  threshold: Double,
+                                  minSize: Int = 256, avgBits: Int = 12,
+                                  maxSize: Int = 8192): DataFrame =
+    matchesAgainstStore(newDf, idCol, binCol,
+      newDf.sparkSession.table(storeTable), threshold,
+      minSize, avgBits, maxSize)
 
   /** New-batch blobs with no stored near-dup (the rows a refresh keeps and
     * whose chunks it appends to the store). Original projection preserved. */

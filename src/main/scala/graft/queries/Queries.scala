@@ -2756,6 +2756,31 @@ object Queries {
       | FROM shared JOIN cnt ca ON ca.doc_id = ida JOIN cnt cb ON cb.doc_id = idb)
       |WHERE containment >= 0.9""".stripMargin
 
+  /** Per-source corpus datasheet ([[graft.text.CorpusReport]]): doc/char/
+    * token volume, quality-pass count, exact-dup count — one row per
+    * source, all exact integers. The oracle replays the aggregate plus
+    * the dup-winner window in SQL. */
+  def qCorpusReport(spark: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusReport.perSource(
+      table(spark, dir, "documents"), "source", "doc_id", "text")
+
+  val qCorpusReportSql: String =
+    s"""WITH a AS (SELECT source, doc_id, text,
+       |  len(string_split(text, ' ')) AS nw,
+       |  CAST(len(string_split(text, ' ')) BETWEEN 25 AND 80 AS INT) AS p_len,
+       |  CAST((CAST(len(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+       |    / len(string_split(text, ' '))) BETWEEN 4.3 AND 4.7 AS INT) AS p_wlen,
+       |  CAST((CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
+       |    / len(string_split(text, ' '))) >= 0.02 AS INT) AS p_stop,
+       |  row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |  FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       | CAST(sum(len(text)) AS BIGINT) AS n_chars,
+       | CAST(sum(nw) AS BIGINT) AS n_tokens,
+       | CAST(sum(p_len * p_wlen * p_stop) AS BIGINT) AS n_quality_pass,
+       | CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup
+       |FROM a GROUP BY 1""".stripMargin
+
   /** JSONL ingestion round-trip with quarantine
     * ([[graft.sources.JsonlSource]]): the documents table is written as
     * newline-delimited JSON with one malformed line injected per 50 docs,

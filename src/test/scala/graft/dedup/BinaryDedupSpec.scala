@@ -109,6 +109,55 @@ class BinaryDedupSpec extends SparkTestBase {
     assert(m3 == Set((20L, 11L)))
   }
 
+  test("bucketed chunk store: identical matches, store side joins without a shuffle") {
+    val a = blob(30, 8000)
+    val b = blob(31, 8000)
+    val batch1 = Seq((1L, a), (2L, b)).toDF("id", "content")
+    val chunks = BinaryDedup.chunkTable(batch1, "id", "content", 64, 8, 1024)
+    spark.sql("DROP TABLE IF EXISTS graft_test_chunk_store")
+    BinaryDedup.writeBucketedStore(chunks, "graft_test_chunk_store", 4)
+    val batch2 = Seq((10L, "P::".getBytes("UTF-8") ++ a), (11L, blob(32, 8000)))
+      .toDF("id", "content")
+    val viaBucketed = BinaryDedup.matchesAgainstBucketedStore(
+      batch2, "id", "content", "graft_test_chunk_store", 0.5, 64, 8, 1024)
+    val viaPlain = BinaryDedup.matchesAgainstStore(
+      batch2, "id", "content", chunks, 0.5, 64, 8, 1024)
+    assert(viaBucketed.select("id", "store_id").as[(Long, Long)].collect().toSet ==
+      viaPlain.select("id", "store_id").as[(Long, Long)].collect().toSet)
+    assert(viaBucketed.select("id", "store_id").as[(Long, Long)].collect().toSet ==
+      Set((10L, 1L)))
+    // append keeps the bucket spec and the grown store still suppresses
+    BinaryDedup.appendToBucketedStore(
+      BinaryDedup.chunkTable(
+        Seq((11L, blob(32, 8000))).toDF("id", "content"),
+        "id", "content", 64, 8, 1024),
+      "graft_test_chunk_store", 4)
+    val m2 = BinaryDedup.matchesAgainstBucketedStore(
+        Seq((20L, "Q::".getBytes("UTF-8") ++ blob(32, 8000)))
+          .toDF("id", "content"),
+        "id", "content", "graft_test_chunk_store", 0.5, 64, 8, 1024)
+      .select("id", "store_id").as[(Long, Long)].collect().toSet
+    assert(m2 == Set((20L, 11L)))
+    // plan: the chash join's store side reads the bucket layout in place —
+    // no ShuffleExchange anywhere above the store table scan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = BinaryDedup.matchChunkTables(
+      BinaryDedup.chunkTable(batch2, "id", "content", 64, 8, 1024),
+      "id", spark.table("graft_test_chunk_store"), 0.5)
+    df.count()
+    val root = df.queryExecution.executedPlan
+    val plans = root +: root.collect { case p: AdaptiveSparkPlanExec => p.executedPlan }
+    val storeShuffles = plans.flatMap(_.collect {
+      case s: ShuffleExchangeExec
+        if s.child.toString.contains("graft_test_chunk_store") &&
+          !s.child.toString.contains("HashAggregate") => s
+    })
+    assert(storeShuffles.isEmpty,
+      s"store-side chash join must be exchange-free:\n$root")
+    spark.sql("DROP TABLE IF EXISTS graft_test_chunk_store")
+  }
+
   test("nearDupPairs finds the mutated twin and not unrelated blobs") {
     val a = blob(10, 8000)
     val aMut = "PREFIX::".getBytes("UTF-8") ++ a
