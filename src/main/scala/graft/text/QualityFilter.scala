@@ -54,4 +54,28 @@ object QualityFilter {
     val cols = df.columns.map(col).toIndexedSeq
     annotate(df, textCol, rules).where(col("keep") === 1).select(cols: _*)
   }
+
+  /** Calibrate rule thresholds FROM the corpus: word-count bounds at the
+    * (pTail, 1−pTail) quantiles, mean-word-length bounds likewise, and
+    * the stopword floor at pTail — the "trim the distribution tails"
+    * recipe a new corpus needs before anyone hand-tunes. approxQuantile
+    * is one distributed pass with a driver-bounded sketch (relativeError
+    * 0.001); calibration is approximate BY DESIGN (thresholds are policy,
+    * not semantics), while the resulting filter stays exact and
+    * oracle-replayable since Rules are plain constants once derived. */
+  def calibrate(df: DataFrame, textCol: String,
+                pTail: Double = 0.1): Rules = {
+    require(pTail > 0 && pTail < 0.5, s"calibrate: pTail in (0, 0.5), got $pTail")
+    import TextFunctions._
+    val t = col(textCol)
+    val feats = df.select(tokenCount(t).cast("double").as("nw"),
+      avgWordLen(t).as("awl"), stopwordRatio(t).as("sr"))
+    val qs = Array(pTail, 1.0 - pTail)
+    val Seq(nwQ, awlQ, srQ) = Seq("nw", "awl", "sr")
+      .map(c => feats.stat.approxQuantile(c, qs, 0.001))
+    Rules(
+      minWords = nwQ(0).toInt, maxWords = nwQ(1).toInt,
+      minAvgWordLen = awlQ(0), maxAvgWordLen = awlQ(1),
+      minStopRatio = srQ(0))
+  }
 }

@@ -8,6 +8,22 @@ import graft.dedup.TextDedup
 class PipelineOpsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("calibrate derives tail-trimming rules from the corpus itself") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rules = QualityFilter.calibrate(docs, "text", pTail = 0.1)
+    // bounds land inside the corpus's range and in order
+    assert(rules.minWords >= 1 && rules.minWords < rules.maxWords)
+    assert(rules.minAvgWordLen < rules.maxAvgWordLen)
+    assert(rules.minStopRatio >= 0.0)
+    // trimming both 10% tails on three axes keeps a real middle band:
+    // more than half the corpus, less than all of it
+    val kept = QualityFilter.filter(docs, "text", rules).count()
+    val n = docs.count()
+    assert(kept > n / 2 && kept < n, s"kept $kept of $n")
+    // deterministic: same corpus, same rules
+    assert(rules == QualityFilter.calibrate(docs, "text", pTail = 0.1))
+  }
+
   test("QualityFilter rules split on each axis independently") {
     val rules = QualityFilter.Rules(
       minWords = 3, maxWords = 5,
