@@ -1587,7 +1587,13 @@ object Queries {
     * checkpoint-gated families this composition is replayed END TO END by
     * one oracle query — stage boundaries included (a row that leaks past
     * quality into the cap changes host_rank for every later row of its
-    * host). */
+    * host).
+    *
+    * Plan note: projection collapse + predicate pushdown make strip_html
+    * appear ~12x in the plan text, but codegen common-subexpression
+    * elimination collapses the evaluations — measured at 20x corpus: the
+    * inline plan runs the strip+quality front in 0.52 s steady-state vs
+    * 2.10 s with an explicit persist barrier. Don't "fix" this. */
   def qPipelineE2e(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.{CorpusSplit, HostCurate, QualityFilter}
     val html = concat(
