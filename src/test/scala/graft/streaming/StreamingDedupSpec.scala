@@ -88,6 +88,41 @@ class StreamingDedupSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("store compaction preserves the key set and the loop's decisions") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact")
+    val keyP = s"$dir/keys"
+    // simulate many small appends
+    for (i <- 0 until 6)
+      Seq((i.toLong, i.toLong * 7), (i.toLong, i.toLong * 7)) // dup rows too
+        .toDF("lkey", "lkey2").coalesce(1).write.mode("append").parquet(keyP)
+    val before = spark.read.parquet(keyP).distinct()
+      .as[(Long, Long)].collect().toSet
+    val filesBefore = new java.io.File(keyP).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesBefore >= 6)
+    StoreMaintenance.compact(spark, keyP, numFiles = 2)
+    val after = spark.read.parquet(keyP)
+    assert(after.as[(Long, Long)].collect().toSet == before)
+    assert(after.count() == before.size, "compaction must dedup")
+    val filesAfter = new java.io.File(keyP).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesAfter == 2)
+    // recover() on a healthy store is a no-op; on a stale tmp it cleans up
+    assert(!StoreMaintenance.recover(spark, keyP))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(keyP + ".compacting"))
+    assert(!StoreMaintenance.recover(spark, keyP))
+    assert(!new java.io.File(keyP + ".compacting").exists())
+    // crashed-swap shape: store missing, tmp present -> recover completes
+    val fs = new java.io.File(keyP)
+    val tmp = new java.io.File(keyP + ".compacting")
+    assert(fs.renameTo(tmp))
+    assert(StoreMaintenance.recover(spark, keyP))
+    assert(spark.read.parquet(keyP).as[(Long, Long)].collect().toSet == before)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   private def stream2Check(dir: String, c: Array[Byte]): Unit = {
     import graft.dedup.BinaryDedup
     val batch3 = Seq((20L, "R::".getBytes("UTF-8") ++ c))
