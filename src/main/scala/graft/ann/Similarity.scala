@@ -167,6 +167,42 @@ object Similarity {
       .dropDuplicates("ida", "idb")
   }
 
+  /** RANGE (radius) search: every (query, item) pair with cosine >=
+    * `minCos` — the retrieval twin of thresholded near-dup mining
+    * (vector stores expose both top-k and radius). Brute form: queries
+    * broadcast, one scan of the corpus, the items never shuffle — exact,
+    * and the right plan whenever the query side is batch-sized. */
+  def radiusSearchBrute(items: DataFrame, itemId: String, itemVec: String,
+                        queries: DataFrame, queryId: String, queryVec: String,
+                        minCos: Double): DataFrame = {
+    val q = queries.select(col(queryId), col(queryVec).as("__qv"))
+    items.select(col(itemId), col(itemVec).as("__iv"))
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", cosine_similarity(col("__iv"), col("__qv")))
+      .where(col("cosine") >= minCos)
+      .select(col(queryId), col(itemId), col("cosine"))
+  }
+
+  /** LSH-bucketed radius search: candidates from sign-random-projection
+    * bucket collisions (the [[topKLsh]] machinery), exact cosine verify —
+    * only colliding pairs score, never |items| x |queries|. Approximate:
+    * recall is tables/bits-tunable and spec-gated against the brute
+    * form. */
+  def radiusSearchLsh(items: DataFrame, itemId: String, itemVec: String,
+                      queries: DataFrame, queryId: String, queryVec: String,
+                      minCos: Double, bits: Int = 8, tables: Int = 8): DataFrame = {
+    val ib = bandedBuckets(items, itemId, itemVec, bits, tables, "t")
+    val qb = bandedBuckets(queries, queryId, queryVec, bits, tables, "u")
+      .select(col(queryId), col(queryVec).as("__qv"),
+        col("u_table"), col("u_bucket"))
+    ib.join(qb.hint("shuffle_hash"),
+        col("t_table") === col("u_table") && col("t_bucket") === col("u_bucket"))
+      .withColumn("cosine", cosine_similarity(col(itemVec), col("__qv")))
+      .where(col("cosine") >= minCos)
+      .select(col(queryId), col(itemId), col("cosine"))
+      .dropDuplicates(queryId, itemId)
+  }
+
   /** `(id, tbl, bucket)` sign-random-projection bucket relation — the
     * engine-internal (hash-family) half of [[topKLsh]] as a standalone,
     * checkpointable index table: persist it once and the bucket join /

@@ -1393,6 +1393,35 @@ object Queries {
       |   * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
       |  >= 0.2""".stripMargin
 
+  /** Radius (range) search ([[graft.ann.Similarity.radiusSearchBrute]]):
+    * all corpus vectors within a cosine radius of each query — queries
+    * broadcast, the corpus never shuffles. IDs-only output (same FP-margin
+    * rationale as q_neardup_cosine); the LSH variant's recall is
+    * ScalaTest-gated. */
+  def qAnnRadius(spark: SparkSession, dir: String): DataFrame = {
+    val items = table(spark, dir, "embeddings")
+      .where(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val queries = table(spark, dir, "embeddings")
+      .where(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    graft.ann.Similarity.radiusSearchBrute(
+        items, "vec_id", "embedding", queries, "qid", "qvec", 0.2)
+      .select(col("qid"), col("vec_id"))
+  }
+
+  val qAnnRadiusSql: String =
+    """WITH it AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+      |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+      |  WHERE vec_id % 100 = 7)
+      |SELECT qid, vec_id
+      |FROM it CROSS JOIN q
+      |WHERE list_sum(list_transform(generate_series(1, 64),
+      |        i -> CAST(it.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(it.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |   * sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |  >= 0.2""".stripMargin
+
   /** SEMANTIC dedup end-to-end — the embedding-space twin of the text
     * dedup composition: exact cosine near-dup pair mining
     * ([[graft.ann.Similarity.nearDupPairsBrute]]) → connected components

@@ -119,6 +119,33 @@ class TextPipelineSpec extends SparkTestBase {
     assert(recall >= 0.6, s"LSH ANN recall $recall (want >= 0.6 at 4 bits x 16 tables)")
   }
 
+  test("radius search: brute is exact on crafted vectors; LSH recalls brute on real ones") {
+    // crafted: identical vector -> cos 1 (in radius), orthogonal -> cos 0 (out)
+    val items = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.8f, 0.6f, 0.0f))).toDF("vec_id", "embedding")
+    val qs = Seq((100L, Array(1.0f, 0.0f, 0.0f))).toDF("qid", "qvec")
+    val got = Similarity.radiusSearchBrute(items, "vec_id", "embedding",
+        qs, "qid", "qvec", 0.5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 1L), (100L, 3L))) // cos = 1.0 and 0.8
+    // LSH variant against brute on the real embeddings
+    val it2 = emb.select(col("vec_id"), col("embedding"))
+    val qs2 = emb.where(col("vec_id") % 25 === 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val brute = Similarity.radiusSearchBrute(it2, "vec_id", "embedding",
+        qs2, "qid", "qvec", 0.3)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.radiusSearchLsh(it2, "vec_id", "embedding",
+        qs2, "qid", "qvec", 0.3, bits = 4, tables = 16)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    assert(lsh.subsetOf(brute), "LSH verifies exactly - no false positives")
+    val recall = brute.count(lsh.contains).toDouble / brute.size
+    assert(recall >= 0.6, s"LSH radius recall $recall")
+  }
+
   test("embedding near-dup pair mining: exact dups always found, no false positives") {
     val rnd = new scala.util.Random(19)
     def vec(): Array[Float] = Array.fill(32)(rnd.nextGaussian().toFloat)
