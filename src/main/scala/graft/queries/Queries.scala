@@ -2114,6 +2114,59 @@ object Queries {
        | FROM cand JOIN s sa ON sa.doc_id = ida JOIN s sb ON sb.doc_id = idb)
        |WHERE hamming <= 8""".stripMargin
 
+  /** IMAGE dedup END-TO-END — the pixel lane's composition twin of
+    * [[qVideoDedupE2e]]: the same 40×4 block-pattern PNG fixture as
+    * [[qImageNeardup]], dHash-fingerprinted from real decoded pixels,
+    * then banding+Hamming pairs → connected components → min-id
+    * survivors. The oracle replays banding, Hamming, reachability and
+    * the survivor filter over the checkpointed fingerprints. */
+  def qImageDedupE2e(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.BinaryType
+    import graft.multimodal.{ImageCodec, ImageDedup}
+    import graft.dedup.{Components, TextDedup}
+    val base = table(spark, dir, "documents")
+      .select(col("doc_id")).where(col("doc_id") < 160)
+    val schema = base.schema.add("content", BinaryType)
+    implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+    val withPng = base.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val m = (id % 4).toInt
+        org.apache.spark.sql.Row(id,
+          ImageCodec.encodeBlocksPng(id / 4, m * 2, m * 3 % 8))
+      }
+    }.toDF("doc_id", "content")
+    val aux = writeOracleAux(
+      ImageDedup.fingerprints(withPng, "doc_id", "content"),
+      dir, "image_dhash_e2e")
+    val fps = aux.where(col("sh").isNotNull)
+    val pairs = TextDedup.simHashPairsFromFingerprints(
+      fps, "doc_id", maxHamming = 8)
+    Components.dedupByComponents(
+        fps.select(col("doc_id")), "doc_id", pairs, "ida", "idb")
+      .select(col("doc_id"))
+  }
+
+  val qImageDedupE2eSql: String =
+    s"""WITH RECURSIVE s AS (SELECT doc_id, sh FROM ${auxSql("image_dhash_e2e")}
+       |  WHERE sh IS NOT NULL),
+       |bd AS (SELECT doc_id, bnd, (sh >> (bnd*16)) & 65535 AS key
+       |  FROM s, (SELECT unnest(generate_series(0,3)) AS bnd)),
+       |cand AS (SELECT DISTINCT a.doc_id ida, b.doc_id idb FROM bd a
+       |  JOIN bd b ON a.bnd = b.bnd AND a.key = b.key AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT ida, idb FROM (
+       |  SELECT ida, idb, bit_count(xor(sa.sh, sb.sh)) AS hamming
+       |  FROM cand JOIN s sa ON sa.doc_id = ida JOIN s sb ON sb.doc_id = idb)
+       | WHERE hamming <= 8),
+       |sym AS (SELECT ida AS src, idb AS d FROM pairs
+       |        UNION ALL SELECT idb, ida FROM pairs),
+       |reach(id, lab) AS (
+       |  SELECT doc_id, doc_id FROM s
+       |  UNION
+       |  SELECT sym.d, reach.lab FROM reach JOIN sym ON sym.src = reach.id),
+       |comp AS (SELECT id AS doc_id, min(lab) AS comp FROM reach GROUP BY 1)
+       |SELECT doc_id FROM comp WHERE doc_id = comp""".stripMargin
+
   /** AUDIO near-dup gate — the WAV twin of [[qImageNeardup]]: 160 real
     * PCM16 WAVs in 40 groups of 4 (shared 65-segment envelope per group,
     * one shifted segment per member,
@@ -2156,6 +2209,58 @@ object Queries {
        | SELECT ida, idb, bit_count(xor(sa.sh, sb.sh)) AS hamming
        | FROM cand JOIN s sa ON sa.doc_id = ida JOIN s sb ON sb.doc_id = idb)
        |WHERE hamming <= 8""".stripMargin
+
+  /** AUDIO dedup END-TO-END — completes the composition triad
+    * ([[qImageDedupE2e]] pixels, [[qVideoDedupE2e]] container): same
+    * 40×4 envelope-hash WAV fixture as [[qAudioNeardup]], banding+Hamming
+    * pairs → components → min-id survivors; oracle replays all stages
+    * over the checkpointed fingerprints via a recursive CTE. */
+  def qAudioDedupE2e(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.BinaryType
+    import graft.multimodal.{AudioCodec, AudioDedup}
+    import graft.dedup.{Components, TextDedup}
+    val base = table(spark, dir, "documents")
+      .select(col("doc_id")).where(col("doc_id") < 160)
+    val schema = base.schema.add("content", BinaryType)
+    implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+    val withWav = base.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val m = (id % 4).toInt
+        org.apache.spark.sql.Row(id,
+          AudioCodec.encodeBlocksWav(id / 4, m * 13 % 65))
+      }
+    }.toDF("doc_id", "content")
+    val aux = writeOracleAux(
+      AudioDedup.fingerprints(withWav, "doc_id", "content"),
+      dir, "audio_ahash_e2e")
+    val fps = aux.where(col("sh").isNotNull)
+    val pairs = TextDedup.simHashPairsFromFingerprints(
+      fps, "doc_id", maxHamming = 8)
+    Components.dedupByComponents(
+        fps.select(col("doc_id")), "doc_id", pairs, "ida", "idb")
+      .select(col("doc_id"))
+  }
+
+  val qAudioDedupE2eSql: String =
+    s"""WITH RECURSIVE s AS (SELECT doc_id, sh FROM ${auxSql("audio_ahash_e2e")}
+       |  WHERE sh IS NOT NULL),
+       |bd AS (SELECT doc_id, bnd, (sh >> (bnd*16)) & 65535 AS key
+       |  FROM s, (SELECT unnest(generate_series(0,3)) AS bnd)),
+       |cand AS (SELECT DISTINCT a.doc_id ida, b.doc_id idb FROM bd a
+       |  JOIN bd b ON a.bnd = b.bnd AND a.key = b.key AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT ida, idb FROM (
+       |  SELECT ida, idb, bit_count(xor(sa.sh, sb.sh)) AS hamming
+       |  FROM cand JOIN s sa ON sa.doc_id = ida JOIN s sb ON sb.doc_id = idb)
+       | WHERE hamming <= 8),
+       |sym AS (SELECT ida AS src, idb AS d FROM pairs
+       |        UNION ALL SELECT idb, ida FROM pairs),
+       |reach(id, lab) AS (
+       |  SELECT doc_id, doc_id FROM s
+       |  UNION
+       |  SELECT sym.d, reach.lab FROM reach JOIN sym ON sym.src = reach.id),
+       |comp AS (SELECT id AS doc_id, min(lab) AS comp FROM reach GROUP BY 1)
+       |SELECT doc_id FROM comp WHERE doc_id = comp""".stripMargin
 
   /** Compression-ratio quality filter (the Gopher-class deflate signal):
     * no SQL engine re-derives deflate, so the ratio column is checkpointed
