@@ -1422,6 +1422,53 @@ object Queries {
       |   * sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
       |  >= 0.2""".stripMargin
 
+  /** MMR diversified retrieval ([[graft.ann.Mmr]]): greedy
+    * relevance-vs-redundancy selection over each query's top-8
+    * candidates (k=4, λ=0.7). The candidate and pairwise-cosine
+    * relations are checkpointed; the engine's per-query mapGroups greedy
+    * and the oracle's recursive-CTE greedy consume identical bits and
+    * replay the identical argmax chain (strict-inequality + min-id
+    * tie-break; `1 - λ` written as the same subtraction both sides so
+    * the IEEE constant matches). */
+  def qMmr(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ann.Mmr
+    val items = table(spark, dir, "embeddings").where(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val queries = table(spark, dir, "embeddings").where(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val (qc0, cc0) = Mmr.relations(items, "vec_id", "embedding",
+      queries, "qid", "qvec", topN = 8)
+    val qc = writeOracleAux(qc0, dir, "mmr_qc")
+    val cc = writeOracleAux(cc0, dir, "mmr_cc")
+    Mmr.selectFromRelations(qc, cc, k = 4, lambda = 0.7)
+  }
+
+  val qMmrSql: String = {
+    def score(c: String, sel: String): String =
+      s"0.7 * $c.qcos - (1 - 0.7) * coalesce((SELECT max(y.ccos) FROM sym y " +
+        s"WHERE y.qid = s.qid AND y.a = $c.cid AND list_contains($sel, y.b)), 0)"
+    s"""WITH RECURSIVE sym AS (
+       |  SELECT qid, a, b, ccos FROM ${auxSql("mmr_cc")}
+       |  UNION ALL SELECT qid, b, a, ccos FROM ${auxSql("mmr_cc")}),
+       |qc AS (SELECT qid, cid, qcos FROM ${auxSql("mmr_qc")}),
+       |sel(qid, rank, cid, selected) AS (
+       |  SELECT qid, 1, cid, [cid] FROM qc q1
+       |  WHERE NOT EXISTS (SELECT 1 FROM qc q2 WHERE q2.qid = q1.qid
+       |    AND (q2.qcos > q1.qcos OR (q2.qcos = q1.qcos AND q2.cid < q1.cid)))
+       |  UNION ALL
+       |  SELECT s.qid, s.rank + 1, c.cid, list_append(s.selected, c.cid)
+       |  FROM sel s JOIN qc c ON c.qid = s.qid
+       |    AND NOT list_contains(s.selected, c.cid)
+       |  WHERE s.rank < 4 AND NOT EXISTS (
+       |    SELECT 1 FROM qc c2
+       |    WHERE c2.qid = s.qid AND NOT list_contains(s.selected, c2.cid)
+       |      AND c2.cid != c.cid
+       |      AND ((${score("c2", "s.selected")} > ${score("c", "s.selected")})
+       |        OR (${score("c2", "s.selected")} = ${score("c", "s.selected")}
+       |            AND c2.cid < c.cid))))
+       |SELECT qid, rank, cid FROM sel""".stripMargin
+  }
+
   /** SEMANTIC dedup end-to-end — the embedding-space twin of the text
     * dedup composition: exact cosine near-dup pair mining
     * ([[graft.ann.Similarity.nearDupPairsBrute]]) → connected components
