@@ -3000,6 +3000,37 @@ object Queries {
       | (SELECT count(*) FROM documents WHERE doc_id % 50 = 0) AS n_bad
       |FROM documents""".stripMargin
 
+  /** Deterministic negative sampling ([[graft.text.NegativeSample]]):
+    * contrastive (anchor, positive, negatives) triples over the dense
+    * embeddings id space — anchors are the %10==0 vectors, positive =
+    * the next id, 4 negatives each via the skip construction (a positive
+    * can never draw itself). Pure integer arithmetic, replayed exactly. */
+  def qNegSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.NegativeSample
+    val n = table(spark, dir, "embeddings").count()
+    val pairs = table(spark, dir, "embeddings")
+      .where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("anchor"),
+        pmod(col("vec_id") + 1, lit(n)).as("pos"))
+    NegativeSample.draw(pairs, "anchor", "pos", n, k = 4, salt = 3)
+  }
+
+  val qNegSampleSql: String = {
+    // the oracle re-derives n with a scalar subquery (the count is part
+    // of the replay, not a baked-in constant)
+    val negExpr = "CASE WHEN ((anchor * 4 + neg_idx + 3) * 2654435761) % (n - 1) >= pos " +
+      "THEN ((anchor * 4 + neg_idx + 3) * 2654435761) % (n - 1) + 1 " +
+      "ELSE ((anchor * 4 + neg_idx + 3) * 2654435761) % (n - 1) END"
+    s"""WITH c AS (SELECT count(*) AS n FROM embeddings),
+       |p AS (SELECT vec_id AS anchor, (vec_id + 1) % (SELECT n FROM c) AS pos
+       |  FROM embeddings WHERE vec_id % 10 = 0),
+       |x AS (SELECT anchor, pos, unnest(generate_series(0, 3)) AS neg_idx,
+       |  (SELECT n FROM c) AS n FROM p)
+       |SELECT anchor, pos, CAST(neg_idx AS INT) AS neg_idx,
+       | $negExpr AS neg_id
+       |FROM x""".stripMargin
+  }
+
   /** Token-window chunking ([[graft.text.TextChunk.chunkByTokens]] — the
     * retrieval/long-context layout step): 40-token windows, 8-token
     * overlap. Scan-local built-in expressions only; every chunk's full

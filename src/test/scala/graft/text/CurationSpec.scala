@@ -127,6 +127,38 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("negative sampling: positives never leak, ids stay in range, deterministic") {
+    val n = 100L
+    val pairs = (0L until 50L).map(a => (a, (a * 7 + 1) % n))
+      .toDF("anchor", "pos")
+    val out = NegativeSample.draw(pairs, "anchor", "pos", n, k = 5, salt = 1)
+      .select("anchor", "pos", "neg_idx", "neg_id")
+      .as[(Long, Long, Int, Long)].collect()
+    assert(out.length == 250)
+    out.foreach { case (a, p, _, neg) =>
+      assert(neg != p, s"anchor $a drew its positive $p")
+      assert(neg >= 0 && neg < n, s"out of range: $neg")
+    }
+    // a different salt draws a different set; same salt identical
+    val again = NegativeSample.draw(pairs, "anchor", "pos", n, 5, salt = 1)
+      .select("neg_id").as[Long].collect().toSeq
+    assert(again == out.map(_._4).toSeq)
+    val other = NegativeSample.draw(pairs, "anchor", "pos", n, 5, salt = 2)
+      .select("neg_id").as[Long].collect().toSeq
+    assert(other != again)
+    // the SQL twin evaluates identically via Spark SQL
+    val expr = NegativeSample.drawSql("anchor", "pos", n, 5, salt = 1)
+    val viaSql = pairs
+      .select(col("anchor"), col("pos"),
+        explode(sequence(lit(0), lit(4))).as("neg_idx"))
+      .selectExpr("anchor", "pos", "neg_idx", s"$expr AS neg_id")
+      .select("neg_id").as[Long].collect().toSeq
+    assert(viaSql == again)
+    intercept[IllegalArgumentException] {
+      NegativeSample.draw(pairs, "anchor", "pos", 1L, 5)
+    }
+  }
+
   test("blocklist drops exactly the blocked hosts, both forms") {
     val d = docs(140)
     val lit = HostCurate.dropHosts(d, "host", Seq("h1", "h3"))
