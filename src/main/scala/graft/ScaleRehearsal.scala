@@ -378,6 +378,57 @@ object ScaleRehearsal {
       spark.stop(); return
     }
 
+    // -------------- retrieval operators at 100x (2M vectors, this session)
+    // radius search (brute + LSH), MMR over bounded candidates, and
+    // negative sampling — the session's retrieval additions under the
+    // same 2M-vector mixture the ANN suite rehearses on (regenerated
+    // here if the ann mode's table is absent).
+    if (mode == "retrieval") {
+      val nVec = 2000000L
+      val dim = 64
+      val vecsPath = s"$dir/vecs"
+      val fsP = new org.apache.hadoop.fs.Path(vecsPath)
+      val fs = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(fsP)) timed("gen_vecs") {
+        def u(salt: Int, key: Column) =
+          pmod(xxhash64(key, lit(salt)), lit(1000L)).cast("double") / 500.0 - 1.0
+        spark.range(nVec).select(col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(dim - 1)), j =>
+              (u(1, concat(col("id") % 256, lit(":"), j)) +
+               u(2, concat(col("id"), lit(":"), j)) * 0.25).cast("float"))
+              .as("embedding"))
+          .write.mode("overwrite").parquet(vecsPath)
+      }
+      val vecs = spark.read.parquet(vecsPath)
+      val items = vecs.select(col("vec_id"), col("embedding"))
+      val queries = vecs.where(col("vec_id") % 10000 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val nBrute = timed("radius_brute[2M x 200]") {
+        graft.ann.Similarity.radiusSearchBrute(items, "vec_id", "embedding",
+          queries, "qid", "qvec", 0.85).count()
+      }
+      println(s"[scale]   -> $nBrute in-radius pairs (brute)")
+      val nLsh = timed("radius_lsh[2M x 200]") {
+        graft.ann.Similarity.radiusSearchLsh(items, "vec_id", "embedding",
+          queries, "qid", "qvec", 0.85, bits = 8, tables = 8).count()
+      }
+      println(s"[scale]   -> $nLsh in-radius pairs (lsh; recall = lsh/brute)")
+      val nMmr = timed("mmr[2M items, 200 queries, N=32 k=8]") {
+        graft.ann.Mmr.diversify(items, "vec_id", "embedding",
+          queries, "qid", "qvec", topN = 32, k = 8, lambda = 0.7).count()
+      }
+      println(s"[scale]   -> $nMmr (query, rank) selections")
+      val nNeg = timed("neg_sample[200k anchors, k=8]") {
+        graft.text.NegativeSample.draw(
+          vecs.where(col("vec_id") % 10 === 0)
+            .select(col("vec_id").as("anchor"),
+              pmod(col("vec_id") + 1, lit(nVec)).as("pos")),
+          "anchor", "pos", nVec, k = 8).count()
+      }
+      println(s"[scale]   -> $nNeg negatives drawn")
+      spark.stop(); return
+    }
+
     // ---------------------- heavy hitters on a heavy-tailed key space
     // Measured FIRST on the salted 3-gram stream with minCount=100: the
     // CMS path was 5x SLOWER with identical shuffle — the sketch

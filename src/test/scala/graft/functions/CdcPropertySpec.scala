@@ -56,6 +56,34 @@ class CdcPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("strip_html invariants over random tag-soup") {
+    val frag = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.const("<p class=\"x\">"), Gen.const("</p>"), Gen.const("<br/>"),
+      Gen.const("<script>"), Gen.const("</script>"), Gen.const("<style>"),
+      Gen.const("</style>"), Gen.const("&amp;"), Gen.const("&lt;"),
+      Gen.const("&bogus;"), Gen.const("&"), Gen.const("<"), Gen.const(">"),
+      Gen.const(" "), Gen.const("\t"), Gen.const("\n"), Gen.const("  "))
+    val soup = Gen.listOf(frag).map(_.mkString)
+    def strip(s: String): String =
+      HtmlStrip.strip(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        .toString
+    check("ws-normalized", Prop.forAll(soup) { s =>
+      val out = strip(s)
+      // collapsed + trimmed: no control whitespace, no runs, no edges
+      !out.exists(c => c == '\t' || c == '\n' || c == '\r') &&
+        !out.contains("  ") && out == out.trim
+    })
+    check("deterministic", Prop.forAll(soup) { s => strip(s) == strip(s) })
+    check("plain-text identity", Prop.forAll(Gen.alphaNumStr) { s =>
+      strip(s) == s
+    })
+    // NOT idempotent by design: decode happens exactly once ("&lt;b&gt;"
+    // -> "<b>" -> "" on a second pass) — pin the example so the contract
+    // stays documented
+    assert(strip("&lt;b&gt;") == "<b>" && strip(strip("&lt;b&gt;")) == "")
+  }
+
   test("prefix insertion resynchronizes: shared suffix chunks survive") {
     val insGen = for {
       k <- Gen.chooseNum(1, 64)
