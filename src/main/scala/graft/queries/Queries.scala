@@ -2055,6 +2055,43 @@ object Queries {
        |FROM shared JOIN na USING (bid) JOIN nb USING (store_id)
        |WHERE CAST(sh AS DOUBLE) / (na.n + nb.n - sh) >= 0.5""".stripMargin
 
+  /** PASSAGE retrieval end-to-end — the RAG read path: documents chunk
+    * into 32-token windows ([[graft.text.TextChunk]]), the chunk corpus
+    * is BM25-scored against a small term workload
+    * ([[graft.text.TfIdf.bm25]]), and each query keeps its best passages.
+    * Composite passage id = doc_id·1000 + chunk_idx (chunk counts are
+    * ≪ 1000 by construction). Same checkpointed-score integer downstream
+    * as q_bm25: rank + floor(score·1e6) over identical bits. */
+  def qPassageRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.{TextChunk, TfIdf, TextFunctions}
+    val docs = table(spark, dir, "documents")
+    val chunks = TextChunk.chunkByTokens(docs, "doc_id", "text",
+        size = 32, overlap = 0)
+      .select((col("doc_id") * 1000 + col("chunk_idx")).as("pid"),
+        col("chunk_text"))
+    val queries = docs.where(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"),
+        explode(slice(TextFunctions.tokens(col("text")), 1, 2)).as("term"))
+    val aux = writeOracleAux(
+      TfIdf.bm25(chunks, "pid", "chunk_text", queries, "qid", "term"),
+      dir, "passage_scores")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("pid").asc)
+    aux.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("pid"),
+        floor(col("score") * 1e6).as("score_micro"))
+  }
+
+  val qPassageRetrievalSql: String =
+    s"""SELECT qid, rank, pid, score_micro FROM (
+       | SELECT qid, pid,
+       |  row_number() OVER (PARTITION BY qid
+       |    ORDER BY score DESC, pid ASC) AS rank,
+       |  CAST(floor(score * 1e6) AS BIGINT) AS score_micro
+       | FROM ${auxSql("passage_scores")})
+       |WHERE rank <= 5""".stripMargin
+
   /** STREAMING incremental dedup gate — the full corpus-refresh lifecycle
     * ([[graft.streaming.DedupIngest]]): batch 1 (doc_id%3==1) lands as the
     * first microbatch of a real foreachBatch Structured Streaming query,
