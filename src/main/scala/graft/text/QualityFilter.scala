@@ -71,8 +71,10 @@ object QualityFilter {
     val feats = df.select(tokenCount(t).cast("double").as("nw"),
       avgWordLen(t).as("awl"), stopwordRatio(t).as("sr"))
     val qs = Array(pTail, 1.0 - pTail)
-    val Seq(nwQ, awlQ, srQ) = Seq("nw", "awl", "sr")
-      .map(c => feats.stat.approxQuantile(c, qs, 0.001))
+    // multi-column form: ONE pass builds all three sketches (the
+    // single-column overload would scan the corpus three times)
+    val Array(nwQ, awlQ, srQ) =
+      feats.stat.approxQuantile(Array("nw", "awl", "sr"), qs, 0.001)
     Rules(
       minWords = nwQ(0).toInt, maxWords = nwQ(1).toInt,
       minAvgWordLen = awlQ(0), maxAvgWordLen = awlQ(1),
