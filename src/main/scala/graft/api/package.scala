@@ -48,6 +48,37 @@ package object api {
       df.where(st_intersects(col(geomCol), lit(wkb)))
     }
 
+    // ------------------------------------------ text-pipeline chaining
+    // the curation front as fluent steps, so a pipeline reads as its
+    // stage list: docs.stripHtml("html").qualityFilter("text2")
+    //   .capPerHost("source", "doc_id", 1000)
+    //   .assignSplits("doc_id", Seq("train" -> 0.99, "valid" -> 0.01))
+    //   .chunkByTokens("doc_id", "text2", 2048, 64)
+
+    /** HTML → text extraction (StripHtml kernel) into `outCol`. */
+    def stripHtml(htmlCol: String, outCol: String = "text"): DataFrame =
+      df.withColumn(outCol, strip_html(col(htmlCol)))
+
+    /** Gopher-class quality filter (see [[graft.text.QualityFilter]]). */
+    def qualityFilter(textCol: String,
+                      rules: graft.text.QualityFilter.Rules =
+                        graft.text.QualityFilter.Rules()): DataFrame =
+      graft.text.QualityFilter.filter(df, textCol, rules)
+
+    /** Per-host document cap (see [[graft.text.HostCurate]]). */
+    def capPerHost(hostCol: String, idCol: String, k: Int): DataFrame =
+      graft.text.HostCurate.capPerHost(df, hostCol, idCol, k)
+
+    /** Deterministic split assignment (see [[graft.text.CorpusSplit]]). */
+    def assignSplits(idCol: String, splits: Seq[(String, Double)],
+                     salt: Long = 0L): DataFrame =
+      graft.text.CorpusSplit.assignSplits(df, idCol, splits, salt)
+
+    /** Token-window chunking (see [[graft.text.TextChunk]]). */
+    def chunkByTokens(idCol: String, textCol: String,
+                      size: Int, overlap: Int): DataFrame =
+      graft.text.TextChunk.chunkByTokens(df, idCol, textCol, size, overlap)
+
     /** Write spatially partitioned (reference `partition` lifecycle). */
     def spatialPartitionWrite(path: String, geomCol: String = "geom",
                               partitioner: String = "fg", bucket: Int = 0): Unit =

@@ -13,6 +13,34 @@ import graft.sources.WktTsvSource
 class FieldsAndSourcesSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("fluent text-pipeline chaining == the explicit operator calls") {
+    import graft.api._
+    val docs = (0L until 60L).map(id =>
+        (id, s"h${id % 5}",
+          s"<p>the quick brown fox jumps over the lazy dog number $id " +
+            "and the story goes on with many more words to say here</p>"))
+      .toDF("doc_id", "host", "html")
+    val fluent = docs.stripHtml("html", "text")
+      .qualityFilter("text", graft.text.QualityFilter.Rules(
+        5, 100, 1.0, 9.0, 0.01))
+      .capPerHost("host", "doc_id", 6)
+      .assignSplits("doc_id", Seq("train" -> 0.9, "eval" -> 0.1))
+      .chunkByTokens("doc_id", "text", 8, 2)
+    val explicitForm = graft.text.TextChunk.chunkByTokens(
+      graft.text.CorpusSplit.assignSplits(
+        graft.text.HostCurate.capPerHost(
+          graft.text.QualityFilter.filter(
+            docs.withColumn("text",
+              graft.functions.strip_html(col("html"))),
+            "text", graft.text.QualityFilter.Rules(5, 100, 1.0, 9.0, 0.01)),
+          "host", "doc_id", 6),
+        "doc_id", Seq("train" -> 0.9, "eval" -> 0.1)),
+      "doc_id", "text", 8, 2)
+    assert(fluent.collect().map(_.toSeq).toSet ==
+      explicitForm.collect().map(_.toSeq).toSet)
+    assert(fluent.count() > 0)
+  }
+
   test("Fields: reference --fields projection over a self-join output") {
     val df = Seq(
       (1L, "POLYGON((0 0,2 0,2 2,0 2,0 0))"),
