@@ -3858,4 +3858,38 @@ object Queries {
        |SELECT qid, nid, rk FROM (
        | SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) rk
        | FROM p) WHERE rk <= 5""".stripMargin
+
+  /** URL canonicalization + URL dedup ([[graft.text.UrlCurate]]): every
+    * document gets a deliberately messy URL spelling (case, `www.`,
+    * default port, tracking params, param order, trailing slash,
+    * fragment — alternating between two spellings of the same page), the
+    * engine canonicalizes and keeps the min-id row per canonical URL, and
+    * the oracle derives the expected canonical string INDEPENDENTLY from
+    * the clean construction — so the whole rewrite chain is pinned
+    * end-to-end, not just the dedup. */
+  def qUrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.UrlCurate
+    val k = col("doc_id") % 50
+    val a = (col("doc_id") % 7).cast("string")
+    val b = (col("doc_id") % 3).cast("string")
+    val messy = table(spark, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM:443/docs/"),
+          k.cast("string"), lit("/?utm_source=feed&b="), b, lit("&a="), a, lit("#frag")))
+      .otherwise(
+        concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+          k.cast("string"), lit("?a="), a, lit("&b="), b,
+          lit("&gclid=g"), col("doc_id").cast("string"))).as("url"))
+    UrlCurate.dedupByUrl(messy, "url", "doc_id")
+      .select(col("doc_id"), col("url_canon"))
+  }
+
+  val qUrlDedupSql: String =
+    """WITH u AS (SELECT doc_id,
+      |  'https://' || lower(source) || '.example.com/docs/' || (doc_id % 50)
+      |    || '?a=' || (doc_id % 7) || '&b=' || (doc_id % 3) AS url_canon
+      |  FROM documents),
+      |r AS (SELECT doc_id, url_canon,
+      |  row_number() OVER (PARTITION BY url_canon ORDER BY doc_id) AS rn FROM u)
+      |SELECT doc_id, url_canon FROM r WHERE rn = 1""".stripMargin
 }
