@@ -3869,9 +3869,12 @@ object Queries {
     * end-to-end, not just the dedup. */
   def qUrlDedup(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.UrlCurate
-    val k = col("doc_id") % 50
-    val a = (col("doc_id") % 7).cast("string")
-    val b = (col("doc_id") % 3).cast("string")
+    // the (path, a, b) triple is determined by doc_id % 10, so every
+    // canonical key collides across many rows — the dedup stage is
+    // genuinely exercised, not just the rewrite
+    val k = col("doc_id") % 10
+    val a = (col("doc_id") % 5).cast("string")
+    val b = (col("doc_id") % 2).cast("string")
     val messy = table(spark, dir, "documents").select(col("doc_id"),
       when(col("doc_id") % 2 === 0,
         concat(lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM:443/docs/"),
@@ -3884,10 +3887,42 @@ object Queries {
       .select(col("doc_id"), col("url_canon"))
   }
 
+  /** WARC ingestion round-trip ([[graft.sources.WarcSource]]): the
+    * documents table is written as gzipped WARC response records (each
+    * wrapping a real HTTP envelope), read back through the streaming
+    * record parser, and the gate ships every response's uri-derived id,
+    * HTTP status, media type, and body hash — the oracle derives from
+    * the table, never the files, so framing, the HTTP split, and UTF-8
+    * body fidelity are all pinned (same contract as q_jsonl). */
+  def qWarc(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.WarcSource
+    val path = s"/root/repo/target/graft_warc/${new java.io.File(dir).getName}"
+    val recs = table(spark, dir, "documents").select(
+      concat(lit("https://"), col("source"), lit(".example.com/doc/"),
+        col("doc_id").cast("string")).as("target_uri"),
+      lit("2026-01-01T00:00:00Z").as("warc_date"),
+      lit(200).as("http_status"),
+      lit("text/plain; charset=utf-8").as("http_content_type"),
+      col("text").cast("binary").as("body"))
+    WarcSource.write(recs, path)
+    WarcSource.read(spark, path).toDF()
+      .where(col("record_type") === "response")
+      .select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        col("http_status"),
+        substring_index(col("http_content_type"), ";", 1).as("mime"),
+        md5(col("body")).as("body_md5"))
+  }
+
+  val qWarcSql: String =
+    """SELECT doc_id, 200 AS http_status, 'text/plain' AS mime,
+      | md5(text) AS body_md5 FROM documents""".stripMargin
+
   val qUrlDedupSql: String =
     """WITH u AS (SELECT doc_id,
-      |  'https://' || lower(source) || '.example.com/docs/' || (doc_id % 50)
-      |    || '?a=' || (doc_id % 7) || '&b=' || (doc_id % 3) AS url_canon
+      |  'https://' || lower(source) || '.example.com/docs/' || (doc_id % 10)
+      |    || '?a=' || (doc_id % 5) || '&b=' || (doc_id % 2) AS url_canon
       |  FROM documents),
       |r AS (SELECT doc_id, url_canon,
       |  row_number() OVER (PARTITION BY url_canon ORDER BY doc_id) AS rn FROM u)
