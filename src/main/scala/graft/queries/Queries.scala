@@ -3919,6 +3919,62 @@ object Queries {
     """SELECT doc_id, 200 AS http_status, 'text/plain' AS mime,
       | md5(text) AS body_md5 FROM documents""".stripMargin
 
+  /** Crawl-ingestion end-to-end: the whole web front door in one gate —
+    * documents wrapped as HTML pages, shipped as gzipped WARC response
+    * records ([[graft.sources.WarcSource]]), read back through the
+    * streaming parser, URL-canonicalized + deduped
+    * ([[graft.text.UrlCurate]], messy spellings colliding by
+    * construction), and the surviving pages stripped to text
+    * ([[graft.functions.StripHtml]]). The oracle re-derives every stage
+    * from the documents table: the clean canonical construction, the
+    * single-window dedup, and the pinned HtmlStrip SQL replay — so WARC
+    * framing, the HTTP split, canonicalization, survivor selection, and
+    * byte-exact text extraction are gated as ONE composed pipeline. */
+  def qCrawlE2e(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.WarcSource
+    import graft.text.UrlCurate
+    val path = s"/root/repo/target/graft_crawl/${new java.io.File(dir).getName}"
+    val k = (col("doc_id") % 10).cast("string")
+    val gid = concat(lit("gclid=g"), col("doc_id").cast("string"))
+    val uri = when(col("doc_id") % 2 === 0,
+        concat(lit("HTTPS://WWW."), upper(col("source")),
+          lit(".Example.COM:443/doc/"), k, lit("/?utm_source=feed&"), gid,
+          lit("#frag")))
+      .otherwise(concat(lit("https://"), col("source"),
+        lit(".example.com/doc/"), k, lit("?"), gid))
+    val html = concat(
+      lit("<html><head><title>t</title></head><body><h1>Post</h1>\n<p>"),
+      col("text"), lit(" &amp; tail</p></body></html>"))
+    val recs = table(spark, dir, "documents").select(
+      uri.as("target_uri"), lit("2026-01-01T00:00:00Z").as("warc_date"),
+      lit(200).as("http_status"),
+      lit("text/html; charset=utf-8").as("http_content_type"),
+      html.cast("binary").as("body"))
+    WarcSource.write(recs, path)
+    val pages = WarcSource.read(spark, path).toDF()
+      .where(col("record_type") === "response")
+      .select(
+        regexp_extract(col("target_uri"), "gclid=g(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("target_uri").as("url"), col("body").cast("string").as("html"))
+    UrlCurate.dedupByUrl(pages, "url", "doc_id")
+      .select(col("doc_id"), col("url_canon"),
+        strip_html(col("html")).as("stripped"))
+  }
+
+  val qCrawlE2eSql: String = {
+    val wrap = "('<html><head><title>t</title></head><body><h1>Post</h1>' " +
+      "|| chr(10) || '<p>' || text || ' &amp; tail</p></body></html>')"
+    s"""WITH u AS (SELECT doc_id, text,
+       |  'https://' || lower(source) || '.example.com/doc/' || (doc_id % 10)
+       |    AS url_canon FROM documents),
+       |r AS (SELECT doc_id, text, url_canon,
+       |  row_number() OVER (PARTITION BY url_canon ORDER BY doc_id) AS rn FROM u)
+       |SELECT doc_id, url_canon,
+       | ${graft.functions.HtmlStrip.sql(wrap)} AS stripped
+       |FROM r WHERE rn = 1""".stripMargin
+  }
+
   val qUrlDedupSql: String =
     """WITH u AS (SELECT doc_id,
       |  'https://' || lower(source) || '.example.com/docs/' || (doc_id % 10)
