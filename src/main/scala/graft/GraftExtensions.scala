@@ -66,6 +66,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     r("nfc_normalize", es => NormalizeText(es.head, "NFC"))
     r("nfkc_normalize", es => NormalizeText(es.head, "NFKC"))
     r("strip_html", es => StripHtml(es.head))
+    r("canonicalize_url", es =>
+      CanonicalizeUrl(es.head, graft.text.UrlCurate.defaultDropParams))
     r("cdc_chunks", es => CdcChunks(es(0),
       graft.functions.sqlFoldInt(es(1), "cdc_chunks min"),
       graft.functions.sqlFoldInt(es(2), "cdc_chunks avgBits"),

@@ -429,6 +429,59 @@ object ScaleRehearsal {
       spark.stop(); return
     }
 
+    // ------------------- crawl front door at 100x (round-10 session)
+    // URL canonicalize+dedup over 5M messy URLs with a viral URL owning
+    // 10% of the rows (the hot-key case dedupByUrl's salted top-1 exists
+    // for), then WARC sink+source throughput over 500k ~1 KB HTML pages.
+    if (mode == "crawl") {
+      import graft.text.UrlCurate
+      val nUrl = 5000000L
+      val urls = spark.range(nUrl).select(col("id").as("doc_id"),
+        when(col("id") % 10 === 0,
+          // viral page: ONE canonical target under many tracking spellings
+          concat(lit("HTTPS://WWW.Viral.Example.COM:443/hot/page/?utm_source=s"),
+            pmod(col("id"), lit(17L)).cast("string"),
+            lit("&gclid=g"), col("id").cast("string"), lit("#f")))
+        .otherwise(concat(
+          lit("https://h"), pmod(col("id"), lit(100000L)).cast("string"),
+          lit(".example.com/p/"), pmod(col("id"), lit(1000L)).cast("string"),
+          lit("/?b="), pmod(col("id"), lit(3L)).cast("string"),
+          lit("&a="), pmod(col("id"), lit(7L)).cast("string"),
+          lit("&fbclid=f"), col("id").cast("string"))).as("url"))
+        .persist()
+      println(s"[scale] urls=${urls.count()}")
+      val nCanon = timed("url_canon[5M scan]") {
+        urls.select(UrlCurate.canonicalizeUrl(col("url")).as("c"))
+          .agg(sum(length(col("c")))).head().getLong(0)
+      }
+      println(s"[scale]   -> $nCanon canonical chars")
+      val nDedup = timed("url_dedup[5M, 10% viral]") {
+        UrlCurate.dedupByUrl(urls, "url", "doc_id").count()
+      }
+      println(s"[scale]   -> $nDedup survivors (viral 500k rows -> 1)")
+      urls.unpersist()
+      val nDoc = 500000L
+      val pages = spark.range(nDoc).select(
+        concat(lit("https://h"), pmod(col("id"), lit(997L)).cast("string"),
+          lit(".example.com/doc/"), col("id").cast("string")).as("target_uri"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        lit(200).as("http_status"),
+        lit("text/html; charset=utf-8").as("http_content_type"),
+        encode(concat(lit("<html><body><p>"),
+          repeat(concat(lit("word"), pmod(col("id"), lit(1000L)).cast("string"),
+            lit(" ")), 100),
+          lit("</p></body></html>")), "UTF-8").as("body"))
+      timed("warc_write[500k pages]") {
+        graft.sources.WarcSource.write(pages.repartition(32), s"$dir/warc")
+      }
+      val nRec = timed("warc_read[500k pages]") {
+        graft.sources.WarcSource.read(spark, s"$dir/warc")
+          .filter(_.record_type == "response").count()
+      }
+      println(s"[scale]   -> $nRec response records")
+      spark.stop(); return
+    }
+
     // ---------------------- heavy hitters on a heavy-tailed key space
     // Measured FIRST on the salted 3-gram stream with minCount=100: the
     // CMS path was 5x SLOWER with identical shuffle — the sketch

@@ -895,6 +895,111 @@ case class StripHtml(child: Expression)
   override def prettyName: String = "strip_html"
 }
 
+/** One-pass URL canonicalization kernel — the crawl-scale form of
+  * [[graft.text.UrlCurate.canonicalizeUrl]] (see there for the rewrite
+  * contract: scheme/host case, www, default ports, fragment, tracking
+  * params, param sort, trailing slash). A single string walk replaces
+  * the equivalent built-in composition, whose Column reuse inlines each
+  * sub-parse everywhere it is referenced (the expression is a tree, not
+  * a DAG) — measured 5M URLs: 17.8 s composed scan vs ~1 s kernel.
+  * Returns null for non-http(s)/empty-host input (the malformed-row
+  * convention). Query params sort in UTF8String binary order — the same
+  * order array_sort used in the composed form. */
+case class CanonicalizeUrl(child: Expression, dropParams: Seq[String])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  @transient private lazy val dropSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](dropParams.size * 2)
+    dropParams.foreach(p => s.add(p.toLowerCase))
+    s
+  }
+
+  def canon(u: UTF8String): UTF8String = {
+    val raw = u.toString
+    var b = 0; var e = raw.length
+    while (b < e && Character.isWhitespace(raw.charAt(b))) b += 1
+    while (e > b && Character.isWhitespace(raw.charAt(e - 1))) e -= 1
+    val s = raw.substring(b, e)
+    val si = s.indexOf("://")
+    if (si < 0) return null
+    val scheme = s.substring(0, si).toLowerCase
+    if (scheme != "http" && scheme != "https") return null
+    var rest = s.substring(si + 3)
+    val hi = rest.indexOf('#')
+    if (hi >= 0) rest = rest.substring(0, hi)
+    val qi = rest.indexOf('?')
+    val hostPath = if (qi >= 0) rest.substring(0, qi) else rest
+    val query = if (qi >= 0) rest.substring(qi + 1) else ""
+    val pi = hostPath.indexOf('/')
+    val hostPort = (if (pi >= 0) hostPath.substring(0, pi) else hostPath).toLowerCase
+    var path = if (pi >= 0) hostPath.substring(pi) else ""
+    val ci = hostPort.indexOf(':')
+    var host = if (ci >= 0) hostPort.substring(0, ci) else hostPort
+    val port = if (ci >= 0) hostPort.substring(ci + 1) else ""
+    if (host.startsWith("www.")) host = host.substring(4)
+    if (host.isEmpty) return null
+    val keepPort = port.nonEmpty &&
+      !((scheme == "http" && port == "80") ||
+        (scheme == "https" && port == "443"))
+    var pe = path.length
+    while (pe > 0 && path.charAt(pe - 1) == '/') pe -= 1
+    path = path.substring(0, pe)
+    val kept = new java.util.ArrayList[UTF8String]()
+    if (query.nonEmpty) {
+      var i = 0
+      while (i <= query.length) {
+        val amp = query.indexOf('&', i)
+        val end = if (amp < 0) query.length else amp
+        if (end > i) {
+          val p = query.substring(i, end)
+          val eq = p.indexOf('=')
+          val key = (if (eq < 0) p else p.substring(0, eq)).toLowerCase
+          if (!key.startsWith("utm_") && !dropSet.contains(key))
+            kept.add(UTF8String.fromString(p))
+        }
+        i = end + 1
+      }
+    }
+    java.util.Collections.sort(kept) // UTF8String = binary order
+    val out = new java.lang.StringBuilder(s.length)
+    out.append(scheme).append("://").append(host)
+    if (keepPort) out.append(':').append(port)
+    out.append(path)
+    var k = 0
+    while (k < kept.size) {
+      out.append(if (k == 0) '?' else '&').append(kept.get(k).toString)
+      k += 1
+    }
+    UTF8String.fromString(out.toString)
+  }
+
+  override def nullSafeEval(v: Any): Any = canon(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("urlCanon", this,
+      classOf[CanonicalizeUrl].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("r")
+      s"""
+         |UTF8String $r = $ref.canon($c);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $r;
+         |}
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "canonicalize_url"
+}
+
 /** Content-defined chunking (Gear/FastCDC class) — the blob-dedup
   * primitive: boundaries are picked where a rolling hash of the last bytes
   * hits a mask, so an insertion early in a blob only perturbs the chunk it

@@ -92,6 +92,9 @@ package object functions {
   def nfc_normalize(text: Column): Column = col(NormalizeText(ex(text), "NFC"))
   def nfkc_normalize(text: Column): Column = col(NormalizeText(ex(text), "NFKC"))
   def strip_html(text: Column): Column = col(StripHtml(ex(text)))
+  def canonicalize_url(url: Column,
+                       dropParams: Seq[String] = graft.text.UrlCurate.defaultDropParams): Column =
+    col(CanonicalizeUrl(ex(url), dropParams))
   def cdc_chunks(bin: Column, minSize: Int, avgBits: Int, maxSize: Int): Column =
     col(CdcChunks(ex(bin), minSize, avgBits, maxSize))
 
@@ -148,6 +151,8 @@ package object functions {
     r("nfc_normalize", es => NormalizeText(es.head, "NFC"))
     r("nfkc_normalize", es => NormalizeText(es.head, "NFKC"))
     r("strip_html", es => StripHtml(es.head))
+    r("canonicalize_url", es =>
+      CanonicalizeUrl(es.head, graft.text.UrlCurate.defaultDropParams))
     r("cdc_chunks", es => CdcChunks(es(0), sqlFoldInt(es(1), "cdc_chunks min"),
       sqlFoldInt(es(2), "cdc_chunks avgBits"), sqlFoldInt(es(3), "cdc_chunks max")))
   }

@@ -53,6 +53,23 @@ class CodegenParitySpec extends SparkTestBase {
     assert(byId(1L).getInt(6) == 2)                        // positions 1,3 agree
   }
 
+  test("canonicalize_url: generated == interpreted, null lanes included") {
+    import spark.implicits._
+    val urls = Seq("HTTPS://WWW.Ex.COM:443/a/?utm_x=1&b=2&a=1#f",
+      "http://ex.com:80", "junk", null, "ftp://x.com/a",
+      "https://ex.com/a//?z=1&y=2&gclid=g").toDF("url")
+    def res(mode: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try urls.select(graft.functions.canonicalize_url(col("url"))).collect().toSeq
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    val gen = res("CODEGEN_ONLY")
+    assert(gen == res("NO_CODEGEN"))
+    assert(gen.map(r => Option(r.getString(0))) == Seq(
+      Some("https://ex.com/a?a=1&b=2"), Some("http://ex.com"), None, None,
+      None, Some("https://ex.com/a?y=2&z=1")))
+  }
+
   private def geomDf = {
     import spark.implicits._
     Seq(
