@@ -79,6 +79,11 @@ package object api {
                       size: Int, overlap: Int): DataFrame =
       graft.text.TextChunk.chunkByTokens(df, idCol, textCol, size, overlap)
 
+    /** URL-level dedup after canonicalization (see
+      * [[graft.text.UrlCurate]]); adds `url_canon`. */
+    def dedupByUrl(urlCol: String, idCol: String): DataFrame =
+      graft.text.UrlCurate.dedupByUrl(df, urlCol, idCol)
+
     /** Write spatially partitioned (reference `partition` lifecycle). */
     def spatialPartitionWrite(path: String, geomCol: String = "geom",
                               partitioner: String = "fg", bucket: Int = 0): Unit =
