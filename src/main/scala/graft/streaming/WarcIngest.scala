@@ -21,8 +21,9 @@ import graft.text.UrlCurate
   * [[WarcSource.readFiles]].
   *
   * Per microbatch: parse response records, canonicalize + dedup URLs
-  * within the batch (survivor = lexicographically-first raw URL per
-  * canonical — a deterministic total order that needs no global id),
+  * within the batch (survivor = lexicographically-first (raw URL, body
+  * hash) per canonical — a deterministic TOTAL order that needs no
+  * global id and stays stable when one page is crawled twice per drop),
   * drop pages whose canonical URL the accumulated seen-store already
   * holds, strip the survivors' HTML, append their text to the corpus
   * and exactly their canonical keys to the store. Stored pages are
@@ -59,10 +60,14 @@ object WarcIngest {
       .where(col("record_type") === "response" && col("http_status") === 200)
       .select(col("target_uri").as("url"),
         col("body").cast("string").as("html"))
-    // within-batch URL dedup: the raw URL string is the deterministic
-    // order (no global id exists at the crawl front door)
-    val deduped = UrlCurate.dedupByUrl(pages, "url", "url")
+      // survivor order: raw url, body hash as tiebreak — a page crawled
+      // twice in one drop (same url, different fetch) would otherwise tie
+      // and make the kept body nondeterministic across replays
+      .withColumn("__ord",
+        concat(col("url"), lit("|"), md5(col("html").cast("binary"))))
+    val deduped = UrlCurate.dedupByUrl(pages, "url", "__ord")
       .where(col("url_canon").isNotNull) // junk URLs don't enter a corpus
+      .drop("__ord")
     // vs the accumulated store: canonical key anti-join (key-sized side)
     val fresh = deduped.join(loadSeen(spark, seenPath),
         Seq("url_canon"), "left_anti")

@@ -57,6 +57,52 @@ class WarcSourceSpec extends SparkTestBase {
     assert(WarcSource.read(spark, dir.getPath + "/h.warc").collect().isEmpty)
   }
 
+  test("lenient read skips unopenable files (empty .gz, missing path); strict throws") {
+    val dir = new java.io.File("/root/repo/target/warc_spec/badopen")
+    dir.mkdirs()
+    val good = "WARC/1.0\r\nWARC-Type: resource\r\nWARC-Date: d\r\n" +
+      "Content-Type: text/plain\r\nContent-Length: 2\r\n\r\nok\r\n\r\n"
+    java.nio.file.Files.write(new java.io.File(dir, "g.warc").toPath,
+      good.getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(dir, "empty.warc.gz").toPath,
+      Array.empty[Byte]) // gzip header read fails at open
+    val files = Seq(s"${dir.getPath}/g.warc", s"${dir.getPath}/empty.warc.gz",
+      s"${dir.getPath}/does_not_exist.warc")
+    val got = WarcSource.readFiles(spark, files).collect()
+    assert(got.length == 1 && new String(got(0).body, "UTF-8") == "ok")
+    intercept[org.apache.spark.SparkException] {
+      WarcSource.readFiles(spark, files, lenient = false).collect()
+    }
+  }
+
+  test("a binary non-WARC file is rejected by the line bound, not buffered whole") {
+    val dir = new java.io.File("/root/repo/target/warc_spec/binary")
+    dir.mkdirs()
+    // 4 MB of newline-free bytes: must reject at the 1 MB line bound
+    java.nio.file.Files.write(new java.io.File(dir, "b.warc").toPath,
+      Array.fill[Byte](4 << 20)('A'))
+    assert(WarcSource.read(spark, dir.getPath + "/b.warc").collect().isEmpty)
+  }
+
+  test("WARC-Record-IDs are unique across records and part files") {
+    val docs = (0L until 30L).map(i =>
+        (s"https://example.com/same", "2026-01-01T00:00:00Z", 200,
+          "text/plain", s"b$i".getBytes("UTF-8")))
+      .toDF("target_uri", "warc_date", "http_status", "http_content_type", "body")
+    val path = "/root/repo/target/warc_spec/ids"
+    WarcSource.write(docs.repartition(3), path)
+    val ids = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).flatMap { f =>
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.FileInputStream(f))
+        val text = new String(in.readAllBytes(), "UTF-8")
+        in.close()
+        "WARC-Record-ID: (\\S+)".r.findAllMatchIn(text).map(_.group(1))
+      }
+    assert(ids.length == 33) // 30 responses + 3 warcinfo
+    assert(ids.distinct.length == 33) // same uri+date everywhere, still unique
+  }
+
   test("a response payload without an HTTP separator comes back whole, status -1") {
     val dir = new java.io.File("/root/repo/target/warc_spec/nohttp")
     dir.mkdirs()

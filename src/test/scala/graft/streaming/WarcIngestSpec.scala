@@ -57,6 +57,21 @@ class WarcIngestSpec extends SparkTestBase {
     assert(twin == out)
   }
 
+  test("same raw URL crawled twice in one drop: survivor is the smaller body hash") {
+    val base = s"/root/repo/target/warc_ingest_${System.nanoTime()}"
+    val bodies = Seq("<p>fetch one</p>", "<p>fetch two</p>")
+    val f = writeWarc(s"$base/w", bodies.map(("https://a.com/p", _)))
+    WarcIngest.processBatch(spark, Seq(f), s"$base/out", s"$base/seen")
+    val out = spark.read.parquet(s"$base/out")
+      .select("text").as[String].collect()
+    val expected = bodies.minBy { b =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(b.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(out.toSeq == Seq(graft.functions.HtmlStrip.strip(
+      org.apache.spark.unsafe.types.UTF8String.fromString(expected)).toString))
+  }
+
   test("empty manifest batches and blank lines are no-ops") {
     val base = s"/root/repo/target/warc_ingest_${System.nanoTime()}"
     implicit val sqlCtx = spark.sqlContext
