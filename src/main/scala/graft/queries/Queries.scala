@@ -3093,6 +3093,40 @@ object Queries {
       |   AS chunk_md5
       |FROM c""".stripMargin
 
+  /** Sentence-window chunking ([[graft.text.TextChunk.chunkBySentences]],
+    * the RAG layout that never cuts mid-sentence): the synthetic corpus
+    * has no punctuation, so the gate first plants deterministic sentence
+    * boundaries (every ` value ` becomes `. ` — plain left-to-right
+    * replace, identical in both engines), then windows 3 sentences with
+    * 1-sentence overlap. The oracle replays the pinned replace-then-split
+    * boundary rule (RE2 `\1` vs Java `$1` is syntax, not semantics) and
+    * the same integer window arithmetic as q_text_chunks. */
+  def qSentenceChunks(spark: SparkSession, dir: String): DataFrame = {
+    val punct = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("replace(text, ' value ', '. ')").as("text"))
+    graft.text.TextChunk.chunkBySentences(punct, "doc_id", "text",
+        size = 3, overlap = 1)
+      .select(col("doc_id"), col("chunk_idx"), col("n_sentences"),
+        md5(col("chunk_text").cast("binary")).as("chunk_md5"))
+  }
+
+  val qSentenceChunksSql: String =
+    """WITH w AS (SELECT doc_id,
+      |  string_split(regexp_replace(replace(text, ' value ', '. '),
+      |    '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)) ss
+      |  FROM documents),
+      |c AS (SELECT doc_id, ss,
+      |  unnest(generate_series(0,
+      |    greatest(1, CAST(floor((len(ss) - 1 + 1) / 2.0) AS BIGINT)) - 1))
+      |    AS chunk_idx
+      |  FROM w)
+      |SELECT doc_id, chunk_idx,
+      | len(ss[chunk_idx * 2 + 1 : chunk_idx * 2 + 3]) AS n_sentences,
+      | md5(array_to_string(ss[chunk_idx * 2 + 1 : chunk_idx * 2 + 3], ' '))
+      |   AS chunk_md5
+      |FROM c""".stripMargin
+
   /** Cross-corpus line-level dedup (C4-style): each distinct line keeps
     * its first (doc_id, position) occurrence, documents reassemble from
     * surviving lines in order; output = doc_id + md5 of the rebuilt text

@@ -26,6 +26,28 @@ class TextChunkSpec extends SparkTestBase {
     assert(rebuilt.mkString(" ") == text)
   }
 
+  test("sentence windows: boundary rule, overlap, and no mid-sentence cuts") {
+    val text = "One two. Three four! Five six? Seven eight. Nine ten."
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val got = TextChunk.chunkBySentences(df, "doc_id", "text",
+        size = 2, overlap = 1)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "n_sentences", "chunk_text")
+      .as[(Long, Int, String)].collect()
+    // 5 sentences, stride 1 -> max(1, ceil((5-1)/1)) = 4 windows
+    assert(got.length == 4)
+    assert(got(0)._3 == "One two. Three four!")
+    assert(got(1)._3 == "Three four! Five six?")
+    assert(got(2)._3 == "Five six? Seven eight.")
+    assert(got(3)._3 == "Seven eight. Nine ten.")
+    assert(got.forall(_._2 == 2))
+    // punctuation NOT followed by whitespace is not a boundary (e.g. "3.5")
+    val dec = Seq((1L, "Pi is 3.14 roughly. Yes.")).toDF("doc_id", "text")
+    val d = TextChunk.chunkBySentences(dec, "doc_id", "text", 1, 0)
+      .orderBy("chunk_idx").select("chunk_text").as[String].collect()
+    assert(d.toSeq == Seq("Pi is 3.14 roughly.", "Yes."))
+  }
+
   test("short and empty docs yield exactly one chunk; guards reject bad params") {
     val df = Seq((1L, "a b c"), (2L, "")).toDF("doc_id", "text")
     val got = TextChunk.chunkByTokens(df, "doc_id", "text", 40, 8)
