@@ -149,7 +149,7 @@ object IvfIndex {
     bestI.filter(_ >= 0)
   }
 
-  private def nearestCentroids(model: Model, v: Seq[Float], n: Int): Array[Int] = {
+  private[ann] def nearestCentroids(model: Model, v: Seq[Float], n: Int): Array[Int] = {
     val x = new Array[Double](v.length)
     var i = 0
     while (i < v.length) { x(i) = v(i); i += 1 }

@@ -3893,6 +3893,33 @@ object Queries {
        | SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) rk
        | FROM p) WHERE rk <= 5""".stripMargin
 
+  /** Cluster-balanced diversity subsample
+    * ([[graft.ann.ClusterSample]], SemDeDup/SSL-prototypes class): train
+    * the usual IVF k-means model, assign every embedding to its nearest
+    * centroid, keep ≤ 5 per cluster in the deterministic keyHash order.
+    * The centroid table is engine-internal, so the gate checkpoints the
+    * (vec_id, cluster) assignment relation and the oracle replays the
+    * SQL-expressible downstream — the same per-group window the host cap
+    * gates use. */
+  def qClusterSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ann.{ClusterSample, IvfIndex}
+    val emb = table(spark, dir, "embeddings")
+    val model = IvfIndex.train(emb, "embedding", nlist = 16, seed = 7)
+    val assigned = writeOracleAux(
+      ClusterSample.withCluster(emb, "embedding", model)
+        .select(col("vec_id"), col("cluster")), dir, "cluster_assign")
+    graft.text.HostCurate.capPerHost(assigned, "cluster", "vec_id", k = 5)
+      .select(col("vec_id"), col("cluster"),
+        col("host_rank").as("cluster_rank"))
+  }
+
+  val qClusterSampleSql: String =
+    s"""SELECT vec_id, cluster, cluster_rank FROM (
+       | SELECT vec_id, cluster, row_number() OVER (PARTITION BY cluster
+       |   ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS cluster_rank
+       | FROM ${auxSql("cluster_assign")})
+       |WHERE cluster_rank <= 5""".stripMargin
+
   /** URL canonicalization + URL dedup ([[graft.text.UrlCurate]]): every
     * document gets a deliberately messy URL spelling (case, `www.`,
     * default port, tracking params, param order, trailing slash,
