@@ -66,6 +66,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     r("nfc_normalize", es => NormalizeText(es.head, "NFC"))
     r("nfkc_normalize", es => NormalizeText(es.head, "NFKC"))
     r("strip_html", es => StripHtml(es.head))
+    r("html_blocks", es => HtmlBlockStats(es.head))
     r("canonicalize_url", es =>
       CanonicalizeUrl(es.head, graft.text.UrlCurate.defaultDropParams))
     r("cdc_chunks", es => CdcChunks(es(0),

@@ -798,7 +798,7 @@ case class BloomContainsLong(child: Expression,
   *
   * Single forward pass, no allocation beyond the output builder. */
 object HtmlStrip {
-  private def indexOfIgnoreCase(s: String, target: String, from: Int): Int = {
+  private[functions] def indexOfIgnoreCase(s: String, target: String, from: Int): Int = {
     val n = s.length - target.length
     var i = math.max(from, 0)
     while (i <= n) {
@@ -893,6 +893,125 @@ case class StripHtml(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = "strip_html"
+}
+
+/** Block segmentation for boilerplate removal (jusText/readability
+  * class — see [[graft.text.Boilerplate]] for the operator contract).
+  * One pass over the HTML splits it at block-level tags and emits, per
+  * non-empty block, a `struct<text, n_chars, n_link_chars>`: the
+  * collapsed text (same whitespace/entity rules as [[HtmlStrip.strip]]),
+  * its length, and how many of those characters sat inside `<a>`
+  * elements. Everything downstream (link-density + length thresholds,
+  * block re-join) is relational — built-in `filter`/`transform`/
+  * `array_join` — so the policy stays SQL-replayable from a checkpointed
+  * block relation while the parse stays a scan-local kernel. */
+object HtmlBlocks {
+  private val blockTags: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
+      "td", "th", "tr", "table", "article", "section", "header", "footer",
+      "nav", "main", "aside", "blockquote", "br", "body", "html", "head",
+      "form", "pre").foreach(s.add)
+    s
+  }
+
+  def blocks(s: UTF8String): ArrayData = {
+    val in = s.toString
+    val n = in.length
+    val out = new java.util.ArrayList[Any]()
+    val sb = new java.lang.StringBuilder(64)
+    var pendingSpace = false
+    var linkDepth = 0
+    var linkChars = 0
+    def emit(c: Char): Unit = {
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r') pendingSpace = true
+      else {
+        if (pendingSpace && sb.length > 0) {
+          sb.append(' ')
+          if (linkDepth > 0) linkChars += 1
+        }
+        pendingSpace = false
+        sb.append(c)
+        if (linkDepth > 0) linkChars += 1
+      }
+    }
+    def flush(): Unit = {
+      if (sb.length > 0) {
+        out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](UTF8String.fromString(sb.toString), sb.length, linkChars)))
+      }
+      sb.setLength(0); linkChars = 0; pendingSpace = false
+    }
+    var i = 0
+    while (i < n) {
+      val c = in.charAt(i)
+      if (c == '<') {
+        val close = in.indexOf('>', i + 1)
+        if (close < 0) { emit('<'); i += 1 } // unterminated: literal text
+        else {
+          // tag name: after '<' and an optional '/'
+          var ns = i + 1
+          val closing = ns < n && in.charAt(ns) == '/'
+          if (closing) ns += 1
+          var ne = ns
+          while (ne < close && Character.isLetterOrDigit(in.charAt(ne))) ne += 1
+          val name = in.substring(ns, ne).toLowerCase
+          if (!closing && name == "script") {
+            val e = HtmlStrip.indexOfIgnoreCase(in, "</script>", close + 1)
+            flush() // boilerplate content never joins a text block
+            i = if (e < 0) n else e + 9
+          } else if (!closing && name == "style") {
+            val e = HtmlStrip.indexOfIgnoreCase(in, "</style>", close + 1)
+            flush()
+            i = if (e < 0) n else e + 8
+          } else {
+            if (blockTags.contains(name)) flush()
+            else if (name == "a") {
+              if (closing) linkDepth = math.max(0, linkDepth - 1)
+              else if (in.charAt(close - 1) != '/') linkDepth += 1
+            }
+            pendingSpace = true
+            i = close + 1
+          }
+        }
+      } else if (c == '&') {
+        def at(lit: String): Boolean =
+          in.regionMatches(false, i, lit, 0, lit.length)
+        if (at("&lt;")) { emit('<'); i += 4 }
+        else if (at("&gt;")) { emit('>'); i += 4 }
+        else if (at("&quot;")) { emit('"'); i += 6 }
+        else if (at("&#39;")) { emit('\''); i += 5 }
+        else if (at("&apos;")) { emit('\''); i += 6 }
+        else if (at("&nbsp;")) { emit(' '); i += 6 }
+        else if (at("&amp;")) { emit('&'); i += 5 }
+        else { emit('&'); i += 1 }
+      } else { emit(c); i += 1 }
+    }
+    flush()
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size)).asInstanceOf[Array[Any]])
+  }
+}
+
+/** Codegen wrapper for [[HtmlBlocks.blocks]]. */
+case class HtmlBlockStats(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_link_chars", IntegerType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HtmlBlocks.blocks(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HtmlBlocks.blocks($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "html_blocks"
 }
 
 /** One-pass URL canonicalization kernel — the crawl-scale form of

@@ -92,6 +92,7 @@ package object functions {
   def nfc_normalize(text: Column): Column = col(NormalizeText(ex(text), "NFC"))
   def nfkc_normalize(text: Column): Column = col(NormalizeText(ex(text), "NFKC"))
   def strip_html(text: Column): Column = col(StripHtml(ex(text)))
+  def html_blocks(html: Column): Column = col(HtmlBlockStats(ex(html)))
   def canonicalize_url(url: Column,
                        dropParams: Seq[String] = graft.text.UrlCurate.defaultDropParams): Column =
     col(CanonicalizeUrl(ex(url), dropParams))
@@ -151,6 +152,7 @@ package object functions {
     r("nfc_normalize", es => NormalizeText(es.head, "NFC"))
     r("nfkc_normalize", es => NormalizeText(es.head, "NFKC"))
     r("strip_html", es => StripHtml(es.head))
+    r("html_blocks", es => HtmlBlockStats(es.head))
     r("canonicalize_url", es =>
       CanonicalizeUrl(es.head, graft.text.UrlCurate.defaultDropParams))
     r("cdc_chunks", es => CdcChunks(es(0), sqlFoldInt(es(1), "cdc_chunks min"),

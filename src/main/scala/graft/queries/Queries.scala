@@ -3893,6 +3893,32 @@ object Queries {
        | SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) rk
        | FROM p) WHERE rk <= 5""".stripMargin
 
+  /** Main-content extraction ([[graft.text.Boilerplate]], jusText
+    * class): every document is wrapped as a page whose nav and footer
+    * are link farms (long enough to clear the length floor — only link
+    * density drops them) plus a sub-floor "tiny" block; the engine must
+    * keep EXACTLY the prose block, so the oracle is the bare text — an
+    * independent construction that pins segmentation, link-char
+    * accounting, and both policy thresholds at once. */
+  def qBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><body><nav><a href=\"/\">Home</a> " +
+        "<a href=\"/about\">About this site</a> " +
+        "<a href=\"/contact\">Contact</a></nav><div class=\"main\"><p>"),
+      col("text"),
+      lit("</p></div><p>tiny</p><footer><a href=\"/terms\">Terms of " +
+        "service</a> <a href=\"/privacy\">Privacy policy</a></footer>" +
+        "</body></html>"))
+    graft.text.Boilerplate.extractMain(
+        table(spark, dir, "documents").select(col("doc_id"), html.as("html")),
+        "html")
+      .select(col("doc_id"),
+        md5(col("main_text").cast("binary")).as("main_md5"))
+  }
+
+  val qBoilerplateSql: String =
+    "SELECT doc_id, md5(text) AS main_md5 FROM documents"
+
   /** Cluster-balanced diversity subsample
     * ([[graft.ann.ClusterSample]], SemDeDup/SSL-prototypes class): train
     * the usual IVF k-means model, assign every embedding to its nearest

@@ -53,6 +53,20 @@ class CodegenParitySpec extends SparkTestBase {
     assert(byId(1L).getInt(6) == 2)                        // positions 1,3 agree
   }
 
+  test("html_blocks: generated == interpreted") {
+    import spark.implicits._
+    val pages = Seq(
+      "<nav><a>x</a></nav><p>prose block &amp; text</p>",
+      "<p>a</p><script>var x;</script><p>b</p>", "", "plain").toDF("h")
+    def res(mode: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try pages.select(graft.functions.html_blocks(col("h"))).collect().toSeq
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    val gen = res("CODEGEN_ONLY")
+    assert(gen == res("NO_CODEGEN"))
+  }
+
   test("canonicalize_url: generated == interpreted, null lanes included") {
     import spark.implicits._
     val urls = Seq("HTTPS://WWW.Ex.COM:443/a/?utm_x=1&b=2&a=1#f",
