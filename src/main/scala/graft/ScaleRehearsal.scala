@@ -479,6 +479,21 @@ object ScaleRehearsal {
           .filter(_.record_type == "response").count()
       }
       println(s"[scale]   -> $nRec response records")
+      // boilerplate removal over the same pages (nav/footer link farms
+      // planted around the body) vs flat strip — same kernel class, the
+      // block segmentation + policy must stay scan-bound
+      val boiler = spark.range(nDoc).select(col("id"),
+        concat(lit("<body><nav><a>Home</a> <a>About this site</a> " +
+            "<a>Contact page</a></nav><p>"),
+          repeat(concat(lit("word"), pmod(col("id"), lit(1000L)).cast("string"),
+            lit(" ")), 100),
+          lit("</p><footer><a>Terms of service</a> " +
+            "<a>Privacy policy</a></footer></body>")).as("html"))
+      val nMain = timed("boilerplate[500k pages]") {
+        graft.text.Boilerplate.extractMain(boiler, "html")
+          .agg(sum(length(col("main_text")))).head().getLong(0)
+      }
+      println(s"[scale]   -> $nMain main-content chars (link farms dropped)")
       spark.stop(); return
     }
 
