@@ -59,6 +59,11 @@ package object api {
     def stripHtml(htmlCol: String, outCol: String = "text"): DataFrame =
       df.withColumn(outCol, strip_html(col(htmlCol)))
 
+    /** Main-content extraction — boilerplate blocks dropped (see
+      * [[graft.text.Boilerplate]]). */
+    def extractMain(htmlCol: String, outCol: String = "main_text"): DataFrame =
+      graft.text.Boilerplate.extractMain(df, htmlCol, outCol)
+
     /** Gopher-class quality filter (see [[graft.text.QualityFilter]]). */
     def qualityFilter(textCol: String,
                       rules: graft.text.QualityFilter.Rules =

@@ -3919,6 +3919,71 @@ object Queries {
   val qBoilerplateSql: String =
     "SELECT doc_id, md5(text) AS main_md5 FROM documents"
 
+  /** FULL crawl curation — the capstone composition over the whole web
+    * front door: pages (link-farm nav/footer + prose, as q_boilerplate)
+    * shipped as gzipped WARC, streamed back, URL-canonicalized + deduped
+    * (colliding spellings as q_url_dedup), boilerplate-stripped to main
+    * content, and Gopher-quality-annotated. ONE oracle replays every
+    * stage from the documents table: canonical construction → survivor
+    * window → main==text (the independent boilerplate construction) →
+    * the pinned quality arithmetic. */
+  def qCrawlCurate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.WarcSource
+    import graft.text.{Boilerplate, QualityFilter, UrlCurate}
+    val path = s"/root/repo/target/graft_crawl2/${new java.io.File(dir).getName}"
+    val k = (col("doc_id") % 10).cast("string")
+    val gid = concat(lit("gclid=g"), col("doc_id").cast("string"))
+    val uri = when(col("doc_id") % 2 === 0,
+        concat(lit("HTTPS://WWW."), upper(col("source")),
+          lit(".Example.COM:443/doc/"), k, lit("/?utm_source=feed&"), gid,
+          lit("#frag")))
+      .otherwise(concat(lit("https://"), col("source"),
+        lit(".example.com/doc/"), k, lit("?"), gid))
+    val html = concat(
+      lit("<html><body><nav><a href=\"/\">Home</a> " +
+        "<a href=\"/about\">About this site</a> " +
+        "<a href=\"/contact\">Contact</a></nav><p>"),
+      col("text"),
+      lit("</p><p>tiny</p><footer><a href=\"/terms\">Terms of service</a> " +
+        "<a href=\"/privacy\">Privacy policy</a></footer></body></html>"))
+    val recs = table(spark, dir, "documents").select(
+      uri.as("target_uri"), lit("2026-01-01T00:00:00Z").as("warc_date"),
+      lit(200).as("http_status"),
+      lit("text/html; charset=utf-8").as("http_content_type"),
+      html.cast("binary").as("body"))
+    WarcSource.write(recs, path)
+    val pages = WarcSource.read(spark, path).toDF()
+      .where(col("record_type") === "response")
+      .select(
+        regexp_extract(col("target_uri"), "gclid=g(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("target_uri").as("url"), col("body").cast("string").as("html"))
+    val main = Boilerplate.extractMain(
+      UrlCurate.dedupByUrl(pages, "url", "doc_id"), "html")
+    QualityFilter.annotate(main, "main_text")
+      .select(col("doc_id"), col("url_canon"),
+        md5(col("main_text").cast("binary")).as("main_md5"), col("keep"))
+  }
+
+  val qCrawlCurateSql: String =
+    s"""WITH u AS (SELECT doc_id, text,
+       |  'https://' || lower(source) || '.example.com/doc/' || (doc_id % 10)
+       |    AS url_canon FROM documents),
+       |r AS (SELECT doc_id, text, url_canon,
+       |  row_number() OVER (PARTITION BY url_canon ORDER BY doc_id) AS rn FROM u),
+       |s AS (SELECT doc_id, url_canon, text FROM r WHERE rn = 1),
+       |t AS (SELECT doc_id, url_canon, md5(text) AS main_md5,
+       |  len(string_split(text,' ')) AS n_words,
+       |  CAST(len(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+       |    / len(string_split(text,' ')) AS avg_wlen,
+       |  CAST(len(list_filter(string_split(text,' '), w -> w IN ($stopList))) AS DOUBLE)
+       |    / len(string_split(text,' ')) AS stop_ratio
+       | FROM s)
+       |SELECT doc_id, url_canon, main_md5,
+       | CAST(n_words BETWEEN 25 AND 80 AND avg_wlen >= 4.3 AND avg_wlen <= 4.7
+       |   AND stop_ratio >= 0.02 AS INT) AS keep
+       |FROM t""".stripMargin
+
   /** Cluster-balanced diversity subsample
     * ([[graft.ann.ClusterSample]], SemDeDup/SSL-prototypes class): train
     * the usual IVF k-means model, assign every embedding to its nearest
