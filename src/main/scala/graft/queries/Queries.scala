@@ -3919,6 +3919,31 @@ object Queries {
   val qBoilerplateSql: String =
     "SELECT doc_id, md5(text) AS main_md5 FROM documents"
 
+  /** Gopher duplicate-2-gram repetition signals
+    * ([[graft.text.Repetition]]): char fraction inside duplicated word
+    * 2-grams + the top-2-gram char fraction. The oracle rebuilds the
+    * pinned shingle stream with a DuckDB list comprehension (single-
+    * space split, empty tokens kept) and the identical integer
+    * aggregation; fractions are single divisions of exact ints. */
+  def qRepetitionNgram(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Repetition.dupNgramStats(
+      table(spark, dir, "documents"), "doc_id", "text", n = 2)
+
+  val qRepetitionNgramSql: String =
+    """WITH w AS (SELECT doc_id, len(text) AS tl, string_split(text, ' ') ws
+      |  FROM documents),
+      |g AS (SELECT doc_id, tl,
+      |  unnest([array_to_string(ws[i : i + 1], ' ')
+      |    for i in generate_series(1, greatest(len(ws) - 1, 0))]) AS g
+      |  FROM w),
+      |c AS (SELECT doc_id, tl, g, count(*) AS c FROM g GROUP BY 1, 2, 3)
+      |SELECT doc_id,
+      | CAST(sum(CASE WHEN c >= 2 THEN c * len(g) ELSE 0 END) AS DOUBLE)
+      |   / greatest(tl, 1) AS dup_2gram_char_frac,
+      | CAST(max(c * len(g)) AS DOUBLE) / greatest(tl, 1)
+      |   AS top_2gram_char_frac
+      |FROM c GROUP BY doc_id, tl""".stripMargin
+
   /** FULL crawl curation — the capstone composition over the whole web
     * front door: pages (link-farm nav/footer + prose, as q_boilerplate)
     * shipped as gzipped WARC, streamed back, URL-canonicalized + deduped
