@@ -18,15 +18,12 @@ import org.apache.spark.sql.functions._
   * corpus (the hot-cluster case mirror of the viral URL / mega-host). */
 object ClusterSample {
 
-  /** `items` + `cluster` (nearest-centroid id; -1 for null vectors). */
+  /** `items` + `cluster` (nearest-centroid id; -1 for null vectors) —
+    * one shared assignment path with [[IvfIndex.assignments]], so the
+    * null/tie conventions cannot diverge. */
   def withCluster(items: DataFrame, vecCol: String,
-                  model: IvfIndex.Model, outCol: String = "cluster"): DataFrame = {
-    val bc = items.sparkSession.sparkContext.broadcast(model)
-    val assign = udf { (v: Seq[Float]) =>
-      if (v == null) -1 else IvfIndex.nearestCentroids(bc.value, v, 1).head
-    }
-    items.withColumn(outCol, assign(col(vecCol)))
-  }
+                  model: IvfIndex.Model, outCol: String = "cluster"): DataFrame =
+    IvfIndex.withAssignment(items, vecCol, model, outCol)
 
   /** Keep ≤ `k` items per cluster; adds `cluster` and `cluster_rank`
     * (1..k in the deterministic keyHash-of-id order). */

@@ -160,14 +160,23 @@ object IvfIndex {
     * (trained-centroid) half of [[topK]] as a standalone, checkpointable
     * inverted-file table. Null vectors assign to list -1 (probed by no
     * query). */
-  def assignments(items: DataFrame, itemId: String, itemVec: String,
-                  model: Model): DataFrame = {
+  /** `items` + nearest-centroid column (null vectors → -1). The single
+    * assignment path — [[assignments]] and
+    * [[graft.ann.ClusterSample.withCluster]] both route here so the
+    * null/tie conventions live in one place. */
+  def withAssignment(items: DataFrame, itemVec: String, model: Model,
+                     outCol: String): DataFrame = {
     val bc = items.sparkSession.sparkContext.broadcast(model)
     val assign = udf { (v: Seq[Float]) =>
       if (v == null) -1 else nearestCentroids(bc.value, v, 1).head
     }
-    items.select(col(itemId), assign(col(itemVec)).as("list"))
+    items.withColumn(outCol, assign(col(itemVec)))
   }
+
+  def assignments(items: DataFrame, itemId: String, itemVec: String,
+                  model: Model): DataFrame =
+    withAssignment(items, itemVec, model, "list")
+      .select(col(itemId), col("list"))
 
   /** `(queryId, list)` probe relation: each query's `nprobe` nearest
     * centroid lists, one row per probed list. */

@@ -941,6 +941,10 @@ object HtmlBlocks {
           Array[Any](UTF8String.fromString(sb.toString), sb.length, linkChars)))
       }
       sb.setLength(0); linkChars = 0; pendingSpace = false
+      // links are block-scoped: browsers implicitly close <a> at block
+      // boundaries, and resetting here bounds a never-closed anchor's
+      // damage to its own block
+      linkDepth = 0
     }
     var i = 0
     while (i < n) {
@@ -967,8 +971,11 @@ object HtmlBlocks {
           } else {
             if (blockTags.contains(name)) flush()
             else if (name == "a") {
+              // HTML5: a trailing '/' before '>' is ignored on non-void
+              // tags, and unquoted hrefs routinely end in '/' — so every
+              // opening <a ...> opens a link, never "self-closes"
               if (closing) linkDepth = math.max(0, linkDepth - 1)
-              else if (in.charAt(close - 1) != '/') linkDepth += 1
+              else linkDepth += 1
             }
             pendingSpace = true
             i = close + 1

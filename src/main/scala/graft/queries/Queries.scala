@@ -3114,7 +3114,7 @@ object Queries {
   val qSentenceChunksSql: String =
     """WITH w AS (SELECT doc_id,
       |  string_split(regexp_replace(replace(text, ' value ', '. '),
-      |    '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)) ss
+      |    '([.!?])[ \t\n\f\r]+', '\1' || chr(1), 'g'), chr(1)) ss
       |  FROM documents),
       |c AS (SELECT doc_id, ss,
       |  unnest(generate_series(0,

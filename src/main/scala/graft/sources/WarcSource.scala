@@ -117,10 +117,13 @@ object WarcSource {
         paths.flatMap { f =>
           // lenient covers the OPEN too (missing file, bad gzip header —
           // GZIPInputStream reads the header eagerly): one corrupt or
-          // vanished file must not kill the job
+          // vanished file must not kill the job. `raw` is closed on any
+          // open-path failure — the completion listener only knows about
+          // streams that made it into `current`.
+          var raw: InputStream = null
           try {
             val path = new Path(f)
-            val raw: InputStream = path.getFileSystem(sconf.value).open(path)
+            raw = path.getFileSystem(sconf.value).open(path)
             val in: InputStream =
               if (f.endsWith(".gz")) new GZIPInputStream(raw) else raw
             val buffered = new BufferedInputStream(in, 1 << 16)
@@ -128,9 +131,11 @@ object WarcSource {
             recordIterator(f, buffered, lenient)
           } catch {
             case e: Exception if lenient =>
+              if (raw != null) { try raw.close() catch { case _: Exception => } }
               System.err.println(s"[warc] skipping unreadable $f: $e")
               Iterator.empty
             case e: Exception =>
+              if (raw != null) { try raw.close() catch { case _: Exception => } }
               throw new java.io.IOException(s"WarcSource: cannot open $f", e)
           }
         }

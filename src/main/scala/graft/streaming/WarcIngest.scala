@@ -62,9 +62,12 @@ object WarcIngest {
         col("body").cast("string").as("html"))
       // survivor order: raw url, body hash as tiebreak — a page crawled
       // twice in one drop (same url, different fetch) would otherwise tie
-      // and make the kept body nondeterministic across replays
+      // and make the kept body nondeterministic across replays. The
+      // U+0001 separator sorts below every URL-legal character, so the
+      // concatenation orders exactly like the (url, hash) tuple even
+      // when one url is a prefix of another
       .withColumn("__ord",
-        concat(col("url"), lit("|"), md5(col("html").cast("binary"))))
+        concat(col("url"), lit("\u0001"), md5(col("html").cast("binary"))))
     val deduped = UrlCurate.dedupByUrl(pages, "url", "__ord")
       .where(col("url_canon").isNotNull) // junk URLs don't enter a corpus
       .drop("__ord")

@@ -54,14 +54,16 @@ object TextChunk {
     *
     * Pinned boundary rule: terminal punctuation `[.!?]` followed by
     * whitespace ends a sentence (the punctuation stays with its
-    * sentence; the boundary whitespace is consumed). Because RE2 (the
-    * DuckDB oracle's engine) has no lookbehind, the rule is expressed as
-    * replace-then-split in both engines — boundary -> a U+0001 marker →
-    * split — rather than a lookbehind split. Chunks re-join with single
-    * spaces. */
+    * sentence; the boundary whitespace is consumed). The whitespace
+    * class is the explicit `[ \t\n\f\r]` — Java's `\s` additionally
+    * matches vertical tab where RE2's (the oracle's engine) does not,
+    * so the shorthand would silently diverge. Because RE2 has no
+    * lookbehind, the rule is expressed as replace-then-split in both
+    * engines — boundary -> a U+0001 marker → split — rather than a
+    * lookbehind split. Chunks re-join with single spaces. */
   def chunkBySentences(df: DataFrame, idCol: String, textCol: String,
                        size: Int, overlap: Int): DataFrame =
     windowed(df, idCol,
-      split(regexp_replace(col(textCol), "([.!?])\\s+", "$1\u0001"), "\u0001"),
+      split(regexp_replace(col(textCol), "([.!?])[ \\t\\n\\f\\r]+", "$1\u0001"), "\u0001"),
       size, overlap, "n_sentences")
 }

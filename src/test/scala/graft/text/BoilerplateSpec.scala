@@ -58,6 +58,18 @@ class BoilerplateSpec extends SparkTestBase {
         "Another sufficiently long content paragraph stays in the corpus.")
   }
 
+  test("unquoted hrefs ending in '/' still open links (HTML5: no self-closing <a>)") {
+    val got = blocksOf("<nav><a href=http://x.com/>Home</a> " +
+      "<a href=http://x.com/about/>About this site</a></nav>")
+    assert(got.head._1 == "Home About this site")
+    assert(got.head._3 == got.head._2) // every char is link-attributed
+    // a never-closed anchor poisons only ITS block (link depth is
+    // block-scoped), so the next block stays prose
+    val stuck = blocksOf("<p><a href=x>dangling</p><p>clean prose block</p>")
+    assert(stuck.map(b => (b._1, b._3)) ==
+      Seq(("dangling", 8), ("clean prose block", 0)))
+  }
+
   test("nothing survives -> empty string; nested anchors bounded at zero") {
     val docs = Seq((1L, "<nav><a>a</a><a>b</a></nav>")).toDF("doc_id", "html")
     assert(Boilerplate.extractMain(docs, "html").select("main_text")
