@@ -261,6 +261,40 @@ class PlanHealthSpec extends SparkTestBase {
     assert(!text.contains("Join"), s"as-of must not plan a join:\n$text")
   }
 
+  test("crawl scan kernels (url canon / boilerplate / sentence chunks) never shuffle") {
+    import org.apache.spark.sql.functions.{col => c, concat, lit}
+    val docs = Queries.table(spark, dir, "documents")
+    val canon = docs.select(graft.text.UrlCurate.canonicalizeUrl(
+      concat(lit("https://h"), c("doc_id").cast("string"), lit(".com/p/"))).as("u"))
+    val main = graft.text.Boilerplate.extractMain(
+      docs.select(c("doc_id"),
+        concat(lit("<nav><a>x</a></nav><p>"), c("text"), lit("</p>")).as("html")),
+      "html")
+    val chunks = graft.text.TextChunk.chunkBySentences(docs, "doc_id", "text", 3, 1)
+    for (df <- Seq(canon, main, chunks)) {
+      val sh = df.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }
+      assert(sh.isEmpty,
+        s"scan-local crawl op planned a shuffle:\n${df.queryExecution.executedPlan}")
+    }
+    assert(scanColumns(chunks, "documents") == Set("doc_id", "text"))
+  }
+
+  test("url dedup plans exactly its two window shuffles, no join") {
+    import org.apache.spark.sql.functions.{col => c, concat, lit}
+    val urls = Queries.table(spark, dir, "documents")
+      .select(c("doc_id"), concat(lit("https://h"),
+        (c("doc_id") % 10).cast("string"), lit(".com/p")).as("url"))
+    val df = graft.text.UrlCurate.dedupByUrl(urls, "url", "doc_id")
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = df.queryExecution.executedPlan
+    val plans = root +: root.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+    val shuffles = plans.flatMap(_.collect { case s: ShuffleExchangeExec => s })
+    assert(shuffles.size == 2,
+      s"dedupByUrl must be the (key,salt) + key window shuffles, got ${shuffles.size}:\n$root")
+    assert(!plans.map(_.toString).mkString.contains("Join"),
+      "dedupByUrl must not plan a join")
+  }
+
   test("span dedup reassembly never explodes the corpus into token rows") {
     val df = graft.dedup.TextDedup.dedupSpansAcross(
       Queries.table(spark, dir, "documents"), "doc_id", "text", k = 5)
