@@ -295,6 +295,24 @@ class PlanHealthSpec extends SparkTestBase {
       "dedupByUrl must not plan a join")
   }
 
+  test("the two SQL registries cannot drift (registerAll == GraftExtensions)") {
+    // the round-9b drift (char_shingles registered in one, not the other)
+    // motivates this lint: both files declare functions as r("name", ...)
+    // plus one shared st_-predicate loop, so the literal name sets must
+    // match exactly
+    def names(p: String): Set[String] = {
+      val src = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8")
+      "r\\(\"([a-z0-9_]+)\"".r.findAllMatchIn(src).map(_.group(1)).toSet
+    }
+    val a = names("/root/repo/src/main/scala/graft/functions/package.scala")
+    val b = names("/root/repo/src/main/scala/graft/GraftExtensions.scala")
+    assert(a.size > 35, s"registry parse broke: only ${a.size} names found")
+    assert(a == b,
+      s"SQL registry drift — only in registerAll: ${(a -- b).toSeq.sorted}; " +
+        s"only in GraftExtensions: ${(b -- a).toSeq.sorted}")
+  }
+
   test("span dedup reassembly never explodes the corpus into token rows") {
     val df = graft.dedup.TextDedup.dedupSpansAcross(
       Queries.table(spark, dir, "documents"), "doc_id", "text", k = 5)
