@@ -147,6 +147,12 @@ class GeomExpressionsSpec extends SparkTestBase {
       "0D,0D,10D,10D, 0D,0D,100D,100D)) d").head()
     assert(r2.getInt(0) == 5)
     assert(r2.getString(1) == "POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))")
+    // the crawl kernels are SQL-reachable too
+    val rCrawl = spark.sql(
+      "SELECT canonicalize_url('HTTPS://WWW.X.COM:443/a/?utm_s=1&b=2#f') u, " +
+        "size(html_blocks('<nav><a>x</a></nav><p>prose</p>')) nb").head()
+    assert(rCrawl.getString(0) == "https://x.com/a?b=2")
+    assert(rCrawl.getInt(1) == 2)
     // sig_agreement: null elements count as non-agreeing, never throw
     val r3 = spark.sql(
       "SELECT sig_agreement(array(1L, CAST(NULL AS LONG), 3L), array(1L, 2L, 3L)) c").head()
