@@ -494,6 +494,15 @@ object ScaleRehearsal {
           .agg(sum(length(col("main_text")))).head().getLong(0)
       }
       println(s"[scale]   -> $nMain main-content chars (link farms dropped)")
+      // dup-2-gram repetition over the same 100-word pages: ~50M grams
+      // through the shingle kernel + two-level keyed aggregation
+      val texts = boiler.select(col("id").as("doc_id"),
+        regexp_replace(col("html"), "<[^>]*>", "").as("text"))
+      val nRep = timed("dup_ngram[500k docs]") {
+        graft.text.Repetition.dupNgramStats(texts, "doc_id", "text", 2)
+          .where(col("dup_2gram_char_frac") > 0.5).count()
+      }
+      println(s"[scale]   -> $nRep docs over the 0.5 dup-2gram threshold")
       spark.stop(); return
     }
 
