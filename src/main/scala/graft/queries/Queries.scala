@@ -3919,6 +3919,28 @@ object Queries {
   val qBoilerplateSql: String =
     "SELECT doc_id, md5(text) AS main_md5 FROM documents"
 
+  /** Interval attribution join ([[graft.streaming.EventOps
+    * .attributeWithin]], run in batch mode — the stream twin is
+    * spec-pinned): every (click, view) pair of one user within the
+    * trailing hour. Timestamps compare as exact epoch micros on both
+    * engines; the interval bound becomes integer micros in the oracle. */
+  def qAttribute(spark: SparkSession, dir: String): DataFrame = {
+    val e = eventsTable(spark, dir).select(col("event_id"), col("user_id"),
+      col("ts").cast("timestamp").as("ts"), col("event_type"))
+    graft.streaming.EventOps.attributeWithin(
+      e.where(col("event_type") === "click"),
+      e.where(col("event_type") === "view"), within = "1 hour")
+  }
+
+  val qAttributeSql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) uts, event_type
+      |  FROM events)
+      |SELECT c.user_id, c.uts AS click_uts, c.event_id AS click_id,
+      | v.uts AS view_uts, v.event_id AS view_id
+      |FROM e c JOIN e v ON v.user_id = c.user_id
+      | AND c.event_type = 'click' AND v.event_type = 'view'
+      | AND v.uts <= c.uts AND v.uts >= c.uts - 3600000000""".stripMargin
+
   /** Gopher duplicate-2-gram repetition signals
     * ([[graft.text.Repetition]]): char fraction inside duplicated word
     * 2-grams + the top-2-gram char fraction. The oracle rebuilds the

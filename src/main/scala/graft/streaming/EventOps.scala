@@ -41,6 +41,34 @@ object EventOps {
       .withWatermark("ts", watermark)
       .dropDuplicates(keyCols)
 
+  /** Watermarked stream-stream interval join (event attribution): each
+    * click pairs with every view by the same user inside the trailing
+    * `within` window — Structured Streaming's stream-stream join with an
+    * event-time range condition. Watermarks on BOTH sides are what bound
+    * the join state (the view buffer holds `within` + watermark of
+    * history, clicks age out once no future view can match); matched
+    * rows emit immediately (inner join), the watermark only garbage-
+    * collects. The same code runs in batch mode — the spec's oracle.
+    * Inputs need (user_id, ts, event_id). For most-recent-only
+    * attribution, rank downstream or use [[graft.operators.AsofJoin]]
+    * in batch — a stream cannot rank without a second stateful stage. */
+  def attributeWithin(clicks: DataFrame, views: DataFrame,
+                      within: String = "1 hour",
+                      watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val v = views.select(col("user_id").as("__vu"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", watermark)
+    c.join(v, col("user_id") === col("__vu") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $within"))
+      .select(col("user_id"),
+        unix_micros(col("click_ts")).as("click_uts"), col("click_id"),
+        unix_micros(col("view_ts")).as("view_uts"), col("view_id"))
+  }
+
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class SessionOut(user_id: Long, session_start: Long,
                               session_end: Long, n_events: Int)

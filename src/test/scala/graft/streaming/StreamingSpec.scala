@@ -203,6 +203,40 @@ class StreamingSpec extends SparkTestBase {
       "closed streaming sessions must appear in the batch result")
   }
 
+  test("attributeWithin: stream-stream interval join == its batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(
+      Ev(10, tsOf(4000), 1, "click", 0), // window [400, 4000]: views 500, 3700
+      Ev(11, tsOf(5000), 2, "click", 0), // no prior view for user 2
+      Ev(12, tsOf(7300), 1, "click", 0)) // window [3700, 7300]: views 3700, 7200
+    val views = Seq(
+      Ev(20, tsOf(500), 1, "view", 0),
+      Ev(21, tsOf(3700), 1, "view", 0),
+      Ev(22, tsOf(7200), 1, "view", 0),
+      Ev(23, tsOf(9000), 2, "view", 0)) // after the click: never attributed
+    val cs = MemoryStream[Ev]
+    val vs = MemoryStream[Ev]
+    val q = EventOps.attributeWithin(cs.toDF(), vs.toDF(), within = "1 hour")
+      .writeStream.format("memory").queryName("attr_test")
+      .outputMode("append").start()
+    try {
+      // arrival order crosses the streams: views for a click may land later
+      vs.addData(views.take(2)); cs.addData(clicks)
+      q.processAllAvailable()
+      vs.addData(views.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("attr_test").collect().map(_.toSeq).toSet
+    val batch = EventOps.attributeWithin(
+      clicks.toDF(), views.toDF(), within = "1 hour")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    // semantic pins: both window bounds inclusive (3700 == 7300 - 3600),
+    // user 2's later view never attributes, user isolation holds
+    assert(batch.map(r => (r(2), r(4))) ==
+      Set((10L, 20L), (10L, 21L), (12L, 21L), (12L, 22L)))
+  }
+
   test("SpatialIngest: streamed tile-partitioned store == batch tag; readable by SpatialStore") {
     implicit val sqlCtx = spark.sqlContext
     import graft.core.{GeometryCodec, Mbb}
