@@ -306,6 +306,34 @@ object ScaleRehearsal {
       spark.stop(); return
     }
 
+    // -------------- DSIR importance resampling at 100x (500k docs)
+    // target = the ~20k doc_id%25==0 slice, raw = all 500k. Three corpus
+    // scans total (target fit is slice-pruned), each map-side absorbed to
+    // a 4096-bucket model / (doc,sum,cnt) buffers; selection is
+    // TakeOrdered. Uses the salted corpus from a prior `pipeline` run.
+    if (mode == "dsir") {
+      import graft.text.Dsir
+      val docs = spark.read.parquet(s"$dir/docs")
+      println(s"[scale] docs=${docs.count()}")
+      val b = 4096
+      val target = timed("dsir_fit_target[20k slice]") {
+        val t = Dsir.fitFeatures(docs.where(col("doc_id") % 25 === 0),
+          "text", b).persist()
+        t.count(); t
+      }
+      val raw = timed("dsir_fit_raw[500k]") {
+        val r = Dsir.fitFeatures(docs, "text", b).persist()
+        r.count(); r
+      }
+      val nSel = timed("dsir_weight+resample[500k]") {
+        Dsir.resample(
+          Dsir.importanceWeights(docs, "doc_id", "text", target, raw, b, 0.5),
+          "doc_id", 50000).count()
+      }
+      println(s"[scale]   -> $nSel selected")
+      spark.stop(); return
+    }
+
     // -------------- round-10 curation operators at 100x (500k docs)
     // corpus split (scan-local), host cap under a 30%-of-corpus mega-host
     // (the skew case the two-stage top-k exists for), html strip kernel

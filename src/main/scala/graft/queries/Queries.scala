@@ -1880,6 +1880,51 @@ object Queries {
        |   ORDER BY lp_micro DESC, doc_id ASC) AS band_rank
        |FROM b""".stripMargin
 
+  /** DSIR importance resampling ([[graft.text.Dsir]], Xie et al. 2023 —
+    * the published target-distribution data-selection step): target model
+    * fit on the doc_id%7==0 slice, raw model on the whole corpus, every
+    * document weighted by its hashed-uni+bigram log importance ratio,
+    * then Gumbel top-k selects 150 documents. FP accumulation makes raw
+    * logw engine-specific, so the gate checkpoints (logw, gumbel) once
+    * and BOTH engines run the identical downstream over those bits: the
+    * selection key `logw + gumbel` is one IEEE addition of identical
+    * doubles (bit-stable in both engines), the selected set is the top-150
+    * by (key desc, id asc) — TakeOrdered + broadcast semi-join in Spark,
+    * an IN-subquery in DuckDB — and every SHIPPED column is integer/bool.
+    * Formula exactness and resample determinism are spec-pinned in
+    * DsirSpec. */
+  def qDsir(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Dsir
+    val docs = table(spark, dir, "documents")
+    val b = 4096
+    val target = Dsir.fitFeatures(docs.where(col("doc_id") % 7 === 0), "text", b)
+    val raw = Dsir.fitFeatures(docs, "text", b)
+    val w = Dsir.importanceWeights(docs, "doc_id", "text", target, raw, b,
+      alpha = 0.5)
+    // the same deterministic noise resample() derives internally; stored so
+    // the oracle consumes identical bits instead of re-deriving xxhash64
+    val u = (pmod(xxhash64(col("doc_id"), lit(42L)), lit(1L << 40))
+      .cast("double") + lit(0.5)) / lit((1L << 40).toDouble)
+    val aux = writeOracleAux(
+      w.withColumn("gumbel", -log(-log(u))), dir, "dsir_weights")
+    val picked = Dsir.resample(aux, "doc_id", 150, seed = 42L)
+      .select(col("doc_id"))
+    aux.join(picked.withColumn("__sel", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_feats"),
+        floor(col("logw") * 1e6).as("lw_micro"),
+        coalesce(col("__sel"), lit(false)).as("selected"))
+  }
+
+  val qDsirSql: String =
+    s"""WITH s AS (SELECT doc_id, n_feats, logw, gumbel
+       |  FROM ${auxSql("dsir_weights")}),
+       |top AS (SELECT doc_id FROM s
+       |  ORDER BY logw + gumbel DESC, doc_id ASC LIMIT 150)
+       |SELECT doc_id, n_feats,
+       | CAST(floor(logw * 1e6) AS BIGINT) AS lw_micro,
+       | doc_id IN (SELECT doc_id FROM top) AS selected
+       |FROM s""".stripMargin
+
   /** VIDEO near-dup gate — the container lane of the multimodal dedup
     * triad: 120 real ISO-BMFF files in 30 groups of 4, each group sharing
     * 12 sample payloads with member m swapping sample m for a

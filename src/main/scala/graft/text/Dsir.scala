@@ -1,0 +1,111 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+  * 2023, arXiv:2302.03169): pick raw-corpus documents whose hashed-n-gram
+  * distribution resembles a small trusted target corpus. Per document,
+  * `log w = Σ_f c_f · (log p_target(f) − log p_raw(f))` over hashed word
+  * uni+bigram features with multiplicity, then select k documents by
+  * Gumbel top-k over `log w` — equivalent to sampling without replacement
+  * with probability ∝ w, which is the paper's resampling step.
+  *
+  * Spark shape: a model is a BUCKET-SIZED relation `(bucket, cnt)` — at
+  * most `buckets` rows regardless of corpus size (the hash fixes the
+  * feature domain), so the per-bucket log-ratio table is always
+  * broadcastable. Scoring is explode → codegen hash → one broadcast join →
+  * partial-aggregated per-document sum: the raw corpus never shuffles its
+  * grams, only `(doc, sum, count)` aggregation buffers cross the network,
+  * and the final top-k is TakeOrderedAndProject (per-partition partial
+  * top-k, one merge — no global sort). At 100 TB the cost is one scan of
+  * the raw corpus per stage (one to fit `raw`, one to score), each
+  * absorbed map-side.
+  *
+  * Features that never occur in EITHER corpus still have defined mass
+  * (add-alpha over the fixed `buckets`-sized domain), so a document using
+  * them gets the constant ratio `log((Nr+αB)/(Nt+αB))` per occurrence —
+  * handled by the `coalesce` fallback, not by dropping the gram.
+  */
+object Dsir {
+
+  /** A document's feature stream: word uni+bigrams with multiplicity,
+    * under the engine's pinned tokenizer semantics (split on ' ' keeping
+    * empty tokens) MINUS zero-length grams — an empty document or a run
+    * of spaces contributes no evidence rather than an "empty-token"
+    * feature. */
+  private def featureGrams(textCol: String) = {
+    explode(filter(concat(
+      graft.functions.word_shingles_all(col(textCol), 1),
+      graft.functions.word_shingles_all(col(textCol), 2)),
+      g => length(g) > 0)).as("g")
+  }
+
+  /** Hashed bag-of-features model: `(bucket, cnt)` counts of word
+    * uni+bigrams (with multiplicity) hashed by xxhash64 into `buckets`
+    * buckets. One kernel scan + one partial-aggregated groupBy whose
+    * result is at most `buckets` rows. */
+  def fitFeatures(docs: DataFrame, textCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0, "dsir.fitFeatures: buckets must be > 0")
+    docs
+      .select(featureGrams(textCol))
+      .select(pmod(xxhash64(col("g")), lit(buckets.toLong)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-document log importance weight under add-alpha smoothing:
+    * `(idCol, n_feats, logw)`. `target`/`raw` are [[fitFeatures]]-shaped
+    * `(bucket, cnt)` relations; both are reduced to one broadcast
+    * log-ratio table before the corpus-side scan. Documents with no words
+    * have no features and produce no row (no evidence, no weight —
+    * mirrors [[NgramLm.score]]). */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        target: DataFrame, raw: DataFrame,
+                        buckets: Int, alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0, "dsir.importanceWeights: alpha must be > 0")
+    require(buckets > 0, "dsir.importanceWeights: buckets must be > 0")
+    val tc = target.columns; val rc = raw.columns
+    val t = target.select(col(tc(0)).as("bucket"), col(tc(1)).as("tcnt"))
+    val r = raw.select(col(rc(0)).as("bucket"), col(rc(1)).as("rcnt"))
+    // one row each; .head() on a 2-value aggregate, not a data collect
+    val nt = t.agg(coalesce(sum(col("tcnt")), lit(0L))).head().getLong(0)
+    val nr = r.agg(coalesce(sum(col("rcnt")), lit(0L))).head().getLong(0)
+    val dt = nt + alpha * buckets
+    val dr = nr + alpha * buckets
+    require(dt > 0 && dr > 0, "dsir.importanceWeights: empty feature domain")
+    // bucket-domain full outer join: both sides ≤ `buckets` rows
+    val ratio = t.join(r, Seq("bucket"), "full_outer").select(
+      col("bucket"),
+      (log((coalesce(col("tcnt"), lit(0L)) + lit(alpha)) / lit(dt)) -
+       log((coalesce(col("rcnt"), lit(0L)) + lit(alpha)) / lit(dr))).as("lr"))
+    // a gram in neither model: both counts 0 over the same fixed domain
+    val lrMissing = math.log(alpha / dt) - math.log(alpha / dr)
+    docs
+      .select(col(idCol), featureGrams(textCol))
+      .select(col(idCol), pmod(xxhash64(col("g")), lit(buckets.toLong)).as("bucket"))
+      .join(broadcast(ratio), Seq("bucket"), "left")
+      .select(col(idCol), coalesce(col("lr"), lit(lrMissing)).as("__lr"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("__lr")).as("logw"))
+  }
+
+  /** Gumbel top-k resampling over a [[importanceWeights]] result: returns
+    * the k selected rows `(idCol, n_feats, logw, sel_key)` where
+    * `sel_key = logw + Gumbel(0,1)` and the noise is a deterministic pure
+    * function of (id, seed) — `u = (xxhash64(id, seed) mod 2^40 + 0.5) /
+    * 2^40`, `g = −ln(−ln u)` — so re-execution (and partial-stage
+    * recomputation, SPARK-23207 class) reproduces the same sample.
+    * Equivalent to weighted sampling without replacement ∝ exp(logw).
+    * `orderBy.limit` plans as TakeOrderedAndProject: per-partition
+    * bounded top-k, single merge — no global sort at any scale. */
+  def resample(weights: DataFrame, idCol: String, k: Int,
+               seed: Long = 42L): DataFrame = {
+    require(k > 0, "dsir.resample: k must be > 0")
+    val u = (pmod(xxhash64(col(idCol), lit(seed)), lit(1L << 40))
+      .cast("double") + lit(0.5)) / lit((1L << 40).toDouble)
+    weights
+      .withColumn("sel_key", col("logw") + (-log(-log(u))))
+      .orderBy(col("sel_key").desc, col(idCol).asc)
+      .limit(k)
+  }
+}
