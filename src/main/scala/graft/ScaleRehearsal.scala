@@ -331,6 +331,24 @@ object ScaleRehearsal {
           "doc_id", 50000).count()
       }
       println(s"[scale]   -> $nSel selected")
+      // quality classifier: 10k-pair labeled sample (driver train), then
+      // the corpus-scale scoring pass — same broadcast-join shape as the
+      // DSIR weight stage
+      import graft.text.QualityClassifier
+      val spamTxt = lit(" click buy casino pills now free winner jackpot deal" * 3)
+      val sample = docs.where(col("doc_id") % 100 === 0)
+      val labeled = sample.select(col("text"), lit(1).as("label"))
+        .unionByName(sample.select(concat(col("text"), spamTxt).as("text"),
+          lit(0).as("label")))
+      val model = timed("qclf_train[10k pairs, driver]") {
+        val m = QualityClassifier.train(labeled, "text", "label", 16384,
+          epochs = 150, maxSample = 50000).persist()
+        m.count(); m
+      }
+      val nScored = timed("qclf_score[500k]") {
+        QualityClassifier.score(docs, "doc_id", "text", model, 16384).count()
+      }
+      println(s"[scale]   -> $nScored scored")
       spark.stop(); return
     }
 

@@ -1925,6 +1925,56 @@ object Queries {
        | doc_id IN (SELECT doc_id FROM top) AS selected
        |FROM s""".stripMargin
 
+  /** Quality-classifier gate ([[graft.text.QualityClassifier]] — the
+    * fastText-class supervised curation filter): labels are synthesized
+    * deterministically as the full positive/negative pairing of every
+    * document with its spam-suffixed twin (the paired construction
+    * cancels content so the learned direction IS the spam signature —
+    * every injected doc rejects with margin < −5, every clean doc keeps),
+    * the model trains driver-side (bit-deterministic, spec-pinned; HELD-
+    * OUT generalization is QualityClassifierSpec's job), and the
+    * corpus-scale scoring pass is checkpointed. The downstream both
+    * engines run over identical bits is all integer/bool:
+    * floor(margin·1e6), the keep decision (margin > 0 — exact comparison
+    * of identical doubles), and the per-decision rank. Sigmoid/prob is
+    * deliberately NOT gated — exp() may differ in the last ulp across
+    * engines; margin ordering is the decision signal. */
+  def qQualityClf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.QualityClassifier
+    val b = 16384
+    // repeated so the spam mass stays a meaningful fraction of long docs
+    // under the L1-normalized feature geometry
+    val spam = lit((" click buy casino pills now free winner jackpot deal" * 3))
+    val clean = table(spark, dir, "documents")
+    val docs = clean.withColumn("text",
+      when(col("doc_id") % 3 === 0, concat(col("text"), spam))
+        .otherwise(col("text")))
+    val labeled = clean.select(col("text"), lit(1).as("label"))
+      .unionByName(clean.select(concat(col("text"), spam).as("text"),
+        lit(0).as("label")))
+    val model = QualityClassifier.train(labeled, "text", "label", b,
+      epochs = 150, maxSample = 50000)
+    val aux = writeOracleAux(
+      QualityClassifier.score(docs, "doc_id", "text", model, b),
+      dir, "qclf_margins")
+    val w = Window.partitionBy(col("keep"))
+      .orderBy(col("m_micro").desc, col("doc_id").asc)
+    aux.select(col("doc_id"), col("n_feats"),
+        floor(col("margin") * 1e6).as("m_micro"),
+        (col("margin") > 0).as("keep"))
+      .withColumn("keep_rank", row_number().over(w))
+  }
+
+  val qQualityClfSql: String =
+    s"""WITH s AS (SELECT doc_id, n_feats,
+       |  CAST(floor(margin * 1e6) AS BIGINT) AS m_micro,
+       |  margin > 0 AS keep
+       |  FROM ${auxSql("qclf_margins")})
+       |SELECT doc_id, n_feats, m_micro, keep,
+       | row_number() OVER (PARTITION BY keep
+       |   ORDER BY m_micro DESC, doc_id ASC) AS keep_rank
+       |FROM s""".stripMargin
+
   /** VIDEO near-dup gate — the container lane of the multimodal dedup
     * triad: 120 real ISO-BMFF files in 30 groups of 4, each group sharing
     * 12 sample payloads with member m swapping sample m for a

@@ -29,17 +29,19 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
-  /** A document's feature stream: word uni+bigrams with multiplicity,
-    * under the engine's pinned tokenizer semantics (split on ' ' keeping
-    * empty tokens) MINUS zero-length grams — an empty document or a run
-    * of spaces contributes no evidence rather than an "empty-token"
-    * feature. */
-  private def featureGrams(textCol: String) = {
-    explode(filter(concat(
+  /** One document's hashed feature-bucket array (with multiplicity):
+    * word uni+bigrams under the engine's pinned tokenizer semantics
+    * (split on ' ' keeping empty tokens) MINUS zero-length grams — an
+    * empty document or a run of spaces contributes no evidence rather
+    * than an "empty-token" feature. The shared featurization of [[Dsir]]
+    * and [[QualityClassifier]], so a model trained by either is
+    * consistent with any scorer. */
+  private[text] def featureBuckets(textCol: String, buckets: Int) =
+    transform(filter(concat(
       graft.functions.word_shingles_all(col(textCol), 1),
       graft.functions.word_shingles_all(col(textCol), 2)),
-      g => length(g) > 0)).as("g")
-  }
+      g => length(g) > 0),
+      g => pmod(xxhash64(g), lit(buckets.toLong)))
 
   /** Hashed bag-of-features model: `(bucket, cnt)` counts of word
     * uni+bigrams (with multiplicity) hashed by xxhash64 into `buckets`
@@ -48,8 +50,7 @@ object Dsir {
   def fitFeatures(docs: DataFrame, textCol: String, buckets: Int): DataFrame = {
     require(buckets > 0, "dsir.fitFeatures: buckets must be > 0")
     docs
-      .select(featureGrams(textCol))
-      .select(pmod(xxhash64(col("g")), lit(buckets.toLong)).as("bucket"))
+      .select(explode(featureBuckets(textCol, buckets)).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
   }
 
@@ -81,8 +82,7 @@ object Dsir {
     // a gram in neither model: both counts 0 over the same fixed domain
     val lrMissing = math.log(alpha / dt) - math.log(alpha / dr)
     docs
-      .select(col(idCol), featureGrams(textCol))
-      .select(col(idCol), pmod(xxhash64(col("g")), lit(buckets.toLong)).as("bucket"))
+      .select(col(idCol), explode(featureBuckets(textCol, buckets)).as("bucket"))
       .join(broadcast(ratio), Seq("bucket"), "left")
       .select(col(idCol), coalesce(col("lr"), lit(lrMissing)).as("__lr"))
       .groupBy(col(idCol))
