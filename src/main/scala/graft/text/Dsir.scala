@@ -74,11 +74,16 @@ object Dsir {
     val dt = nt + alpha * buckets
     val dr = nr + alpha * buckets
     require(dt > 0 && dr > 0, "dsir.importanceWeights: empty feature domain")
-    // bucket-domain full outer join: both sides ≤ `buckets` rows
-    val ratio = t.join(r, Seq("bucket"), "full_outer").select(
-      col("bucket"),
-      (log((coalesce(col("tcnt"), lit(0L)) + lit(alpha)) / lit(dt)) -
-       log((coalesce(col("rcnt"), lit(0L)) + lit(alpha)) / lit(dr))).as("lr"))
+    // bucket-domain alignment as union + re-aggregate (≤ `buckets` rows;
+    // a full-outer join here would plan a sort-merge — fine at B rows but
+    // a join operator for what is really a keyed sum)
+    val ratio = t.select(col("bucket"), col("tcnt"), lit(0L).as("rcnt"))
+      .unionByName(r.select(col("bucket"), lit(0L).as("tcnt"), col("rcnt")))
+      .groupBy(col("bucket"))
+      .agg(sum(col("tcnt")).as("tc"), sum(col("rcnt")).as("rc"))
+      .select(col("bucket"),
+        (log((col("tc") + lit(alpha)) / lit(dt)) -
+         log((col("rc") + lit(alpha)) / lit(dr))).as("lr"))
     // a gram in neither model: both counts 0 over the same fixed domain
     val lrMissing = math.log(alpha / dt) - math.log(alpha / dr)
     docs

@@ -242,6 +242,51 @@ class PlanHealthSpec extends SparkTestBase {
     }
   }
 
+  test("DSIR weighting broadcasts the log-ratio table; grams never shuffle") {
+    import org.apache.spark.sql.functions.{col => c}
+    val docs = Queries.table(spark, dir, "documents")
+    val b = 1024
+    val t = graft.text.Dsir.fitFeatures(docs.where(c("doc_id") % 7 === 0), "text", b)
+    val r = graft.text.Dsir.fitFeatures(docs, "text", b)
+    val df = graft.text.Dsir.importanceWeights(docs, "doc_id", "text", t, r, b, 0.5)
+    df.count()
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = df.queryExecution.executedPlan
+    val plans = root +: root.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+    val text = plans.map(_.toString).mkString
+    assert(text.contains("BroadcastHashJoin"), s"ratio join must broadcast:\n$text")
+    assert(!text.contains("SortMergeJoin"), "bucket stream must never sort-merge")
+    // shuffles: the two ≤B-row model aggregations (+ their full-outer
+    // bucket join) and the per-doc buffer aggregation — never gram rows
+    plans.flatMap(_.collect { case s: ShuffleExchangeExec => s }).foreach { s =>
+      val cols = s.child.schema.fieldNames.toSet
+      assert(!cols.contains("g") && !cols.contains("text"),
+        s"gram/text rows entered a shuffle: $cols")
+    }
+  }
+
+  test("classifier scoring broadcasts the weight relation; one doc-agg shuffle") {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val docs = Queries.table(spark, dir, "documents")
+    val labeled = docs.limit(40).select(c("text"), (c("doc_id") % 2).as("label"))
+    val model = graft.text.QualityClassifier.train(labeled, "text", "label", 256)
+    val df = graft.text.QualityClassifier.score(docs, "doc_id", "text", model, 256)
+    df.count()
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = df.queryExecution.executedPlan
+    val plans = root +: root.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+    val text = plans.map(_.toString).mkString
+    assert(text.contains("BroadcastHashJoin"), s"model join must broadcast:\n$text")
+    assert(!text.contains("SortMergeJoin"), "bucket stream must never sort-merge")
+    val shuffles = plans.flatMap(_.collect { case s: ShuffleExchangeExec => s })
+    // the local-relation model feeds the broadcast without an exchange, so
+    // the ONLY shuffle is the per-doc (sum, count) buffer aggregation
+    assert(shuffles.size == 1,
+      s"score = one doc-agg shuffle, got ${shuffles.size}:\n$root")
+    assert(shuffles.forall(!_.child.schema.fieldNames.contains("text")),
+      "raw text entered a shuffle")
+  }
+
   test("as-of join is one shuffle and contains no join operator") {
     import org.apache.spark.sql.functions.{col => c}
     val e = Queries.table(spark, dir, "events")
