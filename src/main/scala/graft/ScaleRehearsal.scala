@@ -424,6 +424,26 @@ object ScaleRehearsal {
       spark.stop(); return
     }
 
+    // -------------- in-context pretraining layout at 100x (2M vectors)
+    // centroid assignment (one broadcast scan) + per-cell greedy chains;
+    // nlist sized so cells ≈ maxChain (the 100 TB knob). Uses the 2M-vec
+    // mixture from a prior `retrieval`/`ann` run ($dir/vecs).
+    if (mode == "ctxorder") {
+      import graft.ann.{ContextOrder, IvfIndex}
+      val vecs = spark.read.parquet(s"$dir/vecs")
+      println(s"[scale] vecs=${vecs.count()}")
+      val model = timed("ivf_train[nlist=1024]") {
+        IvfIndex.train(vecs, "embedding", nlist = 1024)
+      }
+      val n = timed("ctx_order[2M, maxChain=4096]") {
+        ContextOrder.orderByContext(vecs, "vec_id", "embedding", model)
+          .where(col("chain_pos") =!= col("vec_id") % 1000000)
+          .count() // force full materialization of every chain
+      }
+      println(s"[scale]   -> $n ordered rows")
+      spark.stop(); return
+    }
+
     // -------------- retrieval operators at 100x (2M vectors, this session)
     // radius search (brute + LSH), MMR over bounded candidates, and
     // negative sampling — the session's retrieval additions under the

@@ -1975,6 +1975,59 @@ object Queries {
        |   ORDER BY m_micro DESC, doc_id ASC) AS keep_rank
        |FROM s""".stripMargin
 
+  /** In-context pretraining layout gate ([[graft.ann.ContextOrder]], Shi
+    * et al. 2023): embeddings assign to 16 trained centroids, each cell
+    * walks its greedy max-cosine chain. The centroid ASSIGNMENT is
+    * checkpointed (engine-internal trained state); the chain itself is
+    * pure relational+greedy over (cell, embedding) bits both engines
+    * read identically — DuckDB replays it with a recursive CTE whose
+    * step picks the same max-cosine/min-id next hop (double-accumulated
+    * cosine, the established rank-gate contract). Chain equality is the
+    * strongest form of the rank-stability claim: EVERY step's argmax
+    * must agree across engines for the gate to hash-match. */
+  def qContextOrder(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ann.{ContextOrder, IvfIndex}
+    val emb = table(spark, dir, "embeddings")
+    val model = IvfIndex.train(emb, "embedding", nlist = 16)
+    val aux = writeOracleAux(
+      IvfIndex.assignments(emb, "vec_id", "embedding", model)
+        .select(col("vec_id"), col("list").as("cell")),
+      dir, "ctx_cells")
+    ContextOrder.orderByContext(
+        emb.join(aux, "vec_id").drop("cell"), "vec_id", "embedding", model)
+      .select(col("vec_id"), col("cell"), col("chain_pos"))
+  }
+
+  val qContextOrderSql: String =
+    s"""WITH RECURSIVE v AS (
+       |  SELECT c.vec_id, c.cell, e.embedding
+       |  FROM ${auxSql("ctx_cells")} c JOIN embeddings e USING (vec_id)),
+       |chain AS (
+       |  SELECT cell, vec_id, 1 AS pos, [vec_id] AS visited
+       |  FROM (SELECT cell, min(vec_id) AS vec_id FROM v
+       |        WHERE cell <> -1 GROUP BY cell)
+       |  UNION ALL
+       |  SELECT cell, vec_id, pos + 1, list_append(visited, vec_id) FROM (
+       |    SELECT c.cell, b.vec_id, c.pos, c.visited,
+       |      row_number() OVER (PARTITION BY c.cell ORDER BY
+       |        list_sum(list_transform(generate_series(1, 64),
+       |          i -> CAST(cur.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       |        / (sqrt(list_sum(list_transform(cur.embedding,
+       |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |         * sqrt(list_sum(list_transform(b.embedding,
+       |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+       |        b.vec_id ASC) AS rn
+       |    FROM chain c
+       |    JOIN v cur ON cur.cell = c.cell AND cur.vec_id = c.vec_id
+       |    JOIN v b ON b.cell = c.cell
+       |      AND NOT list_contains(c.visited, b.vec_id))
+       |  WHERE rn = 1)
+       |SELECT vec_id, cell, pos AS chain_pos FROM chain
+       |UNION ALL
+       |SELECT vec_id, cell,
+       |  row_number() OVER (ORDER BY vec_id) AS chain_pos
+       |FROM v WHERE cell = -1""".stripMargin
+
   /** VIDEO near-dup gate — the container lane of the multimodal dedup
     * triad: 120 real ISO-BMFF files in 30 groups of 4, each group sharing
     * 12 sample payloads with member m swapping sample m for a
