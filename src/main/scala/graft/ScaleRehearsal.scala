@@ -342,7 +342,7 @@ object ScaleRehearsal {
           lit(0).as("label")))
       val model = timed("qclf_train[10k pairs, driver]") {
         val m = QualityClassifier.train(labeled, "text", "label", 16384,
-          epochs = 150, maxSample = 50000).persist()
+          epochs = 40, maxSample = 50000).persist()
         m.count(); m
       }
       val nScored = timed("qclf_score[500k]") {
@@ -437,8 +437,7 @@ object ScaleRehearsal {
       }
       val n = timed("ctx_order[2M, maxChain=4096]") {
         ContextOrder.orderByContext(vecs, "vec_id", "embedding", model)
-          .where(col("chain_pos") =!= col("vec_id") % 1000000)
-          .count() // force full materialization of every chain
+          .count() // count() runs every chain: flatMapGroups can't prune
       }
       println(s"[scale]   -> $n ordered rows")
       spark.stop(); return

@@ -54,7 +54,7 @@ object ContextOrder {
         var pos = 0
         var lo = 0
         while (lo < rows.length) {
-          val hi = math.min(lo + maxChain, rows.length)
+          val hi = math.min(lo.toLong + maxChain, rows.length.toLong).toInt
           val block = rows.slice(lo, hi)
           val taken = new Array[Boolean](block.length)
           var cur = 0 // smallest id: block is id-sorted
@@ -69,11 +69,22 @@ object ContextOrder {
             while (j < block.length) {
               if (!taken(j)) {
                 val c = cosine(block(cur)._2, block(j)._2)
+                // strict > with ascending j = ties keep the smaller id;
+                // a NaN/degenerate cosine never wins here
                 if (c > bestCos) { bestCos = c; best = j }
               }
               j += 1
             }
-            if (best >= 0) cur = best
+            if (best < 0) {
+              // every remaining candidate scored NaN/-Inf (NaN components,
+              // zero norms): fall back to the smallest untaken id so the
+              // 1..m permutation contract holds — degenerate vectors
+              // append in id order instead of silently duplicating `cur`
+              var f = 0
+              while (f < block.length && taken(f)) f += 1
+              best = f
+            }
+            if (best < block.length) cur = best
             k += 1
           }
           lo = hi
@@ -83,19 +94,15 @@ object ContextOrder {
     }.toDF(idCol, "cell", "chain_pos")
   }
 
-  /** Double-accumulated cosine in fixed index order — the same
-    * accumulation the SQL oracle's list_sum-over-doubles performs, so
-    * rank decisions agree across engines (the established rank-gate
-    * contract of [[Similarity]]). Zero-norm vectors yield 0. */
+  /** The engine's ONE cosine kernel
+    * ([[graft.functions.CosineSimilarity.cosine]] — double accumulation
+    * in fixed index order, the accumulation the SQL oracle's
+    * list_sum-over-doubles performs, so rank decisions agree across
+    * engines), with its null (mismatched/zero/empty) mapped to -Inf so a
+    * degenerate candidate sorts behind every real one and the chain's
+    * fallback picks it up in id order. */
   private[ann] def cosine(a: Array[Float], b: Array[Float]): Double = {
-    val n = math.min(a.length, b.length)
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    val c = graft.functions.CosineSimilarity.cosine(a, b)
+    if (c == null) Double.NegativeInfinity else c.doubleValue()
   }
 }

@@ -160,7 +160,10 @@ object IvfIndex {
     * (trained-centroid) half of [[topK]] as a standalone, checkpointable
     * inverted-file table. Null vectors assign to list -1 (probed by no
     * query). */
-  /** `items` + nearest-centroid column (null vectors → -1). The single
+  /** `items` + nearest-centroid column (null vectors → -1; so do vectors
+    * with non-finite components, whose NaN distances beat no centroid —
+    * degenerate geometry joins the null quarantine list instead of
+    * crashing the scan). The single
     * assignment path — [[assignments]] and
     * [[graft.ann.ClusterSample.withCluster]] both route here so the
     * null/tie conventions live in one place. */
@@ -168,7 +171,11 @@ object IvfIndex {
                      outCol: String): DataFrame = {
     val bc = items.sparkSession.sparkContext.broadcast(model)
     val assign = udf { (v: Seq[Float]) =>
-      if (v == null) -1 else nearestCentroids(bc.value, v, 1).head
+      if (v == null) -1
+      else {
+        val a = nearestCentroids(bc.value, v, 1)
+        if (a.isEmpty) -1 else a.head
+      }
     }
     items.withColumn(outCol, assign(col(itemVec)))
   }

@@ -1953,7 +1953,7 @@ object Queries {
       .unionByName(clean.select(concat(col("text"), spam).as("text"),
         lit(0).as("label")))
     val model = QualityClassifier.train(labeled, "text", "label", b,
-      epochs = 150, maxSample = 50000)
+      epochs = 40, maxSample = 50000)
     val aux = writeOracleAux(
       QualityClassifier.score(docs, "doc_id", "text", model, b),
       dir, "qclf_margins")
@@ -1993,8 +1993,12 @@ object Queries {
       IvfIndex.assignments(emb, "vec_id", "embedding", model)
         .select(col("vec_id"), col("list").as("cell")),
       dir, "ctx_cells")
+    // maxChain unbounded here: the SQL replay walks ONE chain per cell,
+    // so the gate must never engage the block-split path (gate cells are
+    // tens of rows; the split is exercised by ContextOrderSpec)
     ContextOrder.orderByContext(
-        emb.join(aux, "vec_id").drop("cell"), "vec_id", "embedding", model)
+        emb.join(aux, "vec_id").drop("cell"), "vec_id", "embedding", model,
+        maxChain = Int.MaxValue)
       .select(col("vec_id"), col("cell"), col("chain_pos"))
   }
 

@@ -65,25 +65,29 @@ object Dsir {
                         buckets: Int, alpha: Double = 0.1): DataFrame = {
     require(alpha > 0, "dsir.importanceWeights: alpha must be > 0")
     require(buckets > 0, "dsir.importanceWeights: buckets must be > 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val tc = target.columns; val rc = raw.columns
-    val t = target.select(col(tc(0)).as("bucket"), col(tc(1)).as("tcnt"))
-    val r = raw.select(col(rc(0)).as("bucket"), col(rc(1)).as("rcnt"))
-    // one row each; .head() on a 2-value aggregate, not a data collect
-    val nt = t.agg(coalesce(sum(col("tcnt")), lit(0L))).head().getLong(0)
-    val nr = r.agg(coalesce(sum(col("rcnt")), lit(0L))).head().getLong(0)
-    val dt = nt + alpha * buckets
-    val dr = nr + alpha * buckets
+    // bounded planning collects (each ≤ `buckets` rows by the hash-domain
+    // contract, enforced below): ONE action per model, so an unpersisted
+    // fitFeatures lineage is scanned exactly once — totals, smoothing and
+    // the per-bucket log ratio all derive driver-side from these bits,
+    // and the ratio table enters the plan as a broadcast local relation
+    val tCnt = target.select(col(tc(0)).cast("long"), col(tc(1)).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val rCnt = raw.select(col(rc(0)).cast("long"), col(rc(1)).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    require(tCnt.size <= buckets && rCnt.size <= buckets,
+      "dsir.importanceWeights: model exceeds the bucket domain — not a fitFeatures relation?")
+    val dt = tCnt.valuesIterator.sum + alpha * buckets
+    val dr = rCnt.valuesIterator.sum + alpha * buckets
     require(dt > 0 && dr > 0, "dsir.importanceWeights: empty feature domain")
-    // bucket-domain alignment as union + re-aggregate (≤ `buckets` rows;
-    // a full-outer join here would plan a sort-merge — fine at B rows but
-    // a join operator for what is really a keyed sum)
-    val ratio = t.select(col("bucket"), col("tcnt"), lit(0L).as("rcnt"))
-      .unionByName(r.select(col("bucket"), lit(0L).as("tcnt"), col("rcnt")))
-      .groupBy(col("bucket"))
-      .agg(sum(col("tcnt")).as("tc"), sum(col("rcnt")).as("rc"))
-      .select(col("bucket"),
-        (log((col("tc") + lit(alpha)) / lit(dt)) -
-         log((col("rc") + lit(alpha)) / lit(dr))).as("lr"))
+    // math.log == Catalyst's Log (both java.lang.Math): bit-identical to
+    // the previous in-plan formulation
+    val ratio = (tCnt.keySet ++ rCnt.keySet).toSeq.sorted.map { bk =>
+      (bk, math.log((tCnt.getOrElse(bk, 0L) + alpha) / dt) -
+           math.log((rCnt.getOrElse(bk, 0L) + alpha) / dr))
+    }.toDF("bucket", "lr")
     // a gram in neither model: both counts 0 over the same fixed domain
     val lrMissing = math.log(alpha / dt) - math.log(alpha / dr)
     docs

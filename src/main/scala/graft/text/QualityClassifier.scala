@@ -70,7 +70,18 @@ object QualityClassifier {
           s"qualityClassifier.train: label must be 0/1, got $y")
         java.util.Arrays.sort(bks)
         Sample(y, bks)
-      }.toArray.sortBy(s => (s.label, s.buckets.toSeq.hashCode))
+      }.toArray.sortWith { (a, b) =>
+        // full lexicographic order (label, length, elements): a pure
+        // function of the data with no hash-collision hole — two distinct
+        // samples can never compare equal and inherit collect() order
+        if (a.label != b.label) a.label < b.label
+        else if (a.buckets.length != b.buckets.length)
+          a.buckets.length < b.buckets.length
+        else {
+          val c = java.util.Arrays.compare(a.buckets, b.buckets)
+          c < 0
+        }
+      }
     require(samples.nonEmpty, "qualityClassifier.train: empty labeled sample")
 
     val w = new Array[Double](buckets)

@@ -64,6 +64,30 @@ class ContextOrderSpec extends SparkTestBase {
       "null vectors must keep id order in cell -1")
   }
 
+  test("NaN-component and zero vectors keep the 1..m permutation per cell") {
+    // NaN components: NaN centroid distances beat nothing, so assignment
+    // routes the vector to the -1 quarantine cell with the nulls (the
+    // crash this pins: nearestCentroids(...).head on the empty result);
+    // zero vectors assign normally but have no cosine direction — the
+    // chain's fallback appends them in id order instead of duplicating
+    // the current id and dropping them
+    val items = Seq(
+      (0L, vec(Double.NaN, 0, 0)), (1L, vec(1, 0, 0)), (2L, vec(0.9, 0.1, 0)),
+      (3L, vec(0, 0, 0)), (4L, vec(0.8, 0.2, 0)))
+      .toDF("id", "v")
+    val model = IvfIndex.Model(Array(Array(1.0, 0.0, 0.0)))
+    val got = ContextOrder.orderByContext(items, "id", "v", model)
+      .select("id", "cell", "chain_pos").as[(Long, Int, Int)].collect()
+    assert(got.map(_._1).sorted.toSeq == (0L to 4L),
+      s"every id exactly once, got ${got.toSeq}")
+    assert(got.find(_._1 == 0L).get._2 == -1,
+      "NaN vector must land in the -1 quarantine cell")
+    val cell0 = got.filter(_._2 >= 0).sortBy(_._3)
+    assert(cell0.map(_._3).toSeq == (1 to 4), "cell positions must be 1..m")
+    assert(cell0.map(_._1).toSeq == Seq(1L, 2L, 4L, 3L),
+      s"similar vectors chain first, the zero vector appends: ${cell0.toSeq}")
+  }
+
   test("ordering improves adjacent-pair cosine vs id order; maxChain blocks bound the walk") {
     val rnd = new scala.util.Random(7)
     // 3 latent topics; ids interleaved so id-order adjacency is cross-topic
