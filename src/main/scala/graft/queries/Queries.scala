@@ -2032,6 +2032,60 @@ object Queries {
        |  row_number() OVER (ORDER BY vec_id) AS chain_pos
        |FROM v WHERE cell = -1""".stripMargin
 
+  /** Streaming curation gate ([[graft.streaming.CurateIngest]] — the
+    * model-scored filter as an operational loop): the oracle reads the
+    * BATCH scorer's checkpoint while the gate output reads the store the
+    * STREAM landed, so any stream/batch divergence — scoring bits, the
+    * keep decision, a lost or duplicated row across the two microbatch
+    * generations — hash-fails the gate. Downstream is the established
+    * all-integer shape (floor micro-margin + exact keep compare). */
+  def qStreamCurate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.CurateIngest
+    import graft.text.QualityClassifier
+    val b = 4096
+    val base = s"/root/repo/target/graft_stream_curate/${new java.io.File(dir).getName}"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(base)) // fresh lifecycle each run
+    val spam = lit(" click buy casino pills now free winner jackpot deal" * 3)
+    val docs = table(spark, dir, "documents")
+      .withColumn("text",
+        when(col("doc_id") % 3 === 0, concat(col("text"), spam))
+          .otherwise(col("text")))
+      .select(col("doc_id"), col("text"))
+    // model quality is q_quality_clf's contract; here a cheap slice
+    // pairing suffices — the gate's contract is stream == batch bits
+    val slice = docs.where(col("doc_id") % 5 === 0)
+    val model = QualityClassifier.train(
+      slice.select(col("text"), lit(1).as("label"))
+        .unionByName(slice.select(concat(col("text"), spam).as("text"),
+          lit(0).as("label"))),
+      "text", "label", b, epochs = 20, maxSample = 50000)
+    // batch twin -> the oracle's bits
+    writeOracleAux(
+      QualityClassifier.score(docs, "doc_id", "text", model, b)
+        .withColumn("keep", col("margin") > 0.0),
+      dir, "stream_curate_scores")
+    // the stream: two source files so the query runs >1 microbatch
+    docs.where(col("doc_id") % 2 === 0).write.parquet(s"$base/src")
+    docs.where(col("doc_id") % 2 === 1).write.mode("append").parquet(s"$base/src")
+    val stream = spark.readStream.schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 4).parquet(s"$base/src")
+    val q = CurateIngest.start(stream, "doc_id", "text", model, b,
+      threshold = 0.0, s"$base/kept", s"$base/scores", s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(s"$base/scores")
+      .select(col("doc_id"), col("n_feats"),
+        floor(col("margin") * 1e6).as("m_micro"), col("keep"))
+  }
+
+  val qStreamCurateSql: String =
+    s"""SELECT doc_id, n_feats,
+       | CAST(floor(margin * 1e6) AS BIGINT) AS m_micro, keep
+       |FROM ${auxSql("stream_curate_scores")}""".stripMargin
+
   /** VIDEO near-dup gate — the container lane of the multimodal dedup
     * triad: 120 real ISO-BMFF files in 30 groups of 4, each group sharing
     * 12 sample payloads with member m swapping sample m for a
