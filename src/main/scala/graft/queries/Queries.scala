@@ -2086,6 +2086,57 @@ object Queries {
        | CAST(floor(margin * 1e6) AS BIGINT) AS m_micro, keep
        |FROM ${auxSql("stream_curate_scores")}""".stripMargin
 
+  /** License-detection gate ([[graft.text.LicenseDetect]] — the crawl
+    * lane's permissive-subset signal): six marker classes injected
+    * deterministically (incl. a two-link page pinning leftmost-wins and
+    * a cc0+licenses page pinning class priority), every byte of the
+    * classification replayed by DuckDB with the same alternation-free
+    * patterns (Java regex == RE2 on this class, the redact contract). */
+  def qLicense(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.LicenseDetect
+    val m = col("doc_id") % 7
+    def link(code: String) =
+      s"""<a rel="license" href="https://creativecommons.org/licenses/$code/4.0/">l</a>"""
+    val lic = when(m === 0, lit(link("by-nc-sa")))
+      .when(m === 1, lit(link("by")))
+      .when(m === 2, lit("""<a href="https://creativecommons.org/publicdomain/zero/1.0/">cc0</a>"""))
+      .when(m === 3, lit("badge: creativecommons.org/publicdomain/mark/1.0/"))
+      .when(m === 4, lit(link("by-sa") + link("by-nc")))
+      .when(m === 5, lit(link("by-nd") +
+        """<a href="https://creativecommons.org/publicdomain/zero/1.0/">also cc0</a>"""))
+      .otherwise(lit(""))
+    val html = concat(lit("<html><body><p>"), col("text"), lit("</p>"),
+      lic, lit("</body></html>"))
+    table(spark, dir, "documents")
+      .select(col("doc_id"), LicenseDetect.detectLicense(html).as("license"))
+      .withColumn("permissive", graft.text.LicenseDetect.isPermissive(col("license")))
+  }
+
+  val qLicenseSql: String = {
+    def link(code: String) =
+      s"""<a rel="license" href="https://creativecommons.org/licenses/$code/4.0/">l</a>"""
+    s"""WITH h AS (SELECT doc_id, lower('<html><body><p>' || text || '</p>' ||
+       |  CASE doc_id % 7
+       |    WHEN 0 THEN '${link("by-nc-sa")}'
+       |    WHEN 1 THEN '${link("by")}'
+       |    WHEN 2 THEN '<a href="https://creativecommons.org/publicdomain/zero/1.0/">cc0</a>'
+       |    WHEN 3 THEN 'badge: creativecommons.org/publicdomain/mark/1.0/'
+       |    WHEN 4 THEN '${link("by-sa") + link("by-nc")}'
+       |    WHEN 5 THEN '${link("by-nd")}<a href="https://creativecommons.org/publicdomain/zero/1.0/">also cc0</a>'
+       |    ELSE '' END || '</body></html>') AS hh
+       |  FROM documents),
+       |t AS (SELECT doc_id,
+       |  CASE WHEN regexp_matches(hh, 'creativecommons\\.org/publicdomain/zero/') THEN 'cc0'
+       |       WHEN regexp_matches(hh, 'creativecommons\\.org/publicdomain/mark/') THEN 'publicdomain'
+       |       WHEN regexp_extract(hh, 'creativecommons\\.org/licenses/([a-z][a-z-]*)[/"]', 1) <> ''
+       |         THEN 'cc-' || regexp_extract(hh, 'creativecommons\\.org/licenses/([a-z][a-z-]*)[/"]', 1)
+       |       ELSE 'none' END AS license
+       |  FROM h)
+       |SELECT doc_id, license,
+       | license IN ('cc0', 'publicdomain', 'cc-by', 'cc-by-sa') AS permissive
+       |FROM t""".stripMargin
+  }
+
   /** VIDEO near-dup gate — the container lane of the multimodal dedup
     * triad: 120 real ISO-BMFF files in 30 groups of 4, each group sharing
     * 12 sample payloads with member m swapping sample m for a
