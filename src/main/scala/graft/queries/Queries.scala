@@ -2137,6 +2137,46 @@ object Queries {
        |FROM t""".stripMargin
   }
 
+  /** Media-type sniffing gate ([[graft.multimodal.TypeSniff]] — the
+    * router in front of the decode lanes): a mixed binary fixture built
+    * by the engine's own codecs (real PNG/WAV/MP4 bytes) plus markup,
+    * JPEG-magic and plain-text rows is checkpointed, and both engines
+    * classify those exact bytes — Spark via the hex-prefix expression,
+    * DuckDB via [[graft.multimodal.TypeSniff.sql]] (the same rule list,
+    * drift-pinned by TypeSniffSpec). */
+  def qSniff(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.BinaryType
+    import graft.multimodal.{AudioCodec, ImageCodec, TypeSniff, VideoCodec}
+    val base = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("content", BinaryType)
+    implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+    val mixed = base.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val text = r.getString(1)
+        val bytes = (id % 6) match {
+          case 0 => ImageCodec.encodePng(4, 4, (id % 0xFFFFFF).toInt)
+          case 1 => AudioCodec.encodeWavPcm16(8000,
+            Array.tabulate(16)(i => ((id * 7 + i) % 251).toShort))
+          case 2 => VideoCodec.encodeMp4Meta(1000, (1000 + id % 5000).toInt)
+          case 3 => s"<html><body><p>$text</p></body></html>".getBytes("UTF-8")
+          case 4 => Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte) ++
+            text.getBytes("UTF-8")
+          case _ => text.getBytes("UTF-8")
+        }
+        org.apache.spark.sql.Row(id, bytes)
+      }
+    }
+    val aux = writeOracleAux(mixed.toDF("doc_id", "content"), dir, "sniff_bytes")
+    aux.select(col("doc_id"),
+      graft.multimodal.TypeSniff.sniffMediaType(col("content")).as("media_type"))
+  }
+
+  val qSniffSql: String =
+    s"""SELECT doc_id, ${graft.multimodal.TypeSniff.sql("content")} AS media_type
+       |FROM ${auxSql("sniff_bytes")}""".stripMargin
+
   /** VIDEO near-dup gate — the container lane of the multimodal dedup
     * triad: 120 real ISO-BMFF files in 30 groups of 4, each group sharing
     * 12 sample payloads with member m swapping sample m for a
