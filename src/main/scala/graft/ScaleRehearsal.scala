@@ -568,6 +568,24 @@ object ScaleRehearsal {
           .where(col("dup_2gram_char_frac") > 0.5).count()
       }
       println(s"[scale]   -> $nRep docs over the 0.5 dup-2gram threshold")
+      // license detection over the same pages (every 5th page carries a
+      // CC badge) and media-type sniffing over the raw page bytes — both
+      // scan-local codegen compositions, throughput must stay scan-bound
+      val licensed = boiler.select(col("id"),
+        concat(col("html"), when(col("id") % 5 === 0,
+          lit("""<a rel="license" href="https://creativecommons.org/licenses/by-sa/4.0/">cc</a>"""))
+          .otherwise(lit(""))).as("html"))
+      val nLic = timed("license_detect[500k pages]") {
+        licensed.select(graft.text.LicenseDetect.detectLicense(col("html")).as("l"))
+          .where(col("l") =!= "none").count()
+      }
+      println(s"[scale]   -> $nLic licensed pages (expect 100k)")
+      val nSniff = timed("type_sniff[500k pages]") {
+        licensed.select(graft.multimodal.TypeSniff.sniffMediaType(
+            encode(col("html"), "UTF-8")).as("t"))
+          .where(col("t") === "markup").count()
+      }
+      println(s"[scale]   -> $nSniff markup-routed pages (expect 500k)")
       spark.stop(); return
     }
 

@@ -2177,6 +2177,95 @@ object Queries {
     s"""SELECT doc_id, ${graft.multimodal.TypeSniff.sql("content")} AS media_type
        |FROM ${auxSql("sniff_bytes")}""".stripMargin
 
+  /** Permissive-subset curation capstone — the session's crawl-lane
+    * additions composed end-to-end: a mixed binary lake (codec-built
+    * PNG/WAV/MP4 rows + HTML pages carrying injected license markers) is
+    * ROUTED by [[graft.multimodal.TypeSniff]] (only markup reaches the
+    * text lane), license-classified ([[graft.text.LicenseDetect]]),
+    * filtered to the permissive set, then model-scored
+    * ([[graft.text.QualityClassifier]]) with margin > 0 as the final
+    * keep. ONE oracle replays the whole chain: sniff + license via their
+    * SQL replays over the checkpointed bytes, margins from the batch
+    * scorer's checkpoint — per-stage decisions and the surviving doc set
+    * all hash-gated. */
+  def qCurateV2(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.TypeSniff
+    import graft.text.{LicenseDetect, QualityClassifier}
+    val b = 4096
+    val m7 = col("doc_id") % 7
+    val spam = lit(" click buy casino pills now free winner jackpot deal" * 3)
+    // HTML pages: license badge class by doc_id%7 (two unlicensed
+    // classes), spam suffix on doc_id%3 — the quality signal
+    def link(code: String) =
+      s"""<a rel="license" href="https://creativecommons.org/licenses/$code/4.0/">l</a>"""
+    val badge = when(m7 === 0, lit(link("by")))
+      .when(m7 === 1, lit(link("by-sa")))
+      .when(m7 === 2, lit(link("by-nc")))
+      .when(m7 === 3, lit("""<a href="https://creativecommons.org/publicdomain/zero/1.0/">z</a>"""))
+      .otherwise(lit(""))
+    val text = when(col("doc_id") % 3 === 0, concat(col("text"), spam))
+      .otherwise(col("text"))
+    val html = concat(lit("<html><body><p>"), text, lit("</p>"), badge,
+      lit("</body></html>"))
+    // every 4th row is a binary distractor the router must keep out of
+    // the text lane
+    val content = when(col("doc_id") % 4 === 0,
+        unhex(lit("89504E470D0A1A0A" + "00" * 16)))
+      .otherwise(encode(html, "UTF-8"))
+    val lake = writeOracleAux(
+      table(spark, dir, "documents").select(col("doc_id"),
+        content.as("content")),
+      dir, "curate2_lake")
+    val routed = lake
+      .withColumn("media_type", TypeSniff.sniffMediaType(col("content")))
+      .withColumn("page", decode(col("content"), "UTF-8"))
+    val licensed = routed.where(col("media_type") === "markup")
+      .withColumn("license", LicenseDetect.detectLicense(col("page")))
+      .withColumn("permissive", LicenseDetect.isPermissive(col("license")))
+    // classifier: trained on the permissive pages' clean/spam pairing
+    val slice = licensed.where(col("permissive"))
+    val model = QualityClassifier.train(
+      slice.select(col("page").as("text"), lit(1).as("label"))
+        .unionByName(slice.select(concat(col("page"), spam).as("text"),
+          lit(0).as("label"))),
+      "text", "label", b, epochs = 20, maxSample = 50000)
+    // score EVERY routed page (not just permissive) — both because a real
+    // pipeline records the quality signal corpus-wide and because an
+    // all-rows margin keeps the gated column null-free (a NULL BIGINT
+    // round-trips as float64 through the driver's pandas path)
+    val margins = writeOracleAux(
+      QualityClassifier.score(licensed, "doc_id", "page", model, b),
+      dir, "curate2_margins")
+    licensed.select(col("doc_id"), col("media_type"), col("license"),
+        col("permissive"))
+      .join(margins.select(col("doc_id"),
+        floor(col("margin") * 1e6).as("m_micro")), Seq("doc_id"), "left")
+      .withColumn("kept",
+        col("permissive") && coalesce(col("m_micro") > 0L, lit(false)))
+  }
+
+  val qCurateV2Sql: String =
+    s"""WITH lake AS (SELECT doc_id, content FROM ${auxSql("curate2_lake")}),
+       |r AS (SELECT doc_id, content,
+       |  ${graft.multimodal.TypeSniff.sql("content")} AS media_type FROM lake),
+       |l AS (SELECT doc_id, media_type, lower(decode(content)) AS hh
+       |  FROM r WHERE media_type = 'markup'),
+       |lic AS (SELECT doc_id, media_type,
+       |  CASE WHEN regexp_matches(hh, 'creativecommons\\.org/publicdomain/zero/') THEN 'cc0'
+       |       WHEN regexp_matches(hh, 'creativecommons\\.org/publicdomain/mark/') THEN 'publicdomain'
+       |       WHEN regexp_extract(hh, 'creativecommons\\.org/licenses/([a-z][a-z-]*)[/"]', 1) <> ''
+       |         THEN 'cc-' || regexp_extract(hh, 'creativecommons\\.org/licenses/([a-z][a-z-]*)[/"]', 1)
+       |       ELSE 'none' END AS license
+       |  FROM l),
+       |p AS (SELECT doc_id, media_type, license,
+       |  license IN ('cc0', 'publicdomain', 'cc-by', 'cc-by-sa') AS permissive
+       |  FROM lic),
+       |m AS (SELECT doc_id, CAST(floor(margin * 1e6) AS BIGINT) AS m_micro
+       |  FROM ${auxSql("curate2_margins")})
+       |SELECT p.doc_id, p.media_type, p.license, p.permissive, m.m_micro,
+       | p.permissive AND coalesce(m.m_micro > 0, false) AS kept
+       |FROM p LEFT JOIN m ON p.doc_id = m.doc_id""".stripMargin
+
   /** VIDEO near-dup gate — the container lane of the multimodal dedup
     * triad: 120 real ISO-BMFF files in 30 groups of 4, each group sharing
     * 12 sample payloads with member m swapping sample m for a
