@@ -4568,4 +4568,82 @@ object Queries {
       |r AS (SELECT doc_id, url_canon,
       |  row_number() OVER (PARTITION BY url_canon ORDER BY doc_id) AS rn FROM u)
       |SELECT doc_id, url_canon FROM r WHERE rn = 1""".stripMargin
+
+  /** Host-level PageRank ([[graft.graph.LinkGraph.pageRank]]) over a
+    * deterministic synthetic link graph: every document emits two
+    * out-links from its source host to arithmetically-derived target
+    * hosts, the page links collapse to the weighted host graph, and three
+    * exact fixed-point integer iterations run on both engines — every
+    * rank is a long in 1e-6 units, every division integer, every sum
+    * order-independent, so the DuckDB oracle (same iterations unrolled as
+    * CTEs) hashes bit-identically. No rounding, no epsilon. */
+  def qHostRank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.graph.LinkGraph
+    val d = table(spark, dir, "documents")
+    def dst(mul: Int, add: Int) =
+      concat(lit("src"), ((col("doc_id") * mul + add) % 20).cast("string"))
+    val links = d.select(col("source").as("src"), dst(7, 1).as("dst"))
+      .unionByName(d.select(col("source").as("src"), dst(13, 5).as("dst")))
+    val edges = LinkGraph.hostGraph(links, "src", "dst")
+    val nodes = d.select(col("source").as("host")).distinct()
+    LinkGraph.pageRank(nodes, "host", edges, iterations = 3)
+      .select(col("host"), col("rank").as("rank_micro"))
+  }
+
+  val qHostRankSql: String = {
+    // one unrolled iteration: rank_{i} -> contributions -> rank_{i+1};
+    // // is DuckDB integer division (floor == truncate here: all values
+    // are non-negative); sums are CAST to BIGINT because DuckDB sums
+    // BIGINT into HUGEINT, which pandas would render as float64
+    def iter(prev: String, cur: String): String =
+      s"""c$cur AS (SELECT e.dst AS host,
+         |  CAST(sum((r.rank * e.w) // e.ow) AS BIGINT) AS cin
+         |  FROM edges e JOIN $prev r ON r.host = e.src GROUP BY 1),
+         |$cur AS (SELECT n.host,
+         |  150000 + (85 * coalesce(c.cin, CAST(0 AS BIGINT))) // 100 AS rank
+         |  FROM nodes n LEFT JOIN c$cur c ON c.host = n.host)""".stripMargin
+    s"""WITH links AS (
+       |  SELECT source AS src, 'src' || ((doc_id*7+1) % 20) AS dst
+       |    FROM documents
+       |  UNION ALL
+       |  SELECT source AS src, 'src' || ((doc_id*13+5) % 20) AS dst
+       |    FROM documents),
+       |edges0 AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+       |  FROM links WHERE src <> dst GROUP BY 1, 2),
+       |edges AS (SELECT src, dst, w,
+       |  CAST(sum(w) OVER (PARTITION BY src) AS BIGINT) AS ow FROM edges0),
+       |nodes AS (SELECT DISTINCT source AS host FROM documents),
+       |r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT host, rank AS rank_micro FROM r3""".stripMargin
+  }
+
+  /** Anchor-text aggregation ([[graft.graph.LinkGraph.anchorText]]): the
+    * same synthetic link list carries an anchor string per link; the gate
+    * ships per-target in-link counts, distinct-anchor counts, and the
+    * sorted space-joined anchor surrogate — deterministic text, fully
+    * hashed. */
+  def qAnchorText(spark: SparkSession, dir: String): DataFrame = {
+    import graft.graph.LinkGraph
+    val d = table(spark, dir, "documents")
+    val links = d.select(
+      concat(lit("src"), ((col("doc_id") * 7 + 1) % 20).cast("string"))
+        .as("dst"),
+      concat(lit("doc "), (col("doc_id") % 50).cast("string")).as("anchor"))
+    LinkGraph.anchorText(links, "dst", "anchor")
+  }
+
+  val qAnchorTextSql: String =
+    """WITH links AS (SELECT 'src' || ((doc_id*7+1) % 20) AS dst,
+      |  'doc ' || (doc_id % 50) AS anchor FROM documents),
+      |a1 AS (SELECT dst, CAST(count(*) AS BIGINT) AS n_links
+      |  FROM links GROUP BY 1),
+      |d AS (SELECT DISTINCT dst, anchor FROM links),
+      |a2 AS (SELECT dst, CAST(count(*) AS BIGINT) AS n_anchors,
+      |  string_agg(anchor, ' ' ORDER BY anchor) AS anchor_text
+      |  FROM d GROUP BY 1)
+      |SELECT a1.dst, a1.n_links, a2.n_anchors, a2.anchor_text
+      |FROM a1 JOIN a2 ON a1.dst = a2.dst""".stripMargin
 }
