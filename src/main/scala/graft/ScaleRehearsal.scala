@@ -306,6 +306,54 @@ object ScaleRehearsal {
       spark.stop(); return
     }
 
+    // -------------- link graph at web scale: 2M hosts, 20M links, with a
+    // hub skew (20% of links land on the top-1000 hosts — ~80x the uniform
+    // in-degree) so the contribution aggregation's map-side partial sums
+    // are genuinely exercised, not just the happy path. PageRank's static
+    // edge relation is shuffled ONCE (the out-weight window leaves it
+    // hash-partitioned by src and persisted); each iteration should move
+    // only the 2M-row rank relation plus the contribution aggregation.
+    if (mode == "graph") {
+      import graft.graph.LinkGraph
+      val nHosts = 2000000L
+      val nLinks = 20000000L
+      timed("gen_links[20M]") {
+        spark.range(nLinks).select(
+          concat(lit("h"), pmod(xxhash64(col("id"), lit(1)), lit(nHosts))
+            .cast("string")).as("src"),
+          concat(lit("h"),
+            when(pmod(xxhash64(col("id"), lit(2)), lit(5L)) === 0,
+              pmod(xxhash64(col("id"), lit(3)), lit(1000L)))
+            .otherwise(pmod(xxhash64(col("id"), lit(4)), lit(nHosts)))
+            .cast("string")).as("dst"),
+          concat(lit("anchor "), pmod(xxhash64(col("id"), lit(5)),
+            lit(50000L)).cast("string")).as("anchor"))
+          .write.mode("overwrite").parquet(s"$dir/links")
+      }
+      val links = spark.read.parquet(s"$dir/links")
+      val edges = timed("host_graph[20M links]") {
+        val e = LinkGraph.hostGraph(links, "src", "dst").persist()
+        println(s"[scale]   -> ${e.count()} weighted edges")
+        e
+      }
+      val nodes = spark.range(nHosts)
+        .select(concat(lit("h"), col("id").cast("string")).as("host"))
+      val pr = timed("pagerank[3 iters, 2M hosts]") {
+        LinkGraph.pageRank(nodes, "host", edges, iterations = 3)
+      }
+      val top = pr.orderBy(col("rank").desc, col("host")).limit(5).collect()
+      println(s"[scale]   -> top hosts: " +
+        top.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
+      val nHubTop = top.count(_.getString(0).stripPrefix("h").toLong < 1000L)
+      println(s"[scale]   -> $nHubTop/5 top ranks are designed hubs (want 5)")
+      val nAnchor = timed("anchor_text[20M links]") {
+        LinkGraph.anchorText(links, "dst", "anchor").count()
+      }
+      println(s"[scale]   -> $nAnchor anchor rows")
+      edges.unpersist()
+      spark.stop(); return
+    }
+
     // -------------- DSIR importance resampling at 100x (500k docs)
     // target = the ~20k doc_id%25==0 slice, raw = all 500k. Three corpus
     // scans total (target fit is slice-pruned), each map-side absorbed to
