@@ -306,6 +306,38 @@ object ScaleRehearsal {
       spark.stop(); return
     }
 
+    // -------------- static range join at 100x: 20M lookup points against
+    // 2M intervals over a 1e9 domain — mostly short intervals (bucket
+    // lane), 0.01% domain-spanning outliers (broadcast lane). The naive
+    // plan Spark would pick for a bare BETWEEN join is a nested loop over
+    // 4e13 pairs; the bucketed plan is one equi-join.
+    if (mode == "range") {
+      import graft.operators.RangeJoin
+      val domain = 1000000000L
+      timed("gen_intervals[2M]") {
+        spark.range(2000000).select(col("id").as("iid"),
+            pmod(xxhash64(col("id"), lit(1)), lit(domain)).as("lo"),
+            when(pmod(xxhash64(col("id"), lit(2)), lit(10000L)) === 0,
+              lit(1000000L))
+              .otherwise(pmod(xxhash64(col("id"), lit(3)), lit(64L)) + 1)
+              .as("len"))
+          .select(col("iid"), col("lo"), (col("lo") + col("len")).as("hi"))
+          .write.mode("overwrite").parquet(s"$dir/intervals")
+      }
+      timed("gen_points[20M]") {
+        spark.range(20000000).select(col("id").as("pid"),
+            pmod(xxhash64(col("id"), lit(4)), lit(domain)).as("v"))
+          .write.mode("overwrite").parquet(s"$dir/points")
+      }
+      val ivs = spark.read.parquet(s"$dir/intervals")
+      val pts = spark.read.parquet(s"$dir/points")
+      val n = timed("range_join[20M x 2M]") {
+        RangeJoin.pointInInterval(pts, "v", ivs, "lo", "hi").count()
+      }
+      println(s"[scale]   -> $n matches")
+      spark.stop(); return
+    }
+
     // -------------- link graph at web scale: 2M hosts, 20M links, with a
     // hub skew (20% of links land on the top-1000 hosts — ~80x the uniform
     // in-degree) so the contribution aggregation's map-side partial sums

@@ -126,6 +126,11 @@ object LinkGraph {
       rank = ckpt; rankIds = ids
     }
     ew.unpersist(blocking = false)
+    // the FINAL round's blocks are deliberately not freed: the returned
+    // plan reads them, and a freed localCheckpoint cannot recompute (same
+    // policy as Components — superseded rounds were freed eagerly above,
+    // the live one is one row per host and reclaimed by the ContextCleaner
+    // once the caller drops the DataFrame)
     rank.select(col("host").as(idCol), col("rank"))
   }
 

@@ -4620,6 +4620,47 @@ object Queries {
        |SELECT host, rank AS rank_micro FROM r3""".stripMargin
   }
 
+  /** Bucketed static range join ([[graft.operators.RangeJoin]]): orders
+    * keys become lookup points, documents become a mixed-length interval
+    * table (mostly short, some medium, a few domain-spanning wide-lane
+    * outliers, plus inverted rows that must drop) — the IP→ASN lookup
+    * shape. The engine runs the two-lane bucket+broadcast join; the oracle
+    * is the plain BETWEEN join, all-integer, hash-exact. */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RangeJoin
+    val ivs = table(spark, dir, "documents").select(
+      col("doc_id").as("iid"),
+      ((col("doc_id") * 2654435761L) % 100000L).as("lo"),
+      when(col("doc_id") % 31 === 0, lit(-5L))
+        .when(col("doc_id") % 97 === 0, lit(16000L))
+        .when(col("doc_id") % 10 === 9, lit(500L))
+        .otherwise(col("doc_id") % 7 + 1).as("len"))
+      .select(col("iid"), col("lo"), (col("lo") + col("len")).as("hi"))
+    val pts = table(spark, dir, "orders").select(
+      col("o_orderkey").as("pid"),
+      ((col("o_orderkey") * 40503L) % 100000L).as("v"))
+    // explicit width: short intervals stay in one bucket, the 500-long
+    // class replicates into 2-3 (the bucket lane genuinely fans out), the
+    // 16000-long outliers span >= 32 buckets and take the broadcast lane
+    RangeJoin.pointInInterval(pts, "v", ivs, "lo", "hi",
+        bucketWidth = Some(256L))
+      .select(col("pid"), col("v"), col("r_iid"), col("r_lo"), col("r_hi"))
+  }
+
+  val qRangeJoinSql: String =
+    """WITH ivs0 AS (SELECT doc_id AS iid,
+      |  (doc_id * 2654435761) % 100000 AS lo,
+      |  CASE WHEN doc_id % 31 = 0 THEN -5
+      |       WHEN doc_id % 97 = 0 THEN 16000
+      |       WHEN doc_id % 10 = 9 THEN 500
+      |       ELSE doc_id % 7 + 1 END AS len
+      |  FROM documents),
+      |ivs AS (SELECT iid, lo, lo + len AS hi FROM ivs0 WHERE len >= 0),
+      |pts AS (SELECT o_orderkey AS pid, (o_orderkey * 40503) % 100000 AS v
+      |  FROM orders)
+      |SELECT p.pid, p.v, i.iid AS r_iid, i.lo AS r_lo, i.hi AS r_hi
+      |FROM pts p JOIN ivs i ON p.v BETWEEN i.lo AND i.hi""".stripMargin
+
   /** Anchor-text aggregation ([[graft.graph.LinkGraph.anchorText]]): the
     * same synthetic link list carries an anchor string per link; the gate
     * ships per-target in-link counts, distinct-anchor counts, and the

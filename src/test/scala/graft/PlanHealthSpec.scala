@@ -485,4 +485,46 @@ class PlanHealthSpec extends SparkTestBase {
       }
     }
   }
+
+  test("pagerank shuffles the edge relation once, not per iteration") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    import org.apache.spark.sql.functions._
+    // 500k edges over 10k hosts: the one-time edge shuffle dominates the
+    // per-iteration traffic (small rank relation + partially-aggregated
+    // contributions), so a re-shuffle of the persisted edge relation per
+    // iteration would show up as marginal-per-iteration ≈ the whole
+    // one-iteration total instead of a small fraction of it
+    val n = 10000L
+    val nodes = spark.range(n)
+      .select(concat(lit("h"), col("id").cast("string")).as("host"))
+    val edges = spark.range(500000).select(
+      concat(lit("h"), pmod(xxhash64(col("id"), lit(1)), lit(n))
+        .cast("string")).as("src"),
+      concat(lit("h"), pmod(xxhash64(col("id"), lit(2)), lit(n))
+        .cast("string")).as("dst"),
+      (pmod(xxhash64(col("id"), lit(3)), lit(5L)) + 1).as("weight"))
+    val w = new java.util.concurrent.atomic.AtomicLong
+    val listener = new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null) w.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def measure(iters: Int): Long = {
+      w.set(0)
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        graft.graph.LinkGraph.pageRank(nodes, "host", edges, iterations = iters)
+        Thread.sleep(500) // listener bus is async
+      } finally spark.sparkContext.removeSparkListener(listener)
+      w.get
+    }
+    val w1 = measure(1)
+    val w5 = measure(5)
+    val marginal = (w5 - w1) / 4.0
+    info(f"one-iteration total ${w1 / 1e6}%.2f MB, marginal/iter ${marginal / 1e6}%.2f MB")
+    assert(marginal < 0.5 * w1,
+      s"per-iteration shuffle ${marginal / 1e6}%.1f MB vs one-iteration " +
+        s"total ${w1 / 1e6} MB — the static edge relation is re-shuffling")
+  }
 }
