@@ -335,6 +335,13 @@ object ScaleRehearsal {
         RangeJoin.pointInInterval(pts, "v", ivs, "lo", "hi").count()
       }
       println(s"[scale]   -> $n matches")
+      // interval×interval: the 20M points widen into short reservations
+      val res = pts.select(col("pid"), col("v").as("lo2"),
+        (col("v") + pmod(xxhash64(col("pid"), lit(5)), lit(32L)) + 1).as("hi2"))
+      val n2 = timed("interval_overlap[20M x 2M]") {
+        RangeJoin.intervalOverlap(ivs, "lo", "hi", res, "lo2", "hi2").count()
+      }
+      println(s"[scale]   -> $n2 overlapping pairs")
       spark.stop(); return
     }
 

@@ -99,4 +99,89 @@ object RangeJoin {
       else bucketLane.unionByName(points.join(broadcast(wide), between))
     out.select((ptNames ++ outRight).map(col): _*)
   }
+
+  /** Interval×interval overlap join: closed intervals overlap iff
+    * `max(aLo,bLo) <= min(aHi,bHi)` — the temporal-overlap /
+    * reservation-conflict class. Same bucket machinery as
+    * [[pointInInterval]], but BOTH sides replicate, so a pair sharing k
+    * buckets would surface k times; the REFERENCE-POINT rule (the 1-D twin
+    * of the spatial join's tile dedup) emits each pair only in the single
+    * bucket containing `max(aLo,bLo)` — the overlap's start, which lies
+    * inside both intervals, so both replicas are present exactly there.
+    *
+    * Wide intervals (≥ `wideFactor` buckets) on either side leave the
+    * bucket lane: wide-right broadcasts against ALL of left, wide-left
+    * broadcasts against narrow-right only (wide×wide already lands in the
+    * first broadcast lane), each lane `maxWide`-guarded. Output: every
+    * left column, then every right column prefixed (collision-checked).
+    * A pair overlapping in k ways still emits once per (row, row) pair —
+    * multiplicity comes from rows, never from buckets. */
+  def intervalOverlap(left: DataFrame, lLoCol: String, lHiCol: String,
+                      right: DataFrame, rLoCol: String, rHiCol: String,
+                      bucketWidth: Option[Long] = None,
+                      wideFactor: Int = 32,
+                      maxWide: Long = 2000000L,
+                      rightPrefix: String = "r_"): DataFrame = {
+    require(wideFactor >= 1, "wideFactor must be >= 1")
+    val lNames = left.columns.toSeq
+    val outRight = right.columns.toSeq.map(rightPrefix + _)
+    val clashes = (outRight :+ "__b").intersect(lNames)
+    require(clashes.isEmpty,
+      s"intervalOverlap output name collision: ${clashes.mkString(", ")} — " +
+        s"pick a rightPrefix disjoint from the left columns")
+
+    val lv = left.where(col(lLoCol) <= col(lHiCol))
+    val rv = right.where(col(rLoCol) <= col(rHiCol))
+
+    val width = math.max(1L, bucketWidth.getOrElse {
+      val q = lv.select((col(lHiCol) - col(lLoCol) + 1).cast("double").as("len"))
+        .unionByName(
+          rv.select((col(rHiCol) - col(rLoCol) + 1).cast("double").as("len")))
+        .stat.approxQuantile("len", Array(0.5), 0.01)
+      if (q.isEmpty) 1L else math.max(1L, (2 * q(0)).toLong)
+    })
+    def bucketOf(v: org.apache.spark.sql.Column) = v - pmod(v, lit(width))
+    val wideSpan = wideFactor.toLong * width
+
+    val rvp = rv.columns.foldLeft(rv) { (d, c) =>
+      d.withColumnRenamed(c, rightPrefix + c)
+    }
+    val (rLo, rHi) = (col(rightPrefix + rLoCol), col(rightPrefix + rHiCol))
+    val (lLo, lHi) = (col(lLoCol), col(lHiCol))
+    val overlap = greatest(lLo, rLo) <= least(lHi, rHi)
+
+    val narrowL = lv.where(bucketOf(lHi) - bucketOf(lLo) < wideSpan)
+    val wideL = lv.where(bucketOf(lHi) - bucketOf(lLo) >= wideSpan)
+    val narrowR = rvp.where(bucketOf(rHi) - bucketOf(rLo) < wideSpan)
+    val wideR = rvp.where(bucketOf(rHi) - bucketOf(rLo) >= wideSpan)
+
+    def guard(side: String, d: DataFrame): Long = {
+      val n = d.limit(math.min(maxWide + 1, Int.MaxValue.toLong).toInt).count()
+      require(n <= maxWide,
+        s"intervalOverlap $side wide lane exceeds maxWide=$maxWide " +
+          s"intervals (>= $wideFactor buckets each at width=$width) — " +
+          s"raise bucketWidth or maxWide")
+      n
+    }
+    val nWideL = guard("left", wideL)
+    val nWideR = guard("right", wideR)
+
+    // bucket lane: both sides replicate; the reference-point filter keeps
+    // each overlapping pair only in the bucket of max(aLo, bLo)
+    val repL = narrowL.withColumn("__b",
+      explode(sequence(bucketOf(lLo), bucketOf(lHi), lit(width))))
+    val repR = narrowR.withColumn("__b",
+      explode(sequence(bucketOf(rLo), bucketOf(rHi), lit(width))))
+    val bucketLane = repL.join(repR, Seq("__b"))
+      .where(overlap && bucketOf(greatest(lLo, rLo)) === col("__b"))
+      .drop("__b")
+
+    var out = bucketLane
+    if (nWideR > 0) out = out.unionByName(lv.join(broadcast(wideR), overlap))
+    if (nWideL > 0)
+      out = out.unionByName(
+        narrowR.join(broadcast(wideL), overlap)
+          .select((lNames ++ outRight).map(col): _*))
+    out.select((lNames ++ outRight).map(col): _*)
+  }
 }

@@ -4661,6 +4661,49 @@ object Queries {
       |SELECT p.pid, p.v, i.iid AS r_iid, i.lo AS r_lo, i.hi AS r_hi
       |FROM pts p JOIN ivs i ON p.v BETWEEN i.lo AND i.hi""".stripMargin
 
+  /** Interval-overlap join ([[graft.operators.RangeJoin.intervalOverlap]]):
+    * orders keys become short reservations, documents the mixed-length
+    * interval table from q_range_join — both-side bucket replication with
+    * reference-point dedup plus the two broadcast wide lanes, against the
+    * plain overlap-join oracle. All-integer, hash-exact. */
+  def qIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RangeJoin
+    val a = table(spark, dir, "orders").select(
+      col("o_orderkey").as("aid"),
+      ((col("o_orderkey") * 40503L) % 100000L).as("lo"))
+      .select(col("aid"), col("lo"),
+        (col("lo") + col("aid") % 50 + 1).as("hi"))
+    val b = table(spark, dir, "documents").select(
+      col("doc_id").as("iid"),
+      ((col("doc_id") * 2654435761L) % 100000L).as("lo2"),
+      when(col("doc_id") % 31 === 0, lit(-5L))
+        .when(col("doc_id") % 97 === 0, lit(16000L))
+        .when(col("doc_id") % 10 === 9, lit(500L))
+        .otherwise(col("doc_id") % 7 + 1).as("len"))
+      .select(col("iid"), col("lo2"), (col("lo2") + col("len")).as("hi2"))
+    RangeJoin.intervalOverlap(a, "lo", "hi", b, "lo2", "hi2",
+        bucketWidth = Some(256L))
+      .select(col("aid"), col("lo"), col("hi"),
+        col("r_iid"), col("r_lo2"), col("r_hi2"))
+  }
+
+  val qIntervalJoinSql: String =
+    """WITH a AS (SELECT o_orderkey AS aid,
+      |  (o_orderkey * 40503) % 100000 AS lo FROM orders),
+      |a2 AS (SELECT aid, lo, lo + aid % 50 + 1 AS hi FROM a),
+      |b0 AS (SELECT doc_id AS iid,
+      |  (doc_id * 2654435761) % 100000 AS lo2,
+      |  CASE WHEN doc_id % 31 = 0 THEN -5
+      |       WHEN doc_id % 97 = 0 THEN 16000
+      |       WHEN doc_id % 10 = 9 THEN 500
+      |       ELSE doc_id % 7 + 1 END AS len
+      |  FROM documents),
+      |b AS (SELECT iid, lo2, lo2 + len AS hi2 FROM b0 WHERE len >= 0)
+      |SELECT a2.aid, a2.lo, a2.hi, b.iid AS r_iid,
+      |  b.lo2 AS r_lo2, b.hi2 AS r_hi2
+      |FROM a2 JOIN b
+      |ON greatest(a2.lo, b.lo2) <= least(a2.hi, b.hi2)""".stripMargin
+
   /** Anchor-text aggregation ([[graft.graph.LinkGraph.anchorText]]): the
     * same synthetic link list carries an anchor string per link; the gate
     * ships per-target in-link counts, distinct-anchor counts, and the

@@ -85,6 +85,47 @@ class RangeJoinSpec extends SparkTestBase {
     }
   }
 
+  private def naiveOverlap(a: DataFrame, b: DataFrame): Set[(Long, Long)] =
+    a.join(b, greatest(a("lo"), b("lo2")) <= least(a("hi"), b("hi2")))
+      .select(a("aid"), b("bid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def mkSide(n: Int, seed: Long, loName: String, hiName: String,
+                     idName: String): DataFrame =
+    (0 until n).map { i =>
+      val lo = ((i.toLong + seed) * 2654435761L) % 50000L
+      val len = i % 10 match {
+        case 9 => 20000L
+        case 8 => 300L
+        case _ => i % 6 + 1L
+      }
+      (i.toLong, lo, lo + len)
+    }.toDF(idName, loName, hiName)
+
+  test("intervalOverlap matches the naive join (both-side wide lanes)") {
+    val a = mkSide(400, 0, "lo", "hi", "aid")
+    val b = mkSide(300, 7, "lo2", "hi2", "bid")
+    val want = naiveOverlap(a, b)
+    def got(width: Option[Long], wf: Int): Set[(Long, Long)] =
+      RangeJoin.intervalOverlap(a, "lo", "hi", b, "lo2", "hi2",
+          bucketWidth = width, wideFactor = wf)
+        .select(col("aid"), col("r_bid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got(None, 32) == want)
+    assert(got(Some(8L), 32) == want)   // heavy replication both sides
+    assert(got(Some(64L), 2) == want)   // most rows through wide lanes
+  }
+
+  test("intervalOverlap emits each overlapping pair exactly once") {
+    // two long intervals sharing MANY buckets — refpoint dedup must
+    // collapse the bucket-lane duplicates to one row
+    val a = Seq((1L, 0L, 1000L)).toDF("aid", "lo", "hi")
+    val b = Seq((2L, 500L, 1500L)).toDF("bid", "lo2", "hi2")
+    val got = RangeJoin.intervalOverlap(a, "lo", "hi", b, "lo2", "hi2",
+      bucketWidth = Some(10L), wideFactor = 1000)
+    assert(got.count() == 1)
+  }
+
   test("bucket lane plans as a hash equi-join, not nested-loop") {
     val pts = mkPoints(200)
     val ivs = mkIntervals(100).where($"hi" - $"lo" < 100) // narrow only
