@@ -4730,4 +4730,50 @@ object Queries {
       |  FROM d GROUP BY 1)
       |SELECT a1.dst, a1.n_links, a2.n_anchors, a2.anchor_text
       |FROM a1 JOIN a2 ON a1.dst = a2.dst""".stripMargin
+
+  /** Zone-map clustered store of `events`, written once per input dir
+    * (same once-write discipline as the q_containment_multi spatial store:
+    * the gates time the PRUNED READ, not the layout write). */
+  private def zoneMapStore(spark: SparkSession, dir: String, sub: String,
+                           cols: Seq[String], hilbertPair: Boolean): String = {
+    import graft.sources.ZoneMap
+    val path =
+      s"/root/repo/target/graft_zonemap/${new java.io.File(dir).getName}/$sub"
+    if (!new java.io.File(s"$path/_zonemap/_SUCCESS").exists())
+      ZoneMap.writeClustered(eventsTable(spark, dir), path, cols,
+        numFiles = 16, hilbertPair = hilbertPair)
+    path
+  }
+
+  /** Range query through [[graft.sources.ZoneMap]] file pruning (the
+    * Iceberg/Delta file-skipping class): events range-clustered on user_id,
+    * a 10%-of-keys range answered touching only intersecting files. The
+    * result is bit-identical to the plain filter, so the oracle is the
+    * straight SQL — pruning effectiveness is spec-pinned (ZoneMapSpec). */
+  def qLayoutPrune(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ZoneMap, ZoneMap.ZoneRange
+    val path = zoneMapStore(spark, dir, "range", Seq("user_id"), hilbertPair = false)
+    ZoneMap.readPruned(spark, path, Seq(ZoneRange("user_id", 30L, 44L)))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+  }
+
+  val qLayoutPruneSql: String =
+    """SELECT event_id, user_id, event_type, value FROM events
+      |WHERE user_id BETWEEN 30 AND 44""".stripMargin
+
+  /** 2-D variant: Hilbert-pair clustering on (user_id, value) so BOTH
+    * dimensions carry file-pruning power — the attribute-space analogue of
+    * the spatial hc partitioner. */
+  def qLayoutPrune2d(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ZoneMap, ZoneMap.ZoneRange
+    val path = zoneMapStore(spark, dir, "hilbert", Seq("user_id", "value"),
+      hilbertPair = true)
+    ZoneMap.readPruned(spark, path,
+        Seq(ZoneRange("user_id", 20L, 70L), ZoneRange("value", 50.0, 150.0)))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+  }
+
+  val qLayoutPrune2dSql: String =
+    """SELECT event_id, user_id, event_type, value FROM events
+      |WHERE user_id BETWEEN 20 AND 70 AND value BETWEEN 50.0 AND 150.0""".stripMargin
 }

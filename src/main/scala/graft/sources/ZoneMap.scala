@@ -1,0 +1,144 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Zone-map clustered parquet layout with file-level range pruning — the
+  * Iceberg/Delta "OPTIMIZE + file skipping" class, and the attribute-range
+  * generalization of [[SpatialStore]]'s tile-directory pruning: SpatialStore
+  * prunes on SPATIAL containment through partition directories; ZoneMap
+  * prunes on arbitrary numeric/temporal column ranges through a per-file
+  * min/max manifest.
+  *
+  * Write path: one `repartitionByRange` (Spark samples range boundaries —
+  * one extra pass over the clustering keys) + `sortWithinPartitions`, one
+  * parquet file per output partition, then ONE column-pruned scan of the
+  * written files builds the manifest (file, row count, min/max per
+  * clustered column), stored under `path/_zonemap` — the underscore prefix
+  * keeps it invisible to plain `spark.read.parquet(path)` (Spark's default
+  * path filter hides `_`/`.`-prefixed entries).
+  *
+  * Read path: the manifest (ONE row per data file — ~100k rows for 100 TB
+  * at 1 GB files, trivially driver-bounded) is filtered by interval
+  * intersection against the query ranges and only surviving files are
+  * listed to the scan; the residual BETWEEN filter still applies (and is
+  * pushed into parquet row-group pruning within the kept files), so the
+  * result is bit-identical to the unpruned filter. Rows with a NULL
+  * clustering key never match a range (SQL BETWEEN semantics) and a file
+  * that is entirely NULL on a clustered column carries NULL min/max and is
+  * skipped — consistent.
+  *
+  * Clustering shapes:
+  *  - `cols` with `hilbertPair = false`: lexicographic range clustering —
+  *    only the LEADING column gets pruning power (the classic sort-key
+  *    limitation).
+  *  - `hilbertPair = true` (exactly 2 numeric columns): keys are normalized
+  *    to [0,1] by the global min/max (one 1-row aggregate) and clustered by
+  *    their [[graft.functions.HilbertValue]] — multi-dimensional locality,
+  *    so BOTH columns prune, the same property the reference's hc
+  *    partitioner (hc_2d.cpp) exploits for spatial tiles.
+  *
+  * 100 TB shape: the clustered write is one shuffle amortized over every
+  * subsequent range query; each query's driver work is O(files) manifest
+  * arithmetic; executors touch only intersecting files. No Delta/Iceberg
+  * dependency — plain parquet + a parquet manifest.
+  */
+object ZoneMap {
+
+  /** Inclusive range predicate on a clustered column; `lo`/`hi` are plain
+    * Scala literals comparable to the column type (Long, Double,
+    * java.sql.Timestamp, String, ...). */
+  final case class ZoneRange(column: String, lo: Any, hi: Any)
+
+  final case class PruneStats(selectedFiles: Int, totalFiles: Int)
+
+  private val ManifestDir = "_zonemap"
+  private def mn(c: String) = s"min_$c"
+  private def mx(c: String) = s"max_$c"
+
+  /** Hilbert grid order: 2^16 cells per axis — finer than any realistic
+    * file count, so cell quantization never limits pruning. */
+  private val HilbertOrder = 16
+
+  /** Write `df` clustered on `cols` into ~`numFiles` files plus the
+    * `_zonemap` manifest. Caller owns `path` (overwritten). */
+  def writeClustered(df: DataFrame, path: String, cols: Seq[String],
+                     numFiles: Int, hilbertPair: Boolean = false): Unit = {
+    require(cols.nonEmpty, "ZoneMap.writeClustered: no clustering columns")
+    require(!hilbertPair || cols.length == 2,
+      s"hilbertPair clustering needs exactly 2 columns, got ${cols.length}")
+    val outCols = df.columns.map(col).toSeq
+    val clustered =
+      if (!hilbertPair) {
+        df.repartitionByRange(numFiles, cols.map(col): _*)
+          .sortWithinPartitions(cols.map(col): _*)
+      } else {
+        // one 1-row aggregate for the normalization bounds
+        val Seq(a, b) = cols
+        val r = df.agg(
+          min(col(a).cast("double")), max(col(a).cast("double")),
+          min(col(b).cast("double")), max(col(b).cast("double"))).head()
+        def norm(c: String, lo: Double, hi: Double): Column = {
+          val span = if (hi > lo) hi - lo else 1.0
+          (col(c).cast("double") - lit(lo)) / lit(span)
+        }
+        val (aLo, aHi) = (r.getDouble(0), r.getDouble(1))
+        val (bLo, bHi) = (r.getDouble(2), r.getDouble(3))
+        val hkey = graft.functions.hilbert(
+          norm(a, aLo, aHi), norm(b, bLo, bHi), lit(HilbertOrder))
+        df.withColumn("__zm_hkey", hkey)
+          .repartitionByRange(numFiles, col("__zm_hkey"))
+          .sortWithinPartitions(col("__zm_hkey"))
+          .select(outCols: _*) // projection keeps the distribution
+      }
+    clustered.write.mode("overwrite").parquet(path)
+
+    // manifest: one column-pruned scan of what was just written
+    val spark = df.sparkSession
+    val written = spark.read.parquet(path)
+    val aggs = count(lit(1)).as("cnt") +:
+      cols.flatMap(c => Seq(min(col(c)).as(mn(c)), max(col(c)).as(mx(c))))
+    written.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/$ManifestDir")
+  }
+
+  /** Files whose zone ranges intersect EVERY query range (conjunctive),
+    * plus the total file count. The manifest is one row per file — the
+    * collect is bounded by file count, never by data volume. */
+  private def selectFiles(spark: SparkSession, path: String,
+                          ranges: Seq[ZoneRange]): (Seq[String], Int) = {
+    val manifest = spark.read.parquet(s"$path/$ManifestDir")
+    val keep = ranges
+      .map(r => !(col(mx(r.column)) < lit(r.lo) || col(mn(r.column)) > lit(r.hi)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val total = manifest.count().toInt
+    val files = manifest.where(keep).select("file")
+      .collect().map(_.getString(0)).toSeq
+    (files, total)
+  }
+
+  /** Range query over the clustered store touching only intersecting files.
+    * Bit-identical to `read(path).where(ranges)` — the residual filter is
+    * always applied (and pushed down into the kept files' row groups). */
+  def readPruned(spark: SparkSession, path: String,
+                 ranges: Seq[ZoneRange]): DataFrame = {
+    require(ranges.nonEmpty, "ZoneMap.readPruned: no ranges (use a plain read)")
+    val (files, _) = selectFiles(spark, path, ranges)
+    val residual = ranges
+      .map(r => col(r.column).between(lit(r.lo), lit(r.hi)))
+      .reduce(_ && _)
+    if (files.isEmpty)
+      // zero intersecting files: schema-preserving empty frame, no scan work
+      spark.read.parquet(path).where(lit(false)).where(residual)
+    else spark.read.parquet(files: _*).where(residual)
+  }
+
+  /** Pruning effectiveness for reports/specs: (files selected, files total). */
+  def pruneStats(spark: SparkSession, path: String,
+                 ranges: Seq[ZoneRange]): PruneStats = {
+    val (files, total) = selectFiles(spark, path, ranges)
+    PruneStats(files.length, total)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class ZoneMapSpec extends SparkTestBase {
+  import spark.implicits._
+  import ZoneMap.ZoneRange
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"zonemap_$name").toString + "/store"
+
+  // 10k rows, two independent numeric dims + a null-key stripe
+  private lazy val data = spark.range(10000).select(
+      $"id",
+      when($"id" % 100 === 99, lit(null)).otherwise($"id" % 500).as("k"),
+      (($"id" * 2654435761L) % 1000).cast("double").as("v"),
+      concat(lit("p"), $"id").as("payload"))
+    .cache()
+
+  test("pruned read is bit-identical to the unpruned filter") {
+    val path = tmp("parity")
+    ZoneMap.writeClustered(data, path, Seq("k"), numFiles = 8)
+    val ranges = Seq(ZoneRange("k", 120L, 180L))
+    val pruned = ZoneMap.readPruned(spark, path, ranges)
+      .select("id", "k", "v", "payload").collect().toSet
+    val full = spark.read.parquet(path)
+      .where($"k".between(120, 180))
+      .select("id", "k", "v", "payload").collect().toSet
+    assert(pruned == full)
+    assert(pruned.nonEmpty)
+    // null-k rows never match a range
+    assert(!pruned.exists(_.isNullAt(1)))
+  }
+
+  test("range clustering prunes files on the leading column") {
+    val path = tmp("prune")
+    ZoneMap.writeClustered(data, path, Seq("k"), numFiles = 8)
+    val st = ZoneMap.pruneStats(spark, path, Seq(ZoneRange("k", 0L, 60L)))
+    assert(st.totalFiles >= 6, s"expected ~8 files, got ${st.totalFiles}")
+    assert(st.selectedFiles < st.totalFiles,
+      s"narrow range should skip files: $st")
+  }
+
+  test("hilbert pair clustering prunes on BOTH dimensions") {
+    val path = tmp("hilbert")
+    val noNull = data.where($"k".isNotNull)
+    ZoneMap.writeClustered(noNull, path, Seq("k", "v"), numFiles = 16,
+      hilbertPair = true)
+    val onK = ZoneMap.pruneStats(spark, path, Seq(ZoneRange("k", 0L, 50L)))
+    val onV = ZoneMap.pruneStats(spark, path, Seq(ZoneRange("v", 0.0, 100.0)))
+    assert(onK.selectedFiles < onK.totalFiles, s"k-range should prune: $onK")
+    assert(onV.selectedFiles < onV.totalFiles, s"v-range should prune: $onV")
+    // and the 2-D read is still exact
+    val ranges = Seq(ZoneRange("k", 100L, 240L), ZoneRange("v", 200.0, 600.0))
+    val pruned = ZoneMap.readPruned(spark, path, ranges)
+      .select("id").as[Long].collect().toSet
+    val full = noNull.where($"k".between(100, 240) && $"v".between(200.0, 600.0))
+      .select("id").as[Long].collect().toSet
+    assert(pruned == full && pruned.nonEmpty)
+  }
+
+  test("manifest is invisible to a plain read; schema round-trips") {
+    val path = tmp("hidden")
+    ZoneMap.writeClustered(data, path, Seq("k"), numFiles = 4)
+    val back = spark.read.parquet(path)
+    assert(back.count() == data.count())
+    assert(back.schema.fieldNames.sorted.toSeq ==
+      data.schema.fieldNames.sorted.toSeq)
+  }
+
+  test("disjoint range selects zero files and returns an empty, schema-true frame") {
+    val path = tmp("empty")
+    ZoneMap.writeClustered(data, path, Seq("k"), numFiles = 4)
+    val st = ZoneMap.pruneStats(spark, path, Seq(ZoneRange("k", 10000L, 20000L)))
+    assert(st.selectedFiles == 0)
+    val out = ZoneMap.readPruned(spark, path, Seq(ZoneRange("k", 10000L, 20000L)))
+    assert(out.count() == 0)
+    assert(out.schema.fieldNames.sorted.toSeq ==
+      data.schema.fieldNames.sorted.toSeq)
+  }
+}
