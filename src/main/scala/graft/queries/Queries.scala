@@ -4776,4 +4776,40 @@ object Queries {
   val qLayoutPrune2dSql: String =
     """SELECT event_id, user_id, event_type, value FROM events
       |WHERE user_id BETWEEN 20 AND 70 AND value BETWEEN 50.0 AND 150.0""".stripMargin
+
+  /** Streaming vector-index maintenance ([[graft.streaming.AnnIngest]]):
+    * three refresh batches append to the frozen-codebook IVF store (the
+    * gate runs the batch twin; stream==batch is spec-pinned), then the
+    * probe path answers top-k over the ACCUMULATED store through literal
+    * partition pruning. Same checkpoint-the-assignments oracle pattern as
+    * q_ann_ivf — the store's (nid, list) relation and the probe sets are
+    * the checkpointed bits; everything downstream re-derives in SQL. The
+    * store is rebuilt per invocation (wiped first): the INGEST is the
+    * operator, and three sf-sized appends are the honest cost. */
+  def qAnnIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.AnnIngest
+    val emb = table(spark, dir, "embeddings")
+    val items = emb.select(col("vec_id").as("nid"), col("embedding").as("ivec"))
+    val queries = emb.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val model = graft.ann.IvfIndex.train(items, "ivec", nlist = 16)
+    val store = s"/root/repo/target/graft_ann_ingest/${new java.io.File(dir).getName}"
+    val p = new org.apache.hadoop.fs.Path(store)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    (0 until 3).foreach { b =>
+      AnnIngest.processBatch(items.where(pmod(col("nid"), lit(3)) === b),
+        "nid", "ivec", model, store)
+    }
+    val stored = AnnIngest.loadStore(spark, store, "nid", "ivec")
+    writeOracleAux(stored.select(col("nid"), col("list")), dir, "ann_ingest_assign")
+    writeOracleAux(
+      graft.ann.IvfIndex.probeLists(queries, "qid", "qvec", model, nprobe = 4),
+      dir, "ann_ingest_probes")
+    AnnIngest.topKFromStore(spark, store, "nid", "ivec",
+        queries, "qid", "qvec", k = 5, model, nprobe = 4)
+      .select(col("qid"), col("nid"), col("rank").as("rk"))
+  }
+
+  val qAnnIngestSql: String = qAnnIvfSql.replace("ann_ivf_", "ann_ingest_")
 }
