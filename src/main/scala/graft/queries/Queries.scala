@@ -4812,4 +4812,58 @@ object Queries {
   }
 
   val qAnnIngestSql: String = qAnnIvfSql.replace("ann_ivf_", "ann_ingest_")
+
+  /** Leakage-safe train/valid/test split
+    * ([[graft.text.CorpusSplit.assignSplitsByCluster]]): near-dup clusters
+    * (n-gram Jaccard pairs → connected components) are split as UNITS, so a
+    * test doc's 0.9-Jaccard twin can never train. Oracle = the
+    * q_dedup_cluster recursive-CTE components + the exact integer split
+    * CASE on the component label. */
+  def qSplitLeakfree(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val edges = graft.dedup.TextDedup.ngramJaccardPairs(
+      docs, "doc_id", "text", n = 3, threshold = 0.5)
+    graft.text.CorpusSplit.assignSplitsByCluster(docs, "doc_id",
+        edges, "ida", "idb",
+        Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1)))
+      .select(col("doc_id"), col("split"))
+  }
+
+  val qSplitLeakfreeSql: String = {
+    val splitCase = graft.text.CorpusSplit.assignSplitsSql("comp",
+      Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1)))
+    s"SELECT doc_id, $splitCase AS split FROM ($qDedupClusterSql) c"
+  }
+
+  /** Snapshot-over-snapshot corpus delta ([[graft.text.CorpusDiff]]): a
+    * mutated twin of `documents` (removals, edits, additions — all
+    * deterministic arithmetic both engines replay) diffed against the
+    * original by content md5. The full-outer status join is the whole
+    * operator; the oracle is the same join comparing the texts
+    * directly (md5-equal ⟺ text-equal). */
+  def qCorpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.CorpusDiff
+    val docs = table(spark, dir, "documents")
+    val old = docs.select(col("doc_id"), col("text"))
+    val nw = old.where(col("doc_id") % 17 =!= 5)
+      .withColumn("text", when(col("doc_id") % 13 === 2,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .unionByName(old.where(col("doc_id") % 23 === 7)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    CorpusDiff.diff(old, nw, "doc_id", "text")
+  }
+
+  val qCorpusDiffSql: String =
+    """WITH o AS (SELECT doc_id, text FROM documents),
+      |nw AS (SELECT doc_id,
+      |   CASE WHEN doc_id % 13 = 2 THEN text || ' v2' ELSE text END AS text
+      | FROM documents WHERE doc_id % 17 <> 5
+      | UNION ALL
+      | SELECT doc_id + 100000, text FROM documents WHERE doc_id % 23 = 7)
+      |SELECT coalesce(o.doc_id, nw.doc_id) AS doc_id,
+      | CASE WHEN o.doc_id IS NULL THEN 'added'
+      |      WHEN nw.doc_id IS NULL THEN 'removed'
+      |      WHEN o.text = nw.text THEN 'unchanged'
+      |      ELSE 'changed' END AS status
+      |FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id""".stripMargin
 }

@@ -77,6 +77,29 @@ object CorpusSplit {
     s"CASE $cases END"
   }
 
+  /** Leakage-safe split assignment: documents connected by a near-duplicate
+    * edge land in the SAME split. Splitting per-document leaks eval content
+    * into training through near-dup pairs (the classic benchmark-inflation
+    * bug: a test doc's 0.9-Jaccard twin trains); splitting per-CLUSTER
+    * closes it — [[graft.dedup.Components.connectedComponents]] labels each
+    * doc with its cluster representative and [[assignSplits]] hashes THAT,
+    * so a whole near-dup cluster rides one hash. Edges come from any pair
+    * miner (MinHash/LSH, SimHash, n-gram Jaccard, embedding cosine).
+    *
+    * Scale shape: components is the existing O(log n)-round star machinery;
+    * the label join is one id-keyed shuffle; the split itself stays
+    * scan-local arithmetic. Determinism: the component label is the cluster
+    * min id — stable under retries and repartitioning — so the assignment
+    * inherits [[assignSplits]]'s replayability. */
+  def assignSplitsByCluster(df: DataFrame, idCol: String,
+                            edges: DataFrame, srcCol: String, dstCol: String,
+                            splits: Seq[(String, Double)],
+                            salt: Long = 0L): DataFrame = {
+    val comps = graft.dedup.Components.connectedComponents(
+      df.select(col(idCol)), idCol, edges, srcCol, dstCol)
+    assignSplits(df.join(comps, Seq(idCol)), "comp", splits, salt)
+  }
+
   /** Add a deterministic `shuffle_key` column: ORDER BY it (or
     * `repartitionByRange` on it at write time) is the reproducible global
     * shuffle of the corpus. One key hash — no RNG, no zipWithIndex. */
