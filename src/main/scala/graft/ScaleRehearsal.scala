@@ -345,6 +345,87 @@ object ScaleRehearsal {
       spark.stop(); return
     }
 
+    // -------- zone-map layout + streaming ANN store refresh at 100x:
+    // 20M rows clustered into 256 files; a 1%-of-keys range should read
+    // ~1% of files. Then a 2M-vector IVF store built once and refreshed
+    // with a 200k batch — the refresh must cost ~batch/corpus of the
+    // build, and the probed top-k must scan only probed list= dirs.
+    if (mode == "layout") {
+      import graft.sources.ZoneMap, ZoneMap.ZoneRange
+      import graft.streaming.AnnIngest
+      val n = 20000000L
+      timed("gen_rows[20M]") {
+        spark.range(n).select(col("id"),
+            pmod(xxhash64(col("id"), lit(1)), lit(100000L)).as("k"),
+            pmod(xxhash64(col("id"), lit(2)), lit(1000000L))
+              .cast("double").as("v"),
+            concat(lit("payload "), col("id")).as("payload"))
+          .write.mode("overwrite").parquet(s"$dir/zm_raw")
+      }
+      val raw = spark.read.parquet(s"$dir/zm_raw")
+      timed("zm_write_range[256f]") {
+        ZoneMap.writeClustered(raw, s"$dir/zm_store", Seq("k"), numFiles = 256)
+      }
+      val ranges = Seq(ZoneRange("k", 40000L, 40999L)) // 1% of the key domain
+      val st = ZoneMap.pruneStats(spark, s"$dir/zm_store", ranges)
+      println(s"[scale]   -> range-clustered: pruned to ${st.selectedFiles}/${st.totalFiles} files")
+      val c1 = timed("zm_pruned_read[1%]") {
+        ZoneMap.readPruned(spark, s"$dir/zm_store", ranges).count()
+      }
+      val c2 = timed("zm_full_filter[1%]") {
+        spark.read.parquet(s"$dir/zm_store")
+          .where(col("k").between(40000L, 40999L)).count()
+      }
+      require(c1 == c2, s"pruned read diverged: $c1 vs $c2")
+      timed("zm_write_hilbert[256f]") {
+        ZoneMap.writeClustered(raw, s"$dir/zm_store2", Seq("k", "v"),
+          numFiles = 256, hilbertPair = true)
+      }
+      Seq("k" -> Seq(ZoneRange("k", 0L, 9999L)),
+          "v" -> Seq(ZoneRange("v", 0.0, 99999.0))).foreach { case (nm, r) =>
+        val s2 = ZoneMap.pruneStats(spark, s"$dir/zm_store2", r)
+        println(s"[scale]   -> hilbert $nm-range (10%): ${s2.selectedFiles}/${s2.totalFiles} files")
+      }
+
+      // ANN store: 2M base + 200k refresh (same mixture family as `ann`)
+      val dim = 64
+      def u(salt: Int, key: Column) =
+        pmod(xxhash64(key, lit(salt)), lit(1000L)).cast("double") / 500.0 - 1.0
+      def vecsOf(ids: DataFrame): DataFrame =
+        ids.select(col("id").as("vid"),
+          transform(sequence(lit(0), lit(dim - 1)), j =>
+            (u(1, concat(col("id") % 256, lit(":"), j)) +
+             u(2, concat(col("id"), lit(":"), j)) * 0.25).cast("float"))
+            .as("emb"))
+      timed("gen_vecs[2.2M]") {
+        vecsOf(spark.range(2200000).toDF("id"))
+          .write.mode("overwrite").parquet(s"$dir/ing_vecs")
+      }
+      val vecs = spark.read.parquet(s"$dir/ing_vecs")
+      val base = vecs.where(col("vid") < 2000000L)
+      val batch = vecs.where(col("vid") >= 2000000L)
+      val model = timed("ing_train[nlist=256]") {
+        graft.ann.IvfIndex.train(base, "emb", nlist = 256)
+      }
+      val store = s"$dir/ing_store"
+      val fsP = new org.apache.hadoop.fs.Path(store)
+      fsP.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(fsP, true)
+      timed("ing_store_build[2M]") {
+        AnnIngest.processBatch(base, "vid", "emb", model, store)
+      }
+      timed("ing_store_refresh[200k]") {
+        AnnIngest.processBatch(batch, "vid", "emb", model, store)
+      }
+      val queries = vecs.where(col("vid") % 10000 === 0)
+        .select(col("vid").as("qid"), col("emb").as("qvec"))
+      val topk = timed("ing_topk[nprobe=8]") {
+        AnnIngest.topKFromStore(spark, store, "vid", "emb",
+          queries, "qid", "qvec", k = 10, model, nprobe = 8).count()
+      }
+      println(s"[scale]   -> $topk result rows over the refreshed store")
+      spark.stop(); return
+    }
+
     // -------------- link graph at web scale: 2M hosts, 20M links, with a
     // hub skew (20% of links land on the top-1000 hosts — ~80x the uniform
     // in-degree) so the contribution aggregation's map-side partial sums
