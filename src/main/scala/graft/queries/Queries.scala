@@ -4761,6 +4761,32 @@ object Queries {
     """SELECT event_id, user_id, event_type, value FROM events
       |WHERE user_id BETWEEN 30 AND 44""".stripMargin
 
+  /** Incremental clustered ingest ([[graft.sources.ZoneMap.appendClustered]]):
+    * the store is built as an initial write plus two appends (each batch
+    * clustered independently, manifest rows appended per batch), then the
+    * same pruned range read as q_layout_prune runs across all three — the
+    * result must equal the one-shot layout's, so the oracle is shared.
+    * Rebuilt (wiped) per invocation: the append path IS the operator. */
+  def qLayoutAppend(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ZoneMap, ZoneMap.ZoneRange
+    val path =
+      s"/root/repo/target/graft_zonemap/${new java.io.File(dir).getName}/append"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val ev = eventsTable(spark, dir)
+    ZoneMap.writeClustered(ev.where(pmod(col("user_id"), lit(3)) === 0),
+      path, Seq("user_id"), numFiles = 6)
+    ZoneMap.appendClustered(ev.where(pmod(col("user_id"), lit(3)) === 1),
+      path, Seq("user_id"), numFiles = 6)
+    ZoneMap.appendClustered(ev.where(pmod(col("user_id"), lit(3)) === 2),
+      path, Seq("user_id"), numFiles = 6)
+    ZoneMap.readPruned(spark, path, Seq(ZoneRange("user_id", 30L, 44L)))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+  }
+
+  val qLayoutAppendSql: String = qLayoutPruneSql
+
   /** 2-D variant: Hilbert-pair clustering on (user_id, value) so BOTH
     * dimensions carry file-pruning power — the attribute-space analogue of
     * the spatial hc partitioner. */
@@ -4851,6 +4877,82 @@ object Queries {
       .unionByName(old.where(col("doc_id") % 23 === 7)
         .select((col("doc_id") + 100000).as("doc_id"), col("text")))
     CorpusDiff.diff(old, nw, "doc_id", "text")
+  }
+
+  /** Retrieval-quality evaluation ([[graft.ann.RetrievalEval.perQuery]]):
+    * brute-force cosine top-10 over the embeddings table evaluated against
+    * label-match relevance judgments. The results relation is checkpointed
+    * (the q_ann_* discipline); metrics downstream are exact-integer counts
+    * plus SINGLE divisions of exact ints (recall@k, reciprocal rank) —
+    * both engines produce identical IEEE doubles. */
+  def qRetrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val items = emb.select(col("vec_id").as("nid"), col("embedding").as("ivec"))
+    val queries = emb.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val res = writeOracleAux(
+      graft.ann.Similarity.topKBrute(items, "nid", "ivec",
+          queries, "qid", "qvec", k = 10)
+        .select(col("qid"), col("nid"), col("rank").as("rk")),
+      dir, "reval_results")
+    val truth = emb.as("q").where(col("q.vec_id") % 50 === 0)
+      .join(emb.as("b"),
+        col("q.label") === col("b.label") && col("q.vec_id") =!= col("b.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("b.vec_id").as("nid"))
+    graft.ann.RetrievalEval.perQuery(res, truth, "qid", "nid", "rk")
+  }
+
+  val qRetrievalEvalSql: String =
+    s"""WITH res AS (SELECT qid, nid, rk FROM ${auxSql("reval_results")}),
+       |truth AS (SELECT q.vec_id AS qid, b.vec_id AS nid
+       |  FROM embeddings q JOIN embeddings b
+       |    ON q.label = b.label AND q.vec_id <> b.vec_id
+       |  WHERE q.vec_id % 50 = 0),
+       |j AS (SELECT qid, CAST(count(*) AS BIGINT) AS judged FROM truth GROUP BY 1),
+       |h AS (SELECT res.qid, CAST(count(*) AS BIGINT) AS hits, min(rk) AS fr
+       |  FROM res JOIN truth USING (qid, nid) GROUP BY 1)
+       |SELECT j.qid, coalesce(h.hits, 0) AS hits, j.judged,
+       |  CAST(coalesce(h.hits, 0) AS DOUBLE) / j.judged AS recall_at_k,
+       |  coalesce(CAST(1 AS DOUBLE) / fr, CAST(0 AS DOUBLE)) AS rr
+       |FROM j LEFT JOIN h ON j.qid = h.qid""".stripMargin
+
+  /** Luhn-verified payment-card detection
+    * ([[graft.text.TextFunctions.ccCount]]/redactCc): deterministic card
+    * strings (one Luhn-valid, one checksum-failing) injected into
+    * `documents`, counted with the checksum filter and conservatively
+    * redacted. The Luhn arithmetic is built-in HOFs on both engines —
+    * `aggregate`/`sequence` in Spark, `list_sum`/`list_transform` in
+    * DuckDB — digit-for-digit identical. */
+  def qCcDetect(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions
+    val docs = table(spark, dir, "documents")
+    val txt = concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        lit(" card 4111-1111-1111-1111 ok")).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        lit(" ref 4111 1111 1111 1112 x")).otherwise(lit("")))
+    docs.select(col("doc_id"),
+      TextFunctions.ccCount(txt).as("cc_cnt"),
+      md5(TextFunctions.redactCc(txt)).as("redacted_md5"))
+  }
+
+  val qCcDetectSql: String = {
+    val pat = """\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b"""
+    val dg = "regexp_replace(s, '[- ]', '', 'g')"
+    val digit = s"(ascii(substr($dg, i, 1)) - 48)"
+    s"""WITH t AS (SELECT doc_id, text ||
+       |  CASE WHEN doc_id % 7 = 0 THEN ' card 4111-1111-1111-1111 ok' ELSE '' END ||
+       |  CASE WHEN doc_id % 11 = 0 THEN ' ref 4111 1111 1111 1112 x' ELSE '' END AS txt
+       | FROM documents)
+       |SELECT doc_id,
+       | CAST(len(list_filter(regexp_extract_all(txt, '$pat'),
+       |  s -> (list_sum(list_transform(generate_series(1, len($dg)),
+       |    i -> CASE WHEN (len($dg) - i) % 2 = 1
+       |         THEN CASE WHEN $digit * 2 > 9
+       |              THEN $digit * 2 - 9 ELSE $digit * 2 END
+       |         ELSE $digit END)) % 10 = 0))) AS INT) AS cc_cnt,
+       | md5(regexp_replace(txt, '$pat', '<CARD>', 'g')) AS redacted_md5
+       |FROM t""".stripMargin
   }
 
   val qCorpusDiffSql: String =

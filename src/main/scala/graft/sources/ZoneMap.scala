@@ -60,48 +60,98 @@ object ZoneMap {
     * file count, so cell quantization never limits pruning. */
   private val HilbertOrder = 16
 
+  /** The clustering shuffle shared by write and append. */
+  private def clustered(df: DataFrame, cols: Seq[String], numFiles: Int,
+                        hilbertPair: Boolean): DataFrame = {
+    require(cols.nonEmpty, "ZoneMap: no clustering columns")
+    require(!hilbertPair || cols.length == 2,
+      s"hilbertPair clustering needs exactly 2 columns, got ${cols.length}")
+    val outCols = df.columns.map(col).toSeq
+    if (!hilbertPair) {
+      df.repartitionByRange(numFiles, cols.map(col): _*)
+        .sortWithinPartitions(cols.map(col): _*)
+    } else {
+      // one 1-row aggregate for the normalization bounds
+      val Seq(a, b) = cols
+      val r = df.agg(
+        min(col(a).cast("double")), max(col(a).cast("double")),
+        min(col(b).cast("double")), max(col(b).cast("double"))).head()
+      def norm(c: String, lo: Double, hi: Double): Column = {
+        val span = if (hi > lo) hi - lo else 1.0
+        (col(c).cast("double") - lit(lo)) / lit(span)
+      }
+      val (aLo, aHi) = (r.getDouble(0), r.getDouble(1))
+      val (bLo, bHi) = (r.getDouble(2), r.getDouble(3))
+      val hkey = graft.functions.hilbert(
+        norm(a, aLo, aHi), norm(b, bLo, bHi), lit(HilbertOrder))
+      df.withColumn("__zm_hkey", hkey)
+        .repartitionByRange(numFiles, col("__zm_hkey"))
+        .sortWithinPartitions(col("__zm_hkey"))
+        .select(outCols: _*) // projection keeps the distribution
+    }
+  }
+
+  /** Manifest rows (file, cnt, min/max per col) for the given data files. */
+  private def manifestRows(spark: SparkSession, files: Seq[String],
+                           cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("cnt") +:
+      cols.flatMap(c => Seq(min(col(c)).as(mn(c)), max(col(c)).as(mx(c))))
+    spark.read.parquet(files: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Data files currently in the store root (manifest dir + hidden files
+    * excluded). */
+  private def dataFiles(spark: SparkSession, path: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toString).toSet
+  }
+
   /** Write `df` clustered on `cols` into ~`numFiles` files plus the
     * `_zonemap` manifest. Caller owns `path` (overwritten). */
   def writeClustered(df: DataFrame, path: String, cols: Seq[String],
                      numFiles: Int, hilbertPair: Boolean = false): Unit = {
-    require(cols.nonEmpty, "ZoneMap.writeClustered: no clustering columns")
-    require(!hilbertPair || cols.length == 2,
-      s"hilbertPair clustering needs exactly 2 columns, got ${cols.length}")
-    val outCols = df.columns.map(col).toSeq
-    val clustered =
-      if (!hilbertPair) {
-        df.repartitionByRange(numFiles, cols.map(col): _*)
-          .sortWithinPartitions(cols.map(col): _*)
-      } else {
-        // one 1-row aggregate for the normalization bounds
-        val Seq(a, b) = cols
-        val r = df.agg(
-          min(col(a).cast("double")), max(col(a).cast("double")),
-          min(col(b).cast("double")), max(col(b).cast("double"))).head()
-        def norm(c: String, lo: Double, hi: Double): Column = {
-          val span = if (hi > lo) hi - lo else 1.0
-          (col(c).cast("double") - lit(lo)) / lit(span)
-        }
-        val (aLo, aHi) = (r.getDouble(0), r.getDouble(1))
-        val (bLo, bHi) = (r.getDouble(2), r.getDouble(3))
-        val hkey = graft.functions.hilbert(
-          norm(a, aLo, aHi), norm(b, bLo, bHi), lit(HilbertOrder))
-        df.withColumn("__zm_hkey", hkey)
-          .repartitionByRange(numFiles, col("__zm_hkey"))
-          .sortWithinPartitions(col("__zm_hkey"))
-          .select(outCols: _*) // projection keeps the distribution
-      }
-    clustered.write.mode("overwrite").parquet(path)
-
+    clustered(df, cols, numFiles, hilbertPair)
+      .write.mode("overwrite").parquet(path)
     // manifest: one column-pruned scan of what was just written
     val spark = df.sparkSession
-    val written = spark.read.parquet(path)
-    val aggs = count(lit(1)).as("cnt") +:
-      cols.flatMap(c => Seq(min(col(c)).as(mn(c)), max(col(c)).as(mx(c))))
-    written.groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
+    manifestRows(spark, Seq(path), cols)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/$ManifestDir")
+  }
+
+  /** Append a new batch to an existing clustered store: the batch is
+    * clustered INDEPENDENTLY (its own range/Hilbert bounds), its files
+    * append to the store, and manifest rows for exactly the new files
+    * append to the manifest — existing data and manifest rows are never
+    * rewritten, the ZoneMap twin of [[graft.streaming.AnnIngest]]'s
+    * refresh discipline (wire `foreachBatch { appendClustered(...) }` for
+    * the streaming loop). Query pruning is unchanged: the manifest stays
+    * one row per file, whichever append produced it. Batches whose key
+    * ranges overlap earlier batches dilute pruning (each covers its own
+    * span); a periodic [[writeClustered]] re-layout restores global
+    * clustering — the OPTIMIZE-after-ingest pattern. Not crash-atomic:
+    * a failure between the two appends leaves data files unmanifested
+    * (over-read, never wrong results — unmanifested files are invisible
+    * to pruned reads; re-run [[writeClustered]] to heal). */
+  def appendClustered(df: DataFrame, path: String, cols: Seq[String],
+                      numFiles: Int, hilbertPair: Boolean = false): Unit = {
+    val spark = df.sparkSession
+    val before = dataFiles(spark, path)
+    if (before.isEmpty) return writeClustered(df, path, cols, numFiles, hilbertPair)
+    clustered(df, cols, numFiles, hilbertPair)
+      .write.mode("append").parquet(path)
+    val fresh = (dataFiles(spark, path) -- before).toSeq
+    if (fresh.nonEmpty)
+      manifestRows(spark, fresh, cols)
+        .coalesce(1)
+        .write.mode("append").parquet(s"$path/$ManifestDir")
   }
 
   /** Files whose zone ranges intersect EVERY query range (conjunctive),

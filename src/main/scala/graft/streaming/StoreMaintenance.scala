@@ -38,6 +38,33 @@ object StoreMaintenance {
           "(run recover() to complete the swap)")
   }
 
+  /** Compact a `list=`-partitioned store ([[AnnIngest]]'s vector store:
+    * every refresh adds up to one file per list, so after thousands of
+    * refreshes each partition directory holds thousands of small files).
+    * Rewrites the store partitioned by `partCol` with ~`filesPerPart`
+    * files per partition (`repartition(partCol, hash-salt)` keeps one
+    * partition's rows from landing in one writer task without a global
+    * sort), preserving rows EXACTLY — vector stores are multisets keyed
+    * by id, so no distinct() here, unlike [[compact]]'s key-set stores.
+    * Same non-atomic swap + [[recover]] contract. */
+  def compactPartitioned(spark: SparkSession, path: String, partCol: String,
+                         filesPerPart: Int = 1): Unit = {
+    require(filesPerPart > 0, "compactPartitioned: filesPerPart must be positive")
+    import org.apache.spark.sql.functions._
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + ".compacting")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val df = spark.read.parquet(path)
+    df.repartition(col(partCol),
+        pmod(xxhash64(df.columns.map(col): _*), lit(filesPerPart)))
+      .write.partitionBy(partCol).parquet(tmp.toString)
+    fs.delete(new Path(path), true)
+    if (!fs.rename(tmp, new Path(path)))
+      throw new java.io.IOException(
+        s"compactPartitioned: rename $tmp -> $path failed; store remains " +
+          s"at $tmp (run recover() to complete the swap)")
+  }
+
   /** Complete an interrupted [[compact]] swap if one is pending. */
   def recover(spark: SparkSession, path: String): Boolean = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -132,4 +132,42 @@ object TextFunctions {
       regexp_count(afterEmail, lit(Ipv4Pattern)) +
       regexp_count(afterIp, lit(PhonePattern))
   }
+
+  /** 16-digit payment-card shapes with optional `-`/space group separators
+    * (alternation-free — Java regex and RE2 agree match-for-match, the
+    * redaction-pattern contract above). */
+  val CcPattern = "\\b\\d{4}[- ]?\\d{4}[- ]?\\d{4}[- ]?\\d{4}\\b"
+
+  /** Luhn checksum validity of the digits in `s` (separators stripped) —
+    * pure built-in HOF arithmetic (`aggregate` over `sequence`), so the
+    * check replays exactly in SQL: digit at 0-based position p from the
+    * RIGHT doubles when p is odd, doubled values > 9 subtract 9, the sum
+    * must be ≡ 0 (mod 10). */
+  def luhnValid(s: Column): Column = {
+    val digits = regexp_replace(s, "[- ]", "")
+    val n = length(digits)
+    val total = aggregate(
+      sequence(lit(1), n),
+      lit(0),
+      (acc: Column, i: Column) => {
+        val d = ascii(digits.substr(i, lit(1))) - 48
+        val doubled = when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+        acc + when((n - i) % 2 === 1, doubled).otherwise(d)
+      })
+    total % 10 === 0
+  }
+
+  /** Count of LUHN-VERIFIED card numbers in `text` — the detection signal
+    * a curation policy thresholds on. Pattern-only counting flags every
+    * 16-digit id (order numbers, hashes-as-digits); the checksum filters
+    * those false positives exactly. */
+  def ccCount(text: Column): Column =
+    size(filter(regexp_extract_all(text, lit(CcPattern), lit(0)),
+      s => luhnValid(s)))
+
+  /** Conservative card redaction: every pattern match is rewritten (a
+    * non-Luhn 16-digit id over-redacts — the safe direction for
+    * training-data scrubbing; [[ccCount]] stays the exact signal). */
+  def redactCc(text: Column): Column =
+    regexp_replace(text, CcPattern, "<CARD>")
 }

@@ -70,6 +70,39 @@ class ZoneMapSpec extends SparkTestBase {
       data.schema.fieldNames.sorted.toSeq)
   }
 
+  test("appendClustered: reads stay exact across appends; manifest covers every file") {
+    val path = tmp("append")
+    ZoneMap.writeClustered(data.where($"id" < 4000), path, Seq("k"), numFiles = 4)
+    ZoneMap.appendClustered(data.where($"id" >= 4000 && $"id" < 7000),
+      path, Seq("k"), numFiles = 4)
+    ZoneMap.appendClustered(data.where($"id" >= 7000), path, Seq("k"), numFiles = 4)
+    // full content survives
+    assert(spark.read.parquet(path).count() == data.count())
+    // manifest: one row per data file, every file covered
+    val st = ZoneMap.pruneStats(spark, path,
+      Seq(ZoneMap.ZoneRange("k", Long.MinValue, Long.MaxValue)))
+    assert(st.totalFiles == 12 && st.selectedFiles == 12)
+    // pruned read spanning all three appends is still bit-exact
+    val ranges = Seq(ZoneMap.ZoneRange("k", 120L, 180L))
+    val pruned = ZoneMap.readPruned(spark, path, ranges)
+      .select("id", "k", "v", "payload").collect().toSet
+    val full = spark.read.parquet(path).where($"k".between(120, 180))
+      .select("id", "k", "v", "payload").collect().toSet
+    assert(pruned == full && pruned.nonEmpty)
+    // each append clusters independently, so the range still skips files
+    val narrow = ZoneMap.pruneStats(spark, path, ranges)
+    assert(narrow.selectedFiles < narrow.totalFiles)
+  }
+
+  test("appendClustered to an empty path is the initial write") {
+    val path = tmp("appendInit")
+    ZoneMap.appendClustered(data, path, Seq("k"), numFiles = 4)
+    val st = ZoneMap.pruneStats(spark, path,
+      Seq(ZoneMap.ZoneRange("k", 0L, 499L)))
+    assert(st.totalFiles == 4)
+    assert(spark.read.parquet(path).count() == data.count())
+  }
+
   test("disjoint range selects zero files and returns an empty, schema-true frame") {
     val path = tmp("empty")
     ZoneMap.writeClustered(data, path, Seq("k"), numFiles = 4)

@@ -90,6 +90,30 @@ class AnnIngestSpec extends SparkTestBase {
     assert(fromStore == direct && fromStore.nonEmpty)
   }
 
+  test("compactPartitioned bounds files per list and preserves the store exactly") {
+    val storeP = tmp("compact") + "/store"
+    // three refreshes -> up to three files per list directory
+    Seq(0L -> 70L, 70L -> 140L, 140L -> 200L).foreach { case (lo, hi) =>
+      AnnIngest.processBatch(all.where($"vid" >= lo && $"vid" < hi),
+        "vid", "emb", model, storeP)
+    }
+    def content() = AnnIngest.loadStore(spark, storeP, "vid", "emb")
+      .select($"vid", $"emb", $"list").as[(Long, Array[Float], Int)]
+      .collect().map(t => (t._1, t._2.toSeq, t._3)).toSet
+    def filesPerList(): Map[String, Int] = {
+      val root = new java.io.File(storeP)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("list="))
+        .map(d => d.getName ->
+          d.listFiles().count(f => f.getName.endsWith(".parquet"))).toMap
+    }
+    val before = content()
+    assert(filesPerList().values.max > 1, "refreshes should fragment the store")
+    StoreMaintenance.compactPartitioned(spark, storeP, "list")
+    assert(content() == before)
+    assert(filesPerList().values.max == 1,
+      s"compaction should leave one file per list: ${filesPerList()}")
+  }
+
   test("null vectors quarantine to list=-1 and are probed by no query") {
     val storeP = tmp("nulls") + "/store"
     val withNull = all.select($"vid",

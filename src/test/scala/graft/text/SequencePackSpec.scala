@@ -63,4 +63,21 @@ class SequencePackSpec extends SparkTestBase {
     assert(r._1 == 3L)
     assert(r._2 == "mail <EMAIL> then <IP> call <PHONE> not 99-9-9")
   }
+
+  test("Luhn card detection: checksum separates real cards from 16-digit ids") {
+    val d = Seq(
+      // 4111111111111111 and 5500005555555559 are Luhn-valid test numbers
+      (1L, "pay 4111-1111-1111-1111 now"),
+      (2L, "ref 4111 1111 1111 1112 is an order id"), // checksum fails
+      (3L, "two: 4111111111111111 and 5500 0055 5555 5559"),
+      (4L, "no digits here"),
+      (5L, "short 4111-1111 run")).toDF("id", "t")
+    val got = d.select(col("id"), TextFunctions.ccCount(col("t")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 1, 2L -> 0, 3L -> 2, 4L -> 0, 5L -> 0))
+    // redaction is conservative: the non-Luhn shape is also rewritten
+    val red = d.where(col("id") === 2)
+      .select(TextFunctions.redactCc(col("t"))).as[String].head()
+    assert(red == "ref <CARD> is an order id")
+  }
 }
