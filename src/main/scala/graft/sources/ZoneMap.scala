@@ -117,6 +117,11 @@ object ZoneMap {
     * `_zonemap` manifest. Caller owns `path` (overwritten). */
   def writeClustered(df: DataFrame, path: String, cols: Seq[String],
                      numFiles: Int, hilbertPair: Boolean = false): Unit = {
+    // empty writes produce no part files (nothing for the manifest scan to
+    // read) and the Hilbert bounds aggregate returns nulls — fail loudly;
+    // the one limit-1 probe is noise next to the layout shuffle
+    require(!df.isEmpty, "ZoneMap.writeClustered: empty input " +
+      "(appendClustered treats an empty batch as a no-op)")
     clustered(df, cols, numFiles, hilbertPair)
       .write.mode("overwrite").parquet(path)
     // manifest: one column-pruned scan of what was just written
@@ -142,6 +147,7 @@ object ZoneMap {
     * to pruned reads; re-run [[writeClustered]] to heal). */
   def appendClustered(df: DataFrame, path: String, cols: Seq[String],
                       numFiles: Int, hilbertPair: Boolean = false): Unit = {
+    if (df.isEmpty) return // idle microbatch: nothing to append
     val spark = df.sparkSession
     val before = dataFiles(spark, path)
     if (before.isEmpty) return writeClustered(df, path, cols, numFiles, hilbertPair)

@@ -527,4 +527,39 @@ class PlanHealthSpec extends SparkTestBase {
       s"per-iteration shuffle ${marginal / 1e6}%.1f MB vs one-iteration " +
         s"total ${w1 / 1e6} MB — the static edge relation is re-shuffling")
   }
+
+  test("corpus diff is one id-keyed join — no fallback joins, no extra shuffles") {
+    val df = Queries.qCorpusDiff(spark, dir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "diff should be a keyed equi-join")
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = df.queryExecution.executedPlan
+    val plans = root +: root.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+    val shuffles = plans.flatMap(_.collect { case s: ShuffleExchangeExec => s })
+    assert(shuffles.length <= 2,
+      s"status derivation added shuffles beyond the join's own: ${shuffles.length}")
+  }
+
+  test("pruned zone-map read pushes the residual range into the kept files") {
+    import graft.sources.ZoneMap, ZoneMap.ZoneRange
+    import org.apache.spark.sql.functions.col
+    Queries.qLayoutPrune(spark, dir).count() // builds the per-dir store
+    // sf0.001's user domain is 0..14 — the gate's 30..44 range legitimately
+    // selects ZERO files there (constant-folded empty plan), so the pin
+    // reads an in-domain range off the same store
+    val store = s"/root/repo/target/graft_zonemap/sf0.001/range"
+    val df = ZoneMap.readPruned(spark, store, Seq(ZoneRange("user_id", 3L, 7L)))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val sc = scans(df)
+    assert(sc.nonEmpty, "expected a parquet scan over the kept files")
+    val pushed = sc.map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(user_id,3)") &&
+      pushed.contains("LessThanOrEqual(user_id,7)"),
+      s"residual BETWEEN should reach the parquet scan, got: $pushed")
+    assert(sc.flatMap(_.schema.fieldNames).toSet ==
+      Set("event_id", "user_id", "event_type", "value"),
+      "pruned read should column-prune to the projection")
+  }
 }

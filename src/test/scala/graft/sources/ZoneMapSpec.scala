@@ -94,6 +94,20 @@ class ZoneMapSpec extends SparkTestBase {
     assert(narrow.selectedFiles < narrow.totalFiles)
   }
 
+  test("empty inputs: write fails loudly, append is a no-op") {
+    val path = tmp("emptyIn")
+    val none = data.where($"id" < 0)
+    intercept[IllegalArgumentException] {
+      ZoneMap.writeClustered(none, path, Seq("k"), numFiles = 4)
+    }
+    ZoneMap.writeClustered(data.where($"id" < 100), path, Seq("k"), numFiles = 2)
+    ZoneMap.appendClustered(none, path, Seq("k"), numFiles = 2) // no-op
+    assert(spark.read.parquet(path).count() == 100)
+    val st = ZoneMap.pruneStats(spark, path,
+      Seq(ZoneMap.ZoneRange("k", Long.MinValue, Long.MaxValue)))
+    assert(st.totalFiles == 2)
+  }
+
   test("appendClustered to an empty path is the initial write") {
     val path = tmp("appendInit")
     ZoneMap.appendClustered(data, path, Seq("k"), numFiles = 4)
