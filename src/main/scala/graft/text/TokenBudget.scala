@@ -46,4 +46,27 @@ object TokenBudget {
       .where(col("tokens_before") < col("__budget"))
       .drop("__budget")
   }
+
+  /** Temperature-flattened per-source budgets (the multilingual-mixture
+    * policy: share_i ∝ count_i^alpha, alpha = 1/T ∈ (0, 1]): alpha = 1
+    * keeps natural proportions, alpha → 0 approaches uniform, the standard
+    * knob for keeping low-resource sources represented. A derived budget
+    * is capped at the source's actual token count (can't sample what isn't
+    * there) with the shortfall NOT redistributed — deterministic and
+    * predictable beats squeezing out the last token; callers wanting
+    * redistribution iterate. Policy derivation (driver arithmetic over
+    * #sources entries, like QualityFilter.calibrate) — feed the result to
+    * [[sampleToBudget]], which stays the gated operator. */
+  def temperatureBudgets(counts: Map[String, Long], totalBudget: Long,
+                         alpha: Double): Map[String, Long] = {
+    require(counts.nonEmpty, "temperatureBudgets: no sources")
+    require(counts.values.forall(_ > 0), "temperatureBudgets: counts must be > 0")
+    require(alpha > 0 && alpha <= 1, s"temperatureBudgets: alpha in (0,1], got $alpha")
+    require(totalBudget > 0, "temperatureBudgets: totalBudget must be > 0")
+    val weights = counts.map { case (s, c) => s -> math.pow(c.toDouble, alpha) }
+    val z = weights.values.sum
+    counts.map { case (s, c) =>
+      s -> math.min(math.floor(weights(s) / z * totalBudget).toLong max 1L, c)
+    }
+  }
 }

@@ -171,4 +171,25 @@ class CurationSpec extends SparkTestBase {
     assert(rel.columns.toSeq == d.columns.toSeq,
       "anti-join must preserve the original projection")
   }
+
+  test("temperature budgets: alpha=1 is proportional, alpha->0 flattens, caps bind") {
+    val counts = Map("big" -> 900L, "mid" -> 90L, "small" -> 10L)
+    val prop = TokenBudget.temperatureBudgets(counts, 1000L, alpha = 1.0)
+    assert(prop("big") == 900L && prop("mid") == 90L && prop("small") == 10L)
+    val flat = TokenBudget.temperatureBudgets(counts, 300L, alpha = 0.3)
+    // flattening: small's share grows, big's shrinks, order preserved
+    assert(flat("small").toDouble / counts("small") >
+           flat("big").toDouble / counts("big"),
+      s"alpha<1 should over-sample the small source: $flat")
+    assert(flat("big") > flat("mid") && flat("mid") > flat("small"))
+    // a budget can never exceed the source's own token count
+    val capped = TokenBudget.temperatureBudgets(counts, 100000L, alpha = 0.5)
+    assert(capped.forall { case (s, b) => b <= counts(s) })
+    // every source keeps at least one token (floor-to-1)
+    val tiny = TokenBudget.temperatureBudgets(counts, 3L, alpha = 1.0)
+    assert(tiny.values.forall(_ >= 1L))
+    intercept[IllegalArgumentException] {
+      TokenBudget.temperatureBudgets(counts, 1000L, alpha = 1.5)
+    }
+  }
 }
