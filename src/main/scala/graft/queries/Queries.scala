@@ -4955,6 +4955,71 @@ object Queries {
        |FROM t""".stripMargin
   }
 
+  /** robots.txt politeness filter ([[graft.text.Robots]]): every host
+    * (documents.source) gets a deterministic robots.txt from one of four
+    * classes — plain `*` rules with wildcards, a graftbot-specific record
+    * that shadows `*`, a rule-free graftbot record at EOF (explicit
+    * allow-all), or no robots at all — and every document becomes a URL
+    * exercising a distinct match branch (literal prefix, longer-allow
+    * override, mid-pattern `*`, `$` end anchor, query-string escape,
+    * case-sensitive path, unmatched). The compiled rule relation is
+    * checkpointed ([[writeOracleAux]]); the oracle replays the
+    * longest-match/allow-wins resolution as a LIKE-join + window — the
+    * rank arithmetic and LIKE patterns are the same bytes on both
+    * engines. Parse semantics (RFC 9309 record adjacency, comment strip,
+    * group selection) are spec-pinned in RobotsSpec. */
+  def qRobots(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Robots
+    val docs = table(spark, dir, "documents")
+    val base =
+      "# corpus robots\nUser-agent: *\nDisallow: /private/\n" +
+      "Allow: /private/pub\nDisallow: /*.php$\nDisallow:\nCrawl-delay: 5\n"
+    val i = expr("CAST(substring(host, 4) AS INT)")
+    val robots = docs.select(col("source").as("host")).distinct()
+      .where(i % 4 =!= 3) // every 4th host publishes no robots.txt
+      .withColumn("text", when(i % 4 === 1,
+          lit("User-agent: GraftBot\nDisallow: /beta/\nAllow: /beta/open/\n" +
+            base))
+        .when(i % 4 === 2, lit(base + "User-agent: graftbot\n"))
+        .otherwise(lit(base)))
+    val rules = writeOracleAux(
+      Robots.parseRules(robots, "host", "text", "graftbot"),
+      dir, "robots_rules")
+    val id = col("doc_id").cast("string")
+    val path = (col("doc_id") % 8)
+    val urls = docs.select(col("doc_id"), col("source").as("host"),
+      when(path === 0, concat(lit("/private/doc"), id))
+        .when(path === 1, concat(lit("/private/pub/doc"), id))
+        .when(path === 2, concat(lit("/page"), id, lit(".php")))
+        .when(path === 3, concat(lit("/page"), id, lit(".php?x=1")))
+        .when(path === 4, concat(lit("/beta/doc"), id))
+        .when(path === 5, concat(lit("/beta/open/doc"), id))
+        .when(path === 6, concat(lit("/docs/doc"), id))
+        .otherwise(concat(lit("/PRIVATE/doc"), id)).as("path"))
+    Robots.annotateAllowed(urls, "host", "path", rules)
+      .select(col("doc_id"), col("host"), col("path"), col("robots_allowed"))
+  }
+
+  val qRobotsSql: String =
+    s"""WITH u AS (SELECT doc_id, source AS host,
+       |  CASE doc_id % 8
+       |    WHEN 0 THEN '/private/doc' || doc_id
+       |    WHEN 1 THEN '/private/pub/doc' || doc_id
+       |    WHEN 2 THEN '/page' || doc_id || '.php'
+       |    WHEN 3 THEN '/page' || doc_id || '.php?x=1'
+       |    WHEN 4 THEN '/beta/doc' || doc_id
+       |    WHEN 5 THEN '/beta/open/doc' || doc_id
+       |    WHEN 6 THEN '/docs/doc' || doc_id
+       |    ELSE '/PRIVATE/doc' || doc_id END AS path
+       | FROM documents),
+       |m AS (SELECT u.doc_id, u.host, u.path, r.rule,
+       |  row_number() OVER (PARTITION BY u.doc_id ORDER BY r.rank DESC) AS rn
+       | FROM u LEFT JOIN ${auxSql("robots_rules")} r
+       |   ON u.host = r.host AND u.path LIKE r.like_pat ESCAPE '\\')
+       |SELECT doc_id, host, path,
+       | coalesce(rule = 'allow', true) AS robots_allowed
+       |FROM m WHERE rn = 1""".stripMargin
+
   val qCorpusDiffSql: String =
     """WITH o AS (SELECT doc_id, text FROM documents),
       |nw AS (SELECT doc_id,

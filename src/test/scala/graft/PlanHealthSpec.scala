@@ -562,4 +562,18 @@ class PlanHealthSpec extends SparkTestBase {
       Set("event_id", "user_id", "event_type", "value"),
       "pruned read should column-prune to the projection")
   }
+
+  test("robots annotation broadcasts the rule sets — the URL table never shuffles") {
+    val df = Queries.qRobots(spark, dir)
+    df.count()
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val root = df.queryExecution.executedPlan
+    val plans = root +: root.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+    assert(plans.flatMap(_.collect { case b: BroadcastHashJoinExec => b }).nonEmpty,
+      "rule-set join must be a broadcast hash join")
+    val plan = plans.map(_.toString).mkString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      "the corpus side must not shuffle for the robots match")
+  }
 }
