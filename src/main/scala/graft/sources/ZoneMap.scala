@@ -160,6 +160,55 @@ object ZoneMap {
         .write.mode("append").parquet(s"$path/$ManifestDir")
   }
 
+  final case class OptimizeStats(filesBefore: Int, filesAfter: Int)
+
+  /** Re-cluster the whole store back into ~`numFiles` globally-clustered
+    * files — the OPTIMIZE half of the append lifecycle: appended batches
+    * each cover their own key span, so pruning dilutes as batches
+    * accumulate; a periodic optimize restores one global clustering.
+    * Reads EVERY data file in the root (manifested or not — a crashed
+    * append's unmanifested files are absorbed, healing the documented
+    * appendClustered crash window), writes the new layout beside the
+    * store, then swaps in pruned-read-safe order: (1) new files rename
+    * into the root, (2) the manifest is rewritten to cover exactly the
+    * new files, (3) old files delete. A crash before (2) leaves the old
+    * manifest governing — pruned reads still serve the pre-optimize
+    * store; a crash before (3) leaves orphan old files that pruned reads
+    * never touch (re-run optimize to reclaim). Pruned reads are correct
+    * at every step; plain directory reads are not (the store's contract
+    * is manifest-driven access). Offline maintenance — not safe
+    * concurrent with appends, the [[graft.streaming.StoreMaintenance]]
+    * discipline. */
+  def optimize(spark: SparkSession, path: String, cols: Seq[String],
+               numFiles: Int, hilbertPair: Boolean = false): OptimizeStats = {
+    val before = dataFiles(spark, path)
+    require(before.nonEmpty, s"ZoneMap.optimize: no data files under $path")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path, "_zm_opt_tmp")
+    fs.delete(tmp, true)
+    clustered(spark.read.parquet(before.toSeq: _*), cols, numFiles, hilbertPair)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // (1) move the new part files into the root (names are UUID-fresh —
+    // no collision with the old generation)
+    val parts = fs.listStatus(tmp).toSeq.filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    val moved = parts.map { s =>
+      val dst = new org.apache.hadoop.fs.Path(p, s.getPath.getName)
+      require(fs.rename(s.getPath, dst),
+        s"ZoneMap.optimize: rename failed for ${s.getPath}")
+      dst.toString
+    }
+    fs.delete(tmp, true)
+    // (2) manifest rewrite over exactly the moved files
+    manifestRows(spark, moved, cols)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/$ManifestDir")
+    // (3) old generation deletes
+    before.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    OptimizeStats(before.size, moved.size)
+  }
+
   /** Files whose zone ranges intersect EVERY query range (conjunctive),
     * plus the total file count. The manifest is one row per file — the
     * collect is bounded by file count, never by data volume. */

@@ -117,6 +117,70 @@ class ZoneMapSpec extends SparkTestBase {
     assert(spark.read.parquet(path).count() == data.count())
   }
 
+  test("optimize: re-clusters a fragmented store, restores pruning, keeps bits") {
+    val path = tmp("optimize")
+    // three overlapping-span appends: every batch covers the whole k
+    // domain, so a narrow range must touch a file from each batch
+    ZoneMap.writeClustered(data.where($"id" % 3 === 0), path, Seq("k"), numFiles = 4)
+    ZoneMap.appendClustered(data.where($"id" % 3 === 1), path, Seq("k"), numFiles = 4)
+    ZoneMap.appendClustered(data.where($"id" % 3 === 2), path, Seq("k"), numFiles = 4)
+    val ranges = Seq(ZoneRange("k", 120L, 180L))
+    val before = ZoneMap.readPruned(spark, path, ranges)
+      .select("id", "k", "v", "payload").collect().toSet
+    val fragmented = ZoneMap.pruneStats(spark, path, ranges)
+    assert(fragmented.totalFiles == 12 && fragmented.selectedFiles >= 3,
+      s"overlapping appends should dilute pruning: $fragmented")
+    val st = ZoneMap.optimize(spark, path, Seq("k"), numFiles = 4)
+    assert(st.filesBefore == 12 && st.filesAfter <= 4, s"unexpected $st")
+    // bit-parity with the pre-optimize pruned read
+    val after = ZoneMap.readPruned(spark, path, ranges)
+      .select("id", "k", "v", "payload").collect().toSet
+    assert(after == before && after.nonEmpty)
+    // global clustering restored: the narrow range now touches one file
+    val opt = ZoneMap.pruneStats(spark, path, ranges)
+    // ~125 k-units per file: a 61-unit range touches at most 2 adjacent
+    // files (boundary straddle), strictly fewer than the fragmented store
+    assert(opt.totalFiles == st.filesAfter && opt.selectedFiles <= 2 &&
+      opt.selectedFiles < fragmented.selectedFiles,
+      s"optimize should restore near-single-file pruning: $opt")
+    // no stale generation left behind
+    assert(spark.read.parquet(path).count() == data.count())
+  }
+
+  test("optimize absorbs unmanifested files (the append crash window heals)") {
+    val path = tmp("optimizeHeal")
+    ZoneMap.writeClustered(data.where($"id" < 9000), path, Seq("k"), numFiles = 4)
+    // simulate a crashed append: data files land, manifest rows don't
+    data.where($"id" >= 9000).coalesce(1).write.mode("append").parquet(path)
+    val all = Seq(ZoneRange("k", Long.MinValue, Long.MaxValue))
+    assert(ZoneMap.readPruned(spark, path, all).count() < data.count(),
+      "unmanifested files must be invisible to pruned reads")
+    ZoneMap.optimize(spark, path, Seq("k"), numFiles = 4)
+    assert(ZoneMap.readPruned(spark, path, all).count() ==
+      data.where($"k".isNotNull).count(),
+      "optimize must fold unmanifested rows back into the governed store")
+    intercept[IllegalArgumentException] {
+      ZoneMap.optimize(spark, tmp("optimizeNone"), Seq("k"), numFiles = 4)
+    }
+  }
+
+  test("optimize keeps hilbert-pair stores prunable on both dimensions") {
+    val path = tmp("optimizeHc")
+    ZoneMap.writeClustered(data.where($"id" < 5000), path, Seq("k", "v"),
+      numFiles = 8, hilbertPair = true)
+    ZoneMap.appendClustered(data.where($"id" >= 5000), path, Seq("k", "v"),
+      numFiles = 8, hilbertPair = true)
+    ZoneMap.optimize(spark, path, Seq("k", "v"), numFiles = 8, hilbertPair = true)
+    val byK = ZoneMap.pruneStats(spark, path, Seq(ZoneRange("k", 0L, 50L)))
+    val byV = ZoneMap.pruneStats(spark, path, Seq(ZoneRange("v", 0.0, 100.0)))
+    assert(byK.selectedFiles < byK.totalFiles, s"k should prune: $byK")
+    assert(byV.selectedFiles < byV.totalFiles, s"v should prune: $byV")
+    val got = ZoneMap.readPruned(spark, path, Seq(ZoneRange("k", 0L, 50L)))
+      .agg(sum($"id")).head().getLong(0)
+    val want = data.where($"k".between(0, 50)).agg(sum($"id")).head().getLong(0)
+    assert(got == want)
+  }
+
   test("disjoint range selects zero files and returns an empty, schema-true frame") {
     val path = tmp("empty")
     ZoneMap.writeClustered(data, path, Seq("k"), numFiles = 4)
