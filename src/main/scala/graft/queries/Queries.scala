@@ -1655,6 +1655,41 @@ object Queries {
       |SELECT doc_id, source, tokens_before FROM r
       |WHERE tokens_before < budget""".stripMargin
 
+  /** Upsampling mixture epoch ([[graft.text.TokenBudget.upsampleToBudget]],
+    * the low-resource half of temperature mixing): budgets past a source's
+    * token volume repeat whole epochs (scan-local explode) and fill the
+    * remainder from a partial epoch in the same key-hash order as
+    * [[qTokenBudget]]. At sf0.01 src3 gets ~2.6 epochs, src7 ~1.1, src14
+    * stays sub-epoch — full-epoch replication, exact-multiple remainder
+    * arithmetic, and the floors-semantics partial are all exercised. Pure
+    * integer arithmetic; the oracle re-derives per-source totals, the
+    * div/mod epoch split, and the exclusive running sum. */
+  def qTokenUpsample(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TokenBudget.upsampleToBudget(
+        table(spark, dir, "documents"), "source", "doc_id", "n_chars",
+        Map("src3" -> 20000L, "src7" -> 9000L, "src14" -> 2500L))
+      .select(col("doc_id"), col("source"), col("epoch"))
+
+  val qTokenUpsampleSql: String =
+    """WITH e AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS tot,
+      |  CAST(CASE source WHEN 'src3' THEN 20000 WHEN 'src7' THEN 9000
+      |    WHEN 'src14' THEN 2500 END AS BIGINT) AS budget
+      |  FROM documents WHERE source IN ('src3', 'src7', 'src14') GROUP BY 1),
+      |whole AS (SELECT d.doc_id, d.source,
+      |  CAST(unnest(generate_series(0, e.budget // e.tot - 1)) AS BIGINT)
+      |    AS epoch
+      |  FROM documents d JOIN e USING (source)),
+      |p AS (SELECT d.doc_id, d.source, e.budget // e.tot AS epoch,
+      |  e.budget % e.tot AS rem,
+      |  CAST(coalesce(sum(d.n_chars) OVER (PARTITION BY d.source
+      |    ORDER BY (d.doc_id * 2654435761) % 4294967296, d.doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |    AS tb
+      |  FROM documents d JOIN e USING (source) WHERE e.budget % e.tot > 0)
+      |SELECT doc_id, source, epoch FROM whole
+      |UNION ALL
+      |SELECT doc_id, source, epoch FROM p WHERE tb < rem""".stripMargin
+
   /** FULL curation pipeline end-to-end, raw crawl shape to training-ready
     * organization: HTML wrap → [[graft.functions.StripHtml]] → Gopher
     * quality rules on the STRIPPED text → exact dedup (first-id wins) →

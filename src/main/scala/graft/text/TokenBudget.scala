@@ -47,6 +47,55 @@ object TokenBudget {
       .drop("__budget")
   }
 
+  /** Build a mixture epoch where budgets may EXCEED a source's token
+    * total — the low-resource half of temperature mixing ([[
+    * temperatureBudgets]] with the cap lifted): each source repeats
+    * whole-corpus epochs `budget div total` times, then the remainder
+    * fills from a partial epoch in the same key-hash order (crossing
+    * document kept — [[sampleToBudget]] floors semantics). Adds `epoch`
+    * (0-based; the partial epoch is the last index). Deterministic,
+    * retry-stable, exact integer arithmetic end to end.
+    *
+    * Shape: the per-source totals are ONE partial-aggregated pass
+    * collected as #sources rows (the calibrate convention); whole epochs
+    * are a scan-local `explode(sequence(...))` — no shuffle, replication
+    * bounded by `maxEpochs`; only the remainder pays the running-sum
+    * window, over the metadata relation like [[sampleToBudget]]. */
+  def upsampleToBudget(df: DataFrame, srcCol: String, idCol: String,
+                       tokenCol: String, budgets: Map[String, Long],
+                       maxEpochs: Int = 100): DataFrame = {
+    require(budgets.nonEmpty, "upsampleToBudget: no budgets")
+    require(budgets.values.forall(_ > 0), "upsampleToBudget: budgets must be > 0")
+    val totals = df.where(col(srcCol).isInCollection(budgets.keys.toSeq))
+      .groupBy(col(srcCol)).agg(sum(col(tokenCol)).cast("long").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (s, t) =>
+      require(t > 0, s"upsampleToBudget: source '$s' has no tokens") }
+    // budgeted sources absent from the corpus contribute nothing
+    val present = budgets.filter { case (s, _) => totals.contains(s) }
+    val epochsOf = present.map { case (s, b) => s -> b / totals(s) }
+    epochsOf.foreach { case (s, e) =>
+      require(e <= maxEpochs, s"upsampleToBudget: source '$s' needs $e " +
+        s"epochs (> maxEpochs=$maxEpochs) — a budget this far past the " +
+        "source's volume is usually a unit mistake") }
+    val remOf = present.map { case (s, b) => s -> b % totals(s) }
+      .filter(_._2 > 0)
+    def litMap(m: Map[String, Long]) = m.foldLeft(lit(null).cast("long")) {
+      case (acc, (s, v)) => when(col(srcCol) === s, lit(v)).otherwise(acc)
+    }
+    val whole = df.withColumn("__e", litMap(epochsOf.filter(_._2 > 0)))
+      .where(col("__e").isNotNull)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__e") - 1)))
+      .drop("__e")
+    if (remOf.isEmpty) whole
+    else {
+      val partial = sampleToBudget(df, srcCol, idCol, tokenCol, remOf)
+        .drop("tokens_before")
+        .withColumn("epoch", litMap(epochsOf))
+      whole.unionByName(partial)
+    }
+  }
+
   /** Temperature-flattened per-source budgets (the multilingual-mixture
     * policy: share_i ∝ count_i^alpha, alpha = 1/T ∈ (0, 1]): alpha = 1
     * keeps natural proportions, alpha → 0 approaches uniform, the standard

@@ -172,6 +172,47 @@ class CurationSpec extends SparkTestBase {
       "anti-join must preserve the original projection")
   }
 
+  test("upsample to budget: whole epochs + floors-semantics partial epoch") {
+    import spark.implicits._
+    // source A: 3 docs of 10 tokens (total 30); B: 2 docs of 5 (total 10)
+    val df = Seq((1L, "A", 10L), (2L, "A", 10L), (3L, "A", 10L),
+      (10L, "B", 5L), (11L, "B", 5L), (20L, "C", 7L))
+      .toDF("id", "src", "tok")
+    // A: 75 = 2 full epochs + 15-token partial; B: 10 = exactly 1 epoch
+    val out = TokenBudget.upsampleToBudget(df, "src", "id", "tok",
+      Map("A" -> 75L, "B" -> 10L))
+    val a = out.where($"src" === "A").select("id", "epoch")
+      .as[(Long, Long)].collect()
+    assert(a.count(_._2 == 0L) == 3 && a.count(_._2 == 1L) == 3,
+      s"two full A epochs expected: ${a.toSeq.sorted}")
+    // partial epoch: 15-token budget over 10-token docs keeps the first
+    // two in key-hash order (crossing doc kept)
+    val partialIds = a.filter(_._2 == 2L).map(_._1).toSeq.sorted
+    val expect = TokenBudget.sampleToBudget(df, "src", "id", "tok",
+        Map("A" -> 15L)).select("id").as[Long].collect().sorted.toSeq
+    assert(partialIds == expect && partialIds.length == 2)
+    // B: exact multiple — one full epoch, no partial
+    val b = out.where($"src" === "B").select("epoch").as[Long].collect()
+    assert(b.toSeq == Seq(0L, 0L))
+    // unbudgeted source dropped entirely
+    assert(out.where($"src" === "C").isEmpty)
+    // deterministic under repartition
+    val again = TokenBudget.upsampleToBudget(df.repartition(7), "src", "id",
+      "tok", Map("A" -> 75L, "B" -> 10L))
+    assert(again.select("id", "src", "epoch").collect().toSet ==
+      out.select("id", "src", "epoch").collect().toSet)
+    // budget below one epoch degenerates to sampleToBudget at epoch 0
+    val small = TokenBudget.upsampleToBudget(df, "src", "id", "tok",
+      Map("A" -> 15L))
+    assert(small.select("id").as[Long].collect().sorted.toSeq == expect)
+    assert(small.select("epoch").as[Long].collect().toSet == Set(0L))
+    // runaway-epoch guard
+    intercept[IllegalArgumentException] {
+      TokenBudget.upsampleToBudget(df, "src", "id", "tok",
+        Map("A" -> 100000L), maxEpochs = 100)
+    }
+  }
+
   test("temperature budgets: alpha=1 is proportional, alpha->0 flattens, caps bind") {
     val counts = Map("big" -> 900L, "mid" -> 90L, "small" -> 10L)
     val prop = TokenBudget.temperatureBudgets(counts, 1000L, alpha = 1.0)
