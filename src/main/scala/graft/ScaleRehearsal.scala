@@ -592,6 +592,60 @@ object ScaleRehearsal {
       spark.stop(); return
     }
 
+    // -------------- robots politeness filter at 100x (5M URLs, 10k hosts)
+    // parse is explode + one per-file window (10k files x ~12 lines);
+    // the match is ONE broadcast of the folded rule sets + a scan-local
+    // pass over the URL corpus — shuffleR/W for the annotate step should
+    // be ~zero. One mega-host carries 1000 rules to bound the worst-case
+    // per-row array walk.
+    if (mode == "robots") {
+      import graft.text.Robots
+      val nUrls = 5000000L
+      val nHosts = 10000L
+      val robots = timed("robots_gen[10k hosts]") {
+        val body = concat(
+          lit("# rules\nUser-agent: graftbot\nDisallow: /beta/\n" +
+            "Allow: /beta/open/\nUser-agent: *\nDisallow: /private/\n" +
+            "Allow: /private/pub\nDisallow: /*.tmp$\nDisallow: /cgi-bin/\n" +
+            "Crawl-delay: 2\nDisallow: /x"),
+          col("id").cast("string"), lit("/\n"))
+        val mega = concat_ws("", lit("User-agent: *\n"),
+          concat_ws("\n", transform(sequence(lit(0), lit(999)),
+            i => concat(lit("Disallow: /deep/"), i, lit("/")))), lit("\n"))
+        // only every third host defines the graftbot record, so the star
+        // rules genuinely engage on the rest (named records shadow them)
+        val starOnly = lit("User-agent: *\nDisallow: /private/\n" +
+          "Allow: /private/pub\nDisallow: /*.tmp$\nDisallow: /cgi-bin/\n")
+        val r = spark.range(nHosts).select(
+          concat(lit("h"), col("id")).as("host"),
+          when(col("id") === 0, mega)
+            .when(col("id") % 3 === 0, body)
+            .otherwise(starOnly).as("text"))
+        r.write.mode("overwrite").parquet(s"$dir/robots")
+        spark.read.parquet(s"$dir/robots")
+      }
+      val rules = timed("robots_parse[10k hosts]") {
+        val r = Robots.parseRules(robots, "host", "text", "graftbot").persist()
+        println(s"[scale]   -> ${r.count()} compiled rules")
+        r
+      }
+      val urls = spark.range(nUrls).select(col("id"),
+        concat(lit("h"), pmod(col("id") * 31L, lit(nHosts))).as("host"),
+        when(col("id") % 5 === 0, concat(lit("/private/doc"), col("id")))
+          .when(col("id") % 5 === 1, concat(lit("/beta/doc"), col("id")))
+          .when(col("id") % 5 === 2, concat(lit("/deep/"),
+            pmod(col("id"), lit(1500L)), lit("/f")))
+          .when(col("id") % 5 === 3, concat(lit("/tmp/f"), col("id"),
+            lit(".tmp")))
+          .otherwise(concat(lit("/docs/doc"), col("id"))).as("path"))
+      val verdictCounts = timed("robots_annotate[5M urls]") {
+        Robots.annotateAllowed(urls, "host", "path", rules)
+          .groupBy("robots_allowed").count().collect().toSeq
+      }
+      println(s"[scale]   -> $verdictCounts")
+      spark.stop(); return
+    }
+
     // -------------- in-context pretraining layout at 100x (2M vectors)
     // centroid assignment (one broadcast scan) + per-cell greedy chains;
     // nlist sized so cells ≈ maxChain (the 100 TB knob). Uses the 2M-vec
