@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.sources.WarcSource
-import graft.text.UrlCurate
+import graft.text.{Robots, UrlCurate}
 
 /** Streaming crawl ingestion — the Structured Streaming twin of the
   * batch crawl front door (WARC → URL canonicalize/dedup → HTML strip,
@@ -54,7 +54,8 @@ object WarcIngest {
     * (url, url_canon, text). */
   def processBatch(spark: SparkSession, warcPaths: Seq[String],
                    outPath: String, seenPath: String,
-                   lenient: Boolean = true): Unit = {
+                   lenient: Boolean = true,
+                   robotsRules: Option[DataFrame] = None): Unit = {
     if (warcPaths.isEmpty) return
     val pages = WarcSource.readFiles(spark, warcPaths, lenient).toDF()
       .where(col("record_type") === "response" && col("http_status") === 200)
@@ -71,8 +72,20 @@ object WarcIngest {
     val deduped = UrlCurate.dedupByUrl(pages, "url", "__ord")
       .where(col("url_canon").isNotNull) // junk URLs don't enter a corpus
       .drop("__ord")
+    // politeness: robots verdicts on the CANONICAL url (host sans port,
+    // path+query), before the seen-store join pays for doomed rows; a
+    // disallowed page never reaches the corpus OR the seen store, so a
+    // later robots relaxation lets a re-crawl ingest it
+    val polite = robotsRules match {
+      case Some(rules) =>
+        Robots.filterAllowed(
+          deduped.withColumn("__rh", Robots.hostOf(col("url_canon")))
+            .withColumn("__rp", Robots.pathOf(col("url_canon"))),
+          "__rh", "__rp", rules).drop("__rh", "__rp")
+      case None => deduped
+    }
     // vs the accumulated store: canonical key anti-join (key-sized side)
-    val fresh = deduped.join(loadSeen(spark, seenPath),
+    val fresh = polite.join(loadSeen(spark, seenPath),
         Seq("url_canon"), "left_anti")
       .select(col("url"), col("url_canon"),
         graft.functions.strip_html(col("html")).as("text"))
@@ -87,7 +100,8 @@ object WarcIngest {
     * WARC path per streamed `value`; production:
     * `spark.readStream.text(manifestDir)`). */
   def start(manifest: DataFrame, outPath: String, seenPath: String,
-            checkpoint: String, lenient: Boolean = true): StreamingQuery =
+            checkpoint: String, lenient: Boolean = true,
+            robotsRules: Option[DataFrame] = None): StreamingQuery =
     manifest.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
@@ -95,7 +109,8 @@ object WarcIngest {
         val paths = batch.select(col("value").cast("string"))
           .collect().map(_.getString(0)).toSeq
           .map(_.trim).filter(_.nonEmpty)
-        processBatch(batch.sparkSession, paths, outPath, seenPath, lenient)
+        processBatch(batch.sparkSession, paths, outPath, seenPath, lenient,
+          robotsRules)
       }
       .start()
 }

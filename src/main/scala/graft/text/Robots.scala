@@ -138,6 +138,21 @@ object Robots {
       .drop("__rhost", "__rules", "__hit")
   }
 
+  /** Host of a canonical http(s) URL ([[UrlCurate.canonicalizeUrl]]
+    * output): authority up to the first `/`, explicit port dropped —
+    * robots.txt governs per host regardless of port spelling. */
+  def hostOf(urlCanon: Column): Column =
+    substring_index(substring_index(
+      substring_index(urlCanon, "://", -1), "/", 1), ":", 1)
+
+  /** Path+query of a canonical http(s) URL (`/` for a bare authority) —
+    * the string robots rules match against. */
+  def pathOf(urlCanon: Column): Column = {
+    val rest = substring_index(urlCanon, "://", -1)
+    when(instr(rest, "/") > 0,
+      rest.substr(instr(rest, "/"), length(rest))).otherwise(lit("/"))
+  }
+
   /** Keep only the fetchable rows (the filter form of
     * [[annotateAllowed]]; original projection preserved). */
   def filterAllowed(urls: DataFrame, hostCol: String, pathCol: String,

@@ -72,6 +72,37 @@ class WarcIngestSpec extends SparkTestBase {
       org.apache.spark.unsafe.types.UTF8String.fromString(expected)).toString))
   }
 
+  test("robots politeness: disallowed pages enter neither corpus nor seen store") {
+    import graft.text.Robots
+    val base = s"/root/repo/target/warc_ingest_${System.nanoTime()}"
+    val f = writeWarc(s"$base/w", Seq(
+      ("https://a.com/private/x", "<p>secret</p>"),
+      ("https://a.com/private/pub/ok", "<p>open enough</p>"),
+      ("https://a.com/docs/d", "<p>docs</p>"),
+      ("https://b.com:443/private/y", "<p>other host</p>"))) // no robots on b
+    val rules = Robots.parseRules(
+      Seq(("a.com", "User-agent: *\nDisallow: /private/\nAllow: /private/pub\n"))
+        .toDF("host", "text"), "host", "text", "graftbot")
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val q = WarcIngest.start(stream.toDF(), s"$base/out", s"$base/seen",
+      s"$base/ckpt", robotsRules = Some(rules))
+    try { stream.addData(f); q.processAllAvailable() } finally q.stop()
+    val got = spark.read.parquet(s"$base/out").select("url_canon")
+      .as[String].collect().toSet
+    // b.com's :443 canonicalizes away and, with no robots row, passes;
+    // a.com/private/x is the only disallowed page
+    assert(got == Set("https://a.com/private/pub/ok", "https://a.com/docs/d",
+      "https://b.com/private/y"))
+    assert(spark.read.parquet(s"$base/seen").as[String].collect().toSet == got,
+      "a disallowed page must not claim its canonical key either")
+    // batch twin under the same rules matches
+    WarcIngest.processBatch(spark, Seq(f), s"$base/out_b", s"$base/seen_b",
+      robotsRules = Some(rules))
+    assert(spark.read.parquet(s"$base/out_b").select("url_canon")
+      .as[String].collect().toSet == got)
+  }
+
   test("empty manifest batches and blank lines are no-ops") {
     val base = s"/root/repo/target/warc_ingest_${System.nanoTime()}"
     implicit val sqlCtx = spark.sqlContext
