@@ -4937,6 +4937,39 @@ object Queries {
     graft.ann.RetrievalEval.perQuery(res, truth, "qid", "nid", "rk")
   }
 
+  /** Hard-negative mining ([[graft.ann.HardNegatives]]): top-5 hardest
+    * negatives (most-similar cross-LABEL neighbors) per embedding, mined
+    * over probed IVF lists. The label-blind FP candidate relation is
+    * checkpointed ([[writeOracleAux]]); the oracle replays the operator's
+    * whole relational tail — the label-mismatch filter and the per-anchor
+    * (similarity desc, id asc) window — and the shipped score is
+    * floor(sim·1e6), the established bit-deterministic IEEE downstream.
+    * Exactness of the mining itself (single-list == brute, full-probe ==
+    * brute, null lanes) is spec-pinned in HardNegativesSpec. */
+  def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ann.{HardNegatives, IvfIndex}
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val model = IvfIndex.train(emb, "embedding", nlist = 8)
+    val aux = writeOracleAux(
+      HardNegatives.candidates(emb, "vec_id", "embedding", "label",
+        model, nprobe = 3),
+      dir, "hardneg_cand")
+    HardNegatives.fromCandidates(aux, k = 5)
+      .select(col("qid"), col("rank"), col("nid"),
+        floor(col("similarity") * 1e6).as("score_micro"))
+  }
+
+  val qHardNegativesSql: String =
+    s"""WITH c AS (SELECT * FROM ${auxSql("hardneg_cand")}),
+       |r AS (SELECT qid, nid, similarity,
+       |  row_number() OVER (PARTITION BY qid
+       |    ORDER BY similarity DESC, nid ASC) AS rank
+       |  FROM c WHERE qlabel <> nlabel)
+       |SELECT qid, rank, nid,
+       |  CAST(floor(similarity * 1e6) AS BIGINT) AS score_micro
+       |FROM r WHERE rank <= 5""".stripMargin
+
   val qRetrievalEvalSql: String =
     s"""WITH res AS (SELECT qid, nid, rk FROM ${auxSql("reval_results")}),
        |truth AS (SELECT q.vec_id AS qid, b.vec_id AS nid
