@@ -563,6 +563,37 @@ class PlanHealthSpec extends SparkTestBase {
       "pruned read should column-prune to the projection")
   }
 
+  test("hard-negative mining is one list-keyed join — no cartesian, no fallback") {
+    import graft.ann.{HardNegatives, IvfIndex}
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val model = IvfIndex.train(emb, "embedding", nlist = 4)
+    val df = HardNegatives.mine(emb, "vec_id", "embedding", "label", 3,
+      model, nprobe = 2)
+    df.count()
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = df.queryExecution.executedPlan
+    val plans = root +: root.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+    val plan = plans.map(_.toString).mkString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must stay a keyed equi-join on the list id")
+  }
+
+  test("upsampling epochs explode scan-locally — only the partial epoch windows") {
+    val df = Queries.qTokenUpsample(spark, dir)
+    df.count()
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = df.queryExecution.executedPlan
+    val plans = root +: root.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+    val shuffles = plans.flatMap(_.collect { case s: ShuffleExchangeExec => s })
+    // one shuffle for the remainder window; the whole-epoch branch is a
+    // scan-local explode (the totals pass is a separate collected job)
+    assert(shuffles.length <= 1,
+      s"whole-epoch replication must not shuffle: ${shuffles.length}")
+  }
+
   test("robots annotation broadcasts the rule sets — the URL table never shuffles") {
     val df = Queries.qRobots(spark, dir)
     df.count()
