@@ -38,12 +38,10 @@ object HardNegatives {
   def candidates(df: DataFrame, idCol: String, vecCol: String,
                  labelCol: String, model: IvfIndex.Model,
                  nprobe: Int): DataFrame = {
-    val anchors = IvfIndex.probeLists(
-        df.select(col(idCol), col(vecCol), col(labelCol)),
-        idCol, vecCol, model, nprobe)
-      .join(df.select(col(idCol), col(vecCol).as("__qv"),
-        col(labelCol).as("qlabel")), Seq(idCol))
-      .select(col(idCol).as("qid"), col("qlabel"), col("__qv"), col("list"))
+    val anchors = IvfIndex.withProbes(
+      df.select(col(idCol).as("qid"), col(vecCol).as("__qv"),
+        col(labelCol).as("qlabel")),
+      "__qv", model, nprobe, "list")
     val items = IvfIndex.withAssignment(
         df.select(col(idCol).as("nid"), col(vecCol).as("__nv"),
           col(labelCol).as("nlabel")), "__nv", model, "list")

@@ -185,16 +185,26 @@ object IvfIndex {
     withAssignment(items, itemVec, model, "list")
       .select(col(itemId), col("list"))
 
-  /** `(queryId, list)` probe relation: each query's `nprobe` nearest
-    * centroid lists, one row per probed list. */
-  def probeLists(queries: DataFrame, queryId: String, queryVec: String,
-                 model: Model, nprobe: Int): DataFrame = {
-    val bc = queries.sparkSession.sparkContext.broadcast(model)
+  /** Explode each row to its `nprobe` nearest centroid lists (`outCol`),
+    * KEEPING every other column — the payload-preserving sibling of
+    * [[probeLists]], for callers that would otherwise pay a corpus-sized
+    * id join to re-attach their columns. Null vectors probe nothing and
+    * drop. */
+  def withProbes(df: DataFrame, vecCol: String, model: Model, nprobe: Int,
+                 outCol: String): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(model)
     val probes = udf { (v: Seq[Float]) =>
       if (v == null) Array.empty[Int] else nearestCentroids(bc.value, v, nprobe)
     }
-    queries.select(col(queryId), explode(probes(col(queryVec))).as("list"))
+    df.withColumn(outCol, explode(probes(col(vecCol))))
   }
+
+  /** `(queryId, list)` probe relation: each query's `nprobe` nearest
+    * centroid lists, one row per probed list. */
+  def probeLists(queries: DataFrame, queryId: String, queryVec: String,
+                 model: Model, nprobe: Int): DataFrame =
+    withProbes(queries.select(col(queryId), col(queryVec)), queryVec,
+      model, nprobe, "list").select(col(queryId), col("list"))
 
   /** [[topK]] over precomputed [[assignments]] + [[probeLists]] relations —
     * the persisted-index read path (items/queries join their lists by id

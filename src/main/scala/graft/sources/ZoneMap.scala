@@ -149,6 +149,12 @@ object ZoneMap {
                       numFiles: Int, hilbertPair: Boolean = false): Unit = {
     if (df.isEmpty) return // idle microbatch: nothing to append
     val spark = df.sparkSession
+    val (mfs, mp) = hfs(spark, path)
+    // appending into a half-optimized store would hand recovery files it
+    // cannot classify (new data vs orphan generation) — refuse loudly
+    require(!mfs.exists(new org.apache.hadoop.fs.Path(mp, OptMarker)),
+      s"appendClustered: a crashed optimize is pending under $path — " +
+        "run ZoneMap.recoverOptimize first")
     val before = dataFiles(spark, path)
     if (before.isEmpty) return writeClustered(df, path, cols, numFiles, hilbertPair)
     clustered(df, cols, numFiles, hilbertPair)
@@ -162,6 +168,21 @@ object ZoneMap {
 
   final case class OptimizeStats(filesBefore: Int, filesAfter: Int)
 
+  private val OptMarker = "_zm_opt_inflight"
+  private val OptTmp = "_zm_opt_tmp"
+  private val ManifestTmp = "_zonemap_new"
+
+  private def hfs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** URI-normalized local path, so manifest `file` strings
+    * (input_file_name, `file:///...`) compare equal to FileSystem
+    * listings (`file:/...`). */
+  private def normPath(s: String): String =
+    new org.apache.hadoop.fs.Path(s).toUri.getPath
+
   /** Re-cluster the whole store back into ~`numFiles` globally-clustered
     * files — the OPTIMIZE half of the append lifecycle: appended batches
     * each cover their own key span, so pruning dilutes as batches
@@ -169,28 +190,38 @@ object ZoneMap {
     * Reads EVERY data file in the root (manifested or not — a crashed
     * append's unmanifested files are absorbed, healing the documented
     * appendClustered crash window), writes the new layout beside the
-    * store, then swaps in pruned-read-safe order: (1) new files rename
-    * into the root, (2) the manifest is rewritten to cover exactly the
-    * new files, (3) old files delete. A crash before (2) leaves the old
-    * manifest governing — pruned reads still serve the pre-optimize
-    * store; a crash before (3) leaves orphan old files that pruned reads
-    * never touch (re-run optimize to reclaim). Pruned reads are correct
-    * at every step; plain directory reads are not (the store's contract
-    * is manifest-driven access). Offline maintenance — not safe
-    * concurrent with appends, the [[graft.streaming.StoreMaintenance]]
-    * discipline. */
+    * store, then swaps under a crash protocol that keeps pruned reads
+    * correct at every step and re-runs duplicate-free:
+    *
+    *   marker up → cluster to a hidden tmp → new files rename into the
+    *   root → new manifest lands at `_zonemap_new` → old `_zonemap`
+    *   deletes → `_zonemap_new` renames over it → old data files delete
+    *   → marker down.
+    *
+    * A crash anywhere leaves the marker, and [[recoverOptimize]] (run
+    * automatically at the next optimize; [[appendClustered]] refuses
+    * while the marker is up) rolls the store to exactly one generation:
+    * forward when a complete `_zonemap_new` exists, back otherwise, then
+    * deletes every data file the surviving manifest does not reference —
+    * which is what makes a re-run after a crash duplicate-free (without
+    * the marker protocol, re-reading root files would absorb BOTH
+    * generations and double every row). Offline maintenance — not safe
+    * concurrent with appends or reads, the
+    * [[graft.streaming.StoreMaintenance]] discipline. */
   def optimize(spark: SparkSession, path: String, cols: Seq[String],
                numFiles: Int, hilbertPair: Boolean = false): OptimizeStats = {
+    recoverOptimize(spark, path)
     val before = dataFiles(spark, path)
     require(before.nonEmpty, s"ZoneMap.optimize: no data files under $path")
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path, "_zm_opt_tmp")
+    val (fs, p) = hfs(spark, path)
+    val marker = new org.apache.hadoop.fs.Path(p, OptMarker)
+    fs.create(marker, true).close()
+    val tmp = new org.apache.hadoop.fs.Path(p, OptTmp)
     fs.delete(tmp, true)
     clustered(spark.read.parquet(before.toSeq: _*), cols, numFiles, hilbertPair)
       .write.mode("overwrite").parquet(tmp.toString)
-    // (1) move the new part files into the root (names are UUID-fresh —
-    // no collision with the old generation)
+    // move the new part files into the root (names are UUID-fresh — no
+    // collision with the old generation)
     val parts = fs.listStatus(tmp).toSeq.filter(s => s.isFile &&
       !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
     val moved = parts.map { s =>
@@ -200,13 +231,54 @@ object ZoneMap {
       dst.toString
     }
     fs.delete(tmp, true)
-    // (2) manifest rewrite over exactly the moved files
+    // new manifest lands complete at a sibling name, then swaps — an
+    // in-place overwrite would delete `_zonemap` BEFORE the new one
+    // commits, leaving a no-manifest window a crash could freeze
     manifestRows(spark, moved, cols)
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/$ManifestDir")
-    // (3) old generation deletes
+      .write.mode("overwrite").parquet(s"$path/$ManifestTmp")
+    fs.delete(new org.apache.hadoop.fs.Path(p, ManifestDir), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(p, ManifestTmp),
+      new org.apache.hadoop.fs.Path(p, ManifestDir)),
+      s"ZoneMap.optimize: manifest swap rename failed under $path")
     before.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    fs.delete(marker, false)
     OptimizeStats(before.size, moved.size)
+  }
+
+  /** Roll a crashed [[optimize]] to exactly one consistent generation.
+    * No-op (false) unless the in-flight marker is present. With the
+    * marker up: complete the manifest swap if `_zonemap_new` finished
+    * (`_SUCCESS` present), discard it otherwise; then delete every data
+    * file the surviving manifest does not reference (the orphan
+    * generation — partial-new on roll-back, old on roll-forward) and
+    * drop the marker. Append crash-window files are NOT touched when no
+    * marker is up — their heal path stays [[optimize]]'s absorb. */
+  def recoverOptimize(spark: SparkSession, path: String): Boolean = {
+    val (fs, p) = hfs(spark, path)
+    val marker = new org.apache.hadoop.fs.Path(p, OptMarker)
+    if (!fs.exists(marker)) return false
+    val mNew = new org.apache.hadoop.fs.Path(p, ManifestTmp)
+    val mCur = new org.apache.hadoop.fs.Path(p, ManifestDir)
+    if (fs.exists(mNew)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(mNew, "_SUCCESS"))) {
+        fs.delete(mCur, true)
+        require(fs.rename(mNew, mCur),
+          s"ZoneMap.recoverOptimize: manifest roll-forward failed under $path")
+      } else fs.delete(mNew, true) // partial write; the old manifest governs
+    }
+    require(fs.exists(mCur),
+      s"ZoneMap.recoverOptimize: no manifest under $path — the store " +
+        "predates the crash protocol or was externally mutilated; rebuild " +
+        "with writeClustered")
+    fs.delete(new org.apache.hadoop.fs.Path(p, OptTmp), true)
+    val referenced = spark.read.parquet(s"$path/$ManifestDir")
+      .select("file").collect().map(r => normPath(r.getString(0))).toSet
+    dataFiles(spark, path)
+      .filterNot(f => referenced.contains(normPath(f)))
+      .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    fs.delete(marker, false)
+    true
   }
 
   /** Files whose zone ranges intersect EVERY query range (conjunctive),

@@ -51,7 +51,7 @@ object Robots {
   /** Parse robots.txt bodies into the compiled rule relation:
     * `(host, rule ∈ {allow,disallow}, prefix, prec, rank, like_pat)`
     * holding exactly the rules that apply to `agent` on each host.
-    * `prec` is the raw rule-path length, `rank = 2·prec + (rule=allow)`
+    * `prec` is the rule path's octet length, `rank = 2·prec + (rule=allow)`
     * (higher rank = higher precedence, allow wins length ties), and
     * `like_pat` is the LIKE-translation of the path (`%`/`_`/`\`
     * escaped with `\`, `*` → `%`, trailing `$` anchors, else a trailing
@@ -65,15 +65,19 @@ object Robots {
       posexplode(split(coalesce(col(textCol), lit("")), "\n"))
         .as(Seq("pos", "raw")))
     // comment strip + key/value split; a line with no ':' is not a
-    // directive (k stays null and the isin filter drops it)
+    // directive (k stays null and the isin filter drops it). RFC 9309
+    // lines end CRLF and whitespace around ':' may be HTAB — a bare
+    // trim() strips only spaces, which would leave '\r' inside every
+    // token/value of a CRLF file and silently disable the whole filter
+    def ws(c: Column): Column = trim(c, " \t\r")
     val bare = when(instr(col("raw"), "#") > 0,
         col("raw").substr(lit(1), instr(col("raw"), "#") - 1))
       .otherwise(col("raw"))
     val kv = lines.select(col("host"), col("pos"),
         when(instr(bare, ":") > 0,
-          lower(trim(substring_index(bare, ":", 1)))).as("k"),
+          lower(ws(substring_index(bare, ":", 1)))).as("k"),
         when(instr(bare, ":") > 0,
-          trim(bare.substr(instr(bare, ":") + 1, length(bare)))).as("v"))
+          ws(bare.substr(instr(bare, ":") + 1, length(bare)))).as("v"))
       .where(col("k").isin("user-agent", "allow", "disallow"))
     // record assignment: a user-agent line opens a new record unless the
     // previous directive line was also user-agent (consecutive UA lines
@@ -85,7 +89,7 @@ object Robots {
       .where(col("grp") >= 1) // rules before any user-agent line: invalid
     // which records apply: named-agent records if any exist on the host
     // (even rule-free ones — an explicit allow-all), else the `*` records
-    val tok = lower(substring_index(col("v"), " ", 1))
+    val tok = lower(substring_index(translate(col("v"), "\t", " "), " ", 1))
     val records = grouped.where(isUa).groupBy("host", "grp").agg(
       max((tok === lit(agent.toLowerCase)).cast("int")).as("m_specific"),
       max((tok === "*").cast("int")).as("m_star"))
@@ -106,9 +110,12 @@ object Robots {
     val pat = when(star.endsWith("$"),
         star.substr(lit(1), length(star) - 1))
       .otherwise(concat(star, lit("%")))
+    // precedence = OCTET length of the raw rule value (the documented
+    // Google/RFC tie rule) — char length would mis-rank multi-byte paths
     selected.select(col("host"), col("k").as("rule"), col("v").as("prefix"),
-        length(col("v")).as("prec"),
-        (length(col("v")) * 2 + (col("k") === "allow").cast("int")).as("rank"),
+        octet_length(col("v")).as("prec"),
+        (octet_length(col("v")) * 2 +
+          (col("k") === "allow").cast("int")).as("rank"),
         pat.as("like_pat"))
       .distinct() // duplicate rule lines carry no extra information
   }
@@ -122,8 +129,10 @@ object Robots {
   def annotateAllowed(urls: DataFrame, hostCol: String, pathCol: String,
                       rules: DataFrame,
                       outCol: String = "robots_allowed"): DataFrame = {
-    require(!urls.columns.contains(outCol),
-      s"annotateAllowed: urls already has a '$outCol' column")
+    Seq(outCol, "__rhost", "__rules", "__hit").foreach { c =>
+      require(!urls.columns.contains(c),
+        s"annotateAllowed: urls already has a '$c' column " +
+          "(reserved for the robots match)") }
     val sets = rules.groupBy(col("host").as("__rhost"))
       .agg(reverse(sort_array(collect_list(
         struct(col("rank"), col("rule"), col("like_pat"))))).as("__rules"))

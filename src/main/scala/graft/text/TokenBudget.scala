@@ -68,7 +68,11 @@ object TokenBudget {
     require(budgets.values.forall(_ > 0), "upsampleToBudget: budgets must be > 0")
     val totals = df.where(col(srcCol).isInCollection(budgets.keys.toSeq))
       .groupBy(col(srcCol)).agg(sum(col(tokenCol)).cast("long").as("t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect()
+      // an all-NULL token column sums to NULL — surface the no-tokens
+      // diagnostic below instead of an NPE on getLong
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .toMap
     totals.foreach { case (s, t) =>
       require(t > 0, s"upsampleToBudget: source '$s' has no tokens") }
     // budgeted sources absent from the corpus contribute nothing

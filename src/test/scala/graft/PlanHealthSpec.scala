@@ -579,6 +579,12 @@ class PlanHealthSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       "candidate generation must stay a keyed equi-join on the list id")
+    // both sides hash by list + the rank window by qid — NO extra
+    // corpus-sized id join to re-attach payload columns (withProbes
+    // keeps them through the explode)
+    val shuffles = plans.flatMap(_.collect { case s: ShuffleExchangeExec => s })
+    assert(shuffles.length <= 3,
+      s"expected list-join (2) + window (1) exchanges, got ${shuffles.length}")
   }
 
   test("upsampling epochs explode scan-locally — only the partial epoch windows") {

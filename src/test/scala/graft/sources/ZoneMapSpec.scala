@@ -164,6 +164,65 @@ class ZoneMapSpec extends SparkTestBase {
     }
   }
 
+  test("crashed optimize: recovery rolls back orphans, re-run never duplicates") {
+    import org.apache.hadoop.fs.Path
+    val path = tmp("optCrashBack")
+    ZoneMap.writeClustered(data, path, Seq("k"), numFiles = 4)
+    val all = Seq(ZoneRange("k", Long.MinValue, Long.MaxValue))
+    val want = ZoneMap.readPruned(spark, path, all)
+      .select("id", "k", "v", "payload").collect().toSet
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash before the manifest swap: marker up + an orphan new-gen file
+    fs.create(new Path(path, "_zm_opt_inflight"), true).close()
+    val aData = fs.listStatus(new Path(path)).filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_")).head.getPath
+    org.apache.hadoop.fs.FileUtil.copy(fs, aData, fs,
+      new Path(path, "part-orphan-newgen.parquet"), false,
+      spark.sparkContext.hadoopConfiguration)
+    // appends must refuse while the marker is up
+    intercept[IllegalArgumentException] {
+      ZoneMap.appendClustered(data.limit(5), path, Seq("k"), numFiles = 1)
+    }
+    assert(ZoneMap.recoverOptimize(spark, path), "recovery should act")
+    assert(!fs.exists(new Path(path, "_zm_opt_inflight")))
+    assert(ZoneMap.readPruned(spark, path, all)
+      .select("id", "k", "v", "payload").collect().toSet == want,
+      "roll-back must restore exactly the pre-optimize store")
+    // a full optimize after recovery has no duplicates
+    ZoneMap.optimize(spark, path, Seq("k"), numFiles = 4)
+    assert(ZoneMap.readPruned(spark, path, all)
+      .select("id", "k", "v", "payload").collect().toSet == want)
+    assert(!ZoneMap.recoverOptimize(spark, path), "no marker → no-op")
+  }
+
+  test("crashed optimize: a completed _zonemap_new rolls forward") {
+    import org.apache.hadoop.fs.Path
+    val path = tmp("optCrashFwd")
+    ZoneMap.writeClustered(data, path, Seq("k"), numFiles = 4)
+    val all = Seq(ZoneRange("k", Long.MinValue, Long.MaxValue))
+    val want = ZoneMap.readPruned(spark, path, all)
+      .select("id", "k", "v", "payload").collect().toSet
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the mid-swap crash: marker up, manifest fully written at
+    // _zonemap_new (with _SUCCESS), _zonemap already deleted
+    fs.create(new Path(path, "_zm_opt_inflight"), true).close()
+    assert(fs.rename(new Path(path, "_zonemap"), new Path(path, "_zonemap_new")))
+    assert(ZoneMap.recoverOptimize(spark, path))
+    assert(fs.exists(new Path(path, "_zonemap")) &&
+      !fs.exists(new Path(path, "_zonemap_new")))
+    assert(ZoneMap.readPruned(spark, path, all)
+      .select("id", "k", "v", "payload").collect().toSet == want,
+      "roll-forward must leave the new manifest governing the same rows")
+    // a PARTIAL _zonemap_new (no _SUCCESS) is discarded instead
+    fs.create(new Path(path, "_zm_opt_inflight"), true).close()
+    fs.mkdirs(new Path(path, "_zonemap_new"))
+    fs.create(new Path(path, "_zonemap_new/part-junk.parquet"), true).close()
+    assert(ZoneMap.recoverOptimize(spark, path))
+    assert(!fs.exists(new Path(path, "_zonemap_new")))
+    assert(ZoneMap.readPruned(spark, path, all)
+      .select("id", "k", "v", "payload").collect().toSet == want)
+  }
+
   test("optimize keeps hilbert-pair stores prunable on both dimensions") {
     val path = tmp("optimizeHc")
     ZoneMap.writeClustered(data.where($"id" < 5000), path, Seq("k", "v"),

@@ -211,6 +211,13 @@ class CurationSpec extends SparkTestBase {
       TokenBudget.upsampleToBudget(df, "src", "id", "tok",
         Map("A" -> 100000L), maxEpochs = 100)
     }
+    // an all-NULL token column diagnoses cleanly, not with an NPE
+    val nulls = Seq((1L, "N", null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "src", "tok")
+    val e = intercept[IllegalArgumentException] {
+      TokenBudget.upsampleToBudget(nulls, "src", "id", "tok", Map("N" -> 5L))
+    }
+    assert(e.getMessage.contains("has no tokens"))
   }
 
   test("temperature budgets: alpha=1 is proportional, alpha->0 flattens, caps bind") {

@@ -161,6 +161,30 @@ class RobotsSpec extends SparkTestBase {
     }
   }
 
+  test("CRLF line endings and tab whitespace parse like LF/spaces") {
+    // RFC 9309 lines end CRLF and the separator whitespace may be HTAB —
+    // real web-served robots.txt is overwhelmingly CRLF
+    val crlf = "User-agent:\tGraftBot\r\nDisallow:\t/private/\r\n" +
+      "User-agent: *\r\nDisallow: /\r\n"
+    val r = rules(crlf).collect()
+    assert(r.map(x => (x.getString(1), x.getString(2))).toSeq ==
+      Seq(("disallow", "/private/")),
+      s"CRLF file must compile the named record's rule cleanly: ${r.toSeq}")
+    val v = verdicts(crlf, Seq("/private/x", "/open"))
+    assert(!v("/private/x") && v("/open"),
+      "a CRLF robots.txt must not silently disable the filter")
+  }
+
+  test("precedence is octet length, not char length") {
+    // disallow '/*я' is 4 octets (3 chars), allow '/ab' is 3 octets —
+    // octet precedence blocks '/abя'; char-length would tie and allow
+    val txt = "User-agent: *\nDisallow: /*я\nAllow: /ab\n"
+    assert(!verdicts(txt, Seq("/abя"))("/abя"),
+      "multi-byte rule must win by octet length")
+    assert(verdicts(txt, Seq("/ab"))("/ab"),
+      "the allow still governs paths the multi-byte rule doesn't match")
+  }
+
   test("annotateAllowed guards an existing output column") {
     val urls = Seq((1, "h", "/x", true)).toDF("id", "host", "path",
       "robots_allowed")
