@@ -280,6 +280,55 @@ object ScaleRehearsal {
       spark.stop(); return
     }
 
+    // --------------- Unigram-LM tokenizer at 100x (500k docs, ~100x vocab)
+    // Train cost must track the DISTINCT-pretoken table (the per-copy salt
+    // multiplies it ~100x vs the gate corpus), never the corpus: the corpus
+    // is scanned once into the word table, and every EM pass is a kernel
+    // scan of that table under a broadcast model + one partial-aggregated
+    // groupBy over (piece, cnt). Encode Viterbi-tokenizes each distinct
+    // word once, then one hash join + per-doc reassembly.
+    if (mode == "unigram") {
+      // regenerate the salted corpus if a prior `pipeline` run's output
+      // was cleaned up (same generator, same salt convention)
+      if (!new java.io.File(s"$dir/docs").exists()) timed("gen_docs") {
+        val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+          .select("doc_id", "text")
+        docs0.crossJoin(spark.range(copies).select(col("id").as("copy")))
+          .repartition(64)
+          .select((col("doc_id") + col("copy") * 10000000L).as("doc_id"),
+            regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("c"), col("copy"), lit("$1"))).as("text"))
+          .write.mode("overwrite").parquet(s"$dir/docs")
+      }
+      val docs = spark.read.parquet(s"$dir/docs")
+      println(s"[scale] docs=${docs.count()}")
+      val words = timed("unigram_wordtable[500k]") {
+        val w = graft.text.UnigramTrainer.wordTable(docs, "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        println(s"[scale]   -> ${w.count()} distinct pretokens")
+        w
+      }
+      val vocab = timed("unigram_train[500k]") {
+        val seed = graft.text.UnigramTrainer.seedVocab(words, 8000, 6)
+        var counts = seed
+        for (_ <- 1 to 2)
+          counts = graft.text.UnigramTrainer.emCounts(words,
+            graft.text.UnigramTrainer.modelFromCounts(counts))
+        counts = graft.text.UnigramTrainer.prune(counts, 2000)
+        graft.text.UnigramTrainer.emCounts(words,
+          graft.text.UnigramTrainer.modelFromCounts(counts))
+      }
+      val model = graft.text.UnigramTrainer.modelFromCounts(vocab)
+      println(s"[scale]   -> ${model.logp.size} pieces, maxLen=${model.maxLen}")
+      val nTok = timed("unigram_encode[500k]") {
+        graft.text.UnigramTrainer.encode(docs, "doc_id", "text", model)
+          .select(sum(size(col("tokens")))).head().getLong(0)
+      }
+      println(s"[scale]   -> $nTok tokens")
+      words.unpersist(false)
+      spark.stop(); return
+    }
+
     // ------------- TF-IDF + n-gram-profile language ID at 100x (500k docs)
     // Both reduce the exploded stream to vocabulary-sized relations via
     // partial aggregation; the profile join is a broadcast. Uses the

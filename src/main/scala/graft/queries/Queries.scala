@@ -5088,6 +5088,51 @@ object Queries {
        | coalesce(rule = 'allow', true) AS robots_allowed
        |FROM m WHERE rn = 1""".stripMargin
 
+  /** Unigram-LM (SentencePiece class) subword tokenizer, end to end: train
+    * a piece vocabulary by integer micro-count EM
+    * ([[graft.text.UnigramTrainer]]), then Viterbi-encode every document.
+    * The per-word forward-backward/Viterbi kernel is spec-pinned against
+    * exhaustive enumeration (UnigramTrainerSpec); the gate oracles
+    * everything AROUND it via the checkpoint pattern: the distinct
+    * word → token-stream relation the kernel produced is checkpointed, and
+    * DuckDB replays pretokenization (same regex), the word join, per-doc
+    * reassembly in pretoken order, and token counting over those same
+    * bits. Output: doc_id + token-stream md5 + token count. */
+  def qUnigram(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.{TextFunctions, UnigramTrainer}
+    val docs = table(spark, dir, "documents")
+    val vocab = UnigramTrainer.train(docs, "text", vocabSize = 400,
+      maxPieceLen = 4, emIters = 1)
+    val model = UnigramTrainer.modelFromCounts(vocab)
+    val pre = docs.select(col("doc_id"),
+      posexplode(TextFunctions.bpePretokens(col("text")))
+        .as(Seq("widx", "word")))
+    writeOracleAux(
+      UnigramTrainer.wordTokens(pre.select("word"), model)
+        .select(col("word"),
+          concat_ws("\u0001", col("toks")).as("stream"),
+          size(col("toks")).cast("long").as("n")),
+      dir, "unigram_toks")
+    UnigramTrainer.encode(docs, "doc_id", "text", model)
+      .select(col("doc_id"),
+        md5(concat_ws("\u0001", col("tokens")).cast("binary")).as("tok_md5"),
+        size(col("tokens")).cast("long").as("n_tokens"))
+  }
+
+  val qUnigramSql: String = {
+    val pat = graft.text.TextFunctions.BpePretokenPattern.replace("'", "''")
+    s"""WITH pt AS (SELECT doc_id, unnest([{'widx': i, 'w': ws[i]}
+       |    for i in generate_series(1, len(ws))], recursive := true)
+       |  FROM (SELECT doc_id, regexp_extract_all(text, '$pat', 1) ws
+       |        FROM documents)),
+       |j AS (SELECT p.doc_id, p.widx, t.stream, t.n
+       |  FROM pt p JOIN ${auxSql("unigram_toks")} t ON p.w = t.word)
+       |SELECT doc_id,
+       |  md5(string_agg(stream, chr(1) ORDER BY widx)) AS tok_md5,
+       |  CAST(sum(n) AS BIGINT) AS n_tokens
+       |FROM j GROUP BY doc_id""".stripMargin
+  }
+
   val qCorpusDiffSql: String =
     """WITH o AS (SELECT doc_id, text FROM documents),
       |nw AS (SELECT doc_id,
