@@ -23,7 +23,11 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // a handful of files, not coalesce(1): coalesce is narrow, so a
+      // single-file write serializes the whole upstream pipeline into one
+      // task — the same mistake Queries.writeOracleAux documents. The
+      // driver reads the directory as a glob; 8 parts is fine.
+      try fn(spark, sfDir).repartition(8).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         failed += name

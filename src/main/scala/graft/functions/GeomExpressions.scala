@@ -596,3 +596,57 @@ object HilbertValue {
     d
   }
 }
+
+/** J13 kNN-join predicate marker — the SQL surface for the reference CLI's
+  * `-p st_nearest` (/root/reference/src/resque/knn_2d.hpp:22-268,
+  * resque_params_2d.hpp:480-486). `st_nearest(a.g, b.g, k[, maxDistance])`
+  * in an inner-join condition means "b's row is among the k nearest right
+  * rows to a's row" (distance strictly below maxDistance when given — the
+  * reference's -d bound). It is NOT a row-at-a-time predicate: evaluating
+  * it requires the whole right relation, so [[eval]] throws and
+  * [[org.apache.spark.sql.graft.SpatialJoinStrategy]] must plan the
+  * enclosing join as KnnJoinExec (which delegates to the exact global
+  * [[graft.operators.SpatialJoin.knnJoinExact]] engine). k and maxDistance
+  * parameterize the operator, so they must be literals. */
+case class StNearest(left: Expression, right: Expression,
+                     k: Int, maxDistance: Double)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  require(k > 0, s"st_nearest k must be positive, got $k")
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+  private def unplanned = new UnsupportedOperationException(
+    "st_nearest is a kNN-join operator, not a scalar predicate: it must " +
+      "appear in an INNER JOIN condition between the probe and index " +
+      "relations, with SpatialJoinStrategy installed " +
+      "(spark.sql.extensions=graft.GraftExtensions)")
+  override def eval(input: InternalRow): Any = throw unplanned
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    throw unplanned
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_nearest"
+}
+
+object StNearest {
+  /** SQL builder: st_nearest(leftGeom, rightGeom, k [, maxDistance]).
+    * k / maxDistance parameterize the join operator → literals only. */
+  def fromSqlArgs(es: Seq[Expression]): Expression = {
+    require(es.length == 3 || es.length == 4,
+      s"st_nearest takes 3 or 4 arguments, got ${es.length}")
+    val k = graft.functions.sqlFoldInt(es(2), "st_nearest k")
+    val d = if (es.length == 4) {
+      require(es(3).foldable,
+        s"st_nearest maxDistance must be a numeric literal, got: ${es(3).sql}")
+      es(3).eval(null) match {
+        case n: Number => n.doubleValue()
+        case n: org.apache.spark.sql.types.Decimal => n.toDouble
+        case v => throw new IllegalArgumentException(
+          s"st_nearest maxDistance is not numeric: ${es(3).sql} = $v")
+      }
+    } else Double.PositiveInfinity
+    require(!(d <= 0), s"st_nearest maxDistance must be positive, got $d")
+    StNearest(es(0), es(1), k, d)
+  }
+}

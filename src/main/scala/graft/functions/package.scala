@@ -32,6 +32,11 @@ package object functions {
   def st_adjacent(a: Column, b: Column): Column = col(StPredicate(ex(a), ex(b), "adjacent"))
   def st_dwithin(a: Column, b: Column, d: Column): Column =
     col(StDWithin(ex(a), ex(b), ex(d)))
+  /** kNN-join predicate marker ([[StNearest]]): only meaningful inside an
+    * inner-join condition planned by SpatialJoinStrategy. */
+  def st_nearest(a: Column, b: Column, k: Int,
+                 maxDistance: Double = Double.PositiveInfinity): Column =
+    col(StNearest(ex(a), ex(b), k, maxDistance))
 
   def st_distance(a: Column, b: Column): Column = col(StDistance(ex(a), ex(b)))
   def st_distancesphere(a: Column, b: Column): Column = col(StDistanceSphere(ex(a), ex(b)))
@@ -116,6 +121,7 @@ package object functions {
       r(s"st_$p", es => StPredicate(es(0), es(1), p))
     }
     r("st_dwithin", es => StDWithin(es(0), es(1), es(2)))
+    r("st_nearest", StNearest.fromSqlArgs _)
     r("st_distance", es => StDistance(es(0), es(1)))
     r("st_distancesphere", es => StDistanceSphere(es(0), es(1)))
     r("st_area", es => StArea(es.head))

@@ -515,6 +515,47 @@ object Queries {
        |   ORDER BY (c.px-s.px)*(c.px-s.px) + (c.py-s.py)*(c.py-s.py), s.id) AS rk
        | FROM c CROSS JOIN s) WHERE rk <= 3 AND d2 < 6.25""".stripMargin
 
+  /** J13 SQL surface: the q_knn relation expressed as plain SQL text —
+    * `JOIN ... ON st_nearest(g1, g2, 3)` planned by SpatialJoinStrategy as
+    * KnnJoinExec onto the exact-kNN engine (the reference CLI's
+    * `-p st_nearest`, knn_2d.hpp:113-217, reachable without the
+    * programmatic API). Rank is recomputed relationally over the joined
+    * pairs with the same (distance, sid) order the engine tie-breaks with,
+    * so the gate shares q_knn's oracle. The plan shape is asserted here —
+    * a silent fallback to BroadcastNestedLoopJoin would throw st_nearest's
+    * unevaluable error anyway, but the require makes the contract
+    * explicit. Strategy + registry injection is idempotent, so the gate is
+    * self-contained in any session (the q_disjoint_sql convention). */
+  def qKnnSqlGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.{KnnJoinExec, SpatialJoinStrategy}
+    if (!spark.experimental.extraStrategies.contains(SpatialJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ SpatialJoinStrategy
+    graft.functions.registerAll(spark)
+    custPoints(spark, dir).select(col("id").as("cid"), col("geom").as("g1"))
+      .createOrReplaceTempView("gate_knn_c")
+    suppPoints(spark, dir).select(col("id").as("sid"), col("geom").as("g2"))
+      .createOrReplaceTempView("gate_knn_s")
+    val q = spark.sql(
+      """SELECT cid, sid, rk FROM (
+        |  SELECT cid, sid, row_number() OVER (
+        |    PARTITION BY cid ORDER BY st_distance(g1, g2), sid) AS rk
+        |  FROM (SELECT c.cid, c.g1, s.sid, s.g2
+        |        FROM gate_knn_c c JOIN gate_knn_s s
+        |        ON st_nearest(c.g1, s.g2, 3))
+        |) WHERE rk <= 3""".stripMargin)
+    // the window introduces an exchange, so AQE wraps the plan — look
+    // through AdaptiveSparkPlanExec (a leaf node) for the kNN exec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = q.queryExecution.executedPlan
+    val plans = root +: root.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+    require(plans.exists(_.collect { case e: KnnJoinExec => e }.nonEmpty),
+      "q_knn_sql must plan through KnnJoinExec")
+    q
+  }
+
+  val qKnnSqlGateSql: String = qKnnSql
+
   /** J5: st_crosses join over segment geometries through the full tiled
     * engine. Segment families are built so JTS crosses == proper interior
     * intersection: A slope 1/2 on integer lattice, B slope 3 on half-integer
@@ -2533,7 +2574,7 @@ object Queries {
     rm(new java.io.File(base)) // full lifecycle per run: fresh dirs
     val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
     docs.where(col("doc_id") % 3 === 1)
-      .coalesce(1).write.parquet(s"$base/src")
+      .repartition(2).write.parquet(s"$base/src")
     val stream = spark.readStream
       .schema("doc_id BIGINT, text STRING").parquet(s"$base/src")
     val q = DedupIngest.start(stream, "doc_id", "text",
@@ -2542,7 +2583,7 @@ object Queries {
       q.processAllAvailable()
       // second refresh arrives while the stream runs
       docs.where(col("doc_id") % 3 === 2)
-        .coalesce(1).write.mode("append").parquet(s"$base/src")
+        .repartition(2).write.mode("append").parquet(s"$base/src")
       q.processAllAvailable()
     } finally q.stop()
     spark.read.parquet(s"$base/out")

@@ -76,9 +76,45 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
         case Some((matched, lg, rg, pred, dist)) =>
           val rest = conjuncts.filterNot(_ fastEquals matched).reduceOption(And)
           SpatialJoinExec(planLater(l), planLater(r), lg, rg, pred, dist, rest, jt) :: Nil
+        case None if jt == Inner => planKnn(l, r, conjuncts)
         case None => Nil
       }
     case _ => Nil
+  }
+
+  /** `a JOIN b ON st_nearest(a.g, b.g, k[, d])` → [[KnnJoinExec]]. The
+    * first geometry arg names the probe side, the second the index side;
+    * remaining conjuncts apply as a post-join filter (SQL conjunction
+    * semantics: the pair must be in the kNN relation AND satisfy them).
+    * st_nearest is unevaluable row-at-a-time, so this strategy is the only
+    * way such a join can run — an unmatched orientation (both geometry
+    * args on one side) falls through to Catalyst and fails at runtime with
+    * the expression's targeted error. */
+  private def planKnn(l: LogicalPlan, r: LogicalPlan,
+                      conjuncts: Seq[Expression]): Seq[SparkPlan] = {
+    import graft.functions.StNearest
+    val hit = conjuncts.collectFirst {
+      case e @ StNearest(a, b, k, d)
+          if a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet) =>
+        (e, a, b, k, d, false)
+      case e @ StNearest(a, b, k, d)
+          if a.references.subsetOf(r.outputSet) && b.references.subsetOf(l.outputSet) =>
+        (e, a, b, k, d, true)
+    }
+    hit match {
+      case Some((matched, lg, rg, k, d, swapped)) =>
+        val rest = conjuncts.filterNot(_ fastEquals matched).reduceOption(And)
+        if (!swapped)
+          KnnJoinExec(planLater(l), planLater(r), lg, rg, k, d, rest) :: Nil
+        else {
+          // probe side is the SQL-right child: run the exec with the sides
+          // exchanged, then project back to the join's l ++ r output order
+          val exec = KnnJoinExec(planLater(r), planLater(l), lg, rg, k, d, rest)
+          org.apache.spark.sql.execution.ProjectExec(
+            l.output ++ r.output, exec) :: Nil
+        }
+      case None => Nil
+    }
   }
 }
 

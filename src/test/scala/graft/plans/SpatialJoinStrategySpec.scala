@@ -138,4 +138,92 @@ class SpatialJoinStrategySpec extends SparkTestBase {
     assert(antiN.as[Long].collect().toSet == (first5 -- matched) + 999L)
     assert(semiN.as[Long].collect().toSet == first5.intersect(matched))
   }
+
+  private def points(n: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      (i.toLong, s"POINT (${rnd.nextInt(60)} ${rnd.nextInt(30)})")
+    }
+  }
+
+  /** brute-force kNN set: for each probe, the k nearest index ids with ties
+    * broken by (distance, id) — the deterministic order the exec ties with
+    * (id is the first atomic right column). */
+  private def bruteKnn(probes: Seq[(Long, String)], index: Seq[(Long, String)],
+                       k: Int, maxD: Double = Double.PositiveInfinity) =
+    (for {
+      (i, wp) <- probes
+      gp = GeometryCodec.fromWkt(wp)
+      (j, d) <- index.map { case (j, wq) =>
+          (j, gp.distance(GeometryCodec.fromWkt(wq))) }
+        .sortBy { case (j, d) => (d, j) }.take(k)
+      if d < maxD
+    } yield (i, j)).toSet
+
+  test("SQL st_nearest join plans as KnnJoinExec and matches brute force") {
+    import org.apache.spark.sql.graft.KnnJoinExec
+    val probes = points(180, 21); val index = points(90, 22)
+    probes.toDF("idc", "wc").withColumn("gc", st_geomfromwkt(col("wc")))
+      .createOrReplaceTempView("kc")
+    index.toDF("ids", "ws").withColumn("gs", st_geomfromwkt(col("ws")))
+      .createOrReplaceTempView("ks")
+
+    val q = spark.sql(
+      "SELECT idc, ids FROM kc JOIN ks ON st_nearest(gc, gs, 3)")
+    assert(q.queryExecution.executedPlan.collect { case e: KnnJoinExec => e }.nonEmpty,
+      s"expected KnnJoinExec in:\n${q.queryExecution.executedPlan}")
+    assert(q.count() == 180 * 3) // every probe gets exactly k pairs
+    assert(q.as[(Long, Long)].collect().toSet == bruteKnn(probes, index, 3))
+
+    // bounded form: 4th literal arg = strict maxDistance (reference -d)
+    val qb = spark.sql(
+      "SELECT idc, ids FROM kc JOIN ks ON st_nearest(gc, gs, 3, 2.5)")
+    assert(qb.queryExecution.executedPlan.collect { case e: KnnJoinExec => e }.nonEmpty)
+    assert(qb.as[(Long, Long)].collect().toSet ==
+      bruteKnn(probes, index, 3, maxD = 2.5))
+
+    // residual conjunct applies as a post-kNN filter (SQL conjunction)
+    val qr = spark.sql(
+      "SELECT idc, ids FROM kc JOIN ks ON st_nearest(gc, gs, 3) AND idc <> ids")
+    assert(qr.as[(Long, Long)].collect().toSet ==
+      bruteKnn(probes, index, 3).filter { case (i, j) => i != j })
+  }
+
+  test("swapped st_nearest orientation probes the SQL-right side; tiled path agrees") {
+    import org.apache.spark.sql.graft.KnnJoinExec
+    val probes = points(150, 23); val index = points(70, 24)
+    probes.toDF("idc", "wc").withColumn("gc", st_geomfromwkt(col("wc")))
+      .createOrReplaceTempView("kc2")
+    index.toDF("ids", "ws").withColumn("gs", st_geomfromwkt(col("ws")))
+      .createOrReplaceTempView("ks2")
+
+    // geometry args (right-side probe, left-side index): the strategy must
+    // exchange the exec's sides and project back to SQL column order
+    val q = spark.sql(
+      "SELECT idc, ids FROM ks2 JOIN kc2 ON st_nearest(gc, gs, 2)")
+    assert(q.queryExecution.executedPlan.collect { case e: KnnJoinExec => e }.nonEmpty)
+    assert(q.as[(Long, Long)].collect().toSet == bruteKnn(probes, index, 2))
+
+    // force the tiled (non-broadcast) engine path and require agreement
+    try {
+      spark.conf.set("graft.knn.broadcastThreshold", "0")
+      spark.conf.set("graft.join.bucket", "16")
+      val qt = spark.sql(
+        "SELECT idc, ids FROM kc2 JOIN ks2 ON st_nearest(gc, gs, 2)")
+      assert(qt.as[(Long, Long)].collect().toSet == bruteKnn(probes, index, 2))
+    } finally {
+      spark.conf.unset("graft.knn.broadcastThreshold")
+      spark.conf.unset("graft.join.bucket")
+    }
+  }
+
+  test("st_nearest outside a plannable join fails with the targeted error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT st_nearest(gc, gc, 3) FROM kc").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("kNN-join operator")),
+      s"unexpected error: $e")
+  }
 }
