@@ -53,8 +53,42 @@ object ZoneMap {
   final case class PruneStats(selectedFiles: Int, totalFiles: Int)
 
   private val ManifestDir = "_zonemap"
+  private val GenRe = "_zonemap_g([0-9]+)".r
   private def mn(c: String) = s"min_$c"
   private def mx(c: String) = s"max_$c"
+
+  /** Manifest GENERATIONS: `_zonemap` is generation 0 (the writeClustered
+    * layout), `optimize` commits `_zonemap_g<N+1>` COMPLETE (with
+    * `_SUCCESS`) before anything of the old generation is deleted, and
+    * readers pin to the highest committed generation. Generations are
+    * never renamed in place, so there is no instant at which a reader can
+    * observe zero manifests or a half-swapped one — the flaw of the old
+    * `_zonemap_new` delete-then-rename protocol. */
+  private def genName(n: Int) = if (n == 0) ManifestDir else s"_zonemap_g$n"
+  private def genOf(name: String): Option[Int] = name match {
+    case ManifestDir => Some(0)
+    case GenRe(n) => Some(n.toInt)
+    case _ => None
+  }
+
+  /** (gen, dir) pairs for every manifest dir under the root, committed
+    * (has `_SUCCESS`) or not, ascending by generation. */
+  private def manifestDirs(fs: org.apache.hadoop.fs.FileSystem,
+                           p: org.apache.hadoop.fs.Path)
+      : Seq[(Int, org.apache.hadoop.fs.Path, Boolean)] = {
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .flatMap(s => genOf(s.getPath.getName).map(n => (n, s.getPath,
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))))
+      .sortBy(_._1)
+  }
+
+  /** Highest committed generation — the one reads pin to. */
+  private def currentManifest(fs: org.apache.hadoop.fs.FileSystem,
+                              p: org.apache.hadoop.fs.Path)
+      : Option[(Int, org.apache.hadoop.fs.Path)] =
+    manifestDirs(fs, p).filter(_._3).lastOption.map(t => (t._1, t._2))
 
   /** Hilbert grid order: 2^16 cells per axis — finer than any realistic
     * file count, so cell quantization never limits pruning. */
@@ -157,20 +191,24 @@ object ZoneMap {
         "run ZoneMap.recoverOptimize first")
     val before = dataFiles(spark, path)
     if (before.isEmpty) return writeClustered(df, path, cols, numFiles, hilbertPair)
+    // the append's manifest rows extend the CURRENT generation (optimize
+    // commits later generations; an append to a superseded one would be
+    // invisible)
+    val cur = currentManifest(mfs, mp).getOrElse(throw new IllegalArgumentException(
+      s"appendClustered: no committed manifest under $path — rebuild with writeClustered"))
     clustered(df, cols, numFiles, hilbertPair)
       .write.mode("append").parquet(path)
     val fresh = (dataFiles(spark, path) -- before).toSeq
     if (fresh.nonEmpty)
       manifestRows(spark, fresh, cols)
         .coalesce(1)
-        .write.mode("append").parquet(s"$path/$ManifestDir")
+        .write.mode("append").parquet(cur._2.toString)
   }
 
   final case class OptimizeStats(filesBefore: Int, filesAfter: Int)
 
   private val OptMarker = "_zm_opt_inflight"
   private val OptTmp = "_zm_opt_tmp"
-  private val ManifestTmp = "_zonemap_new"
 
   private def hfs(spark: SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -194,19 +232,31 @@ object ZoneMap {
     * correct at every step and re-runs duplicate-free:
     *
     *   marker up → cluster to a hidden tmp → new files rename into the
-    *   root → new manifest lands at `_zonemap_new` → old `_zonemap`
-    *   deletes → `_zonemap_new` renames over it → old data files delete
-    *   → marker down.
+    *   root → new manifest COMMITS COMPLETE at `_zonemap_g<N+1>`
+    *   (`_SUCCESS` last) → older manifest generations delete → old data
+    *   files delete → marker down.
+    *
+    * Readers pin to the highest COMMITTED generation, and generations are
+    * never renamed or overwritten in place, so a read started at ANY
+    * protocol state sees exactly one complete generation: before the
+    * commit the old manifest governs (the moved-in new files are
+    * unreferenced, hence invisible); from the commit on, the new one does
+    * (the not-yet-deleted old files are unreferenced in it). The old
+    * delete-`_zonemap`-then-rename-`_zonemap_new` swap had a no-manifest
+    * window between its two steps; the generation scheme has none.
     *
     * A crash anywhere leaves the marker, and [[recoverOptimize]] (run
     * automatically at the next optimize; [[appendClustered]] refuses
     * while the marker is up) rolls the store to exactly one generation:
-    * forward when a complete `_zonemap_new` exists, back otherwise, then
-    * deletes every data file the surviving manifest does not reference —
-    * which is what makes a re-run after a crash duplicate-free (without
-    * the marker protocol, re-reading root files would absorb BOTH
-    * generations and double every row). Offline maintenance — not safe
-    * concurrent with appends or reads, the
+    * the highest committed one (forward when `_zonemap_g<N+1>` committed,
+    * back otherwise), then deletes every other manifest generation and
+    * every data file the survivor does not reference — which is what
+    * makes a re-run after a crash duplicate-free (without the marker
+    * protocol, re-reading root files would absorb BOTH generations and
+    * double every row). Offline maintenance — not safe concurrent with
+    * APPENDS (readers are safe per the above; an in-flight scan that
+    * already selected old-generation files can still lose them to the
+    * final delete, the usual vacuum caveat), the
     * [[graft.streaming.StoreMaintenance]] discipline. */
   def optimize(spark: SparkSession, path: String, cols: Seq[String],
                numFiles: Int, hilbertPair: Boolean = false): OptimizeStats = {
@@ -231,16 +281,16 @@ object ZoneMap {
       dst.toString
     }
     fs.delete(tmp, true)
-    // new manifest lands complete at a sibling name, then swaps — an
-    // in-place overwrite would delete `_zonemap` BEFORE the new one
-    // commits, leaving a no-manifest window a crash could freeze
+    // the new manifest COMMITS COMPLETE at the next generation name
+    // (parquet write ends with `_SUCCESS`) before anything of the old
+    // generation is touched — readers pin to the highest committed
+    // generation, so there is no no-manifest window and no mixed state
+    val gens = manifestDirs(fs, p)
+    val nextGen = gens.map(_._1).foldLeft(-1)(math.max) + 1
     manifestRows(spark, moved, cols)
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/$ManifestTmp")
-    fs.delete(new org.apache.hadoop.fs.Path(p, ManifestDir), true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(p, ManifestTmp),
-      new org.apache.hadoop.fs.Path(p, ManifestDir)),
-      s"ZoneMap.optimize: manifest swap rename failed under $path")
+      .write.mode("overwrite").parquet(s"$path/${genName(nextGen)}")
+    gens.foreach { case (_, dir, _) => fs.delete(dir, true) }
     before.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
     fs.delete(marker, false)
     OptimizeStats(before.size, moved.size)
@@ -248,31 +298,27 @@ object ZoneMap {
 
   /** Roll a crashed [[optimize]] to exactly one consistent generation.
     * No-op (false) unless the in-flight marker is present. With the
-    * marker up: complete the manifest swap if `_zonemap_new` finished
-    * (`_SUCCESS` present), discard it otherwise; then delete every data
-    * file the surviving manifest does not reference (the orphan
-    * generation — partial-new on roll-back, old on roll-forward) and
-    * drop the marker. Append crash-window files are NOT touched when no
-    * marker is up — their heal path stays [[optimize]]'s absorb. */
+    * marker up: the highest COMMITTED manifest generation governs —
+    * forward when the new generation's `_SUCCESS` landed before the
+    * crash, back otherwise. Every other manifest generation (older
+    * committed ones, partial uncommitted ones) deletes, then every data
+    * file the survivor does not reference (the orphan generation —
+    * partial-new on roll-back, old on roll-forward) and the marker drop.
+    * Append crash-window files are NOT touched when no marker is up —
+    * their heal path stays [[optimize]]'s absorb. */
   def recoverOptimize(spark: SparkSession, path: String): Boolean = {
     val (fs, p) = hfs(spark, path)
     val marker = new org.apache.hadoop.fs.Path(p, OptMarker)
     if (!fs.exists(marker)) return false
-    val mNew = new org.apache.hadoop.fs.Path(p, ManifestTmp)
-    val mCur = new org.apache.hadoop.fs.Path(p, ManifestDir)
-    if (fs.exists(mNew)) {
-      if (fs.exists(new org.apache.hadoop.fs.Path(mNew, "_SUCCESS"))) {
-        fs.delete(mCur, true)
-        require(fs.rename(mNew, mCur),
-          s"ZoneMap.recoverOptimize: manifest roll-forward failed under $path")
-      } else fs.delete(mNew, true) // partial write; the old manifest governs
-    }
-    require(fs.exists(mCur),
-      s"ZoneMap.recoverOptimize: no manifest under $path — the store " +
-        "predates the crash protocol or was externally mutilated; rebuild " +
-        "with writeClustered")
+    val survivor = currentManifest(fs, p).getOrElse(throw new IllegalArgumentException(
+      s"ZoneMap.recoverOptimize: no committed manifest under $path — the " +
+        "store predates the crash protocol or was externally mutilated; " +
+        "rebuild with writeClustered"))
+    manifestDirs(fs, p)
+      .filterNot(_._2 == survivor._2)
+      .foreach { case (_, dir, _) => fs.delete(dir, true) }
     fs.delete(new org.apache.hadoop.fs.Path(p, OptTmp), true)
-    val referenced = spark.read.parquet(s"$path/$ManifestDir")
+    val referenced = spark.read.parquet(survivor._2.toString)
       .select("file").collect().map(r => normPath(r.getString(0))).toSet
     dataFiles(spark, path)
       .filterNot(f => referenced.contains(normPath(f)))
@@ -283,17 +329,41 @@ object ZoneMap {
 
   /** Files whose zone ranges intersect EVERY query range (conjunctive),
     * plus the total file count. The manifest is one row per file — the
-    * collect is bounded by file count, never by data volume. */
+    * collect is bounded by file count, never by data volume.
+    *
+    * Generation pinning: the read resolves the highest committed
+    * generation ONCE and takes everything it needs from it in a single
+    * collect, so it can never mix two generations. If a concurrent
+    * [[optimize]]'s final cleanup deletes that generation between resolve
+    * and collect (it was superseded), the read re-resolves — the retry
+    * always lands on a complete, newer generation. */
   private def selectFiles(spark: SparkSession, path: String,
                           ranges: Seq[ZoneRange]): (Seq[String], Int) = {
-    val manifest = spark.read.parquet(s"$path/$ManifestDir")
+    val (fs, p) = hfs(spark, path)
     val keep = ranges
       .map(r => !(col(mx(r.column)) < lit(r.lo) || col(mn(r.column)) > lit(r.hi)))
       .reduceOption(_ && _).getOrElse(lit(true))
-    val total = manifest.count().toInt
-    val files = manifest.where(keep).select("file")
-      .collect().map(_.getString(0)).toSeq
-    (files, total)
+    var attempt = 0
+    while (true) {
+      val cur = currentManifest(fs, p).getOrElse(throw new IllegalArgumentException(
+        s"ZoneMap: no committed manifest under $path — not a clustered " +
+          "store (build one with writeClustered)"))
+      try {
+        val rows = spark.read.parquet(cur._2.toString)
+          .select(col("file"), keep.as("__keep"))
+          .collect()
+        val files = rows.toSeq
+          .filter(r => !r.isNullAt(1) && r.getBoolean(1))
+          .map(_.getString(0))
+        return (files, rows.length)
+      } catch {
+        // the pinned generation was deleted under us by an optimize
+        // cleanup: re-resolve (bounded — each retry needs another full
+        // optimize cycle to invalidate it)
+        case e: Exception if attempt < 3 && !fs.exists(cur._2) => attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Range query over the clustered store touching only intersecting files.

@@ -195,7 +195,7 @@ class ZoneMapSpec extends SparkTestBase {
     assert(!ZoneMap.recoverOptimize(spark, path), "no marker → no-op")
   }
 
-  test("crashed optimize: a completed _zonemap_new rolls forward") {
+  test("crashed optimize: a committed newer generation rolls forward") {
     import org.apache.hadoop.fs.Path
     val path = tmp("optCrashFwd")
     ZoneMap.writeClustered(data, path, Seq("k"), numFiles = 4)
@@ -203,24 +203,94 @@ class ZoneMapSpec extends SparkTestBase {
     val want = ZoneMap.readPruned(spark, path, all)
       .select("id", "k", "v", "payload").collect().toSet
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // simulate the mid-swap crash: marker up, manifest fully written at
-    // _zonemap_new (with _SUCCESS), _zonemap already deleted
+    // simulate a crash right after the new generation committed: marker
+    // up, the manifest lives at _zonemap_g1 (committed, with _SUCCESS),
+    // generation 0 already gone
     fs.create(new Path(path, "_zm_opt_inflight"), true).close()
-    assert(fs.rename(new Path(path, "_zonemap"), new Path(path, "_zonemap_new")))
+    assert(fs.rename(new Path(path, "_zonemap"), new Path(path, "_zonemap_g1")))
     assert(ZoneMap.recoverOptimize(spark, path))
-    assert(fs.exists(new Path(path, "_zonemap")) &&
-      !fs.exists(new Path(path, "_zonemap_new")))
+    assert(fs.exists(new Path(path, "_zonemap_g1")))
     assert(ZoneMap.readPruned(spark, path, all)
       .select("id", "k", "v", "payload").collect().toSet == want,
-      "roll-forward must leave the new manifest governing the same rows")
-    // a PARTIAL _zonemap_new (no _SUCCESS) is discarded instead
+      "roll-forward must leave the new generation governing the same rows")
+    // a PARTIAL newer generation (no _SUCCESS) is discarded instead
     fs.create(new Path(path, "_zm_opt_inflight"), true).close()
-    fs.mkdirs(new Path(path, "_zonemap_new"))
-    fs.create(new Path(path, "_zonemap_new/part-junk.parquet"), true).close()
+    fs.mkdirs(new Path(path, "_zonemap_g2"))
+    fs.create(new Path(path, "_zonemap_g2/part-junk.parquet"), true).close()
     assert(ZoneMap.recoverOptimize(spark, path))
-    assert(!fs.exists(new Path(path, "_zonemap_new")))
+    assert(!fs.exists(new Path(path, "_zonemap_g2")))
+    assert(fs.exists(new Path(path, "_zonemap_g1")))
     assert(ZoneMap.readPruned(spark, path, all)
       .select("id", "k", "v", "payload").collect().toSet == want)
+  }
+
+  test("a read interleaved with every optimize protocol state sees exactly one generation") {
+    import org.apache.hadoop.fs.Path
+    val path = tmp("optStates")
+    ZoneMap.writeClustered(data, path, Seq("k"), numFiles = 4)
+    val all = Seq(ZoneRange("k", Long.MinValue, Long.MaxValue))
+    val want = ZoneMap.readPruned(spark, path, all)
+      .select("id", "k", "v", "payload").collect().toSet
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readNow(state: String): Unit = {
+      val got = ZoneMap.readPruned(spark, path, all)
+        .select("id", "k", "v", "payload").collect().toSet
+      assert(got == want, s"state [$state]: read must see exactly one " +
+        s"complete generation (got ${got.size} rows, want ${want.size})")
+    }
+    val oldFiles = fs.listStatus(new Path(path)).filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .map(_.getPath).toSeq
+
+    // S1: marker up, new layout clustering into the hidden tmp
+    fs.create(new Path(path, "_zm_opt_inflight"), true).close()
+    val tmpDir = s"$path/_zm_opt_tmp"
+    spark.read.parquet(oldFiles.map(_.toString): _*)
+      .repartition(2).write.mode("overwrite").parquet(tmpDir)
+    readNow("S1 marker+tmp")
+
+    // S2: new generation's data files moved into the root (unreferenced
+    // by the governing manifest -> invisible)
+    val moved = fs.listStatus(new Path(tmpDir)).toSeq.filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .map { s =>
+        val dst = new Path(path, s"g1-${s.getPath.getName}")
+        assert(fs.rename(s.getPath, dst)); dst.toString
+      }
+    fs.delete(new Path(tmpDir), true)
+    readNow("S2 new files in root")
+
+    // S2b: the next generation's manifest is being written (no _SUCCESS
+    // yet) -> still invisible, generation 0 governs
+    spark.read.parquet(moved: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("cnt"), min($"k").as("min_k"), max($"k").as("max_k"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_zonemap_g1")
+    fs.delete(new Path(path, "_zonemap_g1/_SUCCESS"), false)
+    readNow("S2b partial new manifest (no _SUCCESS)")
+
+    // S3: new generation COMMITTED (with _SUCCESS), generation 0 and its
+    // files still present -> the new generation governs, rows once
+    fs.create(new Path(path, "_zonemap_g1/_SUCCESS"), true).close()
+    readNow("S3 both generations on disk")
+
+    // S4: old manifest deleted
+    fs.delete(new Path(path, "_zonemap"), true)
+    readNow("S4 old manifest gone")
+
+    // S5: old data files deleted, marker down
+    oldFiles.foreach(f => fs.delete(f, false))
+    fs.delete(new Path(path, "_zm_opt_inflight"), false)
+    readNow("S5 clean new generation")
+
+    // recovery on any of these states is idempotent about the result:
+    // re-raise the marker at S5 and recover -> same rows, one generation
+    fs.create(new Path(path, "_zm_opt_inflight"), true).close()
+    assert(ZoneMap.recoverOptimize(spark, path))
+    readNow("post-recovery")
+    // and a full optimize afterwards still governs the same rows
+    ZoneMap.optimize(spark, path, Seq("k"), numFiles = 4)
+    readNow("post-optimize")
   }
 
   test("optimize keeps hilbert-pair stores prunable on both dimensions") {
