@@ -3386,6 +3386,55 @@ object Queries {
       |SELECT pair, count(*) AS n FROM p GROUP BY 1
       |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin
 
+  /** BPE vocabulary training, FULL loop ([[graft.text.BpeTrainer.train]]):
+    * 8 merge rounds over the corpus's distinct-pretoken frequency table —
+    * each round one weighted adjacent-pair count, the deterministic winner
+    * (count desc, pair asc), and the left-to-right non-overlapping
+    * fold-merge applied to every word. The oracle UNROLLS all 8 rounds as
+    * chained CTEs (the q_unigram iterative-replay treatment): words ride
+    * as chr(1)-joined symbol strings, where SQL `replace(w, a||SEP||b,
+    * a||b)` IS the fold (replace scans left-to-right, non-overlapping —
+    * exactly [[graft.text.BpeTrainer.mergeSyms]]'s contract, and a
+    * just-merged `ab` cannot re-match because the scan resumes after it).
+    * Safe because corpus text carries no chr(1) and no non-BMP codepoints
+    * (UTF-16 char split == UTF-8 char split). Output = the learned merge
+    * table (rank, pair, weighted count) — round r+1's counts depend on
+    * round r's fold, so the whole loop is load-bearing, subsuming the
+    * single-round q_bpe_merge. */
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, dir, "documents")
+    graft.text.BpeTrainer.train(docs, "text", numMerges = 8)
+      .map(m => (m.rank.toLong, m.left, m.right, m.count))
+      .toDF("rk", "a", "b", "n")
+  }
+
+  val qBpeTrainSql: String = {
+    val pat = graft.text.TextFunctions.BpePretokenPattern.replace("'", "''")
+    val rounds = 8
+    val body = (0 until rounds).map { r =>
+      s"""p$r AS (
+         | SELECT pr.a, pr.b, CAST(sum(pr.n) AS BIGINT) AS c FROM (
+         |  SELECT n, unnest([{'a': s[i], 'b': s[i+1]}
+         |      for i in generate_series(1, len(s)-1)], recursive := true)
+         |  FROM (SELECT string_split(w, chr(1)) AS s, n FROM w$r)) pr
+         | GROUP BY 1, 2 HAVING sum(pr.n) >= 2),
+         |m$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+         |w${r + 1} AS (SELECT replace(w, m.a || chr(1) || m.b, m.a || m.b) AS w, n
+         | FROM w$r, m$r m)""".stripMargin
+    }.mkString(",\n")
+    val out = (0 until rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rk, a, b, c AS n FROM m$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH w0 AS (
+       | SELECT array_to_string([w[i] for i in generate_series(1, len(w))], chr(1)) AS w,
+       |   CAST(count(*) AS BIGINT) AS n
+       | FROM (SELECT unnest(regexp_extract_all(text, '$pat', 1)) AS w FROM documents)
+       | GROUP BY 1),
+       |$body
+       |$out""".stripMargin
+  }
+
   /** Exact word-3-gram Jaccard near-duplicate pairs (threshold 0.5). */
   def qDedupNgram(spark: SparkSession, dir: String): DataFrame =
     graft.dedup.TextDedup.ngramJaccardPairs(
