@@ -1164,6 +1164,39 @@ object Queries {
        |SELECT id, w * w AS area FROM b
        |WHERE x0 <= 170 AND x0 + w >= 50 AND y0 <= 180 AND y0 + w >= 40""".stripMargin
 
+  /** 3-D spatial-store lifecycle ([[graft.sources.SpatialStore3d]], the
+    * reference's queryproc3d partition+containment over octree-leaf
+    * tiles): write the part cubes leaf-partitioned with boundary
+    * replication, then a containment read that driver-prunes leaves,
+    * Catalyst-prunes partition dirs, refines with the six-comparison
+    * closed intersect, and collapses replicas. Volume = product of three
+    * small exact ints — FP-exact. Oracle = the plain 3-D window filter
+    * (query_containment.hpp:112-139 semantics in 3-D). */
+  def qStoreContainment3d(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SpatialStore3d
+    import graft.operators.SpatialJoin3d.Mbb3Cols
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_store3d_gate_" +
+      new java.io.File(dir).getName
+    val cubes = partCubes(spark, dir).select(col("id"),
+      col("x0"), col("y0"), col("z0"),
+      (col("x0") + col("w")).as("x1"), (col("y0") + col("w")).as("y1"),
+      (col("z0") + col("w")).as("z1"))
+    SpatialStore3d.write(cubes,
+      Mbb3Cols("x0", "y0", "z0", "x1", "y1", "z1"), path, leafCap = 64)
+    SpatialStore3d.containmentRead(spark, path,
+        Array(50.0, 40.0, 30.0, 170.0, 180.0, 160.0))
+      .select(col("id"),
+        ((col("x1") - col("x0")) * (col("y1") - col("y0")) *
+          (col("z1") - col("z0"))).as("volume"))
+  }
+
+  val qStoreContainment3dSql: String =
+    s"""WITH b AS ($partCubesSql)
+       |SELECT id, w * w * w AS volume FROM b
+       |WHERE x0 <= 170 AND x0 + w >= 50
+       |  AND y0 <= 180 AND y0 + w >= 40
+       |  AND z0 <= 160 AND z0 + w >= 30""".stripMargin
+
   /** STREAMING spatial ingest gate (batch-twin oracle): the deterministic
     * part boxes are shipped as WKT through a real Structured Streaming
     * query — file source → [[graft.streaming.SpatialIngest.start]] append
