@@ -1,7 +1,140 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Stable family id for a gate: name-hash split into `NumFamilies`
+    * buckets. Depends only on the gate name, so per-gate minima stay
+    * comparable across rounds regardless of catalog growth — the property
+    * a hand-curated family list would lose every time a gate moved. */
+  val NumFamilies = 3
+  def family(name: String): Int = math.floorMod(name.hashCode, NumFamilies)
+
   def main(args: Array[String]): Unit = {
+    // Family-JVM protocol: a 160+-gate catalog in ONE JVM inflates every
+    // gate with accumulated GC/JIT/code-cache pressure (measured 1.15x on
+    // shared-gate totals, BASELINE.md round-10). The parent process runs
+    // each family in its OWN child JVM sequentially and merges the
+    // records; a child (SPARK_GRAFT_BENCH_FAMILY set) runs just its
+    // subset with the unchanged warmup + min-of-3 protocol. If spawning
+    // fails (classpath oddity), the parent falls back to the single-JVM
+    // run so the driver always gets a record.
+    sys.env.get("SPARK_GRAFT_BENCH_FAMILY") match {
+      case Some(f) => runGates(_ => sys.exit(0), onlyFamily = Some(f.toInt))
+      case None =>
+        if (sys.env.get("SPARK_GRAFT_BENCH_SINGLE_JVM").contains("1"))
+          runGates(_ => (), onlyFamily = None)
+        else runFamilies()
+    }
+  }
+
+  private def r3(v: Double): String =
+    "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  private def loadAvg(): Double =
+    try java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    catch { case _: Throwable => -1.0 }
+
+  /** Spawn one child JVM per family (same classpath + JVM args as this
+    * process — the sbt fork's add-opens and -Xmx ride along via
+    * RuntimeMXBean), collect their per-gate records, merge, and print the
+    * same two record lines the single-JVM protocol printed. */
+  private def runFamilies(): Unit = {
+    val javaBin = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments
+    val cp = System.getProperty("java.class.path")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bench_fam")
+    val perGate = scala.collection.mutable.LinkedHashMap[String, Option[Double]]()
+    var spawnFailed = false
+    (0 until NumFamilies).foreach { f =>
+      val out = tmp.resolve(s"family_$f.json").toString
+      val cmd = new java.util.ArrayList[String]()
+      cmd.add(javaBin)
+      jvmArgs.forEach(a => cmd.add(a))
+      cmd.add("-cp"); cmd.add(cp); cmd.add("graft.Bench")
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_BENCH_FAMILY", f.toString)
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", out)
+      // child chatter goes to stderr (inherited); child stdout would
+      // pollute the parent's record lines — the driver tail-captures the
+      // LAST ~2.2 KB of stdout and must see only the parent's merged
+      // record, so it goes to /dev/null
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      pb.redirectOutput(new java.io.File("/dev/null"))
+      try {
+        val p = pb.start()
+        val rc = p.waitFor()
+        if (rc != 0) System.err.println(s"[bench] family $f exited rc=$rc")
+        val line = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(out)), "UTF-8")
+        parseQueries(line).foreach { case (k, v) => perGate(k) = v }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] family $f spawn failed: $e")
+        spawnFailed = true
+      }
+    }
+    // any gate the children did not report (family crashed before its
+    // record) re-runs in-process so the driver never loses a gate
+    val missing = SparkEntry.queries.keySet -- perGate.keySet
+    if (spawnFailed || missing.nonEmpty) {
+      if (missing.nonEmpty)
+        System.err.println(s"[bench] rerunning ${missing.size} unreported gates in-process")
+      runGates(res => res.foreach { case (k, v) => perGate(k) = v },
+        onlyFamily = None, onlyNames = Some(missing), emit = false)
+    }
+    emitRecord(perGate.toSeq)
+  }
+
+  /** `"name":1.234` / `"name":null` entries of a child record line. */
+  private def parseQueries(line: String): Seq[(String, Option[Double])] = {
+    val m = """"queries":\{(.*?)\},"failed"""".r.findFirstMatchIn(line)
+    m.toSeq.flatMap { qm =>
+      """"([^"]+)":(null|[0-9.]+)""".r.findAllMatchIn(qm.group(1)).map { e =>
+        e.group(1) -> (if (e.group(2) == "null") None else Some(e.group(2).toDouble))
+      }.toSeq
+    }
+  }
+
+  private def emitRecord(results: Seq[(String, Option[Double])]): Unit = {
+    val qs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + v.map(r3).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, None) => k }
+    val failedList = failed.map(k => s"\"$k\"").mkString("[", ",", "]")
+    val total = results.flatMap(_._2).sum
+    if (failed.nonEmpty) {
+      System.err.println("!" * 72)
+      System.err.println(s"[bench] GATES FAILED: ${failed.mkString(", ")}")
+      System.err.println("!" * 72)
+    }
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedList,"load1m":${r3(loadAvg())},"sf":"$sfDir"}"""
+    println(line)
+    // the driver keeps only the LAST ~2.2 KB of stdout, which truncated
+    // the FRONT (headline fields) of the r7-r9 records — print a compact
+    // summary AFTER the full line so whatever survives tail-capture always
+    // carries the totals; the full per-query map is persisted below
+    println(s"""{"metric":"total_compact","value":${r3(total)},"unit":"sec","n":${results.size},"n_failed":${failed.size},"failed":$failedList,"load1m":${r3(loadAvg())},"sf":"$sfDir"}""")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tools/bench_last.json")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes("UTF-8"))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] WARNING: could not persist $outPath: $e")
+    }
+  }
+
+  /** The original single-JVM protocol over a gate subset: sf0.001
+    * JIT/codegen warmup, then min-of-3 with a GC between timings. */
+  private def runGates(done: Seq[(String, Option[Double])] => Unit,
+                       onlyFamily: Option[Int],
+                       onlyNames: Option[Set[String]] = None,
+                       emit: Boolean = true): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -12,9 +145,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val gates = SparkEntry.queries.filter { case (name, _) =>
+      onlyFamily.forall(_ == family(name)) && onlyNames.forall(_.contains(name))
+    }
     // JIT/codegen warmup on the smallest SF so the timed loop measures
     // steady-state engine throughput, not first-touch compilation.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    gates.foreach { case (_, fn) =>
       try { fn(spark, "/root/testdata/sf0.001").count() }
       catch { case _: Throwable => () }
     }
@@ -29,58 +165,12 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results: Seq[(String, Option[Double])] = gates.toSeq.map { case (name, fn) =>
       val runs = Seq(once(fn), once(fn), once(fn))
-      name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
+      name -> (if (runs.exists(_ < 0)) None else Some(runs.min))
     }
-    val (failed, ok) = results.partition(_._2 < 0)
-    // failed queries carry null, not -1: tooling that sums or diffs the
-    // per-query map against prior rounds must not absorb sentinel values —
-    // the separate "failed" list is the failure signal
-    // times rounded to ms: full double precision is noise and bloats the
-    // one-line record past the driver's tail-capture budget (the r7 record
-    // lost 13 gates to front-truncation)
-    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) =>
-      s"\"" + k + "\":" + (if (v < 0) "null" else r3(v))
-    }.mkString("{", ",", "}")
-    // a failed query must scream, not silently shrink the headline: the
-    // total sums successes only, failures are listed separately
-    val failedList = failed.keys.map(k => s"\"$k\"").mkString("[", ",", "]")
-    val total = if (ok.nonEmpty) ok.values.sum else 0.0
-    // 1-min load average at end of run: a skewed record (r5 corpus_clean
-    // 18.3 s, r7 12.07 s — both host-load artifacts) is self-documenting.
-    val load = try {
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-    } catch { case _: Throwable => -1.0 }
-    if (failed.nonEmpty) {
-      System.err.println("!" * 72)
-      System.err.println(s"[bench] GATES FAILED: ${failed.keys.mkString(", ")}")
-      System.err.println("!" * 72)
-    }
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedList,"load1m":${r3(load)},"sf":"$sfDir"}"""
-    println(line)
-    // the driver keeps only the LAST ~2.2 KB of stdout, which truncated
-    // the FRONT (headline fields) of the r7-r9 records — print a compact
-    // summary AFTER the full line so whatever survives tail-capture always
-    // carries the totals; the full per-query map is persisted below
-    println(s"""{"metric":"total_compact","value":${r3(total)},"unit":"sec","n":${results.size},"n_failed":${failed.size},"failed":$failedList,"load1m":${r3(load)},"sf":"$sfDir"}""")
-    // the driver's tail-capture truncated the r7/r8 records (last ~2.2 KB
-    // of stdout survive; the one-line record now exceeds that); persist the
-    // full line so every timed gate survives in a committed artifact
-    // regardless of how much stdout the driver keeps. Path is relative to
-    // the working directory (overridable) so a different checkout location
-    // still gets the safeguard, and a write failure says so instead of
-    // silently dropping it.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tools/bench_last.json")
-    try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(outPath),
-        (line + "\n").getBytes("UTF-8"))
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] WARNING: could not persist $outPath: $e")
-    }
+    if (emit) emitRecord(results)
     spark.stop()
+    done(results)
   }
 }

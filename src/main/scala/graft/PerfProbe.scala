@@ -339,6 +339,24 @@ object PerfProbe {
           time(s"band_count_$i")(pairs(dir)(bandCount))
           time(s"gate_with_aux_$i")(Queries.qMinhashLsh(spark, dir).count())
         }
+      case "gate" =>
+        // generic min-of-N for ONE gate: `runMain graft.PerfProbe gate
+        // <name> [reps]` — dedicated JVM, sf0.001 warmup, N timed runs,
+        // min printed last. The clean-room twin of one driver-bench entry,
+        // for regression attribution without the 167-gate JVM pressure.
+        val name = args(1)
+        val reps = if (args.length > 2) args(2).toInt else 5
+        val fn = SparkEntry.queries(name)
+        time("warmup")(fn(spark, "/root/testdata/sf0.001").count())
+        val times = (1 to reps).map { i =>
+          System.gc()
+          val t0 = System.nanoTime()
+          val n = fn(spark, dir).count()
+          val s = (System.nanoTime() - t0) / 1e9
+          println(f"[probe] $name%-20s run$i ${s}%8.2f s  rows=$n")
+          s
+        }
+        println(f"[probe] $name%-20s min  ${times.min}%8.2f s  (n=$reps)")
     }
     spark.stop()
   }

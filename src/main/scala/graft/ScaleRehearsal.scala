@@ -251,6 +251,156 @@ object ScaleRehearsal {
       spark.stop(); return
     }
 
+    // -------------------- sf1: the sf0.1 -> sf1.0 scale step (round-10
+    // verdict #8). The six headline gate families at sf0.1-equivalent
+    // volume and 10x that, with the scale-up done the way TPC-H scales —
+    // constant spatial density (space side grows by sqrt(10)) and
+    // content-independent document copies — so LINEAR wall growth is the
+    // pass bar. Spatial runs at 10x get bucket scaled with N (the knob a
+    // user retunes per SF; the fixed-bucket 10x run is also measured to
+    // show what NOT retuning costs). ANN uses a FIXED 200-query batch at
+    // both scales: at 100 TB the query batch is independent of corpus
+    // size (the gate's own query set scales with vec_id%50 — that growth
+    // is the gate construction, not the operator).
+    if (mode == "sf1") {
+      import graft.functions.st_point
+      def writeRead(df: DataFrame, path: String): DataFrame = {
+        df.write.mode("overwrite").parquet(s"$dir/$path")
+        spark.read.parquet(s"$dir/$path")
+      }
+      def u(salt: Int, key: Column): Column =
+        pmod(xxhash64(key, lit(salt)), lit(1000000L)).cast("double") / 1000000.0
+      // constant density 0.5 boxes/unit^2 (the round-5 rehearsal's), side
+      // 1-10 — 20k boxes over 200x200 at 1x, 200k over 632x632 at 10x
+      def boxes(n: Long, space: Double, salt: Int, path: String): DataFrame =
+        writeRead(spark.range(n).select(col("id"),
+            (u(salt, col("id")) * space).as("x0"),
+            (u(salt + 1, col("id")) * space).as("y0"),
+            (lit(1.0) + u(salt + 2, col("id")) * 9.0).as("w"))
+          .withColumn("geom", st_makebox(col("x0"), col("y0"),
+            col("x0") + col("w"), col("y0") + col("w")))
+          .repartition(32), path)
+      def points(n: Long, space: Double, salt: Int, path: String): DataFrame =
+        writeRead(spark.range(n).select(col("id"),
+            (u(salt, col("id")) * space).as("px"),
+            (u(salt + 1, col("id")) * space).as("py"))
+          .withColumn("geom", st_point(col("px"), col("py")))
+          .repartition(32), path)
+      // 10 content-independent copies of the sf0.1 corpus (per-copy word
+      // prefix — the round-5 technique: per-copy shingle doc-frequencies
+      // match the corpus's, cross-copy similarity 0)
+      def docsAt(copies: Int, path: String): DataFrame =
+        writeRead(spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+          .select("doc_id", "text")
+          .crossJoin(spark.range(copies).select(col("id").as("copy")))
+          .repartition(32)
+          .select((col("doc_id") + col("copy") * 10000000L).as("doc_id"),
+            regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("c"), col("copy"), lit("$1"))).as("text")), path)
+      // 64-dim 16-center mixture (the ann rehearsal's shape at gate nlist)
+      def vecs(n: Long, path: String): DataFrame =
+        writeRead(spark.range(n).select(col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(63)), j =>
+              (u(1, concat(col("id") % 16, lit(":"), j)) - 0.5 +
+               (u(2, concat(col("id"), lit(":"), j)) - 0.5) * 0.5)
+                .cast("float")).as("embedding"))
+          .repartition(32), path)
+
+      val results = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+      def step(name: String, scales: Seq[String])(run: String => Long): Unit = {
+        val times = scales.map { s =>
+          meter.reset(); System.gc()
+          val t0 = System.nanoTime()
+          val n = run(s)
+          Thread.sleep(300)
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"[scale] $name%-22s $s%-8s ${sec}%7.1f s  rows=$n%,12d" +
+            f"  shuffleW=${meter.write / 1e9}%7.3f GB")
+          sec
+        }
+        results(name) = times
+      }
+
+      val b1 = boxes(20000L, 200.0, 11, "sf1_boxes_1")
+      val b10 = boxes(200000L, 632.456, 17, "sf1_boxes_10")
+      val p1 = points(30000L, 200.0, 23, "sf1_pts_1")
+      val p10 = points(300000L, 632.456, 29, "sf1_pts_10")
+      val s1 = points(2000L, 200.0, 37, "sf1_supp_1")
+      val s10 = points(20000L, 632.456, 41, "sf1_supp_10")
+      val d1 = docsAt(1, "sf1_docs_1")
+      val d10 = docsAt(10, "sf1_docs_10")
+      val v1 = vecs(5000L, "sf1_vecs_1")
+      val v10 = vecs(50000L, "sf1_vecs_10")
+
+      def spj(b: DataFrame, bucket: Int): Long = {
+        val a = b.select(col("id").as("id1"), col("geom").as("g1"))
+        val c = b.select(col("id").as("id2"), col("geom").as("g2"))
+        SpatialJoin.join(a, "g1", c, "g2", SpatialJoin.Config(
+            predicate = "intersects", partitioner = "fg", bucket = bucket))
+          .where(col("id1") < col("id2")).count()
+      }
+      step("spjoin_intersects", Seq("x1", "x10", "x10_b500")) {
+        case "x1"       => spj(b1, 500)
+        case "x10"      => spj(b10, 5000)
+        case "x10_b500" => spj(b10, 500)
+      }
+      def dwj(b: DataFrame, p: DataFrame, bucket: Int): Long =
+        SpatialJoin.join(
+            b.select(col("id").as("pid"), col("geom").as("g1")), "g1",
+            p.select(col("id").as("cid"), col("geom").as("g2")), "g2",
+            SpatialJoin.Config(predicate = "dwithin", distance = 4.0,
+              bucket = bucket)).count()
+      step("spjoin_dwithin", Seq("x1", "x10")) {
+        case "x1"  => dwj(b1, p1, 500)
+        case "x10" => dwj(b10, p10, 5000)
+      }
+      def knn(c: DataFrame, s: DataFrame, bucket: Int): Long =
+        SpatialJoin.knnJoinExact(
+            c.select(col("id").as("cid"), col("geom").as("g1")), "g1", "cid",
+            s.select(col("id").as("sid"), col("geom").as("g2")), "g2", k = 3,
+            tieBreak = Seq("sid"),
+            cfg = SpatialJoin.Config(bucket = bucket)).count()
+      step("knn_exact", Seq("x1", "x10")) {
+        case "x1"  => knn(p1, s1, 500)
+        case "x10" => knn(p10, s10, 5000)
+      }
+      def mh(docs: DataFrame): Long = {
+        val sig = graft.dedup.TextDedup.minHashSignatures(
+          docs, "doc_id", "text", n = 3, numHashes = 64)
+        graft.dedup.TextDedup.lshPairsFromSignatures(
+          sig, "doc_id", numHashes = 64, bands = 16, estThreshold = 0.5).count()
+      }
+      step("minhash_lsh", Seq("x1", "x10")) {
+        case "x1" => mh(d1); case "x10" => mh(d10)
+      }
+      step("corpus_clean", Seq("x1", "x10")) {
+        case "x1"  => graft.text.CorpusClean.clean(d1, "doc_id", "text",
+          lang = "en", minQuality = 0.3).count()
+        case "x10" => graft.text.CorpusClean.clean(d10, "doc_id", "text",
+          lang = "en", minQuality = 0.3).count()
+      }
+      def ivf(v: DataFrame): Long = {
+        val items = v.select(col("vec_id").as("nid"), col("embedding").as("ivec"))
+        val queries = v.orderBy(col("vec_id")).limit(200)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val model = graft.ann.IvfIndex.train(items, "ivec", nlist = 16)
+        val assign = graft.ann.IvfIndex.assignments(items, "nid", "ivec", model)
+        val probes = graft.ann.IvfIndex.probeLists(queries, "qid", "qvec", model, nprobe = 4)
+        graft.ann.IvfIndex.topKFromAssignments(items, "nid", "ivec",
+          queries, "qid", "qvec", 5, assign, probes).count()
+      }
+      step("ann_ivf", Seq("x1", "x10")) {
+        case "x1" => ivf(v1); case "x10" => ivf(v10)
+      }
+
+      println("[scale] ---- growth ratios (linear bar = 10.0) ----")
+      results.foreach { case (k, ts) =>
+        println(f"[scale] ratio $k%-22s x10/x1 = ${ts(1) / ts(0)}%5.2f" +
+          (if (ts.length > 2) f"  (fixed-bucket x10/x1 = ${ts(2) / ts(0)}%5.2f)" else ""))
+      }
+      spark.stop(); return
+    }
+
     // -------------------- Bloom decontamination at 100x (round-10 item:
     // flagBloom was previously only upper-bounded by the exact-join proxy).
     // Same salted 500k-doc corpus and 1-in-5000 benchmark split as the
