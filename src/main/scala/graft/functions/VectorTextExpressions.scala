@@ -576,6 +576,91 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   * O(len + spans log spans) — replaces a full-corpus token explode,
   * anti-join, and collect_list reassembly (measured 113 s / 1.4 GB shuffle
   * at the 500k-doc rehearsal) with a scan-stage expression. */
+/** WordPiece greedy longest-match tokenizer application (Schuster &
+  * Nakajima ICASSP'12; the BERT tokenizer family). Words are the pinned
+  * single-space tokens ([[graft.text.TextFunctions.tokens]] — WordPiece
+  * rides a whitespace basic tokenizer, unlike BPE's GPT-2 regex
+  * pretokens). Per word: repeatedly take the LONGEST vocabulary entry
+  * prefixing the remainder — continuations look up with the `##` prefix —
+  * and if any position finds no match the WHOLE word becomes `unk`
+  * (BERT's semantics, not per-character fallback).
+  *
+  * The vocabulary rides the expression as a hash set (the [[BpeEncode]]
+  * shipping pattern: a production 30k-entry vocab is a few hundred KB in
+  * the task binary, no join in the plan), and the inner loop is bounded
+  * by the longest vocab entry, so per-word cost is O(len × maxTokenLen)
+  * hash probes worst case — independent of vocabulary size. Codegen via
+  * the reference-object call, keeping the scan in whole-stage codegen. */
+case class WordPieceEncode(child: Expression, vocab: Seq[String], unk: String)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val vocabSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](math.max(16, vocab.size * 2))
+    vocab.foreach { v => require(v.nonEmpty, "vocab entries are non-empty"); s.add(v) }
+    s
+  }
+  // longest consumable span per lane: bare entries consume their full
+  // length, continuation (##) entries consume length - 2
+  @transient private lazy val maxBare: Int =
+    vocab.iterator.filterNot(_.startsWith("##")).map(_.length).foldLeft(0)(math.max)
+  @transient private lazy val maxCont: Int =
+    vocab.iterator.filter(_.startsWith("##")).map(_.length - 2).foldLeft(0)(math.max)
+
+  private def encodeWord(w: String, out: java.util.ArrayList[UTF8String]): Unit = {
+    val toks = new java.util.ArrayList[String](4)
+    var start = 0
+    var fail = false
+    while (start < w.length && !fail) {
+      val isCont = start > 0
+      val cap = if (isCont) maxCont else maxBare
+      var end = start + math.min(w.length - start, cap)
+      var found: String = null
+      while (end > start && found == null) {
+        val cand =
+          if (isCont) "##" + w.substring(start, end) else w.substring(start, end)
+        if (vocabSet.contains(cand)) found = cand else end -= 1
+      }
+      if (found == null) fail = true
+      else { toks.add(found); start = end }
+    }
+    if (fail) out.add(UTF8String.fromString(unk))
+    else {
+      var i = 0
+      while (i < toks.size) { out.add(UTF8String.fromString(toks.get(i))); i += 1 }
+    }
+  }
+
+  def encode(str: UTF8String): ArrayData = {
+    val text = str.toString
+    val out = new java.util.ArrayList[UTF8String]()
+    var wstart = 0
+    val n = text.length
+    while (wstart <= n) {
+      var wend = text.indexOf(' ', wstart)
+      if (wend < 0) wend = n
+      if (wend > wstart) encodeWord(text.substring(wstart, wend), out)
+      wstart = wend + 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size)).asInstanceOf[Array[Any]])
+  }
+
+  override def nullSafeEval(v: Any): Any = encode(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("wpEncode", this, classOf[WordPieceEncode].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.encode($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "wordpiece_encode"
+}
+
 case class RemoveCoveredTokens(text: Expression, starts: Expression, k: Int)
     extends BinaryExpression with ImplicitCastInputTypes {
   require(k >= 1, s"span width must be >= 1, got $k")

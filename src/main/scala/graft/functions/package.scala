@@ -90,6 +90,8 @@ package object functions {
   def char_shingles_all(text: Column, n: Int): Column = col(CharShingles(ex(text), n, distinct = false))
   def sig_agreement(a: Column, b: Column): Column = col(SigAgreement(ex(a), ex(b)))
   def bpe_encode(text: Column, merges: Seq[(String, String)]): Column = col(BpeEncode(ex(text), merges))
+  def wordpiece_encode(text: Column, vocab: Seq[String], unk: String = "[UNK]"): Column =
+    col(WordPieceEncode(ex(text), vocab, unk))
   def bloom_contains_long(x: Column, bf: org.apache.spark.util.sketch.BloomFilter): Column = col(BloomContainsLong(ex(x), bf))
   def remove_covered_tokens(text: Column, starts: Column, k: Int): Column = col(RemoveCoveredTokens(ex(text), ex(starts), k))
   def cms_at_least(x: Column, cms: org.apache.spark.util.sketch.CountMinSketch, min: Long): Column = col(CmsAtLeast(ex(x), cms, min))

@@ -1161,10 +1161,24 @@ object SpatialJoin {
 
     implicit val rowEnc = Encoders.row(outSchema)
     left.mapPartitions { rows =>
-      // deserialize the broadcast side once per partition
+      import scala.jdk.CollectionConverters._
+      // deserialize the broadcast side once per partition, into an STRtree:
+      // the old linear scan was O(L x R) distance calls — fine at the
+      // gate's 15k x 1k, 6e9 calls at the threshold's 300k x 10k shape
+      // (17.6x wall for 10x data, SCALE.md sf1 step). Branch-and-bound
+      // kNN is O(L log R).
       val items = bc.value.flatMap { row =>
         val g = GeometryCodec.fromWkb(row.getAs[Array[Byte]](rGeomIdx))
         if (g == null) None else Some((g, row))
+      }
+      val tree = new org.locationtech.jts.index.strtree.STRtree()
+      items.foreach { case (g, row) => tree.insert(g.getEnvelopeInternal, (g, row)) }
+      if (items.nonEmpty) tree.build()
+      val itemDist = new org.locationtech.jts.index.strtree.ItemDistance {
+        override def distance(a: org.locationtech.jts.index.strtree.ItemBoundable,
+                              b: org.locationtech.jts.index.strtree.ItemBoundable): Double =
+          a.getItem.asInstanceOf[(Geometry, Row)]._1
+            .distance(b.getItem.asInstanceOf[(Geometry, Row)]._1)
       }
       val ord = new Ordering[(Double, Row)] {
         override def compare(x: (Double, Row), y: (Double, Row)): Int = {
@@ -1185,20 +1199,32 @@ object SpatialJoin {
         val g1 = GeometryCodec.fromWkb(lrow.getAs[Array[Byte]](lGeomIdx))
         if (g1 == null || items.isEmpty) Iterator.empty
         else {
-          // bounded selection: k-element max-heap over (dist, tieBreak)
-          val heap = new scala.collection.mutable.PriorityQueue[(Double, Row)]()(ord)
-          items.foreach { case (g2, rrow) =>
-            val d = g1.distance(g2)
-            if (heap.size < k) heap.enqueue((d, rrow))
-            else if (ord.compare((d, rrow), heap.head) < 0) {
-              heap.dequeue(); heap.enqueue((d, rrow))
+          // phase 1: the k-th smallest distance (a unique order statistic,
+          // however JTS breaks its internal ties) via branch-and-bound
+          val dk =
+            if (items.length <= k) Double.MaxValue
+            else tree.nearestNeighbour(g1.getEnvelopeInternal,
+                (g1, null.asInstanceOf[Row]), itemDist, k)
+              .iterator.map(o => g1.distance(o.asInstanceOf[(Geometry, Row)]._1))
+              .max
+          // phase 2: ALL rights within dk (>= k rows — dk-distance ties
+          // included), ranked under the caller's deterministic
+          // (distance, tieBreak) order — tie handling identical to the
+          // distributed path's
+          val cands =
+            if (dk == Double.MaxValue) items.toSeq
+            else {
+              val env = g1.getEnvelopeInternal.copy(); env.expandBy(dk)
+              tree.query(env).asScala.toSeq
+                .map(_.asInstanceOf[(Geometry, Row)])
             }
-          }
           val lVals = lrow.toSeq
-          val topk: Seq[(Double, Row)] = heap.dequeueAll.reverse
-          topk.iterator.zipWithIndex.map { case ((d, rrow), i) =>
-            Row.fromSeq(lVals ++ rrow.toSeq :+ d :+ (i + 1))
-          }
+          cands.iterator.map { case (g2, rrow) => (g1.distance(g2), rrow) }
+            .filter(_._1 <= dk)
+            .toSeq.sorted(ord).take(k)
+            .iterator.zipWithIndex.map { case ((d, rrow), i) =>
+              Row.fromSeq(lVals ++ rrow.toSeq :+ d :+ (i + 1))
+            }
         }
       }
     }.toDF(outSchema.fieldNames.toIndexedSeq: _*)
