@@ -68,9 +68,28 @@ object Bench {
         val p = pb.start()
         val rc = p.waitFor()
         if (rc != 0) System.err.println(s"[bench] family $f exited rc=$rc")
-        val line = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(out)), "UTF-8")
-        parseQueries(line).foreach { case (k, v) => perGate(k) = v }
+        // primary channel: the trivially-parseable name\tvalue TSV the
+        // child writes next to its JSON record; the JSON regex is only a
+        // fallback for records from older builds
+        val parsed = readGateTsv(out + ".tsv").getOrElse {
+          val line = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(out)), "UTF-8")
+          parseQueries(line)
+        }
+        // a clean child exit with zero parsed gates means the record
+        // format drifted from this parser — fail LOUDLY instead of
+        // silently rerunning the whole family in-process (which would
+        // quietly reinstate the single-JVM GC/JIT inflation the family
+        // protocol exists to remove)
+        if (rc == 0 && parsed.isEmpty) {
+          System.err.println("!" * 72)
+          System.err.println(
+            s"[bench] family $f exited rc=0 but its record parsed to ZERO " +
+              "gates - record format drift; fix parseQueries/emitRecord")
+          System.err.println("!" * 72)
+          throw new IllegalStateException(s"family $f: zero-gate parse after clean exit")
+        }
+        parsed.foreach { case (k, v) => perGate(k) = v }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] family $f spawn failed: $e")
         spawnFailed = true
@@ -86,6 +105,26 @@ object Bench {
         onlyFamily = None, onlyNames = Some(missing), emit = false)
     }
     emitRecord(perGate.toSeq)
+  }
+
+  /** Per-gate `name\tvalue` lines a child writes next to its JSON record
+    * (value `null` for a failed gate). Returns None when the file does not
+    * exist (older-build record) so the caller can fall back to the JSON
+    * regex; malformed lines fail loudly rather than parse to zero gates. */
+  private def readGateTsv(path: String): Option[Seq[(String, Option[Double])]] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) None
+    else Some {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(p).asScala.toSeq
+        .filter(_.nonEmpty).map { ln =>
+          ln.split('\t') match {
+            case Array(k, "null") => k -> (None: Option[Double])
+            case Array(k, v) => k -> Some(v.toDouble)
+            case _ => throw new IllegalStateException(s"bad gate-tsv line: $ln")
+          }
+        }
+    }
   }
 
   /** `"name":1.234` / `"name":null` entries of a child record line. */
@@ -123,6 +162,13 @@ object Bench {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outPath),
         (line + "\n").getBytes("UTF-8"))
+      // the machine-readable per-gate channel the family parent prefers:
+      // name\tvalue lines, immune to JSON field-order drift
+      val tsv = results.map { case (k, v) =>
+        k + "\t" + v.map(r3).getOrElse("null")
+      }.mkString("", "\n", "\n")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath + ".tsv"), tsv.getBytes("UTF-8"))
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] WARNING: could not persist $outPath: $e")

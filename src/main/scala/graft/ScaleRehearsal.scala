@@ -54,9 +54,12 @@ object ScaleRehearsal {
       System.gc()
       val t0 = System.nanoTime()
       val r = f
+      val sec = (System.nanoTime() - t0) / 1e9
       // listener bus is async; give completed-stage events a beat to land
+      // AFTER the clock is read — a sleep inside the timed window would add
+      // a constant 0.3 s to every measurement and flatten growth ratios
       Thread.sleep(300)
-      println(f"[scale] $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.1f s" +
+      println(f"[scale] $name%-26s $sec%8.1f s" +
         f"  shuffleW=${meter.write / 1e9}%8.3f GB  shuffleR=${meter.read / 1e9}%8.3f GB")
       r
     }
@@ -334,8 +337,12 @@ object ScaleRehearsal {
             meter.reset(); System.gc()
             val t0 = System.nanoTime()
             val n = run(s)
+            // read the clock BEFORE the listener-bus settle sleep: a sleep
+            // inside the window adds a constant +0.3 s that biases x10/x1
+            // growth ratios toward sub-linear
+            val sec = (System.nanoTime() - t0) / 1e9
             Thread.sleep(300)
-            ((System.nanoTime() - t0) / 1e9, n, meter.write)
+            (sec, n, meter.write)
           }
           val (sec, n, sw) = runs.minBy(_._1)
           println(f"[scale] $name%-22s $s%-8s ${sec}%7.1f s  rows=$n%,12d" +

@@ -3425,10 +3425,12 @@ object Queries {
     * (count desc, pair asc), and the left-to-right non-overlapping
     * fold-merge applied to every word. The oracle UNROLLS all 8 rounds as
     * chained CTEs (the q_unigram iterative-replay treatment): words ride
-    * as chr(1)-joined symbol strings, where SQL `replace(w, a||SEP||b,
-    * a||b)` IS the fold (replace scans left-to-right, non-overlapping —
-    * exactly [[graft.text.BpeTrainer.mergeSyms]]'s contract, and a
-    * just-merged `ab` cannot re-match because the scan resumes after it).
+    * as boundary-wrapped symbol strings (chr(1)||sym||chr(1) per symbol,
+    * the q_bpe_encode encoding), where SQL `replace` of the full-wrapper
+    * pattern IS the fold (replace scans left-to-right, non-overlapping —
+    * exactly [[graft.text.BpeTrainer.mergeSyms]]'s contract; the wrappers
+    * anchor each symbol so a multi-char symbol merely ENDING in `a` or
+    * STARTING with `b` can never fuse — see qBpeTrainSql's comment).
     * Safe because corpus text carries no chr(1) and no non-BMP codepoints
     * (UTF-16 char split == UTF-8 char split). Output = the learned merge
     * table (rank, pair, weighted count) — round r+1's counts depend on
@@ -3445,22 +3447,40 @@ object Queries {
   val qBpeTrainSql: String = {
     val pat = graft.text.TextFunctions.BpePretokenPattern.replace("'", "''")
     val rounds = 8
+    // Symbol encoding: every symbol rides with its OWN boundaries,
+    // chr(1)||sym||chr(1), adjacent symbols giving a chr(1)chr(1) seam
+    // (the q_bpe_encode oracle's encoding). The merge fold is then
+    // replace(w, \x01 a \x01\x01 b \x01, \x01 ab \x01): a match must
+    // consume BOTH full wrappers, so a multi-char symbol ending in `a`
+    // (or starting with `b`) can never fuse across its own boundary —
+    // the flat single-separator encoding's suffix/prefix-collision bug
+    // (symbols [th, e] + winning pair (h,e) fused 'th\x01e' -> 'the').
+    // Overlapping runs stay exact: for a=b, 'aaaaa' = 5 wrapped symbols,
+    // the left-to-right non-overlapping replace merges (0,1) then (2,3)
+    // and leaves the 5th — precisely BpeTrainer.mergeSyms' fold.
+    // BpeOracleFoldSpec pins this replace==mergeSyms equivalence on the
+    // adversarial cases (suffix collision, prefix collision, a=b runs).
     val body = (0 until rounds).map { r =>
       s"""p$r AS (
          | SELECT pr.a, pr.b, CAST(sum(pr.n) AS BIGINT) AS c FROM (
          |  SELECT n, unnest([{'a': s[i], 'b': s[i+1]}
          |      for i in generate_series(1, len(s)-1)], recursive := true)
-         |  FROM (SELECT string_split(w, chr(1)) AS s, n FROM w$r)) pr
+         |  FROM (SELECT string_split(w[2 : len(w)-1], chr(1)||chr(1)) AS s, n
+         |        FROM w$r)) pr
          | GROUP BY 1, 2 HAVING sum(pr.n) >= 2),
          |m$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a ASC, b ASC LIMIT 1),
-         |w${r + 1} AS (SELECT replace(w, m.a || chr(1) || m.b, m.a || m.b) AS w, n
+         |w${r + 1} AS (SELECT
+         |   replace(w, chr(1)||m.a||chr(1)||chr(1)||m.b||chr(1),
+         |     chr(1)||m.a||m.b||chr(1)) AS w, n
          | FROM w$r, m$r m)""".stripMargin
     }.mkString(",\n")
     val out = (0 until rounds).map(r =>
       s"SELECT CAST($r AS BIGINT) AS rk, a, b, c AS n FROM m$r")
       .mkString("\nUNION ALL ")
     s"""WITH w0 AS (
-       | SELECT array_to_string([w[i] for i in generate_series(1, len(w))], chr(1)) AS w,
+       | SELECT chr(1) ||
+       |   array_to_string([w[i] for i in generate_series(1, len(w))],
+       |     chr(1)||chr(1)) || chr(1) AS w,
        |   CAST(count(*) AS BIGINT) AS n
        | FROM (SELECT unnest(regexp_extract_all(text, '$pat', 1)) AS w FROM documents)
        | GROUP BY 1),
@@ -3786,6 +3806,75 @@ object Queries {
        |  coalesce(a.n_tokens, 0) AS n_tokens
        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
   }
+
+  /** WordPiece tokenizer application ([[graft.functions.WordPieceEncode]]
+    * — greedy longest-match-first over a vocabulary with `##` continuation
+    * entries; a word with any unmatched position collapses to a single
+    * `[UNK]`, BERT's semantics). The vocabulary is corpus-derived and
+    * deterministic — top-80 whole words (count desc, word asc) plus the
+    * fixed a-z alphabet as bare and continuation singles — and is
+    * checkpointed so the oracle consumes the same bits. The oracle replays
+    * greedy matching with a recursive CTE: each step filters the vocab
+    * list for entries prefixing the word remainder in the current lane
+    * (bare at pos 0, `##`-stripped continuation after) and consumes the
+    * longest via list lambdas — pure expressions, legal in a recursive
+    * term where aggregates are not. Sound because corpus text carries no
+    * '##' or chr(1) (checked; '##'-containing words could cross lanes).
+    * Output: per-doc token-stream md5 + token count. */
+  def qWordpiece(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val top = docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(80).collect().map(_.getString(0)).toSeq // bounded: 80 rows
+    val chars = ('a' to 'z').map(_.toString)
+    val vocab = (top ++ chars ++ chars.map("##" + _)).distinct
+    writeOracleAux(
+      spark.createDataFrame(vocab.map(Tuple1(_))).toDF("tok"), dir, "wp_vocab")
+    docs.select(col("doc_id"),
+        graft.functions.wordpiece_encode(col("text"), vocab).as("__t"))
+      .select(col("doc_id"),
+        md5(concat_ws("\u0001", col("__t")).cast("binary")).as("tok_md5"),
+        size(col("__t")).cast("long").as("n_tokens"))
+  }
+
+  val qWordpieceSql: String =
+    s"""WITH RECURSIVE vl AS (SELECT list(tok) AS v FROM ${auxSql("wp_vocab")}),
+       |w0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |words AS (SELECT doc_id, widx, w FROM (
+       |    SELECT doc_id, unnest([{'widx': i, 'w': ws[i]}
+       |        for i in generate_series(1, len(ws))], recursive := true)
+       |    FROM w0) WHERE len(w) > 0),
+       |st AS (
+       |  SELECT doc_id, widx, w, 0 AS pos, CAST([] AS VARCHAR[]) AS toks
+       |  FROM words
+       |  UNION ALL
+       |  SELECT doc_id, widx, w,
+       |    CASE WHEN best IS NULL THEN len(w) ELSE pos + best END AS pos,
+       |    CASE WHEN best IS NULL THEN ['[UNK]']
+       |         WHEN pos = 0 THEN list_append(toks, w[1 : best])
+       |         ELSE list_append(toks, '##' || w[pos+1 : pos+best]) END AS toks
+       |  FROM (
+       |    SELECT doc_id, widx, w, pos, toks,
+       |      list_max(list_transform(
+       |        list_filter((SELECT v FROM vl), t ->
+       |          CASE WHEN pos = 0
+       |            THEN t NOT LIKE '##%' AND t = w[1 : len(t)]
+       |            ELSE t LIKE '##%' AND len(t) > 2
+       |                 AND t[3 : len(t)] = w[pos+1 : pos+len(t)-2] END),
+       |        t -> CASE WHEN pos = 0 THEN len(t) ELSE len(t) - 2 END)) AS best
+       |    FROM st WHERE pos < len(w))),
+       |fin AS (SELECT doc_id, widx, toks FROM st WHERE pos >= len(w)),
+       |tok AS (SELECT doc_id, widx, tidx, tok FROM (
+       |    SELECT doc_id, widx, unnest([{'tidx': i, 'tok': toks[i]}
+       |        for i in generate_series(1, len(toks))], recursive := true)
+       |    FROM fin)),
+       |agg AS (SELECT doc_id, string_agg(tok, chr(1) ORDER BY widx, tidx) AS stream,
+       |        CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc_id)
+       |SELECT d.doc_id AS doc_id, md5(coalesce(a.stream, '')) AS tok_md5,
+       |  coalesce(a.n, 0) AS n_tokens
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
 
   /** Incremental line dedup (corpus refresh): docs with doc_id%5==0 play
     * the NEW batch; the STORED table — distinct lines of the rest,

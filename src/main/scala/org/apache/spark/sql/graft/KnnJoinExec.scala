@@ -81,6 +81,10 @@ case class KnnJoinExec(
       val joined = new JoinedRow
       var seq = 0L
       iter.map { row =>
+        // fail loudly before seq bleeds into the partition-index bits and
+        // silently merges two probes' neighbor lists
+        require(seq < (1L << 36),
+          s"kNN probe partition $pi exceeds 2^36 rows; repartition the left side")
         idRow.setLong(0, (pi.toLong << 36) | seq)
         seq += 1
         proj(joined(idRow, row)).copy()

@@ -289,6 +289,10 @@ case class SpatialJoinExec(
       .mapPartitionsWithIndex { (pi, iter) =>
         var seq = 0L
         iter.map { row =>
+          // fail loudly before seq bleeds into the partition-index bits and
+          // two rows alias the same id (semi would dup, anti would drop)
+          require(seq < (1L << 36),
+            s"semi/anti partition $pi exceeds 2^36 rows; repartition the left side")
           val id = (pi.toLong << 36) | seq
           seq += 1
           (id, row.copy())

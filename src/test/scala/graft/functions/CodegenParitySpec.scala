@@ -209,6 +209,43 @@ class CodegenParitySpec extends SparkTestBase {
     assert(byId(4L).isNullAt(3))             // both tokens covered -> null
   }
 
+  private def wordpieceResults(mode: String): Seq[Row] = {
+    import spark.implicits._
+    val vocab = Seq("hello", "world", "un", "##happ", "##ily", "a", "ab",
+      "##b", "##c")
+    val df = Seq(
+      (1L, "hello world"),
+      (2L, "unhappily xqz hello"),   // multi-piece + whole-word UNK
+      (3L, ""),                       // empty text -> empty array
+      (4L, "a ab abc"),               // greedy longest: abc -> ab ##c
+      (5L, "hello  world"),           // double space: empty word skipped
+      (6L, "abq")                     // fails mid-word -> whole word UNK
+    ).toDF("id", "txt")
+    spark.conf.set("spark.sql.codegen.factoryMode", mode)
+    try df.select(col("id"),
+        wordpiece_encode(col("txt"), vocab).as("wp"))
+      .orderBy("id").collect().toSeq
+    finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
+  test("wordpiece_encode: generated code bit-matches interpreted eval") {
+    val gen = wordpieceResults("CODEGEN_ONLY")
+    val interp = wordpieceResults("NO_CODEGEN")
+    assert(gen == interp)
+    val byId = gen.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getSeq[String](1) == Seq("hello", "world"))
+    // greedy longest-match-first with ## continuations; no-match word ->
+    // single [UNK] (BERT semantics, not per-character fallback)
+    assert(byId(2L).getSeq[String](1) ==
+      Seq("un", "##happ", "##ily", "[UNK]", "hello"))
+    assert(byId(3L).getSeq[String](1) == Seq.empty)
+    assert(byId(4L).getSeq[String](1) == Seq("a", "ab", "ab", "##c"))
+    assert(byId(5L).getSeq[String](1) == Seq("hello", "world"))
+    // 'abq': bare 'ab' matches but '##q' doesn't -> whole word UNK, the
+    // accumulated prefix pieces discarded
+    assert(byId(6L).getSeq[String](1) == Seq("[UNK]"))
+  }
+
   private def htmlResults(mode: String): Seq[Row] = {
     import spark.implicits._
     val df = Seq(
