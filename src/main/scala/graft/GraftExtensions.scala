@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     r("st_dwithin", es => StDWithin(es(0), es(1), es(2)))
     r("st_nearest", StNearest.fromSqlArgs _)
+    r("st_nearest2", StNearest2.fromSqlArgs _)
     r("st_distance", es => StDistance(es(0), es(1)))
     r("st_distancesphere", es => StDistanceSphere(es(0), es(1)))
     r("st_area", es => StArea(es.head))

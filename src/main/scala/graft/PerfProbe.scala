@@ -153,6 +153,35 @@ object PerfProbe {
           graft.core.GeometryCodec.box(50, 40, 170, 180))
         time("read")(SpatialStore.containmentRead(spark, path, window).count())
         time("read2")(SpatialStore.containmentRead(spark, path, window).count())
+      case "store3dparts" =>
+        import graft.sources.SpatialStore3d
+        import graft.operators.SpatialJoin3d.Mbb3Cols
+        import org.apache.spark.sql.functions.col
+        time("warmup")(Queries.qStoreContainment3d(spark, "/root/testdata/sf0.001").count())
+        val path = "/tmp/graft_probe_store3d"
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val ms = si.completionTime.get - si.submissionTime.get
+            if (ms > 100)
+              println(f"[probe] stage ${si.stageId}%4d ${ms}%6d ms  tasks=${si.numTasks}%4d  ${si.name.take(80)}")
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        def cubes = Queries.partCubes(spark, dir).select(col("id"),
+          col("x0"), col("y0"), col("z0"),
+          (col("x0") + col("w")).as("x1"), (col("y0") + col("w")).as("y1"),
+          (col("z0") + col("w")).as("z1"))
+        (1 to 2).foreach { i =>
+          time(s"write$i") {
+            SpatialStore3d.write(cubes,
+              Mbb3Cols("x0", "y0", "z0", "x1", "y1", "z1"), path, leafCap = 64); 0L
+          }
+        }
+        val window = Array(50.0, 40.0, 30.0, 170.0, 180.0, 160.0)
+        time("read")(SpatialStore3d.containmentRead(spark, path, window).count())
+        time("read2")(SpatialStore3d.containmentRead(spark, path, window).count())
       case "equals" =>
         time("warmup")(Queries.qSpjoinEquals(spark, "/root/testdata/sf0.001").count())
         time("equals1")(Queries.qSpjoinEquals(spark, dir).count())

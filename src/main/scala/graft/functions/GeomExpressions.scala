@@ -629,6 +629,47 @@ case class StNearest(left: Expression, right: Expression,
   override def prettyName: String = "st_nearest"
 }
 
+/** J14 tile-local kNN-join predicate marker — the SQL surface for the
+  * reference CLI's `-p st_nearest2` (/root/reference/src/resque/
+  * knn_2d.hpp:22-233, resque_params_2d.hpp:480-486): each probe row is
+  * matched only within its owner tile, the reference's tile-local
+  * approximation of kNN (cheaper than [[StNearest]]'s globally-exact
+  * semantics — no boundary re-join pass — at the cost of missing
+  * cross-tile neighbors). Same planning contract as StNearest: unevaluable
+  * row-at-a-time, must sit in an INNER JOIN condition and be planned by
+  * [[org.apache.spark.sql.graft.SpatialJoinStrategy]] onto
+  * [[org.apache.spark.sql.graft.KnnJoinExec]] in tile-local mode
+  * ([[graft.operators.SpatialJoin.knnJoin]]). */
+case class StNearest2(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  require(k > 0, s"st_nearest2 k must be positive, got $k")
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+  private def unplanned = new UnsupportedOperationException(
+    "st_nearest2 is a kNN-join operator, not a scalar predicate: it must " +
+      "appear in an INNER JOIN condition between the probe and index " +
+      "relations, with SpatialJoinStrategy installed " +
+      "(spark.sql.extensions=graft.GraftExtensions)")
+  override def eval(input: InternalRow): Any = throw unplanned
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    throw unplanned
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_nearest2"
+}
+
+object StNearest2 {
+  /** SQL builder: st_nearest2(leftGeom, rightGeom, k). k parameterizes the
+    * join operator → literal only. */
+  def fromSqlArgs(es: Seq[Expression]): Expression = {
+    require(es.length == 3,
+      s"st_nearest2 takes 3 arguments (leftGeom, rightGeom, k), got ${es.length}")
+    StNearest2(es(0), es(1), graft.functions.sqlFoldInt(es(2), "st_nearest2 k"))
+  }
+}
+
 object StNearest {
   /** SQL builder: st_nearest(leftGeom, rightGeom, k [, maxDistance]).
     * k / maxDistance parameterize the join operator → literals only. */

@@ -632,6 +632,53 @@ object Queries {
        |      FROM lc JOIN rc ON lc.tile_id = rc.tile_id)
        |SELECT cid, sqrt(d2) AS dist FROM d WHERE rk <= 3""".stripMargin
 
+  /** J14 SQL surface: the q_knn_tile relation as plain SQL text —
+    * `JOIN ... ON st_nearest2(g1, g2, 3)` planned by SpatialJoinStrategy
+    * as KnnJoinExec in TILE-LOCAL mode (the reference CLI's
+    * `-p st_nearest2`, knn_2d.hpp:22-233, reachable without the
+    * programmatic API). Shares q_knn_tile's oracle: the tiling is pinned
+    * to the gate's bucket=500 via the runtime conf (tile-local results
+    * DEPEND on the tiling, unlike exact kNN), restored afterwards so the
+    * conf never leaks into sibling gates. Distance is recomputed post-join
+    * with st_distance (the same JTS distance the engine ranked by), and
+    * the plan is asserted to carry a tileLocal KnnJoinExec. */
+  def qKnnTileSqlGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.{KnnJoinExec, SpatialJoinStrategy}
+    if (!spark.experimental.extraStrategies.contains(SpatialJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ SpatialJoinStrategy
+    graft.functions.registerAll(spark)
+    custPoints(spark, dir).select(col("id").as("cid"), col("geom").as("g1"))
+      .createOrReplaceTempView("gate_knn2_c")
+    suppPoints(spark, dir).select(col("id").as("sid"), col("geom").as("g2"))
+      .createOrReplaceTempView("gate_knn2_s")
+    val prev = spark.conf.getOption("graft.join.bucket")
+    spark.conf.set("graft.join.bucket", "500")
+    try {
+      val q = spark.sql(
+        """SELECT cid, st_distance(g1, g2) AS dist
+          |FROM gate_knn2_c c JOIN gate_knn2_s s
+          |ON st_nearest2(c.g1, s.g2, 3)""".stripMargin)
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val root = q.queryExecution.executedPlan
+      val plans = root +: root.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+      require(plans.exists(_.collect {
+        case e: KnnJoinExec if e.tileLocal => e }.nonEmpty),
+        "q_knn_tile_sql must plan through a tile-local KnnJoinExec")
+      // the conf is read at doExecute, not analysis: materialize the kNN
+      // relation NOW (localCheckpoint, eager) so restoring the conf below
+      // cannot re-tile a lazily-executed plan
+      q.localCheckpoint(true)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("graft.join.bucket", v)
+        case None => spark.conf.unset("graft.join.bucket")
+      }
+    }
+  }
+
+  val qKnnTileSqlGateSql: String = qKnnTileSql
+
   /** A1: global space envelope + count over MBBs (the reference's
     * MBB-extraction + stats job pair). */
   def qMbbStats(spark: SparkSession, dir: String): DataFrame =
@@ -1181,8 +1228,14 @@ object Queries {
       col("x0"), col("y0"), col("z0"),
       (col("x0") + col("w")).as("x1"), (col("y0") + col("w")).as("y1"),
       (col("z0") + col("w")).as("z1"))
+    // leafCap 300 = the 2-D gate's per-tile object cap (bucket = 300): at
+    // sf0.1 both stores then carry a comparable leaf-dir count. The gate's
+    // result is tiling-independent (oracle proves it: a pure window filter,
+    // replicas collapse on row ids); deep-octree shapes are exercised by
+    // SpatialStore3dSpec/knn3doc, not by over-fragmenting this lifecycle
+    // gate to 27-row leaves no 100 TB store would run with
     SpatialStore3d.write(cubes,
-      Mbb3Cols("x0", "y0", "z0", "x1", "y1", "z1"), path, leafCap = 64)
+      Mbb3Cols("x0", "y0", "z0", "x1", "y1", "z1"), path, leafCap = 300)
     SpatialStore3d.containmentRead(spark, path,
         Array(50.0, 40.0, 30.0, 170.0, 180.0, 160.0))
       .select(col("id"),

@@ -135,10 +135,38 @@ object SpatialStore {
     writeMeta(spark, path, Meta(geomCol, index.space, index.tiles))
   }
 
+  /** Read ONLY the given tile partition dirs. `spark.read.parquet(path)`
+    * on a tile store lists EVERY leaf dir before Catalyst partition
+    * pruning can drop any — on a 736-leaf sf0.1 store that listing alone
+    * was a 736-task discovery job (1.05 s, the dominant stage of the
+    * store-read gates), and at 100 TB an object-store LIST per leaf dwarfs
+    * the pruned data read. The store's own meta already names every leaf,
+    * so: one driver listStatus of the root resolves which wanted dirs
+    * exist (a tile with no resident rows never got a dir), then an
+    * explicit-path read with basePath keeps the partition column while
+    * listing only the selected dirs — listing cost proportional to the
+    * window's selectivity, not the store's leaf count. Callers keep their
+    * `isin` filter as a defensive belt. */
+  private[sources] def prunedRead(spark: SparkSession, path: String,
+                                  wanted: Seq[Int]): DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val want = wanted.map(t => s"$TileCol=$t").toSet
+    val dirs = fs.listStatus(root).iterator
+      .filter(s => s.isDirectory && want.contains(s.getPath.getName))
+      .map(_.getPath.toString).toSeq
+    if (dirs.isEmpty)
+      // schema-preserving empty relation (planning-only full listing;
+      // a window off the store's space is a degenerate query)
+      spark.read.parquet(path).where(lit(false))
+    else spark.read.option("basePath", path).parquet(dirs: _*)
+  }
+
   /** Containment/window read: driver prunes tiles against the window MBB
-    * (global-index scan, query_containment.hpp:112-139), Catalyst prunes
-    * the matching partition dirs, the exact predicate refines, and replica
-    * rows collapse on __row_id. `window` is a WKB geometry literal. */
+    * (global-index scan, query_containment.hpp:112-139), the pruned read
+    * lists only matching partition dirs, the exact predicate refines, and
+    * replica rows collapse on __row_id. `window` is a WKB geometry
+    * literal. */
   def containmentRead(spark: SparkSession, path: String,
                       window: Array[Byte]): DataFrame = {
     val meta = readMeta(spark, path)
@@ -148,7 +176,7 @@ object SpatialStore {
     val wanted = meta.tiles.iterator
       .filter(t => t.mbb.intersects(Mbb(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)))
       .map(_.tileId).toSeq
-    spark.read.parquet(path)
+    prunedRead(spark, path, wanted)
       .where(col(TileCol).isin(wanted: _*))
       .where(st_intersects(col(meta.geomCol), lit(window)))
       .dropDuplicates(RowIdCol, RowId2Col)
@@ -205,7 +233,7 @@ object SpatialStore {
         .filter { case (_, wg) => wg.intersects(g) }
         .map(_._1).toArray.sorted
     }
-    spark.read.parquet(path)
+    prunedRead(spark, path, wanted)
       .where(col(TileCol).isin(wanted: _*))
       .withColumn(widCol, explode(hits(col(meta.geomCol))))
       .dropDuplicates(widCol, RowIdCol, RowId2Col)

@@ -107,7 +107,7 @@ object SpatialStore3d {
           b(2) <= z1 && z0 <= b(5) }
       .map(_._2).toSeq
     val Seq(cx0, cy0, cz0, cx1, cy1, cz1) = meta.cols.map(col)
-    spark.read.parquet(path)
+    SpatialStore.prunedRead(spark, path, wanted)
       .where(col(TileCol).isin(wanted: _*))
       .where(cx0 <= lit(x1) && lit(x0) <= cx1 &&
              cy0 <= lit(y1) && lit(y0) <= cy1 &&

@@ -337,6 +337,22 @@ object ZoneMap {
     * [[optimize]]'s final cleanup deletes that generation between resolve
     * and collect (it was superseded), the read re-resolves — the retry
     * always lands on a complete, newer generation. */
+  /** Retry budget for a read racing concurrent [[optimize]] cleanups.
+    * Each consumed retry requires a FULL optimize cycle (rewrite + commit
+    * + cleanup) to land entirely inside the read's resolve→collect window
+    * — one racing optimize costs at most one retry, so the budget bounds
+    * the number of back-to-back optimizes a single read can absorb. Four
+    * full rewrite cycles inside one manifest collect means the store is
+    * being optimized in a tight loop; failing loudly beats unbounded
+    * spinning under that pathology. */
+  private[sources] val ReadRetries = 3
+
+  /** Test seam: invoked after a read pins its generation, before the
+    * manifest collect — the only window a concurrent optimize cleanup can
+    * invalidate the pin. Lets specs interleave real optimize cycles
+    * deterministically. No-op in production. */
+  private[sources] var testAfterResolve: () => Unit = () => ()
+
   private def selectFiles(spark: SparkSession, path: String,
                           ranges: Seq[ZoneRange]): (Seq[String], Int) = {
     val (fs, p) = hfs(spark, path)
@@ -349,6 +365,7 @@ object ZoneMap {
         s"ZoneMap: no committed manifest under $path — not a clustered " +
           "store (build one with writeClustered)"))
       try {
+        testAfterResolve()
         val rows = spark.read.parquet(cur._2.toString)
           .select(col("file"), keep.as("__keep"))
           .collect()
@@ -358,9 +375,16 @@ object ZoneMap {
         return (files, rows.length)
       } catch {
         // the pinned generation was deleted under us by an optimize
-        // cleanup: re-resolve (bounded — each retry needs another full
-        // optimize cycle to invalidate it)
-        case e: Exception if attempt < 3 && !fs.exists(cur._2) => attempt += 1
+        // cleanup: re-resolve — the retry always lands on a complete,
+        // newer generation (commit-before-delete), and each retry is only
+        // consumed by another full optimize cycle
+        case e: Exception if !fs.exists(cur._2) =>
+          if (attempt < ReadRetries) attempt += 1
+          else throw new IllegalStateException(
+            s"ZoneMap read lost its pinned manifest generation to " +
+              s"${ReadRetries + 1} concurrent optimize cleanups in a row " +
+              s"under $path — the store is being optimized in a tight " +
+              "loop; pause the optimizer or retry the read", e)
       }
     }
     throw new IllegalStateException("unreachable")

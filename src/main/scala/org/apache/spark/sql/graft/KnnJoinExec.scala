@@ -42,7 +42,12 @@ case class KnnJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftGeom: Expression, rightGeom: Expression,
     k: Int, maxDistance: Double,
-    extraCond: Option[Expression]) extends BinaryExecNode {
+    extraCond: Option[Expression],
+    tileLocal: Boolean = false) extends BinaryExecNode {
+  // tile-local (st_nearest2) is the reference's k-only surface: a distance
+  // bound would silently change which tile-local neighbors survive
+  require(!tileLocal || maxDistance.isPosInfinity,
+    "st_nearest2 (tile-local) takes no distance bound")
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
@@ -126,7 +131,12 @@ case class KnnJoinExec(
     val tieBreak = tie.map(_._1)
 
     val joinedDf =
-      if (maxDistance.isPosInfinity)
+      if (tileLocal)
+        // reference st_nearest2 semantics: owner-tile-local top-k, no
+        // boundary re-join pass (and no tie-break lanes — the reference's
+        // tie order is engine-arbitrary)
+        SpatialJoin.knnJoin(ldf, "__lg", rdf, "__rg", k, cfg = cfg)
+      else if (maxDistance.isPosInfinity)
         SpatialJoin.knnJoinExact(ldf, "__lg", "__lid", rdf, "__rg", k,
           tieBreak = tieBreak, cfg = cfg)
       else

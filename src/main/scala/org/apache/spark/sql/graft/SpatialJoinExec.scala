@@ -92,24 +92,31 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
     * the expression's targeted error. */
   private def planKnn(l: LogicalPlan, r: LogicalPlan,
                       conjuncts: Seq[Expression]): Seq[SparkPlan] = {
-    import graft.functions.StNearest
+    import graft.functions.{StNearest, StNearest2}
+    // (marker, probeGeom, indexGeom, k, maxDist, swapped, tileLocal)
     val hit = conjuncts.collectFirst {
       case e @ StNearest(a, b, k, d)
           if a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet) =>
-        (e, a, b, k, d, false)
+        (e, a, b, k, d, false, false)
       case e @ StNearest(a, b, k, d)
           if a.references.subsetOf(r.outputSet) && b.references.subsetOf(l.outputSet) =>
-        (e, a, b, k, d, true)
+        (e, a, b, k, d, true, false)
+      case e @ StNearest2(a, b, k)
+          if a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet) =>
+        (e, a, b, k, Double.PositiveInfinity, false, true)
+      case e @ StNearest2(a, b, k)
+          if a.references.subsetOf(r.outputSet) && b.references.subsetOf(l.outputSet) =>
+        (e, a, b, k, Double.PositiveInfinity, true, true)
     }
     hit match {
-      case Some((matched, lg, rg, k, d, swapped)) =>
+      case Some((matched, lg, rg, k, d, swapped, tileLocal)) =>
         val rest = conjuncts.filterNot(_ fastEquals matched).reduceOption(And)
         if (!swapped)
-          KnnJoinExec(planLater(l), planLater(r), lg, rg, k, d, rest) :: Nil
+          KnnJoinExec(planLater(l), planLater(r), lg, rg, k, d, rest, tileLocal) :: Nil
         else {
           // probe side is the SQL-right child: run the exec with the sides
           // exchanged, then project back to the join's l ++ r output order
-          val exec = KnnJoinExec(planLater(r), planLater(l), lg, rg, k, d, rest)
+          val exec = KnnJoinExec(planLater(r), planLater(l), lg, rg, k, d, rest, tileLocal)
           org.apache.spark.sql.execution.ProjectExec(
             l.output ++ r.output, exec) :: Nil
         }

@@ -310,6 +310,49 @@ class ZoneMapSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("a pinned read absorbs two interleaved optimize cycles; the retry budget is bounded") {
+    val path = tmp("race")
+    ZoneMap.writeClustered(data, path, Seq("k"), numFiles = 8)
+    val ranges = Seq(ZoneRange("k", 120L, 180L))
+    val want = ZoneMap.readPruned(spark, path, ranges)
+      .select("id", "k", "v", "payload").collect().toSet
+
+    // TWO full optimize cycles land inside the read's resolve→collect
+    // window, back to back: each invalidates the generation the (re)read
+    // just pinned. The retry budget (3) must absorb both and land on the
+    // final committed generation with identical rows.
+    var cycles = 0
+    ZoneMap.testAfterResolve = () => {
+      if (cycles < 2) {
+        cycles += 1
+        ZoneMap.optimize(spark, path, Seq("k"), numFiles = 4)
+      }
+    }
+    try {
+      val got = ZoneMap.readPruned(spark, path, ranges)
+        .select("id", "k", "v", "payload").collect().toSet
+      assert(cycles == 2, "both racing optimizes must have run")
+      assert(got == want)
+    } finally ZoneMap.testAfterResolve = () => ()
+
+    // pathological tight-loop optimizer: more racing cycles than the
+    // budget → loud IllegalStateException, not an unbounded spin or a raw
+    // FileNotFoundException
+    ZoneMap.testAfterResolve =
+      () => ZoneMap.optimize(spark, path, Seq("k"), numFiles = 4)
+    try {
+      val e = intercept[IllegalStateException] {
+        ZoneMap.readPruned(spark, path, ranges)
+      }
+      assert(e.getMessage.contains("optimize"), e.getMessage)
+    } finally ZoneMap.testAfterResolve = () => ()
+
+    // the store itself is untouched by the failed read
+    val after = ZoneMap.readPruned(spark, path, ranges)
+      .select("id", "k", "v", "payload").collect().toSet
+    assert(after == want)
+  }
+
   test("disjoint range selects zero files and returns an empty, schema-true frame") {
     val path = tmp("empty")
     ZoneMap.writeClustered(data, path, Seq("k"), numFiles = 4)
