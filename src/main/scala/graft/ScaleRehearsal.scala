@@ -265,7 +265,10 @@ object ScaleRehearsal {
     // both scales: at 100 TB the query batch is independent of corpus
     // size (the gate's own query set scales with vec_id%50 — that growth
     // is the gate construction, not the operator).
-    if (mode == "sf1") {
+    // Shared sf1/sf1b machinery: generators are defs (no data until a mode
+    // branch materializes what it needs), the step helper is the min-of-2
+    // growth-ratio protocol, and printRatios renders the pass-bar summary.
+    if (mode == "sf1" || mode == "sf1b") {
       import graft.functions.st_point
       def writeRead(df: DataFrame, path: String): DataFrame = {
         df.write.mode("overwrite").parquet(s"$dir/$path")
@@ -350,6 +353,160 @@ object ScaleRehearsal {
           sec
         }
         results(name) = times
+      }
+      def printRatios(): Unit = {
+        println("[scale] ---- growth ratios (linear bar = 10.0) ----")
+        results.foreach { case (k, ts) =>
+          println(f"[scale] ratio $k%-22s x10/x1 = ${ts(1) / ts(0)}%5.2f" +
+            (if (ts.length > 2) f"  (fixed-bucket x10/x1 = ${ts(2) / ts(0)}%5.2f)" else ""))
+        }
+      }
+
+      // ---- sf1b: the lifecycle families the six-family sf1 step skips —
+      // store write/read (2-D + 3-D), span dedup, frozen-model tokenizer
+      // encodes, hard-negative mining, and the streaming dedup ingest.
+      // Same protocol: content-independent 10x inputs, min-of-2, linear
+      // wall growth is the pass bar. Per-SF knobs are retuned the way a
+      // 100 TB operator would be: store tiling ∝ N (fixed leaf/tile
+      // capacity => 10x leaves), IVF nlist ∝ N (fixed per-list size =>
+      // constant per-query probe work), while model sizes (BPE merges,
+      // unigram vocab, dedup gram width) stay FIXED — they are corpus-
+      // independent hyperparameters.
+      if (mode == "sf1b") {
+        import graft.sources.{SpatialStore, SpatialStore3d}
+        import graft.operators.SpatialJoin3d.Mbb3Cols
+        import graft.core.GeometryCodec
+
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete()
+        }
+        def leafCount(path: String): Long = {
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.listStatus(p).count(s =>
+            s.isDirectory && s.getPath.getName.startsWith(SpatialStore.TileCol + "="))
+        }
+        // constant density in 3-D: volume x10 => side x 10^(1/3)
+        def cubes3(n: Long, space: Double, salt: Int, path: String): DataFrame =
+          writeRead(spark.range(n).select(col("id"),
+              (u(salt, col("id")) * space).as("x0"),
+              (u(salt + 1, col("id")) * space).as("y0"),
+              (u(salt + 2, col("id")) * space).as("z0"),
+              (lit(1.0) + u(salt + 3, col("id")) * 9.0).as("w"))
+            .select(col("id"), col("x0"), col("y0"), col("z0"),
+              (col("x0") + col("w")).as("x1"), (col("y0") + col("w")).as("y1"),
+              (col("z0") + col("w")).as("z1"))
+            .repartition(32), path)
+
+        val b1 = boxes(20000L, 200.0, 11, "sf1_boxes_1")
+        val b10 = boxes(200000L, 632.456, 17, "sf1_boxes_10")
+        val q1 = cubes3(20000L, 200.0, 43, "sf1_cubes_1")
+        val q10 = cubes3(200000L, 430.887, 47, "sf1_cubes_10")
+        val d1 = docsAt(1, "sf1_docs_1")
+        val d10 = docsAt(10, "sf1_docs_10")
+        val v1 = vecs(5000L, "sf1_vecs_1")
+        val v10 = vecs(50000L, "sf1_vecs_10")
+
+        // ---- 2-D store lifecycle: tiling ∝ N (fixed ~40 objects/tile),
+        // write = full plan+cluster+partitionBy, read = pruned containment
+        // over the central 25%-area window (constant selectivity)
+        def st2 = (s: String) => s"$dir/sf1_store2d_$s"
+        step("store2d_write", Seq("x1", "x10")) { s =>
+          val (b, bucket) = if (s == "x1") (b1, 500) else (b10, 5000)
+          rm(new java.io.File(st2(s)))
+          SpatialStore.write(b.select(col("id"), col("geom")), "geom", st2(s),
+            SpatialJoin.Config(bucket = bucket))
+          leafCount(st2(s))
+        }
+        step("store2d_read", Seq("x1", "x10")) { s =>
+          val space = if (s == "x1") 200.0 else 632.456
+          SpatialStore.containmentRead(spark, st2(s),
+            GeometryCodec.toWkb(GeometryCodec.box(
+              space * 0.25, space * 0.25, space * 0.75, space * 0.75))).count()
+        }
+        // ---- 3-D store lifecycle: fixed leaf capacity => octree deepens /
+        // 10x leaves; read = triple-pruned containment, same 25%^(2/3)-ish
+        // central window per axis
+        def st3 = (s: String) => s"$dir/sf1_store3d_$s"
+        step("store3d_write", Seq("x1", "x10")) { s =>
+          val q = if (s == "x1") q1 else q10
+          rm(new java.io.File(st3(s)))
+          SpatialStore3d.write(q, Mbb3Cols("x0", "y0", "z0", "x1", "y1", "z1"),
+            st3(s), leafCap = 300)
+          leafCount(st3(s))
+        }
+        step("store3d_read", Seq("x1", "x10")) { s =>
+          val space = if (s == "x1") 200.0 else 430.887
+          SpatialStore3d.containmentRead(spark, st3(s), Array(
+            space * 0.25, space * 0.25, space * 0.25,
+            space * 0.75, space * 0.75, space * 0.75)).count()
+        }
+        // ---- span dedup: gram width fixed (k=5); prefix-salted copies
+        // keep per-copy span structure, cross-copy spans distinct. The
+        // count(text) aggregate forces the reassembled text, not just rows.
+        step("dedup_spans", Seq("x1", "x10")) { s =>
+          graft.dedup.TextDedup.dedupSpansAcross(
+              if (s == "x1") d1 else d10, "doc_id", "text", k = 5)
+            .agg(count(col("text"))).first().getLong(0)
+        }
+        // ---- tokenizer ENCODE at 10x under a FROZEN model (the 100 TB
+        // shape: train once on a sample, encode the corpus) — the sum
+        // forces every token array
+        val bpeMerges = graft.text.BpeTrainer.train(
+          spark.read.parquet("/root/testdata/sf0.1/documents.parquet"),
+          "text", numMerges = 8, minCount = 2)
+        step("bpe_encode", Seq("x1", "x10")) { s =>
+          (if (s == "x1") d1 else d10)
+            .select(graft.text.BpeTrainer.encode(col("text"), bpeMerges).as("t"))
+            .agg(sum(size(col("t")))).first().getLong(0)
+        }
+        val ugModel = graft.text.UnigramTrainer.modelFromCounts(
+          graft.text.UnigramTrainer.train(
+            spark.read.parquet("/root/testdata/sf0.1/documents.parquet"),
+            "text", vocabSize = 400, maxPieceLen = 4, emIters = 1))
+        step("unigram_encode", Seq("x1", "x10")) { s =>
+          graft.text.UnigramTrainer.encode(
+              if (s == "x1") d1 else d10, "doc_id", "text", ugModel)
+            .agg(sum(size(col("tokens")))).first().getLong(0)
+        }
+        // ---- hard negatives: corpus-sized query side (every vector mines
+        // its own negatives — the query batch GROWS with the corpus, unlike
+        // ann_ivf's fixed 200). nlist ∝ N keeps per-anchor candidate work
+        // constant; labels decorrelated from the mixture centers (vec_id%7)
+        // so negatives survive the label-mismatch filter everywhere.
+        step("hard_negatives", Seq("x1", "x10")) { s =>
+          val (v, nlist) = if (s == "x1") (v1, 16) else (v10, 160)
+          val emb = v.select(col("vec_id"), col("embedding"),
+            (col("vec_id") % 7).as("label"))
+          val model = graft.ann.IvfIndex.train(emb, "embedding", nlist = nlist)
+          graft.ann.HardNegatives.mine(emb, "vec_id", "embedding", "label",
+            k = 5, model, nprobe = 3).count()
+        }
+        // ---- streaming dedup ingest: full lifecycle per run (fresh
+        // checkpoint/keys/out), two file-source batches, 10x rows through
+        // the same stream graph
+        step("stream_dedup", Seq("x1", "x10")) { s =>
+          val d = if (s == "x1") d1 else d10
+          val base = s"$dir/sf1_stream_$s"
+          rm(new java.io.File(base))
+          d.where(col("doc_id") % 3 === 1)
+            .repartition(8).write.parquet(s"$base/src")
+          val stream = spark.readStream
+            .schema("doc_id BIGINT, text STRING").parquet(s"$base/src")
+          val q = graft.streaming.DedupIngest.start(stream, "doc_id", "text",
+            s"$base/out", s"$base/keys", s"$base/ckpt")
+          try {
+            q.processAllAvailable()
+            d.where(col("doc_id") % 3 === 2)
+              .repartition(8).write.mode("append").parquet(s"$base/src")
+            q.processAllAvailable()
+          } finally q.stop()
+          spark.read.parquet(s"$base/out").count()
+        }
+
+        printRatios()
+        spark.stop(); return
       }
 
       val b1 = boxes(20000L, 200.0, 11, "sf1_boxes_1")
@@ -438,11 +595,7 @@ object ScaleRehearsal {
         case "x1" => ivf(v1); case "x10" => ivf(v10)
       }
 
-      println("[scale] ---- growth ratios (linear bar = 10.0) ----")
-      results.foreach { case (k, ts) =>
-        println(f"[scale] ratio $k%-22s x10/x1 = ${ts(1) / ts(0)}%5.2f" +
-          (if (ts.length > 2) f"  (fixed-bucket x10/x1 = ${ts(2) / ts(0)}%5.2f)" else ""))
-      }
+      printRatios()
       spark.stop(); return
     }
 
