@@ -361,6 +361,17 @@ object ScaleRehearsal {
             (if (ts.length > 2) f"  (fixed-bucket x10/x1 = ${ts(2) / ts(0)}%5.2f)" else ""))
         }
       }
+      // like printRatios but labels every extra scale by its own name —
+      // for steps whose third lane is not the sf1 "fixed-bucket" semantics
+      def printRatiosNamed(stepScales: Map[String, Seq[String]]): Unit = {
+        println("[scale] ---- growth ratios (linear bar = 10.0) ----")
+        results.foreach { case (k, ts) =>
+          val names = stepScales(k)
+          val extras = names.zip(ts).drop(1)
+            .map { case (n, t) => f"$n/x1 = ${t / ts.head}%5.2f" }
+          println(f"[scale] ratio $k%-22s ${extras.mkString("  ")}")
+        }
+      }
 
       // ---- sf1b: the lifecycle families the six-family sf1 step skips —
       // store write/read (2-D + 3-D), span dedup, frozen-model tokenizer
@@ -408,35 +419,49 @@ object ScaleRehearsal {
         val v1 = vecs(5000L, "sf1_vecs_1")
         val v10 = vecs(50000L, "sf1_vecs_10")
 
-        // ---- 2-D store lifecycle: tiling ∝ N (fixed ~40 objects/tile),
-        // write = full plan+cluster+partitionBy, read = pruned containment
-        // over the central 25%-area window (constant selectivity)
+        // ---- 2-D store lifecycle, TWO x10 lanes: `x10` keeps the
+        // per-tile object cap FIXED (500) so leaf COUNT grows 10x — the
+        // store-realistic layout (bounded file sizes; at 100 TB files
+        // cannot grow with the corpus) — and `x10_cap5000` scales the cap
+        // with N (constant leaf count, growing files) to separate the
+        // per-leaf file-creation cost from everything else. write = full
+        // plan+cluster+partitionBy, read = pruned containment over the
+        // central 25%-area window (constant selectivity).
         def st2 = (s: String) => s"$dir/sf1_store2d_$s"
-        step("store2d_write", Seq("x1", "x10")) { s =>
-          val (b, bucket) = if (s == "x1") (b1, 500) else (b10, 5000)
+        step("store2d_write", Seq("x1", "x10", "x10_cap5000")) { s =>
+          val (b, cap) = s match {
+            case "x1" => (b1, 500)
+            case "x10" => (b10, 500)
+            case _ => (b10, 5000)
+          }
           rm(new java.io.File(st2(s)))
           SpatialStore.write(b.select(col("id"), col("geom")), "geom", st2(s),
-            SpatialJoin.Config(bucket = bucket))
+            SpatialJoin.Config(bucket = cap))
           leafCount(st2(s))
         }
-        step("store2d_read", Seq("x1", "x10")) { s =>
+        step("store2d_read", Seq("x1", "x10", "x10_cap5000")) { s =>
           val space = if (s == "x1") 200.0 else 632.456
           SpatialStore.containmentRead(spark, st2(s),
             GeometryCodec.toWkb(GeometryCodec.box(
               space * 0.25, space * 0.25, space * 0.75, space * 0.75))).count()
         }
-        // ---- 3-D store lifecycle: fixed leaf capacity => octree deepens /
-        // 10x leaves; read = triple-pruned containment, same 25%^(2/3)-ish
+        // ---- 3-D store lifecycle, same two x10 lanes: fixed leafCap 300
+        // (leaves ∝ N, octree deepens) vs `x10_cap3000` (cap ∝ N,
+        // constant leaf count); read = triple-pruned containment over the
         // central window per axis
         def st3 = (s: String) => s"$dir/sf1_store3d_$s"
-        step("store3d_write", Seq("x1", "x10")) { s =>
-          val q = if (s == "x1") q1 else q10
+        step("store3d_write", Seq("x1", "x10", "x10_cap3000")) { s =>
+          val (q, cap) = s match {
+            case "x1" => (q1, 300)
+            case "x10" => (q10, 300)
+            case _ => (q10, 3000)
+          }
           rm(new java.io.File(st3(s)))
           SpatialStore3d.write(q, Mbb3Cols("x0", "y0", "z0", "x1", "y1", "z1"),
-            st3(s), leafCap = 300)
+            st3(s), leafCap = cap)
           leafCount(st3(s))
         }
-        step("store3d_read", Seq("x1", "x10")) { s =>
+        step("store3d_read", Seq("x1", "x10", "x10_cap3000")) { s =>
           val space = if (s == "x1") 200.0 else 430.887
           SpatialStore3d.containmentRead(spark, st3(s), Array(
             space * 0.25, space * 0.25, space * 0.25,
@@ -505,7 +530,12 @@ object ScaleRehearsal {
           spark.read.parquet(s"$base/out").count()
         }
 
-        printRatios()
+        printRatiosNamed(Map(
+          "store2d_write" -> Seq("x1", "x10", "x10_cap5000"),
+          "store2d_read" -> Seq("x1", "x10", "x10_cap5000"),
+          "store3d_write" -> Seq("x1", "x10", "x10_cap3000"),
+          "store3d_read" -> Seq("x1", "x10", "x10_cap3000"),
+        ).withDefaultValue(Seq("x1", "x10")))
         spark.stop(); return
       }
 
