@@ -217,6 +217,38 @@ class SpatialJoinStrategySpec extends SparkTestBase {
     }
   }
 
+  test("SQL st_nearest2 plans tile-local KnnJoinExec, agrees with the programmatic engine, swaps sides") {
+    import org.apache.spark.sql.graft.KnnJoinExec
+    val probes = points(160, 25); val index = points(80, 26)
+    val pdf = probes.toDF("idc", "wc").withColumn("gc", st_geomfromwkt(col("wc")))
+    val idf = index.toDF("ids", "ws").withColumn("gs", st_geomfromwkt(col("ws")))
+    pdf.createOrReplaceTempView("kt_c")
+    idf.createOrReplaceTempView("kt_s")
+    try {
+      // tile-local results DEPEND on the tiling: pin the same bucket for
+      // the SQL plan (runtime conf) and the programmatic engine (cfg)
+      spark.conf.set("graft.join.bucket", "16")
+      val want = graft.operators.SpatialJoin.knnJoin(pdf, "gc", idf, "gs", 3,
+          cfg = graft.operators.SpatialJoin.Config(bucket = 16))
+        .select(col("idc"), col("ids")).as[(Long, Long)].collect().toSet
+
+      val q = spark.sql(
+        "SELECT idc, ids FROM kt_c JOIN kt_s ON st_nearest2(gc, gs, 3)")
+      assert(q.queryExecution.executedPlan.collect {
+        case e: KnnJoinExec if e.tileLocal => e }.nonEmpty,
+        s"expected tile-local KnnJoinExec in:\n${q.queryExecution.executedPlan}")
+      assert(q.as[(Long, Long)].collect().toSet == want)
+
+      // swapped orientation: geometry args name the SQL-right side as the
+      // probe — the strategy must exchange exec sides and project back
+      val qs = spark.sql(
+        "SELECT idc, ids FROM kt_s JOIN kt_c ON st_nearest2(gc, gs, 3)")
+      assert(qs.queryExecution.executedPlan.collect {
+        case e: KnnJoinExec if e.tileLocal => e }.nonEmpty)
+      assert(qs.as[(Long, Long)].collect().toSet == want)
+    } finally spark.conf.unset("graft.join.bucket")
+  }
+
   test("st_nearest outside a plannable join fails with the targeted error") {
     val e = intercept[Exception] {
       spark.sql("SELECT st_nearest(gc, gc, 3) FROM kc").collect()
