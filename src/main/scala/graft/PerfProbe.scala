@@ -102,6 +102,31 @@ object PerfProbe {
         time("pm2")(Queries.qPairMeasures(spark, dir).count())
         time("touches1")(Queries.qSpjoinTouches(spark, dir).count())
         time("touches2")(Queries.qSpjoinTouches(spark, dir).count())
+      case "unigram10x" =>
+        // SCALE.md sf1b watch item: unigram_encode's x10 lane swung
+        // 4.1 -> 16.7 s between two records. Reproduce the lane standalone
+        // (frozen model trained on sf0.1, encode the 10-copy corpus from
+        // the sf1b run's /tmp dataset) with a stage breakdown, min-of-4.
+        import org.apache.spark.sql.functions.{col, size, sum}
+        val docs10 = spark.read.parquet("/tmp/graft_scale/sf1_docs_10")
+        val model = graft.text.UnigramTrainer.modelFromCounts(
+          graft.text.UnigramTrainer.train(
+            spark.read.parquet("/root/testdata/sf0.1/documents.parquet"),
+            "text", vocabSize = 400, maxPieceLen = 4, emIters = 1))
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val ms = si.completionTime.get - si.submissionTime.get
+            if (ms > 400)
+              println(f"[probe] stage ${si.stageId}%4d ${ms}%6d ms  tasks=${si.numTasks}%4d  ${si.name.take(80)}")
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        def enc(): Long = graft.text.UnigramTrainer.encode(
+            docs10, "doc_id", "text", model)
+          .agg(sum(size(col("tokens")))).first().getLong(0)
+        (1 to 4).foreach { i => System.gc(); time(s"unigram10x_$i")(enc()) }
       case "dedupplan" =>
         time("warmup")(Queries.qDedupNgram(spark, "/root/testdata/sf0.001").count())
         println(Queries.qDedupNgram(spark, dir).queryExecution.executedPlan.toString.take(4000))
