@@ -135,6 +135,60 @@ class SpatialStoreSpec extends SparkTestBase {
     assert(prunedFiles < allFiles, s"pruned $prunedFiles vs all $allFiles")
   }
 
+  test("prunedRead lists only window-selected tile dirs; off-space window is empty and schema-true") {
+    val dir = Files.createTempDirectory("graft_store").toString + "/pr"
+    val df = boxesDf(600)
+    SpatialStore.write(df, "geom", dir,
+      graft.operators.SpatialJoin.Config(partitioner = "fg", bucket = 40))
+
+    // the selective read's scan must see exactly the files under the
+    // wanted tile dirs — listing cost ∝ selectivity, not leaf count
+    val window = GeometryCodec.toWkb(GeometryCodec.box(5, 5, 20, 15))
+    val meta = SpatialStore.readMeta(spark, dir)
+    val wanted = meta.tiles
+      .filter(t => t.mbb.intersects(graft.core.Mbb(5, 5, 20, 15)))
+      .map(_.tileId).toSet
+    assert(wanted.nonEmpty && wanted.size < meta.tiles.length)
+    val filesUnderWanted = new java.io.File(dir).listFiles()
+      .filter(d => d.isDirectory &&
+        wanted.contains(d.getName.stripPrefix(SpatialStore.TileCol + "=").toInt))
+      .map(_.listFiles().count(f => f.getName.endsWith(".parquet"))).sum
+    val got = SpatialStore.containmentRead(spark, dir, window)
+    // execute THIS plan instance (a separate .count() builds its own query
+    // execution whose metrics this one never sees), then read the scan out
+    // of the finalized adaptive plan
+    val root = got.queryExecution.executedPlan
+    root.execute().count()
+    // AQE hides the scan inside materialized QueryStageExec leaves whose
+    // wrapped plan is not a TreeNode child — expand them explicitly
+    def expand(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val nested = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          expand(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          expand(q.plan)
+        case _ => Nil
+      }
+      (p +: p.children.flatMap(expand)) ++ nested
+    }
+    val scanned = expand(root).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }.max
+    assert(scanned == filesUnderWanted,
+      s"scan read $scanned files, wanted dirs hold $filesUnderWanted")
+    assert(got.select("id").as[Long].collect().toSet ==
+      df.where(st_intersects(col("geom"), lit(window)))
+        .select("id").as[Long].collect().toSet)
+
+    // a window off the store's space: zero rows, original columns intact
+    val off = GeometryCodec.toWkb(GeometryCodec.box(5000, 5000, 5010, 5010))
+    val empty = SpatialStore.containmentRead(spark, dir, off)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSet == df.columns.toSet)
+  }
+
   test("multiWindowRead: one scan matches per-window containment reads") {
     val dir = Files.createTempDirectory("graft_store").toString + "/mw"
     val df = boxesDf(500)
