@@ -111,7 +111,7 @@ object Bench {
     * (value `null` for a failed gate). Returns None when the file does not
     * exist (older-build record) so the caller can fall back to the JSON
     * regex; malformed lines fail loudly rather than parse to zero gates. */
-  private def readGateTsv(path: String): Option[Seq[(String, Option[Double])]] = {
+  private[graft] def readGateTsv(path: String): Option[Seq[(String, Option[Double])]] = {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(p)) None
     else Some {
@@ -128,7 +128,7 @@ object Bench {
   }
 
   /** `"name":1.234` / `"name":null` entries of a child record line. */
-  private def parseQueries(line: String): Seq[(String, Option[Double])] = {
+  private[graft] def parseQueries(line: String): Seq[(String, Option[Double])] = {
     val m = """"queries":\{(.*?)\},"failed"""".r.findFirstMatchIn(line)
     m.toSeq.flatMap { qm =>
       """"([^"]+)":(null|[0-9.]+)""".r.findAllMatchIn(qm.group(1)).map { e =>
