@@ -3248,6 +3248,56 @@ object Queries {
        |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
        |WHERE d.doc_id % 50 != 0""".stripMargin
 
+  /** Train-vs-eval overlap AUDIT ([[graft.text.CorpusOverlap]] — the
+    * report beside q_decontaminate's filter): per-training-doc distinct
+    * 3-gram coverage by the eval corpus plus the most-overlapping eval doc
+    * (max shared, min bid — deterministic). Same checkpointed
+    * shingle-hash relation as the decontaminate gates (hash-equality ==
+    * shingle-equality at ~1e-12 odds); the oracle replays the whole
+    * report relationally — all outputs are exact integers or floors of a
+    * single exact-integer division. 100 TB shape: the eval side
+    * broadcasts, the training side never shuffles (only hit rows reach
+    * the aggregates). */
+  def qCorpusOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions
+    val sh = table(spark, dir, "documents").select(col("doc_id"),
+      explode(TextFunctions.wordShingles(col("text"), 3)).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+    val aux = writeOracleAux(sh, dir, "overlap_shingles")
+    val bench = aux.where(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("bid"), col("s"))
+    val train = aux.where(col("doc_id") % 50 =!= 0)
+    // top_bid is null when nothing overlaps; the gate ships -1 instead
+    // (a nullable BIGINT turns float64 through the checker's pandas lane)
+    graft.text.CorpusOverlap.report(train, "doc_id", bench, "bid", "s",
+        minShared = 2)
+      .withColumn("top_bid", coalesce(col("top_bid"), lit(-1L)))
+  }
+
+  val qCorpusOverlapSql: String =
+    s"""WITH sh AS (SELECT doc_id, s FROM ${auxSql("overlap_shingles")}),
+       |a AS (SELECT doc_id AS aid, s FROM sh WHERE doc_id % 50 != 0),
+       |b AS (SELECT doc_id AS bid, s FROM sh WHERE doc_id % 50 = 0),
+       |na AS (SELECT aid, CAST(count(*) AS BIGINT) AS na FROM a GROUP BY 1),
+       |hits AS (SELECT a.aid, a.s, b.bid FROM a JOIN b USING (s)),
+       |pd AS (SELECT aid, CAST(count(DISTINCT s) AS BIGINT) AS n_hit_keys
+       |       FROM hits GROUP BY 1),
+       |tp AS (SELECT aid, bid AS top_bid, shared FROM (
+       |  SELECT aid, bid, CAST(count(*) AS BIGINT) AS shared,
+       |    row_number() OVER (PARTITION BY aid
+       |      ORDER BY count(*) DESC, bid ASC) AS rk
+       |  FROM hits GROUP BY aid, bid HAVING count(*) >= 2) WHERE rk = 1)
+       |SELECT na.aid AS doc_id, na.na,
+       |  coalesce(pd.n_hit_keys, 0) AS n_hit_keys,
+       |  CAST(floor(coalesce(pd.n_hit_keys, 0) * 1000000 / na.na) AS BIGINT)
+       |    AS hit_micro,
+       |  coalesce(tp.top_bid, -1) AS top_bid,
+       |  coalesce(tp.shared, 0) AS top_shared,
+       |  CAST(floor(coalesce(tp.shared, 0) * 1000000 / na.na) AS BIGINT)
+       |    AS top_micro
+       |FROM na LEFT JOIN pd ON na.aid = pd.aid
+       |LEFT JOIN tp ON na.aid = tp.aid""".stripMargin
+
   /** Bloom-prefiltered decontamination — the NEXT scale regime after
     * q_decontaminate's broadcast semi-join: when the benchmark shingle set
     * is too large to broadcast as a hash relation, a Bloom filter keeps the
