@@ -2746,6 +2746,48 @@ object Queries {
        | FROM cand JOIN s sa ON sa.doc_id = ida JOIN s sb ON sb.doc_id = idb)
        |WHERE hamming <= 8""".stripMargin
 
+  /** The pHash lane of [[qImageNeardup]] — same 40×4 block-pattern PNG
+    * fixture, fingerprinted with the DCT perceptual hash
+    * ([[graft.multimodal.ImageCodec.pHash64]]: 32×32 luminance → 8×8
+    * low-frequency DCT-II block → median threshold, the
+    * brightness/rescale-robust lane next to dHash's gradient hash) from
+    * real decoded pixels, then the identical checkpoint + banding +
+    * exact-Hamming SQL downstream. Pixel-exactness of the DCT hash is
+    * pinned in ImageDedupSpec; the gate ships the relational stage. */
+  def qImageNeardupPhash(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.BinaryType
+    import graft.multimodal.{ImageCodec, ImageDedup}
+    val base = table(spark, dir, "documents")
+      .select(col("doc_id")).where(col("doc_id") < 160)
+    val schema = base.schema.add("content", BinaryType)
+    implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+    val withPng = base.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val m = (id % 4).toInt
+        org.apache.spark.sql.Row(id,
+          ImageCodec.encodeBlocksPng(id / 4, m * 2, m * 3 % 8))
+      }
+    }.toDF("doc_id", "content")
+    val aux = writeOracleAux(
+      ImageDedup.fingerprints(withPng, "doc_id", "content", kind = "phash"),
+      dir, "image_phash")
+    graft.dedup.TextDedup.simHashPairsFromFingerprints(
+      aux.where(col("sh").isNotNull), "doc_id", maxHamming = 8)
+  }
+
+  val qImageNeardupPhashSql: String =
+    s"""WITH s AS (SELECT doc_id, sh FROM ${auxSql("image_phash")}
+       |  WHERE sh IS NOT NULL),
+       |bd AS (SELECT doc_id, bnd, (sh >> (bnd*16)) & 65535 AS key
+       |  FROM s, (SELECT unnest(generate_series(0,3)) AS bnd)),
+       |cand AS (SELECT DISTINCT a.doc_id ida, b.doc_id idb FROM bd a
+       |  JOIN bd b ON a.bnd = b.bnd AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT ida, idb, hamming FROM (
+       | SELECT ida, idb, bit_count(xor(sa.sh, sb.sh)) AS hamming
+       | FROM cand JOIN s sa ON sa.doc_id = ida JOIN s sb ON sb.doc_id = idb)
+       |WHERE hamming <= 8""".stripMargin
+
   /** IMAGE dedup END-TO-END — the pixel lane's composition twin of
     * [[qVideoDedupE2e]]: the same 40×4 block-pattern PNG fixture as
     * [[qImageNeardup]], dHash-fingerprinted from real decoded pixels,
