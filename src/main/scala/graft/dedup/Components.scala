@@ -248,4 +248,28 @@ object Components {
         .select(idCol),
       Seq(idCol))
   }
+
+  /** Quality-RANKED survivor selection: keep the best-scoring member of
+    * every component instead of the minimum id — what production dedup
+    * actually ships (min-id keeps an arbitrary member; near-dup clusters
+    * usually hold one clean original plus mangled re-crawls, and the
+    * quality signal the pipeline already computed should pick it).
+    * Survivor = max `scoreCol`, ties by min id — fully deterministic.
+    * Same shape as [[dedupByComponents]] plus one id-keyed join to attach
+    * scores; the per-component argmax is a window over the node relation
+    * (components are near-dup clusters — small by construction; a
+    * degenerate giant component is a data bug this does not try to
+    * salt). */
+  def dedupByComponentsRanked(df: DataFrame, idCol: String, scoreCol: String,
+                              edges: DataFrame, srcCol: String,
+                              dstCol: String): DataFrame = {
+    val comp = connectedComponents(df.select(col(idCol)), idCol, edges, srcCol, dstCol)
+    val winners = comp.join(df.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .withColumn("__rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))
+          .orderBy(col(scoreCol).desc, col(idCol).asc)))
+      .where(col("__rk") === 1)
+      .select(idCol)
+    df.join(winners, Seq(idCol))
+  }
 }

@@ -4593,6 +4593,48 @@ object Queries {
       |  SELECT sym.d, reach.lab FROM reach JOIN sym ON sym.s = reach.id)
       |SELECT id AS doc_id, min(lab) AS comp FROM reach GROUP BY 1""".stripMargin
 
+  /** Quality-RANKED near-dup survivors
+    * ([[graft.dedup.Components.dedupByComponentsRanked]]): the same
+    * 3-gram Jaccard pair mining and components as q_dedup_cluster, but
+    * each cluster keeps its BEST member by the pre-computed `n_chars`
+    * quality signal (max score, then min id — deterministic) instead of
+    * the arbitrary minimum id. The oracle replays components with the
+    * recursive CTE and the survivor argmax relationally. */
+  def qDedupRanked(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val edges = graft.dedup.TextDedup.ngramJaccardPairs(
+      docs, "doc_id", "text", n = 3, threshold = 0.5)
+    graft.dedup.Components.dedupByComponentsRanked(
+        docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars",
+        edges, "ida", "idb")
+      .select(col("doc_id"), col("n_chars"))
+  }
+
+  val qDedupRankedSql: String =
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |  [array_to_string(ws[i:i+2],' ') for i in generate_series(1, len(ws)-2)])) AS shingle
+      |  FROM w WHERE len(ws) >= 3),
+      |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      |shared AS (SELECT a.doc_id ida, b.doc_id idb, count(*) s FROM sh a
+      |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1,2),
+      |pairs AS (SELECT ida, idb FROM (
+      | SELECT ida, idb, CAST(s AS DOUBLE)/(ca.n + cb.n - s) AS jaccard
+      | FROM shared JOIN cnt ca ON ca.doc_id = ida JOIN cnt cb ON cb.doc_id = idb)
+      | WHERE jaccard >= 0.5),
+      |sym AS (SELECT ida AS s, idb AS d FROM pairs
+      |        UNION ALL SELECT idb, ida FROM pairs),
+      |reach(id, lab) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT sym.d, reach.lab FROM reach JOIN sym ON sym.s = reach.id),
+      |comp AS (SELECT id AS doc_id, min(lab) AS comp FROM reach GROUP BY 1),
+      |rk AS (SELECT c.doc_id, d.n_chars,
+      |    row_number() OVER (PARTITION BY c.comp
+      |      ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk
+      |  FROM comp c JOIN documents d ON c.doc_id = d.doc_id)
+      |SELECT doc_id, n_chars FROM rk WHERE rk = 1""".stripMargin
+
   /** End-to-end corpus cleaning (CorpusClean.clean): language filter →
     * quality floor → exact dedup → near-dup cluster survivors — the whole
     * training-data prep composition in one gate, oracled stage-for-stage

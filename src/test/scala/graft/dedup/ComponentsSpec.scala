@@ -115,6 +115,21 @@ class ComponentsSpec extends SparkTestBase {
     assert(kept == Set(1L, 3L, 4L))
   }
 
+  test("dedupByComponentsRanked keeps the best-scoring member; score ties fall to min id") {
+    // cluster {1,2}: 2 has the higher score -> 2 survives (min-id would keep 1)
+    // cluster {4,5,6}: 4 and 6 tie at the top score -> min id 4 survives
+    // isolated 3 always survives
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 1L), (4L, 7L), (5L, 3L), (6L, 7L))
+      .toDF("id", "score")
+    val e = Seq((2L, 1L), (5L, 4L), (6L, 5L)).toDF("x", "y")
+    val kept = Components.dedupByComponentsRanked(df, "id", "score", e, "x", "y")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L))
+    // all input columns survive the selection (all-column-preserving)
+    assert(Components.dedupByComponentsRanked(df, "id", "score", e, "x", "y")
+      .columns.toSet == Set("id", "score"))
+  }
+
   test("dedupByComponents: ghost edge endpoint can't steal a cluster's survivor") {
     // edges reference id 0, which is NOT a row of df and is the component
     // minimum — the survivor must still be the smallest REAL row (1), and
