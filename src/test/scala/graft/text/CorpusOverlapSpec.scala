@@ -49,6 +49,40 @@ class CorpusOverlapSpec extends SparkTestBase {
     assert(r.isNullAt(4) && r.getLong(5) == 0)           // pair suppressed
   }
 
+  test("report matches a brute-force reference on seeded random corpora") {
+    for (seed <- Seq(7L, 42L, 1337L)) {
+      val rnd = new scala.util.Random(seed)
+      val aDocs = (1L to 60L).map(i =>
+        i -> Seq.fill(1 + rnd.nextInt(12))(rnd.nextInt(40).toLong).distinct)
+      val bDocs = (101L to 110L).map(i =>
+        i -> Seq.fill(1 + rnd.nextInt(8))(rnd.nextInt(40).toLong).distinct)
+      val minShared = 1 + rnd.nextInt(3)
+
+      val got = CorpusOverlap.report(
+          keys(aDocs: _*), "id",
+          keys(bDocs: _*).withColumnRenamed("id", "bid"), "bid", "k",
+          minShared)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          r.getLong(5), r.getLong(6))).toMap
+
+      val bAll = bDocs.flatMap(_._2).toSet
+      val want = aDocs.map { case (aid, ks) =>
+        val na = ks.length.toLong
+        val nHit = ks.count(bAll.contains).toLong
+        val pairs = bDocs.map { case (bid, bs) =>
+          (bid, ks.count(bs.toSet.contains).toLong) }
+          .filter(_._2 >= minShared)
+        val top = pairs.sortBy { case (bid, sh) => (-sh, bid) }.headOption
+        aid -> ((na, nHit, math.floorDiv(nHit * 1000000L, na),
+          top.map(_._1), top.map(_._2).getOrElse(0L),
+          math.floorDiv(top.map(_._2).getOrElse(0L) * 1000000L, na)))
+      }.toMap
+      assert(got == want, s"seed=$seed minShared=$minShared")
+    }
+  }
+
   test("eval side is broadcast: the training relation never shuffles into the hit join") {
     val a = keys(1L -> Seq(1, 2, 3), 2L -> Seq(4, 5))
     val b = keys(10L -> Seq(1, 4)).withColumnRenamed("id", "bid")
