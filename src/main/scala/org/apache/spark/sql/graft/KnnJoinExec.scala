@@ -106,13 +106,17 @@ case class KnnJoinExec(
            TimestampType | TimestampNTZType => true
       case _ => false
     }
-    val tie = rAttrs.zipWithIndex.flatMap { case (a, i) =>
-      a.dataType match {
-        case BinaryType => Some((s"__tb$i", Hex(a): Expression, StringType: DataType))
-        case dt if atomicOrderable(dt) => Some((s"__r$i", null: Expression, dt))
-        case _ => None
+    // tile-local mode ranks per owner tile with engine ties (the reference's
+    // arbitrary order) — don't pay the per-row hex lanes it never reads
+    val tie =
+      if (tileLocal) Seq.empty[(String, Expression, DataType)]
+      else rAttrs.zipWithIndex.flatMap { case (a, i) =>
+        a.dataType match {
+          case BinaryType => Some((s"__tb$i", Hex(a): Expression, StringType: DataType))
+          case dt if atomicOrderable(dt) => Some((s"__r$i", null: Expression, dt))
+          case _ => None
+        }
       }
-    }
     val tieExtra = tie.filter(_._2 != null)
     val rSchema = StructType(
       rAttrs.zipWithIndex.map { case (a, i) =>
