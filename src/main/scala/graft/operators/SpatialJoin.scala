@@ -456,24 +456,62 @@ object SpatialJoin {
     val lkv = lt.groupByKey(_.getInt(lTileIdx))
     val rkv = rt.groupByKey(_.getInt(rTileIdx))
     lkv.cogroup(rkv) { (_: Int, ls: Iterator[Row], rs: Iterator[Row]) =>
+      import scala.jdk.CollectionConverters._
       val items = rs.flatMap { row =>
         val g = GeometryCodec.fromWkb(row.getAs[Array[Byte]](rGeomIdx))
         if (g == null) None else Some((g, row))
       }.toArray
       if (items.isEmpty) Iterator.empty
       else {
+        // per-tile STRtree probe (the reference's own R-tree shape,
+        // knn_2d.hpp:146-179): branch-and-bound finds the k-th distance,
+        // then one envelope query collects the (>= k, tie-inclusive)
+        // candidate set. O(|L| log |R|) per tile instead of the former
+        // full scan + full sort (O(|L|*|R|) distance evals — bucket^2 work
+        // per tile at the auto bucket). Deterministic ordering is kept
+        // identical to the old plan: (dist, arrival position).
+        val tree = new STRtree()
+        var p = 0
+        while (p < items.length) {
+          val (g, row) = items(p)
+          tree.insert(g.getEnvelopeInternal, (g, row, p))
+          p += 1
+        }
+        tree.build()
+        val itemDist = new org.locationtech.jts.index.strtree.ItemDistance {
+          override def distance(a: ItemBoundable, b: ItemBoundable): Double =
+            a.getItem.asInstanceOf[(Geometry, Row, Int)]._1
+              .distance(b.getItem.asInstanceOf[(Geometry, Row, Int)]._1)
+        }
         ls.flatMap { lrow =>
           val g1 = GeometryCodec.fromWkb(lrow.getAs[Array[Byte]](lGeomIdx))
           if (g1 == null) Iterator.empty
           else {
-            // exact per-tile kNN: full scan + bounded selection. Simpler and
-            // equivalent to the reference's radius-growing R-tree dance
-            // (knn_2d.hpp:146-179); deterministic ordering: (dist, position).
-            val withDist = items.map { case (g2, rrow) => (g1.distance(g2), rrow) }
-            val top = withDist.zipWithIndex
-              .sortBy { case ((d, _), pos) => (d, pos) }
-              .take(k)
-            top.iterator.map { case ((d, rrow), _) =>
+            val top: Array[(Double, Row)] =
+              if (items.length <= k) {
+                items.zipWithIndex
+                  .map { case ((g2, rrow), pos) => (g1.distance(g2), rrow, pos) }
+                  .sortBy { case (d, _, pos) => (d, pos) }
+                  .map { case (d, rrow, _) => (d, rrow) }
+              } else {
+                // k-th smallest distance (an order statistic — unique
+                // however JTS breaks its internal ties)
+                val dk = tree.nearestNeighbour(g1.getEnvelopeInternal,
+                    (g1, null.asInstanceOf[Row], -1), itemDist, k)
+                  .iterator.map(o =>
+                    g1.distance(o.asInstanceOf[(Geometry, Row, Int)]._1))
+                  .max
+                val env = g1.getEnvelopeInternal.copy(); env.expandBy(dk)
+                tree.query(env).asScala
+                  .map(_.asInstanceOf[(Geometry, Row, Int)])
+                  .map { case (g2, rrow, pos) => (g1.distance(g2), rrow, pos) }
+                  .filter(_._1 <= dk)
+                  .toArray
+                  .sortBy { case (d, _, pos) => (d, pos) }
+                  .take(k)
+                  .map { case (d, rrow, _) => (d, rrow) }
+              }
+            top.iterator.map { case (d, rrow) =>
               val vals = new Array[Any](lKeep.length + rKeep.length + 1)
               var i = 0
               while (i < lKeep.length) { vals(i) = lrow.get(lKeep(i)); i += 1 }

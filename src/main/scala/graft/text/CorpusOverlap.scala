@@ -46,15 +46,21 @@ object CorpusOverlap {
   def report(aSh: DataFrame, aId: String, bSh: DataFrame, bId: String,
              keyCol: String, minShared: Int = 1): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    // the documented DISTINCT precondition is made irrelevant rather than
+    // trusted: EVERY count below is a countDistinct over keys, so duplicate
+    // (id, key) rows cannot skew hit_micro/top_micro. This keeps the scale
+    // shape — no distinct() pre-shuffle of the training side; dedup folds
+    // into the per-id aggregates that shuffle anyway (na on __aid) or touch
+    // hit rows only (perDoc/topPair).
     val a = aSh.select(col(aId).as("__aid"), col(keyCol).as("__k"))
-    val b = bSh.select(col(bId).as("__bid"), col(keyCol).as("__k"))
-    val na = a.groupBy(col("__aid")).agg(count(lit(1)).as("na"))
+    val b = bSh.select(col(bId).as("__bid"), col(keyCol).as("__k")).distinct()
+    val na = a.groupBy(col("__aid")).agg(countDistinct(col("__k")).as("na"))
     // broadcast the eval side: the training scan emits hit rows only
     val hits = a.join(broadcast(b), Seq("__k"))
     val perDoc = hits.groupBy(col("__aid"))
       .agg(countDistinct(col("__k")).as("n_hit_keys"))
     val topPair = hits.groupBy(col("__aid"), col("__bid"))
-      .agg(count(lit(1)).as("top_shared"))
+      .agg(countDistinct(col("__k")).as("top_shared"))
       .where(col("top_shared") >= minShared)
       .withColumn("__rk", row_number().over(Window.partitionBy(col("__aid"))
         .orderBy(col("top_shared").desc, col("__bid").asc)))

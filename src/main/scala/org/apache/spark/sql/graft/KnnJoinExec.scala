@@ -29,7 +29,11 @@ import graft.operators.SpatialJoin
   * order), binary columns through order-preserving hex; columns of complex
   * type don't participate (two right rows equal on all participating
   * columns are interchangeable only if they differ solely in complex
-  * columns — document, don't guess). Left rows with null/invalid geometry
+  * columns — document, don't guess). Exception: tile-local mode
+  * (st_nearest2) ships the engine's arbitrary k-boundary tie choice — the
+  * tie-break lanes are skipped there (see the inline note at the tie-lane
+  * skip), matching the reference's own unordered tile-local emission.
+  * Left rows with null/invalid geometry
   * match nothing (SQL null-predicate semantics); right rows with
   * null/invalid geometry are never neighbors.
   *
