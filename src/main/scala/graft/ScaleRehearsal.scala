@@ -331,7 +331,13 @@ object ScaleRehearsal {
           .repartition(32), path)
 
       val results = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+      // GRAFT_SCALE_ONLY=a,b,c runs only the named steps — for A/B reruns
+      // of one family (e.g. old-vs-new engine in a worktree) without
+      // paying the whole sf1 suite
+      val onlySteps = sys.env.get("GRAFT_SCALE_ONLY")
+        .map(_.split(",").map(_.trim).toSet)
       def step(name: String, scales: Seq[String])(run: String => Long): Unit = {
+        if (onlySteps.exists(!_.contains(name))) return
         val times = scales.map { s =>
           // min-of-2: the first execution of a family JIT-compiles its
           // kernels, and x1 runs first — without this the x1 number
@@ -595,6 +601,23 @@ object ScaleRehearsal {
       step("knn_exact_dist", Seq("x1", "x10")) {
         case "x1"  => knn(p1, s1, 500, 0)
         case "x10" => knn(p10, s10, 5000, 0)
+      }
+      // tile-local kNN (st_nearest2, q_knn_tile's engine) — its OWN lane
+      // instead of inheriting via knnJoinExact (round-12 verdict: the
+      // inheritance cited the wrong engine). Right side is the box corpus
+      // (dense tiles). x10 at bucket 5000 keeps tile COUNT constant and
+      // grows per-tile rows 10x — the auto-bucket shape where the former
+      // per-left full scan was bucket^2 per tile; x10_b500 is the 10x-tiles
+      // constant-per-tile retune.
+      def knnTile(l: DataFrame, r: DataFrame, bucket: Int): Long =
+        SpatialJoin.knnJoin(
+            l.select(col("id").as("cid"), col("geom").as("g1")), "g1",
+            r.select(col("id").as("bid"), col("geom").as("g2")), "g2", k = 3,
+            cfg = SpatialJoin.Config(bucket = bucket)).count()
+      step("knn_tile", Seq("x1", "x10", "x10_b500")) {
+        case "x1"       => knnTile(p1, b1, 500)
+        case "x10"      => knnTile(p10, b10, 5000)
+        case "x10_b500" => knnTile(p10, b10, 500)
       }
       def mh(docs: DataFrame): Long = {
         val sig = graft.dedup.TextDedup.minHashSignatures(

@@ -471,13 +471,18 @@ object SpatialJoin {
         // per tile at the auto bucket). Deterministic ordering is kept
         // identical to the old plan: (dist, arrival position).
         val tree = new STRtree()
+        val dataEnv = new Envelope()
         var p = 0
         while (p < items.length) {
           val (g, row) = items(p)
           tree.insert(g.getEnvelopeInternal, (g, row, p))
+          dataEnv.expandToInclude(g.getEnvelopeInternal)
           p += 1
         }
         tree.build()
+        // radius-growth floor/ceiling for the re-query loop below
+        val dataDiag = math.sqrt(dataEnv.getWidth * dataEnv.getWidth +
+          dataEnv.getHeight * dataEnv.getHeight)
         val itemDist = new org.locationtech.jts.index.strtree.ItemDistance {
           override def distance(a: ItemBoundable, b: ItemBoundable): Double =
             a.getItem.asInstanceOf[(Geometry, Row, Int)]._1
@@ -494,22 +499,37 @@ object SpatialJoin {
                   .sortBy { case (d, _, pos) => (d, pos) }
                   .map { case (d, rrow, _) => (d, rrow) }
               } else {
-                // k-th smallest distance (an order statistic — unique
-                // however JTS breaks its internal ties)
-                val dk = tree.nearestNeighbour(g1.getEnvelopeInternal,
+                // branch-and-bound SEED radius: the max distance among the
+                // k items JTS's kNN returns. Seed only — JTS's
+                // nearestNeighbourK can return the same item twice (so its
+                // max may undershoot the true k-th distance); the loop
+                // below re-queries with a doubled radius until the k-th
+                // candidate provably lies inside the query radius, which
+                // makes the result exact regardless.
+                val seed = tree.nearestNeighbour(g1.getEnvelopeInternal,
                     (g1, null.asInstanceOf[Row], -1), itemDist, k)
                   .iterator.map(o =>
                     g1.distance(o.asInstanceOf[(Geometry, Row, Int)]._1))
                   .max
-                val env = g1.getEnvelopeInternal.copy(); env.expandBy(dk)
-                tree.query(env).asScala
-                  .map(_.asInstanceOf[(Geometry, Row, Int)])
-                  .map { case (g2, rrow, pos) => (g1.distance(g2), rrow, pos) }
-                  .filter(_._1 <= dk)
-                  .toArray
-                  .sortBy { case (d, _, pos) => (d, pos) }
-                  .take(k)
-                  .map { case (d, rrow, _) => (d, rrow) }
+                var r = seed
+                var res: Array[(Double, Row)] = null
+                while (res == null) {
+                  val env = g1.getEnvelopeInternal.copy(); env.expandBy(r)
+                  val cand = tree.query(env).asScala
+                    .map(_.asInstanceOf[(Geometry, Row, Int)])
+                    .map { case (g2, rrow, pos) => (g1.distance(g2), rrow, pos) }
+                    .toArray
+                    .sortBy { case (d, _, pos) => (d, pos) }
+                  // exact iff the k-th candidate is within r (nothing
+                  // outside the envelope can beat it) or the query already
+                  // covered the whole tile
+                  if ((cand.length >= k && cand(k - 1)._1 <= r) ||
+                      cand.length == items.length)
+                    res = cand.take(k).map { case (d, rrow, _) => (d, rrow) }
+                  else
+                    r = math.max(r * 2, dataDiag / 1024)
+                }
+                res
               }
             top.iterator.map { case (d, rrow) =>
               val vals = new Array[Any](lKeep.length + rKeep.length + 1)

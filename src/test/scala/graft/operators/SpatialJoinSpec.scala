@@ -166,6 +166,38 @@ class SpatialJoinSpec extends SparkTestBase {
     assert(perLeft.forall(_ <= k))
   }
 
+  test("knnJoin: per-tile STRtree probe matches brute force (single tile)") {
+    // One giant tile makes tile-local == global, so a brute-force oracle is
+    // valid. Dense lattice boxes + edge-hugging points reproduce the shape
+    // where JTS's nearestNeighbourK can return the same item twice — its
+    // max distance then undershoots the true k-th distance, and without the
+    // re-query loop some lefts silently got < k neighbors (round-13 find:
+    // 899,947 instead of 900,000 rows in the sf1 knn_tile lane).
+    val rnd = new Random(13)
+    val pts = (0 until 400).map { i =>
+      // half the points pinned to the space edges, where the drop showed up
+      val x = if (i % 2 == 0) rnd.nextInt(40) else (if (i % 4 == 1) 0 else 39)
+      val y = if (i % 2 == 0) rnd.nextInt(20) else rnd.nextInt(20)
+      (i.toLong, s"POINT ($x $y)")
+    }
+    val bxs = (0 until 300).map { i =>
+      val x = rnd.nextInt(38); val y = rnd.nextInt(18)
+      (i.toLong, s"POLYGON(($x $y,${x + 2} $y,${x + 2} ${y + 2},$x ${y + 2},$x $y))")
+    }
+    val k = 5
+    val got = SpatialJoin.knnJoin(df(pts, "id1", "g1"), "g1",
+        df(bxs, "id2", "g2"), "g2", k, SpatialJoin.Config(bucket = 1000000))
+      .select("id1", "knn_dist").as[(Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val gb = bxs.map { case (_, w) => GeometryCodec.fromWkt(w) }
+    val want = pts.map { case (i, w) =>
+      val g1 = GeometryCodec.fromWkt(w)
+      i -> gb.map(g1.distance).sorted.take(k).toSeq
+    }.toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (i, ds) => assert(got(i) == ds, s"left $i") }
+  }
+
   // the third mode pins the RELATIONAL probe branch (probeCollectMax = 0):
   // the giant-tiling form with the WindowGroupLimit probe + join-back that
   // the collected-map default skips at spec scale
