@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// pass the forked run's stdout through verbatim (no "[info] " prefix):
+// the round driver tail-captures `sbt runMain` stdout and attempts to
+// json-parse record lines — sbt's log prefix breaks that (every archived
+// BENCH_rN.json through r12 has "parsed": null)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -156,7 +156,7 @@ object Bench {
     // the FRONT (headline fields) of the r7-r9 records — print a compact
     // summary AFTER the full line so whatever survives tail-capture always
     // carries the totals; the full per-query map is persisted below
-    println(s"""{"metric":"total_compact","value":${r3(total)},"unit":"sec","n":${results.size},"n_failed":${failed.size},"failed":$failedList,"load1m":${r3(loadAvg())},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_compact","value":${r3(total)},"unit":"sec","n":${results.size},"n_failed":${failed.size},"failed":$failedList,"load1m":${r3(loadAvg())},"sf":"$sfDir","queries_file":"BENCH_FULL.json"}""")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tools/bench_last.json")
     try {
       java.nio.file.Files.write(
@@ -169,6 +169,24 @@ object Bench {
       }.mkString("", "\n", "\n")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outPath + ".tsv"), tsv.getBytes("UTF-8"))
+      // self-contained archive copy at the repo root (round-12 verdict #3:
+      // the driver's BENCH_rN.json keeps only a 2000-char stdout tail, so
+      // a 175-gate queries map can never survive it; this file is the
+      // per-round record `json.load` recovers every gate from — committed
+      // by the round-start archive commit, one gate per line for diffs).
+      // SPARK_GRAFT_BENCH_OUT-aware child runs (family JVMs) skip it:
+      // only the parent's merged record is the round record.
+      if (!sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
+        val pretty = new StringBuilder
+        pretty ++= s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"n_failed":${failed.size},"failed":$failedList,"load1m":${r3(loadAvg())},"sf":"$sfDir","queries":{"""
+        pretty ++= results.map { case (k, v) =>
+          "\n  \"" + k + "\": " + v.map(r3).getOrElse("null")
+        }.mkString(",")
+        pretty ++= "\n}}\n"
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("BENCH_FULL.json"),
+          pretty.toString.getBytes("UTF-8"))
+      }
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] WARNING: could not persist $outPath: $e")

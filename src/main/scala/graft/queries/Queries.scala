@@ -3633,6 +3633,82 @@ object Queries {
        |$out""".stripMargin
   }
 
+  /** WordPiece vocabulary training, FULL loop
+    * ([[graft.text.WordPieceTrainer.train]]): 8 rounds over the
+    * distinct-pretoken frequency table, each selecting the adjacent pair
+    * maximizing the unigram-likelihood score cp/(ca·cb) — BPE's loop with
+    * BERT's scoring — then fold-merging it into every word (`##`
+    * continuation convention; merged symbol strips b's marker). Output =
+    * (rank, pair, pair count, endpoint counts), all exact integers.
+    * The oracle unrolls all 8 rounds as chained CTEs with the q_bpe_train
+    * wrapped-symbol fold; selection replays EXACTLY in integers via
+    * HUGEINT floor-scaled scores — see qWordpieceTrainSql. */
+  def qWordpieceTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, dir, "documents")
+    graft.text.WordPieceTrainer.train(docs, "text", numMerges = 8)
+      .map(m => (m.rank.toLong, m.left, m.right,
+        m.pairCount, m.leftCount, m.rightCount))
+      .toDF("rk", "a", "b", "cp", "ca", "cb")
+  }
+
+  val qWordpieceTrainSql: String = {
+    val pat = graft.text.TextFunctions.BpePretokenPattern.replace("'", "''")
+    val rounds = 8
+    // Winner selection in EXACT integers: score(a,b) = cp/(ca*cb) is
+    // ordered by floor(cp * M // (ca*cb)) with M = 2^100 (HUGEINT). For
+    // two distinct rationals c1/d1 > c2/d2 (positive ints), c1*d2 - c2*d1
+    // >= 1, so c1*M/d1 - c2*M/d2 = M*(c1*d2 - c2*d1)/(d1*d2) >= M/(d1*d2)
+    // >= 1 whenever M >= d1*d2 — and x >= y+1 implies floor(x) >=
+    // floor(y)+1, so the floor strictly preserves the order. Here d =
+    // ca*cb < 2^50 comfortably (total weighted symbol occurrences at the
+    // oracle SF are < 2^25), so M = 2^100 >= d1*d2 and cp*M < 2^125 fits
+    // HUGEINT. Equal scores floor equal -> the (a, b) ASC tie-break, the
+    // trainer's own. The Spark side picks the same winner by driver-side
+    // cross-multiplied BigInt rationals.
+    // Every CTE is MATERIALIZED: w$r is referenced three times per round
+    // (s$r, p$r, w${r+1}), and DuckDB inlines plain CTEs — 3^rounds
+    // re-scans of `documents` (observed: fd exhaustion at 8 rounds).
+    val M = "CAST('1267650600228229401496703205376' AS HUGEINT)" // 2^100
+    val body = (0 until rounds).map { r =>
+      s"""s$r AS MATERIALIZED (SELECT sym, CAST(sum(n) AS BIGINT) AS c FROM (
+         |  SELECT unnest(string_split(w[2 : len(w)-1], chr(1)||chr(1))) AS sym, n
+         |  FROM w$r) GROUP BY 1),
+         |p$r AS MATERIALIZED (
+         | SELECT pr.a, pr.b, CAST(sum(pr.n) AS BIGINT) AS c FROM (
+         |  SELECT n, unnest([{'a': s[i], 'b': s[i+1]}
+         |      for i in generate_series(1, len(s)-1)], recursive := true)
+         |  FROM (SELECT string_split(w[2 : len(w)-1], chr(1)||chr(1)) AS s, n
+         |        FROM w$r)) pr
+         | GROUP BY 1, 2 HAVING sum(pr.n) >= 2),
+         |m$r AS MATERIALIZED (SELECT p.a, p.b, p.c, sa.c AS ca, sb.c AS cb
+         | FROM p$r p JOIN s$r sa ON sa.sym = p.a JOIN s$r sb ON sb.sym = p.b
+         | ORDER BY (CAST(p.c AS HUGEINT) * $M)
+         |     // (CAST(sa.c AS HUGEINT) * CAST(sb.c AS HUGEINT)) DESC,
+         |   p.a ASC, p.b ASC
+         | LIMIT 1),
+         |w${r + 1} AS MATERIALIZED (SELECT
+         |   replace(w, chr(1)||m.a||chr(1)||chr(1)||m.b||chr(1),
+         |     chr(1)||m.a||(CASE WHEN m.b LIKE '##%' THEN m.b[3 : len(m.b)] ELSE m.b END)||chr(1)) AS w, n
+         | FROM w$r, m$r m)""".stripMargin
+    }.mkString(",\n")
+    val out = (0 until rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rk, a, b, c AS cp, ca, cb FROM m$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (
+       | SELECT chr(1) || array_to_string(
+       |     [CASE WHEN i = 1 THEN cs[i] ELSE '##' || cs[i] END
+       |      for i in generate_series(1, len(cs))],
+       |     chr(1)||chr(1)) || chr(1) AS w,
+       |   CAST(count(*) AS BIGINT) AS n
+       | FROM (SELECT string_split(wd, '') AS cs FROM
+       |   (SELECT unnest(regexp_extract_all(text, '$pat', 1)) AS wd
+       |    FROM documents))
+       | GROUP BY 1),
+       |$body
+       |$out""".stripMargin
+  }
+
   /** Exact word-3-gram Jaccard near-duplicate pairs (threshold 0.5). */
   def qDedupNgram(spark: SparkSession, dir: String): DataFrame =
     graft.dedup.TextDedup.ngramJaccardPairs(
