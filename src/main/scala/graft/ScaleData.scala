@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1.0 testdata synthesis for the cross-SF correctness sidecar
+  * (round-12 verdict #4): correctness was proven only at sf0.01, the
+  * scale story only by bench rehearsals — this main builds a 10× sf0.1
+  * data set so the DuckDB oracle can be replayed at sf1.0 on the
+  * headline gates.
+  *
+  * 10 content-independent copies of each sf0.1 table, the established
+  * rehearsal technique: keys shift by copy·10^7 (preserves
+  * `doc_id % 50` — the decontaminate bench split — and keeps every key
+  * distinct), document text gets the per-copy word prefix (per-copy
+  * shingle structure identical to the corpus, cross-copy similarity
+  * zero). The scaling is engine-free: gates and oracles read the SAME
+  * parquet files, so no generation logic can favor either side.
+  *
+  * Usage: runMain graft.ScaleData <outDir> [copies]
+  */
+object ScaleData {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/graft_sf1")
+    val copies = if (args.length > 1) args(1).toInt else 10
+    val src = "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val Shift = 10000000L
+
+    def copiesOf(df: DataFrame): DataFrame =
+      df.crossJoin(spark.range(copies).select(col("id").as("__copy")))
+        .repartition(32)
+
+    def shiftKey(df: DataFrame, key: String): DataFrame =
+      copiesOf(df)
+        .withColumn(key, col(key) + col("__copy") * Shift)
+        .drop("__copy")
+
+    def write(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scaledata] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+    }
+
+    write(shiftKey(spark.read.parquet(s"$src/part.parquet"), "p_partkey"), "part")
+    write(shiftKey(spark.read.parquet(s"$src/customer.parquet"), "c_custkey"), "customer")
+    write(shiftKey(spark.read.parquet(s"$src/supplier.parquet"), "s_suppkey"), "supplier")
+    val docs = copiesOf(spark.read.parquet(s"$src/documents.parquet"))
+      .withColumn("doc_id", col("doc_id") + col("__copy") * Shift)
+      .withColumn("text", regexp_replace(col("text"), lit("(\\S+)"),
+        concat(lit("c"), col("__copy"), lit("$1"))))
+      .drop("__copy")
+    write(docs, "documents")
+    spark.stop()
+  }
+}

@@ -473,6 +473,26 @@ object ScaleRehearsal {
             space * 0.25, space * 0.25, space * 0.25,
             space * 0.75, space * 0.75, space * 0.75)).count()
         }
+        // ---- manifest-committed 3-D store (writeCompact, round-12
+        // verdict #6): SAME fixed leafCap 300 as store3d_write's x10 lane
+        // (leaves ∝ N — the lane whose 7.4× was attributed to per-leaf
+        // dir+temp+rename), but files ∝ write tasks and one manifest
+        // commit. The octree planning is identical, so (x10 compact) vs
+        // (x10 dirs) isolates the commit protocol.
+        def st3c = (s: String) => s"$dir/sf1_store3dc_$s"
+        step("store3d_write_compact", Seq("x1", "x10")) { s =>
+          val q = if (s == "x1") q1 else q10
+          rm(new java.io.File(st3c(s)))
+          SpatialStore3d.writeCompact(q,
+            Mbb3Cols("x0", "y0", "z0", "x1", "y1", "z1"), st3c(s), leafCap = 300)
+          SpatialStore3d.readMeta(spark, st3c(s)).leafBoxes.length.toLong
+        }
+        step("store3d_read_compact", Seq("x1", "x10")) { s =>
+          val space = if (s == "x1") 200.0 else 430.887
+          SpatialStore3d.containmentReadCompact(spark, st3c(s), Array(
+            space * 0.25, space * 0.25, space * 0.25,
+            space * 0.75, space * 0.75, space * 0.75)).count()
+        }
         // ---- span dedup: gram width fixed (k=5); prefix-salted copies
         // keep per-copy span structure, cross-copy spans distinct. The
         // count(text) aggregate forces the reassembled text, not just rows.
@@ -659,6 +679,33 @@ object ScaleRehearsal {
     // number is directly comparable; Bloom path = distributed filter build
     // over the bench shingles + codegen scan predicate + verification join
     // over candidates only.
+    // ---------------- dedup_ranked at the components-record scale
+    // (round-12 verdict #7: q_dedup_ranked INHERITED the components
+    // family's 100x record by argument; this lane measures the actual
+    // dedupByComponentsRanked shape — components + id-keyed score join +
+    // per-component window — on the SAME synthetic 10M-node / 5M-edge
+    // graph as the round-5 components_distributed record, so the delta IS
+    // the ranked-selection overhead).
+    if (mode == "rankedcomp") {
+      val nodes = spark.range(10000000L).select(col("id").as("doc_id"),
+        pmod(xxhash64(col("id"), lit(3)), lit(1000000L)).as("score"))
+      val edges = spark.range(5000000L).select(
+        pmod(xxhash64(col("id"), lit(7)), lit(10000000L)).as("a"),
+        pmod(xxhash64(col("id"), lit(8)), lit(10000000L)).as("b"))
+      val base = timed("components_only_10m") {
+        graft.dedup.Components.connectedComponents(
+            nodes.select(col("doc_id")), "doc_id", edges, "a", "b")
+          .where(col("doc_id") =!= col("comp")).count()
+      }
+      println(s"[scale]   -> $base non-root nodes labeled")
+      val n = timed("dedup_ranked_10m") {
+        graft.dedup.Components.dedupByComponentsRanked(
+          nodes, "doc_id", "score", edges, "a", "b").count()
+      }
+      println(s"[scale]   -> $n survivors of 10,000,000")
+      spark.stop(); return
+    }
+
     if (mode == "bloom") {
       import graft.text.TextFunctions
       val docs = spark.read.parquet(s"$dir/docs")

@@ -1250,6 +1250,32 @@ object Queries {
        |  AND y0 <= 180 AND y0 + w >= 40
        |  AND z0 <= 160 AND z0 + w >= 30""".stripMargin
 
+  /** The 3-D store lifecycle over the MANIFEST-COMMITTED layout
+    * ([[graft.sources.SpatialStore3d.writeCompact]], round-12 verdict #6):
+    * same rows and window as q_store_containment_3d, but data lands as
+    * range-clustered plain parquet committed with ONE per-file
+    * (min_tile, max_tile) manifest — renames ∝ write tasks instead of one
+    * dir+temp+rename per octree leaf (the sf1b rehearsal's whole
+    * super-linear term). Shares qStoreContainment3dSql: the answer is
+    * layout-independent by construction. */
+  def qStoreContainment3dCompact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SpatialStore3d
+    import graft.operators.SpatialJoin3d.Mbb3Cols
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_store3dc_gate_" +
+      new java.io.File(dir).getName
+    val cubes = partCubes(spark, dir).select(col("id"),
+      col("x0"), col("y0"), col("z0"),
+      (col("x0") + col("w")).as("x1"), (col("y0") + col("w")).as("y1"),
+      (col("z0") + col("w")).as("z1"))
+    SpatialStore3d.writeCompact(cubes,
+      Mbb3Cols("x0", "y0", "z0", "x1", "y1", "z1"), path, leafCap = 300)
+    SpatialStore3d.containmentReadCompact(spark, path,
+        Array(50.0, 40.0, 30.0, 170.0, 180.0, 160.0))
+      .select(col("id"),
+        ((col("x1") - col("x0")) * (col("y1") - col("y0")) *
+          (col("z1") - col("z0"))).as("volume"))
+  }
+
   /** STREAMING spatial ingest gate (batch-twin oracle): the deterministic
     * part boxes are shipped as WKT through a real Structured Streaming
     * query — file source → [[graft.streaming.SpatialIngest.start]] append

@@ -35,6 +35,8 @@ import graft.operators.SpatialJoin3d.Mbb3Cols
 object SpatialStore3d {
 
   private val MetaFile = "_graft_meta3d.json"
+  private val DataDir = "data"
+  private val ManifestDir = "_graft_manifest3d"
   val TileCol: String = SpatialStore.TileCol
 
   final case class Meta(cols: Seq[String], leafBoxes: Array[Array[Double]])
@@ -50,6 +52,23 @@ object SpatialStore3d {
             leafCap: Int = 4096, sampleTarget: Int = 100000,
             maxDepth: Int = 12, seed: Long = 42L,
             preserveDuplicates: Boolean = false): Unit = {
+    val spark = df.sparkSession
+    val (tagged, tree, names) =
+      leafTagged(df, c, leafCap, sampleTarget, maxDepth, seed, preserveDuplicates)
+    tagged
+      // explicit partition count: a bare repartition(col) would be AQE-
+      // coalesced to one task on small inputs, serializing the write
+      .repartition(spark.sessionState.conf.numShufflePartitions, col(TileCol))
+      .write.partitionBy(TileCol).mode("overwrite").parquet(path)
+    writeMeta(spark, path, Meta(names, tree.leafBoxes))
+  }
+
+  /** Shared planning: row-id lanes, null-envelope drop, sampled octree,
+    * leaf replication — everything up to (and including) the tile tag. */
+  private def leafTagged(df: DataFrame, c: Mbb3Cols, leafCap: Int,
+                         sampleTarget: Int, maxDepth: Int, seed: Long,
+                         preserveDuplicates: Boolean)
+      : (DataFrame, Octree3d.Tree, Seq[String]) = {
     val spark = df.sparkSession
     val names = Seq(c.xmin, c.ymin, c.zmin, c.xmax, c.ymax, c.zmax)
     val withId = SpatialStore.withRowIds(df, preserveDuplicates)
@@ -79,15 +98,94 @@ object SpatialStore3d {
                         x1: Double, y1: Double, z1: Double) =>
       bc.value.leavesFor(x0, y0, z0, x1, y1, z1)
     }
-    withId
+    val tagged = withId
       .withColumn(TileCol, explode(leaves(
         col(c.xmin), col(c.ymin), col(c.zmin),
         col(c.xmax), col(c.ymax), col(c.zmax))))
-      // explicit partition count: a bare repartition(col) would be AQE-
-      // coalesced to one task on small inputs, serializing the write
-      .repartition(spark.sessionState.conf.numShufflePartitions, col(TileCol))
-      .write.partitionBy(TileCol).mode("overwrite").parquet(path)
+    (tagged, tree, names)
+  }
+
+  /** Manifest-committed layout (round-12 verdict #6): [[write]]'s commit
+    * cost is one directory + temp file + rename PER LEAF (Spark dynamic
+    * partitioning) — measured as the store's entire super-linear term in
+    * the sf1b rehearsal (wall ∝ leaf count, cap∝N lanes near-flat). This
+    * variant writes the SAME rows (identical planning, replication and
+    * row-id lanes) as PLAIN parquet range-partitioned on the leaf id —
+    * one file per TASK covering a contiguous leaf range, so renames ∝
+    * tasks, not leaves — then commits one per-file (min_tile, max_tile)
+    * manifest built from a single column-pruned scan of what was just
+    * written (the ZoneMap discipline). Reads prune the manifest instead
+    * of partition dirs: leaf ids are range-clustered and sorted within
+    * files, so a window touches only the files whose tile range
+    * intersects its leaf set, with parquet row-group stats finishing the
+    * job inside each file. At 100 TB: LIST = one manifest read; file
+    * count ∝ writer count, not leaf count. */
+  def writeCompact(df: DataFrame, c: Mbb3Cols, path: String,
+                   leafCap: Int = 4096, sampleTarget: Int = 100000,
+                   maxDepth: Int = 12, seed: Long = 42L,
+                   preserveDuplicates: Boolean = false): Unit = {
+    val spark = df.sparkSession
+    val (tagged, tree, names) =
+      leafTagged(df, c, leafCap, sampleTarget, maxDepth, seed, preserveDuplicates)
+    val dataPath = s"$path/$DataDir"
+    tagged
+      // contiguous leaf ranges per file + in-file ordering: manifest
+      // ranges stay tight and row-group stats on tile_id prune inside
+      // surviving files. Row-id in the range key spreads a hot leaf
+      // across file boundaries instead of one giant task.
+      .repartitionByRange(spark.sessionState.conf.numShufflePartitions,
+        col(TileCol), col(SpatialStore.RowIdCol))
+      .sortWithinPartitions(col(TileCol), col(SpatialStore.RowIdCol))
+      .write.mode("overwrite").parquet(dataPath)
+    // manifest: ONE column-pruned scan of the files just written
+    val manifest = spark.read.parquet(dataPath)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(TileCol)).as("min_tile"), max(col(TileCol)).as("max_tile"))
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$path/$ManifestDir")
     writeMeta(spark, path, Meta(names, tree.leafBoxes))
+  }
+
+  /** Containment read over the [[writeCompact]] layout: same driver-side
+    * octree prune, then the MANIFEST (bounded: one row per data file)
+    * selects the files whose tile range intersects the window's leaf set;
+    * only those are listed/read. Refine + replica collapse identical to
+    * [[containmentRead]]. */
+  def containmentReadCompact(spark: SparkSession, path: String,
+                             window: Array[Double]): DataFrame = {
+    require(window.length == 6, "window must be (x0, y0, z0, x1, y1, z1)")
+    val meta = readMeta(spark, path)
+    val Seq(x0, y0, z0, x1, y1, z1) = window.toSeq
+    val wanted = meta.leafBoxes.iterator.zipWithIndex
+      .filter { case (b, _) =>
+        b(0) <= x1 && x0 <= b(3) && b(1) <= y1 && y0 <= b(4) &&
+          b(2) <= z1 && z0 <= b(5) }
+      .map(_._2).toArray
+    val wantedSorted = wanted.sorted
+    val files = spark.read.parquet(s"$path/$ManifestDir")
+      .collect() // bounded: one row per data file
+      .filter { r =>
+        val lo = r.getAs[Int]("min_tile"); val hi = r.getAs[Int]("max_tile")
+        // any wanted leaf inside [lo, hi]?
+        val i = java.util.Arrays.binarySearch(wantedSorted, lo)
+        val next = if (i >= 0) lo else {
+          val ins = -i - 1
+          if (ins < wantedSorted.length) wantedSorted(ins) else Int.MaxValue
+        }
+        next <= hi
+      }
+      .map(_.getAs[String]("file"))
+    val Seq(cx0, cy0, cz0, cx1, cy1, cz1) = meta.cols.map(col)
+    val base =
+      if (files.isEmpty)
+        spark.read.parquet(s"$path/$DataDir").limit(0)
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    base
+      .where(col(TileCol).isin(wanted.map(Int.box).toIndexedSeq: _*))
+      .where(cx0 <= lit(x1) && lit(x0) <= cx1 &&
+             cy0 <= lit(y1) && lit(y0) <= cy1 &&
+             cz0 <= lit(z1) && lit(z0) <= cz1)
+      .dropDuplicates(SpatialStore.RowIdCol, SpatialStore.RowId2Col)
+      .drop(SpatialStore.RowIdCol, SpatialStore.RowId2Col, TileCol)
   }
 
   /** Containment/window read: driver prunes octree leaves against the

@@ -79,4 +79,33 @@ class SpatialStore3dSpec extends SparkTestBase {
     SpatialStore3d.write(dup, C, keepDir, leafCap = 8, preserveDuplicates = true)
     assert(SpatialStore3d.read(spark, keepDir).count() == 40)
   }
+
+  test("compact (manifest-committed) layout: same reads, task-count files") {
+    val dir = Files.createTempDirectory("graft_store3d").toString + "/t6"
+    val df = cubesDf(800)
+    SpatialStore3d.writeCompact(df, C, dir, leafCap = 16)
+    // identical answers to the dir layout on the same window
+    val w = Array(10.0, 12.0, 8.0, 28.0, 30.0, 26.0)
+    val got = SpatialStore3d.containmentReadCompact(spark, dir, w)
+      .select("id").as[Long].collect().toSet
+    val want = df.where(
+        $"x0" <= w(3) && lit(w(0)) <= $"x1" &&
+        $"y0" <= w(4) && lit(w(1)) <= $"y1" &&
+        $"z0" <= w(5) && lit(w(2)) <= $"z1")
+      .select("id").as[Long].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // the layout's point: data file count tracks TASKS, not leaves
+    val meta = SpatialStore3d.readMeta(spark, dir)
+    val dataFiles = new java.io.File(s"$dir/data").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(meta.leafBoxes.length > dataFiles,
+      s"compact layout should write fewer files ($dataFiles) than leaves " +
+        s"(${meta.leafBoxes.length})")
+    // manifest file-pruning engages: a small window reads < all files
+    val manifest = spark.read.parquet(s"$dir/_graft_manifest3d")
+    assert(manifest.count() == dataFiles.toLong)
+    // empty window returns empty, not an error
+    assert(SpatialStore3d.containmentReadCompact(spark, dir,
+      Array(-500.0, -500.0, -500.0, -400.0, -400.0, -400.0)).count() == 0)
+  }
 }

@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Cross-SF correctness sidecar checker (round-12 verdict #4).
+
+Same gate semantics as check_correctness.py — column names (sorted),
+row count, content hash — but the hash compare runs INSIDE DuckDB as a
+multiset aggregate (sum of per-row 64-bit hashes over name-sorted,
+NULL-canonicalized varchar renderings), so 10^8-row gate outputs never
+materialize in Python. Both sides (Spark parquet and the oracle SQL)
+go through the identical DuckDB rendering, so the compare is
+engine-symmetric.
+
+Usage: python3 tools/check_sf.py <verify_out_dir> <sf_dir> [out_json]
+"""
+import sys, json, glob, os, time
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def fingerprint(con, subquery):
+    """(sorted column names, row count, multiset hash) of a relation."""
+    cols = [d[0] for d in con.execute(
+        f"SELECT * FROM ({subquery}) LIMIT 0").description]
+    ordered = sorted(cols)
+    rendered = ", ".join(
+        f"COALESCE(CAST(\"{c}\" AS VARCHAR), 'NULL')" for c in ordered)
+    n, h = con.execute(
+        f"SELECT count(*), COALESCE(sum(hash(concat_ws(chr(1), {rendered}))), 0)"
+        f" FROM ({subquery})").fetchone()
+    return ordered, n, str(h)
+
+
+def main(out_dir, sf_dir, out_json=None):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+                if os.path.isdir(p) else
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results, failures = {}, 0
+    for name, sql in sorted(oracle.items()):
+        spark_glob = f"{out_dir}/{name}/*.parquet"
+        if not glob.glob(spark_glob):
+            print(f"FAIL {name}: no spark output")
+            results[name] = {"status": "fail", "reason": "no spark output"}
+            failures += 1
+            continue
+        t0 = time.time()
+        try:
+            s_cols, s_n, s_h = fingerprint(
+                con, f"SELECT * FROM read_parquet('{spark_glob}')")
+            d_cols, d_n, d_h = fingerprint(con, sql)
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}")
+            results[name] = {"status": "fail", "reason": f"oracle error {e}"}
+            failures += 1
+            continue
+        dt = time.time() - t0
+        if s_cols != d_cols:
+            print(f"FAIL {name}: columns {s_cols} vs {d_cols}")
+            results[name] = {"status": "fail", "reason": "schema",
+                             "spark": s_cols, "duck": d_cols}
+            failures += 1
+        elif s_n != d_n:
+            print(f"FAIL {name}: rows {s_n} vs {d_n}")
+            results[name] = {"status": "fail", "reason": "rows",
+                             "spark": s_n, "duck": d_n}
+            failures += 1
+        elif s_h != d_h:
+            print(f"FAIL {name}: hash mismatch over {s_n} rows")
+            results[name] = {"status": "fail", "reason": "hash", "rows": s_n}
+            failures += 1
+        else:
+            print(f"PASS {name}: {s_n} rows ({dt:.1f}s)")
+            results[name] = {"status": "pass", "rows": s_n,
+                             "check_sec": round(dt, 1)}
+    total = len(oracle)
+    print(f"\n{total - failures}/{total} queries pass")
+    if out_json:
+        json.dump({"sf_dir": sf_dir, "results": results,
+                   "passed": total - failures, "total": total},
+                  open(out_json, "w"), indent=1)
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(1 if main(sys.argv[1], sys.argv[2],
+                       sys.argv[3] if len(sys.argv) > 3 else None) else 0)
