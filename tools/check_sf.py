@@ -33,6 +33,15 @@ def fingerprint(con, subquery):
 
 def main(out_dir, sf_dir, out_json=None):
     con = duckdb.connect()
+    # An in-memory DuckDB has NO temp_directory, so big oracle shapes
+    # (the kNN cross-join+window is ~1.5e9 intermediate rows at sf1)
+    # abort with OOM instead of spilling — exactly the 4 failures in the
+    # first CORRECTNESS_SF1 run. Give it a spill dir, drop insertion-
+    # order preservation (halves sort memory), and cap memory below the
+    # cgroup so the allocator spills instead of dying.
+    con.execute("SET temp_directory='/tmp/duckdb_sf_spill'")
+    con.execute("SET preserve_insertion_order=false")
+    con.execute("SET memory_limit='80GB'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
