@@ -451,6 +451,25 @@ object ScaleRehearsal {
             GeometryCodec.toWkb(GeometryCodec.box(
               space * 0.25, space * 0.25, space * 0.75, space * 0.75))).count()
         }
+        // ---- manifest-committed 2-D store (the 3-D compact lane's
+        // discipline mirrored down): SAME fixed cap 500 as store2d_write's
+        // x10 lane (tiles ∝ N) — files ∝ write tasks and one manifest
+        // commit. Planning identical, so (x10 compact) vs (x10 dirs)
+        // isolates the commit protocol.
+        def st2c = (s: String) => s"$dir/sf1_store2dc_$s"
+        step("store2d_write_compact", Seq("x1", "x10")) { s =>
+          val b = if (s == "x1") b1 else b10
+          rm(new java.io.File(st2c(s)))
+          SpatialStore.writeCompact(b.select(col("id"), col("geom")), "geom",
+            st2c(s), SpatialJoin.Config(bucket = 500))
+          SpatialStore.readMeta(spark, st2c(s)).tiles.length.toLong
+        }
+        step("store2d_read_compact", Seq("x1", "x10")) { s =>
+          val space = if (s == "x1") 200.0 else 632.456
+          SpatialStore.containmentReadCompact(spark, st2c(s),
+            GeometryCodec.toWkb(GeometryCodec.box(
+              space * 0.25, space * 0.25, space * 0.75, space * 0.75))).count()
+        }
         // ---- 3-D store lifecycle, same two x10 lanes: fixed leafCap 300
         // (leaves ∝ N, octree deepens) vs `x10_cap3000` (cap ∝ N,
         // constant leaf count); read = triple-pruned containment over the

@@ -1211,6 +1211,26 @@ object Queries {
        |SELECT id, w * w AS area FROM b
        |WHERE x0 <= 170 AND x0 + w >= 50 AND y0 <= 180 AND y0 + w >= 40""".stripMargin
 
+  /** The 2-D store lifecycle over the MANIFEST-COMMITTED layout
+    * ([[graft.sources.SpatialStore.writeCompact]] — the 3-D compact lane's
+    * discipline mirrored down after its sf1b record measured flat at 10x
+    * leaves): same rows and window as q_store_containment, but data lands
+    * as range-clustered plain parquet committed with ONE per-file
+    * (min_tile, max_tile) manifest — renames ∝ write tasks instead of one
+    * dir+temp+rename per tile. Shares qStoreContainmentSql: the answer is
+    * layout-independent by construction. */
+  def qStoreContainmentCompact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SpatialStore
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_storec_gate_" +
+      new java.io.File(dir).getName
+    SpatialStore.writeCompact(partBoxes(spark, dir), "geom", path,
+      SpatialJoin.Config(partitioner = "fg", bucket = 300))
+    val window = graft.core.GeometryCodec.toWkb(
+      graft.core.GeometryCodec.box(50, 40, 170, 180))
+    SpatialStore.containmentReadCompact(spark, path, window)
+      .select(col("id"), st_area(col("geom")).as("area"))
+  }
+
   /** 3-D spatial-store lifecycle ([[graft.sources.SpatialStore3d]], the
     * reference's queryproc3d partition+containment over octree-leaf
     * tiles): write the part cubes leaf-partitioned with boundary

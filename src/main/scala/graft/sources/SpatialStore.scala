@@ -29,6 +29,8 @@ import graft.operators.{SpatialJoin, TileIndex}
 object SpatialStore {
 
   private val MetaFile = "_graft_meta.json"
+  private val DataDir = "data"
+  private val ManifestDir = "_graft_manifest"
   val TileCol = "tile_id"
   val RowIdCol = "__row_id"
   val RowId2Col = "__row_id2"
@@ -108,6 +110,28 @@ object SpatialStore {
             cfg: SpatialJoin.Config = SpatialJoin.Config(),
             preserveDuplicates: Boolean = false): Unit = {
     val spark = df.sparkSession
+    val (tagged, index) = tileTagged(df, geomCol, cfg, preserveDuplicates)
+    // Cluster by tile before writing: parallel writers, ONE file per tile
+    // (the reference's per-tile .dat layout) instead of #tasks x #tiles
+    // fragments — and a single-split source still writes with full
+    // parallelism. Retry-safe: ids and tile keys are deterministic
+    // functions of the (deterministic) scan, so a map retry reproduces
+    // identical shuffle blocks.
+    tagged
+      // explicit partition count: a bare repartition(col) would be AQE-
+      // coalesced to one task on small inputs, serializing the write
+      .repartition(spark.sessionState.conf.numShufflePartitions, col(TileCol))
+      .write.partitionBy(TileCol).mode("overwrite").parquet(path)
+    writeMeta(spark, path, Meta(geomCol, index.space, index.tiles))
+  }
+
+  /** Shared planning: row-id lanes, empty/invalid-geometry drop, sampled
+    * tiling, boundary replication — everything up to (and including) the
+    * tile tag. */
+  private def tileTagged(df: DataFrame, geomCol: String,
+                         cfg: SpatialJoin.Config, preserveDuplicates: Boolean)
+      : (DataFrame, TileIndex) = {
+    val spark = df.sparkSession
     val withId = withRowIds(df, preserveDuplicates)
       .withColumn("__env", st_envelope(col(geomCol)))
       .where(col("__env").isNotNull)
@@ -118,21 +142,82 @@ object SpatialStore {
     val tileIds = udf { (x1: Double, y1: Double, x2: Double, y2: Double) =>
       bc.value.tilesFor(x1, y1, x2, y2)
     }
-    // Cluster by tile before writing: parallel writers, ONE file per tile
-    // (the reference's per-tile .dat layout) instead of #tasks x #tiles
-    // fragments — and a single-split source still writes with full
-    // parallelism. Retry-safe: ids and tile keys are deterministic
-    // functions of the (deterministic) scan, so a map retry reproduces
-    // identical shuffle blocks.
-    withId
+    val tagged = withId
       .withColumn(TileCol, explode(tileIds(
         col("__env.xmin"), col("__env.ymin"), col("__env.xmax"), col("__env.ymax"))))
       .drop("__env")
-      // explicit partition count: a bare repartition(col) would be AQE-
-      // coalesced to one task on small inputs, serializing the write
-      .repartition(spark.sessionState.conf.numShufflePartitions, col(TileCol))
-      .write.partitionBy(TileCol).mode("overwrite").parquet(path)
+    (tagged, index)
+  }
+
+  /** Manifest-committed layout — [[graft.sources.SpatialStore3d.writeCompact]]'s
+    * discipline for the 2-D store (the sf1b rehearsal attributed BOTH
+    * stores' super-linear write term to Spark dynamic partitioning's
+    * per-leaf dir+temp+rename commit; the 3-D compact lane measured flat
+    * at 10x leaves). Identical planning, replication and row-id lanes to
+    * [[write]], but rows land as PLAIN parquet range-partitioned on the
+    * tile id — one file per write task covering a contiguous tile range,
+    * renames ∝ tasks — committed with ONE per-file (min_tile, max_tile)
+    * manifest built from a single column-pruned scan of the written files.
+    * In-file ordering by tile id leaves parquet row-group stats to finish
+    * the pruning inside surviving files. At 100 TB: LIST = one manifest
+    * read; file count tracks writer count, not tile count. */
+  def writeCompact(df: DataFrame, geomCol: String, path: String,
+                   cfg: SpatialJoin.Config = SpatialJoin.Config(),
+                   preserveDuplicates: Boolean = false): Unit = {
+    val spark = df.sparkSession
+    val (tagged, index) = tileTagged(df, geomCol, cfg, preserveDuplicates)
+    val dataPath = s"$path/$DataDir"
+    tagged
+      // row-id in the range key spreads a hot tile across file boundaries
+      // instead of one giant task
+      .repartitionByRange(spark.sessionState.conf.numShufflePartitions,
+        col(TileCol), col(RowIdCol))
+      .sortWithinPartitions(col(TileCol), col(RowIdCol))
+      .write.mode("overwrite").parquet(dataPath)
+    val manifest = spark.read.parquet(dataPath)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(TileCol)).as("min_tile"), max(col(TileCol)).as("max_tile"))
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$path/$ManifestDir")
     writeMeta(spark, path, Meta(geomCol, index.space, index.tiles))
+  }
+
+  /** Containment read over the [[writeCompact]] layout: same driver-side
+    * global-index tile prune, then the MANIFEST (bounded: one row per data
+    * file) selects the files whose tile range intersects the window's tile
+    * set; only those are read. Refine + replica collapse identical to
+    * [[containmentRead]]. */
+  def containmentReadCompact(spark: SparkSession, path: String,
+                             window: Array[Byte]): DataFrame = {
+    val meta = readMeta(spark, path)
+    val g = graft.core.GeometryCodec.fromWkb(window)
+    require(g != null, "invalid window geometry")
+    val e = g.getEnvelopeInternal
+    val wanted = meta.tiles.iterator
+      .filter(t => t.mbb.intersects(Mbb(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)))
+      .map(_.tileId).toArray
+    val wantedSorted = wanted.sorted
+    val files = spark.read.parquet(s"$path/$ManifestDir")
+      .collect() // bounded: one row per data file
+      .filter { r =>
+        val lo = r.getAs[Int]("min_tile"); val hi = r.getAs[Int]("max_tile")
+        // any wanted tile inside [lo, hi]?
+        val i = java.util.Arrays.binarySearch(wantedSorted, lo)
+        val next = if (i >= 0) lo else {
+          val ins = -i - 1
+          if (ins < wantedSorted.length) wantedSorted(ins) else Int.MaxValue
+        }
+        next <= hi
+      }
+      .map(_.getAs[String]("file"))
+    val base =
+      if (files.isEmpty)
+        spark.read.parquet(s"$path/$DataDir").limit(0)
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    base
+      .where(col(TileCol).isin(wanted.map(Int.box).toIndexedSeq: _*))
+      .where(st_intersects(col(meta.geomCol), lit(window)))
+      .dropDuplicates(RowIdCol, RowId2Col)
+      .drop(RowIdCol, RowId2Col, TileCol)
   }
 
   /** Read ONLY the given tile partition dirs. `spark.read.parquet(path)`

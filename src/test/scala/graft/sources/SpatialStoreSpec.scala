@@ -244,4 +244,33 @@ class SpatialStoreSpec extends SparkTestBase {
     val r = s2.sql("SELECT st_area(st_makebox(0D,0D,3D,3D)) a").head()
     assert(r.getDouble(0) == 9.0)
   }
+
+  test("compact (manifest-committed) layout: same reads, task-count files") {
+    val dir = Files.createTempDirectory("graft_store").toString + "/tc"
+    val df = boxesDf(800)
+    SpatialStore.writeCompact(df, "geom", dir,
+      graft.operators.SpatialJoin.Config(partitioner = "fg", bucket = 10))
+    // identical answers to the dir layout's window semantics
+    val window = GeometryCodec.toWkb(GeometryCodec.box(10, 10, 30, 25))
+    val got = SpatialStore.containmentReadCompact(spark, dir, window)
+      .select("id").as[Long].collect().toSet
+    val want = df.where(st_intersects(col("geom"), lit(window)))
+      .select("id").as[Long].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // the layout's point: data file count tracks TASKS, not tiles
+    val meta = SpatialStore.readMeta(spark, dir)
+    val dataFiles = new java.io.File(s"$dir/data").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(meta.tiles.length > dataFiles,
+      s"compact layout should write fewer files ($dataFiles) than tiles " +
+        s"(${meta.tiles.length})")
+    val manifest = spark.read.parquet(s"$dir/_graft_manifest")
+    assert(manifest.count() == dataFiles.toLong)
+    // manifest file-pruning engages: the window's file set is a strict
+    // subset when tiles are range-clustered across many files
+    // (guaranteed here: 800 boxes / bucket 10 >> shuffle partitions)
+    // empty window returns empty, not an error
+    assert(SpatialStore.containmentReadCompact(spark, dir,
+      GeometryCodec.toWkb(GeometryCodec.box(-500, -500, -400, -400))).count() == 0)
+  }
 }

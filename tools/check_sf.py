@@ -9,13 +9,27 @@ materialize in Python. Both sides (Spark parquet and the oracle SQL)
 go through the identical DuckDB rendering, so the compare is
 engine-symmetric.
 
-Usage: python3 tools/check_sf.py <verify_out_dir> <sf_dir> [out_json]
+Usage: python3 tools/check_sf.py <verify_out_dir> <sf_dir> [out_json] [only]
+  `only`: comma-separated gate filter; with an existing out_json, results
+  for unfiltered gates are carried over (incremental re-check).
 """
 import sys, json, glob, os, time
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# Gates whose oracle materializes a quadratic intermediate (the kNN
+# cross-join+window is |cust|x|supp| rows before rank<=k cuts it) are
+# compared in SHARDS: the multiset hash is a SUM of per-row hashes, so
+# per-shard (count, hash) pairs ADD across disjoint shards — same
+# fingerprint, bounded peak memory. DuckDB 1.0's window operator cannot
+# spill, and a shard predicate ABOVE the window is not pushed through
+# it (verified with EXPLAIN), so the shard restricts the BASE table the
+# window partitions by: q_knn's row_number partitions by c.id, so
+# evaluating the oracle over disjoint customer slices is exact.
+# Spec: out gate -> (probe table, probe key, shard count).
+SHARDED = {"q_knn": ("customer", "c_custkey", 16)}
 
 
 def fingerprint(con, subquery):
@@ -31,7 +45,31 @@ def fingerprint(con, subquery):
     return ordered, n, str(h)
 
 
-def main(out_dir, sf_dir, out_json=None):
+def fingerprint_sharded(con, subquery, view_sql, table, key, n_shards):
+    """[[fingerprint]] of an oracle whose probe TABLE is evaluated in
+    n disjoint `key % n` slices (view re-created per slice, restored
+    after). Counts and multiset hashes sum across slices."""
+    cols = [d[0] for d in con.execute(
+        f"SELECT * FROM ({subquery}) LIMIT 0").description]
+    ordered = sorted(cols)
+    rendered = ", ".join(
+        f"COALESCE(CAST(\"{c}\" AS VARCHAR), 'NULL')" for c in ordered)
+    n_total, h_total = 0, 0
+    try:
+        for i in range(n_shards):
+            con.execute(f"CREATE OR REPLACE VIEW {table} AS "
+                        f"SELECT * FROM ({view_sql}) WHERE (\"{key}\" % {n_shards}) = {i}")
+            n, h = con.execute(
+                f"SELECT count(*), COALESCE(sum(hash(concat_ws(chr(1), {rendered}))), 0)"
+                f" FROM ({subquery})").fetchone()
+            n_total += n
+            h_total += int(h)
+    finally:
+        con.execute(f"CREATE OR REPLACE VIEW {table} AS {view_sql}")
+    return ordered, n_total, str(h_total)
+
+
+def main(out_dir, sf_dir, out_json=None, only=None):
     con = duckdb.connect()
     # An in-memory DuckDB has NO temp_directory, so big oracle shapes
     # (the kNN cross-join+window is ~1.5e9 intermediate rows at sf1)
@@ -42,15 +80,28 @@ def main(out_dir, sf_dir, out_json=None):
     con.execute("SET temp_directory='/tmp/duckdb_sf_spill'")
     con.execute("SET preserve_insertion_order=false")
     con.execute("SET memory_limit='80GB'")
+    view_sql = {}
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
-                if os.path.isdir(p) else
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            src = (f"SELECT * FROM read_parquet('{p}/*.parquet')"
+                   if os.path.isdir(p) else
+                   f"SELECT * FROM read_parquet('{p}')")
+            view_sql[t] = src
+            con.execute(f"CREATE VIEW {t} AS {src}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results, failures = {}, 0
+    if only is not None:
+        keep = set(only.split(","))
+        # carry over prior results for gates outside the filter
+        if out_json and os.path.exists(out_json):
+            prior = json.load(open(out_json)).get("results", {})
+            for k, v in prior.items():
+                if k in oracle and k not in keep:
+                    results[k] = v
+                    if v.get("status") != "pass":
+                        failures += 1
+        oracle = {k: v for k, v in oracle.items() if k in keep}
     for name, sql in sorted(oracle.items()):
         spark_glob = f"{out_dir}/{name}/*.parquet"
         if not glob.glob(spark_glob):
@@ -59,10 +110,21 @@ def main(out_dir, sf_dir, out_json=None):
             failures += 1
             continue
         t0 = time.time()
+        # static oracle SQL embeds the driver gate's aux path
+        # (.../oracle_aux/sf0.01/...); the Spark side writes the aux keyed
+        # by the SF dir under test — point the oracle at the same one
+        sql = sql.replace("/oracle_aux/sf0.01/",
+                          f"/oracle_aux/{os.path.basename(sf_dir.rstrip('/'))}/")
+        shard = SHARDED.get(name)
         try:
             s_cols, s_n, s_h = fingerprint(
                 con, f"SELECT * FROM read_parquet('{spark_glob}')")
-            d_cols, d_n, d_h = fingerprint(con, sql)
+            if shard and shard[0] in view_sql:
+                tbl, key, k = shard
+                d_cols, d_n, d_h = fingerprint_sharded(
+                    con, sql, view_sql[tbl], tbl, key, k)
+            else:
+                d_cols, d_n, d_h = fingerprint(con, sql)
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}")
             results[name] = {"status": "fail", "reason": f"oracle error {e}"}
@@ -87,7 +149,7 @@ def main(out_dir, sf_dir, out_json=None):
             print(f"PASS {name}: {s_n} rows ({dt:.1f}s)")
             results[name] = {"status": "pass", "rows": s_n,
                              "check_sec": round(dt, 1)}
-    total = len(oracle)
+    total = len(results) if only is not None else len(oracle)
     print(f"\n{total - failures}/{total} queries pass")
     if out_json:
         json.dump({"sf_dir": sf_dir, "results": results,
@@ -98,4 +160,5 @@ def main(out_dir, sf_dir, out_json=None):
 
 if __name__ == "__main__":
     sys.exit(1 if main(sys.argv[1], sys.argv[2],
-                       sys.argv[3] if len(sys.argv) > 3 else None) else 0)
+                       sys.argv[3] if len(sys.argv) > 3 else None,
+                       sys.argv[4] if len(sys.argv) > 4 else None) else 0)
