@@ -23,6 +23,11 @@ object ScaleData {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")
     val copies = if (args.length > 1) args(1).toInt else 10
+    // the per-copy word prefix is "c<copy>": at copies > 10 a copy-1 word
+    // "0foo" ("c1"+"0foo") aliases copy-10's "foo" ("c10"+"foo"), breaking
+    // the cross-copy-similarity-zero invariant the sidecar rests on
+    require(copies >= 1 && copies <= 10,
+      s"copies must be in [1, 10] (single-digit prefix), got $copies")
     val src = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
@@ -38,10 +43,15 @@ object ScaleData {
       df.crossJoin(spark.range(copies).select(col("id").as("__copy")))
         .repartition(32)
 
-    def shiftKey(df: DataFrame, key: String): DataFrame =
+    def shiftKey(df: DataFrame, key: String): DataFrame = {
+      // key-distinctness invariant: copy c's keys live in [c*Shift, (c+1)*Shift)
+      val mx = df.agg(max(col(key))).head().getLong(0)
+      require(mx < Shift,
+        s"$key max $mx >= shift $Shift — shifted copies would collide")
       copiesOf(df)
         .withColumn(key, col(key) + col("__copy") * Shift)
         .drop("__copy")
+    }
 
     def write(df: DataFrame, name: String): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
@@ -51,7 +61,10 @@ object ScaleData {
     write(shiftKey(spark.read.parquet(s"$src/part.parquet"), "p_partkey"), "part")
     write(shiftKey(spark.read.parquet(s"$src/customer.parquet"), "c_custkey"), "customer")
     write(shiftKey(spark.read.parquet(s"$src/supplier.parquet"), "s_suppkey"), "supplier")
-    val docs = copiesOf(spark.read.parquet(s"$src/documents.parquet"))
+    val docsSrc = spark.read.parquet(s"$src/documents.parquet")
+    require(docsSrc.agg(max(col("doc_id"))).head().getLong(0) < Shift,
+      s"doc_id max >= shift $Shift — shifted copies would collide")
+    val docs = copiesOf(docsSrc)
       .withColumn("doc_id", col("doc_id") + col("__copy") * Shift)
       .withColumn("text", regexp_replace(col("text"), lit("(\\S+)"),
         concat(lit("c"), col("__copy"), lit("$1"))))

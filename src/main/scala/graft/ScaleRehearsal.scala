@@ -691,13 +691,6 @@ object ScaleRehearsal {
       spark.stop(); return
     }
 
-    // -------------------- Bloom decontamination at 100x (round-10 item:
-    // flagBloom was previously only upper-bounded by the exact-join proxy).
-    // Same salted 500k-doc corpus and 1-in-5000 benchmark split as the
-    // `pipeline` decontaminate measurement, so the broadcast-semi-join
-    // number is directly comparable; Bloom path = distributed filter build
-    // over the bench shingles + codegen scan predicate + verification join
-    // over candidates only.
     // ---------------- dedup_ranked at the components-record scale
     // (round-12 verdict #7: q_dedup_ranked INHERITED the components
     // family's 100x record by argument; this lane measures the actual
@@ -725,6 +718,13 @@ object ScaleRehearsal {
       spark.stop(); return
     }
 
+    // -------------------- Bloom decontamination at 100x (round-10 item:
+    // flagBloom was previously only upper-bounded by the exact-join proxy).
+    // Same salted 500k-doc corpus and 1-in-5000 benchmark split as the
+    // `pipeline` decontaminate measurement, so the broadcast-semi-join
+    // number is directly comparable; Bloom path = distributed filter build
+    // over the bench shingles + codegen scan predicate + verification join
+    // over candidates only.
     if (mode == "bloom") {
       import graft.text.TextFunctions
       val docs = spark.read.parquet(s"$dir/docs")

@@ -469,21 +469,25 @@ object SpatialJoin {
         // candidate set. O(|L| log |R|) per tile instead of the former
         // full scan + full sort (O(|L|*|R|) distance evals — bucket^2 work
         // per tile at the auto bucket). Deterministic ordering is kept
-        // identical to the old plan: (dist, arrival position).
-        val tree = new STRtree()
-        val dataEnv = new Envelope()
-        var p = 0
-        while (p < items.length) {
-          val (g, row) = items(p)
-          tree.insert(g.getEnvelopeInternal, (g, row, p))
-          dataEnv.expandToInclude(g.getEnvelopeInternal)
-          p += 1
+        // identical to the old plan: (dist, arrival position). Lazy: a
+        // tile with |R| <= k answers every left row by the brute branch
+        // below and must not pay the tree build.
+        lazy val (tree, dataDiag) = {
+          val t = new STRtree()
+          val dataEnv = new Envelope()
+          var p = 0
+          while (p < items.length) {
+            val (g, row) = items(p)
+            t.insert(g.getEnvelopeInternal, (g, row, p))
+            dataEnv.expandToInclude(g.getEnvelopeInternal)
+            p += 1
+          }
+          t.build()
+          // radius-growth floor/ceiling for the re-query loop below
+          (t, math.sqrt(dataEnv.getWidth * dataEnv.getWidth +
+            dataEnv.getHeight * dataEnv.getHeight))
         }
-        tree.build()
-        // radius-growth floor/ceiling for the re-query loop below
-        val dataDiag = math.sqrt(dataEnv.getWidth * dataEnv.getWidth +
-          dataEnv.getHeight * dataEnv.getHeight)
-        val itemDist = new org.locationtech.jts.index.strtree.ItemDistance {
+        lazy val itemDist = new org.locationtech.jts.index.strtree.ItemDistance {
           override def distance(a: ItemBoundable, b: ItemBoundable): Double =
             a.getItem.asInstanceOf[(Geometry, Row, Int)]._1
               .distance(b.getItem.asInstanceOf[(Geometry, Row, Int)]._1)

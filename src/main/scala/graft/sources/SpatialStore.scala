@@ -166,18 +166,7 @@ object SpatialStore {
                    preserveDuplicates: Boolean = false): Unit = {
     val spark = df.sparkSession
     val (tagged, index) = tileTagged(df, geomCol, cfg, preserveDuplicates)
-    val dataPath = s"$path/$DataDir"
-    tagged
-      // row-id in the range key spreads a hot tile across file boundaries
-      // instead of one giant task
-      .repartitionByRange(spark.sessionState.conf.numShufflePartitions,
-        col(TileCol), col(RowIdCol))
-      .sortWithinPartitions(col(TileCol), col(RowIdCol))
-      .write.mode("overwrite").parquet(dataPath)
-    val manifest = spark.read.parquet(dataPath)
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col(TileCol)).as("min_tile"), max(col(TileCol)).as("max_tile"))
-    manifest.coalesce(1).write.mode("overwrite").parquet(s"$path/$ManifestDir")
+    writeRangeClustered(tagged, path)
     writeMeta(spark, path, Meta(geomCol, index.space, index.tiles))
   }
 
@@ -195,6 +184,43 @@ object SpatialStore {
     val wanted = meta.tiles.iterator
       .filter(t => t.mbb.intersects(Mbb(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)))
       .map(_.tileId).toArray
+    manifestRead(spark, path, wanted)
+      .where(col(TileCol).isin(wanted.map(Int.box).toIndexedSeq: _*))
+      .where(st_intersects(col(meta.geomCol), lit(window)))
+      .dropDuplicates(RowIdCol, RowId2Col)
+      .drop(RowIdCol, RowId2Col, TileCol)
+  }
+
+  /** Compact-layout write half shared by the 2-D and 3-D stores: the
+    * tile-tagged rows land as range-clustered plain parquet under
+    * `path/data`, then ONE per-file (min_tile, max_tile) manifest is
+    * committed from a single column-pruned scan of the written files.
+    * Manifest entries are bare FILE NAMES (all data files sit directly
+    * under `data/`), so the store stays relocatable — an absolute URI
+    * manifest would silently read the OLD location after a copy/move. */
+  private[sources] def writeRangeClustered(tagged: DataFrame, path: String): Unit = {
+    val spark = tagged.sparkSession
+    val dataPath = s"$path/$DataDir"
+    tagged
+      // row-id in the range key spreads a hot tile across file boundaries
+      // instead of one giant task
+      .repartitionByRange(spark.sessionState.conf.numShufflePartitions,
+        col(TileCol), col(RowIdCol))
+      .sortWithinPartitions(col(TileCol), col(RowIdCol))
+      .write.mode("overwrite").parquet(dataPath)
+    val manifest = spark.read.parquet(dataPath)
+      .groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
+      .agg(min(col(TileCol)).as("min_tile"), max(col(TileCol)).as("max_tile"))
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$path/$ManifestDir")
+  }
+
+  /** Compact-layout read half shared by the 2-D and 3-D stores: collect
+    * the manifest (bounded: one row per data file), keep the files whose
+    * [min_tile, max_tile] range contains any wanted tile, and read only
+    * those (resolved against `path/data`, so the manifest survives a
+    * store move). Empty selection returns a schema-true empty relation. */
+  private[sources] def manifestRead(spark: SparkSession, path: String,
+                                    wanted: Array[Int]): DataFrame = {
     val wantedSorted = wanted.sorted
     val files = spark.read.parquet(s"$path/$ManifestDir")
       .collect() // bounded: one row per data file
@@ -208,16 +234,9 @@ object SpatialStore {
         }
         next <= hi
       }
-      .map(_.getAs[String]("file"))
-    val base =
-      if (files.isEmpty)
-        spark.read.parquet(s"$path/$DataDir").limit(0)
-      else spark.read.parquet(files.toIndexedSeq: _*)
-    base
-      .where(col(TileCol).isin(wanted.map(Int.box).toIndexedSeq: _*))
-      .where(st_intersects(col(meta.geomCol), lit(window)))
-      .dropDuplicates(RowIdCol, RowId2Col)
-      .drop(RowIdCol, RowId2Col, TileCol)
+      .map(r => s"$path/$DataDir/${r.getAs[String]("file")}")
+    if (files.isEmpty) spark.read.parquet(s"$path/$DataDir").limit(0)
+    else spark.read.parquet(files.toIndexedSeq: _*)
   }
 
   /** Read ONLY the given tile partition dirs. `spark.read.parquet(path)`

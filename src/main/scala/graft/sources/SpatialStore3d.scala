@@ -35,8 +35,6 @@ import graft.operators.SpatialJoin3d.Mbb3Cols
 object SpatialStore3d {
 
   private val MetaFile = "_graft_meta3d.json"
-  private val DataDir = "data"
-  private val ManifestDir = "_graft_manifest3d"
   val TileCol: String = SpatialStore.TileCol
 
   final case class Meta(cols: Seq[String], leafBoxes: Array[Array[Double]])
@@ -127,21 +125,10 @@ object SpatialStore3d {
     val spark = df.sparkSession
     val (tagged, tree, names) =
       leafTagged(df, c, leafCap, sampleTarget, maxDepth, seed, preserveDuplicates)
-    val dataPath = s"$path/$DataDir"
-    tagged
-      // contiguous leaf ranges per file + in-file ordering: manifest
-      // ranges stay tight and row-group stats on tile_id prune inside
-      // surviving files. Row-id in the range key spreads a hot leaf
-      // across file boundaries instead of one giant task.
-      .repartitionByRange(spark.sessionState.conf.numShufflePartitions,
-        col(TileCol), col(SpatialStore.RowIdCol))
-      .sortWithinPartitions(col(TileCol), col(SpatialStore.RowIdCol))
-      .write.mode("overwrite").parquet(dataPath)
-    // manifest: ONE column-pruned scan of the files just written
-    val manifest = spark.read.parquet(dataPath)
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col(TileCol)).as("min_tile"), max(col(TileCol)).as("max_tile"))
-    manifest.coalesce(1).write.mode("overwrite").parquet(s"$path/$ManifestDir")
+    // contiguous leaf ranges per file + in-file ordering: manifest ranges
+    // stay tight and row-group stats on tile_id prune inside surviving
+    // files (shared write half, [[SpatialStore.writeRangeClustered]])
+    SpatialStore.writeRangeClustered(tagged, path)
     writeMeta(spark, path, Meta(names, tree.leafBoxes))
   }
 
@@ -160,26 +147,8 @@ object SpatialStore3d {
         b(0) <= x1 && x0 <= b(3) && b(1) <= y1 && y0 <= b(4) &&
           b(2) <= z1 && z0 <= b(5) }
       .map(_._2).toArray
-    val wantedSorted = wanted.sorted
-    val files = spark.read.parquet(s"$path/$ManifestDir")
-      .collect() // bounded: one row per data file
-      .filter { r =>
-        val lo = r.getAs[Int]("min_tile"); val hi = r.getAs[Int]("max_tile")
-        // any wanted leaf inside [lo, hi]?
-        val i = java.util.Arrays.binarySearch(wantedSorted, lo)
-        val next = if (i >= 0) lo else {
-          val ins = -i - 1
-          if (ins < wantedSorted.length) wantedSorted(ins) else Int.MaxValue
-        }
-        next <= hi
-      }
-      .map(_.getAs[String]("file"))
     val Seq(cx0, cy0, cz0, cx1, cy1, cz1) = meta.cols.map(col)
-    val base =
-      if (files.isEmpty)
-        spark.read.parquet(s"$path/$DataDir").limit(0)
-      else spark.read.parquet(files.toIndexedSeq: _*)
-    base
+    SpatialStore.manifestRead(spark, path, wanted)
       .where(col(TileCol).isin(wanted.map(Int.box).toIndexedSeq: _*))
       .where(cx0 <= lit(x1) && lit(x0) <= cx1 &&
              cy0 <= lit(y1) && lit(y0) <= cy1 &&

@@ -42,6 +42,15 @@ object BpeTrainer {
     * `a` and re-trigger overlapping merges. */
   private[text] def mergeSyms(sym: Column, a: String, b: String): Column = {
     require(a.nonEmpty && b.nonEmpty, "BPE symbols are non-empty")
+    foldMerge(sym, a, b, a + b)
+  }
+
+  /** The left-to-right non-overlapping fold shared by BPE and WordPiece
+    * ([[WordPieceTrainer.mergeSyms]] passes a merged symbol that is not
+    * the plain concatenation). Callers own the no-retrigger argument:
+    * `ab` must never equal `a`. */
+  private[text] def foldMerge(sym: Column, a: String, b: String,
+                              ab: String): Column =
     aggregate(
       sym,
       array().cast("array<string>"),
@@ -49,10 +58,9 @@ object BpeTrainer {
         val canMerge = size(out) > 0 && element_at(out, -1) === lit(a) &&
           x === lit(b)
         when(canMerge,
-          concat(slice(out, lit(1), size(out) - 1), array(lit(a + b))))
+          concat(slice(out, lit(1), size(out) - 1), array(lit(ab))))
           .otherwise(concat(out, array(x)))
       })
-  }
 
   /** Train `numMerges` merges. Deterministic: winner = max by
     * (weighted count, then lexicographically smallest pair). Stops early

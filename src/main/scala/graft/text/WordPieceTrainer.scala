@@ -24,8 +24,8 @@ import org.apache.spark.sql.functions._
   * multiplied integer rationals (cp1·ca2·cb2 vs cp2·ca1·cb1, BigInt).
   * Deterministic: ties by lexicographically smallest (a, b). The DuckDB
   * oracle replays the same selection with HUGEINT floor-scaled scores —
-  * floor(cp·2^80/(ca·cb)) preserves the strict order of any two distinct
-  * rationals whose denominators are each < 2^35 (proof in qWordpieceTrainSql's
+  * floor(cp·2^100/(ca·cb)) preserves the strict order of any two distinct
+  * rationals whose denominators are each < 2^50 (proof in qWordpieceTrainSql's
   * comment), so both engines pick identical winners.
   */
 object WordPieceTrainer {
@@ -62,17 +62,7 @@ object WordPieceTrainer {
   private[text] def mergeSyms(sym: Column, a: String, b: String): Column = {
     require(a.nonEmpty && b.stripPrefix(Cont).nonEmpty,
       "WordPiece symbols are non-empty beyond the continuation marker")
-    val ab = merged(a, b)
-    aggregate(
-      sym,
-      array().cast("array<string>"),
-      (out, x) => {
-        val canMerge = size(out) > 0 && element_at(out, -1) === lit(a) &&
-          x === lit(b)
-        when(canMerge,
-          concat(slice(out, lit(1), size(out) - 1), array(lit(ab))))
-          .otherwise(concat(out, array(x)))
-      })
+    BpeTrainer.foldMerge(sym, a, b, merged(a, b))
   }
 
   /** Train `numMerges` merges. Stops early when no adjacent pair occurs at

@@ -102,7 +102,7 @@ class SpatialStore3dSpec extends SparkTestBase {
       s"compact layout should write fewer files ($dataFiles) than leaves " +
         s"(${meta.leafBoxes.length})")
     // manifest file-pruning engages: a small window reads < all files
-    val manifest = spark.read.parquet(s"$dir/_graft_manifest3d")
+    val manifest = spark.read.parquet(s"$dir/_graft_manifest")
     assert(manifest.count() == dataFiles.toLong)
     // empty window returns empty, not an error
     assert(SpatialStore3d.containmentReadCompact(spark, dir,

@@ -272,5 +272,22 @@ class SpatialStoreSpec extends SparkTestBase {
     // empty window returns empty, not an error
     assert(SpatialStore.containmentReadCompact(spark, dir,
       GeometryCodec.toWkb(GeometryCodec.box(-500, -500, -400, -400))).count() == 0)
+    // relocatable: the manifest stores bare file names, not write-time
+    // URIs — a moved store must read identically (and not silently read
+    // the old location)
+    val moved = Files.createTempDirectory("graft_store").toString + "/moved"
+    def cp(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs(); src.listFiles.foreach(f => cp(f, new java.io.File(dst, f.getName)))
+      } else Files.copy(src.toPath, dst.toPath)
+    }
+    cp(new java.io.File(dir), new java.io.File(moved))
+    def rmAll(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmAll)); f.delete()
+    }
+    rmAll(new java.io.File(dir))
+    val gotMoved = SpatialStore.containmentReadCompact(spark, moved, window)
+      .select("id").as[Long].collect().toSet
+    assert(gotMoved == want)
   }
 }

@@ -93,6 +93,11 @@ def main(out_dir, sf_dir, out_json=None, only=None):
     results, failures = {}, 0
     if only is not None:
         keep = set(only.split(","))
+        unknown = keep - set(oracle)
+        if unknown:
+            # a typo must not silently record a green sidecar for a gate
+            # that was never re-checked
+            sys.exit(f"unknown gate(s) in filter: {sorted(unknown)}")
         # carry over prior results for gates outside the filter
         if out_json and os.path.exists(out_json):
             prior = json.load(open(out_json)).get("results", {})
