@@ -98,11 +98,14 @@ def main(out_dir, sf_dir, out_json=None, only=None):
             # a typo must not silently record a green sidecar for a gate
             # that was never re-checked
             sys.exit(f"unknown gate(s) in filter: {sorted(unknown)}")
-        # carry over prior results for gates outside the filter
+        # carry over prior results for gates outside the filter — also
+        # ones absent from the CURRENT oracle_sql.json (a filtered Verify
+        # run rewrites that file with only its subset; earlier sidecar
+        # results must survive the incremental re-check)
         if out_json and os.path.exists(out_json):
             prior = json.load(open(out_json)).get("results", {})
             for k, v in prior.items():
-                if k in oracle and k not in keep:
+                if k not in keep:
                     results[k] = v
                     if v.get("status") != "pass":
                         failures += 1
