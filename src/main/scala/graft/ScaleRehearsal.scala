@@ -691,6 +691,47 @@ object ScaleRehearsal {
       spark.stop(); return
     }
 
+    // ---------------- compact 3-D store at x100 LEAVES (the sf1b lanes
+    // stop at x10; this one-off probes whether the manifest-committed
+    // write stays leaf-count-flat two orders past the dir layout's
+    // super-linear regime). Constant density: volume x100 => side
+    // x 100^(1/3); fixed leafCap 300 => ~x100 octree leaves vs the x1
+    // lane's 323. The dir layout is NOT run here — at ~40k leaves its
+    // per-leaf rename cost alone extrapolates to minutes (3.4 ms/leaf
+    // measured at x10), which is the point being avoided.
+    if (mode == "store100") {
+      import graft.sources.SpatialStore3d
+      import graft.operators.SpatialJoin3d.Mbb3Cols
+      def u100(salt: Int, key: Column): Column =
+        pmod(xxhash64(key, lit(salt)), lit(1000000L)).cast("double") / 1000000.0
+      val space = 928.318 // 200 * 100^(1/3)
+      val q100 = spark.range(2000000L).select(col("id"),
+          (u100(43, col("id")) * space).as("x0"),
+          (u100(44, col("id")) * space).as("y0"),
+          (u100(45, col("id")) * space).as("z0"),
+          (lit(1.0) + u100(46, col("id")) * 9.0).as("w"))
+        .select(col("id"), col("x0"), col("y0"), col("z0"),
+          (col("x0") + col("w")).as("x1"), (col("y0") + col("w")).as("y1"),
+          (col("z0") + col("w")).as("z1"))
+        .repartition(32)
+      q100.write.mode("overwrite").parquet(s"$dir/sf1_cubes_100")
+      val src = spark.read.parquet(s"$dir/sf1_cubes_100")
+      val path = s"$dir/sf1_store3dc_100"
+      val leaves = timed("store3d_write_compact_x100") {
+        SpatialStore3d.writeCompact(src,
+          Mbb3Cols("x0", "y0", "z0", "x1", "y1", "z1"), path, leafCap = 300)
+        SpatialStore3d.readMeta(spark, path).leafBoxes.length.toLong
+      }
+      println(s"[scale]   -> $leaves octree leaves")
+      val n = timed("store3d_read_compact_x100") {
+        SpatialStore3d.containmentReadCompact(spark, path, Array(
+          space * 0.25, space * 0.25, space * 0.25,
+          space * 0.75, space * 0.75, space * 0.75)).count()
+      }
+      println(s"[scale]   -> $n rows in the central window")
+      spark.stop(); return
+    }
+
     // ---------------- dedup_ranked at the components-record scale
     // (round-12 verdict #7: q_dedup_ranked INHERITED the components
     // family's 100x record by argument; this lane measures the actual
