@@ -95,6 +95,16 @@ package object api {
       SpatialStore.write(df, geomCol, path,
         SpatialJoin.Config(partitioner = partitioner, bucket = bucket))
 
+    /** Manifest-committed bulk-build variant of [[spatialPartitionWrite]]
+      * ([[SpatialStore.writeCompact]]): commit renames scale with writer
+      * tasks, not tiles; read back with
+      * [[SpatialStore.containmentReadCompact]]. */
+    def spatialPartitionWriteCompact(path: String, geomCol: String = "geom",
+                                     partitioner: String = "fg",
+                                     bucket: Int = 0): Unit =
+      SpatialStore.writeCompact(df, geomCol, path,
+        SpatialJoin.Config(partitioner = partitioner, bucket = bucket))
+
     /** Per-tile object counts + the reference's partition-quality stats
       * (queryprocessor_2d.cpp:61-106 post_process_stat): one row per tile
       * plus a summary frame of count/mean/min/max/stddev. */

@@ -226,6 +226,13 @@ class SpatialStoreSpec extends SparkTestBase {
     assert(s.getAs[Long]("n_tiles") == perTile.count())
     assert(s.getAs[Long]("n_replicated_objects") >= 300)
     assert(s.getAs[Long]("max_objects") >= s.getAs[Long]("min_objects"))
+
+    // compact-store write through the API implicit round-trips
+    val cDir = Files.createTempDirectory("graft_store").toString + "/api_c"
+    df.spatialPartitionWriteCompact(cDir, "geom", "fg", 50)
+    val w = GeometryCodec.toWkb(GeometryCodec.box(0, 0, 40, 40))
+    assert(SpatialStore.containmentReadCompact(spark, cDir, w)
+      .count() == inWin.count())
   }
 
   test("GraftExtensions registers functions in a fresh session") {
@@ -266,9 +273,15 @@ class SpatialStoreSpec extends SparkTestBase {
         s"(${meta.tiles.length})")
     val manifest = spark.read.parquet(s"$dir/_graft_manifest")
     assert(manifest.count() == dataFiles.toLong)
-    // manifest file-pruning engages: the window's file set is a strict
-    // subset when tiles are range-clustered across many files
-    // (guaranteed here: 800 boxes / bucket 10 >> shuffle partitions)
+    // manifest file-pruning engages: the window's scan reads a strict
+    // subset of the data files (tiles are range-clustered across many
+    // files here: 800 boxes / bucket 10 >> one file's tile range)
+    val wantedTiles = meta.tiles
+      .filter(t => t.mbb.intersects(graft.core.Mbb(10, 10, 30, 25)))
+      .map(_.tileId)
+    val scanned =
+      SpatialStore.manifestRead(spark, dir, wantedTiles).inputFiles.length
+    assert(scanned < dataFiles, s"manifest pruned $scanned of $dataFiles files")
     // empty window returns empty, not an error
     assert(SpatialStore.containmentReadCompact(spark, dir,
       GeometryCodec.toWkb(GeometryCodec.box(-500, -500, -400, -400))).count() == 0)
