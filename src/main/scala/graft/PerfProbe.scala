@@ -171,7 +171,7 @@ object PerfProbe {
         }
         spark.sparkContext.addSparkListener(listener)
         time("write") {
-          SpatialStore.write(Queries.partBoxes(spark, dir), "geom", path,
+          SpatialStore.writeDirs(Queries.partBoxes(spark, dir), "geom", path,
             SpatialJoin.Config(partitioner = "fg", bucket = 300)); 0L
         }
         val window = graft.core.GeometryCodec.toWkb(
@@ -200,7 +200,7 @@ object PerfProbe {
           (col("z0") + col("w")).as("z1"))
         (1 to 2).foreach { i =>
           time(s"write$i") {
-            SpatialStore3d.write(cubes,
+            SpatialStore3d.writeDirs(cubes,
               Mbb3Cols("x0", "y0", "z0", "x1", "y1", "z1"), path, leafCap = 64); 0L
           }
         }

@@ -441,8 +441,8 @@ object ScaleRehearsal {
             case _ => (b10, 5000)
           }
           rm(new java.io.File(st2(s)))
-          SpatialStore.write(b.select(col("id"), col("geom")), "geom", st2(s),
-            SpatialJoin.Config(bucket = cap))
+          SpatialStore.writeDirs(b.select(col("id"), col("geom")), "geom",
+            st2(s), SpatialJoin.Config(bucket = cap))
           leafCount(st2(s))
         }
         step("store2d_read", Seq("x1", "x10", "x10_cap5000")) { s =>
@@ -482,8 +482,8 @@ object ScaleRehearsal {
             case _ => (q10, 3000)
           }
           rm(new java.io.File(st3(s)))
-          SpatialStore3d.write(q, Mbb3Cols("x0", "y0", "z0", "x1", "y1", "z1"),
-            st3(s), leafCap = cap)
+          SpatialStore3d.writeDirs(q,
+            Mbb3Cols("x0", "y0", "z0", "x1", "y1", "z1"), st3(s), leafCap = cap)
           leafCount(st3(s))
         }
         step("store3d_read", Seq("x1", "x10", "x10_cap3000")) { s =>

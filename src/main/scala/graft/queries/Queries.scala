@@ -1193,12 +1193,15 @@ object Queries {
   /** Full spatial-store lifecycle through the gate: write the boxes tile-
     * partitioned (with boundary replication), then a containment read that
     * prunes tiles, refines exactly, and collapses replicas. Oracle = the
-    * plain window filter. */
+    * plain window filter. Pinned to the Hive DIR layout (writeDirs) since
+    * the compact layout became the write default (round 14) — this gate is
+    * what keeps the dir lifecycle exercised; q_store_containment_compact
+    * gates the default. */
   def qStoreContainment(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.SpatialStore
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_store_gate_" +
       new java.io.File(dir).getName
-    SpatialStore.write(partBoxes(spark, dir), "geom", path,
+    SpatialStore.writeDirs(partBoxes(spark, dir), "geom", path,
       SpatialJoin.Config(partitioner = "fg", bucket = 300))
     val window = graft.core.GeometryCodec.toWkb(
       graft.core.GeometryCodec.box(50, 40, 170, 180))
@@ -1253,8 +1256,10 @@ object Queries {
     // result is tiling-independent (oracle proves it: a pure window filter,
     // replicas collapse on row ids); deep-octree shapes are exercised by
     // SpatialStore3dSpec/knn3doc, not by over-fragmenting this lifecycle
-    // gate to 27-row leaves no 100 TB store would run with
-    SpatialStore3d.write(cubes,
+    // gate to 27-row leaves no 100 TB store would run with. Pinned to the
+    // dir layout (writeDirs) since compact became the default (round 14);
+    // the *_compact twin gates the default.
+    SpatialStore3d.writeDirs(cubes,
       Mbb3Cols("x0", "y0", "z0", "x1", "y1", "z1"), path, leafCap = 300)
     SpatialStore3d.containmentRead(spark, path,
         Array(50.0, 40.0, 30.0, 170.0, 180.0, 160.0))

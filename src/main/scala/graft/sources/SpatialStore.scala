@@ -105,18 +105,37 @@ object SpatialStore {
     * (duplicate_remover.cpp:45-63, uniqpart). Callers whose data has no
     * unique key and who need duplicate rows to survive the round-trip opt
     * in with `preserveDuplicates` (rank-salted second lane, see
-    * [[withRowIds]]). */
+    * [[withRowIds]]).
+    *
+    * DEFAULT LAYOUT (since round 14): the manifest-committed compact
+    * layout ([[writeCompact]]) — the sf1b rehearsal measured its commit
+    * cost flat at 10× the tile count (1.00×) where the Hive
+    * `partitionBy(tile_id)` dir layout paid one dir+temp+rename per tile
+    * (2.55×), and its read LIST cost is one manifest file vs one LIST per
+    * leaf. Callers that need the Hive-partitioned dirs — external readers
+    * relying on `tile_id=` partition pruning, or streaming APPEND
+    * ([[graft.streaming.SpatialIngest]]; the compact layout is a
+    * bulk-build overwrite) — opt in with [[writeDirs]]. The read side
+    * ([[read]]/[[containmentRead]]/[[multiWindowRead]]) detects the layout
+    * from the committed manifest, so stores written under either default
+    * keep reading identically. */
   def write(df: DataFrame, geomCol: String, path: String,
             cfg: SpatialJoin.Config = SpatialJoin.Config(),
-            preserveDuplicates: Boolean = false): Unit = {
+            preserveDuplicates: Boolean = false): Unit =
+    writeCompact(df, geomCol, path, cfg, preserveDuplicates)
+
+  /** Hive-partitioned per-tile dir layout (`tile_id=N/` leaves — the
+    * reference's per-tile .dat files). Same planning, replication and
+    * row-id lanes as [[write]]; kept for external partition-pruning
+    * interop and as the layout streaming appends extend. Clusters by tile
+    * before writing: parallel writers, ONE file per tile instead of
+    * #tasks × #tiles fragments. Retry-safe: ids and tile keys are
+    * deterministic functions of the (deterministic) scan. */
+  def writeDirs(df: DataFrame, geomCol: String, path: String,
+                cfg: SpatialJoin.Config = SpatialJoin.Config(),
+                preserveDuplicates: Boolean = false): Unit = {
     val spark = df.sparkSession
     val (tagged, index) = tileTagged(df, geomCol, cfg, preserveDuplicates)
-    // Cluster by tile before writing: parallel writers, ONE file per tile
-    // (the reference's per-tile .dat layout) instead of #tasks x #tiles
-    // fragments — and a single-split source still writes with full
-    // parallelism. Retry-safe: ids and tile keys are deterministic
-    // functions of the (deterministic) scan, so a map retry reproduces
-    // identical shuffle blocks.
     tagged
       // explicit partition count: a bare repartition(col) would be AQE-
       // coalesced to one task on small inputs, serializing the write
@@ -170,26 +189,32 @@ object SpatialStore {
     writeMeta(spark, path, Meta(geomCol, index.space, index.tiles))
   }
 
-  /** Containment read over the [[writeCompact]] layout: same driver-side
-    * global-index tile prune, then the MANIFEST (bounded: one row per data
-    * file) selects the files whose tile range intersects the window's tile
-    * set; only those are read. Refine + replica collapse identical to
-    * [[containmentRead]]. */
+  /** Containment read over the [[writeCompact]] layout — an alias of
+    * [[containmentRead]], which detects the layout itself. */
   def containmentReadCompact(spark: SparkSession, path: String,
-                             window: Array[Byte]): DataFrame = {
-    val meta = readMeta(spark, path)
-    val g = graft.core.GeometryCodec.fromWkb(window)
-    require(g != null, "invalid window geometry")
-    val e = g.getEnvelopeInternal
-    val wanted = meta.tiles.iterator
-      .filter(t => t.mbb.intersects(Mbb(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)))
-      .map(_.tileId).toArray
-    manifestRead(spark, path, wanted)
-      .where(col(TileCol).isin(wanted.map(Int.box).toIndexedSeq: _*))
-      .where(st_intersects(col(meta.geomCol), lit(window)))
-      .dropDuplicates(RowIdCol, RowId2Col)
-      .drop(RowIdCol, RowId2Col, TileCol)
+                             window: Array[Byte]): DataFrame =
+    containmentRead(spark, path, window)
+
+  /** True iff the store at `path` uses the manifest-committed compact
+    * layout ([[writeCompact]]); dir-layout stores (including streamed
+    * ones) have neither a committed manifest nor a `data/` dir. The
+    * `data/` check matters for torn writes: a compact store that lost its
+    * manifest must NOT silently degrade to the dir-layout read path — it
+    * must reach [[manifestRead]]'s loud missing-manifest error. Two
+    * driver-side existence checks. */
+  private[sources] def isCompact(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path, ManifestDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) || fs.exists(new Path(path, DataDir))
   }
+
+  /** Layout-detecting selective scan: the files/dirs holding any wanted
+    * tile, via the manifest (compact layout) or a pruned dir listing (dir
+    * layout). Callers keep their `isin` filter as the exact belt. */
+  private[sources] def selectTiles(spark: SparkSession, path: String,
+                                   wanted: Seq[Int]): DataFrame =
+    if (isCompact(spark, path)) manifestRead(spark, path, wanted.toArray)
+    else prunedRead(spark, path, wanted)
 
   /** Compact-layout write half shared by the 2-D and 3-D stores: the
     * tile-tagged rows land as range-clustered plain parquet under
@@ -201,6 +226,15 @@ object SpatialStore {
   private[sources] def writeRangeClustered(tagged: DataFrame, path: String): Unit = {
     val spark = tagged.sparkSession
     val dataPath = s"$path/$DataDir"
+    // a compact write over a path holding a DIR-layout store would only
+    // replace `data/` + manifest while overwriting _graft_meta.json,
+    // leaving stale tile_id=* dirs that containmentRead would serve
+    // against the NEW meta — remove the other layout's leaves first
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.listStatus(root).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$TileCol="))
+      .foreach(s => fs.delete(s.getPath, true))
     tagged
       // row-id in the range key spreads a hot tile across file boundaries
       // instead of one giant task
@@ -222,8 +256,40 @@ object SpatialStore {
   private[sources] def manifestRead(spark: SparkSession, path: String,
                                     wanted: Array[Int]): DataFrame = {
     val wantedSorted = wanted.sorted
-    val files = spark.read.parquet(s"$path/$ManifestDir")
+    val manifestPath = new Path(path, ManifestDir)
+    val fs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(manifestPath)) {
+      // fail loudly instead of an opaque path-not-found: distinguish the
+      // retired round-13 3-D manifest format (absolute-URI entries under
+      // _graft_manifest3d — not relocatable, superseded by bare-name
+      // entries under _graft_manifest) from a torn write that committed
+      // data without a manifest
+      val legacy = new Path(path, "_graft_manifest3d")
+      if (fs.exists(legacy)) throw new IllegalStateException(
+        s"$path uses the retired _graft_manifest3d layout (absolute-URI " +
+          "manifest entries); rebuild the store with writeCompact")
+      throw new IllegalStateException(
+        s"$path/$ManifestDir missing: the store has data but no committed " +
+          "manifest (torn write?) — re-run writeCompact to heal it")
+    }
+    // torn-write guard: a kill between the data overwrite (which clears
+    // data/ first) and the manifest commit leaves the PREVIOUS manifest
+    // naming files that no longer exist — validate every manifest entry
+    // against ONE flat listStatus of data/ (O(1) LIST calls, unlike the
+    // per-leaf listing the manifest layout exists to avoid) and fail
+    // loudly; re-running writeCompact heals both halves atomically enough
+    // (data overwrite clears data/, manifest overwrite clears the names)
+    val present = fs.listStatus(new Path(path, DataDir))
+      .iterator.map(_.getPath.getName).toSet
+    val entries = spark.read.parquet(s"$path/$ManifestDir")
       .collect() // bounded: one row per data file
+    val missing = entries.iterator
+      .map(_.getAs[String]("file")).filterNot(present.contains).toSeq
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"$path: manifest names ${missing.length} file(s) absent from data/ " +
+        s"(e.g. ${missing.take(3).mkString(", ")}) — stale manifest from a " +
+        "torn write; re-run writeCompact to heal the store")
+    val files = entries
       .filter { r =>
         val lo = r.getAs[Int]("min_tile"); val hi = r.getAs[Int]("max_tile")
         // any wanted tile inside [lo, hi]?
@@ -267,9 +333,10 @@ object SpatialStore {
   }
 
   /** Containment/window read: driver prunes tiles against the window MBB
-    * (global-index scan, query_containment.hpp:112-139), the pruned read
-    * lists only matching partition dirs, the exact predicate refines, and
-    * replica rows collapse on __row_id. `window` is a WKB geometry
+    * (global-index scan, query_containment.hpp:112-139), the selective
+    * scan reads only matching files (manifest) or partition dirs
+    * (layout-detected, see [[selectTiles]]), the exact predicate refines,
+    * and replica rows collapse on __row_id. `window` is a WKB geometry
     * literal. */
   def containmentRead(spark: SparkSession, path: String,
                       window: Array[Byte]): DataFrame = {
@@ -280,7 +347,7 @@ object SpatialStore {
     val wanted = meta.tiles.iterator
       .filter(t => t.mbb.intersects(Mbb(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)))
       .map(_.tileId).toSeq
-    prunedRead(spark, path, wanted)
+    selectTiles(spark, path, wanted)
       .where(col(TileCol).isin(wanted: _*))
       .where(st_intersects(col(meta.geomCol), lit(window)))
       .dropDuplicates(RowIdCol, RowId2Col)
@@ -337,16 +404,17 @@ object SpatialStore {
         .filter { case (_, wg) => wg.intersects(g) }
         .map(_._1).toArray.sorted
     }
-    prunedRead(spark, path, wanted)
+    selectTiles(spark, path, wanted)
       .where(col(TileCol).isin(wanted: _*))
       .withColumn(widCol, explode(hits(col(meta.geomCol))))
       .dropDuplicates(widCol, RowIdCol, RowId2Col)
       .drop(RowIdCol, RowId2Col, TileCol)
   }
 
-  /** Full-table read with replicas collapsed. */
+  /** Full-table read with replicas collapsed (layout-detecting). */
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    (if (isCompact(spark, path)) spark.read.parquet(s"$path/$DataDir")
+     else spark.read.parquet(path))
       .dropDuplicates(RowIdCol, RowId2Col)
       .drop(RowIdCol, RowId2Col, TileCol)
 

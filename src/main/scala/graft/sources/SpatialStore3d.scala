@@ -45,11 +45,25 @@ object SpatialStore3d {
     * scale; the octree is built over a seeded `sampleTarget` sample with
     * the cap scaled by the sample fraction (the planTiles discipline).
     * Value-identical rows collapse on read unless `preserveDuplicates`
-    * (see [[SpatialStore.withRowIds]]). */
+    * (see [[SpatialStore.withRowIds]]).
+    *
+    * DEFAULT LAYOUT (since round 14): manifest-committed compact
+    * ([[writeCompact]] — commit renames ∝ writer tasks, measured 1.00× at
+    * 10× leaves where the dir layout was 7.4×). [[writeDirs]] keeps the
+    * Hive `tile_id=` dir layout for external partition-pruning interop;
+    * the read side detects the layout. */
   def write(df: DataFrame, c: Mbb3Cols, path: String,
             leafCap: Int = 4096, sampleTarget: Int = 100000,
             maxDepth: Int = 12, seed: Long = 42L,
-            preserveDuplicates: Boolean = false): Unit = {
+            preserveDuplicates: Boolean = false): Unit =
+    writeCompact(df, c, path, leafCap, sampleTarget, maxDepth, seed,
+      preserveDuplicates)
+
+  /** Hive-partitioned per-leaf dir layout (see [[write]]'s layout note). */
+  def writeDirs(df: DataFrame, c: Mbb3Cols, path: String,
+                leafCap: Int = 4096, sampleTarget: Int = 100000,
+                maxDepth: Int = 12, seed: Long = 42L,
+                preserveDuplicates: Boolean = false): Unit = {
     val spark = df.sparkSession
     val (tagged, tree, names) =
       leafTagged(df, c, leafCap, sampleTarget, maxDepth, seed, preserveDuplicates)
@@ -132,37 +146,19 @@ object SpatialStore3d {
     writeMeta(spark, path, Meta(names, tree.leafBoxes))
   }
 
-  /** Containment read over the [[writeCompact]] layout: same driver-side
-    * octree prune, then the MANIFEST (bounded: one row per data file)
-    * selects the files whose tile range intersects the window's leaf set;
-    * only those are listed/read. Refine + replica collapse identical to
-    * [[containmentRead]]. */
+  /** Containment read over the [[writeCompact]] layout — an alias of
+    * [[containmentRead]], which detects the layout itself. */
   def containmentReadCompact(spark: SparkSession, path: String,
-                             window: Array[Double]): DataFrame = {
-    require(window.length == 6, "window must be (x0, y0, z0, x1, y1, z1)")
-    val meta = readMeta(spark, path)
-    val Seq(x0, y0, z0, x1, y1, z1) = window.toSeq
-    val wanted = meta.leafBoxes.iterator.zipWithIndex
-      .filter { case (b, _) =>
-        b(0) <= x1 && x0 <= b(3) && b(1) <= y1 && y0 <= b(4) &&
-          b(2) <= z1 && z0 <= b(5) }
-      .map(_._2).toArray
-    val Seq(cx0, cy0, cz0, cx1, cy1, cz1) = meta.cols.map(col)
-    SpatialStore.manifestRead(spark, path, wanted)
-      .where(col(TileCol).isin(wanted.map(Int.box).toIndexedSeq: _*))
-      .where(cx0 <= lit(x1) && lit(x0) <= cx1 &&
-             cy0 <= lit(y1) && lit(y0) <= cy1 &&
-             cz0 <= lit(z1) && lit(z0) <= cz1)
-      .dropDuplicates(SpatialStore.RowIdCol, SpatialStore.RowId2Col)
-      .drop(SpatialStore.RowIdCol, SpatialStore.RowId2Col, TileCol)
-  }
+                             window: Array[Double]): DataFrame =
+    containmentRead(spark, path, window)
 
   /** Containment/window read: driver prunes octree leaves against the
     * window box (closed intersection — the replication test's twin, so a
-    * replica on a shared face is never orphaned from its window), Catalyst
-    * prunes the matching partition dirs, the six-comparison exact refine
-    * applies, and replicas collapse on the row-id lanes. `window` is six
-    * doubles (x0, y0, z0, x1, y1, z1). */
+    * replica on a shared face is never orphaned from its window), the
+    * layout-detected selective scan ([[SpatialStore.selectTiles]]) reads
+    * only matching files or partition dirs, the six-comparison exact
+    * refine applies, and replicas collapse on the row-id lanes. `window`
+    * is six doubles (x0, y0, z0, x1, y1, z1). */
   def containmentRead(spark: SparkSession, path: String,
                       window: Array[Double]): DataFrame = {
     require(window.length == 6, "window must be (x0, y0, z0, x1, y1, z1)")
@@ -174,7 +170,7 @@ object SpatialStore3d {
           b(2) <= z1 && z0 <= b(5) }
       .map(_._2).toSeq
     val Seq(cx0, cy0, cz0, cx1, cy1, cz1) = meta.cols.map(col)
-    SpatialStore.prunedRead(spark, path, wanted)
+    SpatialStore.selectTiles(spark, path, wanted)
       .where(col(TileCol).isin(wanted: _*))
       .where(cx0 <= lit(x1) && lit(x0) <= cx1 &&
              cy0 <= lit(y1) && lit(y0) <= cy1 &&
@@ -183,9 +179,11 @@ object SpatialStore3d {
       .drop(SpatialStore.RowIdCol, SpatialStore.RowId2Col, TileCol)
   }
 
-  /** Full-table read with replicas collapsed. */
+  /** Full-table read with replicas collapsed (layout-detecting). */
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    (if (SpatialStore.isCompact(spark, path))
+       spark.read.parquet(s"$path/data")
+     else spark.read.parquet(path))
       .dropDuplicates(SpatialStore.RowIdCol, SpatialStore.RowId2Col)
       .drop(SpatialStore.RowIdCol, SpatialStore.RowId2Col, TileCol)
 

@@ -35,7 +35,7 @@ class SpatialStore3dSpec extends SparkTestBase {
     assert(meta.cols == Seq("x0", "y0", "z0", "x1", "y1", "z1"))
     assert(meta.leafBoxes.length > 1, "clustered data must split the root")
     // the store is replicated: raw row count >= logical rows
-    assert(spark.read.parquet(dir).count() >= 600)
+    assert(spark.read.parquet(dir + "/data").count() >= 600)
   }
 
   test("containment read == brute-force window filter, and prunes leaves") {
@@ -107,5 +107,62 @@ class SpatialStore3dSpec extends SparkTestBase {
     // empty window returns empty, not an error
     assert(SpatialStore3d.containmentReadCompact(spark, dir,
       Array(-500.0, -500.0, -500.0, -400.0, -400.0, -400.0)).count() == 0)
+  }
+
+  test("compact layout torn writes (3-D): loud failure, re-write heals") {
+    def rmAll(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmAll)); f.delete()
+    }
+    val dir = Files.createTempDirectory("graft_store3d").toString + "/torn"
+    val df = cubesDf(400)
+    SpatialStore3d.writeCompact(df, C, dir, leafCap = 16)
+    val w = Array(10.0, 12.0, 8.0, 28.0, 30.0, 26.0)
+    val want = df.where(
+        $"x0" <= w(3) && lit(w(0)) <= $"x1" &&
+        $"y0" <= w(4) && lit(w(1)) <= $"y1" &&
+        $"z0" <= w(5) && lit(w(2)) <= $"z1")
+      .select("id").as[Long].collect().toSet
+
+    // manifest lost between data write and commit → loud failure
+    rmAll(new java.io.File(s"$dir/_graft_manifest"))
+    val noManifest = intercept[IllegalStateException] {
+      SpatialStore3d.containmentReadCompact(spark, dir, w).count()
+    }
+    assert(noManifest.getMessage.contains("torn write"))
+    SpatialStore3d.writeCompact(df, C, dir, leafCap = 16)
+    assert(SpatialStore3d.containmentReadCompact(spark, dir, w)
+      .select("id").as[Long].collect().toSet == want)
+
+    // stale manifest naming a vanished data file → loud failure, heal
+    val victim = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(victim.delete())
+    val stale = intercept[IllegalStateException] {
+      SpatialStore3d.containmentReadCompact(spark, dir, w).count()
+    }
+    assert(stale.getMessage.contains("stale manifest"))
+    SpatialStore3d.writeCompact(df, C, dir, leafCap = 16)
+    assert(SpatialStore3d.containmentReadCompact(spark, dir, w)
+      .select("id").as[Long].collect().toSet == want)
+  }
+
+  test("writeCompact over a dir-layout 3-D store removes stale leaf dirs") {
+    val dir = Files.createTempDirectory("graft_store3d").toString + "/mixed"
+    SpatialStore3d.writeDirs(cubesDf(300), C, dir, leafCap = 16)
+    assert(new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith(SpatialStore3d.TileCol + "=")))
+    val df2 = cubesDf(500)
+    SpatialStore3d.writeCompact(df2, C, dir, leafCap = 16)
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith(SpatialStore3d.TileCol + "=")),
+      "stale dir-layout leaf dirs must not survive a compact overwrite")
+    val w = Array(10.0, 12.0, 8.0, 28.0, 30.0, 26.0)
+    assert(SpatialStore3d.containmentReadCompact(spark, dir, w)
+      .select("id").as[Long].collect().toSet ==
+      df2.where(
+          $"x0" <= w(3) && lit(w(0)) <= $"x1" &&
+          $"y0" <= w(4) && lit(w(1)) <= $"y1" &&
+          $"z0" <= w(5) && lit(w(2)) <= $"z1")
+        .select("id").as[Long].collect().toSet)
   }
 }

@@ -45,7 +45,7 @@ class SpatialStoreSpec extends SparkTestBase {
     SpatialStore.write(df, "geom", base + "/b",
       graft.operators.SpatialJoin.Config(partitioner = "fg", bucket = 20))
     def ids(p: String): Map[Long, Long] =
-      spark.read.parquet(p).select("id", SpatialStore.RowIdCol)
+      spark.read.parquet(p + "/data").select("id", SpatialStore.RowIdCol)
         .distinct().as[(Long, Long)].collect().toMap
     assert(ids(base + "/a") == ids(base + "/b"))
     // value-identical input rows share an id and collapse on read — the
@@ -105,7 +105,7 @@ class SpatialStoreSpec extends SparkTestBase {
   test("containment read prunes tiles and matches direct filter") {
     val dir = Files.createTempDirectory("graft_store").toString + "/t2"
     val df = boxesDf(800)
-    SpatialStore.write(df, "geom", dir,
+    SpatialStore.writeDirs(df, "geom", dir,
       graft.operators.SpatialJoin.Config(partitioner = "fg", bucket = 40))
 
     val window = GeometryCodec.toWkb(GeometryCodec.box(10, 10, 30, 25))
@@ -138,7 +138,7 @@ class SpatialStoreSpec extends SparkTestBase {
   test("prunedRead lists only window-selected tile dirs; off-space window is empty and schema-true") {
     val dir = Files.createTempDirectory("graft_store").toString + "/pr"
     val df = boxesDf(600)
-    SpatialStore.write(df, "geom", dir,
+    SpatialStore.writeDirs(df, "geom", dir,
       graft.operators.SpatialJoin.Config(partitioner = "fg", bucket = 40))
 
     // the selective read's scan must see exactly the files under the
@@ -255,8 +255,16 @@ class SpatialStoreSpec extends SparkTestBase {
   test("compact (manifest-committed) layout: same reads, task-count files") {
     val dir = Files.createTempDirectory("graft_store").toString + "/tc"
     val df = boxesDf(800)
-    SpatialStore.writeCompact(df, "geom", dir,
+    // pin the writer-task count: the `scanned < dataFiles` pruning
+    // assertion below needs enough range-clustered files that the small
+    // window misses at least one — with very few shuffle partitions every
+    // file's tile range could intersect it and the test would depend on
+    // the environment's spark.sql.shuffle.partitions
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try SpatialStore.writeCompact(df, "geom", dir,
       graft.operators.SpatialJoin.Config(partitioner = "fg", bucket = 10))
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     // identical answers to the dir layout's window semantics
     val window = GeometryCodec.toWkb(GeometryCodec.box(10, 10, 30, 25))
     val got = SpatialStore.containmentReadCompact(spark, dir, window)
@@ -302,5 +310,82 @@ class SpatialStoreSpec extends SparkTestBase {
     val gotMoved = SpatialStore.containmentReadCompact(spark, moved, window)
       .select("id").as[Long].collect().toSet
     assert(gotMoved == want)
+  }
+
+  test("compact layout torn writes: loud failure, re-write heals") {
+    def rmAll(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmAll)); f.delete()
+    }
+    val dir = Files.createTempDirectory("graft_store").toString + "/torn"
+    val df = boxesDf(400)
+    val cfg = graft.operators.SpatialJoin.Config(partitioner = "fg", bucket = 10)
+    SpatialStore.writeCompact(df, "geom", dir, cfg)
+    val window = GeometryCodec.toWkb(GeometryCodec.box(10, 10, 30, 25))
+    val want = df.where(st_intersects(col("geom"), lit(window)))
+      .select("id").as[Long].collect().toSet
+
+    // kill between the data write and the FIRST manifest commit: data is
+    // present, manifest absent — the read must fail loudly, not fall back
+    // to a silent full scan or an opaque path error
+    val manifestDir = new java.io.File(s"$dir/_graft_manifest")
+    val saved = Files.createTempDirectory("graft_store").toFile
+    def cp(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs(); src.listFiles.foreach(f => cp(f, new java.io.File(dst, f.getName)))
+      } else Files.copy(src.toPath, dst.toPath)
+    }
+    cp(manifestDir, new java.io.File(saved, "_graft_manifest"))
+    rmAll(manifestDir)
+    val noManifest = intercept[IllegalStateException] {
+      SpatialStore.containmentReadCompact(spark, dir, window).count()
+    }
+    assert(noManifest.getMessage.contains("torn write"))
+    // re-running writeCompact heals: full answer, no double-counting
+    SpatialStore.writeCompact(df, "geom", dir, cfg)
+    assert(SpatialStore.containmentReadCompact(spark, dir, window)
+      .select("id").as[Long].collect().toSet == want)
+
+    // kill between a RE-write's data overwrite (clears data/) and its
+    // manifest commit: the surviving manifest names files that no longer
+    // exist — simulate by dropping one data file the manifest still names
+    val dataDir = new java.io.File(s"$dir/data")
+    val victim = dataDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    assert(victim.delete())
+    val stale = intercept[IllegalStateException] {
+      SpatialStore.containmentReadCompact(spark, dir, window).count()
+    }
+    assert(stale.getMessage.contains("stale manifest"))
+    SpatialStore.writeCompact(df, "geom", dir, cfg)
+    assert(SpatialStore.containmentReadCompact(spark, dir, window)
+      .select("id").as[Long].collect().toSet == want)
+
+    // retired round-13 3-D manifest layout: name the format in the error
+    rmAll(new java.io.File(s"$dir/_graft_manifest"))
+    cp(new java.io.File(saved, "_graft_manifest"),
+       new java.io.File(s"$dir/_graft_manifest3d"))
+    val legacy = intercept[IllegalStateException] {
+      SpatialStore.containmentReadCompact(spark, dir, window).count()
+    }
+    assert(legacy.getMessage.contains("_graft_manifest3d"))
+  }
+
+  test("writeCompact over a dir-layout store removes the stale tile dirs") {
+    val dir = Files.createTempDirectory("graft_store").toString + "/mixed"
+    val cfg = graft.operators.SpatialJoin.Config(partitioner = "fg", bucket = 10)
+    SpatialStore.writeDirs(boxesDf(300), "geom", dir, cfg)
+    assert(new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith(SpatialStore.TileCol + "=")))
+    // different data: a mixed store would serve the OLD rows from the
+    // stale tile dirs against the new meta
+    val df2 = boxesDf(500)
+    SpatialStore.writeCompact(df2, "geom", dir, cfg)
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith(SpatialStore.TileCol + "=")),
+      "stale dir-layout tile dirs must not survive a compact overwrite")
+    val window = GeometryCodec.toWkb(GeometryCodec.box(10, 10, 30, 25))
+    assert(SpatialStore.containmentReadCompact(spark, dir, window)
+      .select("id").as[Long].collect().toSet ==
+      df2.where(st_intersects(col("geom"), lit(window)))
+        .select("id").as[Long].collect().toSet)
   }
 }
