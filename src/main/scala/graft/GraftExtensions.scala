@@ -78,5 +78,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     r("intervals_overlap", es => IntervalsOverlap(es(0), es(1)))
     r("intervals_contain", es => IntervalsContain(es(0), es(1)))
     r("intervals_mindist", es => IntervalsMinDist(es(0), es(1)))
+
+    // SQL TABLE functions for the LLM operators (see
+    // graft.functions.TableFunctions for the contract)
+    graft.functions.TableFunctions.descriptions.foreach(e.injectTableFunction)
   }
 }

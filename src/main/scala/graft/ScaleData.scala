@@ -70,6 +70,52 @@ object ScaleData {
         concat(lit("c"), col("__copy"), lit("$1"))))
       .drop("__copy")
     write(docs, "documents")
+
+    // ---- round-14 sidecar extension: the remaining tables, so the ANN /
+    // temporal / streaming / pipeline gate families replay at sf1.0 too.
+    // Same engine-free discipline: pure column transforms writing parquet
+    // both engines read.
+
+    // orders ↔ lineitem keep their join structure per copy: copy c's
+    // orders reference copy c's customers, copy c's lineitems reference
+    // copy c's orders/parts/suppliers — join fan-outs scale ∝ copies,
+    // not copies², and q3-style join gates stay referentially realistic
+    def shiftKeys(df: DataFrame, keys: Seq[String]): DataFrame = {
+      keys.foreach { k =>
+        val mx = df.agg(max(col(k))).head().getLong(0)
+        require(mx < Shift, s"$k max $mx >= shift $Shift")
+      }
+      keys.foldLeft(copiesOf(df))((d, k) =>
+        d.withColumn(k, col(k) + col("__copy") * Shift))
+        .drop("__copy")
+    }
+    write(shiftKeys(spark.read.parquet(s"$src/orders.parquet"),
+      Seq("o_orderkey", "o_custkey")), "orders")
+    write(shiftKeys(spark.read.parquet(s"$src/lineitem.parquet"),
+      Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
+    // events: keys shift (event ids distinct, per-copy user populations
+    // disjoint); timestamps stay — 10× densification of the same time
+    // range, the realistic shape for windowed/sessionized gates
+    write(shiftKeys(spark.read.parquet(s"$src/events.parquet"),
+      Seq("event_id", "user_id")), "events")
+    // embeddings: ids shift; vectors ROTATE by the copy index (same norm,
+    // distinct direction) so ANN top-k isn't a 10-way tie at every rank —
+    // rank boundaries under duplicated vectors would hinge on float-tie
+    // ordering, exactly the brittleness a correctness gate must not carry
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val embMax = emb.agg(max(col("vec_id"))).head().getLong(0)
+    require(embMax < Shift, s"vec_id max $embMax >= shift $Shift")
+    write(copiesOf(emb)
+      .withColumn("vec_id", col("vec_id") + col("__copy") * Shift)
+      .withColumn("embedding", concat(
+        slice(col("embedding"), col("__copy").cast("int") + 1,
+          greatest(size(col("embedding")) - col("__copy").cast("int"), lit(0))),
+        slice(col("embedding"), lit(1), col("__copy").cast("int"))))
+      .drop("__copy"), "embeddings")
+    // bounded dims pass through unscaled (25 / 5 rows; scaled tables'
+    // nation/region foreign keys are not shifted, so they keep joining)
+    write(spark.read.parquet(s"$src/nation.parquet"), "nation")
+    write(spark.read.parquet(s"$src/region.parquet"), "region")
     spark.stop()
   }
 }

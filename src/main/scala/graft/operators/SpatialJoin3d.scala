@@ -98,47 +98,32 @@ object SpatialJoin3d {
     * gap distance of any left row whose envelope center falls in the cell,
     * and (when cheap to compute) a PROBE SET — the smallest set of cells,
     * in increasing max box-to-box distance from the owner, holding ≥ k
-    * right centers. A left row probing exactly those cells is guaranteed k
-    * real candidates, and its k-th probe distance is a per-row radius far
-    * tighter than any cell-granular bound. Falls back to the prefix-sum /
-    * Chebyshev-window radius (no probe sets) when occupied-cells × cells
-    * would make the exact sort quadratic-expensive. Cells whose full-grid
-    * window never reaches k (right side smaller than k) get `diag`. */
+    * right centers ([[KnnPlanner.prefixPlans]] over the materialized grid
+    * cell boxes — the one shared planner). A left row probing exactly
+    * those cells is guaranteed k real candidates, and its k-th probe
+    * distance is a per-row radius far tighter than any cell-granular
+    * bound. Falls back to the prefix-sum / Chebyshev-window radius (no
+    * probe sets) when occupied-cells × cells would make the exact sort
+    * quadratic-expensive. Cells whose full-grid window never reaches k
+    * (right side smaller than k) get `diag`. */
   private[operators] def cellPlans(counts: Map[Int, Long], sp: Array[Double],
                                    n: Int, k: Int, diag: Double,
                                    probeCap: Int = 64): (Array[Double], Array[Array[Int]]) = {
-    val noProbes = Array.fill(n * n * n)(Array.empty[Int])
-    if (counts.isEmpty) return (Array.fill(n * n * n)(diag), noProbes)
+    val cells = n * n * n
+    val noProbes = Array.fill(cells)(Array.empty[Int])
+    if (counts.isEmpty) return (Array.fill(cells)(diag), noProbes)
     val w = Array(
       math.max(sp(3) - sp(0), java.lang.Double.MIN_NORMAL) / n,
       math.max(sp(4) - sp(1), java.lang.Double.MIN_NORMAL) / n,
       math.max(sp(5) - sp(2), java.lang.Double.MIN_NORMAL) / n)
-    val cells = n * n * n
-    val occ = counts.toArray
-    if (occ.length.toLong * cells <= 4L * 1000 * 1000) {
-      // exact per-cell plan: sort occupied cells by max box-to-box distance,
-      // accumulate counts until ≥ k — radius is the last cell's max distance
-      val out = Array.fill(cells)(diag)
-      val probes = Array.fill(cells)(Array.empty[Int])
-      var c = 0
-      while (c < cells) {
+    if (counts.size.toLong * cells <= 4L * 1000 * 1000) {
+      val boxes = Array.tabulate(cells) { c =>
         val cx = c / (n * n); val cy = (c / n) % n; val cz = c % n
-        val ds = occ.map { case (o, cnt) =>
-          val ox = o / (n * n); val oy = (o / n) % n; val oz = o % n
-          val dx = (math.abs(cx - ox) + 1) * w(0)
-          val dy = (math.abs(cy - oy) + 1) * w(1)
-          val dz = (math.abs(cz - oz) + 1) * w(2)
-          (math.sqrt(dx * dx + dy * dy + dz * dz), o, cnt)
-        }.sortBy(d => (d._1, d._2))
-        var acc = 0L; var i = 0
-        while (i < ds.length && acc < k) { acc += ds(i)._3; i += 1 }
-        if (acc >= k) {
-          out(c) = math.min(ds(i - 1)._1, diag)
-          if (i <= probeCap) probes(c) = ds.take(i).map(_._2)
-        }
-        c += 1
+        Array(sp(0) + cx * w(0), sp(1) + cy * w(1), sp(2) + cz * w(2),
+              sp(0) + (cx + 1) * w(0), sp(1) + (cy + 1) * w(1),
+              sp(2) + (cz + 1) * w(2))
       }
-      (out, probes)
+      KnnPlanner.prefixPlans(boxes, 3, counts, k, diag, probeCap)
     } else (ringRadii(counts, sp, n, k, diag), noProbes)
   }
 
@@ -263,44 +248,14 @@ object SpatialJoin3d {
   }
 
   /** Per-cell kNN search plans for ARBITRARY cell boxes (octree leaves):
-    * the same sorted max-box-to-box-distance accumulation as the grid
-    * branch of [[cellPlans]], but over explicit box geometry. Falls back
-    * to `diag` everywhere (no probes) if occupied-cells × cells exceeds
-    * the quadratic budget — octree leaf counts are build-bounded
-    * (~8·samples/leafCap), so in practice the exact plan always runs. */
+    * [[KnnPlanner.prefixPlans]] directly. Falls back to `diag` everywhere
+    * (no probes) if occupied-cells × cells exceeds the quadratic budget —
+    * octree leaf counts are build-bounded (~8·samples/leafCap), so in
+    * practice the exact plan always runs. */
   private[operators] def boxPlans(cellBoxes: Array[Array[Double]],
                                   counts: Map[Int, Long], k: Int, diag: Double,
-                                  probeCap: Int = 64): (Array[Double], Array[Array[Int]]) = {
-    val cells = cellBoxes.length
-    val out = Array.fill(cells)(diag)
-    val probes = Array.fill(cells)(Array.empty[Int])
-    val occ = counts.toArray.filter { case (o, c) => c > 0 && o >= 0 && o < cells }
-    if (occ.isEmpty || occ.length.toLong * cells > 4L * 1000 * 1000)
-      return (out, probes)
-    def maxDist(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0
-      var ax = 0
-      while (ax < 3) {
-        val m = math.max(a(ax + 3) - b(ax), b(ax + 3) - a(ax))
-        s += m * m
-        ax += 1
-      }
-      math.sqrt(s)
-    }
-    var c = 0
-    while (c < cells) {
-      val ds = occ.map { case (o, cnt) => (maxDist(cellBoxes(c), cellBoxes(o)), o, cnt) }
-        .sortBy(d => (d._1, d._2))
-      var acc = 0L; var i = 0
-      while (i < ds.length && acc < k) { acc += ds(i)._3; i += 1 }
-      if (acc >= k) {
-        out(c) = math.min(ds(i - 1)._1, diag)
-        if (i <= probeCap) probes(c) = ds.take(i).map(_._2)
-      }
-      c += 1
-    }
-    (out, probes)
-  }
+                                  probeCap: Int = 64): (Array[Double], Array[Array[Int]]) =
+    KnnPlanner.prefixPlans(cellBoxes, 3, counts, k, diag, probeCap)
 
   private def wellFormed3(c: Mbb3Cols): Column =
     col(c.xmin) <= col(c.xmax) && col(c.ymin) <= col(c.ymax) &&

@@ -4215,6 +4215,49 @@ object Queries {
        | FROM cand JOIN s sa ON sa.doc_id = ida JOIN s sb ON sb.doc_id = idb)
        |WHERE est_jaccard >= 0.5""".stripMargin
 
+  /** q_minhash_lsh through the SQL TABLE-function surface
+    * ([[graft.functions.TableFunctions.minhashLshPairs]], round-13 verdict
+    * #7): the WHOLE pipeline — shingles → affine-minhash signatures →
+    * banded shuffle-hash self-join → estimate/threshold — invoked from one
+    * `spark.sql` TVF call. The TVF hands back the Scala operator's own
+    * logical plan, so this plans identically to q_minhash_lsh
+    * (TableFunctionsSpec asserts no cartesian/nested-loop). Oracle = the
+    * same banding SQL over an independently-written signature aux. */
+  def qMinhashLshSqlGate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TableFunctions.registerAll(spark)
+    // the oracle's signature aux, written independently of the TVF path
+    // (deterministic content — the gate stays self-contained in a filtered
+    // Verify run)
+    writeOracleAux(
+      graft.dedup.TextDedup.minHashSignatures(
+        table(spark, dir, "documents"), "doc_id", "text", n = 3, numHashes = 64),
+      dir, "minhash_sigs_sql")
+    table(spark, dir, "documents").createOrReplaceTempView("gate_mlsh_docs")
+    spark.sql(
+      "SELECT * FROM minhash_lsh_pairs('gate_mlsh_docs', 'doc_id', 'text'," +
+        " 3, 64, 16, 0.5D)")
+  }
+
+  val qMinhashLshSqlGateSql: String =
+    qMinhashLshSql.replace("minhash_sigs/", "minhash_sigs_sql/")
+
+  /** q_ann_topk through the SQL TABLE-function surface
+    * ([[graft.functions.TableFunctions.annTopk]]): broadcast query side +
+    * bounded per-partition heap, invoked from one `spark.sql` TVF call;
+    * same oracle as q_ann_topk (no aux — DuckDB recomputes the cosines). */
+  def qAnnTopkSqlGate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TableFunctions.registerAll(spark)
+    val emb = table(spark, dir, "embeddings")
+    emb.select(col("vec_id").as("nid"), col("embedding").as("ivec"))
+      .createOrReplaceTempView("gate_ann_items")
+    emb.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .createOrReplaceTempView("gate_ann_queries")
+    spark.sql(
+      "SELECT qid, nid, rank AS rk FROM ann_topk('gate_ann_items', 'nid'," +
+        " 'ivec', 'gate_ann_queries', 'qid', 'qvec', 5)")
+  }
+
   /** Incremental MinHash dedup (corpus refresh): docs with doc_id%5==0
     * play the NEW batch, the rest the STORED corpus; both signature tables
     * checkpoint so the banding / cross join / estimate / threshold
