@@ -151,13 +151,19 @@ object Bench {
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedList,"load1m":${r3(loadAvg())},"sf":"$sfDir"}"""
-    println(line)
-    // the driver keeps only the LAST ~2.2 KB of stdout, which truncated
-    // the FRONT (headline fields) of the r7-r9 records — print a compact
-    // summary AFTER the full line so whatever survives tail-capture always
-    // carries the totals; the full per-query map is persisted below
-    println(s"""{"metric":"total_compact","value":${r3(total)},"unit":"sec","n":${results.size},"n_failed":${failed.size},"failed":$failedList,"load1m":${r3(loadAvg())},"sf":"$sfDir","queries_file":"BENCH_FULL.json"}""")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tools/bench_last.json")
+    // driver-default runs archive the per-gate map to BENCH_FULL.json;
+    // SPARK_GRAFT_BENCH_OUT runs (family children, sf1 records) only to
+    // outPath — point queries_file at whichever is written
+    val queriesFile =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_OUT")) outPath else "BENCH_FULL.json"
+    // stdout carries ONLY the compact record: the driver keeps the LAST
+    // ~2.2 KB of stdout, so a 178-gate per-query map can never survive
+    // tail-capture whole — printing it produced the truncated-JSON "tail"
+    // the round-13 verdict flagged. The full per-gate line is persisted
+    // to outPath (+ .tsv and BENCH_FULL.json) below; queries_file says
+    // where json.load recovers every gate from.
+    println(s"""{"metric":"total_compact","value":${r3(total)},"unit":"sec","n":${results.size},"n_failed":${failed.size},"failed":$failedList,"load1m":${r3(loadAvg())},"sf":"$sfDir","queries_file":"$queriesFile"}""")
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outPath),

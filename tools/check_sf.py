@@ -52,8 +52,16 @@ CHEAP = {
     "q_knn": dict(table="customer", key="c_custkey", out="cid",
                   n=16, residues=(0, 1)),
     "q_spjoin_dwithin": dict(out="cid", n=10, residues=(0,)),
-    "q_bpe_encode": dict(out="doc_id", n=5, residues=(0,)),
-    "q_wordpiece": dict(out="doc_id", n=5, residues=(0,)),
+    # tokenizer-apply oracles: the residue must restrict the documents
+    # VIEW itself (table mode) — the per-doc recursive-CTE fold is opaque
+    # to DuckDB's filter pushdown, so predicate-on-top only trimmed the
+    # final join (measured 163.7 s / 75.6 s at sf1 vs 216 s / 80 s full).
+    # Exact per residue: merges/vocab come from a checkpointed aux table
+    # independent of the documents view, and each doc tokenizes alone.
+    "q_bpe_encode": dict(table="documents", key="doc_id", out="doc_id",
+                         n=5, residues=(0,)),
+    "q_wordpiece": dict(table="documents", key="doc_id", out="doc_id",
+                        n=5, residues=(0,)),
 }
 # the dwithin partitioner variants share q_spjoin_dwithin's oracle; the
 # kNN SQL-surface twins share q_knn's window shape (and its probe table)
@@ -63,6 +71,20 @@ for _v in ("bsp", "qt", "str", "hc", "slc", "bos",
 CHEAP["q_knn_sql"] = CHEAP["q_knn"]
 CHEAP["q_knn_bounded"] = CHEAP["q_knn"]
 CHEAP["q_spjoin_dwithin_earth"] = CHEAP["q_spjoin_dwithin"]
+# round-14 sidecar extension (sf1 costs measured before adding each):
+#  - knn_3d window over a 150k x 200k cross join: 1/100 customer slice
+#    measured 57.8 s -> n=200 keeps the check ~30 s (oc twin = same oracle)
+#  - spt / range / interval joins: output grows ~150M rows at sf1; the
+#    residue predicate pushes to the probe-side base table (2.2 s / 0.2 s
+#    / 2.9 s measured at the slices below)
+#  - disjoint NOT EXISTS anti join: 4.9 s at 1/10
+CHEAP["q_knn_3d"] = dict(table="customer", key="c_custkey", out="cid",
+                         n=200, residues=(0,))
+CHEAP["q_knn_3d_oc"] = CHEAP["q_knn_3d"]
+CHEAP["q_spjoin_spt"] = dict(out="cid", n=100, residues=(0,))
+CHEAP["q_range_join"] = dict(out="pid", n=20, residues=(0,))
+CHEAP["q_interval_join"] = dict(out="aid", n=20, residues=(0,))
+CHEAP["q_disjoint_sql"] = dict(out="cid", n=10, residues=(0,))
 
 
 def fingerprint(con, subquery):
