@@ -2162,8 +2162,16 @@ object Queries {
     val docs = clean.withColumn("text",
       when(col("doc_id") % 3 === 0, concat(col("text"), spam))
         .otherwise(col("text")))
-    val labeled = clean.select(col("text"), lit(1).as("label"))
-      .unionByName(clean.select(concat(col("text"), spam).as("text"),
+    // FIXED-SIZE labeled sample: a supervised quality filter trains on a
+    // bounded labeled set at any corpus size (labeling the whole corpus
+    // tripped train's loud maxSample guard at sf1 — 2x50k rows > 50k).
+    // Deterministic, partitioning-invariant top-N by doc-id hash
+    // (distributed TakeOrdered, no full sort); below 20k docs (sf <= 0.1)
+    // the limit never engages, so smaller-SF results are unchanged.
+    val labelBase = clean
+      .orderBy(xxhash64(col("doc_id")), col("doc_id")).limit(20000)
+    val labeled = labelBase.select(col("text"), lit(1).as("label"))
+      .unionByName(labelBase.select(concat(col("text"), spam).as("text"),
         lit(0).as("label")))
     val model = QualityClassifier.train(labeled, "text", "label", b,
       epochs = 40, maxSample = 50000)
@@ -5519,7 +5527,15 @@ object Queries {
     import graft.ann.{HardNegatives, IvfIndex}
     val emb = table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), col("label"))
-    val model = IvfIndex.train(emb, "embedding", nlist = 8)
+    // bounded list SIZE, not list count: with every corpus vector as an
+    // anchor, a fixed nlist makes the candidate join |N| x nprobe x |N|/nlist
+    // — quadratic (measured 49.5x wall for 10x data at sf1). nlist =
+    // ceil(N/256) caps each inverted list at ~256, so candidates stay
+    // ~N x nprobe x 256 — linear. At sf0.1 (2,000 embeddings) this is the
+    // identical nlist=8 the gate always ran.
+    val nlist = math.max(1,
+      math.ceil(emb.count() / 256.0).toInt)
+    val model = IvfIndex.train(emb, "embedding", nlist = nlist)
     val aux = writeOracleAux(
       HardNegatives.candidates(emb, "vec_id", "embedding", "label",
         model, nprobe = 3),
