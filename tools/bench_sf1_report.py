@@ -7,26 +7,35 @@ Inputs are the per-gate TSVs Bench writes next to each record
 (name\tvalue, one gate per line — the same channel the family parent
 parses), so this never regex-scrapes a JSON line.
 
-Usage: python3 tools/bench_sf1_report.py <sf1_record.tsv> <sf01_record.tsv> [out]
+Usage: python3 tools/bench_sf1_report.py <sf1.tsv[,sf1b.tsv,...]> <sf01.tsv[,...]> [out]
 
-The ratio denominator is the SAME BUILD's sf0.1 min-of-3, not a prior
-round's, so ratios measure data scaling only. Gates above RATIO_FLAG get
-listed in "movers" for the SCALE.md attribution table (data grows 10x;
-a gate whose wall grows >15x is super-linear and needs a written cause).
+Each side takes one or more record TSVs; per-gate MINIMA across a
+side's records form that side's value (the host is noisy — single runs
+jitter; see SCALE.md). The ratio denominator is the SAME BUILD's sf0.1
+record(s), not a prior round's, so ratios measure data scaling only.
+Gates above RATIO_FLAG get listed in "movers" for the SCALE.md
+attribution table (data grows 10x; a gate whose wall grows >15x is
+super-linear and needs a written cause). A gate is "failed" only if it
+failed in EVERY record on the sf1 side.
 """
 import sys, json
 
 RATIO_FLAG = 15.0
 
 
-def read_tsv(path):
+def read_tsv(paths):
     out = {}
-    for ln in open(path):
-        ln = ln.strip()
-        if not ln:
-            continue
-        k, v = ln.split("\t")
-        out[k] = None if v == "null" else float(v)
+    for path in paths.split(","):
+        for ln in open(path):
+            ln = ln.strip()
+            if not ln:
+                continue
+            k, v = ln.split("\t")
+            cur = None if v == "null" else float(v)
+            if k not in out or out[k] is None:
+                out[k] = cur
+            elif cur is not None:
+                out[k] = min(out[k], cur)
     return out
 
 
@@ -51,6 +60,7 @@ def main(sf1_tsv, sf01_tsv, out_path="BENCH_SF1.json"):
         "protocol": "family-JVM min-of-3, sf0.001 warmup, cpus=32, 48g "
                     "(BASELINE.md driver protocol; ratio denominator is the "
                     "same-build sf0.1 record)",
+        "records": {"sf1": sf1_tsv.split(","), "sf01": sf01_tsv.split(",")},
         "n": len(queries), "n_failed": len(failed), "failed": failed,
         "total_sf1_sec": round(sum(v for v in sf1.values() if v), 1),
         "total_sf01_sec": round(sum(v for v in sf01.values() if v), 1),
