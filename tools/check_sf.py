@@ -85,6 +85,15 @@ CHEAP["q_spjoin_spt"] = dict(out="cid", n=100, residues=(0,))
 CHEAP["q_range_join"] = dict(out="pid", n=20, residues=(0,))
 CHEAP["q_interval_join"] = dict(out="aid", n=20, residues=(0,))
 CHEAP["q_disjoint_sql"] = dict(out="cid", n=10, residues=(0,))
+# full-catalog sidecar (round-14): q_fields' box self-join emits 163.7M
+# rows at sf1 (the DuckDB recompute alone measured 145.7 s full); the
+# l_id residue pushes to the left base side. twolevel/sampled share the
+# dwithin oracle; disjoint_global shares disjoint_sql's shape.
+CHEAP["q_fields"] = dict(out="l_id", n=10, residues=(0,))
+CHEAP["q_spjoin_projectall"] = CHEAP["q_fields"]
+CHEAP["q_disjoint_global"] = CHEAP["q_disjoint_sql"]
+CHEAP["q_spjoin_twolevel"] = CHEAP["q_spjoin_dwithin"]
+CHEAP["q_spjoin_sampled"] = CHEAP["q_spjoin_dwithin"]
 
 
 def fingerprint(con, subquery):
