@@ -43,15 +43,23 @@ object ScaleData {
       df.crossJoin(spark.range(copies).select(col("id").as("__copy")))
         .repartition(32)
 
-    def shiftKey(df: DataFrame, key: String): DataFrame = {
-      // key-distinctness invariant: copy c's keys live in [c*Shift, (c+1)*Shift)
-      val mx = df.agg(max(col(key))).head().getLong(0)
-      require(mx < Shift,
-        s"$key max $mx >= shift $Shift — shifted copies would collide")
-      copiesOf(df)
-        .withColumn(key, col(key) + col("__copy") * Shift)
+    // key-distinctness invariant: copy c's keys live in [c*Shift,
+    // (c+1)*Shift) on every listed key. ONE agg pass validates all keys
+    // (per-key aggs would rescan the table once per key — lineitem, the
+    // largest table, has three).
+    def shiftKeys(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val maxes = df.agg(max(col(keys.head)),
+        keys.tail.map(k => max(col(k))): _*).head()
+      keys.zipWithIndex.foreach { case (k, i) =>
+        require(maxes.getLong(i) < Shift,
+          s"$k max ${maxes.getLong(i)} >= shift $Shift — shifted copies would collide")
+      }
+      keys.foldLeft(copiesOf(df))((d, k) =>
+        d.withColumn(k, col(k) + col("__copy") * Shift))
         .drop("__copy")
     }
+    def shiftKey(df: DataFrame, key: String): DataFrame =
+      shiftKeys(df, Seq(key))
 
     def write(df: DataFrame, name: String): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
@@ -80,15 +88,6 @@ object ScaleData {
     // orders reference copy c's customers, copy c's lineitems reference
     // copy c's orders/parts/suppliers — join fan-outs scale ∝ copies,
     // not copies², and q3-style join gates stay referentially realistic
-    def shiftKeys(df: DataFrame, keys: Seq[String]): DataFrame = {
-      keys.foreach { k =>
-        val mx = df.agg(max(col(k))).head().getLong(0)
-        require(mx < Shift, s"$k max $mx >= shift $Shift")
-      }
-      keys.foldLeft(copiesOf(df))((d, k) =>
-        d.withColumn(k, col(k) + col("__copy") * Shift))
-        .drop("__copy")
-    }
     write(shiftKeys(spark.read.parquet(s"$src/orders.parquet"),
       Seq("o_orderkey", "o_custkey")), "orders")
     write(shiftKeys(spark.read.parquet(s"$src/lineitem.parquet"),

@@ -29,7 +29,7 @@ import graft.operators.{SpatialJoin, TileIndex}
 object SpatialStore {
 
   private val MetaFile = "_graft_meta.json"
-  private val DataDir = "data"
+  private[sources] val DataDir = "data"
   private val ManifestDir = "_graft_manifest"
   val TileCol = "tile_id"
   val RowIdCol = "__row_id"
@@ -136,6 +136,7 @@ object SpatialStore {
                 preserveDuplicates: Boolean = false): Unit = {
     val spark = df.sparkSession
     val (tagged, index) = tileTagged(df, geomCol, cfg, preserveDuplicates)
+    clearCompactArtifacts(spark, path)
     tagged
       // explicit partition count: a bare repartition(col) would be AQE-
       // coalesced to one task on small inputs, serializing the write
@@ -202,19 +203,43 @@ object SpatialStore {
     * manifest must NOT silently degrade to the dir-layout read path — it
     * must reach [[manifestRead]]'s loud missing-manifest error. Two
     * driver-side existence checks. */
-  private[sources] def isCompact(spark: SparkSession, path: String): Boolean = {
+  private[graft] def isCompact(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path, ManifestDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) || fs.exists(new Path(path, DataDir))
   }
 
+  /** [[writeDirs]]'s mirror of writeRangeClustered's stale-leaf cleanup:
+    * a dir-layout write over a COMPACT store would (under dynamic
+    * partition overwrite, which replaces only the written tile_id=*
+    * dirs) leave `data/` + the committed manifest intact — and layout
+    * detection prefers the manifest, silently serving the OLD rows
+    * against the new meta. Remove the compact artifacts first. */
+  private[sources] def clearCompactArtifacts(spark: SparkSession,
+                                             path: String): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(ManifestDir, "_graft_manifest3d", DataDir).foreach { d =>
+      val p = new Path(root, d)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
   /** Layout-detecting selective scan: the files/dirs holding any wanted
     * tile, via the manifest (compact layout) or a pruned dir listing (dir
-    * layout). Callers keep their `isin` filter as the exact belt. */
+    * layout). Callers keep their `isin` filter as the exact belt. ONE
+    * layout probe: the manifest-existence answer rides into
+    * [[manifestRead]] instead of being re-asked there (each probe is a
+    * remote HEAD on an object store, on the read hot path). */
   private[sources] def selectTiles(spark: SparkSession, path: String,
-                                   wanted: Seq[Int]): DataFrame =
-    if (isCompact(spark, path)) manifestRead(spark, path, wanted.toArray)
+                                   wanted: Seq[Int]): DataFrame = {
+    val manifestPath = new Path(path, ManifestDir)
+    val fs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasManifest = fs.exists(manifestPath)
+    if (hasManifest || fs.exists(new Path(path, DataDir)))
+      manifestRead(spark, path, wanted.toArray, Some(hasManifest))
     else prunedRead(spark, path, wanted)
+  }
 
   /** Compact-layout write half shared by the 2-D and 3-D stores: the
     * tile-tagged rows land as range-clustered plain parquet under
@@ -254,11 +279,13 @@ object SpatialStore {
     * those (resolved against `path/data`, so the manifest survives a
     * store move). Empty selection returns a schema-true empty relation. */
   private[sources] def manifestRead(spark: SparkSession, path: String,
-                                    wanted: Array[Int]): DataFrame = {
+                                    wanted: Array[Int],
+                                    manifestKnown: Option[Boolean] = None)
+      : DataFrame = {
     val wantedSorted = wanted.sorted
     val manifestPath = new Path(path, ManifestDir)
     val fs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(manifestPath)) {
+    if (!manifestKnown.getOrElse(fs.exists(manifestPath))) {
       // fail loudly instead of an opaque path-not-found: distinguish the
       // retired round-13 3-D manifest format (absolute-URI entries under
       // _graft_manifest3d — not relocatable, superseded by bare-name
@@ -279,7 +306,15 @@ object SpatialStore {
     // per-leaf listing the manifest layout exists to avoid) and fail
     // loudly; re-running writeCompact heals both halves atomically enough
     // (data overwrite clears data/, manifest overwrite clears the names)
-    val present = fs.listStatus(new Path(path, DataDir))
+    // the opposite torn half: manifest committed but data/ gone (a kill
+    // inside the data overwrite's delete-then-write window, or a partial
+    // copy). listStatus would throw an opaque FileNotFoundException —
+    // keep the failure in the same loud, heal-instructing voice
+    val dataPath = new Path(path, DataDir)
+    if (!fs.exists(dataPath)) throw new IllegalStateException(
+      s"$path has a committed manifest but no $DataDir/ (torn write or " +
+        "partial copy) — re-run writeCompact to rebuild the store")
+    val present = fs.listStatus(dataPath)
       .iterator.map(_.getPath.getName).toSet
     val entries = spark.read.parquet(s"$path/$ManifestDir")
       .collect() // bounded: one row per data file

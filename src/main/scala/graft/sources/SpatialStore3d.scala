@@ -67,6 +67,9 @@ object SpatialStore3d {
     val spark = df.sparkSession
     val (tagged, tree, names) =
       leafTagged(df, c, leafCap, sampleTarget, maxDepth, seed, preserveDuplicates)
+    // see SpatialStore.clearCompactArtifacts: a dir write over a compact
+    // store must not leave a manifest that wins layout detection
+    SpatialStore.clearCompactArtifacts(spark, path)
     tagged
       // explicit partition count: a bare repartition(col) would be AQE-
       // coalesced to one task on small inputs, serializing the write
@@ -182,7 +185,7 @@ object SpatialStore3d {
   /** Full-table read with replicas collapsed (layout-detecting). */
   def read(spark: SparkSession, path: String): DataFrame =
     (if (SpatialStore.isCompact(spark, path))
-       spark.read.parquet(s"$path/data")
+       spark.read.parquet(s"$path/${SpatialStore.DataDir}")
      else spark.read.parquet(path))
       .dropDuplicates(SpatialStore.RowIdCol, SpatialStore.RowId2Col)
       .drop(SpatialStore.RowIdCol, SpatialStore.RowId2Col, TileCol)

@@ -74,6 +74,16 @@ object SpatialIngest {
     * stream runs. */
   def start(stream: DataFrame, wktCol: String, index: TileIndex,
             path: String, checkpoint: String): StreamingQuery = {
+    // streaming append is a DIR-layout operation (each microbatch adds
+    // tile_id=N/ files). Appending onto a COMPACT store (the batch
+    // writer's default since round 14) would be silent data loss: the
+    // committed manifest wins layout detection, so every read serves only
+    // data/ and the streamed rows are invisible. Refuse loudly — rebuild
+    // the store with writeDirs (the append-able layout) first.
+    require(!SpatialStore.isCompact(stream.sparkSession, path),
+      s"SpatialIngest.start: $path holds a manifest-committed compact " +
+        "store; streamed tile_id= appends would be invisible to its " +
+        "readers. Rebuild it with SpatialStore.writeDirs, then ingest.")
     SpatialStore.writeMeta(stream.sparkSession, path,
       SpatialStore.Meta("geom", index.space,
         index.tiles :+ overflowBoundary(index)))

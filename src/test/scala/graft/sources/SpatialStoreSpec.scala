@@ -388,4 +388,42 @@ class SpatialStoreSpec extends SparkTestBase {
       df2.where(st_intersects(col("geom"), lit(window)))
         .select("id").as[Long].collect().toSet)
   }
+
+  test("writeDirs over a compact store removes the stale manifest + data/") {
+    // the MIRROR of the compact-over-dirs lane: a dir-layout rebuild over
+    // a compact store must not leave data/ + _graft_manifest behind —
+    // layout detection prefers the manifest, so reads would silently
+    // serve the OLD rows against the new meta
+    val dir = Files.createTempDirectory("graft_store").toString + "/mixed2"
+    val cfg = graft.operators.SpatialJoin.Config(partitioner = "fg", bucket = 10)
+    SpatialStore.writeCompact(boxesDf(300), "geom", dir, cfg)
+    assert(new java.io.File(s"$dir/_graft_manifest").exists())
+    val df2 = boxesDf(500)
+    SpatialStore.writeDirs(df2, "geom", dir, cfg)
+    assert(!new java.io.File(s"$dir/_graft_manifest").exists(),
+      "stale compact manifest must not survive a dir-layout rebuild")
+    assert(!new java.io.File(s"$dir/data").exists(),
+      "stale compact data/ must not survive a dir-layout rebuild")
+    val window = GeometryCodec.toWkb(GeometryCodec.box(10, 10, 30, 25))
+    assert(SpatialStore.containmentRead(spark, dir, window)
+      .select("id").as[Long].collect().toSet ==
+      df2.where(st_intersects(col("geom"), lit(window)))
+        .select("id").as[Long].collect().toSet)
+  }
+
+  test("manifest without data/ fails loudly (torn opposite half)") {
+    def rmAll(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmAll)); f.delete()
+    }
+    val dir = Files.createTempDirectory("graft_store").toString + "/nodata"
+    val cfg = graft.operators.SpatialJoin.Config(partitioner = "fg", bucket = 10)
+    SpatialStore.writeCompact(boxesDf(200), "geom", dir, cfg)
+    rmAll(new java.io.File(s"$dir/data"))
+    val window = GeometryCodec.toWkb(GeometryCodec.box(10, 10, 30, 25))
+    val err = intercept[IllegalStateException] {
+      SpatialStore.containmentReadCompact(spark, dir, window).count()
+    }
+    assert(err.getMessage.contains("no data/"),
+      s"wanted the heal-instructing message, got: ${err.getMessage}")
+  }
 }

@@ -299,4 +299,33 @@ class StreamingSpec extends SparkTestBase {
       .as[(Long, Int)].collect().toSet
     assert(streamedTag == batchTag)
   }
+
+  test("spatial ingest refuses a compact-store path (appends would be invisible)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.core.Mbb
+    import graft.operators.TileIndex
+    import graft.partition.SpatialPartitioner
+    import graft.sources.SpatialStore
+    import graft.functions.st_geomfromwkt
+    // a compact store (the batch-write default) reads only data/ via its
+    // manifest; streamed tile_id= appends beside it would be silent data
+    // loss — start() must refuse up front
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val boxes = (0 until 50).map { i =>
+      (i.toLong, s"POLYGON((${i % 10} ${i / 10},${i % 10 + 1} ${i / 10}," +
+        s"${i % 10 + 1} ${i / 10 + 1},${i % 10} ${i / 10 + 1},${i % 10} ${i / 10}))")
+    }.toDF("id", "wkt").withColumn("geom", st_geomfromwkt(col("wkt")))
+    SpatialStore.write(boxes, "geom", base + "/store",
+      graft.operators.SpatialJoin.Config(partitioner = "fg", bucket = 10))
+    val mbb = Mbb(0, 0, 11, 6)
+    val index = new TileIndex(
+      SpatialPartitioner("fg").partition(Array(mbb), mbb, 10), mbb)
+    val stream = MemoryStream[(Long, String)]
+    val err = intercept[IllegalArgumentException] {
+      SpatialIngest.start(stream.toDF().toDF("id", "wkt"), "wkt", index,
+        base + "/store", base + "/ckpt")
+    }
+    assert(err.getMessage.contains("writeDirs"),
+      s"wanted the rebuild-with-writeDirs message, got: ${err.getMessage}")
+  }
 }

@@ -49,8 +49,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # residues == range(n) makes either mode a FULL check (the q_knn memory-
 # bounding shards of round 13 are residues=range(16)).
 CHEAP = {
+    # q_knn stays a FULL check — residues = range(n) — evaluated in 16
+    # customer shards purely to bound DuckDB's window memory (its oracle
+    # is a |cust|x|supp| cross join whose windows can't spill), the
+    # round-13 protocol. ~60 s at sf1; narrowing it to a partial slice
+    # would leave 7/8 of the kNN output unverified at every SF.
     "q_knn": dict(table="customer", key="c_custkey", out="cid",
-                  n=16, residues=(0, 1)),
+                  n=16, residues=tuple(range(16))),
     "q_spjoin_dwithin": dict(out="cid", n=10, residues=(0,)),
     # tokenizer-apply oracles: the residue must restrict the documents
     # VIEW itself (table mode) — the per-doc recursive-CTE fold is opaque
