@@ -137,6 +137,30 @@ object Bench {
     }
   }
 
+  /** Frozen-envelope check (round-14 verdict #1): every gate with a
+    * round-14 floor at the same SF must stay within the declared bar —
+    * `wall > 1.5x floor AND wall - floor > 0.5s` is a violation (the
+    * absolute term suppresses the sub-second family-placement jitter
+    * class; see BASELINE.md). Gates added after the freeze have no floor
+    * and are exempt until the next freeze. Returns (gate, wall, floor). */
+  private[graft] def baselineEnvelopeFor(sfDir: String): Option[String] =
+    new java.io.File(sfDir.stripSuffix("/")).getName match {
+      case "sf0.1" => Some("tools/baseline_r14_sf01.tsv")
+      case "sf1" | "graft_sf1" => Some("tools/baseline_r14_sf1.tsv")
+      case _ => None // other SFs (sf0.01 iteration, sf10 lanes) have no frozen floor
+    }
+
+  private[graft] def baselineViolations(results: Seq[(String, Option[Double])],
+                                 sfDir: String): Seq[(String, Double, Double)] = {
+    baselineEnvelopeFor(sfDir).flatMap(readGateTsv).map { env =>
+      val floor = env.collect { case (k, Some(v)) => k -> v }.toMap
+      results.collect {
+        case (k, Some(v)) if floor.get(k).exists(b => v > 1.5 * b && v - b > 0.5) =>
+          (k, v, floor(k))
+      }
+    }.getOrElse(Nil)
+  }
+
   private def emitRecord(results: Seq[(String, Option[Double])]): Unit = {
     val qs = results.map { case (k, v) =>
       s"\"" + k + "\":" + v.map(r3).getOrElse("null")
@@ -150,7 +174,19 @@ object Bench {
       System.err.println("!" * 72)
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedList,"load1m":${r3(loadAvg())},"sf":"$sfDir"}"""
+    val viols = baselineViolations(results, sfDir)
+    if (viols.nonEmpty) {
+      System.err.println("!" * 72)
+      viols.foreach { case (k, v, b) =>
+        System.err.println(f"[bench] BASELINE VIOLATION $k: $v%.3f s vs " +
+          f"frozen $b%.3f s (${v / b}%.2fx; bar 1.5x + 0.5s)")
+      }
+      System.err.println("!" * 72)
+    }
+    val violJson = viols.map { case (k, v, b) =>
+      s""""$k":{"sec":${r3(v)},"floor":${r3(b)}}"""
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedList,"baseline_violations":$violJson,"load1m":${r3(loadAvg())},"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tools/bench_last.json")
     // driver-default runs archive the per-gate map to BENCH_FULL.json;
     // SPARK_GRAFT_BENCH_OUT runs (family children, sf1 records) only to
@@ -163,7 +199,7 @@ object Bench {
     // the round-13 verdict flagged. The full per-gate line is persisted
     // to outPath (+ .tsv and BENCH_FULL.json) below; queries_file says
     // where json.load recovers every gate from.
-    println(s"""{"metric":"total_compact","value":${r3(total)},"unit":"sec","n":${results.size},"n_failed":${failed.size},"failed":$failedList,"load1m":${r3(loadAvg())},"sf":"$sfDir","queries_file":"$queriesFile"}""")
+    println(s"""{"metric":"total_compact","value":${r3(total)},"unit":"sec","n":${results.size},"n_failed":${failed.size},"failed":$failedList,"n_baseline_violations":${viols.size},"load1m":${r3(loadAvg())},"sf":"$sfDir","queries_file":"$queriesFile"}""")
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outPath),
@@ -184,7 +220,7 @@ object Bench {
       // only the parent's merged record is the round record.
       if (!sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
         val pretty = new StringBuilder
-        pretty ++= s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"n_failed":${failed.size},"failed":$failedList,"load1m":${r3(loadAvg())},"sf":"$sfDir","queries":{"""
+        pretty ++= s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"n_failed":${failed.size},"failed":$failedList,"baseline_violations":$violJson,"load1m":${r3(loadAvg())},"sf":"$sfDir","queries":{"""
         pretty ++= results.map { case (k, v) =>
           "\n  \"" + k + "\": " + v.map(r3).getOrElse("null")
         }.mkString(",")
@@ -214,7 +250,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver's BENCH_rN.json keeps a tail of this
+    // process's combined output, and at WARN the function-registry
+    // re-registration chatter (one line per gate x function) is what
+    // survives the tail instead of the record line (round-14 verdict #4 —
+    // the "tail" field itself is driver-side, but its CONTENT is ours)
+    spark.sparkContext.setLogLevel("ERROR")
     val gates = SparkEntry.queries.filter { case (name, _) =>
       onlyFamily.forall(_ == family(name)) && onlyNames.forall(_.contains(name))
     }

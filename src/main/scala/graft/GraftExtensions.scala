@@ -15,6 +15,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     // SQL spatial joins plan as the tiled SpatialJoinExec
     e.injectPlannerStrategy(_ => org.apache.spark.sql.graft.SpatialJoinStrategy)
+    // lazy TVF leaves (dedup_by_components) plan as DeferredExec
+    e.injectPlannerStrategy(_ => graft.plans.DeferredStrategy)
 
     def r(name: String, builder: Seq[Expression] => Expression): Unit =
       e.injectFunction((FunctionIdentifier(name),

@@ -4266,6 +4266,56 @@ object Queries {
         " 'ivec', 'gate_ann_queries', 'qid', 'qvec', 5)")
   }
 
+  /** The C4-style clean driven ENTIRELY from `spark.sql()` (round-14
+    * verdict #5 — SQL surface completeness): language/quality filter →
+    * exact dedup → cross-corpus line dedup → deterministic split
+    * assignment, each stage a curation TVF chained through temp views, no
+    * Scala API call anywhere on the data path. Every stage's semantics is
+    * individually gate-pinned (q_corpus_clean's base/ex CTEs, q_dedup_lines,
+    * q_corpus_splits' hash arithmetic); the oracle here composes those
+    * exact CTE texts, so a drift in ANY stage breaks this gate too. */
+  def qPipelineSqlGate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TableFunctions.registerAll(spark)
+    table(spark, dir, "documents").createOrReplaceTempView("gate_pipe_docs")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW gate_pipe_s1 AS " +
+      "SELECT * FROM quality_filter('gate_pipe_docs', 'text', 'en', 0.3D)")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW gate_pipe_s2 AS " +
+      "SELECT * FROM dedup_exact('gate_pipe_s1', 'doc_id', 'text')")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW gate_pipe_s3 AS " +
+      "SELECT * FROM dedup_lines('gate_pipe_s2', 'doc_id', 'text')")
+    spark.sql("SELECT doc_id, split, md5(cast(text AS binary)) AS text_md5 " +
+      "FROM assign_splits('gate_pipe_s3', 'doc_id', " +
+      "'train:0.9,val:0.05,test:0.05', 0)")
+  }
+
+  val qPipelineSqlGateSql: String =
+    s"""WITH base AS (
+       | SELECT doc_id, text FROM documents
+       | WHERE (CASE WHEN CAST(len(list_filter(string_split(text,' '), w -> w IN ($stopList))) AS DOUBLE)
+       |   / len(string_split(text,' ')) >= 0.05 THEN 'en' ELSE 'und' END) = 'en'
+       |  AND 0.5 * (CAST(len(list_filter(string_split(text,' '), w -> w IN ($stopList))) AS DOUBLE)
+       |   / len(string_split(text,' ')))
+       | + 0.5 * least((CAST(len(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+       |   / len(string_split(text,' '))) / 8.0, 1.0) >= 0.3),
+       |ex AS (SELECT doc_id, text FROM (
+       |  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS mn FROM base)
+       |  WHERE doc_id = mn),
+       |d AS (SELECT doc_id, string_split(text, chr(10)) ls FROM ex),
+       |l AS (SELECT doc_id, unnest([{'pos': i, 'line': ls[i]}
+       |    for i in generate_series(1, len(ls))], recursive := true)
+       |  FROM d),
+       |keep AS (SELECT doc_id, pos, line FROM (
+       |  SELECT doc_id, pos, line,
+       |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) rn FROM l)
+       |  WHERE rn = 1),
+       |asm AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+       |  FROM keep GROUP BY doc_id)
+       |SELECT doc_id,
+       | ${graft.text.CorpusSplit.assignSplitsSql("doc_id",
+            Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), 0L)} AS split,
+       | md5(text) AS text_md5
+       |FROM asm""".stripMargin
+
   /** Incremental MinHash dedup (corpus refresh): docs with doc_id%5==0
     * play the NEW batch, the rest the STORED corpus; both signature tables
     * checkpoint so the banding / cross join / estimate / threshold

@@ -31,6 +31,16 @@ object SpatialStore {
   private val MetaFile = "_graft_meta.json"
   private[sources] val DataDir = "data"
   private val ManifestDir = "_graft_manifest"
+
+  /** Store layout format version, stamped into `_graft_meta.json` (both
+    * stores) since round 15. History: v1 = the unstamped rounds ≤14
+    * (read compatibly — absent stamp parses as 1); v2 = current
+    * (compact-default layout, bare-name manifest entries). Readers REFUSE
+    * a version above this constant with a rebuild hint instead of
+    * misreading a future layout (round-14 verdict #6 — the r13→r14
+    * manifest format break cost a debugging session because nothing
+    * stamped the format). */
+  val FormatVersion = 2
   val TileCol = "tile_id"
   val RowIdCol = "__row_id"
   val RowId2Col = "__row_id2"
@@ -135,6 +145,7 @@ object SpatialStore {
                 cfg: SpatialJoin.Config = SpatialJoin.Config(),
                 preserveDuplicates: Boolean = false): Unit = {
     val spark = df.sparkSession
+    refuseSelfOverwrite(df, path, "writeDirs")
     val (tagged, index) = tileTagged(df, geomCol, cfg, preserveDuplicates)
     clearCompactArtifacts(spark, path)
     tagged
@@ -241,6 +252,40 @@ object SpatialStore {
     else prunedRead(spark, path, wanted)
   }
 
+  /** Refuse a store write whose INPUT scans the write target (round-14
+    * advice: the natural-looking in-place layout migration
+    * `writeDirs(SpatialStore.read(spark, p), ..., p)` deletes the compact
+    * `data/` via [[clearCompactArtifacts]] BEFORE the lazy scan runs — the
+    * write then fails mid-job, or with `ignoreMissingFiles=true` silently
+    * produces an EMPTY store, in both cases destroying the old data). The
+    * analyzed plan names every file-scan root; any root equal to, under,
+    * or above the target is the bug. Migrate via a materialized copy:
+    * read → write to a FRESH path (or plain parquet staging), then write
+    * the store from that. */
+  private[sources] def refuseSelfOverwrite(df: DataFrame, path: String,
+                                           op: String): Unit = {
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    def qualified(p: Path): String =
+      p.getFileSystem(hconf).makeQualified(p).toString.stripSuffix("/")
+    val t = qualified(new Path(path))
+    val offending = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths
+          case _ => Nil
+        }
+    }.flatten.map(qualified)
+      .filter(r => r == t || r.startsWith(t + "/") || t.startsWith(r + "/"))
+    require(offending.isEmpty,
+      s"SpatialStore.$op($path) would overwrite data its own input reads " +
+        s"(input scans ${offending.headOption.getOrElse("")}): the write " +
+        "clears the existing layout before the lazy scan runs, destroying " +
+        "the source mid-write. Materialize the input first (write it to a " +
+        "fresh location and read that back), or write the store to a " +
+        "fresh path.")
+  }
+
   /** Compact-layout write half shared by the 2-D and 3-D stores: the
     * tile-tagged rows land as range-clustered plain parquet under
     * `path/data`, then ONE per-file (min_tile, max_tile) manifest is
@@ -250,6 +295,7 @@ object SpatialStore {
     * manifest would silently read the OLD location after a copy/move. */
   private[sources] def writeRangeClustered(tagged: DataFrame, path: String): Unit = {
     val spark = tagged.sparkSession
+    refuseSelfOverwrite(tagged, path, "writeCompact")
     val dataPath = s"$path/$DataDir"
     // a compact write over a path holding a DIR-layout store would only
     // replace `data/` + manifest while overwriting _graft_meta.json,
@@ -446,9 +492,23 @@ object SpatialStore {
       .drop(RowIdCol, RowId2Col, TileCol)
   }
 
+  /** Full-table compact-layout scan with the torn-write guard shared by
+    * both stores' [[read]]s: a committed manifest without `data/` must
+    * fail with [[manifestRead]]'s heal instruction, not an opaque
+    * path-not-found from the bare parquet read (round-14 advice #1). */
+  private[sources] def compactDataScan(spark: SparkSession,
+                                       path: String): DataFrame = {
+    val dataPath = new Path(path, DataDir)
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dataPath)) throw new IllegalStateException(
+      s"$path has a committed manifest but no $DataDir/ (torn write or " +
+        "partial copy) — re-run writeCompact to rebuild the store")
+    spark.read.parquet(s"$path/$DataDir")
+  }
+
   /** Full-table read with replicas collapsed (layout-detecting). */
   def read(spark: SparkSession, path: String): DataFrame =
-    (if (isCompact(spark, path)) spark.read.parquet(s"$path/$DataDir")
+    (if (isCompact(spark, path)) compactDataScan(spark, path)
      else spark.read.parquet(path))
       .dropDuplicates(RowIdCol, RowId2Col)
       .drop(RowIdCol, RowId2Col, TileCol)
@@ -460,11 +520,24 @@ object SpatialStore {
       s"""[${t.tileId},${t.mbb.xmin},${t.mbb.ymin},${t.mbb.xmax},${t.mbb.ymax}]""")
       .mkString("[", ",", "]")
     val json =
-      s"""{"geom_col":"${meta.geomCol}","space":[${meta.space.xmin},${meta.space.ymin},${meta.space.xmax},${meta.space.ymax}],"tiles":$tiles}"""
+      s"""{"format_version":$FormatVersion,"geom_col":"${meta.geomCol}","space":[${meta.space.xmin},${meta.space.ymin},${meta.space.xmax},${meta.space.ymax}],"tiles":$tiles}"""
     val p = new Path(path, MetaFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** Shared version gate for both stores' readMeta: an absent stamp is
+    * the pre-round-15 format (= 1, read compatibly); a stamp ABOVE
+    * [[FormatVersion]] is a store written by a newer build — refuse
+    * loudly instead of misreading its layout. */
+  private[sources] def checkFormatVersion(json: String, path: String): Unit = {
+    val ver = """"format_version":(\d+)""".r
+      .findFirstMatchIn(json).map(_.group(1).toInt).getOrElse(1)
+    if (ver > FormatVersion) throw new IllegalStateException(
+      s"$path: store format_version=$ver is newer than this build " +
+        s"supports (<= $FormatVersion) — upgrade the library, or rebuild " +
+        "the store with THIS build's writeCompact/writeDirs")
   }
 
   def readMeta(spark: SparkSession, path: String): Meta = {
@@ -473,6 +546,7 @@ object SpatialStore {
     val in = fs.open(p)
     val json = try new String(
       in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+    checkFormatVersion(json, path)
     // fixed-shape JSON written by writeMeta; parse with a tiny hand parser
     // (no JSON library dependency)
     val geomCol = """"geom_col":"([^"]+)"""".r.findFirstMatchIn(json).get.group(1)

@@ -65,6 +65,7 @@ object SpatialStore3d {
                 maxDepth: Int = 12, seed: Long = 42L,
                 preserveDuplicates: Boolean = false): Unit = {
     val spark = df.sparkSession
+    SpatialStore.refuseSelfOverwrite(df, path, "writeDirs")
     val (tagged, tree, names) =
       leafTagged(df, c, leafCap, sampleTarget, maxDepth, seed, preserveDuplicates)
     // see SpatialStore.clearCompactArtifacts: a dir write over a compact
@@ -182,10 +183,11 @@ object SpatialStore3d {
       .drop(SpatialStore.RowIdCol, SpatialStore.RowId2Col, TileCol)
   }
 
-  /** Full-table read with replicas collapsed (layout-detecting). */
+  /** Full-table read with replicas collapsed (layout-detecting; compact
+    * reads share [[SpatialStore.compactDataScan]]'s torn-write guard). */
   def read(spark: SparkSession, path: String): DataFrame =
     (if (SpatialStore.isCompact(spark, path))
-       spark.read.parquet(s"$path/${SpatialStore.DataDir}")
+       SpatialStore.compactDataScan(spark, path)
      else spark.read.parquet(path))
       .dropDuplicates(SpatialStore.RowIdCol, SpatialStore.RowId2Col)
       .drop(SpatialStore.RowIdCol, SpatialStore.RowId2Col, TileCol)
@@ -196,7 +198,7 @@ object SpatialStore3d {
     val leaves = meta.leafBoxes.map(b => b.mkString("[", ",", "]"))
       .mkString("[", ",", "]")
     val json =
-      s"""{"cols":[${meta.cols.map(c => s""""$c"""").mkString(",")}],"leaves":$leaves}"""
+      s"""{"format_version":${SpatialStore.FormatVersion},"cols":[${meta.cols.map(c => s""""$c"""").mkString(",")}],"leaves":$leaves}"""
     val p = new Path(path, MetaFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
@@ -209,6 +211,7 @@ object SpatialStore3d {
     val in = fs.open(p)
     val json = try new String(
       in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+    SpatialStore.checkFormatVersion(json, path)
     val cols = """"cols":\[([^\]]+)\]""".r.findFirstMatchIn(json).get.group(1)
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
     val leaves = """\[([^\[\]]+)\]""".r

@@ -80,10 +80,18 @@ object SpatialIngest {
     // committed manifest wins layout detection, so every read serves only
     // data/ and the streamed rows are invisible. Refuse loudly — rebuild
     // the store with writeDirs (the append-able layout) first.
+    // NOTE for the rebuild: writeDirs(SpatialStore.read(spark, path), ...,
+    // path) is NOT a valid migration — the dir write clears the compact
+    // data/ before its lazy scan runs (writeDirs itself refuses that
+    // self-overwrite). Materialize a copy (or write to a fresh path), then
+    // writeDirs from the copy.
     require(!SpatialStore.isCompact(stream.sparkSession, path),
       s"SpatialIngest.start: $path holds a manifest-committed compact " +
         "store; streamed tile_id= appends would be invisible to its " +
-        "readers. Rebuild it with SpatialStore.writeDirs, then ingest.")
+        "readers. Rebuild it with SpatialStore.writeDirs — from a " +
+        "MATERIALIZED copy or to a fresh path (an in-place " +
+        "writeDirs(read(path), ..., path) destroys the store and is " +
+        "refused) — then ingest.")
     SpatialStore.writeMeta(stream.sparkSession, path,
       SpatialStore.Meta("geom", index.space,
         index.tiles :+ overflowBoundary(index)))

@@ -34,20 +34,34 @@ object CorpusClean {
                        estThreshold: Double = 0.5) extends NearDup
   case object NoNearDup extends NearDup
 
-  def clean(docs: DataFrame, idCol: String, textCol: String,
-            lang: String = "en", minQuality: Double = 0.0,
-            nearDup: NearDup = Exact()): DataFrame = {
-    val kept = docs
+  /** Stages 1–2 standalone (also the `quality_filter` SQL TVF): language
+    * id + quality floor, all columns preserved, scan-local. */
+  def qualityFilter(docs: DataFrame, textCol: String,
+                    lang: String, minQuality: Double): DataFrame =
+    docs
       .where(TextFunctions.langId(col(textCol)) === lang)
       .where(TextFunctions.qualityScore(col(textCol)) >= minQuality)
 
-    // exact dedup: one survivor (min id) per byte-identical text
-    val exact0 = kept
+  /** Stage 3 standalone (also the `dedup_exact` SQL TVF): one survivor
+    * (min id) per byte-identical text. One hash shuffle on the md5
+    * fingerprint; text bytes ride the shuffle only as the window key's
+    * partition input — at scale prefer fingerprint-grouping over raw text
+    * grouping, which this does. */
+  def dedupExact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .withColumn("__fp", TextFunctions.fingerprintMd5(col(textCol)))
       .withColumn("__keep",
         col(idCol) === min(col(idCol)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))))
       .where(col("__keep")).drop("__fp", "__keep")
+
+  def clean(docs: DataFrame, idCol: String, textCol: String,
+            lang: String = "en", minQuality: Double = 0.0,
+            nearDup: NearDup = Exact()): DataFrame = {
+    val kept = qualityFilter(docs, textCol, lang, minQuality)
+
+    // exact dedup: one survivor (min id) per byte-identical text
+    val exact0 = dedupExact(kept, idCol, textCol)
 
     // the near-dup path consumes the exact stage three times (pair mining,
     // component nodes, the survivor join) — persist so the filter +

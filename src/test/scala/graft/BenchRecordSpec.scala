@@ -44,6 +44,29 @@ class BenchRecordSpec extends AnyFunSuite {
       Seq("q_a" -> Some(1.5), "q_b" -> None, "q_c" -> Some(0.25)))
   }
 
+  test("frozen-envelope check: 1.5x + 0.5s bar, same-SF routing, new gates exempt") {
+    // routing: only the two frozen SFs have floors; sf10 and sf0.01 don't
+    assert(Bench.baselineEnvelopeFor("/root/testdata/sf0.1")
+      .contains("tools/baseline_r14_sf01.tsv"))
+    assert(Bench.baselineEnvelopeFor("/tmp/graft_sf1/")
+      .contains("tools/baseline_r14_sf1.tsv"))
+    assert(Bench.baselineEnvelopeFor("/tmp/graft_sf10").isEmpty)
+    assert(Bench.baselineEnvelopeFor("/root/testdata/sf0.01").isEmpty)
+    // the bar itself, against a synthetic envelope (cwd-relative tools/
+    // path — run from the repo root like every Bench invocation)
+    val env = Files.createTempFile("graft_baseline_spec", ".tsv")
+    Files.write(env, "q_fast\t0.100\nq_big\t10.000\nq_sub\t0.200\n".getBytes)
+    // monkey-path: exercise the core via readGateTsv + the same predicate
+    val floor = Bench.readGateTsv(env.toString).get
+      .collect { case (k, Some(v)) => k -> v }.toMap
+    def violates(k: String, v: Double) =
+      floor.get(k).exists(b => v > 1.5 * b && v - b > 0.5)
+    assert(!violates("q_fast", 0.14)) // 1.4x, under ratio bar
+    assert(!violates("q_sub", 0.6)) // 3x but sub-second delta: jitter class
+    assert(violates("q_big", 16.0)) // 1.6x and +6s: real regression
+    assert(!violates("q_new_gate", 99.0)) // no floor -> exempt
+  }
+
   test("parseQueries on a drifted record parses to zero gates (the case the parent must reject)") {
     // field order drift: "failed" before "queries" breaks the legacy regex —
     // exactly why the TSV is the primary channel and the parent throws on a

@@ -74,6 +74,85 @@ class TableFunctionsSpec extends SparkTestBase {
     assert(sql.columns.toSet == docs.columns.toSet)
   }
 
+  /** Round-14 verdict #3: analysis/EXPLAIN of the components TVF must not
+    * run the convergence loop. Probe: run explain inside a dedicated job
+    * group, then a sentinel job in the SAME group — the listener bus is
+    * FIFO, so once the sentinel is visible, any job explain had launched
+    * would be visible too; the group must then hold ONLY the sentinel. */
+  test("dedup_by_components TVF is lazy: explain launches zero jobs") {
+    TableFunctions.registerAll(spark)
+    docs.createOrReplaceTempView("tvf_lazy_docs")
+    Seq((0L, 1L), (2L, 3L)).toDF("ida", "idb")
+      .createOrReplaceTempView("tvf_lazy_edges")
+    val sc = spark.sparkContext
+    val group = s"tvf-lazy-probe-${System.nanoTime()}"
+    sc.setJobGroup(group, "laziness probe", interruptOnCancel = false)
+    val df = try {
+      val d = spark.sql("SELECT * FROM dedup_by_components(" +
+        "'tvf_lazy_docs', 'doc_id', 'tvf_lazy_edges', 'ida', 'idb')")
+      d.queryExecution.executedPlan // analysis + planning, no execution
+      d.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      sc.parallelize(Seq(1)).count() // sentinel: an RDD action is exactly ONE job (AQE would split a SQL count into stage jobs)
+      d
+    } finally sc.clearJobGroup()
+    var ids = Array.empty[Int]
+    val deadline = System.nanoTime() + 30e9.toLong
+    while (ids.isEmpty && System.nanoTime() < deadline) {
+      ids = sc.statusTracker.getJobIdsForGroup(group)
+      if (ids.isEmpty) Thread.sleep(50)
+    }
+    assert(ids.length == 1,
+      s"explain must launch zero jobs (expected only the sentinel, got " +
+        s"${ids.length} jobs in group $group)")
+    assert(df.queryExecution.executedPlan.toString.contains("DeferredExec"),
+      "the TVF must plan as the deferred leaf")
+    // execution still yields the Scala API's exact survivors
+    assert(df.select("doc_id").as[Long].collect().toSet == Set(0L, 2L, 4L))
+  }
+
+  test("curation TVFs == their Scala APIs (quality_filter/dedup_exact/" +
+      "dedup_lines/assign_splits)") {
+    TableFunctions.registerAll(spark)
+    val corpus = Seq(
+      (0L, "the quick brown fox and the lazy dog were here\nshared line"),
+      (1L, "the quick brown fox and the lazy dog were here\nshared line"),
+      (2L, "a completely different document with its own text\nshared line"),
+      (3L, "zzz qqq xxx"), // no stopwords -> fails the language filter
+      (4L, "this is another document that should pass with these words"))
+      .toDF("doc_id", "text")
+    corpus.createOrReplaceTempView("tvf_cur_docs")
+
+    val qf = spark.sql(
+      "SELECT * FROM quality_filter('tvf_cur_docs', 'text', 'en', 0.1D)")
+    val qfApi = graft.text.CorpusClean.qualityFilter(corpus, "text", "en", 0.1)
+    assert(qf.as[(Long, String)].collect().toSet ==
+      qfApi.as[(Long, String)].collect().toSet)
+    assert(!qf.select("doc_id").as[Long].collect().contains(3L))
+
+    val de = spark.sql(
+      "SELECT * FROM dedup_exact('tvf_cur_docs', 'doc_id', 'text')")
+    val deApi = graft.text.CorpusClean.dedupExact(corpus, "doc_id", "text")
+    assert(de.as[(Long, String)].collect().toSet ==
+      deApi.as[(Long, String)].collect().toSet)
+    assert(!de.select("doc_id").as[Long].collect().contains(1L),
+      "doc 1 is a byte-identical dup of doc 0")
+
+    val dl = spark.sql(
+      "SELECT * FROM dedup_lines('tvf_cur_docs', 'doc_id', 'text')")
+    val dlApi = graft.dedup.TextDedup.dedupLinesAcross(corpus, "doc_id", "text")
+    assert(dl.as[(Long, String)].collect().toSet ==
+      dlApi.as[(Long, String)].collect().toSet)
+
+    val as = spark.sql("SELECT * FROM assign_splits('tvf_cur_docs', " +
+      "'doc_id', 'train:0.8,val:0.1,test:0.1', 7)")
+    val asApi = graft.text.CorpusSplit.assignSplits(corpus, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = 7L)
+    assert(as.as[(Long, String, String)].collect().toSet ==
+      asApi.as[(Long, String, String)].collect().toSet)
+    assert(as.columns.toSeq == Seq("doc_id", "text", "split"))
+  }
+
   test("TVFs are registered by GraftExtensions at session build") {
     // simulate the injection against a fresh session (the
     // GraftExtensionsSpec convention for scalar functions)

@@ -41,9 +41,16 @@ def read_tsv(paths):
 
 def main(sf1_tsv, sf01_tsv, out_path="BENCH_SF1.json"):
     sf1, sf01 = read_tsv(sf1_tsv), read_tsv(sf01_tsv)
+    # gate-set completeness must hold in BOTH directions (round-14 advice
+    # #4): an sf1 gate with no sf0.1 denominator would get no ratio and
+    # silently escape the movers screening while still counting in totals
     missing = set(sf01) - set(sf1)
     if missing:
         sys.exit(f"sf1 record lacks gates present at sf0.1: {sorted(missing)}")
+    unscreened = sorted(set(sf1) - set(sf01))
+    if unscreened:
+        sys.exit(f"sf0.1 record lacks gates present at sf1 (no ratio "
+                 f"denominator, would escape movers screening): {unscreened}")
     queries, movers, failed = {}, [], []
     for k in sorted(sf1):
         v1, v01 = sf1[k], sf01.get(k)

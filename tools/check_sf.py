@@ -227,10 +227,21 @@ def main(out_dir, sf_dir, out_json=None, only=None):
                 out, n = cheap["out"], cheap["n"]
                 residues = list(cheap["residues"])
                 sliced = f"{out}%{n} in {residues}"
-                # row count + schema equality stay FULL on the spark side;
-                # the cross-engine rows/hash compare runs on the slice
+                # full spark-side row count: RECORDED (spark_rows_full in
+                # the output), verified against the oracle only when the
+                # gate opts in with full_count=True — for the rest, spurious
+                # spark rows in unchecked residues are a disclosed slicing
+                # gap (the cross-engine rows/hash compare runs on the slice)
                 s_full_n = con.execute(
                     f"SELECT count(*) FROM ({spark_rel})").fetchone()[0]
+                if cheap.get("full_count"):
+                    d_full_n = con.execute(
+                        f"SELECT count(*) FROM ({sql})").fetchone()[0]
+                    if d_full_n != s_full_n:
+                        raise AssertionError(
+                            f"FULL row count mismatch: spark {s_full_n} vs "
+                            f"oracle {d_full_n} (slice checks only "
+                            f"{sliced})")
                 check_slice_key(con, spark_rel, out,
                                 f"{name} spark output \"{out}\"")
                 pred = f"(\"{out}\" % {n}) IN ({', '.join(map(str, residues))})"
