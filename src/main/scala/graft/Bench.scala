@@ -28,6 +28,15 @@ object Bench {
     }
   }
 
+  /** Optional gate-subset restriction (comma list of gate names): the
+    * sf10 lane runs curated gate families, not the whole catalog — the
+    * quadratic-yield lattice joins at 100 copies emit ~10^10-row results
+    * that are a documented single-run lane of their own (SCALE.md).
+    * Children inherit the env, so the family protocol composes. */
+  private def envOnly: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
   private def r3(v: Double): String =
     "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
@@ -97,7 +106,8 @@ object Bench {
     }
     // any gate the children did not report (family crashed before its
     // record) re-runs in-process so the driver never loses a gate
-    val missing = SparkEntry.queries.keySet -- perGate.keySet
+    val missing = envOnly.map(SparkEntry.queries.keySet.intersect(_))
+      .getOrElse(SparkEntry.queries.keySet) -- perGate.keySet
     if (spawnFailed || missing.nonEmpty) {
       if (missing.nonEmpty)
         System.err.println(s"[bench] rerunning ${missing.size} unreported gates in-process")
@@ -257,7 +267,8 @@ object Bench {
     // the "tail" field itself is driver-side, but its CONTENT is ours)
     spark.sparkContext.setLogLevel("ERROR")
     val gates = SparkEntry.queries.filter { case (name, _) =>
-      onlyFamily.forall(_ == family(name)) && onlyNames.forall(_.contains(name))
+      onlyFamily.forall(_ == family(name)) && onlyNames.forall(_.contains(name)) &&
+        envOnly.forall(_.contains(name))
     }
     // JIT/codegen warmup on the smallest SF so the timed loop measures
     // steady-state engine throughput, not first-touch compilation.

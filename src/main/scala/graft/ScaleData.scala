@@ -23,11 +23,13 @@ object ScaleData {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")
     val copies = if (args.length > 1) args(1).toInt else 10
-    // the per-copy word prefix is "c<copy>": at copies > 10 a copy-1 word
-    // "0foo" ("c1"+"0foo") aliases copy-10's "foo" ("c10"+"foo"), breaking
-    // the cross-copy-similarity-zero invariant the sidecar rests on
-    require(copies >= 1 && copies <= 10,
-      s"copies must be in [1, 10] (single-digit prefix), got $copies")
+    // the per-copy word prefix is "c<copy>x" — the 'x' delimiter makes the
+    // prefixes PREFIX-FREE at any copy count ("c1x0foo" vs "c10xfoo"
+    // diverge at the delimiter), so the cross-copy-similarity-zero
+    // invariant holds for the 100-copy sf10 lane, not just copies <= 10.
+    // 100 * Shift = 10^9 keeps every shifted key well inside Long.
+    require(copies >= 1 && copies <= 100,
+      s"copies must be in [1, 100], got $copies")
     val src = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
@@ -75,7 +77,7 @@ object ScaleData {
     val docs = copiesOf(docsSrc)
       .withColumn("doc_id", col("doc_id") + col("__copy") * Shift)
       .withColumn("text", regexp_replace(col("text"), lit("(\\S+)"),
-        concat(lit("c"), col("__copy"), lit("$1"))))
+        concat(lit("c"), col("__copy"), lit("x$1"))))
       .drop("__copy")
     write(docs, "documents")
 
@@ -106,11 +108,16 @@ object ScaleData {
     require(embMax < Shift, s"vec_id max $embMax >= shift $Shift")
     write(copiesOf(emb)
       .withColumn("vec_id", col("vec_id") + col("__copy") * Shift)
+      // rotate by copy MOD dim: at copies > dim a raw copy index would
+      // rotate past the vector (empty slice + whole-array slice = no
+      // rotation), re-creating the duplicated-vector ties the rotation
+      // exists to avoid
+      .withColumn("__rot", pmod(col("__copy"), size(col("embedding"))).cast("int"))
       .withColumn("embedding", concat(
-        slice(col("embedding"), col("__copy").cast("int") + 1,
-          greatest(size(col("embedding")) - col("__copy").cast("int"), lit(0))),
-        slice(col("embedding"), lit(1), col("__copy").cast("int"))))
-      .drop("__copy"), "embeddings")
+        slice(col("embedding"), col("__rot") + 1,
+          greatest(size(col("embedding")) - col("__rot"), lit(0))),
+        slice(col("embedding"), lit(1), col("__rot"))))
+      .drop("__copy", "__rot"), "embeddings")
     // bounded dims pass through unscaled (25 / 5 rows; scaled tables'
     // nation/region foreign keys are not shifted, so they keep joining)
     write(spark.read.parquet(s"$src/nation.parquet"), "nation")

@@ -61,7 +61,13 @@ object GeomKernels {
     val g = GeometryCodec.fromWkb(b)
     if (g == null) null else {
       val e = g.getEnvelopeInternal
-      InternalRow(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
+      // JTS encodes "no envelope" (empty geometry, or every coordinate
+      // NaN — expandToInclude never fires on NaN comparisons) as the
+      // inverted (0,0,-1,-1) box; surfacing that as data would give such
+      // rows a phantom position near the origin. SQL null instead — every
+      // join/store path already drops null envelopes as invalid geometry.
+      if (e.isNull) null
+      else InternalRow(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
     }
   }
 

@@ -79,8 +79,22 @@ object SpatialJoin {
   private val Rad = "__rad"
   private val LId = "__lid"; private val RId = "__rid"
 
+  /** True iff every envelope bound is a finite double. A NaN/±Inf
+    * coordinate (parseable WKB, garbage values) would otherwise poison
+    * tile planning — NaN rides min/max aggregates into the space MBB and
+    * every tile bound after it — and NaN distances sort arbitrarily in
+    * kNN heaps. Such rows are INVALID GEOMETRY and drop with the same
+    * documented semantics as unparseable WKB (reference P3/P4). */
+  private def finiteEnv(cols: Seq[String]) =
+    cols.map { c =>
+      !isnan(col(c)) &&
+        col(c) > lit(Double.NegativeInfinity) &&
+        col(c) < lit(Double.PositiveInfinity)
+    }.reduce(_ && _)
+
   /** Adds envelope columns derived from the WKB geometry column `geom`;
-    * drops rows with null/unparseable geometry (reference P3/P4 behavior). */
+    * drops rows with null/unparseable geometry (reference P3/P4 behavior)
+    * and rows whose envelope is non-finite (see [[finiteEnv]]). */
   private def withEnv(df: DataFrame, geom: String, expand: Double): DataFrame = {
     val e = st_envelope(col(geom))
     val d = lit(expand)
@@ -91,6 +105,21 @@ object SpatialJoin {
       .withColumn(X2, col("__env.xmax") + d)
       .withColumn(Y2, col("__env.ymax") + d)
       .drop("__env")
+      .where(finiteEnv(Seq(X1, Y1, X2, Y2)))
+  }
+
+  /** Shared entry-point argument validation: a malformed config must fail
+    * with a targeted message BEFORE any job runs, never distort results
+    * (round-14 verdict #7). `SpatialPartitioner(name)` already rejects
+    * unknown partitioner names with its own targeted error. */
+  private def validate(cfg: Config): Unit = {
+    require(cfg.bucket >= 0,
+      s"bucket must be >= 0 (0 = auto-size from row count), got ${cfg.bucket}")
+    require(cfg.sampleTarget > 0,
+      s"sampleTarget must be positive, got ${cfg.sampleTarget}")
+    require(cfg.distance >= 0.0 && !cfg.distance.isNaN &&
+        !cfg.distance.isInfinite,
+      s"distance must be a finite value >= 0, got ${cfg.distance}")
   }
 
   /** Plan tiles from a seeded sample of both inputs' MBBs. Returns the tile
@@ -267,6 +296,7 @@ object SpatialJoin {
            right: DataFrame, rightGeom: String,
            cfg: Config = Config()): DataFrame = {
     val spark = left.sparkSession
+    validate(cfg)
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"column name collision between join sides: $dup")
 
@@ -427,6 +457,8 @@ object SpatialJoin {
               right: DataFrame, rightGeom: String,
               k: Int, cfg: Config = Config()): DataFrame = {
     val spark = left.sparkSession
+    validate(cfg)
+    require(k >= 1, s"k must be >= 1, got $k")
     val l = withEnv(left, leftGeom, 0.0)
     val r = withEnv(right, rightGeom, 0.0)
     val index = planTiles(l, r, cfg)
@@ -668,6 +700,10 @@ object SpatialJoin {
                    cfg: Config = Config(),
                    maxDistance: Double = Double.PositiveInfinity): DataFrame = {
     val spark = left.sparkSession
+    validate(cfg)
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxDistance > 0 && !maxDistance.isNaN,
+      s"maxDistance must be positive (PositiveInfinity = unbounded), got $maxDistance")
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"column name collision between join sides: $dup")
 

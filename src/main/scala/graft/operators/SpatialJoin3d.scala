@@ -223,16 +223,22 @@ object SpatialJoin3d {
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"column name collision between join sides: $dup")
     val n = cellsPerAxis
-    val sp = space(left, lc, right, rc)
-    // malformed tolerance (2-D P4 parity): min>max or null rows are dropped
-    // here rather than blowing up sequence() mid-tiling
+    // malformed tolerance (2-D P4 parity): min>max, null, or non-finite
+    // rows are dropped here rather than blowing up sequence() mid-tiling —
+    // and BEFORE the space aggregate, where one NaN/Inf bound would
+    // otherwise ride min/max into every cell boundary
     def wellFormed(c: Mbb3Cols) =
-      col(c.xmin) <= col(c.xmax) && col(c.ymin) <= col(c.ymax) &&
+      Seq(c.xmin, c.ymin, c.zmin, c.xmax, c.ymax, c.zmax).map { f =>
+        !isnan(col(f)) && col(f) > lit(Double.NegativeInfinity) &&
+          col(f) < lit(Double.PositiveInfinity)
+      }.reduce(_ && _) &&
+        col(c.xmin) <= col(c.xmax) && col(c.ymin) <= col(c.ymax) &&
         col(c.zmin) <= col(c.zmax)
-    val lt = left.where(wellFormed(lc))
-      .withColumn("__cell3", explode(cellIds(lc, sp, n)))
-    val rt = right.where(wellFormed(rc))
-      .withColumn("__cell3", explode(cellIds(rc, sp, n)))
+    val lf = left.where(wellFormed(lc))
+    val rf = right.where(wellFormed(rc))
+    val sp = space(lf, lc, rf, rc)
+    val lt = lf.withColumn("__cell3", explode(cellIds(lc, sp, n)))
+    val rt = rf.withColumn("__cell3", explode(cellIds(rc, sp, n)))
     // refine: closed-interval overlap on all three axes; dedup: the pair is
     // emitted only where the intersection's min corner lives — exactly one
     // cell, columns only (the 2-D engine's TileIndex.refTile, relationally)

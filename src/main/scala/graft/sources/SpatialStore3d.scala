@@ -89,6 +89,12 @@ object SpatialStore3d {
     val names = Seq(c.xmin, c.ymin, c.zmin, c.xmax, c.ymax, c.zmax)
     val withId = SpatialStore.withRowIds(df, preserveDuplicates)
       .where(names.map(col(_).isNotNull).reduce(_ && _))
+      // non-finite bounds drop like incomplete envelopes (a NaN would
+      // poison the global min/max envelope and every octree split after)
+      .where(names.map { f =>
+        !isnan(col(f)) && col(f) > lit(Double.NegativeInfinity) &&
+          col(f) < lit(Double.PositiveInfinity)
+      }.reduce(_ && _))
     // one pass: global envelope + row count
     val a = withId.agg(
       min(col(c.xmin)), min(col(c.ymin)), min(col(c.zmin)),
