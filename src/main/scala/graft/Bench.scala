@@ -281,6 +281,11 @@ object Bench {
     // steady state from a single loaded window — best-of-2 wasn't enough).
     // A GC between timings keeps one query's garbage from being charged to
     // the next (the round-3 q_knn "regression" was exactly this).
+    // SPARK_GRAFT_BENCH_RUNS overrides the run count for lanes where 3
+    // runs are unaffordable (the sf10 big-output singles) — any such
+    // record must LABEL itself single-run (bench_sf10_report does).
+    val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
+    require(nRuns >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $nRuns")
     def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       System.gc()
       val t0 = System.nanoTime()
@@ -288,7 +293,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results: Seq[(String, Option[Double])] = gates.toSeq.map { case (name, fn) =>
-      val runs = Seq(once(fn), once(fn), once(fn))
+      val runs = Seq.fill(nRuns)(once(fn))
       name -> (if (runs.exists(_ < 0)) None else Some(runs.min))
     }
     if (emit) emitRecord(results)

@@ -29,6 +29,14 @@ object SpatialJoin3d {
     * broadcast stays well under Spark's 8 GB relation cap at this bound. */
   val BroadcastRightMax = 200000L
 
+  /** Bound on the kNN probe phase's candidate relation (rows), the
+    * product of probe count and real leaf occupancy. ~128M candidate rows
+    * ≈ 10–20 GB shuffle at this row width — safely inside one executor
+    * set's spill budget where the unbounded product filled the disk at
+    * the sf10 lane (SCALE.md round-15). [[knnJoinMbbOc]] shrinks its
+    * effective leaf cap to honor it. */
+  val CandidateBudget = 128000000L
+
   /** Column bundle naming the six MBB sides of a relation. */
   final case class Mbb3Cols(xmin: String, ymin: String, zmin: String,
                             xmax: String, ymax: String, zmax: String) {
@@ -731,13 +739,25 @@ object SpatialJoin3d {
     val row = six(left, lc, 0).unionByName(six(rBase, rc, 1)).agg(
       min(col("_a")), min(col("_b")), min(col("_c")),
       max(col("_d")), max(col("_e")), max(col("_f")),
-      sum(col("_r"))).head()
+      sum(col("_r")), count(lit(1))).head()
     def mn(i: Int) = if (row.isNullAt(i)) Double.MaxValue else row.getDouble(i)
     def mx(i: Int) = if (row.isNullAt(i)) Double.MinValue else row.getDouble(i)
     val sp = Array(mn(0), mn(1), mn(2), mx(3), mx(4), mx(5))
     val spans = Array(sp(3) - sp(0), sp(4) - sp(1), sp(5) - sp(2))
     val diag = math.sqrt(spans.map(s => s * s).sum)
     val nR = if (row.isNullAt(6)) 0L else row.getLong(6)
+    val nL = row.getLong(7) - nR // probe-side rows, from the same agg
+    // Candidate-volume governor (found by the sf10 lane, SCALE.md: the
+    // probe-phase shuffle is ~ probes x real-leaf-occupancy rows — at
+    // 1.5M probes a 512-row leaf cap projected a ~150 GB shuffle and
+    // filled the disk). The caller's leafCap is honored only up to a
+    // fixed candidate budget; past it, leaves shrink so the candidate
+    // relation stays bounded regardless of probe count. Exactness is
+    // unaffected — ring plans still guarantee >= k per probe; smaller
+    // leaves just mean tighter radii and more, smaller leaves. The 4k
+    // floor keeps leaves from degenerating below the answer size.
+    val effCap = math.max(4 * k,
+      math.min(leafCap.toLong, CandidateBudget / math.max(nL, 1L)).toInt)
     val fraction = if (nR == 0) 1.0 else math.min(1.0, sampleTarget.toDouble / nR)
     val pts = rBase.select(
         ((col(rc.xmin) + col(rc.xmax)) / 2).as("x"),
@@ -749,7 +769,7 @@ object SpatialJoin3d {
       .map(r => Array(r.getDouble(0), r.getDouble(1), r.getDouble(2)))
     // scale the leaf capacity by the sample rate (the bucket-scaling rule
     // of the 2-D planners, queryprocessor_2d.cpp:280)
-    val scaledCap = math.max(1, math.floor(leafCap * fraction).toInt)
+    val scaledCap = math.max(1, math.floor(effCap * fraction).toInt)
     val tree = Octree3d.build(pts, Array(sp(0), sp(1), sp(2), sp(3), sp(4), sp(5)),
       scaledCap)
     val bc = spark.sparkContext.broadcast(tree)
