@@ -163,17 +163,81 @@ def fingerprint_cheap(con, subquery, view_sql, spec):
     return ordered, n_total, str(h_total)
 
 
-def main(out_dir, sf_dir, out_json=None, only=None):
+def fresh_con(view_sql):
+    """One DuckDB connection PER GATE (sf10 lesson: a shared connection
+    accumulated allocator state across ~25 heavy oracle shapes and began
+    failing tiny mallocs nondeterministically — 'bad allocation' on a
+    2 KB block with 116 GB of host memory free; a fresh connection per
+    gate isolates every gate's memory lifecycle). Settings:
+    - temp_directory: an in-memory DuckDB has NO spill dir, so big
+      oracle shapes (the kNN cross-join+window is ~1.5e9 intermediate
+      rows at sf1) abort with OOM instead of spilling.
+    - preserve_insertion_order=false halves sort memory.
+    - memory_limit below the cgroup (env CHECK_SF_MEMLIMIT, default
+      48GB — lower than the old 80GB so the buffer manager spills long
+      before malloc can fail) so the allocator spills instead of dying."""
     con = duckdb.connect()
-    # An in-memory DuckDB has NO temp_directory, so big oracle shapes
-    # (the kNN cross-join+window is ~1.5e9 intermediate rows at sf1)
-    # abort with OOM instead of spilling — exactly the 4 failures in the
-    # first CORRECTNESS_SF1 run. Give it a spill dir, drop insertion-
-    # order preservation (halves sort memory), and cap memory below the
-    # cgroup so the allocator spills instead of dying.
     con.execute("SET temp_directory='/tmp/duckdb_sf_spill'")
     con.execute("SET preserve_insertion_order=false")
-    con.execute("SET memory_limit='80GB'")
+    con.execute("SET memory_limit='%s'"
+                % os.environ.get("CHECK_SF_MEMLIMIT", "48GB"))
+    for t, src in view_sql.items():
+        con.execute(f"CREATE VIEW {t} AS {src}")
+    return con
+
+
+def gate_fingerprints(name, sql, view_sql, spark_glob, sf_dir):
+    """The per-gate oracle work, run in a fresh worker process (see the
+    executor comment in main): returns the spark/duck fingerprints, or
+    {'err': ...} on any oracle failure."""
+    con = fresh_con(view_sql)
+    # static oracle SQL embeds the driver gate's aux path
+    # (.../oracle_aux/sf0.01/...); the Spark side writes the aux keyed
+    # by the SF dir under test — point the oracle at the same one
+    sql = sql.replace("/oracle_aux/sf0.01/",
+                      f"/oracle_aux/{os.path.basename(sf_dir.rstrip('/'))}/")
+    cheap = CHEAP.get(name)
+    if cheap and "table" in cheap and cheap["table"] not in view_sql:
+        cheap = None
+    sliced, s_full_n = None, None
+    spark_rel = f"SELECT * FROM read_parquet('{spark_glob}')"
+    try:
+        if cheap:
+            out, n = cheap["out"], cheap["n"]
+            residues = list(cheap["residues"])
+            sliced = f"{out}%{n} in {residues}"
+            # full spark-side row count: RECORDED (spark_rows_full in
+            # the output), verified against the oracle only when the
+            # gate opts in with full_count=True — for the rest, spurious
+            # spark rows in unchecked residues are a disclosed slicing
+            # gap (the cross-engine rows/hash compare runs on the slice)
+            s_full_n = con.execute(
+                f"SELECT count(*) FROM ({spark_rel})").fetchone()[0]
+            if cheap.get("full_count"):
+                d_full_n = con.execute(
+                    f"SELECT count(*) FROM ({sql})").fetchone()[0]
+                if d_full_n != s_full_n:
+                    raise AssertionError(
+                        f"FULL row count mismatch: spark {s_full_n} vs "
+                        f"oracle {d_full_n} (slice checks only {sliced})")
+            check_slice_key(con, spark_rel, out,
+                            f"{name} spark output \"{out}\"")
+            pred = f"(\"{out}\" % {n}) IN ({', '.join(map(str, residues))})"
+            s_cols, s_n, s_h = fingerprint(con, f"{spark_rel} WHERE {pred}")
+            d_cols, d_n, d_h = fingerprint_cheap(con, sql, view_sql, cheap)
+        else:
+            s_cols, s_n, s_h = fingerprint(con, spark_rel)
+            d_cols, d_n, d_h = fingerprint(con, sql)
+    except Exception as e:
+        return {"err": str(e)}
+    finally:
+        con.close()
+    return {"s_cols": s_cols, "s_n": s_n, "s_h": s_h,
+            "d_cols": d_cols, "d_n": d_n, "d_h": d_h,
+            "sliced": sliced, "s_full_n": s_full_n}
+
+
+def main(out_dir, sf_dir, out_json=None, only=None):
     view_sql = {}
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -182,7 +246,6 @@ def main(out_dir, sf_dir, out_json=None, only=None):
                    if os.path.isdir(p) else
                    f"SELECT * FROM read_parquet('{p}')")
             view_sql[t] = src
-            con.execute(f"CREATE VIEW {t} AS {src}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results, failures = {}, 0
     if only is not None:
@@ -204,6 +267,14 @@ def main(out_dir, sf_dir, out_json=None, only=None):
                     if v.get("status") != "pass":
                         failures += 1
         oracle = {k: v for k, v in oracle.items() if k in keep}
+    # one FRESH PROCESS per gate (max_tasks_per_child=1): a shared
+    # process accumulated DuckDB allocator/mmap state across ~25 heavy
+    # oracle shapes at sf10 and began failing KILOBYTE mallocs with
+    # >100 GB of host memory free (vm.max_map_count exhaustion class);
+    # per-gate connections in one process were NOT enough — the leak is
+    # process-level, so the process is the isolation unit
+    import concurrent.futures as cf
+    ex = cf.ProcessPoolExecutor(max_workers=1, max_tasks_per_child=1)
     for name, sql in sorted(oracle.items()):
         spark_glob = f"{out_dir}/{name}/*.parquet"
         if not glob.glob(spark_glob):
@@ -212,49 +283,23 @@ def main(out_dir, sf_dir, out_json=None, only=None):
             failures += 1
             continue
         t0 = time.time()
-        # static oracle SQL embeds the driver gate's aux path
-        # (.../oracle_aux/sf0.01/...); the Spark side writes the aux keyed
-        # by the SF dir under test — point the oracle at the same one
-        sql = sql.replace("/oracle_aux/sf0.01/",
-                          f"/oracle_aux/{os.path.basename(sf_dir.rstrip('/'))}/")
-        cheap = CHEAP.get(name)
-        if cheap and "table" in cheap and cheap["table"] not in view_sql:
-            cheap = None
-        sliced, s_full_n = None, None
-        spark_rel = f"SELECT * FROM read_parquet('{spark_glob}')"
         try:
-            if cheap:
-                out, n = cheap["out"], cheap["n"]
-                residues = list(cheap["residues"])
-                sliced = f"{out}%{n} in {residues}"
-                # full spark-side row count: RECORDED (spark_rows_full in
-                # the output), verified against the oracle only when the
-                # gate opts in with full_count=True — for the rest, spurious
-                # spark rows in unchecked residues are a disclosed slicing
-                # gap (the cross-engine rows/hash compare runs on the slice)
-                s_full_n = con.execute(
-                    f"SELECT count(*) FROM ({spark_rel})").fetchone()[0]
-                if cheap.get("full_count"):
-                    d_full_n = con.execute(
-                        f"SELECT count(*) FROM ({sql})").fetchone()[0]
-                    if d_full_n != s_full_n:
-                        raise AssertionError(
-                            f"FULL row count mismatch: spark {s_full_n} vs "
-                            f"oracle {d_full_n} (slice checks only "
-                            f"{sliced})")
-                check_slice_key(con, spark_rel, out,
-                                f"{name} spark output \"{out}\"")
-                pred = f"(\"{out}\" % {n}) IN ({', '.join(map(str, residues))})"
-                s_cols, s_n, s_h = fingerprint(con, f"{spark_rel} WHERE {pred}")
-                d_cols, d_n, d_h = fingerprint_cheap(con, sql, view_sql, cheap)
-            else:
-                s_cols, s_n, s_h = fingerprint(con, spark_rel)
-                d_cols, d_n, d_h = fingerprint(con, sql)
-        except Exception as e:
-            print(f"FAIL {name}: oracle error {e}")
-            results[name] = {"status": "fail", "reason": f"oracle error {e}"}
+            r = ex.submit(gate_fingerprints, name, sql, view_sql,
+                          spark_glob, sf_dir).result()
+        except cf.process.BrokenProcessPool:
+            # gate's worker died (e.g. OOM-killed): record, new pool
+            r = {"err": "oracle worker process died (OOM-killed?)"}
+            ex.shutdown(wait=False)
+            ex = cf.ProcessPoolExecutor(max_workers=1, max_tasks_per_child=1)
+        if "err" in r:
+            print(f"FAIL {name}: oracle error {r['err']}")
+            results[name] = {"status": "fail",
+                             "reason": f"oracle error {r['err']}"}
             failures += 1
             continue
+        s_cols, s_n, s_h = r["s_cols"], r["s_n"], r["s_h"]
+        d_cols, d_n, d_h = r["d_cols"], r["d_n"], r["d_h"]
+        sliced, s_full_n = r["sliced"], r["s_full_n"]
         dt = time.time() - t0
         if s_cols != d_cols:
             print(f"FAIL {name}: columns {s_cols} vs {d_cols}")
@@ -279,6 +324,7 @@ def main(out_dir, sf_dir, out_json=None, only=None):
                 # an honest sampled pass must not read like a full one
                 results[name]["sliced"] = sliced
                 results[name]["spark_rows_full"] = s_full_n
+    ex.shutdown(wait=False)
     total = len(results) if only is not None else len(oracle)
     print(f"\n{total - failures}/{total} queries pass")
     if out_json:
