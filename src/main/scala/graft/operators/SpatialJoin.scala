@@ -79,22 +79,14 @@ object SpatialJoin {
   private val Rad = "__rad"
   private val LId = "__lid"; private val RId = "__rid"
 
-  /** True iff every envelope bound is a finite double. A NaN/±Inf
-    * coordinate (parseable WKB, garbage values) would otherwise poison
-    * tile planning — NaN rides min/max aggregates into the space MBB and
-    * every tile bound after it — and NaN distances sort arbitrarily in
-    * kNN heaps. Such rows are INVALID GEOMETRY and drop with the same
-    * documented semantics as unparseable WKB (reference P3/P4). */
-  private def finiteEnv(cols: Seq[String]) =
-    cols.map { c =>
-      !isnan(col(c)) &&
-        col(c) > lit(Double.NegativeInfinity) &&
-        col(c) < lit(Double.PositiveInfinity)
-    }.reduce(_ && _)
-
   /** Adds envelope columns derived from the WKB geometry column `geom`;
-    * drops rows with null/unparseable geometry (reference P3/P4 behavior)
-    * and rows whose envelope is non-finite (see [[finiteEnv]]). */
+    * drops rows with null/unparseable geometry (reference P3/P4 behavior).
+    * Non-finite and empty envelopes are ALSO null here: the check lives
+    * inside the st_envelope kernel (GeomKernels.envelope), where the four
+    * doubles are already in hand — a relational isnan/Inf filter on these
+    * columns measured 2.2x on every join gate (pushdown substitutes the
+    * st_envelope alias into each condition, re-parsing the WKB per
+    * condition). */
   private def withEnv(df: DataFrame, geom: String, expand: Double): DataFrame = {
     val e = st_envelope(col(geom))
     val d = lit(expand)
@@ -105,7 +97,6 @@ object SpatialJoin {
       .withColumn(X2, col("__env.xmax") + d)
       .withColumn(Y2, col("__env.ymax") + d)
       .drop("__env")
-      .where(finiteEnv(Seq(X1, Y1, X2, Y2)))
   }
 
   /** Shared entry-point argument validation: a malformed config must fail

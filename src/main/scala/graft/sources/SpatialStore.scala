@@ -165,15 +165,11 @@ object SpatialStore {
     val spark = df.sparkSession
     val withId = withRowIds(df, preserveDuplicates)
       .withColumn("__env", st_envelope(col(geomCol)))
+      // st_envelope is null for unparseable WKB AND for empty/non-finite
+      // envelopes (the kernel checks finiteness — see GeomKernels
+      // .envelope; a relational isnan filter here re-parsed the WKB per
+      // condition under pushdown and cost 2.1x on the store gates)
       .where(col("__env").isNotNull)
-      // non-finite envelopes (NaN/Inf coordinates in parseable WKB) drop
-      // with the same invalid-geometry semantics as unparseable rows: a
-      // NaN bound would ride the tiling sample into every tile boundary
-      .where(Seq("xmin", "ymin", "xmax", "ymax").map { f =>
-        val c = col(s"__env.$f")
-        !isnan(c) && c > lit(Double.NegativeInfinity) &&
-          c < lit(Double.PositiveInfinity)
-      }.reduce(_ && _))
     val env = withId.select(col("__env.xmin").as("__xmin"), col("__env.ymin").as("__ymin"),
       col("__env.xmax").as("__xmax"), col("__env.ymax").as("__ymax"))
     val index = SpatialJoin.planTiles(env, env.limit(0), cfg)
