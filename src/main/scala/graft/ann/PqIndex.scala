@@ -160,9 +160,12 @@ object PqIndex {
     * `candidates` (optional, `(queryId, itemId)` pairs) restricts scoring —
     * pass the IVF probe join to get IVF-PQ: coarse lists bound the scan,
     * PQ codes bound the memory, which is the composition a 1000-executor
-    * cluster actually runs. Without it this is an exhaustive ADC scan:
-    * linear in items, but each partition emits only aggregated (query x
-    * item) rows — never a vector shuffle. */
+    * cluster actually runs. WITHOUT candidates the (sub, code) join fans
+    * every code row out to every query — |queries| x |items| x m
+    * intermediate rows (a disk-filling 1.3e12 at the sf10 lane's 40k
+    * queries x 2M items): fine for oracle-sized relations, wrong for an
+    * exhaustive scan at scale. Production full-index scans use
+    * [[topKExhaustive]] over the compact layout instead. */
   def topKFromCodes(codes: DataFrame, itemId: String,
                     luts: DataFrame, queryId: String, k: Int,
                     candidates: Option[DataFrame] = None): DataFrame = {
@@ -181,6 +184,162 @@ object PqIndex {
       .where(col(queryId) =!= col(itemId))
       .groupBy(col(queryId), col(itemId))
       .agg(sum(col("dq")).as("adc_dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryId))
+          .orderBy(col("adc_dist").asc, col(itemId).asc)))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(itemId), col("adc_dist"), col("rank"))
+  }
+
+  /** Flat compact code table: ONE row per item `(itemId, codes:
+    * Array[Byte])` — the same codes [[encode]] explodes, packed. The
+    * layout for [[topKExhaustive]]'s full-index scan (16 B per item at
+    * m=16 instead of m rows). Requires `codes <= 256` (1 B each). */
+  def encodeCompact(items: DataFrame, itemId: String, itemVec: String,
+                    model: Model): DataFrame = {
+    require(model.codebooks.head.length <= 256,
+      "compact codes are 1 B each: train with codes <= 256")
+    val bc = items.sparkSession.sparkContext.broadcast(model)
+    val codesOf = udf { (v: Seq[Float]) =>
+      val mdl = bc.value
+      val x = normalize(v.toArray.map(_.toDouble))
+      val out = new Array[Byte](mdl.m)
+      var j = 0
+      while (j < mdl.m) {
+        out(j) = nearestCode(mdl.codebooks(j), x, j * mdl.subDim).toByte
+        j += 1
+      }
+      out
+    }
+    items.where(col(itemVec).isNotNull)
+      .select(col(itemId), codesOf(col(itemVec)).as("codes"))
+  }
+
+  /** Exhaustive ADC top-k over the FULL index — the scan shape that
+    * survives scale, replacing the exploded `(sub, code)` join of
+    * [[topKFromCodes]]-without-candidates (whose join fans every code row
+    * out to every query: |queries| x |items| x m intermediate rows —
+    * measured as a disk-filling 1.3e12-row shuffle at the sf10 lane's
+    * 40k queries x 2M items). Here nothing data-sized ever shuffles:
+    * queries broadcast under [[Similarity.topKBrute]]'s bounded-collect
+    * contract, each partition buffers its own compact code rows (16 B per
+    * item), builds the per-query LUTs block-by-block (`queryBlock` bounds
+    * LUT memory to ~8 MB), and keeps a bounded (query x k) heap; at most
+    * |queries| x k rows per partition reach the final exact rank.
+    *
+    * Integer sums and tie order are IDENTICAL to [[topKFromCodes]] (same
+    * normalize, same per-(sub, code) `round(d * QuantScale)` partials,
+    * order-independent long sum, rank by (adc asc, item asc)), so results
+    * oracle against the exploded tables' SQL — pinned by PqIndexSpec. */
+  def topKExhaustive(codes: DataFrame, itemId: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     k: Int, model: Model,
+                     maxQueries: Int = 100000, queryBlock: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import Similarity.{cmpAny, sameId}
+    val spark = codes.sparkSession
+    val qRows = queries.select(col(queryId), col(queryVec))
+      .limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
+      s"topKExhaustive broadcasts the query side; it has more than " +
+        s"$maxQueries rows — use the IVF-restricted ADC paths for large " +
+        "query sets (or raise maxQueries explicitly)")
+    val qCollected = qRows.flatMap { r =>
+      val v = r.getSeq[Float](1)
+      if (v == null || r.isNullAt(0)) None
+      else Some((r.get(0), normalize(v.toArray.map(_.toDouble))))
+    }
+    val bcQ = spark.sparkContext.broadcast(qCollected)
+    val bcM = spark.sparkContext.broadcast(model)
+    val candSchema = StructType(Seq(
+      queries.schema(queryId).copy(name = queryId),
+      codes.schema(itemId).copy(name = itemId),
+      StructField("adc_dist", LongType, nullable = false)))
+    // worst-retained-first: PriorityQueue.head is the LARGEST (adc, item),
+    // i.e. the candidate the next better one evicts
+    val ord = new Ordering[(Long, Any)] {
+      override def compare(x: (Long, Any), y: (Long, Any)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c else cmpAny(y._2, x._2)
+      }
+    }
+    implicit val enc = org.apache.spark.sql.Encoders.row(candSchema)
+    val codesIdx = codes.schema.fieldIndex("codes")
+    val idIdx = codes.schema.fieldIndex(itemId)
+    codes.mapPartitions { rows =>
+      val qs = bcQ.value
+      val mdl = bcM.value
+      val m = mdl.m
+      val codesN = mdl.codebooks.head.length
+      // buffer this partition's packed rows — bounded by partition size
+      // (16 B codes + id per item), the premise of the compact layout
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Any]
+      val cs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      rows.foreach { r =>
+        val id = r.get(idIdx)
+        val c = r.getAs[Array[Byte]](codesIdx)
+        if (id != null && c != null) { ids += id; cs += c }
+      }
+      val heaps = Array.fill(qs.length)(
+        new scala.collection.mutable.PriorityQueue[(Long, Any)]()(ord))
+      var qb = 0
+      while (qb < qs.length) {
+        val qe = math.min(qb + queryBlock, qs.length)
+        // per-query LUTs for this block: lut(j * codesN + c) =
+        // round(|cent - q_sub|^2 * QuantScale) — the exact integer
+        // partials lookupTables emits (same i-ascending summation)
+        val luts = new Array[Array[Long]](qe - qb)
+        var qi = qb
+        while (qi < qe) {
+          val x = qs(qi)._2
+          val lut = new Array[Long](m * codesN)
+          var j = 0
+          while (j < m) {
+            val cb = mdl.codebooks(j)
+            var c = 0
+            while (c < codesN) {
+              val cent = cb(c)
+              var d = 0.0; var i = 0
+              while (i < cent.length) {
+                val diff = cent(i) - x(j * mdl.subDim + i); d += diff * diff; i += 1
+              }
+              lut(j * codesN + c) = math.round(d * QuantScale)
+              c += 1
+            }
+            j += 1
+          }
+          luts(qi - qb) = lut
+          qi += 1
+        }
+        var ii = 0
+        while (ii < ids.length) {
+          val iid = ids(ii)
+          val code = cs(ii)
+          qi = qb
+          while (qi < qe) {
+            if (!sameId(qs(qi)._1, iid)) {
+              val lut = luts(qi - qb)
+              var s = 0L; var j = 0
+              while (j < m) { s += lut(j * codesN + (code(j) & 0xff)); j += 1 }
+              val cand = (s, iid)
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue(cand)
+              else if (ord.compare(cand, h.head) < 0) {
+                h.dequeue(); h.enqueue(cand)
+              }
+            }
+            qi += 1
+          }
+          ii += 1
+        }
+        qb = qe
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+        val qid = qs(i)._1
+        h.iterator.map { case (s, iid) => Row(qid, iid, s) }
+      }
+    }.toDF()
       .withColumn("rank", row_number().over(
         Window.partitionBy(col(queryId))
           .orderBy(col("adc_dist").asc, col(itemId).asc)))

@@ -18,6 +18,32 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Similarity {
 
+  /** Null-last Comparable ordering over dynamically-typed id values —
+    * shared by the bounded-heap scan paths here and in [[PqIndex]]. */
+  private[ann] def cmpAny(a: Any, b: Any): Int =
+    if (a == null && b == null) 0
+    else if (a == null) 1
+    else if (b == null) -1
+    else a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+  /** Numeric-widening id equality, matching a Column `=!=` filter's cast
+    * semantics (Long query id vs Int item id must still exclude the self
+    * pair, and must NOT throw like a raw Comparable.compareTo would). */
+  private[ann] def sameId(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: java.lang.Double, y: Number) => x.doubleValue == y.doubleValue
+    case (x: java.lang.Float, y: Number)  => x.doubleValue == y.doubleValue
+    case (x: Number, y: java.lang.Double) => x.doubleValue == y.doubleValue
+    case (x: Number, y: java.lang.Float)  => x.doubleValue == y.doubleValue
+    case (x: Number, y: Number)           => x.longValue == y.longValue
+    // string id vs numeric id: Spark's =!= casts the string side — "7"
+    // equals 7L; an unparsable string equals no number
+    case (x: String, y: Number) =>
+      try x.trim.toDouble == y.doubleValue catch { case _: NumberFormatException => false }
+    case (x: Number, y: String) =>
+      try y.trim.toDouble == x.doubleValue catch { case _: NumberFormatException => false }
+    case (x, y)                           => x == y
+  }
+
   /** Exact top-k cosine neighbors for every query row. `queries` is
     * broadcast (must be small); self-matches excluded when ids collide.
     * Deterministic: ties broken by ascending item id.
@@ -53,28 +79,7 @@ object Similarity {
       itemsPrj.schema.head.copy(name = itemId),
       StructField("similarity", DoubleType, nullable = false)))
 
-    def cmpAny(a: Any, b: Any): Int =
-      if (a == null && b == null) 0
-      else if (a == null) 1
-      else if (b == null) -1
-      else a.asInstanceOf[Comparable[Any]].compareTo(b)
-    // numeric-widening id equality, matching the old `=!=` filter's cast
-    // semantics (Long query id vs Int item id must still exclude the self
-    // pair, and must NOT throw like a raw Comparable.compareTo would)
-    def sameId(a: Any, b: Any): Boolean = (a, b) match {
-      case (x: java.lang.Double, y: Number) => x.doubleValue == y.doubleValue
-      case (x: java.lang.Float, y: Number)  => x.doubleValue == y.doubleValue
-      case (x: Number, y: java.lang.Double) => x.doubleValue == y.doubleValue
-      case (x: Number, y: java.lang.Float)  => x.doubleValue == y.doubleValue
-      case (x: Number, y: Number)           => x.longValue == y.longValue
-      // string id vs numeric id: Spark's =!= casts the string side — "7"
-      // equals 7L; an unparsable string equals no number
-      case (x: String, y: Number) =>
-        try x.trim.toDouble == y.doubleValue catch { case _: NumberFormatException => false }
-      case (x: Number, y: String) =>
-        try y.trim.toDouble == x.doubleValue catch { case _: NumberFormatException => false }
-      case (x, y)                           => x == y
-    }
+    import Similarity.{cmpAny, sameId}
     // best-first: similarity desc, item id asc; PriorityQueue.head under
     // this ordering is the WORST retained candidate (same bounded-selection
     // pattern as SpatialJoin.knnBroadcast)

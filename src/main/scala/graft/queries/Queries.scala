@@ -20,6 +20,15 @@ object Queries {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Classifier-training id cap for the curation gates: keeps the labeled
+    * sample BOUNDED at every scale factor. ScaleData stacks copies at
+    * `base_id + copy * 1e7` (base ids stay below 1e7 — ScaleData validates
+    * this), so `< 4e7` selects copies 0-3 at any copy count while keeping
+    * every row of the un-stacked driver SFs (sf0.001-0.1). Stacked copies
+    * repeat the same texts, so the capped training set sees every distinct
+    * document the uncapped one would — only the duplication factor drops. */
+  private val TrainIdCap = 40000000L
+
   /** Checkpoint an engine-internal relation (hash-family signatures, LSH
     * buckets, IVF assignments) as parquet and read it back, so (a) the
     * downstream the gate ships is provably computed over exactly these bits
@@ -2277,8 +2286,13 @@ object Queries {
           .otherwise(col("text")))
       .select(col("doc_id"), col("text"))
     // model quality is q_quality_clf's contract; here a cheap slice
-    // pairing suffices — the gate's contract is stream == batch bits
-    val slice = docs.where(col("doc_id") % 5 === 0)
+    // pairing suffices — the gate's contract is stream == batch bits.
+    // TrainIdCap bounds the labeled set regardless of corpus scale: the
+    // stacked-copy SF lanes multiply rows, not information, so an
+    // uncapped %5 slice grows with SF until it trips train's maxSample
+    // guard (it did, at sf10's 500k docs)
+    val slice = docs.where(col("doc_id") % 5 === 0 &&
+      col("doc_id") < TrainIdCap)
     val model = QualityClassifier.train(
       slice.select(col("text"), lit(1).as("label"))
         .unionByName(slice.select(concat(col("text"), spam).as("text"),
@@ -2443,8 +2457,11 @@ object Queries {
     val licensed = routed.where(col("media_type") === "markup")
       .withColumn("license", LicenseDetect.detectLicense(col("page")))
       .withColumn("permissive", LicenseDetect.isPermissive(col("license")))
-    // classifier: trained on the permissive pages' clean/spam pairing
-    val slice = licensed.where(col("permissive"))
+    // classifier: trained on the permissive pages' clean/spam pairing,
+    // id-capped like q_stream_curate's slice (bounded labeled set at any
+    // corpus scale — uncapped it trips train's maxSample guard at sf10)
+    val slice = licensed.where(col("permissive") &&
+      col("doc_id") < TrainIdCap)
     val model = QualityClassifier.train(
       slice.select(col("page").as("text"), lit(1).as("label"))
         .unionByName(slice.select(concat(col("page"), spam).as("text"),
@@ -4693,13 +4710,20 @@ object Queries {
     val queries = emb.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val model = graft.ann.PqIndex.train(items, "ivec", m = 16, codes = 64)
-    val codes = writeOracleAux(
+    writeOracleAux(
       graft.ann.PqIndex.encode(items, "nid", "ivec", model),
       dir, "ann_pq_codes")
-    val luts = writeOracleAux(
+    writeOracleAux(
       graft.ann.PqIndex.lookupTables(queries, "qid", "qvec", model),
       dir, "ann_pq_luts")
-    graft.ann.PqIndex.topKFromCodes(codes, "nid", luts, "qid", k = 5)
+    // the ANSWER comes from the compact exhaustive scan (broadcast
+    // queries + per-partition bounded heap — topKFromCodes' exploded
+    // (sub, code) join spills |queries| x |items| x m rows at the sf10
+    // lane); integer sums and tie order are identical by PqIndexSpec,
+    // so the exploded checkpoints above stay the oracle's tables
+    graft.ann.PqIndex.topKExhaustive(
+        graft.ann.PqIndex.encodeCompact(items, "nid", "ivec", model),
+        "nid", queries, "qid", "qvec", k = 5, model)
       .select(col("qid"), col("nid"), col("rank").as("rk"))
   }
 

@@ -358,6 +358,30 @@ class TextPipelineSpec extends SparkTestBase {
       "compact layout must reproduce the exploded ADC exactly (same integer sums)")
   }
 
+  test("exhaustive compact ADC == exploded full-index ADC, row for row") {
+    val items = emb.select(col("vec_id").as("nid"), col("embedding").as("ivec"))
+    val queries = emb.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val model = PqIndex.train(items, "ivec", m = 8, codes = 16)
+    // the exploded (sub, code)-join scan — oracle-shaped, explodes at scale
+    val exploded = PqIndex.topKFromCodes(
+        PqIndex.encode(items, "nid", "ivec", model), "nid",
+        PqIndex.lookupTables(queries, "qid", "qvec", model), "qid", k = 5)
+      .select("qid", "nid", "adc_dist", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    // the production scan (broadcast queries + bounded per-partition heap)
+    // must reproduce it bit-for-bit: same integer partials, same tie order.
+    // queryBlock = 3 forces multiple LUT blocks per partition so the
+    // blocking itself is exercised, not just the degenerate one-block case
+    val compact = PqIndex.topKExhaustive(
+        PqIndex.encodeCompact(items, "nid", "ivec", model), "nid",
+        queries, "qid", "qvec", k = 5, model, queryBlock = 3)
+      .select("qid", "nid", "adc_dist", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(compact == exploded,
+      "exhaustive compact scan must reproduce the exploded full-index ADC exactly")
+  }
+
   test("cosine_similarity: exact on unit axes, null on mismatched dims") {
     import graft.functions.cosine_similarity
     val df = Seq(

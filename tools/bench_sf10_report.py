@@ -22,6 +22,15 @@ import sys, json
 
 RATIO_FLAG = 12.0
 
+# The documented big-output single-run lane (SPARK_GRAFT_BENCH_RUNS=1):
+# these gates' entries carry "runs": 1 so a single-run wall is never
+# read as a min-of-3 protocol number. Everything else is min-of-3.
+SF10_SINGLE = {
+    "q_spjoin_dwithin", "q_spjoin_contains", "q_spjoin_spt",
+    "q_disjoint_global", "q_spjoin_intersects",      # tier-B r15b
+    "q_spjoin_3d", "q_range_join", "q_interval_join",  # tier-B2 probe2
+}
+
 
 def read_tsv(paths):
     out = {}
@@ -51,6 +60,8 @@ def main(sf10_tsv, sf1_tsv, out_path="BENCH_SF10.json"):
         if v10 is None:
             failed.append(k)
         entry = {"sf10_sec": v10, "sf1_sec": v1}
+        if k in SF10_SINGLE:
+            entry["runs"] = 1
         if v10 is not None and v1:
             entry["ratio"] = round(v10 / v1, 2)
             if entry["ratio"] > RATIO_FLAG:

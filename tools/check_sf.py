@@ -274,6 +274,14 @@ def main(out_dir, sf_dir, out_json=None, only=None):
     # per-gate connections in one process were NOT enough — the leak is
     # process-level, so the process is the isolation unit
     import concurrent.futures as cf
+    # optional per-gate wall budget (seconds): an oracle whose cost was
+    # mis-predicted at a new SF must fail THAT gate, not hang the whole
+    # sidecar run. On timeout the worker process is killed (it holds the
+    # only DuckDB state) and the pool rebuilt; the gate records a
+    # distinguishable reason so a budget miss is never read as a
+    # wrong-answer failure.
+    gate_timeout = os.environ.get("CHECK_SF_GATE_TIMEOUT")
+    gate_timeout = float(gate_timeout) if gate_timeout else None
     ex = cf.ProcessPoolExecutor(max_workers=1, max_tasks_per_child=1)
     for name, sql in sorted(oracle.items()):
         spark_glob = f"{out_dir}/{name}/*.parquet"
@@ -285,7 +293,15 @@ def main(out_dir, sf_dir, out_json=None, only=None):
         t0 = time.time()
         try:
             r = ex.submit(gate_fingerprints, name, sql, view_sql,
-                          spark_glob, sf_dir).result()
+                          spark_glob, sf_dir).result(timeout=gate_timeout)
+        except cf.TimeoutError:
+            r = {"err": f"oracle exceeded CHECK_SF_GATE_TIMEOUT="
+                        f"{gate_timeout:g}s (budget miss, not a value "
+                        f"mismatch)"}
+            for p in ex._processes.values():
+                p.kill()
+            ex.shutdown(wait=False)
+            ex = cf.ProcessPoolExecutor(max_workers=1, max_tasks_per_child=1)
         except cf.process.BrokenProcessPool:
             # gate's worker died (e.g. OOM-killed): record, new pool
             r = {"err": "oracle worker process died (OOM-killed?)"}
