@@ -3916,9 +3916,12 @@ object Queries {
   val qNegSampleSql: String = {
     // the oracle re-derives n with a scalar subquery (the count is part
     // of the replay, not a baked-in constant)
-    val negExpr = "CASE WHEN ((anchor * 4 + neg_idx + 3) * 2654435761) % (n - 1) >= pos " +
-      "THEN ((anchor * 4 + neg_idx + 3) * 2654435761) % (n - 1) + 1 " +
-      "ELSE ((anchor * 4 + neg_idx + 3) * 2654435761) % (n - 1) END"
+    // seed pre-reduced mod SeedCap like NegativeSample.draw (overflow
+    // guard — identical values for seeds below the cap)
+    val cap = graft.text.CorpusSplit.SeedCap
+    val negExpr = s"CASE WHEN (((anchor * 4 + neg_idx + 3) % $cap) * 2654435761) % (n - 1) >= pos " +
+      s"THEN (((anchor * 4 + neg_idx + 3) % $cap) * 2654435761) % (n - 1) + 1 " +
+      s"ELSE (((anchor * 4 + neg_idx + 3) % $cap) * 2654435761) % (n - 1) END"
     s"""WITH c AS (SELECT count(*) AS n FROM embeddings),
        |p AS (SELECT vec_id AS anchor, (vec_id + 1) % (SELECT n FROM c) AS pos
        |  FROM embeddings WHERE vec_id % 10 = 0),

@@ -26,16 +26,26 @@ object CorpusSplit {
   val KnuthA = 2654435761L
   val Mod = 4294967296L
 
+  /** Largest prime with `(SeedCap - 1) * KnuthA < 2^63`: seeds pre-reduce
+    * mod this before the Knuth multiply so the product can NEVER overflow
+    * a signed 64-bit long — the sf10 lane's stacked ids (~1e9, and any
+    * real corpus keyed above ~3.4e9) hit ANSI ARITHMETIC_OVERFLOW on the
+    * raw multiply in [[NegativeSample.draw]]'s `anchor * k` seed. Seeds
+    * below SeedCap reduce to themselves, so every hash computed before
+    * this guard existed is unchanged. */
+  val SeedCap = 3037000493L
+
   /** 32-bit multiplicative key hash in [0, 2^32) — cross-engine exact.
     * `salt` shifts the hash (epoch re-shuffle / independent draws); the
     * multiply happens AFTER the salt add so a salt change avalanches.
+    * The seed pre-reduces mod [[SeedCap]] (overflow guard, above).
     *
     * Precondition (same as ShardBuild's slot key): `id + salt >= 0`.
     * Spark's pmod and plain SQL `%` agree only on non-negative operands —
     * a negative id would silently land in a different split than the SQL
     * twin assigns. */
   def keyHash(id: Column, salt: Long = 0L): Column =
-    pmod((id + lit(salt)) * lit(KnuthA), lit(Mod))
+    pmod(pmod(id + lit(salt), lit(SeedCap)) * lit(KnuthA), lit(Mod))
 
   /** Assign each row to the first split whose cumulative weight bucket
     * contains `keyHash(id)`. Weights are relative (need not sum to 1);
@@ -70,7 +80,7 @@ object CorpusSplit {
     val cum = splits.scanLeft(0.0)(_ + _._2).tail
       .map(c => math.floor(c / total * Mod).toLong)
     val bounds = cum.dropRight(1) :+ Mod
-    val h = s"(($idCol + $salt) * $KnuthA) % $Mod"
+    val h = s"((($idCol + $salt) % $SeedCap) * $KnuthA) % $Mod"
     val cases = splits.zip(bounds).map { case ((name, _), hi) =>
       s"WHEN $h < $hi THEN '${name.replace("'", "''")}'"
     }.mkString(" ")

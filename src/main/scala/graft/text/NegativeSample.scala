@@ -30,8 +30,13 @@ object NegativeSample {
     require(k > 0, s"negativeSample: k must be positive")
     val base = pairs.select(col(anchorCol), col(posCol),
       explode(sequence(lit(0), lit(k - 1))).as("neg_idx"))
+    // seed pre-reduces mod SeedCap before the Knuth multiply — without it
+    // `anchor * k` crosses 2^63 / KnuthA at anchor ~ 3.4e9/k and the
+    // multiply throws ANSI ARITHMETIC_OVERFLOW (hit by the sf10 lane's
+    // stacked ids); seeds below SeedCap hash exactly as before
     val h = pmod(
-      (col(anchorCol) * k + col("neg_idx") + lit(salt)) * lit(CorpusSplit.KnuthA),
+      pmod(col(anchorCol) * k + col("neg_idx") + lit(salt),
+        lit(CorpusSplit.SeedCap)) * lit(CorpusSplit.KnuthA),
       lit(n - 1))
     base.withColumn("neg_id",
       when(h >= col(posCol), h + 1).otherwise(h))
@@ -41,7 +46,8 @@ object NegativeSample {
     * Scala so the arithmetic can't drift. */
   def drawSql(anchorCol: String, posCol: String, n: Long, k: Int,
               salt: Long = 0L): String = {
-    val h = s"(($anchorCol * $k + neg_idx + $salt) * ${CorpusSplit.KnuthA}) % ${n - 1}"
+    val h = s"((($anchorCol * $k + neg_idx + $salt) % ${CorpusSplit.SeedCap})" +
+      s" * ${CorpusSplit.KnuthA}) % ${n - 1}"
     s"CASE WHEN $h >= $posCol THEN $h + 1 ELSE $h END"
   }
 }
