@@ -181,8 +181,26 @@ object TableFunctions {
       .queryExecution.logical
   }
 
+  /** decontaminate(trainTable, idCol, textCol, benchTable, benchTextCol,
+    * shingleN) → (idCol, n_hits, contaminated): exact benchmark-overlap
+    * flags per training doc ([[graft.text.Decontaminate.flag]] — the
+    * broadcast semi-join form; the benchmark side must be broadcast-sized,
+    * use the Bloom operator beyond that). */
+  def decontaminate(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 6,
+      "decontaminate(trainTable, idCol, textCol, benchTable, benchTextCol, shingleN)")
+    val spark = active
+    graft.text.Decontaminate.flag(
+      spark.table(str(args(0), "trainTable")),
+      str(args(1), "idCol"), str(args(2), "textCol"),
+      spark.table(str(args(3), "benchTable")), str(args(4), "benchTextCol"),
+      int(args(5), "shingleN"))
+      .queryExecution.logical
+  }
+
   val all: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "minhash_lsh_pairs" -> (minhashLshPairs _),
+    "decontaminate" -> (decontaminate _),
     "ann_topk" -> (annTopk _),
     "dedup_by_components" -> (dedupByComponents _),
     "quality_filter" -> (qualityFilter _),

@@ -3366,6 +3366,33 @@ object Queries {
        |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
        |WHERE d.doc_id % 50 != 0""".stripMargin
 
+  /** q_decontaminate through the SQL TABLE-function surface
+    * ([[graft.functions.TableFunctions.decontaminate]] → [[graft.text
+    * .Decontaminate.flag]]): same split, same broadcast semi-join shape,
+    * invoked from one `spark.sql` TVF call. The gate writes an
+    * INDEPENDENT shingle checkpoint for the oracle (the same xxhash64
+    * bits the TVF computes internally), so like q_minhash_lsh_sql it pays
+    * the shingle stage twice by design — see BASELINE.md round-15 notes
+    * before reading its wall against the API twin's. */
+  def qDecontaminateSqlGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions
+    graft.functions.TableFunctions.registerAll(spark)
+    val docs = table(spark, dir, "documents")
+    writeOracleAux(docs.select(col("doc_id"),
+        explode(TextFunctions.wordShingles(col("text"), 3)).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s")),
+      dir, "contam_shingles_sql")
+    docs.where(col("doc_id") % 50 =!= 0)
+      .createOrReplaceTempView("gate_decon_train")
+    docs.where(col("doc_id") % 50 === 0)
+      .createOrReplaceTempView("gate_decon_bench")
+    spark.sql("SELECT * FROM decontaminate('gate_decon_train', 'doc_id'," +
+      " 'text', 'gate_decon_bench', 'text', 3)")
+  }
+
+  val qDecontaminateSqlGateSql: String =
+    qDecontaminateSql.replace("contam_shingles", "contam_shingles_sql")
+
   /** Train-vs-eval overlap AUDIT ([[graft.text.CorpusOverlap]] — the
     * report beside q_decontaminate's filter): per-training-doc distinct
     * 3-gram coverage by the eval corpus plus the most-overlapping eval doc

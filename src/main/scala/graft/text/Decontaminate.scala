@@ -19,6 +19,38 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
+  /** Exact benchmark-contamination flags over RAW TEXT relations — the
+    * packaged broadcast semi-join form (the q_decontaminate shape, for
+    * eval-set-sized benchmark suites; [[flagBloom]] is the next scale
+    * regime). Both sides shingle to hashed word n-gram keys (xxhash64 —
+    * hash-equality is shingle-equality at ~1e-12 collision odds, and the
+    * key relation ships 8-byte rows, never n-word strings); the DISTINCT
+    * benchmark keys broadcast, so the training corpus never shuffles —
+    * only hit rows reach the aggregate. Returns one row per training doc:
+    * `(idCol, n_hits, contaminated)` with n_hits = distinct benchmark
+    * shingles present (0 for clean docs, exact).
+    *
+    * Pure lazy transformations — safe to hand to the SQL TVF surface
+    * (job-free at analysis, TableFunctionsSpec contract). */
+  def flag(train: DataFrame, idCol: String, textCol: String,
+           bench: DataFrame, benchTextCol: String, n: Int = 3): DataFrame = {
+    require(n > 0, s"decontaminate: shingle n must be positive, got $n")
+    val sh = train.select(col(idCol),
+        explode(TextFunctions.wordShingles(col(textCol), n)).as("__s0"))
+      .select(col(idCol), xxhash64(col("__s0")).as("__s"))
+    val bsh = bench.select(
+        explode(TextFunctions.wordShingles(col(benchTextCol), n)).as("__s0"))
+      .select(xxhash64(col("__s0")).as("__s")).distinct()
+    val hits = sh.join(broadcast(bsh), Seq("__s"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__s")).as("n_hits"))
+    train.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).cast("int").as("contaminated"))
+  }
+
   /** Exact per-document benchmark-hit counts via Bloom prefilter.
     *
     * `trainSh`: (idCol, sCol) training shingle hashes (long);

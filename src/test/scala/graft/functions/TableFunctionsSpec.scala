@@ -153,6 +153,34 @@ class TableFunctionsSpec extends SparkTestBase {
     assert(as.columns.toSeq == Seq("doc_id", "text", "split"))
   }
 
+  test("decontaminate TVF == Decontaminate.flag, bench side broadcasts") {
+    TableFunctions.registerAll(spark)
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),   // hits: contains bench trigram
+      (11L, "one two three four five six seven"),     // clean
+      (12L, "alpha beta gamma nine ten eleven"))      // 1 shared trigram
+      .toDF("doc_id", "text")
+    val bench = Seq((0L, "alpha beta gamma delta epsilon"))
+      .toDF("bid", "btext")
+    train.createOrReplaceTempView("tvf_decon_train")
+    bench.createOrReplaceTempView("tvf_decon_bench")
+    val sql = spark.sql("SELECT * FROM decontaminate('tvf_decon_train', " +
+      "'doc_id', 'text', 'tvf_decon_bench', 'btext', 3)")
+    val api = graft.text.Decontaminate.flag(
+      train, "doc_id", "text", bench, "btext", n = 3)
+    assert(sql.columns.toSeq == Seq("doc_id", "n_hits", "contaminated"))
+    val rows = sql.as[(Long, Long, Int)].collect().toSet
+    assert(rows == api.as[(Long, Long, Int)].collect().toSet)
+    // doc 10 shares 3 trigrams, doc 12 exactly 1, doc 11 none — and the
+    // clean doc is PRESENT with zeros (per-doc report, not a semi join)
+    assert(rows == Set((10L, 3L, 1), (11L, 0L, 0), (12L, 1L, 1)))
+    // the benchmark side broadcasts; the training corpus never shuffles
+    // into the hit join
+    val plan = sql.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench-side hit join must broadcast:\n$plan")
+  }
+
   test("TVFs are registered by GraftExtensions at session build") {
     // simulate the injection against a fresh session (the
     // GraftExtensionsSpec convention for scalar functions)
