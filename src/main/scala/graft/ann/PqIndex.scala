@@ -257,11 +257,13 @@ object PqIndex {
       codes.schema(itemId).copy(name = itemId),
       StructField("adc_dist", LongType, nullable = false)))
     // worst-retained-first: PriorityQueue.head is the LARGEST (adc, item),
-    // i.e. the candidate the next better one evicts
+    // i.e. the candidate the next better one evicts. Both components are
+    // natural order: the global rank is (adc asc, item asc), so among
+    // adc-equal candidates the LARGEST item is the worst retained.
     val ord = new Ordering[(Long, Any)] {
       override def compare(x: (Long, Any), y: (Long, Any)): Int = {
         val c = java.lang.Long.compare(x._1, y._1)
-        if (c != 0) c else cmpAny(y._2, x._2)
+        if (c != 0) c else cmpAny(x._2, y._2)
       }
     }
     implicit val enc = org.apache.spark.sql.Encoders.row(candSchema)

@@ -324,7 +324,8 @@ object SpatialJoin3d {
                       delegate: Map[Int, Long] => Option[DataFrame] = _ => None,
                       broadcastRightMax: Long = BroadcastRightMax,
                       cellBoxes: Option[(Array[Array[Double]], Array[Double])] = None,
-                      probeCollectMax: Long = 1000000L): DataFrame = {
+                      probeCollectMax: Long = 1000000L,
+                      dupCollapseMin: Long = BroadcastRightMax): DataFrame = {
     val spark = left.sparkSession
 
     // MBB gap distance (0 when intersecting) — column arithmetic
@@ -362,6 +363,34 @@ object SpatialJoin3d {
     val rightRows = cellCounts.valuesIterator.sum
     def rside(df: DataFrame): DataFrame =
       if (rightRows <= broadcastRightMax) broadcast(df) else df.hint("shuffle_hash")
+    // ---------------- multiplicity collapse (stacked-duplicate guard).
+    // Byte-identical right GEOMETRIES (identical envelopes — the MBB gap
+    // distance cannot tell them apart) make the exact-rank pair relation
+    // grow ∝ (copies per position)²: at the sf10 stacked lattice (~250
+    // identical cubes per position) the bound join disk-filled. The fix:
+    // mine the bound join over DISTINCT envelopes carrying a multiplicity
+    // column, cut to the groups that can still reach rank ≤ k (weighted
+    // rank arithmetic below), then re-expand ONLY those groups to right
+    // rows and apply the exact (__d asc, rightId asc) window — output is
+    // bit-identical to the uncollapsed plan, the pair relation shrinks by
+    // the duplication factor, and a 250×-stacked right side often drops
+    // back under broadcast scale. The decision costs one agg+count over
+    // right envelopes, paid only past `dupCollapseMin` rows (default:
+    // broadcast scale, where the bound join shuffles anyway and one more
+    // bounded agg is marginal); collapse engages at duplication ≥ 2×.
+    // .distinct: a point-typed side may name min == max (one column)
+    val env6 = Seq(rc.xmin, rc.ymin, rc.zmin, rc.xmax, rc.ymax, rc.zmax).distinct
+    val rDistinct = rBase.groupBy(env6.map(col): _*)
+      .agg(count(lit(1)).as("__mult"))
+    val distinctRights =
+      if (rightRows > dupCollapseMin) rDistinct.count() else rightRows
+    val collapse = distinctRights > 0 && rightRows >= 2L * distinctRights
+    val rtB = if (!collapse) rt else rDistinct.withColumn("__cell3",
+      explode(cellsOf(col(rc.xmin), col(rc.ymin), col(rc.zmin),
+        col(rc.xmax), col(rc.ymax), col(rc.zmax))))
+    val boundRows = if (collapse) distinctRights else rightRows
+    def rsideB(df: DataFrame): DataFrame =
+      if (boundRows <= broadcastRightMax) broadcast(df) else df.hint("shuffle_hash")
     import spark.implicits._
     // one broadcast plan row per cell: its fallback radius and whether a
     // probe set exists (false only when rights < k or the set out-grew
@@ -511,9 +540,9 @@ object SpatialJoin3d {
     // cells; the broadcast branch skips the extra job — empty-cell lookups
     // there are free hash misses, and lefts never repartition)
     val lt2p =
-      if (rightRows <= broadcastRightMax) lt2
+      if (boundRows <= broadcastRightMax) lt2
       else {
-        val occ = rt.select(col("__cell3")).distinct()
+        val occ = rtB.select(col("__cell3")).distinct()
           .collect().map(_.getInt(0)).toSet
         val occBc = spark.sparkContext.broadcast(occ)
         val occUdf = udf { (c: Int) => occBc.value.contains(c) }
@@ -542,7 +571,7 @@ object SpatialJoin3d {
     // 7-column box relation broadcast-joins AFTER the distance filter —
     // same stage as the shuffle-hash rt join, so the box columns never
     // ride an exchange — keeping the pair-level predicate codegen'd.
-    val paired = lt2p.join(rside(rt), Seq("__cell3"))
+    val paired = lt2p.join(rsideB(rtB), Seq("__cell3"))
       .withColumn("__d", dist)
       .where(col("__d") <= col("__rad"))
     val dedupCandidates = cellBoxes match {
@@ -560,7 +589,29 @@ object SpatialJoin3d {
       case None =>
         paired.where(col("__cell3") === ownerOf(refX, refY, refZ))
     }
-    dedupCandidates
+    // collapsed mode: weighted rank cut, then re-expand. A distinct-
+    // envelope group can put a member into the top-k iff the total
+    // multiplicity of STRICTLY closer groups is < k; groups tied at __d
+    // interleave by rightId, so every tied group at the boundary stays.
+    // The surviving (left, envelope) pairs — Σ multiplicity ≥ k but
+    // bounded by k + the boundary tie set per left — join back to the
+    // full right relation on envelope equality, and the ORIGINAL window
+    // (__d asc, rightId asc) ranks the re-expanded rows: bit-identical
+    // output, with the pair-scale work all done on distinct envelopes.
+    val rankInput =
+      if (!collapse) dedupCandidates
+      else {
+        val wCum = Window.partitionBy(col(leftId)).orderBy(col("__d").asc)
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        val wTie = Window.partitionBy(col(leftId), col("__d"))
+        dedupCandidates
+          .withColumn("__before",
+            sum(col("__mult")).over(wCum) - sum(col("__mult")).over(wTie))
+          .where(col("__before") < k)
+          .select(leftCols ++ env6.map(col) :+ col("__d"): _*)
+          .join(rside(rBase), env6)
+      }
+    rankInput
       .withColumn("__rk", row_number().over(wRank))
       .where(col("__rk") <= k)
       .select(outCols :+ col("__d").as("knn_dist") :+ col("__rk").as("knn_rank"): _*)
@@ -608,7 +659,8 @@ object SpatialJoin3d {
                  cellsPerAxis: Int = 8,
                  broadcastRightMax: Long = BroadcastRightMax,
                  bruteRightMax: Int = 1024,
-                 probeCollectMax: Long = 1000000L): DataFrame = {
+                 probeCollectMax: Long = 1000000L,
+                 dupCollapseMin: Long = BroadcastRightMax): DataFrame = {
     // 64³ = 262k cells bounds the driver-side count table and the
     // broadcast plan relation (~4 MB) — the same bounded-collect
     // discipline as the partitioners' driver samples
@@ -701,10 +753,12 @@ object SpatialJoin3d {
         if (concentrated || large)
           Some(knnJoinMbbOc(left, lc, leftId, right, rc, rightId, k,
             broadcastRightMax = broadcastRightMax,
-            probeCollectMax = probeCollectMax))
+            probeCollectMax = probeCollectMax,
+            dupCollapseMin = dupCollapseMin))
         else None
       }, broadcastRightMax = broadcastRightMax,
-      probeCollectMax = probeCollectMax)
+      probeCollectMax = probeCollectMax,
+      dupCollapseMin = dupCollapseMin)
   }
 
   /** [[knnJoinMbb]] over an OCTREE tiling instead of the uniform grid —
@@ -724,7 +778,8 @@ object SpatialJoin3d {
                    leafCap: Int = 512, sampleTarget: Int = 20000,
                    seed: Long = 42L,
                    broadcastRightMax: Long = BroadcastRightMax,
-                   probeCollectMax: Long = 1000000L): DataFrame = {
+                   probeCollectMax: Long = 1000000L,
+                   dupCollapseMin: Long = BroadcastRightMax): DataFrame = {
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"column name collision between join sides: $dup")
     val spark = left.sparkSession
@@ -791,7 +846,8 @@ object SpatialJoin3d {
       diag = diag,
       broadcastRightMax = broadcastRightMax,
       cellBoxes = Some((tree.leafBoxes, sp)),
-      probeCollectMax = probeCollectMax)
+      probeCollectMax = probeCollectMax,
+      dupCollapseMin = dupCollapseMin)
   }
 
   /** mbb_normalizer_3d: affine map of an MBB into the unit cube of `sp`

@@ -26,14 +26,19 @@ object CorpusSplit {
   val KnuthA = 2654435761L
   val Mod = 4294967296L
 
-  /** Largest prime with `(SeedCap - 1) * KnuthA < 2^63`: seeds pre-reduce
-    * mod this before the Knuth multiply so the product can NEVER overflow
-    * a signed 64-bit long — the sf10 lane's stacked ids (~1e9, and any
-    * real corpus keyed above ~3.4e9) hit ANSI ARITHMETIC_OVERFLOW on the
-    * raw multiply in [[NegativeSample.draw]]'s `anchor * k` seed. Seeds
-    * below SeedCap reduce to themselves, so every hash computed before
-    * this guard existed is unchanged. */
-  val SeedCap = 3037000493L
+  /** Largest prime with `(SeedCap - 1) * KnuthA < 2^63` (= the prime
+    * floor(2^63 / KnuthA) = 3474701543): seeds pre-reduce mod this before
+    * the Knuth multiply so the product can NEVER overflow a signed 64-bit
+    * long — the sf10 lane's stacked ids (~1e9, and any real corpus keyed
+    * above ~3.47e9) hit ANSI ARITHMETIC_OVERFLOW on the raw multiply in
+    * [[NegativeSample.draw]]'s `anchor * k` seed. Because the cap sits AT
+    * the overflow boundary, every seed the unguarded hash could compute at
+    * all (seed * KnuthA < 2^63) reduces to itself — pre-guard hashes are
+    * unchanged for the entire previously-computable range, with no band of
+    * silently reassigned splits. (An earlier guard used 3037000493, the
+    * largest prime <= isqrt(2^63), which needlessly re-hashed seeds in
+    * [3.037e9, 3.474e9).) */
+  val SeedCap = 3474701543L
 
   /** 32-bit multiplicative key hash in [0, 2^32) — cross-engine exact.
     * `salt` shifts the hash (epoch re-shuffle / independent draws); the

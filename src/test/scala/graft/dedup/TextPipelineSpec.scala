@@ -382,6 +382,26 @@ class TextPipelineSpec extends SparkTestBase {
       "exhaustive compact scan must reproduce the exploded full-index ADC exactly")
   }
 
+  test("exhaustive ADC heap keeps the rank-preferred ids when adc ties straddle k") {
+    // 20 byte-identical item vectors => a 20-way integer-ADC tie; with k = 5
+    // the global rank (adc asc, item asc) must keep ids 1..5. All rows in ONE
+    // partition so the per-partition heap (not the final window) decides which
+    // tied ids survive — this is exactly the eviction path a tie-break
+    // inversion corrupts.
+    val base = Array.tabulate(8)(j => 0.1f * (j + 1))
+    val items = (1L to 20L).map(id => (id, base.toSeq)).toDF("nid", "ivec")
+      .coalesce(1)
+    val queries = Seq((100L, Array.fill(8)(0.5f).toSeq)).toDF("qid", "qvec")
+    val model = PqIndex.train(items, "ivec", m = 4, codes = 4)
+    val got = PqIndex.topKExhaustive(
+        PqIndex.encodeCompact(items, "nid", "ivec", model), "nid",
+        queries, "qid", "qvec", k = 5, model)
+      .select("qid", "nid", "rank")
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(got.map(_._2).toSeq == Seq(1L, 2L, 3L, 4L, 5L),
+      s"adc-tied ids must survive in (adc asc, item asc) order, got ${got.toSeq}")
+  }
+
   test("cosine_similarity: exact on unit axes, null on mismatched dims") {
     import graft.functions.cosine_similarity
     val df = Seq(

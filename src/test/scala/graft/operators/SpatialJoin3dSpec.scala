@@ -124,6 +124,47 @@ class SpatialJoin3dSpec extends SparkTestBase {
     assert(gotRelOc.toSet == want, "octree relational probe kNN mismatch")
   }
 
+  test("knnJoinMbb: multiplicity collapse == uncollapsed on stacked duplicates") {
+    // stacked-lattice shape: every right geometry appears 5x with distinct
+    // ids (the sf10 pathology in miniature). k = 7 deliberately cuts
+    // THROUGH a duplicate group (7 = 5 + 2), so correctness depends on the
+    // weighted rank arithmetic keeping boundary tie groups and the
+    // re-expansion re-ranking by (dist, id) exactly.
+    val base = cubes(60, 31, 6.0)
+    val stacked = base.flatMap { c =>
+      (0 until 5).map(cp => (c._1 + cp * 1000L, c._2, c._3, c._4, c._5, c._6, c._7))
+    }
+    val probes = cubes(40, 41, 0.0).map(p => (p._1, p._2, p._3, p._4))
+    val a = probes.toDF("aid", "ax0", "ay0", "az0")
+      .withColumn("ax1", col("ax0")).withColumn("ay1", col("ay0"))
+      .withColumn("az1", col("az0"))
+    val b = stacked.toDF("bid", "bx0", "by0", "bz0", "bx1", "by1", "bz1")
+    def gap(lo1: Double, hi1: Double, lo2: Double, hi2: Double) =
+      math.max(math.max(lo1 - hi2, lo2 - hi1), 0.0)
+    val want = probes.flatMap { p =>
+      stacked.map { q =>
+        val dx = gap(p._2, p._2, q._2, q._5)
+        val dy = gap(p._3, p._3, q._3, q._6)
+        val dz = gap(p._4, p._4, q._4, q._7)
+        (p._1, q._1, math.sqrt(dx * dx + dy * dy + dz * dz))
+      }.sortBy { case (_, bid, d) => (d, bid) }.take(7)
+        .zipWithIndex.map { case ((aid, bid, _), i) => (aid, bid, i + 1) }
+    }.toSet
+    def run(dupMin: Long, bMax: Long = SpatialJoin3d.BroadcastRightMax) =
+      SpatialJoin3d.knnJoinMbb(a, lc, "aid", b, rc, "bid", k = 7,
+          cellsPerAxis = 4, bruteRightMax = 0, broadcastRightMax = bMax,
+          dupCollapseMin = dupMin)
+        .select("aid", "bid", "knn_rank").as[(Long, Long, Int)].collect().toSet
+    val uncollapsed = run(Long.MaxValue)
+    assert(uncollapsed == want, "uncollapsed baseline mismatch vs brute force")
+    assert(run(0L) == want, "collapsed (broadcast bound join) mismatch")
+    assert(run(0L, bMax = 0L) == want, "collapsed (shuffle-hash bound join) mismatch")
+    val oc = SpatialJoin3d.knnJoinMbbOc(a, lc, "aid", b, rc, "bid", k = 7,
+        leafCap = 16, sampleTarget = 200, dupCollapseMin = 0L)
+      .select("aid", "bid", "knn_rank").as[(Long, Long, Int)].collect().toSet
+    assert(oc == want, "collapsed octree mismatch")
+  }
+
   test("knnJoinMbb: k larger than the right side returns all, ranked") {
     val a = Seq((1L, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0))
       .toDF("aid", "ax0", "ay0", "az0", "ax1", "ay1", "az1")

@@ -237,6 +237,54 @@ def gate_fingerprints(name, sql, view_sql, spark_glob, sf_dir):
             "sliced": sliced, "s_full_n": s_full_n}
 
 
+def _gate_worker(q, name, sql, view_sql, spark_glob, sf_dir):
+    """Child entry point: run one gate's oracle and ship the (small)
+    fingerprint dict back on the queue. Any exception becomes an err
+    payload so the parent never has to infer failure from exit codes."""
+    try:
+        q.put(gate_fingerprints(name, sql, view_sql, spark_glob, sf_dir))
+    except BaseException as e:  # noqa: BLE001 — the whole point is to report
+        q.put({"err": f"{type(e).__name__}: {e}"})
+
+
+def run_gate_isolated(mp_ctx, gate_timeout, name, sql, view_sql,
+                      spark_glob, sf_dir):
+    """Run one gate in its own process with an optional wall budget.
+    Uses only documented multiprocessing.Process APIs: on budget miss the
+    child is killed via Process.kill(); a child that dies without putting
+    a result (OOM-kill, hard crash) is reported distinguishably."""
+    import queue as queue_mod
+    q = mp_ctx.Queue()
+    p = mp_ctx.Process(target=_gate_worker, daemon=True,
+                       args=(q, name, sql, view_sql, spark_glob, sf_dir))
+    p.start()
+    deadline = time.time() + gate_timeout if gate_timeout else None
+    try:
+        while True:
+            try:
+                # poll in 1 s slices so a silently-dead child is noticed
+                # even with no gate_timeout set (the old pool raised
+                # BrokenProcessPool for this; a bare Queue never would)
+                return q.get(timeout=1.0)
+            except queue_mod.Empty:
+                if deadline is not None and time.time() >= deadline:
+                    p.kill()
+                    return {"err": f"oracle exceeded CHECK_SF_GATE_TIMEOUT="
+                                   f"{gate_timeout:g}s (budget miss, not a "
+                                   f"value mismatch)"}
+                if not p.is_alive():
+                    # one last drain: the child may have put the result
+                    # between our empty poll and its exit
+                    try:
+                        return q.get_nowait()
+                    except queue_mod.Empty:
+                        return {"err": "oracle worker process died "
+                                       "(OOM-killed?)"}
+    finally:
+        p.join(timeout=5)
+        q.close()
+
+
 def main(out_dir, sf_dir, out_json=None, only=None):
     view_sql = {}
     for t in TABLES:
@@ -267,22 +315,26 @@ def main(out_dir, sf_dir, out_json=None, only=None):
                     if v.get("status") != "pass":
                         failures += 1
         oracle = {k: v for k, v in oracle.items() if k in keep}
-    # one FRESH PROCESS per gate (max_tasks_per_child=1): a shared
-    # process accumulated DuckDB allocator/mmap state across ~25 heavy
-    # oracle shapes at sf10 and began failing KILOBYTE mallocs with
-    # >100 GB of host memory free (vm.max_map_count exhaustion class);
-    # per-gate connections in one process were NOT enough — the leak is
-    # process-level, so the process is the isolation unit
-    import concurrent.futures as cf
+    # one FRESH PROCESS per gate: a shared process accumulated DuckDB
+    # allocator/mmap state across ~25 heavy oracle shapes at sf10 and
+    # began failing KILOBYTE mallocs with >100 GB of host memory free
+    # (vm.max_map_count exhaustion class); per-gate connections in one
+    # process were NOT enough — the leak is process-level, so the
+    # process is the isolation unit. Plain multiprocessing.Process per
+    # gate (not ProcessPoolExecutor) so the timeout path kills the
+    # worker through the DOCUMENTED Process API — the earlier pool
+    # version reached into the undocumented executor._processes dict,
+    # which can break across CPython versions exactly when the timeout
+    # fires.
+    import multiprocessing as mp
+    mp_ctx = mp.get_context("fork")
     # optional per-gate wall budget (seconds): an oracle whose cost was
     # mis-predicted at a new SF must fail THAT gate, not hang the whole
     # sidecar run. On timeout the worker process is killed (it holds the
-    # only DuckDB state) and the pool rebuilt; the gate records a
-    # distinguishable reason so a budget miss is never read as a
-    # wrong-answer failure.
+    # only DuckDB state); the gate records a distinguishable reason so a
+    # budget miss is never read as a wrong-answer failure.
     gate_timeout = os.environ.get("CHECK_SF_GATE_TIMEOUT")
     gate_timeout = float(gate_timeout) if gate_timeout else None
-    ex = cf.ProcessPoolExecutor(max_workers=1, max_tasks_per_child=1)
     for name, sql in sorted(oracle.items()):
         spark_glob = f"{out_dir}/{name}/*.parquet"
         if not glob.glob(spark_glob):
@@ -291,22 +343,8 @@ def main(out_dir, sf_dir, out_json=None, only=None):
             failures += 1
             continue
         t0 = time.time()
-        try:
-            r = ex.submit(gate_fingerprints, name, sql, view_sql,
-                          spark_glob, sf_dir).result(timeout=gate_timeout)
-        except cf.TimeoutError:
-            r = {"err": f"oracle exceeded CHECK_SF_GATE_TIMEOUT="
-                        f"{gate_timeout:g}s (budget miss, not a value "
-                        f"mismatch)"}
-            for p in ex._processes.values():
-                p.kill()
-            ex.shutdown(wait=False)
-            ex = cf.ProcessPoolExecutor(max_workers=1, max_tasks_per_child=1)
-        except cf.process.BrokenProcessPool:
-            # gate's worker died (e.g. OOM-killed): record, new pool
-            r = {"err": "oracle worker process died (OOM-killed?)"}
-            ex.shutdown(wait=False)
-            ex = cf.ProcessPoolExecutor(max_workers=1, max_tasks_per_child=1)
+        r = run_gate_isolated(mp_ctx, gate_timeout, name, sql, view_sql,
+                              spark_glob, sf_dir)
         if "err" in r:
             print(f"FAIL {name}: oracle error {r['err']}")
             results[name] = {"status": "fail",
@@ -340,7 +378,6 @@ def main(out_dir, sf_dir, out_json=None, only=None):
                 # an honest sampled pass must not read like a full one
                 results[name]["sliced"] = sliced
                 results[name]["spark_rows_full"] = s_full_n
-    ex.shutdown(wait=False)
     total = len(results) if only is not None else len(oracle)
     print(f"\n{total - failures}/{total} queries pass")
     if out_json:
