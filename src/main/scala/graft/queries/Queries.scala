@@ -704,6 +704,222 @@ object Queries {
        |       max(x0+w) AS space_xmax, max(y0+w) AS space_ymax,
        |       count(*) AS num_objects FROM b""".stripMargin
 
+  // ------------------------------------- spatial: area-growth scale lane
+
+  /** Copy-block geometry for the AREA-GROWTH scale lane (round-16).
+    *
+    * ScaleData stacks sf0.1 copies at `key + copy·10⁷`, and the base
+    * gates derive geometry from keys via small moduli (10⁷ ≡ 0 mod 20),
+    * so stacked copies land on the SAME lattice positions: density grows
+    * with data and every pairwise gate's output grows ∝ copies² — a
+    * correct engine workload but not how real corpora grow (they add
+    * AREA at roughly constant density). These `_area` twins re-derive
+    * geometry with the copy index `floor(key / 10⁷)` translating each
+    * copy into its own 400-unit block (10×10 grid in 2-D, 5×5×4 in 3-D):
+    * per-block density stays exactly sf0.1's, space grows ∝ copies.
+    *
+    * At the driver's un-stacked SFs every key is < 10⁷, the copy index
+    * is 0, and each twin is BIT-IDENTICAL to its base gate — so the
+    * sf0.01 oracle checks the derivation for free, and the sf10 lane
+    * gets a non-stacked 100× measurement of the same join kernels.
+    * All block offsets are exact integer-valued doubles; the largest
+    * squared distance (~3·10⁷) is far inside 2^53, so the plain-SQL
+    * oracle stays bit-exact. */
+  def partBoxesArea(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "part").select(
+        col("p_partkey").as("id"),
+        ((col("p_partkey") % 20) * 10.0 +
+          (floor(col("p_partkey") / 10000000L) % 10) * 400.0).as("x0"),
+        ((floor(col("p_partkey") / 20) % 20) * 10.0 +
+          (floor(col("p_partkey") / 100000000L) % 10) * 400.0).as("y0"),
+        (lit(1) + col("p_size") % 10).cast("double").as("w"))
+      .withColumn("geom",
+        st_makebox(col("x0"), col("y0"), col("x0") + col("w"), col("y0") + col("w")))
+
+  val partBoxesAreaSql: String =
+    """SELECT p_partkey AS id,
+      | (p_partkey % 20) * 10.0 + (floor(p_partkey / 10000000) % 10) * 400.0 AS x0,
+      | (floor(p_partkey / 20) % 20) * 10.0 + (floor(p_partkey / 100000000) % 10) * 400.0 AS y0,
+      | CAST(1 + p_size % 10 AS DOUBLE) AS w FROM part""".stripMargin
+
+  def keyPointsArea(spark: SparkSession, dir: String, tbl: String, key: String,
+                    mult: Int): DataFrame =
+    table(spark, dir, tbl).select(
+        col(key).as("id"),
+        (((col(key) * mult) % 300).cast("double") +
+          (floor(col(key) / 10000000L) % 10) * 400.0).as("px"),
+        ((floor(col(key) * mult / 300) % 300).cast("double") +
+          (floor(col(key) / 100000000L) % 10) * 400.0).as("py"))
+      .withColumn("geom", st_point(col("px"), col("py")))
+
+  def keyPointsAreaSql(tbl: String, key: String, mult: Int): String =
+    s"""SELECT $key AS id,
+       | CAST(($key * $mult) % 300 AS DOUBLE)
+       |   + (floor($key / 10000000) % 10) * 400.0 AS px,
+       | CAST(floor($key * $mult / 300) % 300 AS DOUBLE)
+       |   + (floor($key / 100000000) % 10) * 400.0 AS py FROM $tbl""".stripMargin
+
+  /** q_spjoin_intersects on area-growth geometry (same engine path:
+    * tiled fg join + refpoint dedup + A7 intersection area). */
+  def qSpjoinIntersectsArea(spark: SparkSession, dir: String): DataFrame = {
+    val b = partBoxesArea(spark, dir)
+    val a = b.select(col("id").as("id1"), col("geom").as("g1"))
+    val c = b.select(col("id").as("id2"), col("geom").as("g2"))
+    SpatialJoin.join(a, "g1", c, "g2",
+        SpatialJoin.Config(predicate = "intersects", partitioner = "fg", bucket = 500))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        st_intersection_area(col("g1"), col("g2")).as("inter_area"))
+  }
+
+  val qSpjoinIntersectsAreaSql: String =
+    s"""WITH b AS ($partBoxesAreaSql)
+       |SELECT a.id AS id1, c.id AS id2,
+       | greatest(0, least(a.x0+a.w, c.x0+c.w) - greatest(a.x0, c.x0)) *
+       | greatest(0, least(a.y0+a.w, c.y0+c.w) - greatest(a.y0, c.y0)) AS inter_area
+       |FROM b a JOIN b c ON a.id < c.id
+       | AND a.x0 <= c.x0 + c.w AND c.x0 <= a.x0 + a.w
+       | AND a.y0 <= c.y0 + c.w AND c.y0 <= a.y0 + a.w""".stripMargin
+
+  /** q_spjoin_dwithin on area-growth geometry. */
+  def qSpjoinDwithinArea(spark: SparkSession, dir: String): DataFrame = {
+    val parts = partBoxesArea(spark, dir).select(col("id").as("pid"), col("geom").as("g1"))
+    val custs = keyPointsArea(spark, dir, "customer", "c_custkey", 7)
+      .select(col("id").as("cid"), col("geom").as("g2"))
+    SpatialJoin.join(parts, "g1", custs, "g2",
+        SpatialJoin.Config(predicate = "dwithin", distance = 4.0, bucket = 500))
+      .select(col("pid"), col("cid"))
+  }
+
+  val qSpjoinDwithinAreaSql: String =
+    s"""WITH b AS ($partBoxesAreaSql),
+       |c AS (${keyPointsAreaSql("customer", "c_custkey", 7)})
+       |SELECT b.id AS pid, c.id AS cid FROM b JOIN c ON
+       | greatest(b.x0 - c.px, c.px - b.x0 - b.w, 0) * greatest(b.x0 - c.px, c.px - b.x0 - b.w, 0)
+       | + greatest(b.y0 - c.py, c.py - b.y0 - b.w, 0) * greatest(b.y0 - c.py, c.py - b.y0 - b.w, 0)
+       | <= 16.0""".stripMargin
+
+  /** q_spjoin_contains on area-growth geometry. */
+  def qSpjoinContainsArea(spark: SparkSession, dir: String): DataFrame = {
+    val parts = partBoxesArea(spark, dir).select(col("id").as("pid"), col("geom").as("g1"))
+    val custs = keyPointsArea(spark, dir, "customer", "c_custkey", 7)
+      .select(col("id").as("cid"), col("geom").as("g2"))
+    SpatialJoin.join(parts, "g1", custs, "g2",
+        SpatialJoin.Config(predicate = "contains", bucket = 500))
+      .select(col("pid"), col("cid"))
+  }
+
+  val qSpjoinContainsAreaSql: String =
+    s"""WITH b AS ($partBoxesAreaSql),
+       |c AS (${keyPointsAreaSql("customer", "c_custkey", 7)})
+       |SELECT b.id AS pid, c.id AS cid FROM b JOIN c ON
+       | c.px > b.x0 AND c.px < b.x0 + b.w AND c.py > b.y0 AND c.py < b.y0 + b.w""".stripMargin
+
+  /** q_knn on area-growth geometry: exact global kNN, k=3, (distance, sid)
+    * tie order. Cross-block winners are legitimate (the join is global);
+    * blocks are ≥100 units apart so they are rare, which is the point —
+    * candidate sets scale with LOCAL density, not corpus size. */
+  def qKnnArea(spark: SparkSession, dir: String): DataFrame = {
+    val custs = keyPointsArea(spark, dir, "customer", "c_custkey", 7)
+      .select(col("id").as("cid"), col("geom").as("g1"))
+    val supps = keyPointsArea(spark, dir, "supplier", "s_suppkey", 13)
+      .select(col("id").as("sid"), col("geom").as("g2"))
+    SpatialJoin.knnJoinExact(custs, "g1", "cid", supps, "g2", k = 3,
+        tieBreak = Seq("sid"), cfg = SpatialJoin.Config(bucket = 500))
+      .select(col("cid"), col("sid"), col("knn_rank").as("rk"))
+  }
+
+  val qKnnAreaSql: String =
+    s"""WITH c AS (${keyPointsAreaSql("customer", "c_custkey", 7)}),
+       |s AS (${keyPointsAreaSql("supplier", "s_suppkey", 13)})
+       |SELECT cid, sid, rk FROM (
+       | SELECT c.id AS cid, s.id AS sid, row_number() OVER (
+       |   PARTITION BY c.id
+       |   ORDER BY (c.px-s.px)*(c.px-s.px) + (c.py-s.py)*(c.py-s.py), s.id) AS rk
+       | FROM c CROSS JOIN s) WHERE rk <= 3""".stripMargin
+
+  /** 3-D area-growth cubes: 5×5×4 block grid, stride 400. */
+  def partCubesArea(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "part").select(
+      col("p_partkey").as("id"),
+      ((col("p_partkey") % 20) * 10.0 +
+        (floor(col("p_partkey") / 10000000L) % 5) * 400.0).as("x0"),
+      ((floor(col("p_partkey") / 20) % 20) * 10.0 +
+        (floor(col("p_partkey") / 50000000L) % 5) * 400.0).as("y0"),
+      ((floor(col("p_partkey") / 400) % 20) * 10.0 +
+        floor(col("p_partkey") / 250000000L) * 400.0).as("z0"),
+      (lit(1) + col("p_size") % 10).cast("double").as("w"))
+
+  val partCubesAreaSql: String =
+    """SELECT p_partkey AS id,
+      | (p_partkey % 20) * 10.0 + (floor(p_partkey / 10000000) % 5) * 400.0 AS x0,
+      | (floor(p_partkey / 20) % 20) * 10.0 + (floor(p_partkey / 50000000) % 5) * 400.0 AS y0,
+      | (floor(p_partkey / 400) % 20) * 10.0 + floor(p_partkey / 250000000) * 400.0 AS z0,
+      | CAST(1 + p_size % 10 AS DOUBLE) AS w FROM part""".stripMargin
+
+  /** q_spjoin_3d on area-growth geometry. */
+  def qSpjoin3dArea(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SpatialJoin3d
+    val b = partCubesArea(spark, dir)
+    def side(p: String) = b.select(col("id").as(s"${p}id"),
+      col("x0").as(s"${p}x0"), col("y0").as(s"${p}y0"), col("z0").as(s"${p}z0"),
+      (col("x0") + col("w")).as(s"${p}x1"), (col("y0") + col("w")).as(s"${p}y1"),
+      (col("z0") + col("w")).as(s"${p}z1"))
+    val lc = SpatialJoin3d.Mbb3Cols("ax0", "ay0", "az0", "ax1", "ay1", "az1")
+    val rc = SpatialJoin3d.Mbb3Cols("bx0", "by0", "bz0", "bx1", "by1", "bz1")
+    SpatialJoin3d.joinMbb(side("a"), lc, side("b"), rc, cellsPerAxis = 8)
+      .where(col("aid") < col("bid"))
+      .select(col("aid").as("id1"), col("bid").as("id2"))
+  }
+
+  val qSpjoin3dAreaSql: String =
+    s"""WITH b AS ($partCubesAreaSql)
+       |SELECT a.id AS id1, c.id AS id2 FROM b a JOIN b c ON a.id < c.id
+       | AND a.x0 <= c.x0 + c.w AND c.x0 <= a.x0 + a.w
+       | AND a.y0 <= c.y0 + c.w AND c.y0 <= a.y0 + a.w
+       | AND a.z0 <= c.z0 + c.w AND c.z0 <= a.z0 + a.w""".stripMargin
+
+  /** q_knn_3d on area-growth geometry (uniform-grid MBB kNN engine). */
+  def qKnn3dArea(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SpatialJoin3d
+    val custs = table(spark, dir, "customer").select(
+      col("c_custkey").as("cid"),
+      (((col("c_custkey") * 7) % 300).cast("double") +
+        (floor(col("c_custkey") / 10000000L) % 5) * 400.0).as("cx"),
+      ((floor(col("c_custkey") * 7 / 300) % 300).cast("double") +
+        (floor(col("c_custkey") / 50000000L) % 5) * 400.0).as("cy"),
+      (((col("c_custkey") % 20) * 10 + 5).cast("double") +
+        floor(col("c_custkey") / 250000000L) * 400.0).as("cz"))
+    val parts = partCubesArea(spark, dir).select(col("id").as("sid"),
+      col("x0").as("sx0"), col("y0").as("sy0"), col("z0").as("sz0"),
+      (col("x0") + col("w")).as("sx1"), (col("y0") + col("w")).as("sy1"),
+      (col("z0") + col("w")).as("sz1"))
+    val lc = SpatialJoin3d.Mbb3Cols("cx", "cy", "cz", "cx", "cy", "cz")
+    val rc = SpatialJoin3d.Mbb3Cols("sx0", "sy0", "sz0", "sx1", "sy1", "sz1")
+    SpatialJoin3d.knnJoinMbb(custs, lc, "cid", parts, rc, "sid", k = 3,
+        cellsPerAxis = 8)
+      .select(col("cid"), col("sid"), col("knn_rank").as("rk"))
+  }
+
+  val qKnn3dAreaSql: String =
+    s"""WITH c AS (SELECT c_custkey AS cid,
+       |  CAST((c_custkey * 7) % 300 AS DOUBLE)
+       |    + (floor(c_custkey / 10000000) % 5) * 400.0 AS cx,
+       |  CAST(floor(c_custkey * 7 / 300) % 300 AS DOUBLE)
+       |    + (floor(c_custkey / 50000000) % 5) * 400.0 AS cy,
+       |  CAST((c_custkey % 20) * 10 + 5 AS DOUBLE)
+       |    + floor(c_custkey / 250000000) * 400.0 AS cz FROM customer),
+       |s AS ($partCubesAreaSql),
+       |p AS (SELECT c.cid, s.id AS sid,
+       |  greatest(s.x0 - c.cx, c.cx - s.x0 - s.w, 0) AS dx,
+       |  greatest(s.y0 - c.cy, c.cy - s.y0 - s.w, 0) AS dy,
+       |  greatest(s.z0 - c.cz, c.cz - s.z0 - s.w, 0) AS dz
+       | FROM c CROSS JOIN s)
+       |SELECT cid, sid, rk FROM (
+       | SELECT cid, sid, row_number() OVER (PARTITION BY cid
+       |   ORDER BY dx*dx + dy*dy + dz*dz, sid) AS rk
+       | FROM p) WHERE rk <= 3""".stripMargin
+
   // ------------------------------------------------------------- relational
 
   /** TPC-H Q1-flavor aggregate (exact: l_quantity is integer-valued). */

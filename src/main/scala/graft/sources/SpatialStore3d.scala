@@ -59,7 +59,28 @@ object SpatialStore3d {
     writeCompact(df, c, path, leafCap, sampleTarget, maxDepth, seed,
       preserveDuplicates)
 
-  /** Hive-partitioned per-leaf dir layout (see [[write]]'s layout note). */
+  /** Leaf count past which [[writeDirs]] warns: the dir layout's commit
+    * cost is one dir + temp + rename PER LEAF, measured 13.1× per 10×
+    * data at the sf10 lane (SCALE.md round-15) where the compact layout
+    * was 4.3× — above ~10k leaves the commit, not the data, is the
+    * write. */
+  val DirLayoutLeafWarn = 10000
+
+  /** The scale warning a dir-layout write of `nLeaves` leaves deserves,
+    * if any (separate from [[writeDirs]] so the threshold is testable
+    * without building a 10k-leaf store). */
+  def dirLayoutWarning(nLeaves: Int): Option[String] =
+    if (nLeaves <= DirLayoutLeafWarn) None
+    else Some(
+      s"[spatialstore3d] writeDirs: $nLeaves leaves > $DirLayoutLeafWarn — " +
+      "the Hive dir layout commits one rename per leaf (measured 13.1x " +
+      "per 10x data, SCALE.md); use write/writeCompact unless an " +
+      "external consumer needs tile_id= dirs")
+
+  /** Hive-partitioned per-leaf dir layout (see [[write]]'s layout note).
+    * LEGACY/INTEROP ONLY at scale: kept for external `tile_id=`
+    * partition-pruning consumers; warns past [[DirLayoutLeafWarn]] leaves
+    * (commit renames ∝ leaves — use [[writeCompact]], renames ∝ tasks). */
   def writeDirs(df: DataFrame, c: Mbb3Cols, path: String,
                 leafCap: Int = 4096, sampleTarget: Int = 100000,
                 maxDepth: Int = 12, seed: Long = 42L,
@@ -68,6 +89,7 @@ object SpatialStore3d {
     SpatialStore.refuseSelfOverwrite(df, path, "writeDirs")
     val (tagged, tree, names) =
       leafTagged(df, c, leafCap, sampleTarget, maxDepth, seed, preserveDuplicates)
+    dirLayoutWarning(tree.leafBoxes.length).foreach(System.err.println)
     // see SpatialStore.clearCompactArtifacts: a dir write over a compact
     // store must not leave a manifest that wins layout detection
     SpatialStore.clearCompactArtifacts(spark, path)

@@ -165,4 +165,11 @@ class SpatialStore3dSpec extends SparkTestBase {
           $"z0" <= w(5) && lit(w(2)) <= $"z1")
         .select("id").as[Long].collect().toSet)
   }
+
+  test("writeDirs warns past the leaf threshold (legacy-at-scale fence)") {
+    assert(SpatialStore3d.dirLayoutWarning(SpatialStore3d.DirLayoutLeafWarn).isEmpty)
+    val w = SpatialStore3d.dirLayoutWarning(SpatialStore3d.DirLayoutLeafWarn + 1)
+    assert(w.exists(_.contains("writeCompact")),
+      "over-threshold dir-layout write must point at the compact layout")
+  }
 }

@@ -99,6 +99,20 @@ CHEAP["q_spjoin_projectall"] = CHEAP["q_fields"]
 CHEAP["q_disjoint_global"] = CHEAP["q_disjoint_sql"]
 CHEAP["q_spjoin_twolevel"] = CHEAP["q_spjoin_dwithin"]
 CHEAP["q_spjoin_sampled"] = CHEAP["q_spjoin_dwithin"]
+# round-16 (verdict #4): the residual-ADC oracles join a (qid,list,sub,
+# code,dq) LUT aux against the 32M-row code aux and GROUP BY (qid,nid) —
+# the agg table is |queries| x |items-in-probed-lists| groups (~2e10 at
+# sf10's 40k queries), the >70 GB DuckDB spill that failed the sf10
+# sidecar. The slice restricts the LUT AUX TABLE by qid (aux mode below):
+# each query's ADC sums derive only from its own LUT rows, so the slice
+# is exact per qid, and 487 is prime so it does not interact with the
+# vec_id%50 query-draw pattern (qids are multiples of 50; a divisor of
+# 50 would select a biased 1/2 or 1/10 of them). ~82 of 40k queries at
+# sf10 -> ~41M agg groups, well inside the 48 GB limit.
+CHEAP["q_ann_ivfpq"] = dict(aux="ann_ivfpq_luts", key="qid", out="qid",
+                            n=487, residues=(0,))
+CHEAP["q_ann_ivfpq_compact"] = dict(aux="ann_ivfpqc_luts", key="qid",
+                                    out="qid", n=487, residues=(0,))
 
 
 def fingerprint(con, subquery):
@@ -140,6 +154,35 @@ def fingerprint_cheap(con, subquery, view_sql, spec):
     rendered = ", ".join(
         f"COALESCE(CAST(\"{c}\" AS VARCHAR), 'NULL')" for c in ordered)
     n, residues = spec["n"], list(spec["residues"])
+    if "aux" in spec:
+        # aux mode: the probe relation is a checkpointed aux parquet
+        # referenced inline via read_parquet (no DuckDB view to swap) —
+        # splice the residue predicate into the read_parquet call itself,
+        # per residue. Exact when each output row's derivation reads only
+        # the aux rows sharing its `key` (ADC: sums group by qid).
+        import re
+        key = spec["key"]
+        pat = re.compile(
+            r"read_parquet\('([^']*/%s/\*\.parquet)'\)" % re.escape(spec["aux"]))
+        m = pat.search(subquery)
+        if not m:
+            raise RuntimeError(
+                f"CHEAP aux {spec['aux']}: read_parquet reference not found "
+                "in the oracle SQL — aux name or path template drifted")
+        base = f"read_parquet('{m.group(1)}')"
+        check_slice_key(con, f"SELECT * FROM {base}", key,
+                        f"CHEAP aux {spec['aux']}.{key}")
+        n_total, h_total = 0, 0
+        for i in residues:
+            filt = (f"(SELECT * FROM {base} "
+                    f"WHERE (\"{key}\" % {n}) = {i})")
+            q = pat.sub(lambda _: filt, subquery)
+            cnt, h = con.execute(
+                f"SELECT count(*), COALESCE(sum(hash(concat_ws(chr(1), {rendered}))), 0)"
+                f" FROM ({q})").fetchone()
+            n_total += cnt
+            h_total += int(h)
+        return ordered, n_total, str(h_total)
     if "table" not in spec:
         pred = f"(\"{spec['out']}\" % {n}) IN ({', '.join(map(str, residues))})"
         cnt, h = con.execute(
