@@ -594,22 +594,43 @@ object SpatialJoin3d {
     // multiplicity of STRICTLY closer groups is < k; groups tied at __d
     // interleave by rightId, so every tied group at the boundary stays.
     // The surviving (left, envelope) pairs — Σ multiplicity ≥ k but
-    // bounded by k + the boundary tie set per left — join back to the
-    // full right relation on envelope equality, and the ORIGINAL window
-    // (__d asc, rightId asc) ranks the re-expanded rows: bit-identical
-    // output, with the pair-scale work all done on distinct envelopes.
+    // bounded by k + the boundary tie set per left — re-expand to right
+    // rows on envelope equality, and the ORIGINAL window (__d asc,
+    // rightId asc) ranks the re-expanded rows: bit-identical output,
+    // with the pair-scale work all done on distinct envelopes.
+    //
+    // The re-expansion joins the PER-ENVELOPE TOP-k (by rightId), not the
+    // full right relation: a group member's global rank is at least its
+    // position among its own group's ids (same __d — smaller ids of the
+    // same envelope always sort first), so only an envelope's k smallest
+    // ids can ever reach rank ≤ k, for ANY left. That caps the rank
+    // window's input at groups×k per left instead of groups×multiplicity
+    // — at the sf10 stacked lattice (~250 copies per position) the full
+    // re-expansion was a couple-hundred-GB window shuffle that
+    // disk-filled the first post-collapse bench; the top-k relation is
+    // ≤ distinctRights·k rows and usually re-crosses the broadcast bar
+    // the full right side lost.
     val rankInput =
       if (!collapse) dedupCandidates
       else {
         val wCum = Window.partitionBy(col(leftId)).orderBy(col("__d").asc)
           .rangeBetween(Window.unboundedPreceding, Window.currentRow)
         val wTie = Window.partitionBy(col(leftId), col("__d"))
+        val wEnv = Window.partitionBy(env6.map(col): _*)
+          .orderBy(col(rightId).asc)
+        // compiles to WindowGroupLimit: map-side partial top-k per
+        // envelope, so the full right side never shuffles whole
+        val rTopK = rBase.withColumn("__er", row_number().over(wEnv))
+          .where(col("__er") <= k).drop("__er")
+        def rsideE(df: DataFrame): DataFrame =
+          if (distinctRights * k <= broadcastRightMax) broadcast(df)
+          else df.hint("shuffle_hash")
         dedupCandidates
           .withColumn("__before",
             sum(col("__mult")).over(wCum) - sum(col("__mult")).over(wTie))
           .where(col("__before") < k)
           .select(leftCols ++ env6.map(col) :+ col("__d"): _*)
-          .join(rside(rBase), env6)
+          .join(rsideE(rTopK), env6)
       }
     rankInput
       .withColumn("__rk", row_number().over(wRank))

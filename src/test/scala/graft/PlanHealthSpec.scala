@@ -54,6 +54,31 @@ class PlanHealthSpec extends SparkTestBase {
       s"broadcast kNN should not shuffle:\n${df.queryExecution.executedPlan}")
   }
 
+  test("relational kNN probe compiles to WindowGroupLimit (map-side partial rank)") {
+    // force the giant-tiling relational branch at spec scale: threshold 0
+    // disables the broadcast path, probeCollectMax 0 disables the
+    // collected-map probe — this is the lane that carries the q_knn family
+    // past probeCollectMax at sf10, so its map-side partial top-k (the
+    // thing that keeps probe shuffle O(lefts x k), not O(lefts x
+    // candidates)) must be pinned in the plan, not just trusted.
+    import org.apache.spark.sql.functions.col
+    val custs = Queries.custPoints(spark, dir).select(col("id").as("cid"), col("geom").as("g1"))
+    val supps = Queries.suppPoints(spark, dir).select(col("id").as("sid"), col("geom").as("g2"))
+    val q = graft.operators.SpatialJoin.knnJoinExact(custs, "g1", "cid",
+      supps, "g2", k = 3, tieBreak = Seq("sid"),
+      cfg = graft.operators.SpatialJoin.Config(bucket = 100,
+        knnBroadcastThreshold = 0, probeCollectMax = 0L))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"relational probe rank did not compile to WindowGroupLimit:\n$plan")
+    assert(plan.contains("Partial"),
+      "WindowGroupLimit lost its map-side Partial stage (rank would " +
+      s"shuffle every candidate):\n$plan")
+    // and it still answers exactly (tiny check; the full differential is
+    // SpatialJoinSpec's relational-probe mode)
+    assert(q.limit(1).count() == 1)
+  }
+
   test("ANN brute top-k never shuffles the scored cross product") {
     val df = Queries.qAnnTopk(spark, dir)
     val plan = df.queryExecution.executedPlan.toString

@@ -163,6 +163,32 @@ class SpatialJoin3dSpec extends SparkTestBase {
         leafCap = 16, sampleTarget = 200, dupCollapseMin = 0L)
       .select("aid", "bid", "knn_rank").as[(Long, Long, Int)].collect().toSet
     assert(oc == want, "collapsed octree mismatch")
+
+    // the sf10 shape proper: multiplicity (9) ≫ k (3), so the collapsed
+    // path's per-envelope top-k cut must discard the 6 larger ids of each
+    // group WITHOUT ever losing a row the global (dist, id) rank needs —
+    // including when the top-k straddles two equidistant groups
+    val stacked9 = base.flatMap { c =>
+      (0 until 9).map(cp => (c._1 + cp * 1000L, c._2, c._3, c._4, c._5, c._6, c._7))
+    }
+    val b9 = stacked9.toDF("bid", "bx0", "by0", "bz0", "bx1", "by1", "bz1")
+    val want9 = probes.flatMap { p =>
+      stacked9.map { q =>
+        val dx = gap(p._2, p._2, q._2, q._5)
+        val dy = gap(p._3, p._3, q._3, q._6)
+        val dz = gap(p._4, p._4, q._4, q._7)
+        (p._1, q._1, math.sqrt(dx * dx + dy * dy + dz * dz))
+      }.sortBy { case (_, bid, d) => (d, bid) }.take(3)
+        .zipWithIndex.map { case ((aid, bid, _), i) => (aid, bid, i + 1) }
+    }.toSet
+    def run9(bMax: Long) =
+      SpatialJoin3d.knnJoinMbb(a, lc, "aid", b9, rc, "bid", k = 3,
+          cellsPerAxis = 4, bruteRightMax = 0, broadcastRightMax = bMax,
+          dupCollapseMin = 0L)
+        .select("aid", "bid", "knn_rank").as[(Long, Long, Int)].collect().toSet
+    assert(run9(SpatialJoin3d.BroadcastRightMax) == want9,
+      "collapsed mult>k (broadcast) mismatch")
+    assert(run9(0L) == want9, "collapsed mult>k (shuffle-hash) mismatch")
   }
 
   test("knnJoinMbb: k larger than the right side returns all, ranked") {

@@ -113,6 +113,34 @@ CHEAP["q_ann_ivfpq"] = dict(aux="ann_ivfpq_luts", key="qid", out="qid",
                             n=487, residues=(0,))
 CHEAP["q_ann_ivfpq_compact"] = dict(aux="ann_ivfpqc_luts", key="qid",
                                     out="qid", n=487, residues=(0,))
+# the area-growth twins share their base gates' oracle shapes (the kNN
+# twins' cross-join+window is identical modulo block offsets)
+CHEAP["q_knn_area"] = CHEAP["q_knn"]
+CHEAP["q_knn_3d_area"] = CHEAP["q_knn_3d"]
+CHEAP["q_spjoin_dwithin_area"] = CHEAP["q_spjoin_dwithin"]
+
+# Per-SF overrides (round-16 verdict #4): specs whose cost is bound by
+# |probe| x |corpus| stop being affordable at sf10 even sliced — the kNN
+# window family's cross join is 1.5M x 1M there. These overrides narrow
+# the probe slice AT SF10 ONLY (basename match), keeping the sf1 checks
+# at their existing (fuller) coverage; every sliced result records its
+# slice spec, so a partial pass is never mistaken for a full one.
+CHEAP_BY_SF = {
+    "graft_sf10": {
+        # 2-D kNN: ~1.5k of 1.5M customers x 1M suppliers = 1.5e9
+        # window rows per check — measured-affordable class
+        "q_knn": dict(table="customer", key="c_custkey", out="cid",
+                      n=1000, residues=(0,)),
+        # 3-D kNN vs 2M part cubes: narrower probe slice (750 customers)
+        "q_knn_3d": dict(table="customer", key="c_custkey", out="cid",
+                         n=2000, residues=(0,)),
+    }
+}
+CHEAP_BY_SF["graft_sf10"]["q_knn_sql"] = CHEAP_BY_SF["graft_sf10"]["q_knn"]
+CHEAP_BY_SF["graft_sf10"]["q_knn_bounded"] = CHEAP_BY_SF["graft_sf10"]["q_knn"]
+CHEAP_BY_SF["graft_sf10"]["q_knn_area"] = CHEAP_BY_SF["graft_sf10"]["q_knn"]
+CHEAP_BY_SF["graft_sf10"]["q_knn_3d_oc"] = CHEAP_BY_SF["graft_sf10"]["q_knn_3d"]
+CHEAP_BY_SF["graft_sf10"]["q_knn_3d_area"] = CHEAP_BY_SF["graft_sf10"]["q_knn_3d"]
 
 
 def fingerprint(con, subquery):
@@ -239,7 +267,8 @@ def gate_fingerprints(name, sql, view_sql, spark_glob, sf_dir):
     # by the SF dir under test — point the oracle at the same one
     sql = sql.replace("/oracle_aux/sf0.01/",
                       f"/oracle_aux/{os.path.basename(sf_dir.rstrip('/'))}/")
-    cheap = CHEAP.get(name)
+    cheap = CHEAP_BY_SF.get(
+        os.path.basename(sf_dir.rstrip("/")), {}).get(name, CHEAP.get(name))
     if cheap and "table" in cheap and cheap["table"] not in view_sql:
         cheap = None
     sliced, s_full_n = None, None
