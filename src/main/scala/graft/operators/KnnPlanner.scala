@@ -72,4 +72,108 @@ object KnnPlanner {
     }
     (radii, probes)
   }
+
+  /** Min point-to-point distance between two boxes (2·dim layout). */
+  def minDist(a: Array[Double], b: Array[Double], dim: Int): Double = {
+    var s = 0.0
+    var ax = 0
+    while (ax < dim) {
+      val m = math.max(0.0, math.max(a(ax) - b(ax + dim), b(ax) - a(ax + dim)))
+      s += m * m
+      ax += 1
+    }
+    math.sqrt(s)
+  }
+
+  /** [[prefixPlans]] over a TREE tiling, spatially indexed — the variant
+    * the quadratic budget demands at large leaf counts (the 3-D analog of
+    * SpatialJoin.tileRingPlans). Same plan per cell, bit-identical radii
+    * and probe sets (KnnPlannerSpec pins the equivalence): the smallest
+    * (maxDist asc, leaf ordinal asc) prefix of occupied leaves whose
+    * counts reach k. Found best-first instead of by sorting all occupied
+    * cells per cell: subtree occupancy (one bottom-up pass) skips empty
+    * subtrees, a min-heap on box minDist pops nearest nodes first, and
+    * the search stops once every unvisited node's minDist exceeds the
+    * current prefix radius — any leaf in the true prefix has
+    * minDist ≤ maxDist ≤ that radius, so none is missed. Cost per cell
+    * tracks the k-ball's leaf count, not the tree size: the r15 sf10
+    * octree (49k leaves, ~20k occupied) blew the quadratic budget and
+    * silently fell back to diagonal radii — every probe then replicated
+    * to the whole space and the bound join disk-filled. Arrays are the
+    * flat [[Octree3d.Tree]] layout (node boxes, first-child offsets,
+    * leaf ordinals); results are indexed by LEAF ordinal. */
+  def treePlans(nodeBoxes: Array[Array[Double]], childBase: Array[Int],
+                leafOrd: Array[Int], leafBoxes: Array[Array[Double]],
+                dim: Int, counts: Map[Int, Long], k: Int, diag: Double,
+                probeCap: Int = 64): (Array[Double], Array[Array[Int]]) = {
+    val nLeaves = leafBoxes.length
+    val radii = Array.fill(nLeaves)(diag)
+    val probes = Array.fill(nLeaves)(Array.empty[Int])
+    if (k <= 0 || nodeBoxes.isEmpty) return (radii, probes)
+    // bottom-up subtree occupancy: children are appended after their
+    // parent during the BFS build, so a reverse pass sees children first
+    val subCount = new Array[Long](nodeBoxes.length)
+    var i = nodeBoxes.length - 1
+    while (i >= 0) {
+      val cb = childBase(i)
+      if (cb < 0) subCount(i) = counts.getOrElse(leafOrd(i), 0L)
+      else {
+        var s = 0L; var c = 0
+        while (c < 8) { s += subCount(cb + c); c += 1 }
+        subCount(i) = s
+      }
+      i -= 1
+    }
+    if (subCount(0) == 0L) return (radii, probes)
+    val ordAsc = Ordering.by[(Double, Int), Double](_._1).reverse
+    // the retained set is the MINIMAL (maxDist asc, ord asc) prefix whose
+    // counts reach k, maintained incrementally: a max-heap on (maxDist,
+    // ord) trims any leaf whose strictly-preceding counts already reach k
+    // (the naive resort-per-leaf refresh was O(m² log m) and took 204 s
+    // at the sf10 tree — this form is O(m log p) with p = prefix size)
+    val ordPfx = new Ordering[(Double, Int, Long)] {
+      def compare(a: (Double, Int, Long), b: (Double, Int, Long)): Int = {
+        val d = java.lang.Double.compare(a._1, b._1)
+        if (d != 0) d else Integer.compare(a._2, b._2)
+      }
+    }
+    var cell = 0
+    while (cell < nLeaves) {
+      val cbox = leafBoxes(cell)
+      val pq = scala.collection.mutable.PriorityQueue((0.0, 0))(ordAsc)
+      val pfx = new scala.collection.mutable.PriorityQueue[(Double, Int, Long)]()(ordPfx)
+      var acc = 0L
+      var rHat = diag
+      while (pq.nonEmpty && pq.head._1 <= rHat) {
+        val (_, node) = pq.dequeue()
+        val cb = childBase(node)
+        if (cb < 0) {
+          pfx.enqueue((maxDist(cbox, nodeBoxes(node), dim), leafOrd(node),
+            subCount(node)))
+          acc += subCount(node)
+          while (acc - pfx.head._3 >= k) acc -= pfx.dequeue()._3
+          if (acc >= k) rHat = math.min(rHat, pfx.head._1)
+        } else {
+          var c = 0
+          while (c < 8) {
+            val ch = cb + c
+            if (subCount(ch) > 0) {
+              val d = minDist(cbox, nodeBoxes(ch), dim)
+              if (d <= rHat) pq.enqueue((d, ch))
+            }
+            c += 1
+          }
+        }
+      }
+      if (acc >= k) {
+        // dequeueAll pops max-first; reversed = ascending (maxDist, ord),
+        // so the prefix radius is the last element's maxDist
+        val s = pfx.dequeueAll.reverse
+        radii(cell) = math.min(s.last._1, diag)
+        if (s.length <= probeCap) probes(cell) = s.map(_._2).toArray
+      }
+      cell += 1
+    }
+    (radii, probes)
+  }
 }

@@ -116,9 +116,24 @@ object Octree3d {
     val leafBoxes = new ArrayBuffer[Array[Double]]
     boxes += rootBox; childBase += -1; leafOrd += -1
     val queue = Queue((0, rootBox, pts, 0))
+    // splitting a node whose points are ALL IDENTICAL can never make
+    // progress — every copy lands in the same child forever, so the
+    // build recurses straight to maxDepth and mints a chain of ~8·depth
+    // useless nodes around every duplicated sample point. Stacked data
+    // makes this the COMMON case, not a corner: the sf10 lattice put
+    // ~2.5 identical sample copies at each of 8k positions, and with a
+    // budget-scaled cap of 1 the tree degenerated to ~10^5 chain leaves
+    // whose per-probe ball walks cost ~25 ms and whose replication
+    // fan-out disk-filled the bound join. Inseparable point sets stop
+    // splitting — the leaf keeps the multiplicity, exactly like a leaf
+    // at cap.
+    def separable(ps: Array[Array[Double]]): Boolean = {
+      val h = ps(0)
+      ps.exists(p => p(0) != h(0) || p(1) != h(1) || p(2) != h(2))
+    }
     while (queue.nonEmpty) {
       val (node, box, ps, depth) = queue.dequeue()
-      if (ps.length > cap && depth < maxDepth) {
+      if (ps.length > cap && depth < maxDepth && separable(ps)) {
         val mx = (box(0) + box(3)) / 2
         val my = (box(1) + box(4)) / 2
         val mz = (box(2) + box(5)) / 2

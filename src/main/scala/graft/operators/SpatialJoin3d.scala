@@ -527,11 +527,16 @@ object SpatialJoin3d {
     // rt side is a broadcast at gate scale) — a left side narrower than
     // the cluster serializes it (a small parquet reads as ONE split: the
     // whole ~10⁷-pair eval ran on 1 of 32 threads, the oc gate's dominant
-    // stage). Round-robin only when under-partitioned: rows are tiny here
-    // (the wide pair relation doesn't exist yet), and at scale the scan
-    // has thousands of splits so this is a no-op.
+    // stage). UNCONDITIONAL round-robin: the earlier `left.rdd
+    // .getNumPartitions < par` guard compared the RDD conversion's
+    // per-file partitioning, while the executed DataFrame scan bin-packs
+    // small files by maxPartitionBytes — at sf10 the guard saw 32
+    // "partitions" and skipped, and the whole ball-explode stage ran as
+    // 4 tasks (r16 measurement). The rows are one slim tuple per left
+    // (id + coords + __rad), so the exchange is negligible against the
+    // CPU-bound explode it parallelizes.
     val par = spark.sparkContext.defaultParallelism
-    val l2p = if (left.rdd.getNumPartitions < par) l2.repartition(par) else l2
+    val l2p = l2.repartition(par)
     val lt2 = l2p.withColumn("__cell3", explode(ballCellsOf(
       col(lc.xmin), col(lc.ymin), col(lc.zmin),
       col(lc.xmax), col(lc.ymax), col(lc.zmax), col("__rad"))))
@@ -863,7 +868,13 @@ object SpatialJoin3d {
       cellsOf = (x0, y0, z0, x1, y1, z1) => cellsUdf(x0, y0, z0, x1, y1, z1),
       ballCellsOf = (x0, y0, z0, x1, y1, z1, rad) =>
         ballCellsUdf(x0, y0, z0, x1, y1, z1, rad),
-      plans = counts => boxPlans(tree.leafBoxes, counts, k, diag),
+      // tree-indexed planner, NOT the quadratic prefix scan: an octree
+      // leaf count past ~quadBudget/occupied made prefixPlans bail to
+      // all-diagonal radii — every probe then replicated to the whole
+      // space and the sf10 bound join disk-filled (r16 root cause; the
+      // planner doc always required the indexed variant at this scale)
+      plans = counts => KnnPlanner.treePlans(tree.boxes, tree.childBase,
+        tree.leafOrd, tree.leafBoxes, 3, counts, k, diag),
       diag = diag,
       broadcastRightMax = broadcastRightMax,
       cellBoxes = Some((tree.leafBoxes, sp)),

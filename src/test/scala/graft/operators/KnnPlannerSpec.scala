@@ -76,4 +76,41 @@ class KnnPlannerSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("3-D treePlans == generic prefix plans on random octrees (drift pin)") {
+    // the tree-indexed variant the quadratic budget demands at sf10 leaf
+    // counts: bit-identical radii AND probe sets on random point sets —
+    // including duplicated points (stacked data), empty subtrees, and
+    // counts that never reach k
+    val rnd = new scala.util.Random(99)
+    (1 to 30).foreach { trial =>
+      val nPts = 1 + rnd.nextInt(300)
+      val pts = Array.fill(nPts) {
+        val p = Array(rnd.nextDouble() * 100, rnd.nextDouble() * 100,
+          rnd.nextDouble() * 100)
+        p
+      }
+      // duplicate a fifth of the points to exercise the stacked shape
+      val stacked = pts ++ pts.take(nPts / 5) ++ pts.take(nPts / 5)
+      val root = Array(0.0, 0.0, 0.0, 100.0, 100.0, 100.0)
+      val tree = Octree3d.build(stacked, root,
+        leafCap = 1 + rnd.nextInt(8), maxDepth = 6)
+      // occupancy by owner leaf — some leaves zero, counts vary
+      val counts = stacked.groupBy(p => tree.owner(p(0), p(1), p(2)))
+        .map { case (o, ps) => o -> ps.length.toLong }
+      val k = 1 + rnd.nextInt(12)
+      val diag = math.sqrt(3.0) * 100
+      val (rq, pq) = KnnPlanner.prefixPlans(tree.leafBoxes, 3, counts, k,
+        diag, probeCap = 64, quadBudget = Long.MaxValue)
+      val (rt, pt) = KnnPlanner.treePlans(tree.boxes, tree.childBase,
+        tree.leafOrd, tree.leafBoxes, 3, counts, k, diag, probeCap = 64)
+      (0 until tree.numLeaves).foreach { c =>
+        assert(rq(c) == rt(c),
+          s"trial $trial leaf $c: radius ${rt(c)} != quadratic ${rq(c)} (k=$k)")
+        assert(pq(c).toSeq == pt(c).toSeq,
+          s"trial $trial leaf $c: probe set ${pt(c).toSeq} != " +
+            s"quadratic ${pq(c).toSeq} (k=$k)")
+      }
+    }
+  }
 }

@@ -191,6 +191,29 @@ class SpatialJoin3dSpec extends SparkTestBase {
     assert(run9(0L) == want9, "collapsed mult>k (shuffle-hash) mismatch")
   }
 
+  test("Octree3d.build: inseparable duplicate points stop splitting") {
+    // 100 positions x 25 identical copies, cap 1 (the sf10 budget-scaled
+    // shape): without the separability guard every position recurses to
+    // the depth cap and the tree mints ~8*12 chain nodes per position;
+    // with it, splitting stops once a node holds one distinct point.
+    val pts = (0 until 100).flatMap { i =>
+      val x = (i % 10) * 10.0; val y = (i / 10) * 10.0
+      Array.fill(25)(Array(x, y, 50.0))
+    }.toArray
+    val tree = graft.operators.Octree3d.build(
+      pts, Array(0.0, 0.0, 0.0, 100.0, 100.0, 100.0), leafCap = 1)
+    // isolation needs ~log8(100) ~ 3 levels; give slack to 2k nodes —
+    // the degenerate build mints ~10k+
+    assert(tree.boxes.length < 2000,
+      s"duplicate chains in the octree build: ${tree.boxes.length} nodes")
+    // lookups still partition correctly: every point owns a leaf whose
+    // box contains it, and the ball walk finds that leaf
+    val o = tree.owner(55.0, 55.0, 50.0)
+    assert(o >= 0 && o < tree.numLeaves)
+    assert(tree.leavesWithinBall(55.0, 55.0, 50.0, 55.0, 55.0, 50.0, 0.1)
+      .contains(o))
+  }
+
   test("knnJoinMbb: k larger than the right side returns all, ranked") {
     val a = Seq((1L, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0))
       .toDF("aid", "ax0", "ay0", "az0", "ax1", "ay1", "az1")
