@@ -73,12 +73,24 @@ object KnnPlanner {
     (radii, probes)
   }
 
-  /** Min point-to-point distance between two boxes (2·dim layout). */
-  def minDist(a: Array[Double], b: Array[Double], dim: Int): Double = {
+  /** Smallest [[maxDist]] any point of box `b` can have from box `a` —
+    * per axis, the point of `b` closest to `a`'s midpoint minimizes the
+    * max-distance term (V-shaped in q with the minimum at the midpoint).
+    * Monotone under box nesting (a child's value ≥ its parent's), so it
+    * is a sound best-first key AND termination bound for prefix search:
+    * every leaf under a node with minMaxDist > r has maxDist > r. The
+    * plain box min-gap is NOT usable here — for a large query cell the
+    * prefix radius is at least the cell's own half-diagonal, and a
+    * min-gap-ordered search then pops every node within that radius
+    * (measured: ~400 s of driver stall planning the sf10 area tree's
+    * big empty gap cells) while minMaxDist stops almost immediately. */
+  def minMaxDist(a: Array[Double], b: Array[Double], dim: Int): Double = {
     var s = 0.0
     var ax = 0
     while (ax < dim) {
-      val m = math.max(0.0, math.max(a(ax) - b(ax + dim), b(ax) - a(ax + dim)))
+      val mid = (a(ax) + a(ax + dim)) / 2
+      val q = math.max(b(ax), math.min(b(ax + dim), mid))
+      val m = math.max(q - a(ax), a(ax + dim) - q)
       s += m * m
       ax += 1
     }
@@ -92,10 +104,13 @@ object KnnPlanner {
     * (maxDist asc, leaf ordinal asc) prefix of occupied leaves whose
     * counts reach k. Found best-first instead of by sorting all occupied
     * cells per cell: subtree occupancy (one bottom-up pass) skips empty
-    * subtrees, a min-heap on box minDist pops nearest nodes first, and
-    * the search stops once every unvisited node's minDist exceeds the
-    * current prefix radius — any leaf in the true prefix has
-    * minDist ≤ maxDist ≤ that radius, so none is missed. Cost per cell
+    * subtrees, a min-heap on [[minMaxDist]] pops the most promising
+    * nodes first, and the search stops once every unvisited node's
+    * minMaxDist exceeds the current prefix radius — any leaf in the
+    * true prefix has minMaxDist ≤ maxDist ≤ that radius, so none is
+    * missed, and a large cell (whose prefix radius is at least its own
+    * half-diagonal) terminates without sweeping everything inside that
+    * radius. Cost per cell
     * tracks the k-ball's leaf count, not the tree size: the r15 sf10
     * octree (49k leaves, ~20k occupied) blew the quadratic budget and
     * silently fell back to diagonal radii — every probe then replicated
@@ -158,7 +173,7 @@ object KnnPlanner {
           while (c < 8) {
             val ch = cb + c
             if (subCount(ch) > 0) {
-              val d = minDist(cbox, nodeBoxes(ch), dim)
+              val d = minMaxDist(cbox, nodeBoxes(ch), dim)
               if (d <= rHat) pq.enqueue((d, ch))
             }
             c += 1

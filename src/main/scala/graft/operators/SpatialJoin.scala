@@ -955,8 +955,18 @@ object SpatialJoin {
       lu.withColumn("__pd",
         probeKth(col("__ot"), col(X1), col(Y1), col(X2), col(Y2)))
     } else {
-      // relational probe (whole-stage codegen; the cap rank compiles to
-      // WindowGroupLimit — map-side top-cap before the exchange)
+      // relational probe (whole-stage codegen). The k-th distance comes
+      // from the kth_smallest BOUNDED-HEAP AGGREGATE, not a window rank:
+      // partial aggregation runs map-side on the join output (≤ k doubles
+      // per left cross the wire) and nothing is ever sorted. The previous
+      // row_number form had to SORT the whole exploded probe relation —
+      // lefts × ringTiles × cap rows — inside whatever partitioning AQE
+      // had sized for the join's slim INPUTS; at the sf10 area lane that
+      // was ~10⁸ rows in 4 coalesced partitions, the executor starved its
+      // heartbeats for 10 minutes and the JVM self-terminated. Identical
+      // semantics: k-th smallest including duplicates, null when fewer
+      // than k candidates arrived (the rank===k row simply didn't exist
+      // before, and the left join produced the same null).
       val mdx = greatest(col(X2) - col("__rx1"), col("__rx2") - col(X1))
       val mdy = greatest(col(Y2) - col("__ry1"), col("__ry2") - col(Y1))
       val probeRad = lu.select(col(leftId), col("__ot"),
@@ -965,10 +975,8 @@ object SpatialJoin {
         .withColumn(Tile, col("__pt"))
         .join(rtc.hint("shuffle_hash"), Seq(Tile))
         .withColumn("__pd", sqrt(mdx * mdx + mdy * mdy))
-        .withColumn("__pk", row_number().over(
-          Window.partitionBy(col(leftId)).orderBy(col("__pd").asc)))
-        .where(col("__pk") === k)
-        .select(col(leftId), col("__pd"))
+        .groupBy(col(leftId))
+        .agg(graft.functions.kth_smallest(col("__pd"), k).as("__pd"))
       lu.join(probeRad, Seq(leftId), "left")
     }
 

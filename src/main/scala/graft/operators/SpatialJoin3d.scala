@@ -29,12 +29,14 @@ object SpatialJoin3d {
     * broadcast stays well under Spark's 8 GB relation cap at this bound. */
   val BroadcastRightMax = 200000L
 
-  /** Bound on the kNN probe phase's candidate relation (rows), the
-    * product of probe count and real leaf occupancy. ~128M candidate rows
-    * ≈ 10–20 GB shuffle at this row width — safely inside one executor
-    * set's spill budget where the unbounded product filled the disk at
-    * the sf10 lane (SCALE.md round-15). [[knnJoinMbbOc]] shrinks its
-    * effective leaf cap to honor it. */
+  /** RETIRED leaf-shrinking governor (kept for the record; no longer
+    * consulted). It bounded probes × leaf-occupancy by shrinking octree
+    * leaves after the r15 sf10 probe-shuffle disk-fill, but the per-cell
+    * probe cap ([[knnCore]]'s `probeCellCap`, max(k,64) hash-ranked rows
+    * per probed cell) bounds the probe relation by cells × cap without
+    * touching leaf geometry — and probe-count-scaled leaves proved
+    * actively harmful: leaves far smaller than the k-balls multiply the
+    * bound join's replication fan-out (r16 measurement). */
   val CandidateBudget = 128000000L
 
   /** Column bundle naming the six MBB sides of a relation. */
@@ -402,10 +404,16 @@ object SpatialJoin3d {
     val probeDf = probeSets.zipWithIndex
       .flatMap { case (cs, i) => cs.map(pc => (i, pc)) }.toSeq
       .toDF("__own", "__pcell")
-    // Probe candidates are CAPPED at max(k, 64) rights per probe cell
-    // (deterministic rank by rightId): Σ min(cap, cᵢ) ≥ min(cap, Σ cᵢ) ≥ k
+    // Probe candidates are CAPPED at max(k, 64) rights per probe cell:
+    // Σ min(cap, cᵢ) ≥ min(cap, Σ cᵢ) ≥ k
     // over any planned set (cap ≥ k; the plan guarantees Σ cᵢ ≥ k), so the
-    // k-th probe distance stays a valid per-row upper bound. This bounds
+    // k-th probe distance stays a valid per-row upper bound. Rank order is
+    // CONTENT-HASHED (envelope + id), not by rightId: any ≥ k subset is
+    // valid, but the subset's spatial spread decides how tight the probe
+    // radius is — under the area lane's block-translated keys the 64
+    // smallest ids of a big cell clustered in one corner, inflating radii
+    // ~3.6× and ball-explode volume ~47× (the 2-D twin hashes for the
+    // same reason; the id tie-break keeps the order total). This bounds
     // the probe relation by cells × cap — tiling-, not data-sized — so
     // past BroadcastRightMax it still broadcasts and the probe join never
     // repartitions the lefts by cell; without it, every left in a sparse
@@ -418,7 +426,10 @@ object SpatialJoin3d {
     val cappedProbe = rtc
       .where(col("__cell3").isInCollection(probeCells))
       .withColumn("__pr", row_number().over(
-        Window.partitionBy(col("__cell3")).orderBy(col(rightId).asc)))
+        Window.partitionBy(col("__cell3")).orderBy(
+          xxhash64(col(rc.xmin), col(rc.ymin), col(rc.zmin),
+            col(rc.xmax), col(rc.ymax), col(rc.zmax), col(rightId)).asc,
+          col(rightId).asc)))
       .where(col("__pr") <= probeCellCap).drop("__pr")
 
     val wRank = Window.partitionBy(col(leftId))
@@ -828,17 +839,19 @@ object SpatialJoin3d {
     val diag = math.sqrt(spans.map(s => s * s).sum)
     val nR = if (row.isNullAt(6)) 0L else row.getLong(6)
     val nL = row.getLong(7) - nR // probe-side rows, from the same agg
-    // Candidate-volume governor (found by the sf10 lane, SCALE.md: the
-    // probe-phase shuffle is ~ probes x real-leaf-occupancy rows — at
-    // 1.5M probes a 512-row leaf cap projected a ~150 GB shuffle and
-    // filled the disk). The caller's leafCap is honored only up to a
-    // fixed candidate budget; past it, leaves shrink so the candidate
-    // relation stays bounded regardless of probe count. Exactness is
-    // unaffected — ring plans still guarantee >= k per probe; smaller
-    // leaves just mean tighter radii and more, smaller leaves. The 4k
-    // floor keeps leaves from degenerating below the answer size.
-    val effCap = math.max(4 * k,
-      math.min(leafCap.toLong, CandidateBudget / math.max(nL, 1L)).toInt)
+    // The caller's leafCap is honored as-is. An earlier candidate-volume
+    // governor (CandidateBudget) shrank leaves ∝ 1/probes after the r15
+    // sf10 probe-phase shuffle explosion — but the per-cell probe cap
+    // (max(k,64) hash-ranked rows per probed cell) now bounds the probe
+    // relation by cells × cap regardless of leaf occupancy, which is the
+    // correct fix: shrinking leaves instead made leaf boxes FAR SMALLER
+    // THAN THE k-BALLS (sub-10-unit leaves at the sf10 area density), so
+    // every probe's bound-join ball covered hundreds-to-thousands of
+    // cells and the replication fan-out dominated the join (r16
+    // measurement: ~3.5k CPU-s in the ball-explode stage). Leaf size
+    // should track data density (~leafCap rows per leaf), never probe
+    // count.
+    val effCap = leafCap
     val fraction = if (nR == 0) 1.0 else math.min(1.0, sampleTarget.toDouble / nR)
     val pts = rBase.select(
         ((col(rc.xmin) + col(rc.xmax)) / 2).as("x"),

@@ -54,13 +54,16 @@ class PlanHealthSpec extends SparkTestBase {
       s"broadcast kNN should not shuffle:\n${df.queryExecution.executedPlan}")
   }
 
-  test("relational kNN probe compiles to WindowGroupLimit (map-side partial rank)") {
+  test("relational kNN probe aggregates map-side (kth_smallest, no probe sort)") {
     // force the giant-tiling relational branch at spec scale: threshold 0
     // disables the broadcast path, probeCollectMax 0 disables the
     // collected-map probe — this is the lane that carries the q_knn family
-    // past probeCollectMax at sf10, so its map-side partial top-k (the
-    // thing that keeps probe shuffle O(lefts x k), not O(lefts x
-    // candidates)) must be pinned in the plan, not just trusted.
+    // past probeCollectMax at sf10. Its radius extraction must be the
+    // kth_smallest partial aggregate (≤ k doubles per left cross the
+    // wire, nothing sorted): the window-rank form sorted the whole
+    // exploded probe relation and starved the executor to death at the
+    // sf10 area lane (r16 measurement — heartbeat timeout after ~10⁸
+    // rows in 4 AQE-coalesced partitions).
     import org.apache.spark.sql.functions.col
     val custs = Queries.custPoints(spark, dir).select(col("id").as("cid"), col("geom").as("g1"))
     val supps = Queries.suppPoints(spark, dir).select(col("id").as("sid"), col("geom").as("g2"))
@@ -69,11 +72,14 @@ class PlanHealthSpec extends SparkTestBase {
       cfg = graft.operators.SpatialJoin.Config(bucket = 100,
         knnBroadcastThreshold = 0, probeCollectMax = 0L))
     val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("kth_smallest"),
+      s"relational probe radius is not the kth_smallest aggregate:\n$plan")
+    assert(plan.contains("partial_kth_smallest"),
+      "kth_smallest lost its map-side partial stage (every candidate " +
+      s"row would cross the probe exchange):\n$plan")
+    // the final top-k rank still compiles to WindowGroupLimit
     assert(plan.contains("WindowGroupLimit"),
-      s"relational probe rank did not compile to WindowGroupLimit:\n$plan")
-    assert(plan.contains("Partial"),
-      "WindowGroupLimit lost its map-side Partial stage (rank would " +
-      s"shuffle every candidate):\n$plan")
+      s"output rank did not compile to WindowGroupLimit:\n$plan")
     // and it still answers exactly (tiny check; the full differential is
     // SpatialJoinSpec's relational-probe mode)
     assert(q.limit(1).count() == 1)
