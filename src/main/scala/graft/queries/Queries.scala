@@ -6012,16 +6012,21 @@ object Queries {
     val pre = docs.select(col("doc_id"),
       posexplode(TextFunctions.bpePretokens(col("text")))
         .as(Seq("widx", "word")))
+    // one Viterbi pass shared by the aux checkpoint and the encode join
+    // (encode() would re-derive pre AND re-tokenize every distinct word -
+    // measured as 2 of this gate's 4 full document scans)
+    val toks = UnigramTrainer.wordTokens(pre.select("word"), model)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     writeOracleAux(
-      UnigramTrainer.wordTokens(pre.select("word"), model)
-        .select(col("word"),
+      toks.select(col("word"),
           concat_ws("\u0001", col("toks")).as("stream"),
           size(col("toks")).cast("long").as("n")),
       dir, "unigram_toks")
-    UnigramTrainer.encode(docs, "doc_id", "text", model)
+    val out = UnigramTrainer.assemble(pre, toks, "doc_id")
       .select(col("doc_id"),
         md5(concat_ws("\u0001", col("tokens")).cast("binary")).as("tok_md5"),
         size(col("tokens")).cast("long").as("n_tokens"))
+    graft.core.CacheHygiene.unpersistAfterUse(out, Seq(toks))
   }
 
   val qUnigramSql: String = {

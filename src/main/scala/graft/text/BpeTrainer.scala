@@ -71,6 +71,20 @@ object BpeTrainer {
     val sc = spark.sparkContext
     var (cur, curIds) = graft.core.CacheHygiene.trackNewRdds(sc)(
       wordTable(df, textCol).localCheckpoint(true))
+    // bounded-model driver fast path (TrainerLocal): when the distinct-
+    // pretoken table fits the driver, run every merge round locally —
+    // zero scheduled jobs per round instead of ~4. limit(T+1) keeps the
+    // decision collect bounded; oversized tables fall through to the
+    // distributed loop below with only this one cheap job (a limit scan
+    // of already-checkpointed blocks) added.
+    val thr = TrainerLocal.threshold(df)
+    val head = cur.limit(thr + 1).collect()
+    if (head.length <= thr) {
+      graft.core.CacheHygiene.freeRdds(sc, curIds)
+      return trainLocal(
+        head.map(r => (r.getSeq[String](0).toArray, r.getLong(1))),
+        numMerges, minCount)
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var done = false
     var rank = 0
@@ -103,6 +117,48 @@ object BpeTrainer {
       }
     }
     graft.core.CacheHygiene.freeRdds(sc, curIds)
+    merges.toSeq
+  }
+
+  /** The driver twin of the distributed merge loop: winner = max weighted
+    * adjacent-pair count, ties by lexicographically smallest (a, b) in the
+    * SAME order the distributed `orderBy(__c desc, __a asc, __b asc)`
+    * applies — Spark's binary UTF-8 string order ([[TrainerLocal.utf8Lt]]),
+    * not Java's UTF-16 compareTo. Count sums are exact Long adds in both
+    * paths, so results are bit-identical (TrainerParitySpec). */
+  private def trainLocal(words0: Array[(Array[String], Long)], numMerges: Int,
+                         minCount: Long): Seq[Merge] = {
+    var words = words0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var done = false
+    var rank = 0
+    while (rank < numMerges && !done) {
+      val pc = new java.util.HashMap[(String, String), Long]()
+      words.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          pc.merge((syms(i), syms(i + 1)), n, _ + _)
+          i += 1
+        }
+      }
+      var bestK: (String, String) = null
+      var bestC = 0L
+      pc.forEach { (k, c) =>
+        if (c >= minCount && (bestK == null || c > bestC || (c == bestC && {
+          if (k._1 != bestK._1) TrainerLocal.utf8Lt(k._1, bestK._1)
+          else TrainerLocal.utf8Lt(k._2, bestK._2)
+        }))) { bestK = k; bestC = c }
+      }
+      if (bestK == null) done = true
+      else {
+        val (a, b) = bestK
+        merges += Merge(rank, a, b, bestC)
+        words = words.map { case (syms, n) =>
+          (TrainerLocal.foldMergeLocal(syms, a, b, a + b), n)
+        }
+        rank += 1
+      }
+    }
     merges.toSeq
   }
 

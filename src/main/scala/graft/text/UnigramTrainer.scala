@@ -174,17 +174,121 @@ object UnigramTrainer {
   def train(df: DataFrame, textCol: String, vocabSize: Int,
             maxPieceLen: Int = 8, seedSize: Int = 0,
             emIters: Int = 2): DataFrame = {
+    val spark = df.sparkSession
     val words = wordTable(df, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     words.count() // materialize once; every EM pass re-reads this table
     try {
       val seed = if (seedSize > 0) seedSize else vocabSize * 4
+      // bounded-model driver fast path — see [[TrainerLocal]]: the word
+      // table is the only corpus-derived relation every stage below scans;
+      // when it fits the driver, seed + EM + prune run as local loops with
+      // zero scheduled jobs (the distributed path pays ~3 jobs per EM pass
+      // plus the seed/prune sort-limit jobs). limit(T+1) bounds the
+      // decision collect; oversized tables fall through unchanged.
+      val thr = TrainerLocal.threshold(df)
+      val head = words.select(col("word"), col("n").cast("long"))
+        .limit(thr + 1).collect()
+      if (head.length <= thr) {
+        val w = head.map(r => (r.getString(0), r.getLong(1)))
+          .filter { case (word, n) => word != null && word.nonEmpty && n > 0 }
+        return trainLocal(spark, w, vocabSize, maxPieceLen, seed, emIters)
+      }
       var counts = seedVocab(words, seed, maxPieceLen)
       for (_ <- 1 to emIters)
         counts = emCounts(words, modelFromCounts(counts))
       counts = prune(counts, vocabSize)
       emCounts(words, modelFromCounts(counts))
     } finally words.unpersist(false)
+  }
+
+  /** The driver twin of seed → EM → prune → consolidating EM. Stage-exact
+    * replication of the distributed semantics:
+    *  - seed substrings use CODEPOINT offsets/lengths (Spark's
+    *    `substr`/`length` operate on characters, not UTF-16 units);
+    *  - EM reuses [[expectedCounts]] — the very kernel the distributed
+    *    mapPartitions runs — with the same per-word `round(e·n·1e6)`
+    *    integer emission, so Long sums match bit-for-bit in any order;
+    *  - ranked cuts (seed top-N, prune) order by (count desc, piece asc)
+    *    in Spark's binary UTF-8 string order ([[TrainerLocal.utf8Lt]]);
+    *  - the char coverage floor keys on codepoint-length-1 pieces, like
+    *    the distributed `length(piece) === 1`.
+    * TrainerParitySpec pins local == distributed. */
+  private def trainLocal(spark: SparkSession, words: Array[(String, Long)],
+                         vocabSize: Int, maxPieceLen: Int, seedSize: Int,
+                         emIters: Int): DataFrame = {
+    require(seedSize > 0 && maxPieceLen > 0, "seedVocab: positive sizes")
+    def isOneChar(p: String): Boolean =
+      p.codePointCount(0, p.length) == 1
+    def byCountDescPieceAsc(a: (String, Long), b: (String, Long)): Boolean =
+      a._2 > b._2 || (a._2 == b._2 && TrainerLocal.utf8Lt(a._1, b._1))
+
+    // seed: every codepoint substring (length <= maxPieceLen) weighted by
+    // word count; top seedSize by (count desc, piece asc) + all single
+    // characters (the coverage floor)
+    val seedAcc = new java.util.HashMap[String, Long]()
+    words.foreach { case (word, n) =>
+      // codepoint offsets, mirroring substr(s+1, l) on character positions
+      val cps = word.codePoints().toArray
+      val L = cps.length
+      var s = 0
+      while (s < L) {
+        var l = 1
+        val maxL = math.min(maxPieceLen, L - s)
+        while (l <= maxL) {
+          seedAcc.merge(new String(cps, s, l), n, _ + _)
+          l += 1
+        }
+        s += 1
+      }
+    }
+    val seedCounts = {
+      val all = new scala.collection.mutable.ArrayBuffer[(String, Long)](seedAcc.size)
+      seedAcc.forEach { (p, c) => all += ((p, c * Micro.toLong)) }
+      val sorted = all.sortWith(byCountDescPieceAsc)
+      val top = sorted.take(seedSize)
+      val chars = sorted.filter(pc => isOneChar(pc._1))
+      (top ++ chars).distinct
+    }
+
+    def localModel(counts: Seq[(String, Long)]): Model = {
+      require(counts.nonEmpty, "UnigramTrainer: empty vocabulary")
+      val total = counts.map(_._2.max(1L)).sum.toDouble
+      Model(counts.map { case (p, c) =>
+        p -> (math.log(c.max(1L).toDouble) - math.log(total)) }.toMap,
+        counts.map(_._1.length).max)
+    }
+
+    def emLocal(model: Model): Seq[(String, Long)] = {
+      val acc = new java.util.HashMap[String, Long]()
+      words.foreach { case (word, n) =>
+        expectedCounts(word, model).foreach { case (p, e) =>
+          val add = math.round(e * n * Micro)
+          if (add > 0) acc.merge(p, add, _ + _)
+        }
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(String, Long)](acc.size)
+      acc.forEach { (p, c) => out += ((p, c)) }
+      out.toSeq
+    }
+
+    var counts: Seq[(String, Long)] = seedCounts.toSeq
+    for (_ <- 1 to emIters) counts = emLocal(localModel(counts))
+    // prune: single characters always survive; remaining slots to the
+    // largest multi-character pieces by (count desc, piece asc)
+    val (chars, multi) = counts.partition(pc => isOneChar(pc._1))
+    val nChars = chars.length
+    require(vocabSize > nChars,
+      s"UnigramTrainer: vocabSize=$vocabSize must exceed the $nChars " +
+        "single characters (the coverage floor)")
+    counts = chars ++ multi.sortWith(byCountDescPieceAsc)
+      .take(vocabSize - nChars)
+    val fin = emLocal(localModel(counts))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        fin.sortWith(byCountDescPieceAsc).map { case (p, c) => Row(p, c) },
+        numSlices = 1),
+      countSchema)
   }
 
   private val tokSchema = StructType(Seq(
@@ -234,10 +338,17 @@ object UnigramTrainer {
     val pre = df.select(col(idCol),
       posexplode(TextFunctions.bpePretokens(col(textCol)))
         .as(Seq("widx", "word")))
-    pre.join(wordTokens(pre.select("word"), model), Seq("word"))
+    assemble(pre, wordTokens(pre.select("word"), model), idCol)
+  }
+
+  /** The join + per-doc reassembly half of [[encode]] over a PRECOMPUTED
+    * `(word, toks)` relation — lets a caller that already materialized the
+    * word→tokens table (e.g. for an oracle checkpoint) reuse it instead of
+    * paying a second pretoken scan + Viterbi pass. */
+  def assemble(pre: DataFrame, wordToks: DataFrame, idCol: String): DataFrame =
+    pre.join(wordToks, Seq("word"))
       .groupBy(col(idCol))
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("widx"), col("toks")))),
         s => s.getField("toks"))).as("tokens"))
-  }
 }

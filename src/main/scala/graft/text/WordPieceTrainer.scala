@@ -73,6 +73,16 @@ object WordPieceTrainer {
     val sc = spark.sparkContext
     var (cur, curIds) = graft.core.CacheHygiene.trackNewRdds(sc)(
       wordTable(df, textCol).localCheckpoint(true))
+    // bounded-model driver fast path — see [[TrainerLocal]] and the
+    // identical guard in BpeTrainer.train
+    val thr = TrainerLocal.threshold(df)
+    val head = cur.limit(thr + 1).collect()
+    if (head.length <= thr) {
+      graft.core.CacheHygiene.freeRdds(sc, curIds)
+      return trainLocal(
+        head.map(r => (r.getSeq[String](0).toArray, r.getLong(1))),
+        numMerges, minCount)
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[WpMerge]
     var done = false
     var rank = 0
@@ -136,6 +146,60 @@ object WordPieceTrainer {
       }
     }
     graft.core.CacheHygiene.freeRdds(sc, curIds)
+    merges.toSeq
+  }
+
+  /** The driver twin of the distributed round loop: the winner is the
+    * exact-rational argmax of cp/(ca·cb) over every pair with cp >=
+    * minCount (cross-multiplied BigInt compare — the same arithmetic the
+    * distributed path applies to its FP-preselected superset, so the pick
+    * is identical), ties by Java compareTo on (a, b) — matching the
+    * distributed `reduceLeft`'s tie branch exactly. Long count sums are
+    * order-independent in both paths (TrainerParitySpec pins parity). */
+  private def trainLocal(words0: Array[(Array[String], Long)], numMerges: Int,
+                         minCount: Long): Seq[WpMerge] = {
+    var words = words0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[WpMerge]
+    var done = false
+    var rank = 0
+    while (rank < numMerges && !done) {
+      val sc = new java.util.HashMap[String, Long]()
+      val pc = new java.util.HashMap[(String, String), Long]()
+      words.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length) {
+          sc.merge(syms(i), n, _ + _)
+          if (i < syms.length - 1) pc.merge((syms(i), syms(i + 1)), n, _ + _)
+          i += 1
+        }
+      }
+      var best: (String, String, Long, Long, Long) = null
+      pc.forEach { (k, cp) =>
+        if (cp >= minCount) {
+          val cand = (k._1, k._2, cp, sc.get(k._1), sc.get(k._2))
+          if (best == null) best = cand
+          else {
+            val lhs = BigInt(cand._3) * BigInt(best._4) * BigInt(best._5)
+            val rhs = BigInt(best._3) * BigInt(cand._4) * BigInt(cand._5)
+            val c = lhs.compare(rhs)
+            if (c > 0 || (c == 0 && {
+              val t = if (cand._1 != best._1) cand._1.compareTo(best._1)
+                      else cand._2.compareTo(best._2)
+              t < 0
+            })) best = cand
+          }
+        }
+      }
+      if (best == null) done = true
+      else {
+        val (a, b, cp, ca, cb) = best
+        merges += WpMerge(rank, a, b, cp, ca, cb)
+        words = words.map { case (syms, n) =>
+          (TrainerLocal.foldMergeLocal(syms, a, b, merged(a, b)), n)
+        }
+        rank += 1
+      }
+    }
     merges.toSeq
   }
 
