@@ -45,7 +45,12 @@ object HardNegatives {
     val items = IvfIndex.withAssignment(
         df.select(col(idCol).as("nid"), col(vecCol).as("__nv"),
           col(labelCol).as("nlabel")), "__nv", model, "list")
-    anchors.join(items.hint("shuffle_hash"), Seq("list"))
+    // salted list join (IvfIndex.listSalt): the exact-cosine work is
+    // proportional to the join OUTPUT; with few lists the unsalted join's
+    // parallelism is key-bounded and AQE coalesces it further (measured:
+    // the scoring stage ran on 2 tasks at sf0.1)
+    IvfIndex.listJoin(anchors, items, "list", "nid",
+        IvfIndex.listSalt(df.sparkSession, model.centroids.length))
       .where(col("qid") =!= col("nid"))
       .withColumn("similarity", cosine_similarity(col("__qv"), col("__nv")))
       .where(col("similarity").isNotNull)

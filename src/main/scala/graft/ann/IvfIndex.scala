@@ -206,18 +206,57 @@ object IvfIndex {
     withProbes(queries.select(col(queryId), col(queryVec)), queryVec,
       model, nprobe, "list").select(col(queryId), col("list"))
 
+  /** Scale-adaptive salt factor for the list-keyed scoring joins: with
+    * few lists relative to the cluster (the local-bench / small-nlist shape),
+    * the join's parallelism is bounded by DISTINCT LIST COUNT, and AQE
+    * coalesces the tiny-input partitions further — but the exact-cosine
+    * work is proportional to the join OUTPUT, which AQE cannot see
+    * (guide §2.5: compute-exploding join under-parallelized by
+    * input-byte-driven coalescing). Salting the item side `s` ways splits
+    * each list's scoring across `s` tasks; each (query, item) pair still
+    * meets exactly once (an item carries ONE salt; queries replicate to
+    * all salts), so the result set is bit-identical. At production nlist
+    * (≥ cores, the IVF sizing rule) `s` = 1 and the plan is unchanged —
+    * the salt only engages when the list count under-fills the cluster. */
+  private[graft] def listSalt(spark: org.apache.spark.sql.SparkSession,
+                            nlist: Int): Int = {
+    val conf = spark.conf.getOption("spark.graft.ann.listSalt").map(_.toInt)
+    val par = spark.sparkContext.defaultParallelism
+    conf.getOrElse(math.max(1, math.min(64, (2 * par + nlist - 1) / math.max(1, nlist))))
+  }
+
+  /** Salted list-keyed scoring join: `q JOIN i ON (list, salt)` with the
+    * shuffled-hash hint — shared by [[topK]], [[topKFromAssignments]] and
+    * [[HardNegatives.candidates]]. `s` == 1 degenerates to the unsalted
+    * single-key join. */
+  private[graft] def listJoin(bq: DataFrame, bi: DataFrame, listCol: String,
+                            itemId: String, s: Int): DataFrame =
+    if (s <= 1) bq.join(bi.hint("shuffle_hash"), Seq(listCol))
+    else {
+      val bi2 = bi.withColumn("__salt",
+        pmod(xxhash64(col(itemId)), lit(s.toLong)).cast("int"))
+      val bq2 = bq.withColumn("__salt",
+        explode(sequence(lit(0), lit(s - 1))))
+      bq2.join(bi2.hint("shuffle_hash"), Seq(listCol, "__salt"))
+        .drop("__salt")
+    }
+
   /** [[topK]] over precomputed [[assignments]] + [[probeLists]] relations —
     * the persisted-index read path (items/queries join their lists by id
     * instead of recomputing centroid distances), then the identical
     * list-join → exact-cosine → window-top-k tail. Same rows as [[topK]]
     * for matching model/nprobe; downstream of the centroid tables it is
-    * pure relational algebra, so a checkpointed index oracles in SQL. */
+    * pure relational algebra, so a checkpointed index oracles in SQL.
+    * `nlist` (when the caller knows it) sizes the [[listSalt]] factor;
+    * 0 disables salting. */
   def topKFromAssignments(items: DataFrame, itemId: String, itemVec: String,
                           queries: DataFrame, queryId: String, queryVec: String,
-                          k: Int, assign: DataFrame, probes: DataFrame): DataFrame = {
+                          k: Int, assign: DataFrame, probes: DataFrame,
+                          nlist: Int = 0): DataFrame = {
     val bi = items.join(assign, Seq(itemId))
     val bq = queries.join(probes, Seq(queryId))
-    bq.join(bi.hint("shuffle_hash"), Seq("list"))
+    val s = if (nlist > 0) listSalt(items.sparkSession, nlist) else 1
+    listJoin(bq, bi, "list", itemId, s)
       .where(col(queryId) =!= col(itemId))
       .withColumn("similarity", cosine_similarity(col(queryVec), col(itemVec)))
       .withColumn("rank", row_number().over(
@@ -243,7 +282,8 @@ object IvfIndex {
     }
     val bi = items.withColumn("__list", assign(col(itemVec)))
     val bq = queries.withColumn("__list", explode(probes(col(queryVec))))
-    bq.join(bi.hint("shuffle_hash"), Seq("__list"))
+    listJoin(bq, bi, "__list", itemId,
+      listSalt(spark, model.centroids.length))
       .where(col(queryId) =!= col(itemId))
       .withColumn("similarity", cosine_similarity(col(queryVec), col(itemVec)))
       .withColumn("rank", row_number().over(

@@ -4895,7 +4895,7 @@ object Queries {
       graft.ann.IvfIndex.probeLists(queries, "qid", "qvec", model, nprobe = 4),
       dir, "ann_ivf_probes")
     graft.ann.IvfIndex.topKFromAssignments(items, "nid", "ivec",
-        queries, "qid", "qvec", k = 5, assign, probes)
+        queries, "qid", "qvec", k = 5, assign, probes, nlist = 16)
       .select(col("qid"), col("nid"), col("rank").as("rk"))
   }
 
@@ -4935,7 +4935,7 @@ object Queries {
       graft.ann.IvfIndex.probeLists(queries, "qid", "qvec", model, nprobe = 4),
       dir, "ann_ivfkp_probes")
     graft.ann.IvfIndex.topKFromAssignments(items, "nid", "ivec",
-        queries, "qid", "qvec", k = 5, assign, probes)
+        queries, "qid", "qvec", k = 5, assign, probes, nlist = 16)
       .select(col("qid"), col("nid"), col("rank").as("rk"))
   }
 

@@ -68,8 +68,9 @@ object AnnIngest {
     val probed = probes.select("list").distinct()
       .collect().map(_.getInt(0)).toSeq
     val items = prunedStore(spark, storePath, idCol, vecCol, probed)
-    queries.join(probes, Seq(queryId))
-      .join(items.hint("shuffle_hash"), Seq("list"))
+    // salted list join — see IvfIndex.listSalt (scoring work ∝ join output)
+    IvfIndex.listJoin(queries.join(probes, Seq(queryId)), items, "list",
+        idCol, IvfIndex.listSalt(spark, model.centroids.length))
       .where(col(queryId) =!= col(idCol))
       .withColumn("similarity", cosine_similarity(col(queryVec), col(vecCol)))
       .withColumn("rank", row_number().over(
