@@ -259,6 +259,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE coalescing floor (r16 optimization round): parallelismFirst
+      // merges sub-1MB shuffle partitions, but this engine's refinement
+      // kernels (geometry predicates, exact cosines) carry seconds of CPU
+      // per MB — the byte heuristic under-parallelizes exactly the dense
+      // stages (measured: the spjoin cogroup ran 1.0s of CPU on 2 tasks
+      // at sf0.1; q_spjoin_intersects 1.47→0.95s at a 64k floor). At
+      // production shuffle sizes partitions are far above 1MB, so the
+      // floor is inert there — env-parameterised for A/B.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
       .getOrCreate()
     // ERROR, not WARN: the driver's BENCH_rN.json keeps a tail of this
     // process's combined output, and at WARN the function-registry
