@@ -182,6 +182,13 @@ object TextDedup {
     // pipeline (MLlib's MinHashLSH caches the same way)
     val sig = minHashSignatures(df, idCol, textCol, n, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialization barrier — same race as keyOverlapPairs documents:
+    // the banded self-join's two sides are CONCURRENT stages of one job,
+    // and a lazy persist read by both makes each recompute the full
+    // shingle+64-minhash aggregation instead of hitting cache (measured:
+    // the two band-explode stages burned 8.9s + 4.0s of CPU at sf0.1 —
+    // the signature pipeline run twice)
+    sig.count()
     val out = lshPairsFromSignatures(sig, idCol, numHashes, bands, estThreshold)
     graft.core.CacheHygiene.unpersistAfterUse(out, Seq(sig))
   }
