@@ -135,9 +135,15 @@ object Components {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    var prev = checksum(cur)
+    // bounded-size decision via limit(T+1): ONE job that, when the graph
+    // is dim-table sized, already delivers the edges the union-find needs
+    // — replacing the separate checksum job + full collect (the fast path
+    // ran 3 jobs over the edge relation; now 2: checkpoint + this). The
+    // distributed path pays one cheap limit-scan of checkpointed blocks
+    // and computes its checksum below as before.
+    val head = cur.limit(driverThreshold + 1).collect()
 
-    if (prev._1 <= driverThreshold) {
+    if (head.length <= driverThreshold) {
       // bounded fast path: one collect + union-find, no iterative stages.
       // Ordering must BIT-MATCH Spark SQL's least/greatest so both paths
       // label components identically: numerics via Comparable, strings via
@@ -167,7 +173,7 @@ object Components {
         while (c != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
         r
       }
-      cur.collect().foreach { row =>
+      head.foreach { row =>
         val (ra, rb) = (find(row.get(0)), find(row.get(1)))
         if (ra != rb) {
           if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
@@ -191,6 +197,7 @@ object Components {
         .select(col(idCol), coalesce(col("__comp"), col(idCol)).as("comp"))
     }
 
+    var prev = checksum(cur)
     var iter = 0
     var converged = prev._1 == 0L
     while (!converged && iter < maxIter) {
