@@ -46,6 +46,22 @@ object Queries {
     df.sparkSession.read.parquet(path)
   }
 
+  /** Two INDEPENDENT [[writeOracleAux]] checkpoints run as concurrent
+    * driver-thread jobs (guide §2.6 — overlap independent jobs so one
+    * write's task tail back-fills with the other's tasks; job descriptions
+    * are thread-local so the UI stays readable). Only for aux relations
+    * with no data dependency on each other. */
+  def writeOracleAuxPar(dir: String,
+                        a: (DataFrame, String),
+                        b: (DataFrame, String)): (DataFrame, DataFrame) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(writeOracleAux(a._1, dir, a._2))
+    val fb = Future(writeOracleAux(b._1, dir, b._2))
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+  }
+
   /** DuckDB-side reference to a [[writeOracleAux]] artifact (the driver's
     * correctness gate always runs at sf0.01). */
   def auxSql(name: String): String =
@@ -4586,14 +4602,13 @@ object Queries {
     * re-shingled — that is the operator's contract. */
   def qMinhashIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val newSig = writeOracleAux(
-      graft.dedup.TextDedup.minHashSignatures(
-        docs.where(col("doc_id") % 5 === 0), "doc_id", "text", n = 3, numHashes = 64),
-      dir, "minhash_new")
-    val oldSig = writeOracleAux(
-      graft.dedup.TextDedup.minHashSignatures(
-        docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text", n = 3, numHashes = 64),
-      dir, "minhash_stored")
+    val (newSig, oldSig) = writeOracleAuxPar(dir,
+      (graft.dedup.TextDedup.minHashSignatures(
+        docs.where(col("doc_id") % 5 === 0), "doc_id", "text",
+        n = 3, numHashes = 64), "minhash_new"),
+      (graft.dedup.TextDedup.minHashSignatures(
+        docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        n = 3, numHashes = 64), "minhash_stored"))
     graft.dedup.TextDedup.lshPairsIncremental(
       newSig, oldSig, "doc_id", numHashes = 64, bands = 16, estThreshold = 0.5)
   }
@@ -4888,12 +4903,11 @@ object Queries {
     val queries = emb.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val model = graft.ann.IvfIndex.train(items, "ivec", nlist = 16)
-    val assign = writeOracleAux(
-      graft.ann.IvfIndex.assignments(items, "nid", "ivec", model),
-      dir, "ann_ivf_assign")
-    val probes = writeOracleAux(
-      graft.ann.IvfIndex.probeLists(queries, "qid", "qvec", model, nprobe = 4),
-      dir, "ann_ivf_probes")
+    val (assign, probes) = writeOracleAuxPar(dir,
+      (graft.ann.IvfIndex.assignments(items, "nid", "ivec", model),
+        "ann_ivf_assign"),
+      (graft.ann.IvfIndex.probeLists(queries, "qid", "qvec", model, nprobe = 4),
+        "ann_ivf_probes"))
     graft.ann.IvfIndex.topKFromAssignments(items, "nid", "ivec",
         queries, "qid", "qvec", k = 5, assign, probes, nlist = 16)
       .select(col("qid"), col("nid"), col("rank").as("rk"))
@@ -4928,12 +4942,11 @@ object Queries {
     val queries = emb.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val model = graft.ann.IvfIndex.trainKMeansPar(items, "ivec", nlist = 16)
-    val assign = writeOracleAux(
-      graft.ann.IvfIndex.assignments(items, "nid", "ivec", model),
-      dir, "ann_ivfkp_assign")
-    val probes = writeOracleAux(
-      graft.ann.IvfIndex.probeLists(queries, "qid", "qvec", model, nprobe = 4),
-      dir, "ann_ivfkp_probes")
+    val (assign, probes) = writeOracleAuxPar(dir,
+      (graft.ann.IvfIndex.assignments(items, "nid", "ivec", model),
+        "ann_ivfkp_assign"),
+      (graft.ann.IvfIndex.probeLists(queries, "qid", "qvec", model, nprobe = 4),
+        "ann_ivfkp_probes"))
     graft.ann.IvfIndex.topKFromAssignments(items, "nid", "ivec",
         queries, "qid", "qvec", k = 5, assign, probes, nlist = 16)
       .select(col("qid"), col("nid"), col("rank").as("rk"))
@@ -4995,13 +5008,11 @@ object Queries {
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val ivf = graft.ann.IvfIndex.train(items, "ivec", nlist = 16)
     val model = graft.ann.PqIndex.trainResidual(items, "ivec", ivf, m = 16, codes = 16)
-    val codes = writeOracleAux(
-      graft.ann.PqIndex.encodeResidual(items, "nid", "ivec", model, ivf),
-      dir, "ann_ivfpq_codes")
-    val luts = writeOracleAux(
-      graft.ann.PqIndex.lookupTablesResidual(queries, "qid", "qvec", model, ivf,
-        nprobe = 4),
-      dir, "ann_ivfpq_luts")
+    val (codes, luts) = writeOracleAuxPar(dir,
+      (graft.ann.PqIndex.encodeResidual(items, "nid", "ivec", model, ivf),
+        "ann_ivfpq_codes"),
+      (graft.ann.PqIndex.lookupTablesResidual(queries, "qid", "qvec", model,
+        ivf, nprobe = 4), "ann_ivfpq_luts"))
     graft.ann.PqIndex.topKFromCodesResidual(codes, "nid", luts, "qid", k = 5)
       .select(col("qid"), col("nid"), col("rank").as("rk"))
   }
@@ -5019,13 +5030,11 @@ object Queries {
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val ivf = graft.ann.IvfIndex.train(items, "ivec", nlist = 16)
     val model = graft.ann.PqIndex.trainResidual(items, "ivec", ivf, m = 16, codes = 16)
-    writeOracleAux(
-      graft.ann.PqIndex.encodeResidual(items, "nid", "ivec", model, ivf),
-      dir, "ann_ivfpqc_codes")
-    writeOracleAux(
-      graft.ann.PqIndex.lookupTablesResidual(queries, "qid", "qvec", model, ivf,
-        nprobe = 4),
-      dir, "ann_ivfpqc_luts")
+    writeOracleAuxPar(dir,
+      (graft.ann.PqIndex.encodeResidual(items, "nid", "ivec", model, ivf),
+        "ann_ivfpqc_codes"),
+      (graft.ann.PqIndex.lookupTablesResidual(queries, "qid", "qvec", model,
+        ivf, nprobe = 4), "ann_ivfpqc_luts"))
     graft.ann.PqIndex.topKFromCompact(
         graft.ann.PqIndex.encodeResidualCompact(items, "nid", "ivec", model, ivf),
         "nid",
@@ -5760,10 +5769,10 @@ object Queries {
         "nid", "ivec", model, store)
     }
     val stored = AnnIngest.loadStore(spark, store, "nid", "ivec")
-    writeOracleAux(stored.select(col("nid"), col("list")), dir, "ann_ingest_assign")
-    writeOracleAux(
-      graft.ann.IvfIndex.probeLists(queries, "qid", "qvec", model, nprobe = 4),
-      dir, "ann_ingest_probes")
+    writeOracleAuxPar(dir,
+      (stored.select(col("nid"), col("list")), "ann_ingest_assign"),
+      (graft.ann.IvfIndex.probeLists(queries, "qid", "qvec", model, nprobe = 4),
+        "ann_ingest_probes"))
     AnnIngest.topKFromStore(spark, store, "nid", "ivec",
         queries, "qid", "qvec", k = 5, model, nprobe = 4)
       .select(col("qid"), col("nid"), col("rank").as("rk"))
