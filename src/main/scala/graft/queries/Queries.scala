@@ -1857,8 +1857,7 @@ object Queries {
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val (qc0, cc0) = Mmr.relations(items, "vec_id", "embedding",
       queries, "qid", "qvec", topN = 8)
-    val qc = writeOracleAux(qc0, dir, "mmr_qc")
-    val cc = writeOracleAux(cc0, dir, "mmr_cc")
+    val (qc, cc) = writeOracleAuxPar(dir, (qc0, "mmr_qc"), (cc0, "mmr_cc"))
     Mmr.selectFromRelations(qc, cc, k = 4, lambda = 0.7)
   }
 
@@ -2890,12 +2889,11 @@ object Queries {
         .select((col("doc_id") + 20000L).as("bid"),
           encode(concat(lit("MUT::"), repeat(col("text"), 8)), "UTF-8")
             .as("content")))
-    val auxStore = writeOracleAux(
-      BinaryDedup.chunkTable(storeBlobs, "bid", "content", 64, 8, 1024),
-      dir, "cdc_store")
-    val auxNew = writeOracleAux(
-      BinaryDedup.chunkTable(newBlobs, "bid", "content", 64, 8, 1024),
-      dir, "cdc_newbatch")
+    val (auxStore, auxNew) = writeOracleAuxPar(dir,
+      (BinaryDedup.chunkTable(storeBlobs, "bid", "content", 64, 8, 1024),
+        "cdc_store"),
+      (BinaryDedup.chunkTable(newBlobs, "bid", "content", 64, 8, 1024),
+        "cdc_newbatch"))
     BinaryDedup.matchChunkTables(auxNew, "bid", auxStore, 0.5)
   }
 
@@ -4969,12 +4967,10 @@ object Queries {
     val queries = emb.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val model = graft.ann.PqIndex.train(items, "ivec", m = 16, codes = 64)
-    writeOracleAux(
-      graft.ann.PqIndex.encode(items, "nid", "ivec", model),
-      dir, "ann_pq_codes")
-    writeOracleAux(
-      graft.ann.PqIndex.lookupTables(queries, "qid", "qvec", model),
-      dir, "ann_pq_luts")
+    writeOracleAuxPar(dir,
+      (graft.ann.PqIndex.encode(items, "nid", "ivec", model), "ann_pq_codes"),
+      (graft.ann.PqIndex.lookupTables(queries, "qid", "qvec", model),
+        "ann_pq_luts"))
     // the ANSWER comes from the compact exhaustive scan (broadcast
     // queries + per-partition bounded heap — topKFromCodes' exploded
     // (sub, code) join spills |queries| x |items| x m rows at the sf10
