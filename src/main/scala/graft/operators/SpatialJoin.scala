@@ -840,6 +840,11 @@ object SpatialJoin {
       // recompute per consumer. Released after the first consuming action
       // (CacheHygiene) so long-lived sessions don't accumulate blocks.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialization barrier (keyOverlapPairs discipline): safe and
+    // unsafeRadii are concurrent subtrees of the final plan — a lazy
+    // persist read by both would race its own cache population and run
+    // the owner-tile cogroup twice
+    p1.count()
 
     val safe = p1.where(col("knn_rank") > 0)
     // per-row pass-2 search radius: the k-th local distance, or the space
