@@ -139,11 +139,19 @@ object Components {
     // is dim-table sized, already delivers the edges the union-find needs
     // — replacing the separate checksum job + full collect (the fast path
     // ran 3 jobs over the edge relation; now 2: checkpoint + this). The
-    // distributed path pays one cheap limit-scan of checkpointed blocks
-    // and computes its checksum below as before.
-    val head = cur.limit(driverThreshold + 1).collect()
+    // distributed path pays one limit-scan of checkpointed blocks AND a
+    // transient driver collect of T+1 rows (~150-300 MB at the default
+    // threshold — the same collected-form sizing the fast path already
+    // accepts). `headOpt` drops the array on the distributed path so the
+    // star-round loop never retains it.
+    var headOpt: Option[Array[org.apache.spark.sql.Row]] = {
+      val h = cur.limit(driverThreshold + 1).collect()
+      if (h.length <= driverThreshold) Some(h) else None
+    }
 
-    if (head.length <= driverThreshold) {
+    if (headOpt.isDefined) {
+      val head = headOpt.get
+      headOpt = None // release the outer reference; `head` dies with this block
       // bounded fast path: one collect + union-find, no iterative stages.
       // Ordering must BIT-MATCH Spark SQL's least/greatest so both paths
       // label components identically: numerics via Comparable, strings via
