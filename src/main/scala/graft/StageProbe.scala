@@ -13,13 +13,7 @@ object StageProbe {
     val sfDir = flags.headOption.map(_.stripPrefix("--sf="))
       .getOrElse("/root/testdata/sf0.1")
     require(names.length == 1, "usage: StageProbe <query name> [--sf=<dir>]")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = Sessions.localBuilder("32").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = SparkEntry.queries(names.head)
     fn(spark, "/root/testdata/sf0.001").count()
