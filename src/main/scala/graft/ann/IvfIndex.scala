@@ -220,10 +220,26 @@ object IvfIndex {
     * the salt only engages when the list count under-fills the cluster. */
   private[graft] def listSalt(spark: org.apache.spark.sql.SparkSession,
                             nlist: Int): Int = {
-    val conf = spark.conf.getOption("spark.graft.ann.listSalt").map(_.toInt)
+    val conf = spark.conf.getOption("spark.graft.ann.listSalt").map { v =>
+      try v.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.ann.listSalt must be an integer (salt factor; " +
+            s"1 disables salting), got '$v'")
+      }
+    }
     val par = spark.sparkContext.defaultParallelism
-    conf.getOrElse(math.max(1, math.min(64, (2 * par + nlist - 1) / math.max(1, nlist))))
+    val s = conf.getOrElse(
+      math.max(1, math.min(64, (2 * par + nlist - 1) / math.max(1, nlist))))
+    // the derived default varies with host core count — log the chosen
+    // factor once per (nlist, s) so dumped plans/bench records are
+    // attributable to their machine shape (round-16 advice)
+    if (s > 1 && loggedSalts.add((nlist, s)))
+      System.err.println(s"[ivf] listSalt: nlist=$nlist parallelism=$par salt=$s")
+    s
   }
+
+  private val loggedSalts =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Int)]()
 
   /** Salted list-keyed scoring join: `q JOIN i ON (list, salt)` with the
     * shuffled-hash hint — shared by [[topK]], [[topKFromAssignments]] and

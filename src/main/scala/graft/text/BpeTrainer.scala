@@ -77,7 +77,7 @@ object BpeTrainer {
     // decision collect bounded; oversized tables fall through to the
     // distributed loop below with only this one cheap job (a limit scan
     // of already-checkpointed blocks) added.
-    val thr = TrainerLocal.threshold(df)
+    val thr = TrainerLocal.arrayThreshold(df) // symbol-array rows: scaled cap
     val head = cur.limit(thr + 1).collect()
     if (head.length <= thr) {
       graft.core.CacheHygiene.freeRdds(sc, curIds)

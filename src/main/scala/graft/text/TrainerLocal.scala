@@ -23,15 +23,32 @@ import org.apache.spark.sql.DataFrame
   */
 private[text] object TrainerLocal {
 
-  /** Word-table rows at or below this collect to the driver (each row is
-    * a short symbol array + count — ~100-300 B collected, so 1 M rows ≈
-    * 100-300 MB of driver heap, the [[graft.dedup.Components]] sizing
-    * argument). Overridable per session for A/B and scale tests. */
+  /** Word-table rows at or below this collect to the driver, for
+    * STRING-shaped rows ((word, count) — ~100-300 B collected, so 1 M
+    * rows ≈ 100-300 MB of driver heap, the [[graft.dedup.Components]]
+    * sizing argument). Overridable per session for A/B and scale tests. */
   val DriverWordThreshold: Int = 1000000
 
-  def threshold(df: DataFrame): Int =
+  /** BPE/WordPiece rows are symbol ARRAYS — one boxed String PER
+    * CHARACTER plus array overhead, so a 10-char word collects at
+    * ~500-700 B (10 × ~48 B boxed 1-char strings + the array + count),
+    * 2-4× the string-shaped row (round-16 advice: the flat 1 M-row cap
+    * could overshoot the documented budget several-fold). Array-shaped
+    * tables therefore use threshold/4: ~250 k rows ≈ 125-175 MB at the
+    * default, the same byte budget as the string shape. */
+  val ArrayRowDivisor: Int = 4
+
+  private def confThreshold(df: DataFrame): Int =
     df.sparkSession.conf.getOption("spark.graft.trainer.driverWords")
       .map(_.toInt).getOrElse(DriverWordThreshold)
+
+  /** Fast-path row cap for (word: String, count) tables (Unigram). */
+  def threshold(df: DataFrame): Int = confThreshold(df)
+
+  /** Fast-path row cap for (symbols: Array[String], count) tables
+    * (BPE/WordPiece) — the conf value scaled down to the same byte
+    * budget. */
+  def arrayThreshold(df: DataFrame): Int = confThreshold(df) / ArrayRowDivisor
 
   /** Spark SQL's binary string order (UTF8String comparison = unsigned
     * UTF-8 byte order) — the order `orderBy(col.asc)` applies. Java's

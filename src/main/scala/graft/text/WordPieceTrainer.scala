@@ -75,7 +75,7 @@ object WordPieceTrainer {
       wordTable(df, textCol).localCheckpoint(true))
     // bounded-model driver fast path — see [[TrainerLocal]] and the
     // identical guard in BpeTrainer.train
-    val thr = TrainerLocal.threshold(df)
+    val thr = TrainerLocal.arrayThreshold(df) // symbol-array rows: scaled cap
     val head = cur.limit(thr + 1).collect()
     if (head.length <= thr) {
       graft.core.CacheHygiene.freeRdds(sc, curIds)
