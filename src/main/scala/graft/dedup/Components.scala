@@ -135,23 +135,19 @@ object Components {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    // bounded-size decision via limit(T+1): ONE job that, when the graph
-    // is dim-table sized, already delivers the edges the union-find needs
-    // — replacing the separate checksum job + full collect (the fast path
-    // ran 3 jobs over the edge relation; now 2: checkpoint + this). The
-    // distributed path pays one limit-scan of checkpointed blocks AND a
-    // transient driver collect of T+1 rows (~150-300 MB at the default
-    // threshold — the same collected-form sizing the fast path already
-    // accepts). `headOpt` drops the array on the distributed path so the
-    // star-round loop never retains it.
-    var headOpt: Option[Array[org.apache.spark.sql.Row]] = {
-      val h = cur.limit(driverThreshold + 1).collect()
-      if (h.length <= driverThreshold) Some(h) else None
-    }
+    // bounded-size decision via the checksum's COUNT (round-16 advice:
+    // the limit(T+1).collect() decision collected ~150-300 MB to the
+    // driver even when the edge set was huge — a transient spike exactly
+    // on the path a memory-tight driver chose the distributed loop to
+    // avoid). The checksum aggregate is one cheap job over checkpointed
+    // blocks, its count gates the collect, and on the distributed path
+    // the SAME value seeds the convergence loop's `prev` — so that path
+    // now runs one job FEWER than before (no limit-scan), and nothing
+    // larger than the threshold is ever collected.
+    val pre = checksum(cur)
 
-    if (headOpt.isDefined) {
-      val head = headOpt.get
-      headOpt = None // release the outer reference; `head` dies with this block
+    if (pre._1 <= driverThreshold) {
+      val head = cur.collect() // exactly pre._1 rows — bounded by the guard
       // bounded fast path: one collect + union-find, no iterative stages.
       // Ordering must BIT-MATCH Spark SQL's least/greatest so both paths
       // label components identically: numerics via Comparable, strings via
@@ -205,7 +201,7 @@ object Components {
         .select(col(idCol), coalesce(col("__comp"), col(idCol)).as("comp"))
     }
 
-    var prev = checksum(cur)
+    var prev = pre // the decision checksum doubles as round 0's signature
     var iter = 0
     var converged = prev._1 == 0L
     while (!converged && iter < maxIter) {
