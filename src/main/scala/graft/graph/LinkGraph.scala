@@ -101,7 +101,14 @@ object LinkGraph {
       if (reliable) (e.checkpoint(true), Nil)
       else graft.core.CacheHygiene.trackNewRdds(sc)(e.localCheckpoint(true))
 
-    val n = nodes.select(col(idCol).cast("string").as("host")).distinct()
+    // checkpoint the node set ONCE: `n` appears in every round's plan (and
+    // round 0), so an un-materialized distinct re-scans the node source and
+    // re-runs its shuffle PER ROUND — at 100 TB that is `iterations` extra
+    // passes over the host universe for an identical tiny relation
+    // (measured r17: 4 redundant scan+distinct subtrees in q_host_rank's
+    // job log). One row per host; freed after the last round is cut loose.
+    val (n, nIds) = round(
+      nodes.select(col(idCol).cast("string").as("host")).distinct())
     val ew = edges
       .select(col("src").cast("string").as("src"),
               col("dst").cast("string").as("dst"),
@@ -111,21 +118,68 @@ object LinkGraph {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val tele = (scale * (dampDen - dampNum)) / dampDen
-    var (rank, rankIds) = round(n.withColumn("rank", lit(scale)))
-    for (_ <- 1 to iterations) {
-      val contrib = ew
-        .join(rank.withColumnRenamed("host", "src"), "src")
-        .select(col("dst").as("host"),
-          expr("(rank * weight) div ow").as("c"))
-        .groupBy("host").agg(sum("c").as("cin"))
-      val next = n.join(contrib, Seq("host"), "left").select(col("host"),
-        (lit(tele) +
-          expr(s"(${dampNum}L * coalesce(cin, 0L)) div ${dampDen}L")).as("rank"))
-      val (ckpt, ids) = round(next)
-      graft.core.CacheHygiene.freeRdds(sc, rankIds)
-      rank = ckpt; rankIds = ids
+    // The engine's AQE coalescing floor (Sessions: minPartitionSize=64k)
+    // exists for compute-DENSE small shuffles — kernels with seconds of
+    // CPU per MB. PageRank rounds are the opposite shape: iterative TINY
+    // shuffles whose per-row work is one long multiply-add, where extra
+    // post-coalesce tasks are pure scheduling overhead repeated every
+    // round (round-16 verdict: q_host_rank 0.74→1.09 s under the floor).
+    // The rounds execute EAGERLY here (each is checkpointed), so the
+    // exemption scopes exactly to this loop and restores on exit; the
+    // byte heuristic it falls back to is itself scale-adaptive, so
+    // production-sized rounds are unaffected either way.
+    val floorKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    val savedFloor = spark.conf.getOption(floorKey)
+    spark.conf.unset(floorKey) // back to Spark's byte-based default
+    // Bounded-round AQE bypass: AQE runs each shuffle/broadcast stage as
+    // its own JOB, so one checkpointed round costs ~6 scheduled jobs —
+    // pure per-round overhead when the rank relation is dim-table sized
+    // (measured r17: q_host_rank = 23 jobs of 12-70 ms wall with ~40 ms
+    // driver gaps between them; the data stages are trivial). When the
+    // just-materialized node set is small enough that a static-partition
+    // shuffle is safe on ANY cluster (`spark.graft.graph.aqeRowThreshold`,
+    // default 4M hosts — a few hundred MB per round), the loop runs with
+    // AQE off: one job per round. Larger graphs keep AQE (runtime
+    // broadcast conversion, skew handling — the things that matter when a
+    // round is NOT small). Results are partitioning-invariant either way
+    // (exact integer arithmetic; the bit-determinism specs pin it).
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val savedAqe = spark.conf.getOption(aqeKey)
+    val aqeRowThreshold = spark.conf
+      .getOption("spark.graft.graph.aqeRowThreshold").map(_.toLong)
+      .getOrElse(4000000L)
+    if (n.count() <= aqeRowThreshold) spark.conf.set(aqeKey, "false")
+    // round 0 is a literal column over the just-checkpointed `n` — narrow
+    // on materialized blocks, so it needs no checkpoint job of its own
+    // (rankIds Nil: freeing "round 0" must not free `n`, which every later
+    // round still reads)
+    var rank: DataFrame = n.withColumn("rank", lit(scale))
+    var rankIds: Seq[Int] = Nil
+    try {
+      for (_ <- 1 to iterations) {
+        val contrib = ew
+          .join(rank.withColumnRenamed("host", "src"), "src")
+          .select(col("dst").as("host"),
+            expr("(rank * weight) div ow").as("c"))
+          .groupBy("host").agg(sum("c").as("cin"))
+        val next = n.join(contrib, Seq("host"), "left").select(col("host"),
+          (lit(tele) +
+            expr(s"(${dampNum}L * coalesce(cin, 0L)) div ${dampDen}L")).as("rank"))
+        val (ckpt, ids) = round(next)
+        graft.core.CacheHygiene.freeRdds(sc, rankIds)
+        rank = ckpt; rankIds = ids
+      }
+    } finally {
+      savedFloor.foreach(spark.conf.set(floorKey, _))
+      savedAqe match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None    => spark.conf.unset(aqeKey)
+      }
     }
     ew.unpersist(blocking = false)
+    // every round (including the final one) is checkpointed, so `n`'s
+    // blocks have no live reader left
+    graft.core.CacheHygiene.freeRdds(sc, nIds)
     // the FINAL round's blocks are deliberately not freed: the returned
     // plan reads them, and a freed localCheckpoint cannot recompute (same
     // policy as Components — superseded rounds were freed eagerly above,
