@@ -51,16 +51,30 @@ object Queries {
     * write's task tail back-fills with the other's tasks; job descriptions
     * are thread-local so the UI stays readable). Only for aux relations
     * with no data dependency on each other. */
+  /** Two INDEPENDENT driver actions as concurrent jobs (guide §2.6 —
+    * overlap independent jobs so one action's task tail back-fills with
+    * the other's tasks). Dedicated 2-thread pool, not the global pool;
+    * the pair is awaited JOINTLY (zip) so the FIRST failure propagates
+    * immediately instead of surfacing only after the other side
+    * completes, and a finite (but generous — these are bounded gate-side
+    * actions) timeout turns a hung job into a loud error rather than a
+    * silently stuck gate (round-16 advice). */
+  def par2[A, B](fa0: => A, fb0: => B): (A, B) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val fa = Future(fa0)
+      val fb = Future(fb0)
+      Await.result(fa.zip(fb), 30.minutes)
+    } finally pool.shutdown()
+  }
+
   def writeOracleAuxPar(dir: String,
                         a: (DataFrame, String),
-                        b: (DataFrame, String)): (DataFrame, DataFrame) = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val fa = Future(writeOracleAux(a._1, dir, a._2))
-    val fb = Future(writeOracleAux(b._1, dir, b._2))
-    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
-  }
+                        b: (DataFrame, String)): (DataFrame, DataFrame) =
+    par2(writeOracleAux(a._1, dir, a._2), writeOracleAux(b._1, dir, b._2))
 
   /** DuckDB-side reference to a [[writeOracleAux]] artifact (the driver's
     * correctness gate always runs at sf0.01). */
@@ -1560,14 +1574,19 @@ object Queries {
     }
     rm(new java.io.File(base)) // the gate times the ingest itself: fresh run
     val boxes = partBoxes(spark, dir)
-    boxes.select(col("id").cast("long").as("id"), st_astext(col("geom")).as("wkt"))
-      .write.parquet(s"$base/src")
-    // fixed tiling planned on the historical batch — distributed planning,
-    // same path the batch writer uses
     val env = boxes.select(col("x0").as("__xmin"), col("y0").as("__ymin"),
       (col("x0") + col("w")).as("__xmax"), (col("y0") + col("w")).as("__ymax"))
-    val index = SpatialJoin.planTiles(env, env.limit(0),
-      SpatialJoin.Config(partitioner = "fg", bucket = 300))
+    // the source landing write and the tile planning (fixed tiling planned
+    // on the historical batch — distributed planning, same path the batch
+    // writer uses) are independent driver actions over the same scan:
+    // overlap them (guide §2.6) so the planner's sample jobs back-fill the
+    // write's task tail
+    val (_, index) = par2(
+      boxes.select(col("id").cast("long").as("id"),
+          st_astext(col("geom")).as("wkt"))
+        .write.parquet(s"$base/src"),
+      SpatialJoin.planTiles(env, env.limit(0),
+        SpatialJoin.Config(partitioner = "fg", bucket = 300)))
     val stream = spark.readStream
       .schema("id BIGINT, wkt STRING").parquet(s"$base/src")
     val q = SpatialIngest.start(stream, "wkt", index, s"$base/store", s"$base/ckpt")
@@ -2529,14 +2548,21 @@ object Queries {
         .unionByName(slice.select(concat(col("text"), spam).as("text"),
           lit(0).as("label"))),
       "text", "label", b, epochs = 20, maxSample = 50000)
-    // batch twin -> the oracle's bits
-    writeOracleAux(
-      QualityClassifier.score(docs, "doc_id", "text", model, b)
-        .withColumn("keep", col("margin") > 0.0),
-      dir, "stream_curate_scores")
-    // the stream: two source files so the query runs >1 microbatch
-    docs.where(col("doc_id") % 2 === 0).write.parquet(s"$base/src")
-    docs.where(col("doc_id") % 2 === 1).write.mode("append").parquet(s"$base/src")
+    // the batch twin (-> the oracle's bits) and the stream's source
+    // landing are independent: overlap the full-corpus scoring write with
+    // the two src writes (guide §2.6; the src pair stays SEQUENTIAL with
+    // respect to each other — concurrent appends to one directory race
+    // the shared _temporary staging dir)
+    par2(
+      writeOracleAux(
+        QualityClassifier.score(docs, "doc_id", "text", model, b)
+          .withColumn("keep", col("margin") > 0.0),
+        dir, "stream_curate_scores"),
+      {
+        // the stream: two source files so the query runs >1 microbatch
+        docs.where(col("doc_id") % 2 === 0).write.parquet(s"$base/src")
+        docs.where(col("doc_id") % 2 === 1).write.mode("append").parquet(s"$base/src")
+      })
     val stream = spark.readStream.schema("doc_id BIGINT, text STRING")
       .option("maxFilesPerTrigger", 4).parquet(s"$base/src")
     val q = CurateIngest.start(stream, "doc_id", "text", model, b,
