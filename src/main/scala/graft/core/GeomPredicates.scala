@@ -158,9 +158,11 @@ object GeomPredicates {
       // constants (spjoin_2d.hpp:167-205, geographical.h:3-23). The
       // reference silently falls back to PLANAR degree-unit distance for
       // non-point geometries, mixing units row-by-row within one join — we
-      // reject non-points instead of reproducing that trap.
-      // PARITY TRAP (documented): the replication envelope still expands by
-      // `distance` in coordinate units, exactly as the reference does.
+      // reject non-points instead of reproducing that trap. (The
+      // reference's OTHER earth trap — expanding the probe envelope by
+      // meters-as-degrees, which degenerates the tiled join to all-pairs —
+      // is fixed in SpatialJoin.withEnvEarthMeters; this refine always
+      // receives the meter threshold.)
       if (earth) {
         require(isPoint(g1) && isPoint(g2),
           s"earth=true dwithin requires Point geometries; got " +

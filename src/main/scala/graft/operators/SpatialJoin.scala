@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import org.locationtech.jts.geom.{Envelope, Geometry}
 import org.locationtech.jts.index.strtree.{AbstractNode, Boundable, ItemBoundable, STRtree}
 
-import graft.core.{GeometryCodec, Mbb, TileBoundary}
+import graft.core.{Geo, GeometryCodec, Mbb, TileBoundary}
 import graft.functions.{st_envelope, st_geomfromwkt}
 import graft.partition.SpatialPartitioner
 
@@ -52,8 +52,13 @@ object SpatialJoin {
     *                   BOTH sides — non-points throw rather than silently
     *                   comparing planar degree-unit distances against the
     *                   meter threshold (the reference's behavior,
-    *                   spjoin_2d.hpp:185-205). `distance` still expands the
-    *                   replication envelope in coordinate units. */
+    *                   spjoin_2d.hpp:185-205). The probe envelope expands
+    *                   by the conservative DEGREE equivalent of `distance`
+    *                   (per-row, latitude-aware — see withEnvEarthMeters),
+    *                   NOT by meters-as-degrees like the reference, whose
+    *                   expansion makes every probe cover the planet and
+    *                   the join all-pairs; the exact haversine refine is
+    *                   unchanged, so results are identical. */
   final case class Config(
       predicate: String = "intersects",
       distance: Double = 0.0,
@@ -97,6 +102,39 @@ object SpatialJoin {
       .withColumn(X2, col("__env.xmax") + d)
       .withColumn(Y2, col("__env.ymax") + d)
       .drop("__env")
+  }
+
+  /** Earth-mode probe expansion (round-17): the reference expands the
+    * probe MBB by `distance` in COORDINATE UNITS even when the distance is
+    * in meters (earth mode) — 50 km becomes 50,000 DEGREES, every probe
+    * envelope covers the whole space, and the tiled join degenerates to an
+    * all-pairs haversine scan (measured at sf0.1: 20.6 s of refine CPU to
+    * emit 30 surviving pairs; at 100 TB it is a cross join). The exact
+    * haversine refine decides membership, so tightening the candidate
+    * window cannot change results — this variant expands by the provably
+    * conservative degree bounds instead ([[graft.core.Geo.latDegrees]] /
+    * [[Geo.lonDegrees]]'s formula as per-row codegen'd columns: the
+    * longitude window widens with the envelope's worst-case |latitude|,
+    * degenerating to the full 360° near the poles, where candidate
+    * windows legitimately wrap). */
+  private def withEnvEarthMeters(df: DataFrame, geom: String,
+                                 meters: Double): DataFrame = {
+    val dLat = Geo.latDegrees(meters)
+    df.withColumn("__env", st_envelope(col(geom)))
+      .where(col("__env").isNotNull)
+      .withColumn("__phimax",
+        greatest(abs(col("__env.ymin")), abs(col("__env.ymax"))) + lit(dLat))
+      .withColumn("__dlon",
+        when(col("__phimax") >= 89.9, lit(360.0))
+          .otherwise(least(lit(360.0),
+            degrees(asin(least(lit(1.0),
+              sin(lit(meters / (2.0 * Geo.EarthRadiusMeters))) /
+                cos(radians(col("__phimax")))))) * lit(2.0 * Geo.BoundSafety))))
+      .withColumn(X1, col("__env.xmin") - col("__dlon"))
+      .withColumn(Y1, col("__env.ymin") - lit(dLat))
+      .withColumn(X2, col("__env.xmax") + col("__dlon"))
+      .withColumn(Y2, col("__env.ymax") + lit(dLat))
+      .drop("__env", "__phimax", "__dlon")
   }
 
   /** Shared entry-point argument validation: a malformed config must fail
@@ -306,8 +344,15 @@ object SpatialJoin {
          right.withColumn(RId, monotonically_increasing_id()).localCheckpoint(true))
       else (left, right)
 
-    val expand = if (cfg.predicate == "dwithin") cfg.distance else 0.0
-    val l = withEnv(left0, leftGeom, expand) // probe-side MBB expansion, spjoin_2d.hpp:61-66
+    // probe-side MBB expansion (spjoin_2d.hpp:61-66); earth mode converts
+    // the meter distance to conservative per-row DEGREE windows instead of
+    // expanding by meters-as-degrees (see withEnvEarthMeters — the refine
+    // threshold below stays in meters, so results are unchanged)
+    val refineDist = if (cfg.predicate == "dwithin") cfg.distance else 0.0
+    val l =
+      if (cfg.predicate == "dwithin" && cfg.earth)
+        withEnvEarthMeters(left0, leftGeom, cfg.distance)
+      else withEnv(left0, leftGeom, refineDist)
     val r = withEnv(right0, rightGeom, 0.0)
 
     // st_equals implies envelope equality, so the complete candidate set is
@@ -401,7 +446,7 @@ object SpatialJoin {
             var i = 0
             while (i < hits.size()) {
               val (g2, rrow) = hits.get(i).asInstanceOf[(Geometry, Row)]
-              if (evalPredicate(predicate, g1, g2, expand, cfg.earth)) {
+              if (evalPredicate(predicate, g1, g2, refineDist, cfg.earth)) {
                 val emit = if (!useRefPoint) true else {
                   // bottom-left corner of probe-env ∩ build-env intersection
                   val refx = math.max(px1, rrow.getDouble(rEnvIdx(0)))

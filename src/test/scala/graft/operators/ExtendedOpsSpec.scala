@@ -68,6 +68,35 @@ class ExtendedOpsSpec extends SparkTestBase {
     assert(run(dMeters - 1) == 0)
   }
 
+  test("earth-mode dwithin: degree-window candidates == brute-force haversine") {
+    // r17: the probe envelope now expands by the conservative DEGREE
+    // equivalent of the meter distance (latitude-aware), not by
+    // meters-as-degrees. Equality against the brute-force cross join is
+    // the safety proof at test scale; the grid includes HIGH latitudes,
+    // where a naive fixed lon window (= the lat window) would MISS pairs
+    // whose lon gap in degrees is large but whose metric gap is small.
+    val pts = for (i <- 0 until 12; j <- 0 until 8) yield
+      (i * 8L + j, -3.0 + i * 1.1, 62.0 + j * 3.4) // lats 62..85.8
+    val a = pts.toDF("ida", "lona", "lata")
+      .withColumn("ga", st_point(col("lona"), col("lata")))
+    val b = pts.map { case (id, lon, lat) => (id + 1000, lon + 0.9, lat + 0.3) }
+      .toDF("idb", "lonb", "latb")
+      .withColumn("gb", st_point(col("lonb"), col("latb")))
+    val d = 150000.0 // 150 km: at lat 85 that is ~15 degrees of longitude
+    val joined = SpatialJoin.join(
+        a.select("ida", "ga"), "ga", b.select("idb", "gb"), "gb",
+        SpatialJoin.Config(predicate = "dwithin", distance = d, earth = true,
+          bucket = 16))
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    val brute = (for {
+      (ia, lon1, lat1) <- pts
+      (ib, lon2, lat2) <- pts.map { case (id, lo, la) => (id + 1000, lo + 0.9, la + 0.3) }
+      if Geo.haversineMeters(lon1, lat1, lon2, lat2) <= d
+    } yield (ia, ib)).toSet
+    assert(brute.nonEmpty && brute.size < pts.size * pts.size)
+    assert(joined == brute)
+  }
+
   test("earth-mode dwithin rejects non-point geometries") {
     // planar fallback would compare degree-unit distance against a meter
     // threshold row-by-row — fail loudly instead
