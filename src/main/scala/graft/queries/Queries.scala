@@ -5791,12 +5791,16 @@ object Queries {
         "nid", "ivec", model, store)
     }
     val stored = AnnIngest.loadStore(spark, store, "nid", "ivec")
-    writeOracleAuxPar(dir,
+    // the probes aux checkpoint IS probeLists — reuse the parquet-backed
+    // round-trip for the search instead of recomputing the per-query
+    // centroid ranking (same (qid, list) rows: exact integer columns)
+    val (_, probesAux) = writeOracleAuxPar(dir,
       (stored.select(col("nid"), col("list")), "ann_ingest_assign"),
       (graft.ann.IvfIndex.probeLists(queries, "qid", "qvec", model, nprobe = 4),
         "ann_ingest_probes"))
     AnnIngest.topKFromStore(spark, store, "nid", "ivec",
-        queries, "qid", "qvec", k = 5, model, nprobe = 4)
+        queries, "qid", "qvec", k = 5, model, nprobe = 4,
+        precomputedProbes = Some(probesAux))
       .select(col("qid"), col("nid"), col("rank").as("rk"))
   }
 

@@ -59,12 +59,18 @@ object AnnIngest {
         .select(col(idCol), col(vecCol), col("list").cast("int").as("list"))
 
   /** Approximate top-k over the accumulated store. The probed-list set is
-    * bounded by nlist, so the collect is planning metadata, not data. */
+    * bounded by nlist, so the collect is planning metadata, not data.
+    * `precomputedProbes` (a (queryId, list) relation, e.g. a checkpointed
+    * [[IvfIndex.probeLists]]) skips recomputing the per-query centroid
+    * ranking when the caller already materialized it — same rows by
+    * construction (exact long/int columns roundtrip parquet bit-for-bit). */
   def topKFromStore(spark: SparkSession, storePath: String,
                     idCol: String, vecCol: String,
                     queries: DataFrame, queryId: String, queryVec: String,
-                    k: Int, model: IvfIndex.Model, nprobe: Int = 4): DataFrame = {
-    val probes = IvfIndex.probeLists(queries, queryId, queryVec, model, nprobe)
+                    k: Int, model: IvfIndex.Model, nprobe: Int = 4,
+                    precomputedProbes: Option[DataFrame] = None): DataFrame = {
+    val probes = precomputedProbes.getOrElse(
+      IvfIndex.probeLists(queries, queryId, queryVec, model, nprobe))
     val probed = probes.select("list").distinct()
       .collect().map(_.getInt(0)).toSeq
     val items = prunedStore(spark, storePath, idCol, vecCol, probed)
