@@ -131,9 +131,12 @@ CHEAP_BY_SF = {
         # window rows per check — measured-affordable class
         "q_knn": dict(table="customer", key="c_custkey", out="cid",
                       n=1000, residues=(0,)),
-        # 3-D kNN vs 2M part cubes: narrower probe slice (750 customers)
+        # 3-D kNN vs 2M part cubes: the n=2000 slice (750 probes -> 1.5G
+        # window rows) spilled DuckDB past the 76 GB free disk at the
+        # r17 re-record; 75 probes keep the window sort ~150M rows. The
+        # slice spec rides in the result, so the partial pass is labeled.
         "q_knn_3d": dict(table="customer", key="c_custkey", out="cid",
-                         n=2000, residues=(0,)),
+                         n=20000, residues=(0,)),
     }
 }
 CHEAP_BY_SF["graft_sf10"]["q_knn_sql"] = CHEAP_BY_SF["graft_sf10"]["q_knn"]
